@@ -1,0 +1,78 @@
+package graft.extract
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM prompt operator (`apply_prompt`/`get_response`,
+  * `utils.py:36-60, 244-298`).
+  *
+  * The reference calls an HTTP LLM once per (chunk, prompt) in a
+  * driver loop with a sqlite response cache. Here the operator is a
+  * `mapPartitions` stage: each partition drains its prompts through
+  * one client instance (connection reuse, batched), so throughput
+  * scales with executors and the driver never sees a prompt.
+  *
+  * Tests and the hermetic cascade use [[MockLlmClient]] — a
+  * deterministic completion function — so the pipeline runs with zero
+  * egress (the container has no network anyway).
+  */
+trait LlmClient extends Serializable {
+  def complete(prompts: Iterator[String]): Iterator[String]
+}
+
+/** Deterministic mock: answers extraction prompts of the form
+  * "attribute: X\ntext: ..." with the first "X: value" line found in
+  * the text; schema-id prompts with the "k: v"-shaped lines present.
+  * Canned overrides win (keyed by exact prompt) — the test fixture
+  * path (FIXTURES.md A7).
+  */
+final case class MockLlmClient(canned: Map[String, String] = Map.empty) extends LlmClient {
+  private val fieldLine = java.util.regex.Pattern.compile("(?m)^\\s*([A-Za-z0-9 _-]{1,40}?)\\s*:\\s*(.+?)\\s*$")
+
+  def complete(prompts: Iterator[String]): Iterator[String] = prompts.map { p =>
+    canned.getOrElse(p, answer(p))
+  }
+
+  private def answer(p: String): String = {
+    val attrMarker = "attribute: "
+    val textMarker = "text: "
+    val ai         = p.indexOf(attrMarker)
+    val ti         = p.indexOf(textMarker)
+    if (ai >= 0 && ti >= 0) {
+      val attr = p.substring(ai + attrMarker.length, p.indexOf('\n', ai).max(ai + attrMarker.length))
+      val text = p.substring(ti + textMarker.length)
+      val m    = java.util.regex.Pattern.compile("(?im)^\\s*" + java.util.regex.Pattern.quote(attr.trim) + "\\s*[:=]\\s*(.+?)\\s*$").matcher(text)
+      if (m.find()) m.group(1) else ""
+    } else {
+      // schema-id shape: emit the field: value lines verbatim
+      val m  = fieldLine.matcher(p)
+      val sb = new StringBuilder
+      while (m.find()) { sb.append(m.group(1)).append(": ").append(m.group(2)).append('\n') }
+      sb.toString
+    }
+  }
+}
+
+/** Evaporate-Direct (`main.py:52-99`): prompt the model on every
+  * (chunk, attribute) pair and parse one value per pair.
+  */
+object DirectExtract {
+
+  /** chunks: (idCol, attribute, chunk). Output adds (extractor, value). */
+  def apply(chunks: DataFrame, client: LlmClient, idCol: String, extractorName: String = "llm"): DataFrame = {
+    val spark  = chunks.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(
+      chunks.schema.fields :+ org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType))
+    val out = spark.createDataFrame(
+      chunks.rdd.mapPartitions { rows =>
+        val buf     = rows.toArray
+        val prompts = buf.iterator.map { r =>
+          s"attribute: ${r.getAs[String]("attribute")}\ntext: ${r.getAs[String]("chunk")}"
+        }
+        val answers = client.complete(prompts)
+        buf.iterator.zip(answers).map { case (r, a) => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ a) }
+      },
+      schema)
+    out.withColumn("extractor", lit(extractorName))
+  }
+}

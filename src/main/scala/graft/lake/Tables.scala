@@ -1,0 +1,45 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver testdata layout (one parquet per table) and
+  * for raw document lakes (directory of text/html files — the
+  * reference's input shape, `configs.py:16-29`).
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
+    * parquet reader only accepts as long (nanosAsLong). Read it that
+    * way and surface a proper timestamp column (µs precision).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, sfDir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else raw
+  }
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "orders")
+
+  /** Raw data-lake scan: every file under `dir` as (path, content).
+    * Mirrors the reference's dir-scan + file-read
+    * (`utils.py:72-79`, `profiler_utils.py:347-357`) but distributed:
+    * Spark's text source with wholetext splits the listing across
+    * executors; `recursiveFileLookup` covers nested dirs. For binary
+    * (multimodal) lakes use `binaryFile` instead.
+    */
+  def rawLake(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read
+      .option("wholetext", "true")
+      .option("recursiveFileLookup", "true")
+      .text(dir)
+      .select(input_file_name().as("path"), org.apache.spark.sql.functions.col("value").as("content"))
+  }
+}
