@@ -1,0 +1,43 @@
+package graft.eval
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Golden-table evaluation joins (`evaluate_profiler.py:190-198`,
+  * `run_ws.py:47-50`, `evaluate_synthetic.py:196-225`).
+  *
+  * The reference aligns predictions with gold labels via Python dict
+  * lookups keyed by file path; at scale these are real joins. The
+  * gold table is human-labeled and therefore small → broadcast hash
+  * join, no shuffle of the big prediction side.
+  */
+object Harness {
+
+  /** pred ⋈ gold (inner) on the given keys. */
+  def joinPredGold(pred: DataFrame, gold: DataFrame, keys: Seq[String]): DataFrame =
+    pred.join(broadcast(gold), keys, "inner")
+
+  /** Rows of `df` with no gold entry — reported as skipped files
+    * (`run_ws.py:47-50, 265-267`).
+    */
+  def missingGoldAnti(df: DataFrame, gold: DataFrame, keys: Seq[String]): DataFrame =
+    df.join(broadcast(gold), keys, "left_anti")
+
+  /** OpenIE set precision/recall/F1 over (key, attribute, value)
+    * triples (`evaluate_synthetic.py:14-28`): distinct-triple
+    * intersection counts.
+    */
+  def setPrf(pred: DataFrame, gold: DataFrame, keys: Seq[String]): DataFrame = {
+    val p  = pred.select(keys.map(col): _*).distinct()
+    val g  = gold.select(keys.map(col): _*).distinct()
+    val np = p.count().toDouble
+    val ng = g.count().toDouble
+    val ni = p.intersect(g).count().toDouble
+    val precision = if (np > 0) ni / np else 0.0
+    val recall    = if (ng > 0) ni / ng else 0.0
+    val f1        = if (precision + recall > 0) 2 * precision * recall / (precision + recall) else 0.0
+    val spark     = pred.sparkSession
+    import spark.implicits._
+    Seq((precision, recall, f1)).toDF("precision", "recall", "f1")
+  }
+}

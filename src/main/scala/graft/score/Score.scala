@@ -1,0 +1,143 @@
+package graft.score
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Extraction scoring (`evaluate_profiler.py`).
+  *
+  * The SQuAD-style token F1 (`text_f1`, `evaluate_profiler.py:81-153`)
+  * is a pure per-row column expression built from array higher-order
+  * functions — no UDF, no shuffle, stays in codegen. Corpus metrics
+  * (average + exact median) are one hash aggregation over it.
+  */
+object Score {
+
+  /** Whitespace tokens, empties dropped. */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => length(t) > 0)
+
+  /** Multiset-intersection size of two token arrays:
+    * Σ_t min(count_pred(t), count_gold(t)) over distinct pred tokens.
+    */
+  private def numSame(tp: Column, tg: Column): Column =
+    aggregate(
+      array_distinct(tp),
+      lit(0),
+      (acc, t) =>
+        acc + least(
+          size(filter(tp, x => x === t)),
+          size(filter(tg, x => x === t))))
+
+  /** Per-pair SQuAD token F1 (`evaluate_profiler.py:118-147`):
+    * either side empty → 1.0 iff both empty else 0.0; no overlap → 0;
+    * else harmonic mean of token precision/recall.
+    */
+  def tokenF1(pred: Column, gold: Column): Column = {
+    val tp   = tokens(pred)
+    val tg   = tokens(gold)
+    val np   = size(tp)
+    val ng   = size(tg)
+    val same = numSame(tp, tg).cast("double")
+    val p    = same / np
+    val r    = same / ng
+    when(np === 0 || ng === 0, when(np === ng, 1.0).otherwise(0.0))
+      .when(same === 0.0, 0.0)
+      .otherwise(litTwo * p * r / (p + r))
+  }
+  private val litTwo = lit(2.0)
+
+  /** Extraction fraction (`evaluate_profiler.py:203-208`): share of
+    * rows whose value is non-null, non-empty and not "none".
+    */
+  def extracted(value: Column): Column =
+    when(value.isNotNull && length(trim(value)) > 0 && lower(trim(value)) =!= "none", 1.0)
+      .otherwise(0.0)
+
+  def extractionFraction(df: DataFrame, valueCol: String, groupCols: Seq[String]): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(avg(extracted(col(valueCol))).as("extraction_fraction"))
+
+  /** Corpus metrics per extractor (D7): average F1, exact median F1,
+    * extraction fraction. With `useAbstention` and a high extraction
+    * fraction, empty predictions are dropped before scoring
+    * (`evaluate_profiler.py:98-107`).
+    * Input: (groupCols..., pred, gold).
+    */
+  def f1Metrics(
+      scored: DataFrame,
+      groupCols: Seq[String],
+      predCol: String = "pred",
+      goldCol: String = "gold",
+      useAbstention: Boolean = false,
+      extractionFractionThresh: Double = 0.8): DataFrame = {
+    val keys = groupCols.map(col)
+    val base = scored.withColumn("__f1", tokenF1(col(predCol), col(goldCol)))
+    val withFrac = base
+      .withColumn("__frac", avg(extracted(col(predCol))).over(Window.partitionBy(keys: _*)))
+    val kept =
+      if (useAbstention)
+        withFrac.filter(col("__frac") < extractionFractionThresh || length(trim(col(predCol))) > 0)
+      else withFrac
+    kept
+      .groupBy(keys: _*)
+      .agg(
+        avg(col("__f1")).as("avg_f1"),
+        percentile(col("__f1"), lit(0.5)).as("med_f1"),
+        avg(extracted(col(predCol))).as("extraction_fraction"))
+  }
+
+  /** Top-k extractor selection (`get_topk_scripts_per_field`,
+    * `evaluate_profiler.py:233-304`). metrics: (extractor, avg_f1,
+    * med_f1); `goldKey` rows are excluded from candidacy.
+    *
+    * Returns the selected rows with their rank. Deterministic
+    * tie-break: (avg_f1, med_f1) desc, extractor asc. The metrics
+    * relation is tiny (#extractors ≈ k·prompts); everything here is
+    * window math over a broadcast-size frame.
+    */
+  def topkScripts(
+      metrics: DataFrame,
+      k: Int = 10,
+      goldKey: String = "gold",
+      keepThresh: Double = 0.5,
+      costThresh: Double = 1.0,
+      doEndToEnd: Boolean = false): DataFrame = {
+    val nonGold = metrics.filter(col("extractor") =!= goldKey)
+    val w       = Window.orderBy(desc("avg_f1"), desc("med_f1"), asc("extractor"))
+    val ranked  = nonGold.withColumn("rank", row_number().over(w))
+    val best = ranked
+      .filter(col("rank") === 1)
+      .select(greatest(col("avg_f1"), col("med_f1")).as("best_value"))
+    val withBest = ranked.crossJoin(broadcast(best))
+
+    val isFn = col("extractor").contains("function")
+    val qualifies = isFn &&
+      (col("avg_f1") >= keepThresh || col("med_f1") >= keepThresh) &&
+      abs(greatest(col("avg_f1"), col("med_f1")) - col("best_value")) < costThresh
+    val flagged = withBest.withColumn("is_qual_fn", qualifies)
+
+    val numFns = flagged.withColumn(
+      "num_fns",
+      sum(when(col("is_qual_fn"), 1).otherwise(0)).over(Window.partitionBy(lit(1))))
+
+    // OpenIE kill-switch: best overall under threshold → nothing
+    val killSwitch = doEndToEnd && {
+      val b = best.head().getDouble(0)
+      b < keepThresh
+    }
+    if (killSwitch) return numFns.filter(lit(false)).select(col("extractor"), col("rank"))
+
+    val selected = numFns
+      .filter(col("num_fns") > 0)
+      .filter(col("rank") <= least(lit(k), col("num_fns")))
+      .filter(col("is_qual_fn"))
+      .filter(col("rank") <= k)
+      .select(col("extractor"), col("rank"))
+
+    if (!doEndToEnd && selected.isEmpty) {
+      // ClosedIE fallback: single best non-gold extractor
+      ranked.filter(col("rank") === 1).select(col("extractor"), col("rank"))
+    } else selected
+  }
+}
