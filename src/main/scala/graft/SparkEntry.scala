@@ -7,7 +7,7 @@ import scala.collection.immutable.ListMap
 
 import graft.lake.{Chunker, ChunkFilter, HtmlOps, Tables}
 import graft.extract.{Clean, DirectExtract, MockLlmClient}
-import graft.combine.{Combiners, StructuredView}
+import graft.combine.{Combiners, LabelModel, StructuredView}
 import graft.score.Score
 import graft.eval.Harness
 
@@ -52,6 +52,38 @@ object SparkEntry {
     docs(s, dir)
       .filter(col("doc_id") % 2 === 0)
       .select(col("doc_id"), firstWords(10).as("gold"))
+
+  /** Binary ±1 vote fixture for the WS stack (D8): three deterministic
+    * labeling functions over documents — v1 perfect, v2 uncorrelated
+    * noise with abstains (0), v3 = truth flipped on doc_id % 7 == 0.
+    */
+  private def binaryVotes(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val y = when(col("lang") === "en", 1).otherwise(-1)
+    val mk = (name: String, v: org.apache.spark.sql.Column) =>
+      d.select(col("doc_id"), lit(name).as("extractor"), v.as("vote"))
+    mk("v1", y)
+      .unionByName(mk(
+        "v2",
+        when(col("n_chars") % 11 === 0, 0)
+          .when(col("n_chars") % 3 === 0, 1)
+          .otherwise(-1)))
+      .unionByName(mk("v3", when(col("doc_id") % 7 === 0, -y).otherwise(y)))
+  }
+
+  private def binaryGold(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), when(col("lang") === "en", 1).otherwise(-1).as("y"))
+
+  /** DuckDB CTEs mirroring binaryVotes/binaryGold. */
+  private val votesCtes: String =
+    """votes AS (
+         SELECT doc_id, 'v1' AS extractor, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS vote FROM documents
+         UNION ALL
+         SELECT doc_id, 'v2', CASE WHEN n_chars % 11 = 0 THEN 0 WHEN n_chars % 3 = 0 THEN 1 ELSE -1 END FROM documents
+         UNION ALL
+         SELECT doc_id, 'v3', CASE WHEN doc_id % 7 = 0 THEN (CASE WHEN lang = 'en' THEN -1 ELSE 1 END)
+                                   ELSE (CASE WHEN lang = 'en' THEN 1 ELSE -1 END) END FROM documents),
+       gold AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y FROM documents)"""
 
   /** Flagship: the Evaporate spine end-to-end on sf0.001 — scan →
     * chunk → keyword filter → (mock) direct extraction → clean →
@@ -208,6 +240,54 @@ object SparkEntry {
           "value")
         .select(col("doc_id"), array_join(col("votes"), "|").as("votes_str"))
         .orderBy(col("doc_id"))),
+
+    // §2.5 vote histogram → int matrix (run_ws.py:41-98)
+    "q_vote_matrix" -> ((s, dir) => {
+      val votes = scoredExtractions(s, dir).select(col("doc_id"), col("extractor"), col("pred").as("value"))
+      Combiners
+        .voteMatrix(votes, "doc_id", numElts = 5)
+        .select(
+          col("doc_id"),
+          array_join(col("labels"), "|").as("labels_str"),
+          array_join(transform(col("votes"), v => v.cast("string")), ",").as("votes_str"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // §2.5 class-conditional confusion estimates, clipped (methods.py:203-242)
+    "q_confusion_matrix" -> ((s, dir) =>
+      LabelModel
+        .confusionMatrix(binaryVotes(s, dir), binaryGold(s, dir), "doc_id")
+        .select(col("extractor"), col("y"), col("vote"), col("n"), round(col("p"), 6).as("p"))
+        .orderBy(col("extractor"), col("y"), col("vote"))),
+
+    // §2.11 naive-Bayes posterior combiner (methods.py:521)
+    "q_nb_posterior" -> ((s, dir) => {
+      val accs = LabelModel.accuracies(binaryVotes(s, dir), binaryGold(s, dir), "doc_id")
+      LabelModel
+        .naiveBayesPredict(binaryVotes(s, dir), accs, "doc_id")
+        .select(
+          col("doc_id"),
+          col("nb_pred"),
+          round(col("score_pos"), 6).as("score_pos"),
+          round(col("score_neg"), 6).as("score_neg"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // §2.5 abstain-masked pairwise moments E[v_i v_j] (methods.py:275-328)
+    "q_pairwise_moments" -> ((s, dir) =>
+      LabelModel
+        .pairwiseMoments(binaryVotes(s, dir), "doc_id")
+        .select(col("e_i"), col("e_j"), round(col("moment"), 6).as("moment"), col("n"))
+        .orderBy(col("e_i"), col("e_j"))),
+
+    // §2.11 FlyingSquid triplet closed-form accuracies (methods.py:275-328)
+    "q_flying_squid" -> ((s, dir) => {
+      val accs = LabelModel.flyingSquidAccuracies(
+        LabelModel.pairwiseMoments(binaryVotes(s, dir), "doc_id"))
+      import s.implicits._
+      accs.toSeq.sortBy(_._1).toDF("extractor", "acc")
+        .select(col("extractor"), round(col("acc"), 6).as("acc"))
+    }),
 
     // §2.6 window rank (events): row_number per user by time
     "q_window_rank" -> ((s, dir) => {
@@ -401,6 +481,76 @@ object SparkEntry {
                 count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
                 count(CASE WHEN event_type = 'view' THEN 1 END) AS view
          FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q_vote_matrix" ->
+      s"""WITH ext AS (
+            SELECT doc_id, 'function_1' AS extractor, ${fwSql(8)} AS value FROM documents
+            UNION ALL SELECT doc_id, 'function_2', ${fwSql(12)} FROM documents
+            UNION ALL SELECT doc_id, 'llm_direct', ${fwSql(5)} FROM documents),
+          counts AS (SELECT doc_id, value, count(*) AS n FROM ext GROUP BY doc_id, value),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, value ASC) AS rk FROM counts),
+          top AS (SELECT doc_id, value, rk FROM ranked WHERE rk <= 5),
+          labels AS (SELECT doc_id, string_agg(value, '|' ORDER BY rk) AS labels_str FROM top GROUP BY doc_id),
+          vm AS (SELECT e.doc_id, e.extractor, coalesce(t.rk - 1, -1) AS vote_int
+                 FROM ext e LEFT JOIN top t ON e.doc_id = t.doc_id AND e.value = t.value),
+          vs AS (SELECT doc_id, string_agg(CAST(vote_int AS VARCHAR), ',' ORDER BY extractor) AS votes_str
+                 FROM vm GROUP BY doc_id)
+          SELECT l.doc_id, l.labels_str, vs.votes_str
+          FROM labels l JOIN vs ON l.doc_id = vs.doc_id ORDER BY l.doc_id""",
+
+    "q_confusion_matrix" ->
+      s"""WITH $votesCtes,
+          counts AS (SELECT v.extractor, g.y, v.vote, count(*) AS n
+                     FROM votes v JOIN gold g ON v.doc_id = g.doc_id
+                     GROUP BY v.extractor, g.y, v.vote)
+          SELECT extractor, y, vote, n,
+                 round(least(greatest(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY extractor, y), 0.0001), 0.9999), 6) AS p
+          FROM counts ORDER BY extractor, y, vote""",
+
+    "q_nb_posterior" ->
+      s"""WITH $votesCtes,
+          accs AS (SELECT v.extractor,
+                          least(greatest(avg(CASE WHEN v.vote = g.y THEN 1.0 ELSE 0.0 END), 0.0001), 0.9999) AS acc
+                   FROM votes v JOIN gold g ON v.doc_id = g.doc_id
+                   WHERE v.vote <> 0 GROUP BY v.extractor),
+          scored AS (SELECT v.doc_id,
+                            exp(sum(CASE WHEN v.vote = 0 THEN 0.0 WHEN v.vote = 1 THEN ln(a.acc) ELSE ln(1.0 - a.acc) END)) AS score_pos,
+                            exp(sum(CASE WHEN v.vote = 0 THEN 0.0 WHEN v.vote = -1 THEN ln(a.acc) ELSE ln(1.0 - a.acc) END)) AS score_neg
+                     FROM votes v JOIN accs a ON v.extractor = a.extractor
+                     GROUP BY v.doc_id)
+          SELECT doc_id, CASE WHEN score_pos >= score_neg THEN 1 ELSE -1 END AS nb_pred,
+                 round(score_pos, 6) AS score_pos, round(score_neg, 6) AS score_neg
+          FROM scored ORDER BY doc_id""",
+
+    "q_pairwise_moments" ->
+      s"""WITH $votesCtes
+          SELECT a.extractor AS e_i, b.extractor AS e_j,
+                 round(avg(a.vote * b.vote), 6) AS moment, count(*) AS n
+          FROM votes a JOIN votes b ON a.doc_id = b.doc_id
+          WHERE a.extractor < b.extractor AND a.vote <> 0 AND b.vote <> 0
+          GROUP BY a.extractor, b.extractor ORDER BY e_i, e_j""",
+
+    "q_flying_squid" ->
+      s"""WITH $votesCtes,
+          mom AS (SELECT a.extractor AS e_i, b.extractor AS e_j, avg(a.vote * b.vote) AS moment
+                  FROM votes a JOIN votes b ON a.doc_id = b.doc_id
+                  WHERE a.extractor < b.extractor AND a.vote <> 0 AND b.vote <> 0
+                  GROUP BY a.extractor, b.extractor),
+          wide AS (SELECT
+                     max(CASE WHEN e_i = 'v1' AND e_j = 'v2' THEN moment END) AS m12,
+                     max(CASE WHEN e_i = 'v1' AND e_j = 'v3' THEN moment END) AS m13,
+                     max(CASE WHEN e_i = 'v2' AND e_j = 'v3' THEN moment END) AS m23
+                   FROM mom)
+          SELECT extractor, round(acc, 6) AS acc FROM (
+            SELECT 'v1' AS extractor,
+                   CASE WHEN abs(m23) > 1e-12 THEN (1.0 + least(sqrt(abs(m12 * m13 / m23)), 1.0)) / 2 ELSE 0.5 END AS acc FROM wide
+            UNION ALL
+            SELECT 'v2',
+                   CASE WHEN abs(m13) > 1e-12 THEN (1.0 + least(sqrt(abs(m12 * m23 / m13)), 1.0)) / 2 ELSE 0.5 END FROM wide
+            UNION ALL
+            SELECT 'v3',
+                   CASE WHEN abs(m12) > 1e-12 THEN (1.0 + least(sqrt(abs(m13 * m23 / m12)), 1.0)) / 2 ELSE 0.5 END FROM wide)
+          ORDER BY extractor""",
 
     "q_window_rank" ->
       """SELECT user_id, event_id, rn

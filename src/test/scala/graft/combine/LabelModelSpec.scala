@@ -1,0 +1,67 @@
+package graft.combine
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+class LabelModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Conditionally-independent planted-accuracy sampler (the role of
+    * the reference's Ising PGM fixture, `pgm.py:8-117`): y ~ ±1
+    * uniform, vote_i = y with prob acc_i else -y. Deterministic seed.
+    */
+  private def plantedVotes(n: Int, accs: Map[String, Double], seed: Int = 7) = {
+    val rnd = new Random(seed)
+    val rows = (0 until n).flatMap { i =>
+      val y = if (rnd.nextBoolean()) 1 else -1
+      accs.toSeq.sortBy(_._1).map { case (e, a) =>
+        (i.toLong, e, if (rnd.nextDouble() < a) y else -y, y)
+      }
+    }
+    val df = rows.toDF("doc_id", "extractor", "vote", "y")
+    (df.select("doc_id", "extractor", "vote"), df.select("doc_id", "y").distinct())
+  }
+
+  test("accuracies estimates match empirical rates") {
+    val (votes, gold) = plantedVotes(2000, Map("a" -> 0.9, "b" -> 0.7, "c" -> 0.55))
+    val accs = LabelModel.accuracies(votes, gold, "doc_id")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(accs("a") - 0.9) < 0.03)
+    assert(math.abs(accs("b") - 0.7) < 0.03)
+    assert(math.abs(accs("c") - 0.55) < 0.03)
+  }
+
+  test("flyingSquid triplets recover planted accuracies unsupervised") {
+    val planted        = Map("a" -> 0.9, "b" -> 0.75, "c" -> 0.65)
+    val (votes, _)     = plantedVotes(8000, planted)
+    val moments        = LabelModel.pairwiseMoments(votes, "doc_id")
+    val recovered      = LabelModel.flyingSquidAccuracies(moments)
+    planted.foreach { case (e, a) =>
+      assert(math.abs(recovered(e) - a) < 0.06, s"$e: got ${recovered(e)}, want ~$a")
+    }
+  }
+
+  test("naiveBayesPredict beats the best single extractor on noisy votes") {
+    val (votes, gold) = plantedVotes(3000, Map("a" -> 0.8, "b" -> 0.75, "c" -> 0.7))
+    val accs          = LabelModel.accuracies(votes, gold, "doc_id")
+    val pred          = LabelModel.naiveBayesPredict(votes, accs, "doc_id")
+    val acc = pred.join(gold, "doc_id")
+      .agg(avg(when(col("nb_pred") === col("y"), 1.0).otherwise(0.0)))
+      .head.getDouble(0)
+    assert(acc > 0.8, s"NB accuracy $acc should beat best single (0.8)")
+  }
+
+  test("confusionMatrix clips probabilities into [1e-4, 0.9999]") {
+    val votes = Seq((1L, "e", 1), (2L, "e", 1)).toDF("doc_id", "extractor", "vote")
+    val gold  = Seq((1L, 1), (2L, 1)).toDF("doc_id", "y")
+    val p     = LabelModel.confusionMatrix(votes, gold, "doc_id").select("p").head.getDouble(0)
+    assert(p == 0.9999)
+  }
+
+  test("pickBest returns the top extractor's votes") {
+    val votes = Seq((1L, "good", 1), (1L, "bad", -1)).toDF("doc_id", "extractor", "vote")
+    val accs  = Seq(("good", 0.9), ("bad", 0.6)).toDF("extractor", "acc")
+    assert(rows(LabelModel.pickBest(votes, accs, "doc_id")) == Seq(Seq(1L, 1)))
+  }
+}
