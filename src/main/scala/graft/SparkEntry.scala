@@ -10,6 +10,7 @@ import graft.extract.{Clean, DirectExtract, MockLlmClient}
 import graft.combine.{Combiners, LabelModel, StructuredView}
 import graft.score.Score
 import graft.eval.Harness
+import graft.schema.SchemaId
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -73,6 +74,51 @@ object SparkEntry {
 
   private def binaryGold(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), when(col("lang") === "en", 1).otherwise(-1).as("y"))
+
+  /** (doc, field) relation: distinct words per document — the raw
+    * material schema identification counts over.
+    */
+  private def docFields(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      explode(array_distinct(filter(split(col("text"), " "), t => length(t) > 0))).as("field"))
+
+  private val TripleAttrs = Seq(
+    ("spark_next", "spark (\\w+)"),
+    ("customer_next", "customer (\\w+)"),
+    ("vector_next", "vector (\\w+)"))
+
+  /** Melted extraction triples (doc_id, attribute, value) via regex
+    * extractors; value '' = abstain. `fromPrefix` limits the source
+    * text (used to derive a slightly-different "gold" set).
+    */
+  private def triples(s: SparkSession, dir: String, prefixLen: Int = 0): DataFrame = {
+    val src = if (prefixLen > 0) col("text").substr(1, prefixLen) else col("text")
+    TripleAttrs
+      .map { case (name, pat) =>
+        docs(s, dir).select(
+          col("doc_id"),
+          lit(name).as("attribute"),
+          regexp_extract(src, pat, 1).as("value"))
+      }
+      .reduce(_ unionByName _)
+  }
+
+  private def triplesSql(prefixLen: Int = 0): String = {
+    val src = if (prefixLen > 0) s"substring(text, 1, $prefixLen)" else "text"
+    TripleAttrs
+      .map { case (name, pat) =>
+        s"SELECT doc_id, '$name' AS attribute, regexp_extract($src, '$pat', 1) AS value FROM documents"
+      }
+      .mkString(" UNION ALL ")
+  }
+
+  private val fieldCountSql =
+    """fc AS (SELECT t AS field, count(*) AS n_docs
+              FROM (SELECT DISTINCT doc_id, t
+                    FROM documents, unnest(string_split(text, ' ')) AS u(t)
+                    WHERE len(t) > 0)
+              GROUP BY t)"""
 
   /** DuckDB CTEs mirroring binaryVotes/binaryGold. */
   private val votesCtes: String =
@@ -288,6 +334,112 @@ object SparkEntry {
       accs.toSeq.sortBy(_._1).toDF("extractor", "acc")
         .select(col("extractor"), round(col("acc"), 6).as("acc"))
     }),
+
+    // §2.5 field frequency across docs (schema_identification.py:24,84)
+    "q_field_count" -> ((s, dir) =>
+      SchemaId.fieldCount(docFields(s, dir), "doc_id").orderBy(col("field"))),
+
+    // §2.3 rank attributes, keep top-k (run_profiler.py:283-293)
+    "q_rank_attributes" -> ((s, dir) =>
+      SchemaId
+        .rankAttributes(SchemaId.fieldCount(docFields(s, dir), "doc_id"), k = 10)
+        .orderBy(col("rank"))),
+
+    // §2.5 LLM-rerank vote merge arithmetic (schema_identification.py:131-230)
+    "q_rerank_merge" -> ((s, dir) => {
+      val counts = SchemaId.fieldCount(docFields(s, dir), "doc_id")
+      val votes = SchemaId
+        .fieldCount(docFields(s, dir).filter(col("doc_id") % 3 === 0), "doc_id")
+        .select(col("field"), (col("n_docs") * 2).as("votes"))
+      SchemaId
+        .rerankMerge(counts, votes)
+        .select(col("field"), col("n_docs"), col("votes"), round(col("merged"), 6).as("merged"))
+        .orderBy(col("field"))
+    }),
+
+    // §2.5 schema-id eval@k (evaluate_synthetic.py:31-88)
+    "q_schema_eval_at_k" -> ((s, dir) => {
+      val counts = SchemaId.fieldCount(docFields(s, dir), "doc_id")
+      val ranked = SchemaId.rankAttributes(counts, k = 1000000)
+      val total  = docs(s, dir).count()
+      val gold   = counts.filter(col("n_docs") >= 0.6 * total).select(col("field"))
+      SchemaId
+        .schemaEvalAtK(ranked, gold, Seq(1, 5, 10))
+        .select(
+          col("k"), col("n_hit"),
+          round(col("precision"), 6).as("precision"),
+          round(col("recall"), 6).as("recall"),
+          round(col("f1"), 6).as("f1"))
+        .orderBy(col("k"))
+    }),
+
+    // §2.2 attribute dedup by name containment + equal metric (run_profiler.py:122-171)
+    "q_attr_dedup" -> ((s, dir) =>
+      SchemaId
+        .attrDedup(
+          SchemaId
+            .fieldCount(docFields(s, dir), "doc_id")
+            .select(col("field").as("attribute"), col("n_docs").as("metric")))
+        .orderBy(col("attribute"))),
+
+    // §2.2 attribute validity aggregates (profiler.py:49-112)
+    "q_attr_validity_agg" -> ((s, dir) =>
+      SchemaId
+        .attrValidityAgg(
+          events(s, dir).select(
+            col("event_type").as("attribute"),
+            floor(col("value") / 50).cast("long").cast("string").as("value")))
+        .select(
+          col("attribute"), col("n_distinct"), col("mode_val"),
+          round(col("null_frac"), 6).as("null_frac"), col("drop_attr"))
+        .orderBy(col("attribute"))),
+
+    // §2.3 gold attributes ranked by non-null frequency (run_profiler.py:108-118)
+    "q_gold_attr_rank" -> ((s, dir) =>
+      SchemaId.goldAttrRank(triples(s, dir)).orderBy(col("rank"))),
+
+    // §2.7 set intersection (evaluate_synthetic.py:14-28)
+    "q_set_intersect" -> ((s, dir) => {
+      val a = docs(s, dir).filter(col("doc_id") % 2 === 0).select(col("lang")).distinct()
+      val b = docs(s, dir).filter(col("n_chars") % 2 === 0).select(col("lang")).distinct()
+      a.intersect(b).orderBy(col("lang"))
+    }),
+
+    // §2.4 attribute alias theta-join (evaluate_synthetic.py:349-382)
+    "q_attr_alias_join" -> ((s, dir) => {
+      val left  = events(s, dir).select(col("event_type").as("attr_a")).distinct()
+      val right = events(s, dir).select(concat(col("event_type"), lit("s")).as("attr_b")).distinct()
+      SchemaId.attrAliasJoin(left, right).orderBy(col("attr_a"), col("attr_b"))
+    }),
+
+    // §2.5 OpenIE set precision/recall/F1 (evaluate_synthetic.py:14-28)
+    "q_openie_prf" -> ((s, dir) => {
+      val keep = (df: DataFrame) => df.filter(length(col("value")) > 0)
+      Harness
+        .setPrf(keep(triples(s, dir)), keep(triples(s, dir, prefixLen = 200)), Seq("doc_id", "attribute", "value"))
+        .select(
+          round(col("precision"), 6).as("precision"),
+          round(col("recall"), 6).as("recall"),
+          round(col("f1"), 6).as("f1"))
+    }),
+
+    // §2.5 head/tail + structured/unstructured attribute slices (evaluate_synthetic.py:272-308)
+    "q_attr_slices" -> ((s, dir) =>
+      Harness
+        .attrSlices(triples(s, dir), docs(s, dir).count())
+        .select(
+          col("attribute"), col("n_docs"),
+          round(col("coverage"), 6).as("coverage"),
+          round(col("avg_len"), 6).as("avg_len"),
+          col("head_attr"), col("structured"))
+        .orderBy(col("attribute"))),
+
+    // §2.3 dynamic backoff: chunk_id ≤ mean+stddev (schema_identification.py:26-44)
+    "q_chunk_backoff" -> ((s, dir) =>
+      Chunker
+        .dynamicBackoff(chunks(s, dir), "doc_id")
+        .select(col("doc_id"), col("chunk_id"))
+        .orderBy(col("doc_id"), col("chunk_id"))),
 
     // §2.6 window rank (events): row_number per user by time
     "q_window_rank" -> ((s, dir) => {
@@ -551,6 +703,135 @@ object SparkEntry {
             SELECT 'v3',
                    CASE WHEN abs(m12) > 1e-12 THEN (1.0 + least(sqrt(abs(m13 * m23 / m12)), 1.0)) / 2 ELSE 0.5 END FROM wide)
           ORDER BY extractor""",
+
+    "q_field_count" ->
+      s"""WITH $fieldCountSql
+          SELECT field, n_docs FROM fc ORDER BY field""",
+
+    "q_rank_attributes" ->
+      s"""WITH $fieldCountSql
+          SELECT field, n_docs, rank FROM (
+            SELECT *, row_number() OVER (ORDER BY n_docs DESC, field ASC) AS rank FROM fc)
+          WHERE rank <= 10 ORDER BY rank""",
+
+    "q_rerank_merge" ->
+      s"""WITH $fieldCountSql,
+          votes AS (SELECT t AS field, 2 * count(*) AS votes
+                    FROM (SELECT DISTINCT doc_id, t
+                          FROM documents, unnest(string_split(text, ' ')) AS u(t)
+                          WHERE len(t) > 0 AND doc_id % 3 = 0)
+                    GROUP BY t)
+          SELECT fc.field, fc.n_docs, coalesce(v.votes, 0) AS votes,
+                 round(CASE WHEN v.votes > 1 THEN CAST(v.votes AS DOUBLE) * fc.n_docs
+                            WHEN v.votes IS NOT NULL THEN CAST(fc.n_docs AS DOUBLE)
+                            ELSE fc.n_docs / 2.0 END, 6) AS merged
+          FROM fc LEFT JOIN votes v ON fc.field = v.field ORDER BY fc.field""",
+
+    "q_schema_eval_at_k" ->
+      s"""WITH $fieldCountSql,
+          ranked AS (SELECT *, row_number() OVER (ORDER BY n_docs DESC, field ASC) AS rank FROM fc),
+          total AS (SELECT count(*) AS n FROM documents),
+          gold AS (SELECT field FROM fc, total WHERE n_docs >= 0.6 * total.n),
+          ks(k) AS (VALUES (1), (5), (10)),
+          hits AS (SELECT r.rank FROM ranked r JOIN gold g ON r.field = g.field),
+          agg AS (SELECT ks.k, count(h.rank) AS n_hit
+                  FROM ks LEFT JOIN hits h ON h.rank <= ks.k GROUP BY ks.k),
+          ng AS (SELECT count(*) AS n_gold FROM gold)
+          SELECT k, n_hit,
+                 round(CAST(n_hit AS DOUBLE) / k, 6) AS precision,
+                 round(CAST(n_hit AS DOUBLE) / n_gold, 6) AS recall,
+                 round(CASE WHEN (CAST(n_hit AS DOUBLE) / k) + (CAST(n_hit AS DOUBLE) / n_gold) > 0.0
+                            THEN 2.0 * (CAST(n_hit AS DOUBLE) / k) * (CAST(n_hit AS DOUBLE) / n_gold)
+                                 / ((CAST(n_hit AS DOUBLE) / k) + (CAST(n_hit AS DOUBLE) / n_gold))
+                            ELSE 0.0 END, 6) AS f1
+          FROM agg, ng ORDER BY k""",
+
+    "q_attr_dedup" ->
+      s"""WITH $fieldCountSql
+          SELECT field AS attribute, n_docs AS metric FROM fc c
+          WHERE NOT EXISTS (SELECT 1 FROM fc o
+                            WHERE o.field <> c.field AND contains(o.field, c.field)
+                              AND o.n_docs = c.n_docs)
+          ORDER BY attribute""",
+
+    "q_attr_validity_agg" ->
+      """WITH ex AS (SELECT event_type AS attribute,
+                            CAST(CAST(floor(value / 50) AS BIGINT) AS VARCHAR) AS value
+                     FROM events),
+         modes AS (SELECT attribute, value AS mode_val FROM (
+                     SELECT attribute, value, count(*) AS n,
+                            row_number() OVER (PARTITION BY attribute ORDER BY count(*) DESC, value ASC) AS rk
+                     FROM ex WHERE value IS NOT NULL GROUP BY attribute, value)
+                   WHERE rk = 1),
+         agg AS (SELECT attribute, count(DISTINCT value) AS n_distinct,
+                        avg(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END) AS null_frac
+                 FROM ex GROUP BY attribute)
+         SELECT a.attribute, a.n_distinct, m.mode_val, round(a.null_frac, 6) AS null_frac,
+                (a.n_distinct <= 1 OR a.null_frac >= 1.0) AS drop_attr
+         FROM agg a LEFT JOIN modes m ON a.attribute = m.attribute ORDER BY a.attribute""",
+
+    "q_gold_attr_rank" ->
+      s"""WITH tr AS (${triplesSql()})
+          SELECT attribute, n_nonnull, rank FROM (
+            SELECT attribute,
+                   sum(CASE WHEN value IS NOT NULL AND len(trim(value)) > 0 THEN 1 ELSE 0 END) AS n_nonnull,
+                   row_number() OVER (ORDER BY sum(CASE WHEN value IS NOT NULL AND len(trim(value)) > 0 THEN 1 ELSE 0 END) DESC, attribute ASC) AS rank
+            FROM tr GROUP BY attribute)
+          ORDER BY rank""",
+
+    "q_set_intersect" ->
+      """SELECT DISTINCT lang FROM documents WHERE doc_id % 2 = 0
+         INTERSECT
+         SELECT DISTINCT lang FROM documents WHERE n_chars % 2 = 0
+         ORDER BY lang""",
+
+    "q_attr_alias_join" ->
+      """WITH l AS (SELECT DISTINCT event_type AS attr_a FROM events),
+          r AS (SELECT DISTINCT event_type || 's' AS attr_b FROM events)
+         SELECT attr_a, attr_b FROM l JOIN r
+           ON lower(attr_a) = lower(attr_b)
+              OR lower(attr_a) || 's' = lower(attr_b)
+              OR lower(attr_b) || 's' = lower(attr_a)
+              OR replace(lower(attr_a), ' ', '') = replace(lower(attr_b), ' ', '')
+         ORDER BY attr_a, attr_b""",
+
+    "q_openie_prf" ->
+      s"""WITH pred AS (SELECT DISTINCT doc_id, attribute, value FROM (${triplesSql()}) WHERE len(value) > 0),
+          gold AS (SELECT DISTINCT doc_id, attribute, value FROM (${triplesSql(200)}) WHERE len(value) > 0),
+          np AS (SELECT CAST(count(*) AS DOUBLE) AS np FROM pred),
+          ng AS (SELECT CAST(count(*) AS DOUBLE) AS ng FROM gold),
+          ni AS (SELECT CAST(count(*) AS DOUBLE) AS ni FROM (SELECT * FROM pred INTERSECT SELECT * FROM gold))
+          SELECT round(CASE WHEN np > 0 THEN ni / np ELSE 0.0 END, 6) AS precision,
+                 round(CASE WHEN ng > 0 THEN ni / ng ELSE 0.0 END, 6) AS recall,
+                 round(CASE WHEN (CASE WHEN np > 0 THEN ni / np ELSE 0.0 END)
+                           + (CASE WHEN ng > 0 THEN ni / ng ELSE 0.0 END) > 0.0
+                            THEN 2.0 * (CASE WHEN np > 0 THEN ni / np ELSE 0.0 END)
+                                     * (CASE WHEN ng > 0 THEN ni / ng ELSE 0.0 END)
+                                 / ((CASE WHEN np > 0 THEN ni / np ELSE 0.0 END)
+                                  + (CASE WHEN ng > 0 THEN ni / ng ELSE 0.0 END))
+                            ELSE 0.0 END, 6) AS f1
+          FROM np, ng, ni""",
+
+    "q_attr_slices" ->
+      s"""WITH tr AS (${triplesSql()}),
+          total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+          SELECT attribute, count(*) AS n_docs,
+                 round(CAST(count(*) AS DOUBLE) / max(total.n), 6) AS coverage,
+                 round(avg(len(value)), 6) AS avg_len,
+                 (CAST(count(*) AS DOUBLE) / max(total.n)) >= 0.5 AS head_attr,
+                 avg(len(value)) < 20.0 AS structured
+          FROM tr, total WHERE value IS NOT NULL AND len(value) > 0
+          GROUP BY attribute ORDER BY attribute""",
+
+    "q_chunk_backoff" ->
+      s"""WITH chunks AS (
+            SELECT doc_id, CAST(i AS INT) AS chunk_id
+            FROM documents,
+                 unnest(range(0, GREATEST(CAST(ceil(length(text)/$ChunkSize.0) AS INT), 1))) AS t(i)),
+          stats AS (SELECT avg(n) + coalesce(stddev_samp(n), 0) AS cutoff
+                    FROM (SELECT doc_id, count(*) AS n FROM chunks GROUP BY doc_id))
+          SELECT doc_id, chunk_id FROM chunks, stats
+          WHERE chunk_id <= cutoff ORDER BY doc_id, chunk_id""",
 
     "q_window_rank" ->
       """SELECT user_id, event_id, rn

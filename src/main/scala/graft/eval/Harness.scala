@@ -23,6 +23,22 @@ object Harness {
   def missingGoldAnti(df: DataFrame, gold: DataFrame, keys: Seq[String]): DataFrame =
     df.join(broadcast(gold), keys, "left_anti")
 
+  /** Attribute slices (`determine_attribute_slices`,
+    * `evaluate_synthetic.py:272-308`): head/tail by doc coverage
+    * (≥ 50%), structured/unstructured by average value length
+    * (< 20). triples: (keyCol, attribute, value); totalDocs is the
+    * lake size the coverage is measured against.
+    */
+  def attrSlices(triples: DataFrame, totalDocs: Long): DataFrame =
+    triples
+      .filter(col("value").isNotNull && length(col("value")) > 0)
+      .groupBy(col("attribute"))
+      .agg(count(lit(1)).as("n_docs"), avg(length(col("value"))).as("avg_len"))
+      .withColumn("coverage", col("n_docs").cast("double") / totalDocs)
+      .withColumn("head_attr", col("coverage") >= 0.5)
+      .withColumn("structured", col("avg_len") < 20.0)
+      .select(col("attribute"), col("n_docs"), col("coverage"), col("avg_len"), col("head_attr"), col("structured"))
+
   /** OpenIE set precision/recall/F1 over (key, attribute, value)
     * triples (`evaluate_synthetic.py:14-28`): distinct-triple
     * intersection counts.
