@@ -11,6 +11,7 @@ import graft.combine.{Combiners, LabelModel, StructuredView}
 import graft.score.Score
 import graft.eval.Harness
 import graft.schema.SchemaId
+import graft.textops.{Dedup, Similarity, TextStats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -119,6 +120,47 @@ object SparkEntry {
                     FROM documents, unnest(string_split(text, ' ')) AS u(t)
                     WHERE len(t) > 0)
               GROUP BY t)"""
+
+  private val LangMarkers = Seq(
+    "de" -> Seq("join", "table"),
+    "en" -> Seq("the", "data"),
+    "es" -> Seq("spark", "query"),
+    "fr" -> Seq("merge", "filter"),
+    "zh" -> Seq("row", "key"))
+
+  private val Stopwords = Seq("the", "a")
+
+  /** Query embedding (vec_id = 0) as a double literal — a scalar
+    * query parameter, fetched once on the driver.
+    */
+  private def queryVec(s: SparkSession, dir: String): Seq[Double] =
+    Tables
+      .embeddings(s, dir)
+      .filter(col("vec_id") === 0)
+      .select(col("embedding"))
+      .head()
+      .getSeq[Float](0)
+      .map(_.toDouble)
+
+  /** DuckDB: cosine between embedding and qe (both cast to double),
+    * mirroring Similarity.cosine's formula.
+    */
+  private def cosSql(a: String, b: String) = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+    s"""CASE WHEN ${dot(a, a)} = 0.0 OR ${dot(b, b)} = 0.0 THEN 0.0
+             ELSE ${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})) END"""
+  }
+
+  /** DuckDB CTE: distinct 3-gram shingle list per doc. */
+  private val shinglesSql =
+    """shing AS (SELECT doc_id, lang,
+                        list_distinct(list_transform(
+                          range(1, greatest(len(toks) - 2, 1) + 1),
+                          i -> array_to_string(toks[i:i+2], ' '))) AS sh
+                 FROM (SELECT doc_id, lang,
+                              list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+                       FROM documents))"""
 
   /** DuckDB CTEs mirroring binaryVotes/binaryGold. */
   private val votesCtes: String =
@@ -441,6 +483,87 @@ object SparkEntry {
         .select(col("doc_id"), col("chunk_id"))
         .orderBy(col("doc_id"), col("chunk_id"))),
 
+    // §2.8 cosine top-k retrieval baseline (retrieval.py:5-36)
+    "q_cosine_topk" -> ((s, dir) =>
+      Similarity.cosineTopK(Tables.embeddings(s, dir), "vec_id", "embedding", queryVec(s, dir), k = 20)),
+
+    // §2.4 retrieval top-1 rank join per bucket (retrieval.py:31-36)
+    "q_retrieval_top1" -> ((s, dir) =>
+      Similarity
+        .retrievalTop1(Tables.embeddings(s, dir), "label", "vec_id", "embedding", queryVec(s, dir))
+        .orderBy(col("label"))),
+
+    // training-data ops: embedding near-dup pairs within label buckets
+    "q_dedup_embed_cosine" -> ((s, dir) =>
+      Similarity
+        .embeddingNearDupPairs(Tables.embeddings(s, dir), "label", "vec_id", "embedding")
+        .orderBy(desc("cos"), col("id_a"), col("id_b"))
+        .limit(20)),
+
+    // training-data ops: exact dedup via content-hash groups
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup
+        .exactDedupGroups(docs(s, dir), "doc_id", "text")
+        .orderBy(col("content_hash"))),
+
+    // training-data ops: n-gram Jaccard near-dup pairs (blocked on lang)
+    "q_dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup
+        .ngramJaccardPairs(docs(s, dir), "lang", "doc_id", "text", n = 3)
+        .orderBy(desc("jaccard"), col("id_a"), col("id_b"))
+        .limit(20)),
+
+    // training-data ops: MinHash signatures + LSH band keys
+    "q_dedup_minhash" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), Dedup.minhashSignature(col("text"), 3, 8).as("sig"))
+        .select(
+          col("doc_id"),
+          array_join(col("sig"), ",").as("sig_str"),
+          element_at(Dedup.lshBandKeys(col("sig"), 2, 4), 1).as("band_a"),
+          element_at(Dedup.lshBandKeys(col("sig"), 2, 4), 2).as("band_b"))
+        .orderBy(col("doc_id"))),
+
+    // training-data ops: 16-bit SimHash fingerprints
+    "q_dedup_simhash" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))),
+
+    // training-data ops: marker-based language ID
+    "q_lang_id" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextStats.langId(col("text"), LangMarkers).as("pred_lang"))
+        .orderBy(col("doc_id"))),
+
+    // training-data ops: quality features + composite score
+    "q_quality_score" -> ((s, dir) => {
+      val f = TextStats.qualityFeatures(col("text"), Stopwords)
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          f.getField("n_tokens").as("n_tokens"),
+          round(f.getField("stopword_ratio"), 6).as("stopword_ratio"),
+          round(f.getField("punct_ratio"), 6).as("punct_ratio"),
+          round(TextStats.qualityScore(col("text"), Stopwords), 6).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // training-data ops: whitespace + BPE-ish token counts
+    "q_token_count" -> ((s, dir) =>
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          TextStats.tokenCountWs(col("text")).as("n_ws"),
+          TextStats.tokenCountBpe(col("text")).as("n_bpe"))
+        .orderBy(col("doc_id"))),
+
+    // training-data ops: rolling polynomial document fingerprint
+    "q_fingerprint" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
     // §2.6 window rank (events): row_number per user by time
     "q_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -537,7 +660,7 @@ object SparkEntry {
       s"""WITH $extF1Ctes,
           metrics AS (SELECT extractor, avg(f1) AS avg_f1, quantile_cont(f1, 0.5) AS med_f1
                       FROM f1s GROUP BY extractor),
-          ranked AS (SELECT *, row_number() OVER (ORDER BY avg_f1 DESC, med_f1 DESC, extractor ASC) AS rank
+          ranked AS (SELECT *, CAST(row_number() OVER (ORDER BY avg_f1 DESC, med_f1 DESC, extractor ASC) AS INT) AS rank
                      FROM metrics WHERE extractor <> 'gold'),
           best AS (SELECT greatest(avg_f1, med_f1) AS best_value FROM ranked WHERE rank = 1),
           flagged AS (SELECT r.*, (r.extractor LIKE '%function%'
@@ -711,7 +834,7 @@ object SparkEntry {
     "q_rank_attributes" ->
       s"""WITH $fieldCountSql
           SELECT field, n_docs, rank FROM (
-            SELECT *, row_number() OVER (ORDER BY n_docs DESC, field ASC) AS rank FROM fc)
+            SELECT *, CAST(row_number() OVER (ORDER BY n_docs DESC, field ASC) AS INT) AS rank FROM fc)
           WHERE rank <= 10 ORDER BY rank""",
 
     "q_rerank_merge" ->
@@ -729,7 +852,7 @@ object SparkEntry {
 
     "q_schema_eval_at_k" ->
       s"""WITH $fieldCountSql,
-          ranked AS (SELECT *, row_number() OVER (ORDER BY n_docs DESC, field ASC) AS rank FROM fc),
+          ranked AS (SELECT *, CAST(row_number() OVER (ORDER BY n_docs DESC, field ASC) AS INT) AS rank FROM fc),
           total AS (SELECT count(*) AS n FROM documents),
           gold AS (SELECT field FROM fc, total WHERE n_docs >= 0.6 * total.n),
           ks(k) AS (VALUES (1), (5), (10)),
@@ -774,8 +897,8 @@ object SparkEntry {
       s"""WITH tr AS (${triplesSql()})
           SELECT attribute, n_nonnull, rank FROM (
             SELECT attribute,
-                   sum(CASE WHEN value IS NOT NULL AND len(trim(value)) > 0 THEN 1 ELSE 0 END) AS n_nonnull,
-                   row_number() OVER (ORDER BY sum(CASE WHEN value IS NOT NULL AND len(trim(value)) > 0 THEN 1 ELSE 0 END) DESC, attribute ASC) AS rank
+                   CAST(sum(CASE WHEN value IS NOT NULL AND len(trim(value)) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonnull,
+                   CAST(row_number() OVER (ORDER BY sum(CASE WHEN value IS NOT NULL AND len(trim(value)) > 0 THEN 1 ELSE 0 END) DESC, attribute ASC) AS INT) AS rank
             FROM tr GROUP BY attribute)
           ORDER BY rank""",
 
@@ -833,10 +956,114 @@ object SparkEntry {
           SELECT doc_id, chunk_id FROM chunks, stats
           WHERE chunk_id <= cutoff ORDER BY doc_id, chunk_id""",
 
+    "q_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+          scored AS (SELECT vec_id, round(${cosSql("e.embedding", "q.qe")}, 6) AS cos
+                     FROM embeddings e, q)
+          SELECT vec_id, cos, CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+          FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 20""",
+
+    "q_retrieval_top1" ->
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+          scored AS (SELECT e.label, e.vec_id, round(${cosSql("e.embedding", "q.qe")}, 6) AS cos
+                     FROM embeddings e, q)
+          SELECT label, vec_id, cos FROM (
+            SELECT *, row_number() OVER (PARTITION BY label ORDER BY cos DESC, vec_id ASC) AS rn
+            FROM scored)
+          WHERE rn = 1 ORDER BY label""",
+
+    "q_dedup_embed_cosine" ->
+      s"""SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
+          FROM embeddings a JOIN embeddings b
+            ON a.label = b.label AND a.vec_id < b.vec_id
+          ORDER BY cos DESC, id_a ASC, id_b ASC LIMIT 20""",
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY md5(text) ORDER BY content_hash""",
+
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH $shinglesSql
+          SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+                 round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 6) AS jaccard
+          FROM shing a JOIN shing b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          ORDER BY jaccard DESC, id_a ASC, id_b ASC LIMIT 20""",
+
+    "q_dedup_minhash" ->
+      s"""WITH $shinglesSql,
+          sigs AS (SELECT doc_id,
+                          list_transform(range(0, 8), s ->
+                            list_min(list_transform(sh, g ->
+                              ('0x' || substr(md5(g || '#' || CAST(s AS VARCHAR)), 1, 15))::BIGINT))) AS sig
+                   FROM shing)
+          SELECT doc_id, array_to_string(sig, ',') AS sig_str,
+                 md5(array_to_string(sig[1:4], ',')) AS band_a,
+                 md5(array_to_string(sig[5:8], ',')) AS band_b
+          FROM sigs ORDER BY doc_id""",
+
+    "q_dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id, t
+                      FROM documents, unnest(string_split(text, ' ')) AS u(t) WHERE len(t) > 0),
+          th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 4))::BIGINT AS h FROM tok),
+          bitsum AS (SELECT doc_id, i, sum(((h // CAST(power(2, i) AS BIGINT)) % 2) * 2 - 1) AS s
+                     FROM th, unnest(range(0, 16)) AS b(i) GROUP BY doc_id, i)
+         SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, i) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+         FROM bitsum GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_lang_id" ->
+      """WITH sc AS (SELECT doc_id,
+                len(list_filter(toks, x -> x = 'join')) + len(list_filter(toks, x -> x = 'table')) AS c_de,
+                len(list_filter(toks, x -> x = 'the')) + len(list_filter(toks, x -> x = 'data')) AS c_en,
+                len(list_filter(toks, x -> x = 'spark')) + len(list_filter(toks, x -> x = 'query')) AS c_es,
+                len(list_filter(toks, x -> x = 'merge')) + len(list_filter(toks, x -> x = 'filter')) AS c_fr,
+                len(list_filter(toks, x -> x = 'row')) + len(list_filter(toks, x -> x = 'key')) AS c_zh
+              FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+                    FROM documents))
+         SELECT doc_id,
+                CASE WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+                     WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+                     WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+                     WHEN c_fr >= c_zh THEN 'fr'
+                     ELSE 'zh' END AS pred_lang
+         FROM sc ORDER BY doc_id""",
+
+    "q_quality_score" ->
+      """WITH f AS (SELECT doc_id,
+                len(toks) AS n_tokens, length(text) AS n_chars,
+                len(list_filter(toks, x -> x = 'the')) + len(list_filter(toks, x -> x = 'a')) AS n_stop,
+                length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct
+              FROM (SELECT doc_id, text,
+                           list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+                    FROM documents))
+         SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+                round(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS stopword_ratio,
+                round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+                round((least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+                       + least((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 4.0, 1.0)
+                       + greatest(1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 10.0, 0.0)) / 3.0, 6) AS quality
+         FROM f ORDER BY doc_id""",
+
+    "q_token_count" ->
+      """SELECT doc_id,
+                CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS INT) AS n_ws,
+                CAST(len(regexp_extract_all(text, '\w+|[^\w\s]', 0)) AS INT) AS n_bpe
+         FROM documents ORDER BY doc_id""",
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(list_filter(string_split(text, ' '), x -> len(x) > 0),
+                                   w -> CAST(len(w) * 31 + ascii(w) AS BIGINT))),
+                  (acc, x) -> (acc * 131 + x) % 1000000007) AS fp
+         FROM documents ORDER BY doc_id""",
+
     "q_window_rank" ->
       """SELECT user_id, event_id, rn
          FROM (SELECT user_id, event_id,
-                      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                      CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS rn
                FROM events)
          WHERE rn <= 3 ORDER BY user_id, rn"""
   )

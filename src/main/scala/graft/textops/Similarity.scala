@@ -1,0 +1,85 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity (reference: contriever retrieval,
+  * `retrieval.py:5-36`) and the ANN operators a training-data
+  * pipeline needs.
+  *
+  * Design for scale: the brute-force paths are per-row expressions
+  * against a broadcast query vector (no shuffle, no cross join); the
+  * pair paths block on a coarse bucket (label here; IVF centroid id
+  * in a real deployment) so the self-join shuffles only within-bucket
+  * partitions — the 100 TB pattern is identical, just with learned
+  * centroids as the bucketer.
+  */
+object Similarity {
+
+  /** Cosine similarity between an ARRAY<FLOAT/DOUBLE> column and a
+    * literal query vector — sequential fold, pure expression.
+    */
+  def cosineToQuery(vec: Column, query: Seq[Double]): Column = {
+    val q  = typedLit(query)
+    val v  = transform(vec, x => x.cast("double"))
+    cosine(v, q)
+  }
+
+  /** Cosine of two double-array columns. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, t) => acc + t)
+    val na = dot(a, a)
+    val nb = dot(b, b)
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot(a, b) / (sqrt(na) * sqrt(nb)))
+  }
+
+  /** Brute-force top-k by cosine to a query vector, deterministic
+    * ordering on (rounded cosine desc, id asc). The baseline ANN
+    * path: one scan + a k-row sort (Spark TakeOrdered, no shuffle).
+    */
+  def cosineTopK(embeddings: DataFrame, idCol: String, vecCol: String, query: Seq[Double], k: Int): DataFrame = {
+    val scored = embeddings
+      .select(col(idCol), round(cosineToQuery(col(vecCol), query), 6).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+    scored.withColumn("rank", row_number().over(Window.orderBy(desc("cos"), col(idCol))))
+  }
+
+  /** Retrieval top-1 per group (`retrieval.py:31-36`,
+    * `main.py:66-70` as a rank join): best row by cosine within each
+    * bucket.
+    */
+  def retrievalTop1(embeddings: DataFrame, groupCol: String, idCol: String, vecCol: String, query: Seq[Double]): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(desc("cos"), col(idCol))
+    embeddings
+      .select(col(groupCol), col(idCol), round(cosineToQuery(col(vecCol), query), 6).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Bucketed near-duplicate pairs by embedding cosine: candidate
+    * pairs only within the same bucket (IVF/LSH-style blocking), so
+    * the join is an equi-join on the bucket key — shuffle scales with
+    * bucket sizes, never n².
+    */
+  def embeddingNearDupPairs(
+      embeddings: DataFrame,
+      bucketCol: String,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val a = embeddings.select(
+      col(bucketCol),
+      col(idCol).as("id_a"),
+      transform(col(vecCol), x => x.cast("double")).as("va"))
+    val b = embeddings.select(
+      col(bucketCol),
+      col(idCol).as("id_b"),
+      transform(col(vecCol), x => x.cast("double")).as("vb"))
+    a.join(b, Seq(bucketCol))
+      .filter(col("id_a") < col("id_b"))
+      .select(col(bucketCol), col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 6).as("cos"))
+  }
+}

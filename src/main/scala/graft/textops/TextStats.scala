@@ -1,0 +1,82 @@
+package graft.textops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language-ID heuristic,
+  * quality scoring, token counting, document fingerprinting. All
+  * pure column expressions — per-row, codegen'd, shuffle-free.
+  */
+object TextStats {
+
+  private def toks(text: Column): Column =
+    filter(split(text, " "), t => length(t) > 0)
+
+  /** Marker-word language-ID heuristic: score each candidate language
+    * by its marker-token occurrences (with multiplicity), argmax with
+    * lexicographic tie-break. `markers`: lang → marker tokens.
+    */
+  def langId(text: Column, markers: Seq[(String, Seq[String])]): Column = {
+    val t = toks(lower(text))
+    val scored = markers.map { case (lang, ms) =>
+      val score = ms.map(m => size(filter(t, x => x === m))).reduce(_ + _)
+      struct(score.as("score"), lit(lang).as("lang"))
+    }
+    // argmax: sort (score asc, lang desc) and take last → max score,
+    // lexicographically smallest lang on ties
+    val arr = array_sort(
+      array(scored: _*),
+      (a, b) =>
+        when(a.getField("score") < b.getField("score"), -1)
+          .when(a.getField("score") > b.getField("score"), 1)
+          .when(a.getField("lang") > b.getField("lang"), -1)
+          .when(a.getField("lang") < b.getField("lang"), 1)
+          .otherwise(0))
+    element_at(arr, -1).getField("lang")
+  }
+
+  /** Quality features: length, token count, avg token length,
+    * stopword ratio, punctuation ratio — returned as a struct.
+    */
+  def qualityFeatures(text: Column, stopwords: Seq[String]): Column = {
+    val t      = toks(text)
+    val nTok   = size(t)
+    val nChar  = length(text)
+    val nStop  = stopwords.map(s => size(filter(t, x => x === s))).reduce(_ + _)
+    val nPunct = length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+    struct(
+      nChar.as("n_chars"),
+      nTok.as("n_tokens"),
+      when(nTok > 0, (nChar - nTok + 1).cast("double") / nTok).otherwise(0.0).as("avg_token_len"),
+      when(nTok > 0, nStop.cast("double") / nTok).otherwise(0.0).as("stopword_ratio"),
+      when(nChar > 0, nPunct.cast("double") / nChar).otherwise(0.0).as("punct_ratio"))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with
+    * low punctuation and some stopwords.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val f        = qualityFeatures(text, stopwords)
+    val lenScore = least(f.getField("n_tokens").cast("double") / 64.0, lit(1.0))
+    val stopOk   = least(f.getField("stopword_ratio") * 4.0, lit(1.0))
+    val punctOk  = greatest(lit(1.0) - f.getField("punct_ratio") * 10.0, lit(0.0))
+    (lenScore + stopOk + punctOk) / 3.0
+  }
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(toks(text))
+
+  /** BPE-ish token count: words plus standalone punctuation marks. */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
+
+  /** Rolling polynomial fingerprint over tokens, mod 1e9+7. Word
+    * value mixes length and first codepoint; the fold is sequential
+    * and integer-exact, hence engine-portable.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      toks(text),
+      lit(0L),
+      (acc, w) => pmod(acc * 131 + (length(w) * 31 + ascii(w)), lit(1000000007L)))
+}

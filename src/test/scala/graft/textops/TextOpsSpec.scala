@@ -1,0 +1,83 @@
+package graft.textops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docsDf = Seq(
+    (1L, "g", "the quick brown fox jumps over the lazy dog"),
+    (2L, "g", "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "g", "completely different content about spark engines"),
+    (4L, "g", "the quick brown fox jumps over the lazy dog")) // exact dup of 1
+    .toDF("doc_id", "bucket", "text")
+
+  test("exactDedup keeps one row per identical text") {
+    val survivors = Dedup.exactDedup(docsDf, "doc_id", "text")
+    assert(survivors.count() == 3)
+    assert(!rows(survivors.select("doc_id")).contains(Seq(4L)))
+  }
+
+  test("ngramJaccardPairs scores the near-dup pair highest") {
+    val pairs = Dedup.ngramJaccardPairs(docsDf, "bucket", "doc_id", "text")
+      .orderBy(desc("jaccard")).collect()
+    assert((pairs(0).getAs[Long]("id_a"), pairs(0).getAs[Long]("id_b")) == (1L, 4L)) // exact dup: j=1
+    assert(pairs(0).getAs[Double]("jaccard") == 1.0)
+    assert((pairs(1).getAs[Long]("id_a"), pairs(1).getAs[Long]("id_b")) == (1L, 2L)) // near dup next
+  }
+
+  test("minhashLshPairs surfaces exact dups as candidates") {
+    val cands = Dedup.minhashLshPairs(docsDf, "doc_id", "text")
+      .select("id_a", "id_b").distinct()
+    assert(rows(cands).contains(Seq(1L, 4L)))
+  }
+
+  test("simhash is identical for identical docs, differs for different docs") {
+    val sig = docsDf.select(col("doc_id"), Dedup.simhash16(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(4L))
+    assert(sig(1L) != sig(3L))
+    assert(sig(1L) >= 0 && sig(1L) < 65536)
+  }
+
+  test("cosine similarity basics") {
+    val df = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 2.0)), (3L, Seq(2.0, 0.0)))
+      .toDF("id", "v")
+    val got = df.select(col("id"), round(Similarity.cosineToQuery(col("v"), Seq(1.0, 0.0)), 6).as("c"))
+      .orderBy("id").collect().map(_.getDouble(1)).toSeq
+    assert(got == Seq(1.0, 0.0, 1.0))
+  }
+
+  test("cosineTopK ranks deterministically") {
+    val df = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = rows(Similarity.cosineTopK(df, "vec_id", "embedding", Seq(1.0, 0.0), 2).select("vec_id", "rank"))
+    assert(got == Seq(Seq(1L, 1), Seq(2L, 2)))
+  }
+
+  test("langId picks the max-marker language with lexicographic ties") {
+    val markers = Seq("en" -> Seq("the"), "es" -> Seq("el"))
+    val got = Seq(("the the el", 1), ("el el the", 2), ("nothing here", 3))
+      .toDF("text", "i")
+      .select(col("i"), TextStats.langId(col("text"), markers).as("l"))
+      .orderBy("i").collect().map(_.getString(1)).toSeq
+    assert(got == Seq("en", "es", "en")) // tie on zero counts → lexicographically first
+  }
+
+  test("token counts: ws vs bpe-ish") {
+    val got = Seq(("hello, world! foo", 1)).toDF("text", "i")
+      .select(TextStats.tokenCountWs(col("text")), TextStats.tokenCountBpe(col("text")))
+      .head
+    assert(got.getInt(0) == 3)
+    assert(got.getInt(1) == 5) // hello , world ! foo
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    val fp = (t: String) =>
+      Seq(Tuple1(t)).toDF("text").select(TextStats.fingerprint(col("text"))).head.getLong(0)
+    assert(fp("a b c") == fp("a b c"))
+    assert(fp("a b c") != fp("c b a"))
+    assert(fp("a b c") >= 0)
+  }
+}
