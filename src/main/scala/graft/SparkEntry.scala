@@ -266,10 +266,14 @@ object SparkEntry {
     }),
 
     // §2.5 text-F1: per-pair SQuAD token F1 (evaluate_profiler.py:81-153)
+    // — native Catalyst expression (codegen path; semantics identical
+    // to Score.tokenF1, asserted by TokenF1ExprSpec)
     "q_text_f1" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"), firstWords(8).as("pred"), firstWords(10).as("gold"))
-        .select(col("doc_id"), round(Score.tokenF1(col("pred"), col("gold")), 6).as("f1"))
+        .select(
+          col("doc_id"),
+          round(graft.expressions.TokenF1.tokenF1(s, col("pred"), col("gold")), 6).as("f1"))
         .orderBy(col("doc_id"))),
 
     // D7 metrics: avg + exact-median F1 per extractor (evaluate_profiler.py:202-228)
@@ -674,6 +678,7 @@ object SparkEntry {
           UNION ALL
           SELECT extractor, rank FROM ranked
           WHERE rank = 1 AND NOT EXISTS (SELECT 1 FROM sel)
+            AND EXISTS (SELECT 1 FROM counted WHERE num_fns > 0)
           ORDER BY rank""",
 
     "q_vote_collect" ->

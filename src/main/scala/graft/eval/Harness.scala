@@ -44,15 +44,23 @@ object Harness {
     * intersection counts.
     */
   def setPrf(pred: DataFrame, gold: DataFrame, keys: Seq[String]): DataFrame = {
-    val p  = pred.select(keys.map(col): _*).distinct()
-    val g  = gold.select(keys.map(col): _*).distinct()
-    val np = p.count().toDouble
-    val ng = g.count().toDouble
-    val ni = p.intersect(g).count().toDouble
-    val precision = if (np > 0) ni / np else 0.0
-    val recall    = if (ng > 0) ni / ng else 0.0
-    val f1        = if (precision + recall > 0) 2 * precision * recall / (precision + recall) else 0.0
-    val spark     = pred.sparkSession
+    // single pass: full-outer join of the two distinct triple sets,
+    // then one aggregation computes |P|, |G| and |P∩G| together —
+    // no re-scan per count, no caching needed
+    val p = pred.select(keys.map(col): _*).distinct().withColumn("in_p", lit(1))
+    val g = gold.select(keys.map(col): _*).distinct().withColumn("in_g", lit(1))
+    val r = p
+      .join(g, keys, "full_outer")
+      .agg(
+        sum(coalesce(col("in_p"), lit(0))).cast("double").as("np"),
+        sum(coalesce(col("in_g"), lit(0))).cast("double").as("ng"),
+        sum(coalesce(col("in_p"), lit(0)) * coalesce(col("in_g"), lit(0))).cast("double").as("ni"))
+      .head()
+    val (np, ng, ni) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    val precision    = if (np > 0) ni / np else 0.0
+    val recall       = if (ng > 0) ni / ng else 0.0
+    val f1           = if (precision + recall > 0) 2 * precision * recall / (precision + recall) else 0.0
+    val spark        = pred.sparkSession
     import spark.implicits._
     Seq((precision, recall, f1)).toDF("precision", "recall", "f1")
   }

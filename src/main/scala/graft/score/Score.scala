@@ -103,41 +103,40 @@ object Score {
       keepThresh: Double = 0.5,
       costThresh: Double = 1.0,
       doEndToEnd: Boolean = false): DataFrame = {
-    val nonGold = metrics.filter(col("extractor") =!= goldKey)
-    val w       = Window.orderBy(desc("avg_f1"), desc("med_f1"), asc("extractor"))
-    val ranked  = nonGold.withColumn("rank", row_number().over(w))
-    val best = ranked
-      .filter(col("rank") === 1)
-      .select(greatest(col("avg_f1"), col("med_f1")).as("best_value"))
-    val withBest = ranked.crossJoin(broadcast(best))
+    // Fully relational — one plan, no driver actions, so the metrics
+    // pipeline feeding this runs exactly once. The windows are global
+    // but the frame is the tiny extractor-metrics relation (m rows).
+    val wRank = Window.orderBy(desc("avg_f1"), desc("med_f1"), asc("extractor"))
+    val wAll  = Window.partitionBy(lit(1))
 
-    val isFn = col("extractor").contains("function")
-    val qualifies = isFn &&
+    val ranked = metrics
+      .filter(col("extractor") =!= goldKey)
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn(
+        "best_value",
+        max(when(col("rank") === 1, greatest(col("avg_f1"), col("med_f1")))).over(wAll))
+
+    val qualifies = col("extractor").contains("function") &&
       (col("avg_f1") >= keepThresh || col("med_f1") >= keepThresh) &&
       abs(greatest(col("avg_f1"), col("med_f1")) - col("best_value")) < costThresh
-    val flagged = withBest.withColumn("is_qual_fn", qualifies)
 
-    val numFns = flagged.withColumn(
-      "num_fns",
-      sum(when(col("is_qual_fn"), 1).otherwise(0)).over(Window.partitionBy(lit(1))))
+    val flagged = ranked
+      .withColumn("is_qual_fn", qualifies)
+      .withColumn("num_fns", sum(when(qualifies, 1).otherwise(0)).over(wAll))
+      .withColumn(
+        "is_sel",
+        col("is_qual_fn") && col("rank") <= least(lit(k), col("num_fns")) && col("rank") <= k)
+      .withColumn("n_sel", sum(when(col("is_sel"), 1).otherwise(0)).over(wAll))
 
-    // OpenIE kill-switch: best overall under threshold → nothing
-    val killSwitch = doEndToEnd && {
-      val b = best.head().getDouble(0)
-      b < keepThresh
-    }
-    if (killSwitch) return numFns.filter(lit(false)).select(col("extractor"), col("rank"))
-
-    val selected = numFns
+    // no qualifying function → empty in BOTH modes (profiler returns []);
+    // OpenIE kill-switch: best overall under keep threshold → empty;
+    // ClosedIE fallback: selection empty → single best overall.
+    flagged
       .filter(col("num_fns") > 0)
-      .filter(col("rank") <= least(lit(k), col("num_fns")))
-      .filter(col("is_qual_fn"))
-      .filter(col("rank") <= k)
+      .filter(if (doEndToEnd) col("best_value") >= keepThresh else lit(true))
+      .filter(
+        col("is_sel") ||
+          (lit(!doEndToEnd) && col("n_sel") === 0 && col("rank") === 1))
       .select(col("extractor"), col("rank"))
-
-    if (!doEndToEnd && selected.isEmpty) {
-      // ClosedIE fallback: single best non-gold extractor
-      ranked.filter(col("rank") === 1).select(col("extractor"), col("rank"))
-    } else selected
   }
 }

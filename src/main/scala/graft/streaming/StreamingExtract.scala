@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.lake.{Chunker, ChunkFilter}
+import graft.extract.{Clean, DirectExtract, LlmClient}
+import graft.combine.Combiners
+
+/** Structured-Streaming wrapper over the extraction pipeline.
+  *
+  * The reference is strictly batch (SURVEY §2.9); this is the
+  * idiomatic Spark upgrade path: the chunk/filter/extract/clean
+  * stages are stateless projections, so they run unchanged on a
+  * streaming DataFrame; the vote-combine + pivot stage aggregates, so
+  * it runs per micro-batch via foreachBatch (incremental index
+  * maintenance — each batch's docs are new files in the lake, their
+  * votes are self-contained).
+  */
+object StreamingExtract {
+
+  /** Stateless part of the spine on a (possibly streaming) lake DF
+    * (idCol, textCol): chunk → keyword filter → extract → clean.
+    */
+  def extractTransform(
+      lake: DataFrame,
+      attrs: Seq[String],
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      client: LlmClient): DataFrame = {
+    val spark   = lake.sparkSession
+    val attrsDf = spark.createDataFrame(attrs.map(Tuple1(_))).toDF("attribute")
+    val chunks  = Chunker.chunkText(lake.select(col(idCol), col(textCol)), idCol, textCol, chunkSize)
+    val kept    = ChunkFilter.keywordChunkFilter(chunks, attrsDf, idCol)
+    val ext     = DirectExtract(kept.select(col(idCol), col("attribute"), col("chunk")), client, idCol)
+    ext.withColumn("value", Clean.cleanPrediction(col("value"), col("attribute")))
+  }
+
+  /** Full streaming pipeline: each micro-batch of new lake files runs
+    * the batch extract pipeline (chunk → filter → LLM extract →
+    * clean → majority vote) inside foreachBatch and appends to the
+    * structured-view sink. The extract stage is RDD-backed
+    * (mapPartitions LLM client), which streaming plans can't host
+    * inline — foreachBatch gives it a batch context per trigger,
+    * which is also what makes the index maintenance incremental:
+    * a new file's votes are self-contained.
+    */
+  def structuredViewStream(
+      lake: DataFrame,
+      attrs: Seq[String],
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      client: LlmClient)(sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    lake.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val extracted = extractTransform(batch, attrs, idCol, textCol, chunkSize, client)
+        val voted     = Combiners.majorityVote(extracted, Seq(idCol, "attribute"), "value")
+        sink(voted, batchId)
+      }
+
+  /** Streaming-native windowed aggregation over an event stream:
+    * watermark + sliding window counts (the shape `events` exercises).
+    */
+  def windowedEventCounts(
+      events: DataFrame,
+      tsCol: String,
+      windowDur: String,
+      slideDur: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur, slideDur), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+}

@@ -43,8 +43,14 @@ object Dedup {
   }
 
   /** Jaccard-similar candidate pairs within a blocking bucket:
-    * |A∩B| / |A∪B| over distinct shingles, pairs joined on the
-    * bucket key only.
+    * |A∩B| / |A∪B| over distinct shingles.
+    *
+    * Implemented as an inverted shingle index, not an all-pairs
+    * nested loop: explode distinct shingles, equi-join on
+    * (bucket, shingle), count common shingles per pair. Pairs with
+    * zero overlap are never materialized, so cost scales with
+    * actual shingle collisions — the only formulation that survives
+    * 100 TB (the n² loop dies at thousands of docs per bucket).
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -52,13 +58,17 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int = 3): DataFrame = {
-    val withSh = df.select(col(bucketCol), col(idCol), shingles(col(textCol), n).as("sh"))
-    val a      = withSh.select(col(bucketCol), col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val b      = withSh.select(col(bucketCol), col(idCol).as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq(bucketCol))
+    val withSh = df
+      .select(col(bucketCol), col(idCol), shingles(col(textCol), n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val inv = withSh.select(col(bucketCol), col(idCol), col("sz"), explode(col("sh")).as("shingle"))
+    val a   = inv.select(col(bucketCol), col("shingle"), col(idCol).as("id_a"), col("sz").as("sz_a"))
+    val b   = inv.select(col(bucketCol), col("shingle"), col(idCol).as("id_b"), col("sz").as("sz_b"))
+    a.join(b, Seq(bucketCol, "shingle"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("ni", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("jaccard", col("ni") / (size(col("sh_a")) + size(col("sh_b")) - col("ni")))
+      .groupBy(col(bucketCol), col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).cast("double").as("ni"))
+      .withColumn("jaccard", col("ni") / (col("sz_a") + col("sz_b") - col("ni")))
       .select(col(bucketCol), col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 

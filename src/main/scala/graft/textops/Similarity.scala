@@ -70,16 +70,23 @@ object Similarity {
       bucketCol: String,
       idCol: String,
       vecCol: String): DataFrame = {
-    val a = embeddings.select(
+    // precompute per-row norms once; the pair stage computes only the
+    // cross dot product (3× fewer flops than re-deriving norms per pair)
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, t) => acc + t)
+    val withNorm = embeddings.select(
       col(bucketCol),
-      col(idCol).as("id_a"),
-      transform(col(vecCol), x => x.cast("double")).as("va"))
-    val b = embeddings.select(
-      col(bucketCol),
-      col(idCol).as("id_b"),
-      transform(col(vecCol), x => x.cast("double")).as("vb"))
+      col(idCol),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", dot(col("v"), col("v")))
+    val a = withNorm.select(col(bucketCol), col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = withNorm.select(col(bucketCol), col(idCol).as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq(bucketCol))
       .filter(col("id_a") < col("id_b"))
-      .select(col(bucketCol), col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .withColumn(
+        "cos",
+        when(col("na") === 0.0 || col("nb") === 0.0, 0.0)
+          .otherwise(dot(col("va"), col("vb")) / (sqrt(col("na")) * sqrt(col("nb")))))
+      .select(col(bucketCol), col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 }

@@ -50,10 +50,17 @@ class ScoreSpec extends SparkSpec {
     assert(got.count() == 0)
   }
 
-  test("topkScripts ClosedIE falls back to single best when no function qualifies") {
-    val m   = Seq(("llm_a", 0.9, 0.9), ("llm_b", 0.7, 0.7)).toDF("extractor", "avg_f1", "med_f1")
-    val got = rows(Score.topkScripts(m, k = 2, goldKey = "gold"))
-    assert(got == Seq(Seq("llm_a", 1)))
+  test("topkScripts returns empty when no function qualifies (both modes)") {
+    val m = Seq(("llm_a", 0.9, 0.9), ("llm_b", 0.7, 0.7)).toDF("extractor", "avg_f1", "med_f1")
+    assert(Score.topkScripts(m, k = 2, goldKey = "gold").count() == 0)
+  }
+
+  test("topkScripts ClosedIE falls back to best overall when selection is empty") {
+    // function_1 qualifies but the single truncated slot goes to llm →
+    // empty intersection → fallback returns the best overall (llm)
+    val m   = Seq(("llm", 0.95, 0.9), ("function_1", 0.55, 0.5)).toDF("extractor", "avg_f1", "med_f1")
+    val got = rows(Score.topkScripts(m, k = 1, goldKey = "gold"))
+    assert(got == Seq(Seq("llm", 1)))
   }
 
   test("extractionFraction counts non-empty non-none shares") {

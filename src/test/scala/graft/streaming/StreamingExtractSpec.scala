@@ -1,0 +1,50 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.extract.MockLlmClient
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("structuredViewStream combines votes per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val lake = in.toDF().toDF("doc_id", "text")
+
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    // chunkSize 12 keeps each "key: value" line its own chunk (the
+    // greedy repack space-joins pieces, erasing line anchors otherwise)
+    val writer = StreamingExtract.structuredViewStream(
+      lake, Seq("budget"), "doc_id", "text", 12, MockLlmClient()) { (voted, _) =>
+      collected ++= voted.select("doc_id", "attribute", "value").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    }
+
+    val q = writer
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    in.addData((1L, "title: x\nbudget: $5M"), (2L, "budget: $9M\nother: y"))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(collected.sortBy(_._1) == Seq((1L, "budget", "$5M"), (2L, "budget", "$9M")))
+  }
+
+  test("windowedEventCounts is a valid streaming aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = StreamingExtract.windowedEventCounts(
+      in.toDF().toDF("ts", "event_type", "value"), "ts", "10 minutes", "5 minutes", "1 minute")
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName("win_out").start()
+    in.addData(
+      (java.sql.Timestamp.valueOf("2026-01-01 00:01:00"), "click", 1.0),
+      (java.sql.Timestamp.valueOf("2026-01-01 00:02:00"), "click", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("win_out").filter(col("event_type") === "click")
+    assert(got.agg(max("n")).head.getLong(0) == 2L)
+  }
+}
