@@ -1,0 +1,221 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.lake.{Chunker, ChunkFilter}
+import graft.extract._
+import graft.score.Score
+import graft.combine.{Combiners, StructuredView}
+import graft.schema.SchemaId
+
+/** End-to-end profiler — the library counterpart of the reference's
+  * `EvaporateData` programmatic API (`main.py:17-240`) and the
+  * per-attribute cascade (`run_profiler`, `profiler.py:599-747`):
+  *
+  *   prepare (chunk) → [OpenIE] identify schema → sample → per
+  *   attribute: synthesize extractor specs from the sample + LLM
+  *   "gold" on the sample → score specs vs gold → top-k select →
+  *   apply the cheap specs to the WHOLE lake → combine votes →
+  *   pivot to the structured view (D9).
+  *
+  * The cascade's economics survive at 100 TB because the expensive
+  * operator (LLM) touches only `trainSize` documents; the whole-lake
+  * pass runs synthesized specs, which compile to native column
+  * expressions (codegen, no shuffle until the final vote/pivot).
+  * Sampling is content-hash deterministic, not seeded-RNG
+  * (SURVEY §7 hard part (d)).
+  */
+final case class ProfilerConfig(
+    chunkSize: Int = 3000,
+    trainSize: Int = 10,
+    numTopK: Int = 10,
+    keepThresh: Double = 0.5,
+    numAttrs: Int = 35,
+    combiner: String = "mv" // mv | nb-free majority vote
+)
+
+class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = ProfilerConfig()) {
+
+  /** D2 → D3: chunk the lake. lake: (path, content). */
+  def prepare(lake: DataFrame): DataFrame =
+    Chunker.chunkText(lake, "path", "content", cfg.chunkSize)
+
+  /** Deterministic train sample: first n docs by md5(path) — stable
+    * across runs and engines, no RNG (replaces seeded random.sample,
+    * `profiler_utils.py:185-196`).
+    */
+  def sampleDocs(chunks: DataFrame, n: Int): DataFrame = {
+    val keys = chunks
+      .select(col("path")).distinct()
+      .orderBy(md5(col("path").cast("binary")), col("path"))
+      .limit(n)
+    chunks.join(broadcast(keys), Seq("path"), "left_semi")
+  }
+
+  /** OpenIE schema identification (`schema_identification.py:14-87`):
+    * LLM proposes "field: value" lines per sample chunk, fields kept
+    * only if literally present (ChunkFilter.schemaFieldFilter), then
+    * frequency-ranked.
+    */
+  def identifySchema(sampleChunks: DataFrame): DataFrame = {
+    val proposed = llmMap(sampleChunks, c => Prompts.schemaId(c))
+      .withColumn("line", explode(split(col("completion"), "\n")))
+      .withColumn("field", lower(trim(regexp_extract(col("line"), "^([^:]{1,60}):", 1))))
+      .withColumn("value", trim(regexp_extract(col("line"), "^[^:]{1,60}:(.*)$", 1)))
+      .filter(length(col("field")) > 0)
+    val kept = ChunkFilter.schemaFieldFilter(proposed.select(col("path"), col("chunk"), col("field"), col("value")))
+    SchemaId.rankAttributes(
+      SchemaId.fieldCount(kept.select(col("path"), col("field")), "path"),
+      cfg.numAttrs)
+  }
+
+  /** Synthesize extractor specs for an attribute from sample chunks
+    * (`get_functions`, `profiler.py:354-410`) — the LLM answers with
+    * a spec JSON; unparsable answers are dropped (the reference
+    * similarly drops functions that fail to exec).
+    */
+  def synthesizeSpecs(attribute: String, sampleChunks: DataFrame): Seq[ExtractorSpec] = {
+    val prompts = sampleChunks
+      .limit(4) // specs per sample chunk ×2 prompt variants, like train_size×2
+      .collect()
+      .map(_.getAs[String]("chunk"))
+      .flatMap(c => Seq(Prompts.synthesizeSpecA(attribute, c), Prompts.synthesizeSpecB(attribute)))
+    client
+      .complete(prompts.iterator)
+      .flatMap { js =>
+        try Some(ExtractorSpec.fromJson(js))
+        catch { case _: Throwable => None }
+      }
+      .toSeq
+      .distinct
+      .zipWithIndex
+      .map { case (s, i) => renameSpec(s, s"function_$i") }
+  }
+
+  private def renameSpec(s: ExtractorSpec, k: String): ExtractorSpec = s match {
+    case r: RegexExtract => r.copy(key = k)
+    case r: SplitMarker  => r.copy(key = k)
+    case r: FieldLine    => r.copy(key = k)
+    case r: HtmlSelector => r.copy(key = k)
+  }
+
+  /** LLM "gold" on the sample via direct extraction (the expensive
+    * supervision source, `get_all_extractions` `profiler.py:539-596`).
+    */
+  def goldOnSample(attribute: String, sampleChunks: DataFrame): DataFrame = {
+    val filtered = keywordFiltered(sampleChunks, attribute)
+    DirectExtract(filtered.select(col("path"), col("attribute"), col("chunk")), client, "path", "gold_llm")
+      .withColumn("value", Clean.cleanPrediction(col("value"), col("attribute")))
+      .groupBy(col("path"))
+      .agg(max(col("value")).as("gold"))
+  }
+
+  private def keywordFiltered(chunks: DataFrame, attribute: String): DataFrame = {
+    val attrs = spark.createDataFrame(Seq(Tuple1(attribute))).toDF("attribute")
+    ChunkFilter.keywordChunkFilter(chunks, attrs, "path")
+  }
+
+  /** Run specs over chunks → long extraction relation
+    * (path, extractor, value); one value per (doc, extractor) —
+    * first non-empty chunk hit wins.
+    */
+  def applySpecs(chunks: DataFrame, specs: Seq[ExtractorSpec]): DataFrame =
+    specs
+      .map { s =>
+        chunks
+          .select(col("path"), explode_outer(s.compile(col("chunk"))).as("value"))
+          .groupBy(col("path"))
+          .agg(max(coalesce(col("value"), lit(""))).as("value"))
+          .select(col("path"), lit(s.key).as("extractor"), col("value"))
+      }
+      .reduce(_ unionByName _)
+
+  /** Score specs against the sample gold and keep the top-k
+    * (`evaluate` + `get_topk_scripts_per_field`).
+    */
+  def selectSpecs(
+      attribute: String,
+      specs: Seq[ExtractorSpec],
+      sampleChunks: DataFrame,
+      gold: DataFrame,
+      doEndToEnd: Boolean): Seq[ExtractorSpec] = {
+    if (specs.isEmpty) return Seq.empty
+    val preds = applySpecs(keywordFiltered(sampleChunks, attribute), specs)
+    val scored = preds
+      .join(gold, Seq("path"))
+      .select(col("extractor"), col("value").as("pred"), col("gold"))
+    val metrics = Score
+      .f1Metrics(scored, Seq("extractor"))
+      .select(col("extractor"), col("avg_f1"), col("med_f1"))
+    val keep = Score
+      .topkScripts(metrics, cfg.numTopK, goldKey = "gold_llm", keepThresh = cfg.keepThresh, doEndToEnd = doEndToEnd)
+      .collect()
+      .map(_.getString(0))
+      .toSet
+    specs.filter(s => keep.contains(s.key))
+  }
+
+  /** Full per-attribute cascade over the lake. Returns the long
+    * extraction relation (path, attribute, value).
+    */
+  def profileAttribute(
+      chunks: DataFrame,
+      sampleChunks: DataFrame,
+      attribute: String,
+      doEndToEnd: Boolean): DataFrame = {
+    val specs    = synthesizeSpecs(attribute, sampleChunks)
+    val gold     = goldOnSample(attribute, sampleChunks)
+    val selected = selectSpecs(attribute, specs, sampleChunks, gold, doEndToEnd)
+    if (selected.isEmpty) {
+      spark.emptyDataFrame
+        .select()
+        .withColumn("path", lit(null).cast("string"))
+        .withColumn("attribute", lit(null).cast("string"))
+        .withColumn("value", lit(null).cast("string"))
+        .limit(0)
+    } else {
+      val votes = applySpecs(keywordFiltered(chunks, attribute), selected)
+        .withColumn("value", Clean.cleanPrediction(col("value"), lit(attribute)))
+      Combiners
+        .majorityVoteAbstainAware(votes, Seq("path"), "value", extractionFraction = 1.0)
+        .select(col("path"), lit(attribute).as("attribute"), col("value"))
+    }
+  }
+
+  /** E2E run: ClosedIE when `attributes` given, OpenIE otherwise.
+    * Returns the wide structured view (D9).
+    */
+  def run(lake: DataFrame, attributes: Seq[String] = Seq.empty): DataFrame = {
+    val chunks = prepare(lake)
+    val sample = sampleDocs(chunks, cfg.trainSize)
+    val doEnd  = attributes.isEmpty
+    val attrs =
+      if (attributes.nonEmpty) attributes
+      else identifySchema(sample).orderBy(col("rank")).collect().map(_.getAs[String]("field")).toSeq
+    val extractions = attrs
+      .map(a => profileAttribute(chunks, sample, a, doEnd))
+      .reduce(_ unionByName _)
+    // every lake file appears in the view — docs with no extraction
+    // carry nulls (abstention), they don't vanish from the index
+    lake
+      .select(col("path"))
+      .distinct()
+      .join(StructuredView.pivotView(extractions, "path", "attribute", "value", attrs), Seq("path"), "left")
+  }
+
+  /** mapPartitions LLM stage over chunks → (path, chunk, completion). */
+  private def llmMap(chunks: DataFrame, mkPrompt: String => String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+      chunks.schema.fields :+ org.apache.spark.sql.types.StructField("completion", org.apache.spark.sql.types.StringType))
+    val cl = client
+    val fn = mkPrompt
+    spark.createDataFrame(
+      chunks.rdd.mapPartitions { rows =>
+        val buf     = rows.toArray
+        val answers = cl.complete(buf.iterator.map(r => fn(r.getAs[String]("chunk"))))
+        buf.iterator.zip(answers).map(r => org.apache.spark.sql.Row.fromSeq(r._1.toSeq :+ r._2))
+      },
+      schema)
+  }
+}

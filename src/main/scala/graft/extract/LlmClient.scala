@@ -27,7 +27,7 @@ trait LlmClient extends Serializable {
   * path (FIXTURES.md A7).
   */
 final case class MockLlmClient(canned: Map[String, String] = Map.empty) extends LlmClient {
-  private val fieldLine = java.util.regex.Pattern.compile("(?m)^\\s*([A-Za-z0-9 _-]{1,40}?)\\s*:\\s*(.+?)\\s*$")
+  private val fieldLine = java.util.regex.Pattern.compile("(?m)^\\s*([A-Za-z0-9()/ _-]{1,40}?)\\s*:\\s*(.+?)\\s*$")
 
   def complete(prompts: Iterator[String]): Iterator[String] = prompts.map { p =>
     canned.getOrElse(p, answer(p))
@@ -38,15 +38,30 @@ final case class MockLlmClient(canned: Map[String, String] = Map.empty) extends 
     val textMarker = "text: "
     val ai         = p.indexOf(attrMarker)
     val ti         = p.indexOf(textMarker)
-    if (ai >= 0 && ti >= 0) {
+    if (p.contains("write an extractor spec")) {
+      // function-synthesis prompts → a FieldLine spec for the attribute
+      val m = java.util.regex.Pattern.compile("extracts \"([^\"]+)\"").matcher(p)
+      if (m.find()) {
+        val attr = m.group(1)
+        ExtractorSpec.toJson(FieldLine(s"fn_${attr.replaceAll("[^A-Za-z0-9]", "_")}", attr))
+      } else ""
+    } else if (p.contains("Answer yes or no")) {
+      "yes"
+    } else if (p.contains("pick the single best value")) {
+      val m = java.util.regex.Pattern.compile("candidates: ([^|\\n]+)").matcher(p)
+      if (m.find()) m.group(1).trim else ""
+    } else if (ai >= 0 && ti >= 0) {
       val attr = p.substring(ai + attrMarker.length, p.indexOf('\n', ai).max(ai + attrMarker.length))
       val text = p.substring(ti + textMarker.length)
       val m    = java.util.regex.Pattern.compile("(?im)^\\s*" + java.util.regex.Pattern.quote(attr.trim) + "\\s*[:=]\\s*(.+?)\\s*$").matcher(text)
       if (m.find()) m.group(1) else ""
     } else {
-      // schema-id shape: emit the field: value lines verbatim
-      val m  = fieldLine.matcher(p)
-      val sb = new StringBuilder
+      // schema-id shape: emit the field: value lines present in the
+      // document text (only scan after the "text:" marker so prompt
+      // instructions don't leak in as fields)
+      val body = if (ti >= 0) p.substring(ti + textMarker.length) else p
+      val m    = fieldLine.matcher(body)
+      val sb   = new StringBuilder
       while (m.find()) { sb.append(m.group(1)).append(": ").append(m.group(2)).append('\n') }
       sb.toString
     }

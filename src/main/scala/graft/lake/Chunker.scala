@@ -54,7 +54,8 @@ object Chunker {
     pieces = resplit(pieces, ", ")
     // any piece still over chunkSize gets hard-wrapped
     pieces = pieces.flatMap(p => if (p.length <= chunkSize) Seq(p) else p.grouped(chunkSize).toSeq)
-    // greedy repack
+    // greedy repack; newline separator preserves the line structure
+    // that line-anchored extractors (FieldLine) depend on
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     pieces.foreach { p =>
@@ -62,7 +63,7 @@ object Chunker {
         out += cur.toString
         cur.clear()
       }
-      if (cur.nonEmpty) cur.append(' ')
+      if (cur.nonEmpty) cur.append('\n')
       cur.append(p)
     }
     if (cur.nonEmpty || out.isEmpty) out += cur.toString

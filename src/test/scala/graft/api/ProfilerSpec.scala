@@ -1,0 +1,70 @@
+package graft.api
+
+import graft.SparkSpec
+import graft.extract.MockLlmClient
+import graft.lake.Tables
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Golden end-to-end cascade (SURVEY §5 rebuild strategy item 2):
+  * tiny FDA-510k-style lake + human gold table in test resources,
+  * mock LLM → the whole OpenIE/ClosedIE cascade runs hermetically
+  * and must reproduce the gold table.
+  */
+class ProfilerSpec extends SparkSpec {
+
+  private val lakeDir = new java.io.File("src/test/resources/goldlake").getAbsolutePath
+  private val attrs   = Seq("510(k) number", "applicant", "device name", "decision date")
+
+  private def lake = Tables
+    .rawLake(spark, lakeDir + "/*.txt")
+    .withColumn("path", regexp_extract(col("path"), "([^/]+)$", 1))
+
+  private def goldTable: Map[String, Map[String, String]] = {
+    implicit val fmts: Formats = DefaultFormats
+    val src = scala.io.Source.fromFile(s"$lakeDir/gold.json")
+    try JsonMethods.parse(src.mkString).extract[Map[String, Map[String, String]]]
+    finally src.close()
+  }
+
+  private def profiler = new Profiler(spark, MockLlmClient(), ProfilerConfig(chunkSize = 3000, trainSize = 6))
+
+  test("ClosedIE cascade reproduces the gold table exactly") {
+    val view = profiler.run(lake, attrs)
+    val got = view.collect().map { r =>
+      r.getAs[String]("path") -> attrs.map(a => a -> r.getAs[String](a)).toMap
+    }.toMap
+    val gold = goldTable
+    gold.foreach { case (path, fields) =>
+      fields.foreach { case (attr, want) =>
+        assert(got(path)(attr) == want, s"$path/$attr: got ${got(path).get(attr)}, want $want")
+      }
+    }
+    // the noise doc must abstain (empty or null values), not hallucinate
+    val noise = got("doc9.txt")
+    assert(attrs.forall(a => noise(a) == null || noise(a).isEmpty))
+  }
+
+  test("OpenIE discovers the schema from the documents") {
+    val chunks = profiler.prepare(lake)
+    val sample = profiler.sampleDocs(chunks, 6)
+    val fields = profiler.identifySchema(sample).collect().map(_.getAs[String]("field")).toSet
+    assert(attrs.toSet.subsetOf(fields), s"missing: ${attrs.toSet -- fields}")
+  }
+
+  test("OpenIE end-to-end matches gold on discovered attributes") {
+    val view = profiler.run(lake)
+    assert(attrs.forall(view.columns.contains))
+    val gold = goldTable
+    val got = view.collect().map { r =>
+      r.getAs[String]("path") -> attrs.map(a => a -> r.getAs[String](a)).toMap
+    }.toMap
+    val hits = for {
+      (path, fields) <- gold.toSeq
+      (attr, want)   <- fields.toSeq
+    } yield if (got(path)(attr) == want) 1 else 0
+    val acc = hits.sum.toDouble / hits.size
+    assert(acc == 1.0, s"gold accuracy $acc < 1.0")
+  }
+}

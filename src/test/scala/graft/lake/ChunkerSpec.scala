@@ -10,9 +10,9 @@ class ChunkerSpec extends SparkSpec {
     val text = "aaa bbb\nccc. ddd, eee fff\nggg"
     val out  = Chunker.splitText(text, 12)
     assert(out.forall(_.length <= 12))
-    // lossless modulo the \n separators replaced by chunk boundaries/spaces
-    val glued = out.mkString(" ").replace(" ", "")
-    assert(glued == text.replace("\n", "").replace(" ", ""))
+    // lossless modulo separator normalization at chunk boundaries
+    val norm  = (s: String) => s.replace("\n", "").replace(" ", "")
+    assert(norm(out.mkString(" ")) == norm(text))
   }
 
   test("splitText: short text is a single chunk") {
