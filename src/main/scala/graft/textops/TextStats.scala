@@ -12,12 +12,11 @@ object TextStats {
   private def toks(text: Column): Column =
     filter(split(text, " "), t => length(t) > 0)
 
-  /** Marker-word language-ID heuristic: score each candidate language
-    * by its marker-token occurrences (with multiplicity), argmax with
-    * lexicographic tie-break. `markers`: lang → marker tokens.
+  /** Marker-word language-ID from a PRE-PROJECTED lowercase tokens
+    * column (a Column subtree referenced in several lambdas is
+    * re-evaluated per reference — bind tokens once in hot paths).
     */
-  def langId(text: Column, markers: Seq[(String, Seq[String])]): Column = {
-    val t = toks(lower(text))
+  def langIdFromTokens(t: Column, markers: Seq[(String, Seq[String])]): Column = {
     val scored = markers.map { case (lang, ms) =>
       val score = ms.map(m => size(filter(t, x => x === m))).reduce(_ + _)
       struct(score.as("score"), lit(lang).as("lang"))
@@ -35,11 +34,12 @@ object TextStats {
     element_at(arr, -1).getField("lang")
   }
 
-  /** Quality features: length, token count, avg token length,
-    * stopword ratio, punctuation ratio — returned as a struct.
-    */
-  def qualityFeatures(text: Column, stopwords: Seq[String]): Column = {
-    val t      = toks(text)
+  /** Convenience wrapper (re-tokenizes inline; fine for small data). */
+  def langId(text: Column, markers: Seq[(String, Seq[String])]): Column =
+    langIdFromTokens(toks(lower(text)), markers)
+
+  /** Quality features from a PRE-PROJECTED tokens column. */
+  def qualityFeaturesFromTokens(text: Column, t: Column, stopwords: Seq[String]): Column = {
     val nTok   = size(t)
     val nChar  = length(text)
     val nStop  = stopwords.map(s => size(filter(t, x => x === s))).reduce(_ + _)
@@ -52,16 +52,24 @@ object TextStats {
       when(nChar > 0, nPunct.cast("double") / nChar).otherwise(0.0).as("punct_ratio"))
   }
 
-  /** Composite quality score in [0,1]: rewards mid-length docs with
-    * low punctuation and some stopwords.
+  /** Convenience wrapper (re-tokenizes inline). */
+  def qualityFeatures(text: Column, stopwords: Seq[String]): Column =
+    qualityFeaturesFromTokens(text, toks(text), stopwords)
+
+  /** Composite quality score in [0,1] from a PRE-PROJECTED features
+    * struct column (each getField on an inline struct expression
+    * duplicates the whole subtree).
     */
-  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
-    val f        = qualityFeatures(text, stopwords)
+  def qualityScoreFromFeatures(f: Column): Column = {
     val lenScore = least(f.getField("n_tokens").cast("double") / 64.0, lit(1.0))
     val stopOk   = least(f.getField("stopword_ratio") * 4.0, lit(1.0))
     val punctOk  = greatest(lit(1.0) - f.getField("punct_ratio") * 10.0, lit(0.0))
     (lenScore + stopOk + punctOk) / 3.0
   }
+
+  /** Convenience wrapper (re-derives the feature struct inline). */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column =
+    qualityScoreFromFeatures(qualityFeatures(text, stopwords))
 
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column = size(toks(text))

@@ -27,6 +27,32 @@ class TextOpsSpec extends SparkSpec {
     assert((pairs(1).getAs[Long]("id_a"), pairs(1).getAs[Long]("id_b")) == (1L, 2L)) // near dup next
   }
 
+  test("shinglesFast equals the HOF shingles on real data") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val diff = d.select(
+      Dedup.shingles(col("text"), 3).as("a"),
+      Dedup.shinglesFast(col("text"), 3).as("b"))
+      .filter(col("a") =!= col("b"))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("fast signature variants equal their expression forms on real data") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet").limit(100)
+    val mh = d
+      .select(col("doc_id"), Dedup.shinglesFast(col("text"), 3).as("sh"))
+      .select(
+        Dedup.minhashFromShingles(col("sh"), 8).as("a"),
+        Dedup.minhashFast(col("sh"), 8).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(mh == 0)
+    val shh = d.select(
+      Dedup.simhash16(col("text")).as("a"),
+      Dedup.simhash16Fast(col("text")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(shh == 0)
+  }
+
   test("minhashLshPairs surfaces exact dups as candidates") {
     val cands = Dedup.minhashLshPairs(docsDf, "doc_id", "text")
       .select("id_a", "id_b").distinct()
