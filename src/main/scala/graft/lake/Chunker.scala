@@ -77,6 +77,77 @@ object Chunker {
       .select(col(idCol), posexplode(f(col(textCol))).as(Seq("chunk_id", "chunk")))
   }
 
+  /** HTML chunking (`profiler_utils.py:255-305`, minus its undefined
+    * `use_raw_text` bug — documented, not replicated): drop script/
+    * style/svg subtrees and style/meta tag attributes, split into
+    * lines, re-split lines still over chunkSize on "><" boundaries,
+    * then greedily pack like the text path.
+    */
+  def splitHtml(html: String, chunkSize: Int): Seq[String] = {
+    if (html == null || html.isEmpty) return Seq("")
+    val noBlocks = html.replaceAll("(?is)<(script|style|svg)\\b[^>]*>.*?</(script|style|svg)>", " ")
+    val noAttrs  = noBlocks.replaceAll("(?i)\\s(style|class|id)\\s*=\\s*(\"[^\"]*\"|'[^']*')", "")
+    var pieces: Seq[String] = noAttrs.split("\n", -1).toSeq
+    pieces = pieces.flatMap { p =>
+      if (p.length <= chunkSize) Seq(p)
+      else p.split("(?<=>)(?=<)").toSeq // break between adjacent tags
+    }
+    pieces = pieces.map(_.trim).filter(_.nonEmpty)
+    if (pieces.isEmpty) return Seq("")
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    pieces.foreach { p =>
+      if (cur.nonEmpty && cur.length + 1 + p.length > chunkSize) { out += cur.toString; cur.clear() }
+      if (cur.nonEmpty) cur.append('\n')
+      cur.append(p)
+    }
+    if (cur.nonEmpty || out.isEmpty) out += cur.toString
+    out.toSeq
+  }
+
+  /** HTML chunker as a DataFrame op: (idCol, chunk_id, chunk). */
+  def chunkHtml(docs: DataFrame, idCol: String, textCol: String, chunkSize: Int): DataFrame = {
+    val f = udf((t: String) => splitHtml(t, chunkSize))
+    docs.select(col(idCol), posexplode(f(col(textCol))).as(Seq("chunk_id", "chunk")))
+  }
+
+  /** Format-dispatching chunker (`profiler_utils.py:200-214`): html
+    * suffixes go through the html path, everything else text.
+    */
+  def chunkAuto(docs: DataFrame, idCol: String, pathCol: String, textCol: String, chunkSize: Int): DataFrame = {
+    val isHtml = lower(col(pathCol)).rlike("\\.(html?|xhtml)$")
+    chunkHtml(docs.filter(isHtml), idCol, textCol, chunkSize)
+      .unionByName(chunkText(docs.filter(!isHtml), idCol, textCol, chunkSize))
+  }
+
+  /** Chunk trimming on context overflow (`trim_chunks`,
+    * `profiler.py:413-439`): keep a `window`-token span ending at the
+    * attribute occurrence; if the attribute is absent, the
+    * best `window`-token mini-chunk by attribute-token hits.
+    */
+  def trimChunk(chunk: Column, attribute: Column, window: Int = 50): Column = {
+    val f = udf((c: String, a: String) => {
+      if (c == null) ""
+      else {
+        val toks   = c.split("\\s+").filter(_.nonEmpty)
+        if (toks.length <= window) c
+        else {
+          val aLc  = if (a == null) "" else a.toLowerCase
+          val pos  = toks.indexWhere(t => aLc.nonEmpty && t.toLowerCase.contains(aLc.split(" ").head))
+          if (pos >= 0) {
+            val from = math.max(pos - (window - 1) / 2, 0)
+            toks.slice(from, math.min(from + window, toks.length)).mkString(" ")
+          } else {
+            val attrToks = aLc.split(" ").filter(_.nonEmpty).toSet
+            val best = toks.sliding(window, window).maxBy(w => w.count(t => attrToks.exists(t.toLowerCase.contains)))
+            best.mkString(" ")
+          }
+        }
+      }
+    })
+    f(chunk, attribute)
+  }
+
   /** Keep only the first k chunks of each doc (`run_profiler.py:48-49`). */
   def capChunks(chunks: DataFrame, k: Int): DataFrame =
     chunks.filter(col("chunk_id") < k)

@@ -1,0 +1,51 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cache + artifact sinks — the reference's pickle caches and JSON
+  * index artifacts (`prepare_data` `run_profiler.py:65-84`;
+  * `profiler.py:706-745`) as parquet-backed equivalents.
+  */
+object Sinks {
+
+  /** Read-if-exists else compute-write-read: the chunk/extraction
+    * cache pattern. Cache keys should encode run parameters in the
+    * path (the reference's run_string), so stale params never hit.
+    */
+  def readOrCompute(spark: SparkSession, path: String)(compute: => DataFrame): DataFrame = {
+    val p    = new org.apache.hadoop.fs.Path(path)
+    val fs   = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val done = new org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+    if (fs.exists(done)) spark.read.parquet(path)
+    else {
+      compute.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+  }
+
+  /** Index sink (D9 artifacts): the structured view as parquet plus
+    * per-attribute JSON (the reference's `_file2metadata` shape) —
+    * JSON written distributed, one dir per attribute.
+    */
+  def writeIndex(view: DataFrame, outDir: String, keyCol: String = "path"): Unit = {
+    view.write.mode("overwrite").parquet(s"$outDir/structured_view")
+    view.columns.filter(_ != keyCol).foreach { attr =>
+      view
+        .select(col(keyCol), col(attr).as("value"))
+        .write.mode("overwrite").json(s"$outDir/attr=${attr.replaceAll("[^A-Za-z0-9._-]", "_")}")
+    }
+  }
+
+  /** Directory hierarchy profile (`get_directory_hierarchy`,
+    * `utils.py:82-100`): file counts per directory prefix depth.
+    */
+  def dirHierarchy(files: DataFrame, pathCol: String = "path"): DataFrame = {
+    val parts = split(col(pathCol), "/")
+    files
+      .select(explode(sequence(lit(1), size(parts) - 1)).as("depth"), col(pathCol))
+      .select(col("depth"), concat_ws("/", slice(split(col(pathCol), "/"), lit(1), col("depth"))).as("dir"))
+      .groupBy(col("depth"), col("dir"))
+      .agg(count(lit(1)).as("n_files"))
+  }
+}

@@ -132,6 +132,29 @@ object SchemaId {
       .withColumn("rank", row_number().over(w))
   }
 
+  /** Metadata-string rerank prep (`get_metadata_string_w_value`,
+    * `schema_identification.py:90-128`): order fields by
+    * (count, name) desc, drop singletons when any field repeats,
+    * keep ≤ cap fields, attach ≤ 2 sample values (lexicographically
+    * smallest — deterministic replacement for the seeded shuffle).
+    * fields: (field, n_docs); values: (field, value).
+    */
+  def metadataStringRerank(counts: DataFrame, values: DataFrame, cap: Int = 200): DataFrame = {
+    val wAll = Window.partitionBy(lit(1))
+    val kept = counts
+      .withColumn("max_n", max(col("n_docs")).over(wAll))
+      .filter(col("max_n") <= 1 || col("n_docs") > 1)
+      .withColumn("rank", row_number().over(Window.orderBy(desc("n_docs"), desc("field"))))
+      .filter(col("rank") <= cap)
+      .drop("max_n")
+    val samples = values
+      .groupBy(col("field"))
+      .agg(slice(array_sort(collect_set(col("value"))), 1, 2).as("sample_values"))
+    kept.join(samples, Seq("field"), "left")
+      .select(col("field"), col("n_docs"), col("rank"),
+        concat_ws(", ", coalesce(col("sample_values"), array())).as("sample_str"))
+  }
+
   /** Attribute alias theta-join (`evaluate_synthetic.py:349-382`):
     * match attribute names across pred/gold via exact, pluralized,
     * or space-stripped containment. Broadcast nested loop over the

@@ -1,0 +1,95 @@
+package graft.lake
+
+import graft.SparkSpec
+import graft.extract.AffixTrim
+import graft.schema.SchemaId
+import org.apache.spark.sql.functions._
+
+class LakeOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("GoldTable.load melts json with string and list values, rebases paths") {
+    val gold = GoldTable.load(spark, "src/test/resources/goldlake/gold.json", rebaseTo = "/lake/dir")
+    assert(gold.count() == 32) // 8 docs × 4 attrs
+    val r = gold.filter(col("path") === "/lake/dir/doc1.txt" && col("attribute") === "applicant").head
+    assert(r.getSeq[String](2) == Seq("Acme 1 Corp"))
+    val ranked = GoldTable.rankedAttributes(gold)
+    assert(ranked.count() == 4)
+    assert(ranked.agg(max("n_nonnull")).head.getLong(0) == 8L)
+  }
+
+  test("Sinks.readOrCompute caches and replays") {
+    val dir = java.nio.file.Files.createTempDirectory("cache").toString + "/t"
+    var computes = 0
+    def make = { computes += 1; Seq((1L, "a")).toDF("id", "v") }
+    val first  = Sinks.readOrCompute(spark, dir)(make)
+    val second = Sinks.readOrCompute(spark, dir)(make)
+    assert(computes == 1)
+    assert(first.count() == 1 && second.count() == 1)
+  }
+
+  test("Sinks.writeIndex writes view parquet + per-attribute json") {
+    val dir  = java.nio.file.Files.createTempDirectory("idx").toString
+    val view = Seq(("d1", "x", "y")).toDF("path", "attr one", "attr_two")
+    Sinks.writeIndex(view, dir)
+    assert(spark.read.parquet(s"$dir/structured_view").count() == 1)
+    assert(spark.read.json(s"$dir/attr=attr_one").columns.toSet == Set("path", "value"))
+  }
+
+  test("dirHierarchy counts files per directory prefix") {
+    val files = Seq("a/b/f1.txt", "a/b/f2.txt", "a/c/f3.txt").toDF("path")
+    val got = Sinks.dirHierarchy(files).orderBy("depth", "dir").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1, "a", 3L), (2, "a/b", 2L), (2, "a/c", 1L)))
+  }
+
+  test("splitHtml drops script blocks and packs tag pieces") {
+    val html = "<html><script>var x=1;</script><div class=\"big\">title</div>" +
+      "<p>a</p><p>b</p></html>"
+    val out = Chunker.splitHtml(html, 30)
+    assert(out.forall(!_.contains("var x=1")))
+    assert(out.forall(!_.contains("class=")))
+    assert(out.mkString.contains("title"))
+  }
+
+  test("chunkAuto dispatches html vs text by suffix") {
+    val docs = Seq(
+      ("a.html", "<div>x</div>"),
+      ("b.txt", "plain text")).toDF("path", "content")
+    val out = Chunker.chunkAuto(docs, "path", "path", "content", 100)
+    assert(out.count() == 2)
+  }
+
+  test("trimChunk windows around the attribute occurrence") {
+    val long = (1 to 100).map(i => s"w$i").mkString(" ") + " budget 5M " + (1 to 100).map(i => s"z$i").mkString(" ")
+    val got = Seq((long, "budget")).toDF("chunk", "attr")
+      .select(Chunker.trimChunk(col("chunk"), col("attr"), 20).as("t")).head.getString(0)
+    assert(got.split(" ").length <= 20)
+    assert(got.contains("budget"))
+  }
+
+  test("AffixTrim learns and strips modal affixes") {
+    val train = Seq(
+      ("Applicant: Acme Corp.", "Acme Corp"),
+      ("Applicant: Zeta Inc.", "Zeta Inc"))
+    val aff = AffixTrim.learn(train)
+    assert(aff == AffixTrim.Affixes("Applicant: ", "."))
+    val got = Seq("Applicant: Gamma LLC.", "Gamma LLC").toDF("v")
+      .select(AffixTrim(col("v"), aff).as("t")).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("Gamma LLC", "Gamma LLC"))
+  }
+
+  test("metadataStringRerank drops singletons, caps, samples values") {
+    val counts = Seq(("a", 3L), ("b", 2L), ("c", 1L)).toDF("field", "n_docs")
+    val values = Seq(("a", "v2"), ("a", "v1"), ("a", "v3"), ("b", "x")).toDF("field", "value")
+    val got = SchemaId.metadataStringRerank(counts, values).orderBy("rank").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("a", "b")) // c is a singleton
+    assert(got(0).getAs[String]("sample_str") == "v1, v2")
+  }
+
+  test("normalizeSynthetic strips markup, entities, nan") {
+    val got = Seq("<b>A &amp; B</b>", "nan", " x  y ").toDF("v")
+      .select(graft.extract.Clean.normalizeSynthetic(col("v"))).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("A & B", "", "x y"))
+  }
+}
