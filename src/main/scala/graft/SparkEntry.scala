@@ -491,6 +491,13 @@ object SparkEntry {
     "q_cosine_topk" -> ((s, dir) =>
       Similarity.cosineTopK(Tables.embeddings(s, dir), "vec_id", "embedding", queryVec(s, dir), k = 20)),
 
+    // ANN scale path: IVF-style probe-bucketed top-k (no SQL oracle —
+    // approximate by design; driver records rows-only)
+    "q_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(
+        Tables.embeddings(s, dir), "vec_id", "embedding", queryVec(s, dir),
+        k = 20, nCentroids = 16, nProbe = 4)),
+
     // §2.4 retrieval top-1 rank join per bucket (retrieval.py:31-36)
     "q_retrieval_top1" -> ((s, dir) =>
       Similarity

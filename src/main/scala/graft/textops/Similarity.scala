@@ -60,6 +60,72 @@ object Similarity {
       .drop("rn")
   }
 
+  /** IVF-style approximate top-k: partition vectors by nearest of
+    * `nCentroids` deterministic seed centroids (the first vectors by
+    * id — a real deployment plugs in k-means centroids), then search
+    * only the `nProbe` buckets nearest to the query.
+    *
+    * Scale shape: centroid assignment is one scan against a broadcast
+    * centroid list; the probe filters the scan to a bucket subset, so
+    * query cost is (nProbe / nCentroids) of brute force, and the
+    * assignment column can be persisted/bucketed for repeated queries.
+    */
+  def ivfTopK(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val centroids: Seq[(Int, Seq[Double])] = embeddings
+      .orderBy(col(idCol))
+      .limit(nCentroids)
+      .select(col(vecCol))
+      .collect()
+      .toSeq
+      .map(_.getSeq[Float](0).map(_.toDouble))
+      .zipWithIndex
+      .map { case (v, i) => (i, v) }
+
+    def cosTo(vec: Column, target: Seq[Double]) = cosineToQuery(vec, target)
+
+    // nearest centroid per row: argmax over the (small) centroid set
+    val assigned = embeddings.withColumn(
+      "centroid_id",
+      element_at(
+        array_sort(
+          array(centroids.map { case (i, c) =>
+            struct(cosTo(col(vecCol), c).as("cos"), lit(i).as("cid"))
+          }: _*),
+          (a, b) =>
+            when(a.getField("cos") < b.getField("cos"), -1)
+              .when(a.getField("cos") > b.getField("cos"), 1)
+              .when(a.getField("cid") > b.getField("cid"), -1)
+              .otherwise(1)),
+        -1).getField("cid"))
+
+    // probe list: centroids nearest to the query (driver-side, tiny)
+    val probes = centroids
+      .map { case (i, c) =>
+        val dot  = c.zip(query).map { case (x, y) => x * y }.sum
+        val na   = math.sqrt(c.map(x => x * x).sum)
+        val nb   = math.sqrt(query.map(x => x * x).sum)
+        val cos  = if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+        (i, cos)
+      }
+      .sortBy { case (i, c) => (-c, i) }
+      .take(nProbe)
+      .map(_._1)
+
+    val scored = assigned
+      .filter(col("centroid_id").isin(probes: _*))
+      .select(col(idCol), round(cosineToQuery(col(vecCol), query), 6).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+    scored.withColumn("rank", row_number().over(Window.orderBy(desc("cos"), col(idCol))))
+  }
+
   /** Bucketed near-duplicate pairs by embedding cosine: candidate
     * pairs only within the same bucket (IVF/LSH-style blocking), so
     * the join is an equi-join on the bucket key — shuffle scales with

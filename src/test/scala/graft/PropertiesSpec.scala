@@ -1,0 +1,74 @@
+package graft
+
+import graft.expressions.TokenF1
+import graft.extract.Clean
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-style tests (SURVEY §5 rebuild item 3), batched: generate
+  * cases with ScalaCheck, evaluate in one DataFrame pass per
+  * property (per-case Spark jobs would be pathologically slow).
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val word  = Gen.oneOf("a", "bb", "ccc", "x1", "the", "spark", "data", "")
+  private val text  = Gen.listOfN(8, word).map(_.mkString(" "))
+  private def cases(n: Int, g: Gen[(String, String)]): Seq[(String, String)] =
+    Gen.listOfN(n, g).apply(Gen.Parameters.default, Seed(42L)).get
+
+  test("property: tokenF1 ∈ [0,1], symmetric, 1 iff equal token multisets") {
+    val pairs = cases(300, Gen.zip(text, text))
+    pairs.foreach { case (p, g) =>
+      val f  = TokenF1.computeStr(p, g)
+      val fr = TokenF1.computeStr(g, p)
+      assert(f >= 0.0 && f <= 1.0, s"out of range: $f for ($p, $g)")
+      assert(f == fr, s"not symmetric for ($p, $g)")
+      val tp = p.split("\\s+").filter(_.nonEmpty).sorted.toSeq
+      val tg = g.split("\\s+").filter(_.nonEmpty).sorted.toSeq
+      if (tp == tg) assert(f == 1.0)
+    }
+  }
+
+  test("property: cleanPrediction is idempotent") {
+    val vals = cases(200, Gen.zip(text.map("budget: " + _), Gen.const("budget"))).map(_._1)
+    val df   = vals.toDF("v")
+    val once  = Clean.cleanPrediction(col("v"), lit("budget"))
+    val diff = df
+      .select(once.as("c1"))
+      .select(col("c1"), Clean.cleanPrediction(col("c1"), lit("budget")).as("c2"))
+      .filter(col("c1") =!= col("c2"))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("property: NB equals majority vote under uniform accuracies (odd voters, no abstains)") {
+    val docs = cases(150, Gen.zip(Gen.const(""), Gen.const("")))
+      .indices.map { i =>
+        (i.toLong, Gen.listOfN(3, Gen.oneOf(1, -1)).apply(Gen.Parameters.default, Seed(i.toLong)).get)
+      }
+    val votes = docs.flatMap { case (id, vs) =>
+      vs.zipWithIndex.map { case (v, j) => (id, s"e$j", v) }
+    }.toDF("doc_id", "extractor", "vote")
+    val accs = Seq(("e0", 0.8), ("e1", 0.8), ("e2", 0.8)).toDF("extractor", "acc")
+    val nb   = graft.combine.LabelModel.naiveBayesPredict(votes, accs, "doc_id")
+    val mv = votes.groupBy("doc_id")
+      .agg(sum("vote").as("s"))
+      .withColumn("mv_pred", when(col("s") >= 0, 1).otherwise(-1))
+    val disagree = nb.join(mv, "doc_id").filter(col("nb_pred") =!= col("mv_pred")).count()
+    assert(disagree == 0)
+  }
+
+  test("property: minhash signatures respect containment monotonicity on identical docs") {
+    val texts = cases(50, Gen.zip(text, text)).map { case (a, b) => a + " " + b }.filter(_.trim.nonEmpty)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      .select(col("id"), graft.textops.Dedup.shinglesFast(col("t"), 3).as("sh"))
+      .select(col("id"), graft.textops.Dedup.minhashFast(col("sh"), 8).as("sig"))
+    // deterministic: same input text → same signature across evaluations
+    val again = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      .select(col("id"), graft.textops.Dedup.shinglesFast(col("t"), 3).as("sh"))
+      .select(col("id"), graft.textops.Dedup.minhashFast(col("sh"), 8).as("sig2"))
+    assert(df.join(again, "id").filter(col("sig") =!= col("sig2")).count() == 0)
+  }
+}

@@ -82,6 +82,18 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Seq(Seq(1L, 1), Seq(2L, 2)))
   }
 
+  test("ivfTopK finds the query's own vector and stays within brute-force results") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0).head.getSeq[Float](1).map(_.toDouble).toSeq
+    val ivf   = Similarity.ivfTopK(emb, "vec_id", "embedding", q, k = 5)
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", q, k = 50)
+    assert(ivf.filter(col("rank") === 1).head.getLong(0) == 0L) // query vec itself
+    // every IVF hit must appear in a generous brute-force top list
+    val bruteIds = brute.select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivfIds   = ivf.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ivfIds.subsetOf(bruteIds))
+  }
+
   test("langId picks the max-marker language with lexicographic ties") {
     val markers = Seq("en" -> Seq("the"), "es" -> Seq("el"))
     val got = Seq(("the the el", 1), ("el el the", 2), ("nothing here", 3))
