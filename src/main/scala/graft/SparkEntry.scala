@@ -577,6 +577,46 @@ object SparkEntry {
         .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
+    // relational spine at real volume (lineitem = the sf anchor):
+    // TPC-H Q1-shaped pricing summary; decimal sums for engine-exact
+    // aggregation (double sums are shuffle-order dependent)
+    "q_lineitem_pricing" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") < lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // lineitem ⋈ orders revenue by priority (join at volume; date
+    // filters push into both parquet scans)
+    "q_order_revenue_join" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("o_orderpriority"))),
+
+    // as-of-style self window: each order with the customer's previous
+    // order date (lag over (custkey, orderdate))
+    "q_order_asof_prev" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+        .select(
+          col("o_orderkey"),
+          col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          coalesce(date_format(col("prev_date"), "yyyy-MM-dd"), lit("none")).as("prev_order_date"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // §2.6 window rank (events): row_number per user by time
     "q_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -1073,6 +1113,31 @@ object SparkEntry {
                                    w -> CAST(len(w) * 31 + ascii(w) AS BIGINT))),
                   (acc, x) -> (acc * 131 + x) % 1000000007) AS fp
          FROM documents ORDER BY doc_id""",
+
+    "q_lineitem_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+                sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+                sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+                count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate < TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q_order_revenue_join" ->
+      """SELECT o_orderpriority,
+                sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue,
+                count(DISTINCT o_orderkey) AS n_orders
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_order_asof_prev" ->
+      """SELECT o_orderkey, o_custkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+                coalesce(strftime(lag(o_orderdate, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), '%Y-%m-%d'), 'none') AS prev_order_date
+         FROM orders ORDER BY o_orderkey""",
 
     "q_window_rank" ->
       """SELECT user_id, event_id, rn
