@@ -183,19 +183,88 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
     }
   }
 
+  /** OpenIE attribute validity check (`check_remove_attribute`,
+    * `profiler.py:49-112`): drop an attribute when its extractions
+    * are constant/empty (relational aggregates), or when an LLM
+    * majority vote over sample values says they could not be values
+    * of that attribute. Returns the attributes to REMOVE.
+    */
+  def checkRemoveAttributes(extractions: DataFrame): Seq[String] = {
+    val agg = SchemaId
+      .attrValidityAgg(extractions.select(col("attribute"), col("value")))
+      .collect()
+    val (autoDrop, toAsk) = agg.partition(_.getAs[Boolean]("drop_attr"))
+    val llmDrop = toAsk.flatMap { r =>
+      val attr = r.getAs[String]("attribute")
+      val samples = extractions
+        .filter(col("attribute") === attr && length(col("value")) > 0)
+        .select(col("value"))
+        .limit(5)
+        .collect()
+        .map(_.getString(0))
+        .toSeq
+      if (samples.isEmpty) Some(attr)
+      else {
+        // 3-vote LLM majority, like the reference's repeated check
+        val answers = client.complete(Iterator.fill(3)(Prompts.attrValidity(attr, samples))).toSeq
+        val yes     = answers.count(_.trim.toLowerCase.startsWith("y"))
+        if (yes * 2 < answers.size) Some(attr) else None
+      }
+    }
+    (autoDrop.map(_.getAs[String]("attribute")) ++ llmDrop).toSeq.sorted
+  }
+
+  /** LLM pick-value combiner (`prompts` pick-value path): where
+    * extractors disagree, ask the model to choose among candidates;
+    * unanimous rows never reach the LLM (cost control).
+    */
+  def pickValueCombine(votes: DataFrame, keyCol: String): DataFrame = {
+    val grouped = votes
+      .groupBy(col(keyCol), col("attribute"))
+      .agg(sort_array(array_distinct(collect_list(col("value")))).as("cands"))
+    val unanimous = grouped
+      .filter(size(col("cands")) <= 1)
+      .select(col(keyCol), col("attribute"), coalesce(element_at(col("cands"), 1), lit("")).as("value"))
+    val disputed = grouped.filter(size(col("cands")) > 1)
+    val cl       = client
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(keyCol, disputed.schema(keyCol).dataType),
+      org.apache.spark.sql.types.StructField("attribute", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType)))
+    val resolved = spark.createDataFrame(
+      disputed.rdd.mapPartitions { rows =>
+        val buf = rows.toArray
+        val answers = cl.complete(buf.iterator.map { r =>
+          Prompts.pickValue(r.getAs[String]("attribute"), r.getAs[scala.collection.Seq[String]]("cands").toSeq)
+        })
+        buf.iterator.zip(answers).map { case (r, a) =>
+          org.apache.spark.sql.Row(r.get(0), r.getAs[String]("attribute"), a.trim)
+        }
+      },
+      schema)
+    unanimous.unionByName(resolved)
+  }
+
   /** E2E run: ClosedIE when `attributes` given, OpenIE otherwise.
-    * Returns the wide structured view (D9).
+    * Returns the wide structured view (D9). OpenIE runs the
+    * post-hoc attribute validity filter.
     */
   def run(lake: DataFrame, attributes: Seq[String] = Seq.empty): DataFrame = {
     val chunks = prepare(lake)
     val sample = sampleDocs(chunks, cfg.trainSize)
     val doEnd  = attributes.isEmpty
-    val attrs =
+    val attrsAll =
       if (attributes.nonEmpty) attributes
       else identifySchema(sample).orderBy(col("rank")).collect().map(_.getAs[String]("field")).toSeq
-    val extractions = attrs
+    val extractionsAll = attrsAll
       .map(a => profileAttribute(chunks, sample, a, doEnd))
       .reduce(_ unionByName _)
+    val (attrs, extractions) =
+      if (!doEnd) (attrsAll, extractionsAll)
+      else {
+        val dropped = checkRemoveAttributes(extractionsAll).toSet
+        (attrsAll.filterNot(dropped), extractionsAll.filter(!col("attribute").isin(dropped.toSeq: _*)))
+      }
     // every lake file appears in the view — docs with no extraction
     // carry nulls (abstention), they don't vanish from the index
     lake

@@ -46,6 +46,27 @@ class ProfilerSpec extends SparkSpec {
     assert(attrs.forall(a => noise(a) == null || noise(a).isEmpty))
   }
 
+  test("checkRemoveAttributes drops constant and all-empty attributes") {
+    import spark.implicits._
+    val ex = Seq(
+      ("d1", "good", "x1"), ("d2", "good", "x2"),
+      ("d1", "constant", "same"), ("d2", "constant", "same"))
+      .toDF("path", "attribute", "value")
+    val dropped = profiler.checkRemoveAttributes(ex)
+    assert(dropped == Seq("constant"))
+  }
+
+  test("pickValueCombine resolves disputes via the client, skips unanimous rows") {
+    import spark.implicits._
+    val votes = Seq(
+      ("d1", "budget", "$5M"), ("d1", "budget", "$5M"),
+      ("d2", "budget", "$1M"), ("d2", "budget", "$9M"))
+      .toDF("path", "attribute", "value")
+    val got = rows(
+      profiler.pickValueCombine(votes, "path").orderBy("path").select("path", "value"))
+    assert(got == Seq(Seq("d1", "$5M"), Seq("d2", "$1M"))) // mock picks first candidate
+  }
+
   test("OpenIE discovers the schema from the documents") {
     val chunks = profiler.prepare(lake)
     val sample = profiler.sampleDocs(chunks, 6)
