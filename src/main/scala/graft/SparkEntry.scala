@@ -1043,6 +1043,7 @@ object SparkEntry {
                  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                        / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 6) AS jaccard
           FROM shing a JOIN shing b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.sh, b.sh)) > 0
           ORDER BY jaccard DESC, id_a ASC, id_b ASC LIMIT 20""",
 
     "q_dedup_minhash" ->

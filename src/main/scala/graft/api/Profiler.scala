@@ -77,6 +77,9 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
     */
   def synthesizeSpecs(attribute: String, sampleChunks: DataFrame): Seq[ExtractorSpec] = {
     val prompts = sampleChunks
+      // deterministic chunk choice (unordered limit is partition-layout
+      // dependent): content-hash order, like sampleDocs
+      .orderBy(md5(col("path").cast("binary")), col("path"), col("chunk_id"))
       .limit(4) // specs per sample chunk ×2 prompt variants, like train_size×2
       .collect()
       .map(_.getAs[String]("chunk"))
@@ -117,8 +120,9 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
   }
 
   /** Run specs over chunks → long extraction relation
-    * (path, extractor, value); one value per (doc, extractor) —
-    * first non-empty chunk hit wins.
+    * (path, extractor, value); one value per (doc, extractor) — the
+    * lexicographically greatest hit across chunks (deterministic
+    * regardless of chunk partitioning; empty string = abstain).
     */
   def applySpecs(chunks: DataFrame, specs: Seq[ExtractorSpec]): DataFrame =
     specs
@@ -199,6 +203,7 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
       val samples = extractions
         .filter(col("attribute") === attr && length(col("value")) > 0)
         .select(col("value"))
+        .orderBy(col("value")) // deterministic sample, not partition order
         .limit(5)
         .collect()
         .map(_.getString(0))
@@ -256,6 +261,10 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
     val attrsAll =
       if (attributes.nonEmpty) attributes
       else identifySchema(sample).orderBy(col("rank")).collect().map(_.getAs[String]("field")).toSeq
+    if (attrsAll.isEmpty)
+      // nothing discovered (prose-only lake): the view is just the
+      // file universe, no attribute columns
+      return lake.select(col("path")).distinct()
     val extractionsAll = attrsAll
       .map(a => profileAttribute(chunks, sample, a, doEnd))
       .reduce(_ unionByName _)

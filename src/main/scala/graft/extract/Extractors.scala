@@ -62,11 +62,15 @@ final case class FieldLine(key: String, attr: String) extends ExtractorSpec {
   */
 final case class HtmlSelector(key: String, tag: String, attrName: String = "") extends ExtractorSpec {
   def compile(text: Column): Column = {
+    // quote LLM-supplied names — a synthesized spec containing regex
+    // metacharacters must not change or break the pattern
+    val qt = java.util.regex.Pattern.quote(tag)
+    val qa = java.util.regex.Pattern.quote(attrName)
     val hit =
       if (attrName.isEmpty)
-        trim(regexp_extract(text, s"(?is)<$tag[^>]*>(.*?)</$tag>", 1))
+        trim(regexp_extract(text, s"(?is)<$qt[^>]*>(.*?)</$qt>", 1))
       else
-        trim(regexp_extract(text, s"""(?is)<$tag[^>]*\\b$attrName\\s*=\\s*["']([^"']*)["']""", 1))
+        trim(regexp_extract(text, s"""(?is)<$qt[^>]*\\b$qa\\s*=\\s*["']([^"']*)["']""", 1))
     filter(array(hit), v => length(v) > 0)
   }
 }

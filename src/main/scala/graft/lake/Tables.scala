@@ -21,7 +21,10 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, sfDir, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer `div`, not `/`: long / long promotes to double, whose
+      // ulp at nanosecond-epoch magnitude (~1.7e18 > 2^53) is ~256 ns —
+      // enough to shift values across microsecond boundaries
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")
