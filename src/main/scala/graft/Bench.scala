@@ -29,7 +29,7 @@ object Bench {
     def evalAll(df: org.apache.spark.sql.DataFrame): Long = {
       import org.apache.spark.sql.functions._
       // max/min (not sum: ANSI long overflow) over a hash of all columns
-      df.select(xxhash64(df.columns.map(col): _*).as("h")).agg(max("h"), min("h")).head()
+      df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("h")).agg(max("h"), min("h")).head()
       df.columns.length.toLong
     }
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
