@@ -74,6 +74,17 @@ class ProfilerSpec extends SparkSpec {
     assert(attrs.toSet.subsetOf(fields), s"missing: ${attrs.toSet -- fields}")
   }
 
+  test("OpenIE on a prose-only lake degrades to the bare file universe") {
+    import spark.implicits._
+    val prose = Seq(
+      ("p1.txt", "just words with no structure at all"),
+      ("p2.txt", "more plain prose without any fields"))
+      .toDF("path", "content")
+    val view = profiler.run(prose)
+    assert(view.columns.toSeq == Seq("path"))
+    assert(view.count() == 2)
+  }
+
   test("OpenIE end-to-end matches gold on discovered attributes") {
     val view = profiler.run(lake)
     assert(attrs.forall(view.columns.contains))
