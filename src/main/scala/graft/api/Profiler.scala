@@ -70,6 +70,34 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
       cfg.numAttrs)
   }
 
+  /** LLM rerank of the identified schema
+    * (`rerank`/`rerank_metadata`, `schema_identification.py:131-230`):
+    * 3 prompt rounds over the ranked candidates, +2 votes per
+    * mention, merged with the counts via SchemaId.rerankMerge and
+    * re-ranked on the merged score.
+    */
+  def rerankSchema(ranked: DataFrame): DataFrame = {
+    val fields = ranked.orderBy(col("rank")).collect().map(_.getAs[String]("field")).toSeq
+    if (fields.isEmpty) return ranked
+    val mentions = client
+      .complete((0 until 3).iterator.map(r => Prompts.rerankFields(fields, r)))
+      .flatMap(_.split("\n"))
+      .map(_.trim.toLowerCase)
+      .filter(_.nonEmpty)
+      .toSeq
+    import spark.implicits._
+    val votes = mentions
+      .groupBy(identity)
+      .map { case (f, xs) => (f, 2L * xs.size) }
+      .toSeq
+      .toDF("field", "votes")
+    val merged = SchemaId.rerankMerge(ranked.select(col("field"), col("n_docs")), votes)
+    merged.withColumn(
+      "rank",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(desc("merged"), asc("field"))))
+  }
+
   /** Synthesize extractor specs for an attribute from sample chunks
     * (`get_functions`, `profiler.py:354-410`) — the LLM answers with
     * a spec JSON; unparsable answers are dropped (the reference

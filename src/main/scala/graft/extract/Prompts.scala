@@ -28,6 +28,23 @@ object Prompts {
        |attribute: $attribute
        |text: $chunk""".stripMargin
 
+  /** Schema rerank vote (`rerank`/`rerank_metadata`,
+    * `schema_identification.py:131-230`): which of the candidate
+    * fields matter most. `round` varies the framing (the reference
+    * shuffles the candidate list; we vary the instruction
+    * deterministically instead).
+    */
+  def rerankFields(fields: Seq[String], round: Int): String = {
+    val framing = round % 3 match {
+      case 0 => "most important attributes for a structured view of these documents"
+      case 1 => "attributes a user would query first"
+      case _ => "attributes with the most analytical value"
+    }
+    s"""Task: from the candidate fields, list the $framing.
+       |Answer with one field name per line, nothing else.
+       |candidates: ${fields.mkString(", ")}""".stripMargin
+  }
+
   /** Attribute validity check (`profiler.py:49-112` LLM part). */
   def attrValidity(attribute: String, values: Seq[String]): String =
     s"""Task: could the following be values of the attribute "$attribute"?

@@ -74,6 +74,18 @@ class ProfilerSpec extends SparkSpec {
     assert(attrs.toSet.subsetOf(fields), s"missing: ${attrs.toSet -- fields}")
   }
 
+  test("rerankSchema boosts LLM-mentioned fields via vote merge") {
+    import spark.implicits._
+    val ranked = Seq(("alpha", 5L, 1), ("beta", 5L, 2), ("gamma", 5L, 3), ("delta", 5L, 4))
+      .toDF("field", "n_docs", "rank")
+    val got = profiler.rerankSchema(ranked).orderBy("rank").collect()
+    // mock keeps the first half (alpha, beta) each round → 6 votes each
+    // → merged 30 vs 2.5 for unvoted → they stay on top
+    assert(got.take(2).map(_.getAs[String]("field")).toSet == Set("alpha", "beta"))
+    assert(got(0).getAs[Double]("merged") == 30.0)
+    assert(got(3).getAs[Double]("merged") == 2.5)
+  }
+
   test("OpenIE on a prose-only lake degrades to the bare file universe") {
     import spark.implicits._
     val prose = Seq(
