@@ -585,9 +585,9 @@ object SparkEntry {
         .filter(col("l_shipdate") < lit("1998-09-01").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")).as("sum_disc_price"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
@@ -599,7 +599,7 @@ object SparkEntry {
         .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
         .groupBy(col("o_orderpriority"))
         .agg(
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")).as("revenue"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")).cast("double").as("revenue"),
           countDistinct(col("o_orderkey")).as("n_orders"))
         .orderBy(col("o_orderpriority"))),
 
@@ -1117,9 +1117,9 @@ object SparkEntry {
 
     "q_lineitem_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-                sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-                sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-                sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
                 count(*) AS count_order
          FROM lineitem
          WHERE l_shipdate < TIMESTAMP '1998-09-01'
@@ -1128,7 +1128,7 @@ object SparkEntry {
 
     "q_order_revenue_join" ->
       """SELECT o_orderpriority,
-                sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS revenue,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
                 count(DISTINCT o_orderkey) AS n_orders
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_orderdate >= TIMESTAMP '1995-01-01'
