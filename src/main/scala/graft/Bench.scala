@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+
 
 /** Per-round benchmark main: times every SparkEntry query at the
   * given scale factor on local[32] and prints ONE JSON line.

@@ -92,10 +92,7 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
       .toSeq
       .toDF("field", "votes")
     val merged = SchemaId.rerankMerge(ranked.select(col("field"), col("n_docs")), votes)
-    merged.withColumn(
-      "rank",
-      org.apache.spark.sql.functions.row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(desc("merged"), asc("field"))))
+    SchemaId.rankAttributes(merged, cfg.numAttrs, scoreCol = "merged")
   }
 
   /** Synthesize extractor specs for an attribute from sample chunks
@@ -288,7 +285,14 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
     val doEnd  = attributes.isEmpty
     val attrsAll =
       if (attributes.nonEmpty) attributes
-      else identifySchema(sample).orderBy(col("rank")).collect().map(_.getAs[String]("field")).toSeq
+      else
+        // OpenIE: frequency-ranked candidates, then the 3-round LLM
+        // rerank (reference E1 step 3) decides the final order/cut
+        rerankSchema(identifySchema(sample))
+          .orderBy(col("rank"))
+          .collect()
+          .map(_.getAs[String]("field"))
+          .toSeq
     if (attrsAll.isEmpty)
       // nothing discovered (prose-only lake): the view is just the
       // file universe, no attribute columns

@@ -48,12 +48,12 @@ final case class MockLlmClient(canned: Map[String, String] = Map.empty) extends 
     } else if (p.contains("Answer yes or no")) {
       "yes"
     } else if (p.contains("from the candidate fields")) {
-      // rerank prompts → keep the first half of the candidates
-      val m = java.util.regex.Pattern.compile("candidates: (.*)$", java.util.regex.Pattern.DOTALL).matcher(p)
-      if (m.find()) {
-        val fields = m.group(1).split(",").map(_.trim).filter(_.nonEmpty)
-        fields.take(math.max(fields.length / 2, 1)).mkString("\n")
-      } else ""
+      // rerank prompts → keep the first half of the "- field" lines
+      // (line-based, so field names with commas survive intact)
+      val m      = java.util.regex.Pattern.compile("(?m)^- (.+)$").matcher(p)
+      val fields = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (m.find()) fields += m.group(1).trim
+      fields.take(math.max(fields.length / 2, 1)).mkString("\n")
     } else if (p.contains("pick the single best value")) {
       val m = java.util.regex.Pattern.compile("candidates: ([^|\\n]+)").matcher(p)
       if (m.find()) m.group(1).trim else ""

@@ -42,7 +42,8 @@ object Prompts {
     }
     s"""Task: from the candidate fields, list the $framing.
        |Answer with one field name per line, nothing else.
-       |candidates: ${fields.mkString(", ")}""".stripMargin
+       |candidates:
+       |${fields.map("- " + _).mkString("\n")}""".stripMargin
   }
 
   /** Attribute validity check (`profiler.py:49-112` LLM part). */

@@ -21,10 +21,11 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, sfDir, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // integer `div`, not `/`: long / long promotes to double, whose
-      // ulp at nanosecond-epoch magnitude (~1.7e18 > 2^53) is ~256 ns —
-      // enough to shift values across microsecond boundaries
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // exact integer floor-division: long / long promotes to double
+      // (ulp ~256 ns at epoch magnitude), and bare `div` truncates
+      // toward zero, which mis-rounds pre-1970 (negative) nanos;
+      // subtracting pmod first makes div exact in both directions
+      raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
     else raw
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")

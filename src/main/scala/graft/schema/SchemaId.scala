@@ -28,11 +28,12 @@ object SchemaId {
       .groupBy(col("field"))
       .agg(count(lit(1)).as("n_docs"))
 
-  /** Rank attributes by frequency, keep top k
-    * (`run_profiler.py:283-293, 404-414`).
+  /** Rank attributes by a score column (frequency by default), keep
+    * top k (`run_profiler.py:283-293, 404-414`). Canonical ranking
+    * tie-break: score desc, field asc.
     */
-  def rankAttributes(counts: DataFrame, k: Int): DataFrame = {
-    val w = Window.orderBy(desc("n_docs"), asc("field"))
+  def rankAttributes(counts: DataFrame, k: Int, scoreCol: String = "n_docs"): DataFrame = {
+    val w = Window.orderBy(desc(scoreCol), asc("field"))
     counts
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
