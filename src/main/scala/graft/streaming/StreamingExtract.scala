@@ -63,6 +63,18 @@ object StreamingExtract {
         sink(voted, batchId)
       }
 
+  /** Streaming exact dedup: drop re-arrivals of identical content
+    * within the watermark horizon — the ingest-time half of the dedup
+    * story (the batch operators in graft.textops handle the
+    * lake-wide pass). State is keyed by content hash, bounded by the
+    * event-time watermark.
+    */
+  def dedupStream(lake: DataFrame, tsCol: String, textCol: String, watermark: String): DataFrame =
+    lake
+      .withColumn("content_hash", md5(col(textCol).cast("binary")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("content_hash")
+
   /** Streaming-native windowed aggregation over an event stream:
     * watermark + sliding window counts (the shape `events` exercises).
     */

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Regression net for the engine's determinism invariant (SURVEY §7
+  * hard part (d) / SCALE.md item 8): repeated runs — including under
+  * a different partitioning — must produce identical results.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  private def fingerprint(df: DataFrame): Seq[String] =
+    df.collect().toSeq.map(_.toString).sorted
+
+  private val sampleQueries = Seq(
+    "q_majority_vote", "q_topk_scripts", "q_vote_matrix", "q_flying_squid",
+    "q_dedup_minhash", "q_rank_attributes", "q_cosine_topk", "q_schema_eval_at_k")
+
+  test("queries are stable across repeated runs") {
+    sampleQueries.foreach { name =>
+      val a = fingerprint(SparkEntry.queries(name)(spark, sf0001))
+      val b = fingerprint(SparkEntry.queries(name)(spark, sf0001))
+      assert(a == b, s"$name differs between runs")
+    }
+  }
+
+  test("queries are stable under repartitioning of inputs") {
+    // same query logic applied to a repartitioned documents table:
+    // operators must not depend on partition layout
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val votes4 = graft.combine.Combiners.majorityVote(
+      docs.repartition(4).select(col("doc_id"), col("lang").as("value")), Seq("doc_id"), "value")
+    val votes13 = graft.combine.Combiners.majorityVote(
+      docs.repartition(13).select(col("doc_id"), col("lang").as("value")), Seq("doc_id"), "value")
+    assert(fingerprint(votes4) == fingerprint(votes13))
+
+    val j4 = graft.textops.Dedup.ngramJaccardPairs(docs.repartition(4), "lang", "doc_id", "text")
+    val j13 = graft.textops.Dedup.ngramJaccardPairs(docs.repartition(13), "lang", "doc_id", "text")
+    assert(fingerprint(j4) == fingerprint(j13))
+  }
+
+  test("profiler sampling is partition-layout independent") {
+    import spark.implicits._
+    val lake = (1 to 40).map(i => (s"doc$i.txt", s"field: v$i")).toDF("path", "content")
+    val p    = new graft.api.Profiler(spark, graft.extract.MockLlmClient())
+    val s4   = p.sampleDocs(p.prepare(lake.repartition(4)), 10).select("path").distinct()
+    val s13  = p.sampleDocs(p.prepare(lake.repartition(13)), 10).select("path").distinct()
+    assert(fingerprint(s4) == fingerprint(s13))
+  }
+}

@@ -33,6 +33,19 @@ class StreamingExtractSpec extends SparkSpec {
     assert(collected.sortBy(_._1) == Seq((1L, "budget", "$5M"), (2L, "budget", "$9M")))
   }
 
+  test("dedupStream drops duplicate content within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val deduped = StreamingExtract.dedupStream(
+      in.toDF().toDF("ts", "text"), "ts", "text", "10 minutes")
+    val q = deduped.writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    val t = java.sql.Timestamp.valueOf("2026-01-01 00:01:00")
+    in.addData((t, "same doc"), (t, "same doc"), (t, "other doc"))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup_out").count() == 2)
+  }
+
   test("windowedEventCounts is a valid streaming aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String, Double)]
