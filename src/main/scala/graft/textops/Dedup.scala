@@ -93,7 +93,11 @@ object Dedup {
     val withSh = df
       .select(col(bucketCol), col(idCol), shinglesFast(col(textCol), n).as("sh"))
       .withColumn("sz", size(col("sh")))
-    val inv = withSh.select(col(bucketCol), col(idCol), col("sz"), explode(col("sh")).as("shingle"))
+    // shuffle 8-byte shingle hashes, not strings (64-bit xxhash:
+    // collision odds ~1e-10 for millions of distinct shingles)
+    val inv = withSh
+      .select(col(bucketCol), col(idCol), col("sz"), explode(col("sh")).as("shingle"))
+      .withColumn("shingle", xxhash64(col("shingle")))
     // group each shingle's postings and emit ordered pairs from the
     // sorted list — the inverted index is computed ONCE (a self-join
     // would re-evaluate the whole shingle pipeline per side)
