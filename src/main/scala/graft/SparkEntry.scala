@@ -652,7 +652,7 @@ object SparkEntry {
         iv AS (SELECT doc_id, extractor, sum(least(pc, gc)) AS same
                FROM pt JOIN gt USING (doc_id, extractor, t)
                GROUP BY doc_id, extractor),
-        f1s AS (SELECT e.doc_id, e.extractor, e.pred,
+        f1s AS (SELECT e.doc_id, e.extractor, e.pred, e.gold,
                        len(list_filter(string_split(e.pred, ' '), x -> len(x) > 0)) AS np,
                        len(list_filter(string_split(e.gold, ' '), x -> len(x) > 0)) AS ng,
                        CAST(coalesce(iv.same, 0) AS DOUBLE) AS same,
@@ -688,7 +688,7 @@ object SparkEntry {
       s"""WITH $extF1Ctes
           SELECT extractor, round(avg(f1), 6) AS avg_f1,
                  round(quantile_cont(f1, 0.5), 6) AS med_f1,
-                 round(avg(CASE WHEN trim(pred) <> '' AND lower(trim(pred)) <> 'none' THEN 1.0 ELSE 0.0 END), 6) AS extraction_fraction
+                 round(avg(CASE WHEN trim(gold) <> '' AND lower(trim(gold)) <> 'none' THEN 1.0 ELSE 0.0 END), 6) AS extraction_fraction
           FROM f1s GROUP BY extractor ORDER BY extractor""",
 
     "q_extraction_fraction" ->

@@ -32,7 +32,20 @@ final case class ProfilerConfig(
     numTopK: Int = 10,
     keepThresh: Double = 0.5,
     numAttrs: Int = 35,
-    combiner: String = "mv" // mv | nb-free majority vote
+    /** Vote combiner (`combiner_mode`, `configs.py`/`profiler.py:147`):
+      *  - "mv"         abstain-aware majority vote (default)
+      *  - "top_k"      majority vote, extraction fraction forced to 0
+      *                 (`evaluate_profiler.py:210-212` — the naive
+      *                 setting never drops abstains)
+      *  - "ws"         FlyingSquid-style weak supervision
+      *                 (Combiners.wsCombine)
+      *  - "pick_value" LLM chooses among disagreeing candidates
+      *                 (pickValueCombine; unanimous rows skip the LLM)
+      */
+    combiner: String = "mv",
+    /** Abstention threshold on the sample-gold extraction fraction
+      * (`--extraction_fraction_thresh`, `configs.py:167-172`). */
+    extractionFractionThresh: Double = 0.9
 )
 
 class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = ProfilerConfig()) {
@@ -161,28 +174,42 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
       .reduce(_ unionByName _)
 
   /** Score specs against the sample gold and keep the top-k
-    * (`evaluate` + `get_topk_scripts_per_field`).
+    * (`evaluate` + `get_topk_scripts_per_field`). Also returns the
+    * sample-gold extraction fraction — `combine_extractions`
+    * (`profiler.py:126-131`) reads it off the metrics and uses it to
+    * decide whether abstains are dropped before the lake-wide vote.
     */
   def selectSpecs(
       attribute: String,
       specs: Seq[ExtractorSpec],
       sampleChunks: DataFrame,
       gold: DataFrame,
-      doEndToEnd: Boolean): Seq[ExtractorSpec] = {
-    if (specs.isEmpty) return Seq.empty
+      doEndToEnd: Boolean): (Seq[ExtractorSpec], Double) = {
+    if (specs.isEmpty) return (Seq.empty, 0.0)
     val preds = applySpecs(keywordFiltered(sampleChunks, attribute), specs)
     val scored = preds
       .join(gold, Seq("path"))
       .select(col("extractor"), col("value").as("pred"), col("gold"))
-    val metrics = Score
-      .f1Metrics(scored, Seq("extractor"))
-      .select(col("extractor"), col("avg_f1"), col("med_f1"))
+    val metricRows = Score
+      .f1Metrics(
+        scored,
+        Seq("extractor"),
+        useAbstention = true,
+        extractionFractionThresh = cfg.extractionFractionThresh)
+      .select(col("extractor"), col("avg_f1"), col("med_f1"), col("extraction_fraction"))
+      .collect()
+    // gold-measured, so identical on every row (reference grabs the first)
+    val frac = metricRows.headOption.map(_.getAs[Double]("extraction_fraction")).getOrElse(0.0)
+    import spark.implicits._
+    val metrics = metricRows.toSeq
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .toDF("extractor", "avg_f1", "med_f1")
     val keep = Score
       .topkScripts(metrics, cfg.numTopK, goldKey = "gold_llm", keepThresh = cfg.keepThresh, doEndToEnd = doEndToEnd)
       .collect()
       .map(_.getString(0))
       .toSet
-    specs.filter(s => keep.contains(s.key))
+    (specs.filter(s => keep.contains(s.key)), frac)
   }
 
   /** Full per-attribute cascade over the lake. Returns the long
@@ -193,9 +220,9 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
       sampleChunks: DataFrame,
       attribute: String,
       doEndToEnd: Boolean): DataFrame = {
-    val specs    = synthesizeSpecs(attribute, sampleChunks)
-    val gold     = goldOnSample(attribute, sampleChunks)
-    val selected = selectSpecs(attribute, specs, sampleChunks, gold, doEndToEnd)
+    val specs            = synthesizeSpecs(attribute, sampleChunks)
+    val gold             = goldOnSample(attribute, sampleChunks)
+    val (selected, frac) = selectSpecs(attribute, specs, sampleChunks, gold, doEndToEnd)
     if (selected.isEmpty) {
       spark.emptyDataFrame
         .select()
@@ -206,11 +233,34 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
     } else {
       val votes = applySpecs(keywordFiltered(chunks, attribute), selected)
         .withColumn("value", Clean.cleanPrediction(col("value"), lit(attribute)))
-      Combiners
-        .majorityVoteAbstainAware(votes, Seq("path"), "value", extractionFraction = 1.0)
+      combineVotes(votes, attribute, frac)
         .select(col("path"), lit(attribute).as("attribute"), col("value"))
     }
   }
+
+  /** Vote → value per doc, dispatching on `cfg.combiner`
+    * (`combine_extractions`, `profiler.py:115-185`). The measured
+    * sample-gold extraction fraction governs abstain handling: at or
+    * above the threshold, empty votes are dropped before the vote and
+    * all-abstain docs elect `''`.
+    */
+  private def combineVotes(votes: DataFrame, attribute: String, frac: Double): DataFrame =
+    cfg.combiner match {
+      case "top_k" =>
+        // naive setting: fraction forced to 0.0, abstains never dropped
+        // (`evaluate_profiler.py:210-212`)
+        Combiners.majorityVoteAbstainAware(
+          votes, Seq("path"), "value",
+          extractionFraction = 0.0, thresh = cfg.extractionFractionThresh)
+      case "ws" =>
+        Combiners.wsCombine(votes, "path")
+      case "pick_value" =>
+        pickValueCombine(votes.withColumn("attribute", lit(attribute)), "path")
+      case _ =>
+        Combiners.majorityVoteAbstainAware(
+          votes, Seq("path"), "value",
+          extractionFraction = frac, thresh = cfg.extractionFractionThresh)
+    }
 
   /** OpenIE attribute validity check (`check_remove_attribute`,
     * `profiler.py:49-112`): drop an attribute when its extractions

@@ -33,19 +33,29 @@ object Combiners {
 
   /** Majority vote that first drops empty/null votes when the
     * extraction fraction is high (`profiler.py:148-154`): with
-    * fraction ≥ thresh, abstains are removed before voting.
+    * fraction ≥ thresh (reference default 0.8,
+    * `extraction_fraction_thresh` in `combine_extractions`), abstains
+    * are removed before voting — but a key whose votes are ALL
+    * abstains still elects `''` (the reference replaces the emptied
+    * vote list with `['']`, `profiler.py:150-152`), it never vanishes
+    * from the view. Such keys carry n_votes = 0.
     */
   def majorityVoteAbstainAware(
       votes: DataFrame,
       keyCols: Seq[String],
       valueCol: String,
       extractionFraction: Double,
-      thresh: Double = 0.9): DataFrame = {
-    val base =
-      if (extractionFraction >= thresh)
-        votes.filter(col(valueCol).isNotNull && length(trim(col(valueCol))) > 0)
-      else votes
-    majorityVote(base, keyCols, valueCol)
+      thresh: Double = 0.8): DataFrame = {
+    if (extractionFraction >= thresh) {
+      val keys     = keyCols.map(col)
+      val nonEmpty = votes.filter(col(valueCol).isNotNull && length(trim(col(valueCol))) > 0)
+      votes
+        .select(keys: _*)
+        .distinct()
+        .join(majorityVote(nonEmpty, keyCols, valueCol), keyCols, "left")
+        .withColumn(valueCol, coalesce(col(valueCol), lit("")))
+        .withColumn("n_votes", coalesce(col("n_votes"), lit(0L)))
+    } else majorityVote(votes, keyCols, valueCol)
   }
 
   /** Union per-extractor outputs and collect the vote list per key
@@ -90,5 +100,93 @@ object Combiners {
         transform(
           array_sort(collect_list(struct(col("extractor"), col("vote_int")))),
           x => x.getField("vote_int")).as("votes"))
+  }
+
+  /** Weak-supervision vote combination (`combiner_mode='ws'`,
+    * `run_ws.py:174-268`): the FlyingSquid pipeline, unsupervised —
+    * estimate each extractor's accuracy from abstain-masked pairwise
+    * agreement moments via the triplet closed form (the statistical
+    * model the reference's MeTaL `LabelModel` fits by SGD), then
+    * decode each key's label by an accuracy-weighted naive-Bayes
+    * posterior over its top-`numElts` candidate labels (abstains
+    * contribute nothing). Falls back to plain majority where moments
+    * are degenerate (accuracy 0.5 for every extractor reduces to
+    * unweighted voting; our tie-break stays lexicographic).
+    *
+    * Scale: moments are one shuffle on the key + one m×m aggregate;
+    * only the m accuracies reach the driver; the decode is a
+    * per-row expression over the distributed vote matrix.
+    *
+    * votes: (key, extractor, value). Returns (key, value).
+    */
+  def wsCombine(votes: DataFrame, keyCol: String, numElts: Int = 5): DataFrame = {
+    val spark = votes.sparkSession
+    // empty/null votes are abstains (`run_ws.py:53-57` maps them to
+    // 'abstain' and excludes them from the candidate labels); keys
+    // whose votes are ALL abstains elect '' at the end
+    val nonAbstain = votes.filter(col("value").isNotNull && length(trim(col("value"))) > 0)
+    val vm         = voteMatrix(nonAbstain, keyCol, numElts)
+
+    // ±1 agreement encoding for moment estimation: +1 = voted the
+    // key's plurality label (id 0), -1 = voted another label,
+    // 0 = abstain (run_ws reduces its per-file label maps the same
+    // way in the binary case).
+    val pm = votes
+      .join(vm.select(col(keyCol), col("label_map")), Seq(keyCol))
+      .withColumn("vote_id", coalesce(element_at(col("label_map"), col("value")), lit(-1)))
+      .select(
+        col(keyCol),
+        col("extractor"),
+        when(col("vote_id") === -1, 0).when(col("vote_id") === 0, 1).otherwise(-1).as("vote"))
+    val accs  = LabelModel.flyingSquidAccuracies(LabelModel.pairwiseMoments(pm, keyCol))
+    val accDf = spark.createDataFrame(accs.toSeq.sorted).toDF("extractor", "acc")
+
+    // Per-key NB decode over the candidate labels: score(c) =
+    // Σ_i [abstain → 0; v_i = c → log a_i; else → log((1-a_i)/(k-1))].
+    val eps = lit(1e-4)
+    val scoredVotes = votes
+      .join(broadcast(accDf), Seq("extractor"), "left")
+      .withColumn("acc", least(greatest(coalesce(col("acc"), lit(0.5)), eps), lit(0.9999)))
+      .join(vm.select(col(keyCol), col("labels"), col("label_map")), Seq(keyCol))
+      .withColumn("vote_id", coalesce(element_at(col("label_map"), col("value")), lit(-1)))
+    val k = greatest(size(col("labels")).cast("double"), lit(2.0))
+    val perLabelScores = scoredVotes
+      .groupBy(col(keyCol), col("labels"))
+      .agg(collect_list(struct(col("vote_id"), col("acc"))).as("va"))
+      .withColumn(
+        "scores",
+        transform(
+          sequence(lit(0), size(col("labels")) - 1),
+          c =>
+            aggregate(
+              col("va"),
+              lit(0.0),
+              (acc, v) =>
+                acc + when(v.getField("vote_id") === -1, 0.0)
+                  .when(v.getField("vote_id") === c, log(v.getField("acc")))
+                  .otherwise(log((lit(1.0) - v.getField("acc")) / (k - 1))))))
+      .drop("va")
+    // argmax by score, tie → smaller label id (= higher plurality
+    // rank, matching majorityVote's deterministic preference)
+    val decoded = perLabelScores
+      .withColumn(
+        "best_id",
+        aggregate(
+          sequence(lit(0), size(col("labels")) - 1),
+          struct(lit(-1).as("id"), lit(Double.NegativeInfinity).as("s")),
+          (best, c) =>
+            when(element_at(col("scores"), c + 1) > best.getField("s"),
+              struct(c.as("id"), element_at(col("scores"), c + 1).as("s")))
+              .otherwise(best),
+          b => b.getField("id")))
+      .select(
+        col(keyCol),
+        when(col("best_id") >= 0, element_at(col("labels"), col("best_id") + 1))
+          .otherwise(lit("")).as("value"))
+    votes
+      .select(col(keyCol))
+      .distinct()
+      .join(decoded, Seq(keyCol), "left")
+      .withColumn("value", coalesce(col("value"), lit("")))
   }
 }

@@ -28,9 +28,12 @@ object HtmlOps {
   /** Collapse runs of whitespace and trim. */
   def collapseWs(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
 
-  /** Minimal html entity unescape (`evaluate_synthetic.py:139`). */
+  /** Minimal html entity unescape (`evaluate_synthetic.py:139`).
+    * `&amp;` is resolved LAST so nested escapes single-unescape like
+    * Python `html.unescape`: `&amp;lt;` → `&lt;`, not `<`.
+    */
   def htmlUnescape(c: Column): Column = {
-    val pairs = Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
+    val pairs = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
     pairs.foldLeft(c) { case (acc, (e, r)) => regexp_replace(acc, e, r) }
   }
 

@@ -59,8 +59,12 @@ object Score {
       .agg(avg(extracted(col(valueCol))).as("extraction_fraction"))
 
   /** Corpus metrics per extractor (D7): average F1, exact median F1,
-    * extraction fraction. With `useAbstention` and a high extraction
-    * fraction, empty predictions are dropped before scoring
+    * extraction fraction. The extraction fraction is measured over
+    * the GOLD values (`evaluate_profiler.py:203-209` counts
+    * non-empty, non-"none" golds — the same denominator for every
+    * extractor, which is why `combine_extractions` reads it off any
+    * metrics row). With `useAbstention` and a high gold fraction,
+    * empty predictions are dropped before scoring
     * (`evaluate_profiler.py:98-107`).
     * Input: (groupCols..., pred, gold).
     */
@@ -78,17 +82,22 @@ object Score {
       "__f1",
       graft.expressions.TokenF1.tokenF1(scored.sparkSession, col(predCol), col(goldCol)))
     val withFrac = base
-      .withColumn("__frac", avg(extracted(col(predCol))).over(Window.partitionBy(keys: _*)))
+      .withColumn("__frac", avg(extracted(col(goldCol))).over(Window.partitionBy(keys: _*)))
     val kept =
       if (useAbstention)
-        withFrac.filter(col("__frac") < extractionFractionThresh || length(trim(col(predCol))) > 0)
+        // `if pred:` in the reference — any non-empty string survives
+        withFrac.filter(
+          col("__frac") < extractionFractionThresh ||
+            length(coalesce(col(predCol), lit(""))) > 0)
       else withFrac
     kept
       .groupBy(keys: _*)
       .agg(
         avg(col("__f1")).as("avg_f1"),
         percentile(col("__f1"), lit(0.5)).as("med_f1"),
-        avg(extracted(col(predCol))).as("extraction_fraction"))
+        // pre-filter window value: the reference reports the fraction
+        // over ALL golds even when abstention dropped rows from F1
+        max(col("__frac")).as("extraction_fraction"))
   }
 
   /** Top-k extractor selection (`get_topk_scripts_per_field`,

@@ -66,14 +66,16 @@ object StreamingExtract {
   /** Streaming exact dedup: drop re-arrivals of identical content
     * within the watermark horizon — the ingest-time half of the dedup
     * story (the batch operators in graft.textops handle the
-    * lake-wide pass). State is keyed by content hash, bounded by the
-    * event-time watermark.
+    * lake-wide pass). `dropDuplicatesWithinWatermark` keys state by
+    * content hash AND evicts entries once they age past the
+    * event-time watermark — a plain `dropDuplicates` would grow the
+    * state store unboundedly in a long-running stream.
     */
   def dedupStream(lake: DataFrame, tsCol: String, textCol: String, watermark: String): DataFrame =
     lake
       .withColumn("content_hash", md5(col(textCol).cast("binary")))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("content_hash")
+      .dropDuplicatesWithinWatermark("content_hash")
 
   /** Streaming-native windowed aggregation over an event stream:
     * watermark + sliding window counts (the shape `events` exercises).

@@ -27,6 +27,33 @@ class CombinersSpec extends SparkSpec {
     assert(rows(low.select("value")) == Seq(Seq("")))
   }
 
+  test("majorityVoteAbstainAware keeps all-abstain keys as '' (profiler.py:150-152)") {
+    val votes = Seq(
+      ("d1", "e1", ""), ("d1", "e2", "x"),
+      ("d2", "e1", ""), ("d2", "e2", "")) // all abstain → elects ''
+      .toDF("path", "extractor", "value")
+    val got = Combiners
+      .majorityVoteAbstainAware(votes, Seq("path"), "value", extractionFraction = 0.9)
+      .orderBy("path")
+      .select("path", "value", "n_votes")
+    assert(rows(got) == Seq(Seq("d1", "x", 1L), Seq("d2", "", 0L)))
+  }
+
+  test("wsCombine recovers plurality labels, abstains, and all-abstain ''") {
+    // a, b consistent across the lake; c disagrees on half the docs —
+    // the decode must return the plurality value everywhere, '' where
+    // every extractor abstained, and survive abstaining voters.
+    val votes = (1 to 6).flatMap { i =>
+      Seq(
+        (s"d$i", "a", s"v$i"),
+        (s"d$i", "b", s"v$i"),
+        (s"d$i", "c", if (i <= 3) s"v$i" else s"w$i"))
+    } ++ Seq(("d7", "a", ""), ("d7", "b", ""), ("d7", "c", ""), ("d8", "a", "solo"), ("d8", "b", ""))
+    val got = Combiners.wsCombine(votes.toDF("path", "extractor", "value"), "path").orderBy("path")
+    val expected = (1 to 6).map(i => Seq(s"d$i", s"v$i")) ++ Seq(Seq("d7", ""), Seq("d8", "solo"))
+    assert(rows(got) == expected)
+  }
+
   test("voteCollect unions extractor outputs into sorted vote lists") {
     val e1  = Seq(("d1", "x")).toDF("path", "value")
     val e2  = Seq(("d1", "a"), ("d2", "b")).toDF("path", "value")
