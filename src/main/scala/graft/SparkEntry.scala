@@ -12,6 +12,7 @@ import graft.score.Score
 import graft.eval.Harness
 import graft.schema.SchemaId
 import graft.textops.{Dedup, Similarity, TextStats}
+import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -142,15 +143,23 @@ object SparkEntry {
       .getSeq[Float](0)
       .map(_.toDouble)
 
+  /** DuckDB: double dot product of two 64-dim list columns. */
+  private def dotSql(x: String, y: String) =
+    s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+
   /** DuckDB: cosine between embedding and qe (both cast to double),
     * mirroring Similarity.cosine's formula.
     */
-  private def cosSql(a: String, b: String) = {
-    def dot(x: String, y: String) =
-      s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
-    s"""CASE WHEN ${dot(a, a)} = 0.0 OR ${dot(b, b)} = 0.0 THEN 0.0
-             ELSE ${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})) END"""
-  }
+  private def cosSql(a: String, b: String) =
+    s"""CASE WHEN ${dotSql(a, a)} = 0.0 OR ${dotSql(b, b)} = 0.0 THEN 0.0
+             ELSE ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})) END"""
+
+  /** Cosine from a precomputed dot product and precomputed self-norms
+    * (the IVF oracle computes O(rows × centroids) cosines — norms are
+    * hoisted once per row; the double result is bit-identical).
+    */
+  private def cosNSql(ab: String, na: String, nb: String) =
+    s"CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0 ELSE $ab / (sqrt($na) * sqrt($nb)) END"
 
   /** DuckDB CTE: distinct 3-gram shingle list per doc. */
   private val shinglesSql =
@@ -491,8 +500,10 @@ object SparkEntry {
     "q_cosine_topk" -> ((s, dir) =>
       Similarity.cosineTopK(Tables.embeddings(s, dir), "vec_id", "embedding", queryVec(s, dir), k = 20)),
 
-    // ANN scale path: IVF-style probe-bucketed top-k (no SQL oracle —
-    // approximate by design; driver records rows-only)
+    // ANN scale path: IVF-style probe-bucketed top-k. Deterministic
+    // seed centroids + fixed probe list make even the approximate
+    // path oracle-checkable (the DuckDB SQL replays the same
+    // assignment/probe/argmax logic).
     "q_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(
         Tables.embeddings(s, dir), "vec_id", "embedding", queryVec(s, dir),
@@ -576,6 +587,34 @@ object SparkEntry {
       docs(s, dir)
         .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
+
+    // multimodal plumbing: opaque binary column + typed metadata —
+    // the text payload stands in for image bytes (the container ships
+    // no codecs; the decode is stubbed behind Multimodal.MediaCodec),
+    // but the binary schema/partitioning/hashing path is fully real
+    "q_multimodal_meta" -> ((s, dir) =>
+      Multimodal
+        .mediaMeta(
+          docs(s, dir).select(
+            col("doc_id").as("media_id"),
+            lit("image").as("kind"),
+            col("text").cast("binary").as("bytes")))
+        .orderBy(col("media_id"))),
+
+    // multimodal plumbing: video frame sampling as an exploding
+    // batched partition stage; frames fingerprinted via hex (the only
+    // blob hash both engines express identically)
+    "q_frame_sample" -> ((s, dir) =>
+      Multimodal
+        .sampleFrames(
+          docs(s, dir).select(col("doc_id").as("media_id"), col("text").cast("binary").as("bytes")),
+          framesPerVideo = 4)
+        .select(
+          col("media_id"),
+          col("frame_idx"),
+          length(col("frame_bytes")).as("n_bytes"),
+          md5(hex(col("frame_bytes")).cast("binary")).as("frame_hash"))
+        .orderBy(col("media_id"), col("frame_idx"))),
 
     // relational spine at real volume (lineitem = the sf anchor):
     // TPC-H Q1-shaped pricing summary; decimal sums for engine-exact
@@ -1017,6 +1056,25 @@ object SparkEntry {
           SELECT vec_id, cos, CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
           FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 20""",
 
+    "q_ann_ivf" ->
+      s"""WITH e2 AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nrm FROM embeddings),
+          q AS (SELECT embedding AS qe, nrm AS qn FROM e2 WHERE vec_id = 0),
+          c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, embedding AS ce, nrm AS cn
+                FROM (SELECT vec_id, embedding, nrm FROM e2 ORDER BY vec_id LIMIT 16)),
+          asg AS (SELECT vec_id, embedding, nrm, cid AS centroid_id FROM (
+                    SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+                           row_number() OVER (
+                             PARTITION BY e.vec_id
+                             ORDER BY ${cosNSql(dotSql("e.embedding", "c.ce"), "e.nrm", "c.cn")} DESC, c.cid ASC) AS rn
+                    FROM e2 e CROSS JOIN c)
+                  WHERE rn = 1),
+          probes AS (SELECT c.cid FROM c, q
+                     ORDER BY ${cosNSql(dotSql("c.ce", "q.qe"), "c.cn", "q.qn")} DESC, c.cid ASC LIMIT 4),
+          scored AS (SELECT a.vec_id, round(${cosNSql(dotSql("a.embedding", "q.qe"), "a.nrm", "q.qn")}, 6) AS cos
+                     FROM asg a, q WHERE a.centroid_id IN (SELECT cid FROM probes))
+          SELECT vec_id, cos, CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+          FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 20""",
+
     "q_retrieval_top1" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
           scored AS (SELECT e.label, e.vec_id, round(${cosSql("e.embedding", "q.qe")}, 6) AS cos
@@ -1114,6 +1172,30 @@ object SparkEntry {
                                    w -> CAST(len(w) * 31 + ascii(w) AS BIGINT))),
                   (acc, x) -> (acc * 131 + x) % 1000000007) AS fp
          FROM documents ORDER BY doc_id""",
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS media_id, 'image' AS kind,
+                CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+                md5(text) AS content_hash
+         FROM documents ORDER BY media_id""",
+
+    // frame sampling replayed on the hex image of the payload:
+    // stride = max(len/4, 1), frame i = bytes [min(i*stride,len),
+    // min(min(i*stride,len)+stride, len)) — byte slicing maps to
+    // 2-char hex slicing (this DuckDB has no BLOB substring)
+    "q_frame_sample" ->
+      """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,
+                           octet_length(encode(text)) AS blen,
+                           GREATEST(octet_length(encode(text)) // 4, 1) AS stride
+                    FROM documents),
+          f AS (SELECT media_id, CAST(i AS INT) AS frame_idx, h,
+                       LEAST(CAST(i AS INT) * stride, blen) AS fstart,
+                       LEAST(LEAST(CAST(i AS INT) * stride, blen) + stride, blen) AS fend
+                FROM m, unnest(range(0, 4)) AS t(i))
+          SELECT media_id, frame_idx,
+                 CAST(fend - fstart AS INT) AS n_bytes,
+                 md5(substring(h, CAST(fstart * 2 + 1 AS INT), CAST((fend - fstart) * 2 AS INT))) AS frame_hash
+          FROM f ORDER BY media_id, frame_idx""",
 
     "q_lineitem_pricing" ->
       """SELECT l_returnflag, l_linestatus,

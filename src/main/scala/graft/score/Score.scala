@@ -119,7 +119,9 @@ object Score {
     // Fully relational — one plan, no driver actions, so the metrics
     // pipeline feeding this runs exactly once. The windows are global
     // but the frame is the tiny extractor-metrics relation (m rows).
-    val wRank = Window.orderBy(desc("avg_f1"), desc("med_f1"), asc("extractor"))
+    // constant partition key = stated single-partition intent over the
+    // m-row metrics frame (silences WindowExec's unpartitioned warning)
+    val wRank = Window.partitionBy(lit(1)).orderBy(desc("avg_f1"), desc("med_f1"), asc("extractor"))
     val wAll  = Window.partitionBy(lit(1))
 
     val ranked = metrics

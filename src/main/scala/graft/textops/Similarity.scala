@@ -44,8 +44,16 @@ object Similarity {
       .select(col(idCol), round(cosineToQuery(col(vecCol), query), 6).as("cos"))
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
-    scored.withColumn("rank", row_number().over(Window.orderBy(desc("cos"), col(idCol))))
+    scored.withColumn("rank", row_number().over(rankWindow(idCol)))
   }
+
+  /** Global rank window over an already-limited k-row frame — the
+    * constant partition key states the single-partition intent (k
+    * rows by construction), avoiding WindowExec's unpartitioned-
+    * window warning.
+    */
+  private def rankWindow(idCol: String) =
+    Window.partitionBy(lit(1)).orderBy(desc("cos"), col(idCol))
 
   /** Retrieval top-1 per group (`retrieval.py:31-36`,
     * `main.py:66-70` as a rank join): best row by cosine within each
@@ -123,7 +131,7 @@ object Similarity {
       .select(col(idCol), round(cosineToQuery(col(vecCol), query), 6).as("cos"))
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
-    scored.withColumn("rank", row_number().over(Window.orderBy(desc("cos"), col(idCol))))
+    scored.withColumn("rank", row_number().over(rankWindow(idCol)))
   }
 
   /** Bucketed near-duplicate pairs by embedding cosine: candidate
