@@ -13,6 +13,7 @@ import graft.eval.Harness
 import graft.schema.SchemaId
 import graft.textops.{Dedup, Similarity, TextStats}
 import graft.multimodal.Multimodal
+import graft.streaming.Sessionize
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -535,6 +536,14 @@ object SparkEntry {
         .orderBy(desc("jaccard"), col("id_a"), col("id_b"))
         .limit(20)),
 
+    // training-data ops: near-dup clusters — connected components
+    // over high-Jaccard pairs (the keep/drop resolution step after
+    // pair generation; min-label propagation, O(diameter) rounds)
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup
+        .nearDupClusters(docs(s, dir), "lang", "doc_id", "text", n = 3, minJaccard = 0.5)
+        .orderBy(col("doc_id"))),
+
     // training-data ops: MinHash signatures + LSH band keys
     "q_dedup_minhash" -> ((s, dir) =>
       docs(s, dir)
@@ -664,7 +673,22 @@ object SparkEntry {
         .filter(col("rn") <= 3)
         .select(col("user_id"), col("event_id"), col("rn"))
         .orderBy(col("user_id"), col("rn"))
-    })
+    }),
+
+    // north-star event op: gap-based sessionization (6h gap) —
+    // per-user window boundary flags + running sum, then per-session
+    // aggregate; one shuffle on the user key
+    "q_sessionize" -> ((s, dir) =>
+      Sessionize
+        .sessionStats(events(s, dir), "user_id", "ts", "event_id", gapSeconds = 6 * 3600L)
+        .select(
+          col("user_id"),
+          col("session_idx"),
+          col("n_events"),
+          date_format(col("start_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("start_ts"),
+          date_format(col("end_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("end_ts"),
+          col("duration_sec"))
+        .orderBy(col("user_id"), col("session_idx")))
   )
 
   /** DuckDB fragment: first n words of documents.text. */
@@ -1104,6 +1128,23 @@ object SparkEntry {
           WHERE len(list_intersect(a.sh, b.sh)) > 0
           ORDER BY jaccard DESC, id_a ASC, id_b ASC LIMIT 20""",
 
+    // components via recursive reachability: reach(id,r) = id can
+    // reach label r; min over reachable labels = cluster id. UNION
+    // (not ALL) dedups rows so the recursion terminates.
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $shinglesSql,
+          jp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM shing a JOIN shing b ON a.lang = b.lang AND a.doc_id < b.doc_id
+                 WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 6) >= 0.5),
+          e AS (SELECT id_a AS u, id_b AS v FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+          reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.u, reach.r FROM e JOIN reach ON reach.id = e.v)
+          SELECT id AS doc_id, min(r) AS cluster_id, (min(r) = id) AS is_canonical
+          FROM reach GROUP BY id ORDER BY doc_id""",
+
     "q_dedup_minhash" ->
       s"""WITH $shinglesSql,
           sigs AS (SELECT doc_id,
@@ -1227,6 +1268,21 @@ object SparkEntry {
          FROM (SELECT user_id, event_id,
                       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS rn
                FROM events)
-         WHERE rn <= 3 ORDER BY user_id, rn"""
+         WHERE rn <= 3 ORDER BY user_id, rn""",
+
+    "q_sessionize" ->
+      """WITH s AS (SELECT user_id, event_id, ts,
+                CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 21600000000
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          a AS (SELECT user_id, ts,
+                       CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS session_idx
+                FROM s)
+          SELECT user_id, session_idx, count(*) AS n_events,
+                 strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_ts,
+                 strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_ts,
+                 (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec
+          FROM a GROUP BY user_id, session_idx ORDER BY user_id, session_idx"""
   )
 }

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization over an event stream or table.
+  *
+  * Training-data pipelines sessionize interaction logs before
+  * converting them into examples; the reference has no event
+  * analytics (SURVEY §2.9), so this is a north-star operator built
+  * on Spark primitives only.
+  *
+  * Batch path: a per-user window — `lag` marks a session boundary
+  * whenever the gap to the previous event exceeds `gapSeconds`, a
+  * running sum of boundary flags numbers the sessions. One shuffle
+  * on the user key; WindowExec processes each user's events in ts
+  * order. At 100 TB the shuffle is the unavoidable co-location of a
+  * user's events; no global sort, no driver state.
+  *
+  * Streaming path: the built-in `session_window` grouping — state
+  * is per (user, open session) and evicted by the watermark.
+  *
+  * Deterministic: ties broken by the event id everywhere.
+  */
+object Sessionize {
+
+  private def gapBoundary(tsCol: Column, orderCols: Seq[Column], gapSeconds: Long): Column = {
+    val w      = Window.partitionBy(col("__user")).orderBy(orderCols: _*)
+    val prevUs = lag(unix_micros(tsCol), 1).over(w)
+    when(prevUs.isNull || unix_micros(tsCol) - prevUs > gapSeconds * 1000000L, 1).otherwise(0)
+  }
+
+  /** Per-event session assignment: adds `session_idx` (1-based per
+    * user, in time order).
+    */
+  def assignSessions(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      gapSeconds: Long): DataFrame = {
+    val ordered  = Seq(col(tsCol), col(idCol))
+    val w        = Window.partitionBy(col("__user")).orderBy(ordered: _*)
+    events
+      .withColumn("__user", col(userCol))
+      .withColumn("__new_sess", gapBoundary(col(tsCol), ordered, gapSeconds))
+      .withColumn("session_idx", sum(col("__new_sess")).over(w).cast("int"))
+      .drop("__user", "__new_sess")
+  }
+
+  /** Per-session aggregate: (user, session_idx, n_events, start/end,
+    * duration_sec).
+    */
+  def sessionStats(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      gapSeconds: Long): DataFrame =
+    assignSessions(events, userCol, tsCol, idCol, gapSeconds)
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("start_ts"),
+        max(col(tsCol)).as("end_ts"))
+      .withColumn(
+        "duration_sec",
+        expr("(unix_micros(end_ts) - unix_micros(start_ts)) div 1000000"))
+
+  /** Streaming equivalent: session event counts via the built-in
+    * session_window; watermark bounds the open-session state store.
+    * Valid on a streaming DF (append/update mode after watermark).
+    */
+  def streamingSessionCounts(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      gap: String,
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(userCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col(userCol),
+        col("session_window.start").as("start_ts"),
+        col("session_window.end").as("end_ts"),
+        col("n_events"))
+}

@@ -174,6 +174,92 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over an undirected pair list by iterative
+    * min-label propagation: every node starts labeled with its own
+    * id; each round every node takes the minimum label among itself
+    * and its neighbors; fixpoint = per-component minimum id.
+    *
+    * Scale: each round is one shuffle (edge ⋈ label + groupBy), and
+    * rounds needed = graph diameter. Near-dup graphs are unions of
+    * near-cliques (LSH bands / high-Jaccard pairs), so diameter is
+    * tiny and this converges in 2-3 rounds regardless of lake size —
+    * the per-round relations stay fully distributed. Labels persist
+    * per round (lineage stays O(1) deep via cache); for adversarial
+    * high-diameter graphs swap in alternating large-star/small-star,
+    * which this API admits without interface change.
+    *
+    * Deterministic: min over ids, no RNG — same labels on any
+    * partitioning/cluster size.
+    *
+    * @param nodes one row per node (singletons keep their own label)
+    * @param pairs undirected edges (aCol, bCol); direction/dups fine
+    * @return (idCol, cluster_id) with cluster_id = min node id in the
+    *         component
+    */
+  def connectedComponents(
+      nodes: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).as("cc_u"), col(bCol).as("cc_v"))
+      .unionByName(pairs.select(col(bCol).as("cc_u"), col(aCol).as("cc_v")))
+      .distinct()
+      .persist()
+    var labels = nodes
+      .select(col(idCol).as("cc_id"), col(idCol).as("cluster_id"))
+      .persist()
+    var converged = false
+    var iter      = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels, edges("cc_v") === labels("cc_id"))
+        .groupBy(col("cc_u"))
+        .agg(min(col("cluster_id")).as("cc_nbr_min"))
+      val next = labels
+        .join(nbrMin, labels("cc_id") === nbrMin("cc_u"), "left")
+        .select(
+          col("cc_id"),
+          least(col("cluster_id"), coalesce(col("cc_nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .persist()
+      val changed = next
+        .join(labels.withColumnRenamed("cluster_id", "cc_prev"), "cc_id")
+        .filter(col("cluster_id") =!= col("cc_prev"))
+        .limit(1)
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("cc_id", idCol)
+  }
+
+  /** Near-duplicate clusters: high-Jaccard pairs (≥ minJaccard,
+    * compared on the 6-decimal rounded value so oracle replays agree
+    * bit-for-bit) grouped into components; every doc gets a
+    * cluster_id (= min doc id in its cluster, itself when unique)
+    * and an is_canonical flag marking the survivor. This is the
+    * keep/drop decision step a production dedup pipeline runs after
+    * pair generation — pairs alone don't dedup anything until
+    * transitive groups are resolved.
+    */
+  def nearDupClusters(
+      df: DataFrame,
+      bucketCol: String,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minJaccard: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccardPairs(df, bucketCol, idCol, textCol, n)
+      .filter(col("jaccard") >= minJaccard)
+    connectedComponents(df.select(col(idCol)), idCol, pairs)
+      .withColumn("is_canonical", col(idCol) === col("cluster_id"))
+  }
+
   /** 16-bit SimHash from a PRE-PROJECTED tokens column (md5-derived
     * bit hashes; token multiplicity counts). Pure per-row expression.
     */

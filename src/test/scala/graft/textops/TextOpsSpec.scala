@@ -27,6 +27,24 @@ class TextOpsSpec extends SparkSpec {
     assert((pairs(1).getAs[Long]("id_a"), pairs(1).getAs[Long]("id_b")) == (1L, 2L)) // near dup next
   }
 
+  test("connectedComponents labels every component with its min id") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val pairs = Seq((2L, 1L), (2L, 3L), (5L, 4L)).toDF("id_a", "id_b") // chain 1-2-3, pair 4-5, singleton 6
+    val cc = Dedup.connectedComponents(nodes, "id", pairs)
+    assert(
+      rows(cc.orderBy(col("id"))) ==
+        Seq(Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L), Seq(4L, 4L), Seq(5L, 4L), Seq(6L, 6L)))
+  }
+
+  test("nearDupClusters groups exact+near dups transitively, keeps min id") {
+    val clusters = Dedup.nearDupClusters(docsDf, "bucket", "doc_id", "text", n = 3, minJaccard = 0.5)
+    val byId = clusters.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    // 1-4 exact (j=1), 1-2 near (j>=0.5) → one cluster {1,2,4}; 3 singleton
+    assert(byId == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 1L))
+    val canon = clusters.filter(col("is_canonical")).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(canon == Set(1L, 3L))
+  }
+
   test("shinglesFast equals the HOF shingles on real data") {
     val d = spark.read.parquet(s"$sf0001/documents.parquet")
     val diff = d.select(
