@@ -536,6 +536,15 @@ object SparkEntry {
         .orderBy(desc("jaccard"), col("id_a"), col("id_b"))
         .limit(20)),
 
+    // training-data ops: Jaccard over the df-capped shingle space —
+    // the hot-shingle guard (posting lists bounded by maxDf, so pair
+    // fan-out per shingle is maxDf² regardless of lake size)
+    "q_dedup_jaccard_capped" -> ((s, dir) =>
+      Dedup
+        .ngramJaccardPairsCapped(docs(s, dir), "lang", "doc_id", "text", n = 3, maxDf = 3)
+        .orderBy(desc("jaccard"), col("id_a"), col("id_b"))
+        .limit(20)),
+
     // training-data ops: near-dup clusters — connected components
     // over high-Jaccard pairs (the keep/drop resolution step after
     // pair generation; min-label propagation, O(diameter) rounds)
@@ -641,14 +650,23 @@ object SparkEntry {
 
     // lineitem ⋈ orders revenue by priority (join at volume; date
     // filters push into both parquet scans)
+    // pre-aggregate lineitem revenue per orderkey BEFORE the join:
+    // the join then moves one row per order (4× fewer here, ~7× at
+    // TPC-H shape), and the per-priority count needs no countDistinct
+    // expand (orderkey is unique post-agg). Decimal partial sums
+    // re-aggregate exactly, so the result is bit-identical to the
+    // join-first form the oracle runs.
     "q_order_revenue_join" -> ((s, dir) =>
       Tables.lineitem(s, dir)
-        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")).as("rev"))
+        .join(
+          Tables.orders(s, dir).filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")).cast("double").as("revenue"),
-          countDistinct(col("o_orderkey")).as("n_orders"))
+          sum(col("rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
         .orderBy(col("o_orderpriority"))),
 
     // as-of-style self window: each order with the customer's previous
@@ -1125,6 +1143,20 @@ object SparkEntry {
                  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                        / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 6) AS jaccard
           FROM shing a JOIN shing b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.sh, b.sh)) > 0
+          ORDER BY jaccard DESC, id_a ASC, id_b ASC LIMIT 20""",
+
+    "q_dedup_jaccard_capped" ->
+      s"""WITH $shinglesSql,
+          inv AS (SELECT lang, doc_id, unnest(sh) AS g FROM shing),
+          keep AS (SELECT lang, g FROM inv GROUP BY lang, g HAVING count(*) <= 3),
+          capped AS (SELECT i.lang, i.doc_id, CAST(count(*) AS INT) AS sz, list(i.g) AS sh
+                     FROM inv i JOIN keep k ON i.lang = k.lang AND i.g = k.g
+                     GROUP BY i.lang, i.doc_id)
+          SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+                 round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / (a.sz + b.sz - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 6) AS jaccard
+          FROM capped a JOIN capped b ON a.lang = b.lang AND a.doc_id < b.doc_id
           WHERE len(list_intersect(a.sh, b.sh)) > 0
           ORDER BY jaccard DESC, id_a ASC, id_b ASC LIMIT 20""",
 

@@ -1,6 +1,7 @@
 package graft.textops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact
@@ -98,13 +99,60 @@ object Dedup {
     val inv = withSh
       .select(col(bucketCol), col(idCol), col("sz"), explode(col("sh")).as("shingle"))
       .withColumn("shingle", xxhash64(col("shingle")))
-    // group each shingle's postings and emit ordered pairs from the
-    // sorted list — the inverted index is computed ONCE (a self-join
-    // would re-evaluate the whole shingle pipeline per side)
+    pairsFromInvertedIndex(inv, bucketCol, idCol, maxDf = Int.MaxValue)
+  }
+
+  /** Jaccard pairs over the DF-CAPPED shingle space: shingles whose
+    * document frequency (within the bucket) exceeds `maxDf` are
+    * excluded from BOTH the candidate index and the per-doc set size,
+    * i.e. similarity is Jaccard over rare shingles only.
+    *
+    * This is the hot-key guard a 100 TB dedup needs: a boilerplate
+    * shingle shared by millions of docs would otherwise emit O(df²)
+    * pairs from one posting list. Capping bounds every posting list,
+    * so worst-case pair fan-out per shingle is maxDf², independent of
+    * lake size — and dropping ubiquitous shingles from the measure
+    * also stops boilerplate from inflating similarity. Deterministic:
+    * the df threshold is computed exactly, no sampling.
+    */
+  def ngramJaccardPairsCapped(
+      df: DataFrame,
+      bucketCol: String,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      maxDf: Int = 1000): DataFrame = {
+    val withSh = df
+      .select(col(bucketCol), col(idCol), shinglesFast(col(textCol), n).as("sh"))
+    val inv = withSh
+      .select(col(bucketCol), col(idCol), explode(col("sh")).as("shingle"))
+      .withColumn("shingle", xxhash64(col("shingle")))
+    // df per (bucket, shingle) and capped per-doc set size: two
+    // partitioned window counts (same shuffle keys the groupBys
+    // downstream use; no unpartitioned windows)
+    val wSh  = Window.partitionBy(col(bucketCol), col("shingle"))
+    val wDoc = Window.partitionBy(col(bucketCol), col(idCol))
+    val kept = inv
+      .withColumn("df", count(lit(1)).over(wSh))
+      .filter(col("df") <= maxDf)
+      .withColumn("sz", count(lit(1)).over(wDoc).cast("int"))
+    pairsFromInvertedIndex(kept.select(col(bucketCol), col(idCol), col("sz"), col("shingle")), bucketCol, idCol, maxDf)
+  }
+
+  /** Shared pair-emission core: group each shingle's postings and
+    * emit ordered pairs from the sorted list — the inverted index is
+    * computed ONCE (a self-join would re-evaluate the whole shingle
+    * pipeline per side). Input: (bucket, id, sz, shingle) rows.
+    */
+  private def pairsFromInvertedIndex(
+      inv: DataFrame,
+      bucketCol: String,
+      idCol: String,
+      maxDf: Int): DataFrame = {
     val grouped = inv
       .groupBy(col(bucketCol), col("shingle"))
       .agg(array_sort(collect_list(struct(col(idCol).as("id"), col("sz").as("s")))).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxDf)
     val pairs = grouped.select(
       col(bucketCol),
       explode(

@@ -96,22 +96,29 @@ object Similarity {
       .zipWithIndex
       .map { case (v, i) => (i, v) }
 
-    def cosTo(vec: Column, target: Seq[Double]) = cosineToQuery(vec, target)
-
-    // nearest centroid per row: argmax over the (small) centroid set
-    val assigned = embeddings.withColumn(
-      "centroid_id",
-      element_at(
-        array_sort(
-          array(centroids.map { case (i, c) =>
-            struct(cosTo(col(vecCol), c).as("cos"), lit(i).as("cid"))
-          }: _*),
-          (a, b) =>
-            when(a.getField("cos") < b.getField("cos"), -1)
-              .when(a.getField("cos") > b.getField("cos"), 1)
-              .when(a.getField("cid") > b.getField("cid"), -1)
-              .otherwise(1)),
-        -1).getField("cid"))
+    // nearest centroid per row: argmax over the (small) centroid set.
+    // The row's double vector + self-norm are hoisted into bound
+    // columns ONCE (HOF lambdas re-evaluate captured subtrees per
+    // reference — inlining cosineToQuery here costs 16×3 norm folds
+    // per row); centroid norms are driver constants. Each value is
+    // still the exact cosineToQuery expression shape, so results are
+    // bit-identical to the brute-force path and the oracle replay.
+    // argmax = array_max over (cos, -cid) structs: max cosine, ties
+    // to the smallest centroid id.
+    def dotc(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, t) => acc + t)
+    val withV = embeddings
+      .withColumn("v", transform(col(vecCol), x => x.cast("double")))
+      .withColumn("nrm", dotc(col("v"), col("v")))
+    val cands = array(centroids.map { case (i, c) =>
+      val cn = c.map(x => x * x).sum
+      val cos = when(col("nrm") === 0.0 || lit(cn) === 0.0, 0.0)
+        .otherwise(dotc(col("v"), typedLit(c)) / (sqrt(col("nrm")) * lit(math.sqrt(cn))))
+      struct(cos.as("cos"), lit(-i).as("ncid"))
+    }: _*)
+    val assigned = withV
+      .withColumn("centroid_id", -array_max(cands).getField("ncid"))
+      .drop("v", "nrm")
 
     // probe list: centroids nearest to the query (driver-side, tiny)
     val probes = centroids

@@ -27,6 +27,20 @@ class TextOpsSpec extends SparkSpec {
     assert((pairs(1).getAs[Long]("id_a"), pairs(1).getAs[Long]("id_b")) == (1L, 2L)) // near dup next
   }
 
+  test("ngramJaccardPairsCapped drops hot shingles from index AND measure") {
+    // shingles shared by docs 1,2,4 have df=3; 'the lazy dog' df=2
+    // (docs 1,4); 'the lazy cat' df=1. At maxDf=2 only the df<=2
+    // shingles survive: pair (1,4) stays at j=1 over the capped
+    // space, pair (1,2) disappears (no rare shingle in common).
+    val capped = Dedup.ngramJaccardPairsCapped(docsDf, "bucket", "doc_id", "text", n = 3, maxDf = 2)
+    assert(
+      rows(capped.select(col("id_a"), col("id_b"), col("jaccard"))) == Seq(Seq(1L, 4L, 1.0)))
+    // a cap above every df reproduces the uncapped result exactly
+    val wide = Dedup.ngramJaccardPairsCapped(docsDf, "bucket", "doc_id", "text", n = 3, maxDf = 100)
+    val base = Dedup.ngramJaccardPairs(docsDf, "bucket", "doc_id", "text", n = 3)
+    assert(rows(wide.orderBy("id_a", "id_b")) == rows(base.orderBy("id_a", "id_b")))
+  }
+
   test("connectedComponents labels every component with its min id") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
     val pairs = Seq((2L, 1L), (2L, 3L), (5L, 4L)).toDF("id_a", "id_b") // chain 1-2-3, pair 4-5, singleton 6
