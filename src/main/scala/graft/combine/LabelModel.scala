@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   * closed-form solve happens on the driver, mirroring Spark ML's
   * design for small-parameter models. Combiners implemented natively:
   * majority vote (Combiners), naive Bayes, pick-best, FlyingSquid
-  * triplets. Junction-tree / data-programming SGD / LR are research
-  * baselines the paper's pipeline doesn't use (SURVEY §2.11) — out
-  * of scope by design.
+  * triplets, exp-weight (grid-searched multiplicative weighting).
+  * Junction-tree / data-programming SGD / LR are research baselines
+  * the paper's pipeline doesn't use (SURVEY §2.11) — out of scope by
+  * design.
   */
 object LabelModel {
 
@@ -117,5 +118,69 @@ object LabelModel {
   def pickBest(votes: DataFrame, accs: DataFrame, keyCol: String): DataFrame = {
     val best = accs.orderBy(desc("acc"), asc("extractor")).limit(1).select(col("extractor"))
     votes.join(broadcast(best), Seq("extractor")).select(col(keyCol), col("vote").as("pred"))
+  }
+
+  /** exp_weight scoring (`methods.py:956-1011`, option 1) at a fixed
+    * temperature: voter i carries weight w_i = exp(-eta·(1-acc_i));
+    * score(y) = Σ_{i: v_i=y} w_i; pred = argmax (tie → +1, like
+    * naiveBayesPredict). Abstains carry no weight; docs whose votes
+    * all abstain drop out (callers fill them with the class prior,
+    * as the reference does on scores.sum()==0).
+    *
+    * One broadcast join + one keyed aggregation — same scale shape
+    * as the NB combiner.
+    */
+  def expWeightPredict(votes: DataFrame, accs: DataFrame, keyCol: String, eta: Double): DataFrame =
+    votes
+      .filter(col("vote") =!= 0)
+      .join(broadcast(accs), Seq("extractor"))
+      .withColumn("w", exp(lit(-eta) * (lit(1.0) - col("acc"))))
+      .groupBy(col(keyCol))
+      .agg(
+        sum(when(col("vote") === 1, col("w")).otherwise(0.0)).as("score_pos"),
+        sum(when(col("vote") === -1, col("w")).otherwise(0.0)).as("score_neg"))
+      .withColumn("pred", when(col("score_pos") >= col("score_neg"), 1).otherwise(-1))
+      .select(col(keyCol), col("pred"), col("score_pos"), col("score_neg"))
+
+  /** exp_weight temperature grid search (`methods.py:969-989`): pick
+    * the eta with the best validation accuracy. All etas are scored
+    * in ONE pass — each val vote explodes against the eta list, so
+    * the sweep is a single aggregation, not |etas| jobs. Ties keep
+    * the earliest eta in the list (the reference's strict `>` scan);
+    * all-abstain val docs count against accuracy with the prior
+    * prediction. (The reference leaves best_eta = -1 when every
+    * accuracy is 0 and then exponentiates with it — a latent bug we
+    * do not replicate; the first eta wins instead.)
+    */
+  def expWeightBestEta(
+      votes: DataFrame,
+      accs: DataFrame,
+      valGold: DataFrame,
+      keyCol: String,
+      etas: Seq[Double] = Seq(0.25, 0.5, 1, 2, 4, 8, 16, 32),
+      prior: Int = 1): Double = {
+    val scored = votes
+      .filter(col("vote") =!= 0)
+      .join(broadcast(accs), Seq("extractor"))
+      .withColumn("eta", explode(typedLit(etas)))
+      .withColumn("w", exp(-col("eta") * (lit(1.0) - col("acc"))))
+      .groupBy(col("eta"), col(keyCol))
+      .agg(
+        sum(when(col("vote") === 1, col("w")).otherwise(0.0)).as("sp"),
+        sum(when(col("vote") === -1, col("w")).otherwise(0.0)).as("sn"))
+      .withColumn("pred", when(col("sp") >= col("sn"), 1).otherwise(-1))
+    val etasDf = valGold.sparkSession.createDataFrame(etas.map(Tuple1(_))).toDF("eta")
+    val accByEta = valGold
+      .crossJoin(broadcast(etasDf))
+      .join(scored, Seq("eta", keyCol), "left")
+      .withColumn("pred", coalesce(col("pred"), lit(prior)))
+      .groupBy(col("eta"))
+      .agg(avg(when(col("pred") === col("y"), 1.0).otherwise(0.0)).as("val_acc"))
+      .collect()
+      .map(r => r.getAs[Double]("eta") -> r.getAs[Double]("val_acc"))
+      .toMap
+    // maxBy keeps the first max in list order — the reference's
+    // strict `>` scan semantics
+    etas.maxBy(e => accByEta.getOrElse(e, 0.0))
   }
 }

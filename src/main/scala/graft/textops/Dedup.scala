@@ -251,9 +251,14 @@ object Dedup {
       aCol: String = "id_a",
       bCol: String = "id_b",
       maxIter: Int = 25): DataFrame = {
+    // both edge directions from ONE pass over the pair pipeline
+    // (a union of two selects would evaluate the upstream — here the
+    // whole Jaccard pair generation — once per branch)
     val edges = pairs
-      .select(col(aCol).as("cc_u"), col(bCol).as("cc_v"))
-      .unionByName(pairs.select(col(bCol).as("cc_u"), col(aCol).as("cc_v")))
+      .select(explode(array(
+        struct(col(aCol).as("cc_u"), col(bCol).as("cc_v")),
+        struct(col(bCol).as("cc_u"), col(aCol).as("cc_v")))).as("e"))
+      .select(col("e.cc_u").as("cc_u"), col("e.cc_v").as("cc_v"))
       .distinct()
       .persist()
     var labels = nodes

@@ -64,4 +64,28 @@ class LabelModelSpec extends SparkSpec {
     val accs  = Seq(("good", 0.9), ("bad", 0.6)).toDF("extractor", "acc")
     assert(rows(LabelModel.pickBest(votes, accs, "doc_id")) == Seq(Seq(1L, 1)))
   }
+
+  test("expWeightPredict: high eta follows the accurate voter, eta→0 is plain MV") {
+    // one strong voter vs two weak dissenters
+    val votes = Seq((1L, "good", 1), (1L, "bad1", -1), (1L, "bad2", -1))
+      .toDF("doc_id", "extractor", "vote")
+    val accs = Seq(("good", 0.95), ("bad1", 0.55), ("bad2", 0.55)).toDF("extractor", "acc")
+    val hot  = LabelModel.expWeightPredict(votes, accs, "doc_id", eta = 8.0)
+    assert(rows(hot.select("doc_id", "pred")) == Seq(Seq(1L, 1)))
+    val cold = LabelModel.expWeightPredict(votes, accs, "doc_id", eta = 0.0)
+    assert(rows(cold.select("doc_id", "pred")) == Seq(Seq(1L, -1))) // unweighted: 2 beat 1
+  }
+
+  test("expWeightBestEta grid-picks a temperature that beats plain MV on planted votes") {
+    val (votes, gold) = plantedVotes(2000, Map("a" -> 0.92, "b" -> 0.55, "c" -> 0.55))
+    val accs          = LabelModel.accuracies(votes, gold, "doc_id")
+    val eta           = LabelModel.expWeightBestEta(votes, accs, gold, "doc_id")
+    val pred          = LabelModel.expWeightPredict(votes, accs, "doc_id", eta)
+    val acc = pred.join(gold, "doc_id")
+      .agg(avg(when(col("pred") === col("y"), 1.0).otherwise(0.0)))
+      .head.getDouble(0)
+    // plain majority vote of (0.92, 0.55, 0.55) lands ~0.65; weighting
+    // toward the strong voter must recover ~0.9
+    assert(acc > 0.85, s"exp-weight accuracy $acc should track the strong voter")
+  }
 }
