@@ -11,7 +11,7 @@ import graft.combine.{Combiners, LabelModel, StructuredView}
 import graft.score.Score
 import graft.eval.Harness
 import graft.schema.SchemaId
-import graft.textops.{Dedup, Similarity, TextStats}
+import graft.textops.{Dedup, Sampling, Similarity, TextStats}
 import graft.multimodal.Multimodal
 import graft.streaming.Sessionize
 
@@ -589,6 +589,20 @@ object SparkEntry {
           round(col("f").getField("stopword_ratio"), 6).as("stopword_ratio"),
           round(col("f").getField("punct_ratio"), 6).as("punct_ratio"),
           round(TextStats.qualityScoreFromFeatures(col("f")), 6).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    // training-data ops: corpus vocabulary top-k (one explode + hash
+    // agg with map-side combine + k-row TakeOrdered)
+    "q_vocab_topk" -> ((s, dir) =>
+      TextStats.vocabTopK(docs(s, dir), "text", k = 50).orderBy(col("rank"))),
+
+    // training-data ops: deterministic stratified downsampling —
+    // md5-derived keep decision (same rows on any cluster size or
+    // engine), per-lang rates rebalance the corpus
+    "q_stratified_sample" -> ((s, dir) =>
+      Sampling
+        .stratifiedSample(docs(s, dir), "lang", "doc_id", Map("en" -> 25, "zh" -> 60))
+        .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
     // training-data ops: whitespace + BPE-ish token counts
@@ -1230,6 +1244,19 @@ object SparkEntry {
                        + least((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 4.0, 1.0)
                        + greatest(1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 10.0, 0.0)) / 3.0, 6) AS quality
          FROM f ORDER BY doc_id""",
+
+    "q_vocab_topk" ->
+      """WITH tok AS (SELECT t AS token
+                      FROM documents, unnest(string_split(text, ' ')) AS u(t) WHERE len(t) > 0),
+          c AS (SELECT token, count(*) AS n FROM tok GROUP BY token ORDER BY n DESC, token LIMIT 50)
+         SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank
+         FROM c ORDER BY rank""",
+
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE ('0x' || substr(md5('sample#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+               < CASE WHEN lang = 'zh' THEN 60 WHEN lang = 'en' THEN 25 ELSE 100 END
+         ORDER BY doc_id""",
 
     "q_token_count" ->
       """SELECT doc_id,

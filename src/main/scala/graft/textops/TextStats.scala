@@ -1,6 +1,6 @@
 package graft.textops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines: language-ID heuristic,
@@ -87,4 +87,23 @@ object TextStats {
       toks(text),
       lit(0L),
       (acc, w) => pmod(acc * 131 + (length(w) * 31 + ascii(w)), lit(1000000007L)))
+
+  /** Corpus vocabulary: top-k tokens by frequency (vocabulary /
+    * BPE-seed construction over a lake). One explode + one hash
+    * aggregation (partial map-side combine collapses each partition's
+    * token counts before the shuffle) + a k-row TakeOrdered — no
+    * global sort. Ties rank lexicographically.
+    */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(explode(toks(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("token"))
+      .limit(k)
+    counts.withColumn(
+      "rank",
+      row_number().over(Window.partitionBy(lit(1)).orderBy(desc("n"), col("token"))))
+  }
 }

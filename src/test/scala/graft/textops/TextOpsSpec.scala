@@ -41,6 +41,25 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(wide.orderBy("id_a", "id_b")) == rows(base.orderBy("id_a", "id_b")))
   }
 
+  test("stratifiedSample is deterministic, rate-accurate, and stratum-aware") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val s1   = Sampling.stratifiedSample(docs, "lang", "doc_id", Map("en" -> 25), defaultPct = 100)
+    val s2   = Sampling.stratifiedSample(docs, "lang", "doc_id", Map("en" -> 25), defaultPct = 100)
+    assert(rows(s1.select("doc_id").orderBy("doc_id")) == rows(s2.select("doc_id").orderBy("doc_id")))
+    val enTotal = docs.filter(col("lang") === "en").count().toDouble
+    val enKept  = s1.filter(col("lang") === "en").count().toDouble
+    assert(math.abs(enKept / enTotal - 0.25) < 0.12, s"en keep rate ${enKept / enTotal}")
+    // unlisted strata keep everything
+    assert(s1.filter(col("lang") =!= "en").count() == docs.filter(col("lang") =!= "en").count())
+  }
+
+  test("vocabTopK ranks corpus tokens by frequency with lexicographic ties") {
+    val df  = Seq("b a a", "c b a").toDF("text")
+    val got = TextStats.vocabTopK(df, "text", k = 2)
+    assert(rows(got.select("token", "n", "rank").orderBy("rank")) ==
+      Seq(Seq("a", 3L, 1), Seq("b", 2L, 2)))
+  }
+
   test("connectedComponents labels every component with its min id") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
     val pairs = Seq((2L, 1L), (2L, 3L), (5L, 4L)).toDF("id_a", "id_b") // chain 1-2-3, pair 4-5, singleton 6
