@@ -25,14 +25,11 @@ import org.apache.spark.sql.functions._
   */
 object Sessionize {
 
-  private def gapBoundary(tsCol: Column, orderCols: Seq[Column], gapSeconds: Long): Column = {
-    val w      = Window.partitionBy(col("__user")).orderBy(orderCols: _*)
-    val prevUs = lag(unix_micros(tsCol), 1).over(w)
-    when(prevUs.isNull || unix_micros(tsCol) - prevUs > gapSeconds * 1000000L, 1).otherwise(0)
-  }
-
   /** Per-event session assignment: adds `session_idx` (1-based per
-    * user, in time order).
+    * user, in time order). Both windows partition directly on the
+    * user column (an intermediate alias would hide the partitioning
+    * from downstream operators and force a second exchange — the
+    * per-session aggregate reuses this one shuffle).
     */
   def assignSessions(
       events: DataFrame,
@@ -40,13 +37,14 @@ object Sessionize {
       tsCol: String,
       idCol: String,
       gapSeconds: Long): DataFrame = {
-    val ordered  = Seq(col(tsCol), col(idCol))
-    val w        = Window.partitionBy(col("__user")).orderBy(ordered: _*)
+    val w      = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val prevUs = lag(unix_micros(col(tsCol)), 1).over(w)
+    val boundary =
+      when(prevUs.isNull || unix_micros(col(tsCol)) - prevUs > gapSeconds * 1000000L, 1).otherwise(0)
     events
-      .withColumn("__user", col(userCol))
-      .withColumn("__new_sess", gapBoundary(col(tsCol), ordered, gapSeconds))
+      .withColumn("__new_sess", boundary)
       .withColumn("session_idx", sum(col("__new_sess")).over(w).cast("int"))
-      .drop("__user", "__new_sess")
+      .drop("__new_sess")
   }
 
   /** Per-session aggregate: (user, session_idx, n_events, start/end,
