@@ -605,6 +605,14 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // training-data ops: token repetition profile (boilerplate signal)
+    "q_repetition" -> ((s, dir) =>
+      TextStats.repetitionProfile(docs(s, dir), "doc_id", "text").orderBy(col("doc_id"))),
+
+    // training-data ops: per-lang length stats with exact percentiles
+    "q_length_stats" -> ((s, dir) =>
+      TextStats.lengthStats(docs(s, dir), "lang", "text").orderBy(col("lang"))),
+
     // training-data ops: whitespace + BPE-ish token counts
     "q_token_count" -> ((s, dir) =>
       docs(s, dir)
@@ -1244,6 +1252,22 @@ object SparkEntry {
                        + least((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 4.0, 1.0)
                        + greatest(1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 10.0, 0.0)) / 3.0, 6) AS quality
          FROM f ORDER BY doc_id""",
+
+    "q_repetition" ->
+      """WITH tc AS (SELECT doc_id, t, count(*) AS n
+                     FROM documents, unnest(string_split(text, ' ')) AS u(t)
+                     WHERE len(t) > 0 GROUP BY doc_id, t)
+         SELECT doc_id, CAST(sum(n) AS INT) AS n_tokens, CAST(count(*) AS INT) AS n_distinct,
+                round(CAST(count(*) AS DOUBLE) / sum(n), 6) AS distinct_ratio,
+                round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_ratio
+         FROM tc GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_length_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+                round(avg(len(text)), 6) AS avg_chars,
+                round(quantile_cont(len(text), 0.5), 6) AS med_chars,
+                round(quantile_cont(len(text), 0.9), 6) AS p90_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
 
     "q_vocab_topk" ->
       """WITH tok AS (SELECT t AS token

@@ -88,6 +88,36 @@ object TextStats {
       lit(0L),
       (acc, w) => pmod(acc * 131 + (length(w) * 31 + ascii(w)), lit(1000000007L)))
 
+  /** Token repetition profile per doc (Gopher-style boilerplate
+    * signal): token count, distinct-token count, distinct ratio, and
+    * the share of the most frequent token. Two keyed aggregations
+    * with map-side combine; the first groups on (doc, token) so hot
+    * docs still spread across partitions by token.
+    */
+  def repetitionProfile(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(toks(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("n")).cast("int").as("n_tokens"),
+        count(lit(1)).cast("int").as("n_distinct"),
+        round(count(lit(1)).cast("double") / sum(col("n")), 6).as("distinct_ratio"),
+        round(max(col("n")).cast("double") / sum(col("n")), 6).as("top_ratio"))
+
+  /** Per-stratum document length statistics: count, mean, exact
+    * median and p90 of character lengths. One hash aggregation;
+    * exact percentiles match DuckDB's quantile_cont interpolation
+    * (numpy-style linear), the same parity trick q_f1_metrics uses.
+    */
+  def lengthStats(df: DataFrame, strataCol: String, textCol: String): DataFrame =
+    df.groupBy(col(strataCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(length(col(textCol))), 6).as("avg_chars"),
+        round(percentile(length(col(textCol)), lit(0.5)), 6).as("med_chars"),
+        round(percentile(length(col(textCol)), lit(0.9)), 6).as("p90_chars"))
+
   /** Corpus vocabulary: top-k tokens by frequency (vocabulary /
     * BPE-seed construction over a lake). One explode + one hash
     * aggregation (partial map-side combine collapses each partition's
