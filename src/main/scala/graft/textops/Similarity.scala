@@ -85,16 +85,18 @@ object Similarity {
       query: Seq[Double],
       k: Int,
       nCentroids: Int = 16,
-      nProbe: Int = 4): DataFrame = {
-    val centroids: Seq[(Int, Seq[Double])] = embeddings
-      .orderBy(col(idCol))
-      .limit(nCentroids)
-      .select(col(vecCol))
-      .collect()
-      .toSeq
-      .map(_.getSeq[Float](0).map(_.toDouble))
-      .zipWithIndex
-      .map { case (v, i) => (i, v) }
+      nProbe: Int = 4,
+      learnedCentroids: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
+    val centroids: Seq[(Int, Seq[Double])] = learnedCentroids.getOrElse(
+      embeddings
+        .orderBy(col(idCol))
+        .limit(nCentroids)
+        .select(col(vecCol))
+        .collect()
+        .toSeq
+        .map(_.getSeq[Float](0).map(_.toDouble))
+        .zipWithIndex
+        .map { case (v, i) => (i, v) })
 
     // nearest centroid per row: argmax over the (small) centroid set.
     // The row's double vector + self-norm are hoisted into bound
@@ -139,6 +141,57 @@ object Similarity {
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
     scored.withColumn("rank", row_number().over(rankWindow(idCol)))
+  }
+
+  /** Deterministic spherical k-means for the IVF bucketer: seed
+    * centroids = first k vectors by id (content-determined, no RNG —
+    * SURVEY §7 hard part (d)), then `iters` Lloyd rounds: assign each
+    * vector to its max-cosine centroid (broadcast k×d doubles inside
+    * the plan), recompute centroids as per-dimension means. Each
+    * round is ONE scan + one k-group aggregation; only the k×d
+    * centroid matrix ever reaches the driver. Empty clusters keep
+    * their previous centroid (deterministic, no resampling).
+    */
+  def kmeansCentroids(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      dim: Int = 64): Seq[(Int, Seq[Double])] = {
+    var centroids: Seq[(Int, Seq[Double])] = embeddings
+      .orderBy(col(idCol))
+      .limit(k)
+      .select(col(vecCol))
+      .collect()
+      .toSeq
+      .map(_.getSeq[Float](0).map(_.toDouble))
+      .zipWithIndex
+      .map { case (v, i) => (i, v) }
+    val withV = embeddings
+      .withColumn("v", transform(col(vecCol), x => x.cast("double")))
+      .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, b) => a + b)))
+    (0 until iters).foreach { _ =>
+      val cands = array(centroids.map { case (i, c) =>
+        val cn = math.sqrt(c.map(x => x * x).sum)
+        val cos = when(col("nrm") === 0.0 || lit(cn) === 0.0, 0.0)
+          .otherwise(
+            aggregate(zip_with(col("v"), typedLit(c), (p, q) => p * q), lit(0.0), (a, b) => a + b)
+              / (col("nrm") * lit(cn)))
+        struct(cos.as("cos"), lit(-i).as("ncid"))
+      }: _*)
+      val means = withV
+        .withColumn("cid", -array_max(cands).getField("ncid"))
+        .groupBy(col("cid"))
+        .agg(
+          count(lit(1)).as("n"),
+          (0 until dim).map(d => avg(element_at(col("v"), d + 1)).as(s"m$d")): _*)
+        .collect()
+        .map(r => r.getAs[Int]("cid") -> (0 until dim).map(d => r.getAs[Double](s"m$d")))
+        .toMap
+      centroids = centroids.map { case (i, prev) => (i, means.getOrElse(i, prev).toSeq) }
+    }
+    centroids
   }
 
   /** Bucketed near-duplicate pairs by embedding cosine: candidate

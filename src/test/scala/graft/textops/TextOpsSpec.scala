@@ -145,6 +145,24 @@ class TextOpsSpec extends SparkSpec {
     assert(ivfIds.subsetOf(bruteIds))
   }
 
+  test("kmeansCentroids separates two planted clusters and plugs into ivfTopK") {
+    // two well-separated direction clusters in 4-d
+    val vecs = (0L until 20L).map { i =>
+      val base = if (i % 2 == 0) Seq(1f, 0.05f, 0f, 0f) else Seq(0f, 0.05f, 1f, 0f)
+      (i, base.updated(3, (i % 5).toFloat / 100f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(df, "vec_id", "embedding", k = 2, iters = 3, dim = 4)
+    assert(cents.length == 2)
+    val axes = cents.map { case (_, c) => c.zipWithIndex.maxBy(_._1)._2 }.toSet
+    assert(axes == Set(0, 2), s"centroid peak dims $axes should split the planted clusters")
+    // learned centroids drive the IVF probe path and still find the query's own vector first
+    val got = Similarity.ivfTopK(
+      df, "vec_id", "embedding", query = Seq(1.0, 0.05, 0.0, 0.0), k = 3,
+      nCentroids = 2, nProbe = 1, learnedCentroids = Some(cents))
+    assert(got.orderBy(col("rank")).collect().head.getAs[Long]("vec_id") % 2 == 0)
+  }
+
   test("langId picks the max-marker language with lexicographic ties") {
     val markers = Seq("en" -> Seq("the"), "es" -> Seq("el"))
     val got = Seq(("the the el", 1), ("el el the", 2), ("nothing here", 3))
