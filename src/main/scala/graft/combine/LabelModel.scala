@@ -159,7 +159,12 @@ object LabelModel {
       keyCol: String,
       etas: Seq[Double] = Seq(0.25, 0.5, 1, 2, 4, 8, 16, 32),
       prior: Int = 1): Double = {
-    val scored = votes
+    // restrict to validation docs BEFORE the 8× eta explode — votes
+    // covers the whole corpus, valGold is the tiny labeled set; the
+    // semi-join keeps the sweep's shuffle at O(|etas| × val), not
+    // O(|etas| × corpus)
+    val valVotes = votes.join(broadcast(valGold.select(col(keyCol))), Seq(keyCol), "left_semi")
+    val scored = valVotes
       .filter(col("vote") =!= 0)
       .join(broadcast(accs), Seq("extractor"))
       .withColumn("eta", explode(typedLit(etas)))

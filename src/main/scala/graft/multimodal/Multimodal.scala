@@ -30,8 +30,11 @@ object Multimodal {
     * in a codec-equipped deployment. Deterministic on input bytes.
     */
   object MediaCodec {
-    /** "Decode" + featurize: dim-length float vector from byte stats. */
+    /** "Decode" + featurize: dim-length float vector from byte stats.
+      * NULL-in → NULL-out, like every column function here.
+      */
     def decodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+      if (bytes == null) return null
       val out = new Array[Float](dim)
       var i   = 0
       while (i < bytes.length) {
@@ -49,6 +52,10 @@ object Multimodal {
       * decoded video frames.
       */
     def frameSample(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      // null media propagates as null frames (the SQL engines'
+      // NULL-in → NULL-out convention; the DuckDB oracle does the
+      // same via octet_length/substring on NULL)
+      if (bytes == null) return Seq.fill(n)(null)
       if (bytes.isEmpty) return Seq.fill(n)(Array.emptyByteArray)
       val stride = math.max(bytes.length / n, 1)
       (0 until n).map { i =>
@@ -65,13 +72,14 @@ object Multimodal {
     */
   def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
     val spark  = media.sparkSession
-    val schema = StructType(media.schema.fields :+ StructField("features", ArrayType(FloatType), nullable = false))
+    val schema = StructType(media.schema.fields :+ StructField("features", ArrayType(FloatType), nullable = true))
     spark.createDataFrame(
       media.rdd.mapPartitions { rows =>
         // per-partition codec init goes here in a real deployment
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]]("bytes")
-          Row.fromSeq(r.toSeq :+ MediaCodec.decodeFeatures(bytes, dim).toSeq)
+          val f     = MediaCodec.decodeFeatures(bytes, dim)
+          Row.fromSeq(r.toSeq :+ (if (f == null) null else f.toSeq))
         }
       },
       schema)
@@ -85,7 +93,7 @@ object Multimodal {
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("frame_idx", IntegerType, nullable = false),
-      StructField("frame_bytes", BinaryType, nullable = false)))
+      StructField("frame_bytes", BinaryType, nullable = true)))
     spark.createDataFrame(
       media.rdd.mapPartitions { rows =>
         rows.flatMap { r =>

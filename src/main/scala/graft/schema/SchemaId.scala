@@ -33,7 +33,7 @@ object SchemaId {
     * tie-break: score desc, field asc.
     */
   def rankAttributes(counts: DataFrame, k: Int, scoreCol: String = "n_docs"): DataFrame = {
-    val w = Window.partitionBy(lit(1)).orderBy(desc(scoreCol), asc("field"))
+    val w = Window.orderBy(desc(scoreCol), asc("field"))
     counts
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -126,7 +126,7 @@ object SchemaId {
     * (`run_profiler.py:108-118`). gold: (keyCol, attribute, value).
     */
   def goldAttrRank(gold: DataFrame): DataFrame = {
-    val w = Window.partitionBy(lit(1)).orderBy(desc("n_nonnull"), asc("attribute"))
+    val w = Window.orderBy(desc("n_nonnull"), asc("attribute"))
     gold
       .groupBy(col("attribute"))
       .agg(sum(when(col("value").isNotNull && length(trim(col("value"))) > 0, 1).otherwise(0)).as("n_nonnull"))
@@ -145,7 +145,7 @@ object SchemaId {
     val kept = counts
       .withColumn("max_n", max(col("n_docs")).over(wAll))
       .filter(col("max_n") <= 1 || col("n_docs") > 1)
-      .withColumn("rank", row_number().over(Window.partitionBy(lit(1)).orderBy(desc("n_docs"), desc("field"))))
+      .withColumn("rank", row_number().over(Window.orderBy(desc("n_docs"), desc("field"))))
       .filter(col("rank") <= cap)
       .drop("max_n")
     val samples = values

@@ -119,9 +119,10 @@ object Score {
     // Fully relational — one plan, no driver actions, so the metrics
     // pipeline feeding this runs exactly once. The windows are global
     // but the frame is the tiny extractor-metrics relation (m rows).
-    // constant partition key = stated single-partition intent over the
-    // m-row metrics frame (silences WindowExec's unpartitioned warning)
-    val wRank = Window.partitionBy(lit(1)).orderBy(desc("avg_f1"), desc("med_f1"), asc("extractor"))
+    // (WindowExec's unpartitioned-window warning for this intentional
+    // m-row frame is silenced in log4j2.properties; a constant
+    // partition key would be stripped by EliminateWindowPartitions)
+    val wRank = Window.orderBy(desc("avg_f1"), desc("med_f1"), asc("extractor"))
     val wAll  = Window.partitionBy(lit(1))
 
     val ranked = metrics

@@ -277,16 +277,28 @@ object Dedup {
           col("cc_id"),
           least(col("cluster_id"), coalesce(col("cc_nbr_min"), col("cluster_id"))).as("cluster_id"))
         .persist()
+      // full count, not limit(1): the aggregation scans every
+      // partition, so `next` is completely materialized into the
+      // cache here — a short-circuiting probe would leave partitions
+      // uncached and each later round would recompute them through
+      // the whole unpersisted lineage (pair generation included)
       val changed = next
         .join(labels.withColumnRenamed("cluster_id", "cc_prev"), "cc_id")
         .filter(col("cluster_id") =!= col("cc_prev"))
-        .limit(1)
         .count()
       labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — component diameter exceeds " +
+          s"maxIter; raise maxIter (or use alternating large-star/small-star for high-diameter graphs)")
+    // `labels` is fully materialized (the convergence count scanned
+    // it), so dropping the edge cache is safe. The returned frame
+    // stays persisted — one small (id, cluster_id) cache entry per
+    // invocation, evictable; callers may unpersist after consuming.
     edges.unpersist()
     labels.withColumnRenamed("cc_id", idCol)
   }

@@ -47,13 +47,15 @@ object Similarity {
     scored.withColumn("rank", row_number().over(rankWindow(idCol)))
   }
 
-  /** Global rank window over an already-limited k-row frame — the
-    * constant partition key states the single-partition intent (k
-    * rows by construction), avoiding WindowExec's unpartitioned-
-    * window warning.
+  /** Global rank window over an already-limited k-row frame: a
+    * single partition by construction (k rows). WindowExec's
+    * unpartitioned-window warning for these intentional tiny-frame
+    * windows is silenced in log4j2.properties (a constant partition
+    * key would NOT help — Spark's EliminateWindowPartitions strips
+    * foldable keys before planning).
     */
   private def rankWindow(idCol: String) =
-    Window.partitionBy(lit(1)).orderBy(desc("cos"), col(idCol))
+    Window.orderBy(desc("cos"), col(idCol))
 
   /** Retrieval top-1 per group (`retrieval.py:31-36`,
     * `main.py:66-70` as a rank join): best row by cosine within each
@@ -180,12 +182,21 @@ object Similarity {
               / (col("nrm") * lit(cn)))
         struct(cos.as("cos"), lit(-i).as("ncid"))
       }: _*)
+      // decimal sums, not double avg: decimal addition is
+      // order-independent, so the recomputed centroids are
+      // bit-stable across partitionings/cluster sizes (double
+      // partial sums would drift in the low bits and could flip
+      // assignment for near-tied vectors). The decimal(27,18)
+      // quantization of each element is itself deterministic.
       val means = withV
         .withColumn("cid", -array_max(cands).getField("ncid"))
         .groupBy(col("cid"))
         .agg(
           count(lit(1)).as("n"),
-          (0 until dim).map(d => avg(element_at(col("v"), d + 1)).as(s"m$d")): _*)
+          (0 until dim).map(d =>
+            (sum(element_at(col("v"), d + 1).cast("decimal(27,18)")) / count(lit(1)))
+              .cast("double")
+              .as(s"m$d")): _*)
         .collect()
         .map(r => r.getAs[Int]("cid") -> (0 until dim).map(d => r.getAs[Double](s"m$d")))
         .toMap

@@ -134,6 +134,6 @@ object TextStats {
       .limit(k)
     counts.withColumn(
       "rank",
-      row_number().over(Window.partitionBy(lit(1)).orderBy(desc("n"), col("token"))))
+      row_number().over(Window.orderBy(desc("n"), col("token"))))
   }
 }
