@@ -37,6 +37,23 @@ object Sinks {
     }
   }
 
+  /** Bucketed table sink: pre-shuffles the relation into n buckets
+    * on `bucketCol` at write time so future equi-joins and groupBys
+    * on that key run with NO exchange — the shuffle is paid once at
+    * ingest instead of per query. The lever for repeated
+    * (path/doc_id)-keyed work at 100 TB: extraction ⋈ votes ⋈ gold
+    * all co-locate when written through the same bucketing.
+    * Registers a catalog table (bucket metadata lives in the
+    * metastore, not the parquet files).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, nBuckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Directory hierarchy profile (`get_directory_hierarchy`,
     * `utils.py:82-100`): file counts per directory prefix depth.
     */

@@ -92,4 +92,38 @@ class LakeOpsSpec extends SparkSpec {
       .select(graft.extract.Clean.normalizeSynthetic(col("v"))).collect().map(_.getString(0)).toSeq
     assert(got == Seq("A & B", "", "x y"))
   }
+
+  test("salted aggregations equal their unsalted forms on skewed keys") {
+    // one hot key (90%), a few cold keys
+    val skewed = (0 until 2000).map(i => (if (i % 10 == 0) s"cold${i % 7}" else "hot", i.toLong))
+      .toDF("k", "v").repartition(13)
+    val plainCount = skewed.groupBy("k").count()
+    val saltCount  = Skew.saltedCount(skewed, Seq("k"), salts = 8)
+    assert(rows(plainCount.orderBy("k")) == rows(saltCount.orderBy("k")))
+    val plainSum = skewed.groupBy("k").agg(sum(col("v")).as("sum"))
+    val saltSum  = Skew.saltedSum(skewed, Seq("k"), col("v"), salts = 8)
+    assert(rows(plainSum.orderBy("k")) == rows(saltSum.orderBy("k")))
+  }
+
+  test("writeBucketed joins two co-bucketed tables without a shuffle exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS bktdb LOCATION '$dir'")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force a sort-merge join so the assertion sees the bucketing (a
+    // broadcast join avoids the shuffle for a different reason)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = (0L until 100L).map(i => (i, s"text$i")).toDF("doc_id", "text")
+      val b = (0L until 100L).map(i => (i, i * 2)).toDF("doc_id", "score")
+      Sinks.writeBucketed(a, "bktdb.bkt_a", "doc_id", nBuckets = 4)
+      Sinks.writeBucketed(b, "bktdb.bkt_b", "doc_id", nBuckets = 4)
+      val joined = spark.table("bktdb.bkt_a").join(spark.table("bktdb.bkt_b"), "doc_id")
+      val plan   = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == 100)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP DATABASE IF EXISTS bktdb CASCADE")
+    }
+  }
 }
