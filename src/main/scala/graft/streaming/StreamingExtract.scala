@@ -77,6 +77,47 @@ object StreamingExtract {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming NEAR-dup suppression: MinHash-LSH band keys per doc,
+    * keep only the first arrival per band bucket within the
+    * watermark horizon. A doc survives iff ALL of its band keys are
+    * first-seen — near-duplicates share at least one band with the
+    * original and get dropped at ingest. State is (band_idx,
+    * band_key) entries, watermark-evicted like dedupStream's hashes;
+    * the batch operators do the exact lake-wide pass, this bounds
+    * what reaches the lake.
+    */
+  def nearDupStream(
+      lake: DataFrame,
+      tsCol: String,
+      idCol: String,
+      textCol: String,
+      watermark: String,
+      regroupWindow: String = "1 minute",
+      shingleN: Int = 3,
+      numHashes: Int = 8,
+      bands: Int = 2): DataFrame = {
+    import graft.textops.Dedup
+    val rows = numHashes / bands
+    lake
+      .withColumn("__sh", Dedup.shinglesFast(col(textCol), shingleN))
+      .withColumn("__sig", Dedup.minhashFast(col("__sh"), numHashes))
+      .select(
+        col(tsCol),
+        col(idCol),
+        posexplode(Dedup.lshBandKeys(col("__sig"), bands, rows)).as(Seq("band_idx", "band_key")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("band_idx", "band_key")
+      // regroup the surviving band rows per doc under a tumbling
+      // window — the watermark closes the window, which is what lets
+      // a keyed aggregation emit in append mode (a bare groupBy(id)
+      // would never finalize); stateful-op chaining is a Spark 3.5+/
+      // 4.x capability
+      .groupBy(window(col(tsCol), regroupWindow), col(idCol))
+      .agg(count(lit(1)).as("__fresh_bands"))
+      .filter(col("__fresh_bands") === bands)
+      .select(col(idCol))
+  }
+
   /** Streaming-native windowed aggregation over an event stream:
     * watermark + sliding window counts (the shape `events` exercises).
     */

@@ -22,11 +22,14 @@ class StreamingExtractSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
     }
 
+    // data must be present BEFORE start(): AvailableNow snapshots the
+    // available offsets at query start, so later addData may fall
+    // outside the run (this was a timing-dependent flake)
+    in.addData((1L, "title: x\nbudget: $5M"), (2L, "budget: $9M\nother: y"))
     val q = writer
       .option("checkpointLocation", java.nio.file.Files.createTempDirectory("ckpt").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    in.addData((1L, "title: x\nbudget: $5M"), (2L, "budget: $9M\nother: y"))
     q.processAllAvailable()
     q.stop()
 
@@ -44,6 +47,26 @@ class StreamingExtractSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     assert(spark.table("dedup_out").count() == 2)
+  }
+
+  test("nearDupStream drops exact near-dup arrivals, keeps distinct docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val survivors = StreamingExtract.nearDupStream(
+      in.toDF().toDF("ts", "doc_id", "text"), "ts", "doc_id", "text", watermark = "0 seconds")
+    val q = survivors.writeStream.outputMode("append").format("memory").queryName("neardup_out").start()
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:30")
+    in.addData(
+      (t1, 1L, "the quick brown fox jumps over the lazy dog"),
+      (t1, 2L, "the quick brown fox jumps over the lazy dog"), // exact dup: every band collides
+      (t1, 3L, "completely different content about spark engines"))
+    q.processAllAvailable()
+    // advance the watermark past the first window so the regroup emits
+    in.addData((java.sql.Timestamp.valueOf("2026-01-01 00:05:00"), 9L, "late watermark pusher"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("neardup_out").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L), s"expected dup doc 2 dropped, got $got")
   }
 
   test("windowedEventCounts is a valid streaming aggregation") {
