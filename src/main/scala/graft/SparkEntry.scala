@@ -656,6 +656,19 @@ object SparkEntry {
           md5(hex(col("frame_bytes")).cast("binary")).as("frame_hash"))
         .orderBy(col("media_id"), col("frame_idx"))),
 
+    // multimodal plumbing: stub "resize" (every 4th payload byte) —
+    // batched partition stage; byte output fingerprinted via hex
+    "q_media_resize" -> ((s, dir) =>
+      Multimodal
+        .resizeMedia(
+          docs(s, dir).select(col("doc_id").as("media_id"), col("text").cast("binary").as("bytes")),
+          factor = 4)
+        .select(
+          col("media_id"),
+          length(col("resized_bytes")).as("n_bytes"),
+          md5(hex(col("resized_bytes")).cast("binary")).as("content_hash"))
+        .orderBy(col("media_id"))),
+
     // relational spine at real volume (lineitem = the sf anchor):
     // TPC-H Q1-shaped pricing summary; decimal sums for engine-exact
     // aggregation (double sums are shuffle-order dependent)
@@ -1320,6 +1333,19 @@ object SparkEntry {
                  CAST(fend - fstart AS INT) AS n_bytes,
                  md5(substring(h, CAST(fstart * 2 + 1 AS INT), CAST((fend - fstart) * 2 AS INT))) AS frame_hash
           FROM f ORDER BY media_id, frame_idx""",
+
+    // resize replayed on the hex image: resized bytes = payload
+    // bytes at indices i % 4 == 0, i.e. hex pairs at those offsets
+    "q_media_resize" ->
+      """WITH m AS (SELECT doc_id AS media_id, hex(encode(text)) AS h,
+                           octet_length(encode(text)) AS blen
+                    FROM documents),
+          r AS (SELECT media_id,
+                       array_to_string(list_transform(list_filter(range(0, blen), i -> i % 4 = 0),
+                                                      i -> substr(h, CAST(i * 2 + 1 AS INT), 2)), '') AS rh,
+                       CAST((blen + 3) // 4 AS INT) AS n_bytes
+                FROM m)
+          SELECT media_id, n_bytes, md5(rh) AS content_hash FROM r ORDER BY media_id""",
 
     "q_lineitem_pricing" ->
       """SELECT l_returnflag, l_linestatus,

@@ -85,6 +85,25 @@ object Multimodal {
       schema)
   }
 
+  /** Media "resize" as a batched partition stage: every factor-th
+    * payload byte (the stub stand-in for an image downscale) —
+    * (media_id, resized_bytes).
+    */
+  def resizeMedia(media: DataFrame, factor: Int): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("resized_bytes", BinaryType, nullable = true)))
+    spark.createDataFrame(
+      media.rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("bytes")
+          Row(r.getAs[Long]("media_id"), if (bytes == null) null else MediaCodec.resize(bytes, factor))
+        }
+      },
+      schema)
+  }
+
   /** Video frame sampling as an exploding partition stage:
     * (media_id, frame_idx, frame_bytes).
     */
