@@ -11,7 +11,10 @@ object Plans {
     val names = if (args.nonEmpty) args.toSeq else Seq(
       "q_scan_documents", "q_keyword_chunk_filter", "q_majority_vote",
       "q_join_pred_gold", "q_dedup_ngram_jaccard", "q_cosine_topk",
-      "q_nb_posterior", "q_text_f1")
+      "q_nb_posterior", "q_text_f1",
+      // round-2 operators
+      "q_sessionize", "q_dedup_jaccard_capped", "q_dedup_clusters",
+      "q_vocab_topk", "q_stratified_sample", "q_order_revenue_join")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
