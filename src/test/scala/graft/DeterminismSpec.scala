@@ -14,7 +14,10 @@ class DeterminismSpec extends SparkSpec {
 
   private val sampleQueries = Seq(
     "q_majority_vote", "q_topk_scripts", "q_vote_matrix", "q_flying_squid",
-    "q_dedup_minhash", "q_rank_attributes", "q_cosine_topk", "q_schema_eval_at_k")
+    "q_dedup_minhash", "q_rank_attributes", "q_cosine_topk", "q_schema_eval_at_k",
+    // round-2 operators
+    "q_dedup_clusters", "q_sessionize", "q_stratified_sample", "q_vocab_topk",
+    "q_dedup_jaccard_capped", "q_ann_ivf")
 
   test("queries are stable across repeated runs") {
     sampleQueries.foreach { name =>
