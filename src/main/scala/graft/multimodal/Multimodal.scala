@@ -44,9 +44,12 @@ object Multimodal {
       out
     }
 
-    /** "Resize": deterministic downsample of the payload bytes. */
+    /** "Resize": deterministic downsample of the payload bytes.
+      * NULL-in → NULL-out like the other codec paths.
+      */
     def resize(bytes: Array[Byte], factor: Int): Array[Byte] =
-      bytes.zipWithIndex.collect { case (b, i) if i % factor == 0 => b }
+      if (bytes == null) null
+      else bytes.zipWithIndex.collect { case (b, i) if i % factor == 0 => b }
 
     /** "Frame-sample": n evenly-spaced byte slices standing in for
       * decoded video frames.

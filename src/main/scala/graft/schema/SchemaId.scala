@@ -141,7 +141,7 @@ object SchemaId {
     * fields: (field, n_docs); values: (field, value).
     */
   def metadataStringRerank(counts: DataFrame, values: DataFrame, cap: Int = 200): DataFrame = {
-    val wAll = Window.partitionBy(lit(1))
+    val wAll = Window.partitionBy()
     val kept = counts
       .withColumn("max_n", max(col("n_docs")).over(wAll))
       .filter(col("max_n") <= 1 || col("n_docs") > 1)

@@ -123,7 +123,7 @@ object Score {
     // m-row frame is silenced in log4j2.properties; a constant
     // partition key would be stripped by EliminateWindowPartitions)
     val wRank = Window.orderBy(desc("avg_f1"), desc("med_f1"), asc("extractor"))
-    val wAll  = Window.partitionBy(lit(1))
+    val wAll  = Window.partitionBy() // whole-frame window (tiny m-row relation)
 
     val ranked = metrics
       .filter(col("extractor") =!= goldKey)

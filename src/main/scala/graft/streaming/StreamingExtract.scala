@@ -80,11 +80,17 @@ object StreamingExtract {
   /** Streaming NEAR-dup suppression: MinHash-LSH band keys per doc,
     * keep only the first arrival per band bucket within the
     * watermark horizon. A doc survives iff ALL of its band keys are
-    * first-seen — near-duplicates share at least one band with the
-    * original and get dropped at ingest. State is (band_idx,
-    * band_key) entries, watermark-evicted like dedupStream's hashes;
-    * the batch operators do the exact lake-wide pass, this bounds
-    * what reaches the lake.
+    * first-seen. State is (band_idx, band_key) entries,
+    * watermark-evicted like dedupStream's hashes.
+    *
+    * Suppression is CONSERVATIVE and band-transitive: a suppressed
+    * doc's fresh bands still enter the state store, so a later doc
+    * colliding only with a suppressed doc is also dropped — the
+    * ingest gate may over-drop chained near-dup families (no exact
+    * pair verification happens here). That bias is the standard
+    * ingest-side trade: it bounds what reaches the lake cheaply; the
+    * batch operators (ngramJaccardPairs → nearDupClusters) are the
+    * authoritative, verified dedup pass over what was kept.
     */
   def nearDupStream(
       lake: DataFrame,
@@ -97,6 +103,10 @@ object StreamingExtract {
       numHashes: Int = 8,
       bands: Int = 2): DataFrame = {
     import graft.textops.Dedup
+    require(
+      numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes): truncation would silently " +
+        "narrow every band and inflate false-positive drops")
     val rows = numHashes / bands
     lake
       .withColumn("__sh", Dedup.shinglesFast(col(textCol), shingleN))

@@ -209,6 +209,7 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 8,
       bands: Int = 2): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     val rows = numHashes / bands
     val keyed = df
       .select(col(idCol), shinglesFast(col(textCol), shingleN).as("sh"))
@@ -291,10 +292,13 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    if (!converged)
+    if (!converged) {
+      edges.unpersist()
+      labels.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — component diameter exceeds " +
           s"maxIter; raise maxIter (or use alternating large-star/small-star for high-diameter graphs)")
+    }
     // `labels` is fully materialized (the convergence count scanned
     // it), so dropping the edge cache is safe. The returned frame
     // stays persisted — one small (id, cluster_id) cache entry per

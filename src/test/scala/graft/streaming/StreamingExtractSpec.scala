@@ -66,7 +66,11 @@ class StreamingExtractSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     val got = spark.table("neardup_out").collect().map(_.getLong(0)).toSet
-    assert(got == Set(1L, 3L), s"expected dup doc 2 dropped, got $got")
+    // which of the two identical docs wins the intra-batch race is
+    // partition-layout dependent; the contract is: exactly one of
+    // them survives, plus the distinct doc
+    assert(got.contains(3L) && (got - 3L).size == 1 && (got - 3L).subsetOf(Set(1L, 2L)),
+      s"expected one of the identical docs dropped, got $got")
   }
 
   test("windowedEventCounts is a valid streaming aggregation") {
