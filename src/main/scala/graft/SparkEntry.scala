@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import scala.collection.immutable.ListMap
 
-import graft.lake.{Chunker, ChunkFilter, HtmlOps, Tables}
+import graft.lake.{Chunker, ChunkFilter, HtmlOps, Skew, Tables}
 import graft.extract.{Clean, DirectExtract, MockLlmClient}
 import graft.combine.{Combiners, LabelModel, StructuredView}
 import graft.score.Score
@@ -604,6 +604,14 @@ object SparkEntry {
         .stratifiedSample(docs(s, dir), "lang", "doc_id", Map("en" -> 25, "zh" -> 60))
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
+
+    // scale lever under the hash gate: two-phase salted count must be
+    // RESULT-identical to the plain groupBy count it replaces (the
+    // oracle runs the plain form)
+    "q_skew_salted_count" -> ((s, dir) =>
+      Skew
+        .saltedCount(docs(s, dir).select(col("lang"), col("doc_id")), Seq("lang"), salts = 8)
+        .orderBy(col("lang"))),
 
     // training-data ops: token repetition profile (boilerplate signal)
     "q_repetition" -> ((s, dir) =>
@@ -1265,6 +1273,9 @@ object SparkEntry {
                        + least((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 4.0, 1.0)
                        + greatest(1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 10.0, 0.0)) / 3.0, 6) AS quality
          FROM f ORDER BY doc_id""",
+
+    "q_skew_salted_count" ->
+      """SELECT lang, count(*) AS count FROM documents GROUP BY lang ORDER BY lang""",
 
     "q_repetition" ->
       """WITH tc AS (SELECT doc_id, t, count(*) AS n
