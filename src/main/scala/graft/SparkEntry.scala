@@ -621,6 +621,13 @@ object SparkEntry {
     "q_length_stats" -> ((s, dir) =>
       TextStats.lengthStats(docs(s, dir), "lang", "text").orderBy(col("lang"))),
 
+    // training-data ops: top-3 TF-IDF terms per doc (rank on the
+    // ROUNDED score so cross-engine ln() ulp differences can't flip
+    // the ordering)
+    "q_tfidf_top_terms" -> ((s, dir) =>
+      TextStats.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rank"))),
+
     // training-data ops: whitespace + BPE-ish token counts
     "q_token_count" -> ((s, dir) =>
       docs(s, dir)
@@ -1299,6 +1306,20 @@ object SparkEntry {
           c AS (SELECT token, count(*) AS n FROM tok GROUP BY token ORDER BY n DESC, token LIMIT 50)
          SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank
          FROM c ORDER BY rank""",
+
+    "q_tfidf_top_terms" ->
+      """WITH tc AS (SELECT doc_id, t AS term, count(*) AS tf
+                     FROM documents, unnest(string_split(text, ' ')) AS u(t)
+                     WHERE len(t) > 0 GROUP BY doc_id, t),
+          d AS (SELECT term, count(*) AS df FROM tc GROUP BY term),
+          n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tc),
+          s AS (SELECT tc.doc_id, tc.term, tf,
+                       round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+                FROM tc JOIN d USING (term) CROSS JOIN n),
+          r AS (SELECT doc_id, term, tf, score,
+                       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
+                FROM s)
+         SELECT doc_id, term, tf, score, rank FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
 
     "q_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

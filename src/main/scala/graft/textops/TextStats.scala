@@ -118,6 +118,31 @@ object TextStats {
         round(percentile(length(col(textCol)), lit(0.5)), 6).as("med_chars"),
         round(percentile(length(col(textCol)), lit(0.9)), 6).as("p90_chars"))
 
+  /** Top-k TF-IDF terms per document: tf = in-doc count, idf =
+    * ln(N / df) with df = docs containing the term and N = docs with
+    * ≥1 token. Three keyed shuffles — (doc, term) counts, df via a
+    * term-partitioned window over the (doc, term) relation (one row
+    * per pair, so count(*) = document frequency), per-doc rank — and
+    * one broadcast of the scalar N. Ties rank lexicographically on
+    * the rounded score, so results replay across engines.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tc = df
+      .select(col(idCol), explode(toks(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val n      = tc.agg(countDistinct(col(idCol)).as("n_docs"))
+    val wTerm  = Window.partitionBy(col("term"))
+    val wDoc   = Window.partitionBy(col(idCol)).orderBy(desc("score"), col("term"))
+    tc.withColumn("df", count(lit(1)).over(wTerm))
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rank", row_number().over(wDoc))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("score"), col("rank"))
+  }
+
   /** Corpus vocabulary: top-k tokens by frequency (vocabulary /
     * BPE-seed construction over a lake). One explode + one hash
     * aggregation (partial map-side combine collapses each partition's

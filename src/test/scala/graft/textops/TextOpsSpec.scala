@@ -180,6 +180,23 @@ class TextOpsSpec extends SparkSpec {
     assert(got.getInt(1) == 5) // hello , world ! foo
   }
 
+  test("tfidfTopTerms ranks by tf*idf, breaks ties lexicographically, zeroes ubiquitous terms") {
+    val df = Seq(
+      (1L, "a a b z"),
+      (2L, "a c z"),
+      (3L, "b c c z")).toDF("doc_id", "text")
+    val got = TextStats.tfidfTopTerms(df, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank").collect()
+    // doc 1: a (tf=2) beats b (tf=1), both df=2
+    assert(got.filter(_.getLong(0) == 1L).map(_.getString(1)).toSeq == Seq("a", "b"))
+    // doc 2: a and c tie on score → lexicographic term order
+    assert(got.filter(_.getLong(0) == 2L).map(_.getString(1)).toSeq == Seq("a", "c"))
+    // z appears in every doc → idf = ln(1) = 0 → never in top-2
+    assert(!got.map(_.getString(1)).contains("z"))
+    val doc1a = got.find(r => r.getLong(0) == 1L && r.getString(1) == "a").get
+    assert(math.abs(doc1a.getAs[Double]("score") - 2 * math.log(1.5)) < 1e-5)
+  }
+
   test("fingerprint is deterministic and order-sensitive") {
     val fp = (t: String) =>
       Seq(Tuple1(t)).toDF("text").select(TextStats.fingerprint(col("text"))).head.getLong(0)
