@@ -11,7 +11,7 @@ import graft.combine.{Combiners, LabelModel, StructuredView}
 import graft.score.Score
 import graft.eval.Harness
 import graft.schema.SchemaId
-import graft.textops.{Dedup, Sampling, Similarity, TextStats}
+import graft.textops.{Curation, Dedup, Sampling, Similarity, TextStats}
 import graft.multimodal.Multimodal
 import graft.streaming.Sessionize
 
@@ -627,6 +627,35 @@ object SparkEntry {
     "q_tfidf_top_terms" -> ((s, dir) =>
       TextStats.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 3)
         .orderBy(col("doc_id"), col("rank"))),
+
+    // training-data ops: deny-list/PII scrub (counts measured on the
+    // original text, replacement applied in pattern order)
+    "q_pii_scrub" -> ((s, dir) =>
+      Curation.scrub(docs(s, dir), "doc_id", "text",
+          patterns = Curation.defaultPatterns :+ ("deny" -> "\\bkey\\b"))
+        .orderBy(col("doc_id"))),
+
+    // training-data ops: benchmark decontamination — docs sharing a
+    // word 3-gram with the held-out eval slice (doc_id % 97 == 0)
+    "q_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.contaminatedDocs(
+          d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // training-data ops: sequence packing — running-token-offset pack
+    // assignment per language stream, 64-token context windows
+    "q_seq_pack" -> ((s, dir) =>
+      Curation.packSequences(docs(s, dir), "doc_id", "text", Seq("lang"), maxTokens = 64)
+        .orderBy(col("doc_id"))),
+
+    // training-data ops: Gopher/C4 quality-rule flags + keep decision
+    "q_quality_rules" -> ((s, dir) =>
+      Curation.qualityRuleFlags(docs(s, dir), "doc_id", "text",
+          minTokens = 20, maxTokens = 100000, minMeanLen = 2.0, maxMeanLen = 10.0)
+        .orderBy(col("doc_id"))),
 
     // training-data ops: whitespace + BPE-ish token counts
     "q_token_count" -> ((s, dir) =>
@@ -1306,6 +1335,58 @@ object SparkEntry {
           c AS (SELECT token, count(*) AS n FROM tok GROUP BY token ORDER BY n DESC, token LIMIT 50)
          SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank
          FROM c ORDER BY rank""",
+
+    "q_pii_scrub" ->
+      """SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[REDACTED]', 'g'),
+                  '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[REDACTED]', 'g'),
+                  '\b\d{1,3}(?:\.\d{1,3}){3}\b', '[REDACTED]', 'g'),
+                  '\bkey\b', '[REDACTED]', 'g') AS clean_text,
+                CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+                CAST(len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS INT) AS n_phone,
+                CAST(len(regexp_extract_all(text, '\b\d{1,3}(?:\.\d{1,3}){3}\b')) AS INT) AS n_ipv4,
+                CAST(len(regexp_extract_all(text, '\bkey\b')) AS INT) AS n_deny
+         FROM documents ORDER BY doc_id""",
+
+    "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+                       FROM documents),
+          g AS (SELECT doc_id, list_aggregate(t[i+1:i+3], 'string_agg', ' ') AS gram
+                FROM toks, unnest(range(0, greatest(len(t) - 2, 0))) AS u(i)),
+          ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+         SELECT g.doc_id, count(DISTINCT g.gram) AS n_overlap
+         FROM g JOIN ev USING (gram) WHERE g.doc_id % 97 <> 0
+         GROUP BY g.doc_id ORDER BY g.doc_id""",
+
+    "q_seq_pack" ->
+      """WITH t AS (SELECT doc_id, lang,
+                           CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS INT) AS n_tok
+                    FROM documents),
+          c AS (SELECT doc_id, lang, n_tok,
+                       coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+                FROM t)
+         SELECT doc_id, lang, n_tok, cum // 64 AS pack_id, cum % 64 AS pack_offset
+         FROM c ORDER BY doc_id""",
+
+    "q_quality_rules" ->
+      """WITH t AS (SELECT doc_id, lower(text) AS lt,
+                           list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+                    FROM documents),
+          f AS (SELECT doc_id, lt, CAST(len(toks) AS INT) AS n_tok,
+                       CASE WHEN len(toks) > 0
+                            THEN round(CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum') AS DOUBLE) / len(toks), 6)
+                            ELSE 0.0 END AS mean_tok_len
+                FROM t)
+         SELECT doc_id, n_tok, mean_tok_len,
+                (n_tok >= 20 AND n_tok <= 100000) AS ok_word_count,
+                (mean_tok_len >= 2.0 AND mean_tok_len <= 10.0) AS ok_mean_len,
+                (strpos(lt, 'lorem ipsum') = 0) AS no_lorem,
+                (strpos(lt, '{') = 0) AS no_brace,
+                ((n_tok >= 20 AND n_tok <= 100000) AND (mean_tok_len >= 2.0 AND mean_tok_len <= 10.0)
+                 AND strpos(lt, 'lorem ipsum') = 0 AND strpos(lt, '{') = 0) AS keep
+         FROM f ORDER BY doc_id""",
 
     "q_tfidf_top_terms" ->
       """WITH tc AS (SELECT doc_id, t AS term, count(*) AS tf

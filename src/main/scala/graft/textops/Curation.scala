@@ -1,0 +1,166 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: deny-list /
+  * PII scrubbing, benchmark decontamination, sequence packing, and
+  * Gopher/C4-style quality rules.
+  *
+  * All four are designed for the 100 TB lake shape:
+  *  - scrub / quality rules are pure per-row column expressions
+  *    (codegen, zero shuffle, filters push to the scan);
+  *  - decontamination broadcasts the (small) benchmark's n-gram set,
+  *    so the corpus side is scan → hash-join → one keyed shuffle of
+  *    only the *contaminated* grams;
+  *  - packing is one window shuffle keyed by the pack partition
+  *    columns — add a shard column to the keys for parallelism when
+  *    one stream (e.g. one language) dominates.
+  */
+object Curation {
+
+  private def toks(text: Column): Column =
+    filter(split(text, " "), t => length(t) > 0)
+
+  // ---------------------------------------------------------------
+  // Deny-list / PII scrub
+  // ---------------------------------------------------------------
+
+  /** Default redaction patterns (ASCII, RE2-compatible so a SQL
+    * oracle replays them): email, NANP-style phone, IPv4.
+    */
+  val defaultPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b",
+    "ipv4"  -> "\\b\\d{1,3}(?:\\.\\d{1,3}){3}\\b")
+
+  /** Redact every pattern occurrence (applied in order, counts
+    * measured on the ORIGINAL text) and report per-pattern match
+    * counts. Output: id, clean_text, n_<name> per pattern. A pure
+    * projection — codegen'd regexes, no shuffle, linear scan.
+    */
+  def scrub(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      patterns: Seq[(String, String)] = defaultPatterns,
+      token: String = "[REDACTED]"): DataFrame = {
+    val clean = patterns.foldLeft(col(textCol)) {
+      case (acc, (_, re)) => regexp_replace(acc, re, token)
+    }
+    val counts = patterns.map { case (name, re) =>
+      size(regexp_extract_all(col(textCol), lit(re), lit(0))).as(s"n_$name")
+    }
+    df.select(col(idCol) +: clean.as("clean_text") +: counts: _*)
+  }
+
+  // ---------------------------------------------------------------
+  // Benchmark decontamination
+  // ---------------------------------------------------------------
+
+  /** Space-joined word n-grams of a token array (empty when the doc
+    * has fewer than n tokens — sequence() would count backwards).
+    */
+  def wordNgrams(t: Column, n: Int): Column =
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n), i => array_join(slice(t, i + lit(1), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Docs sharing at least one word n-gram with a benchmark/eval set
+    * — the standard train-set decontamination check (13-grams in
+    * real pipelines; n is a parameter). Returns
+    * (id, n_overlap = distinct shared grams).
+    *
+    * Scale shape: the eval side is a benchmark suite (thousands of
+    * docs) → its distinct gram set broadcasts; the corpus side never
+    * shuffles its full gram inventory — grams stream through the
+    * broadcast hash join and only the hits reach the per-doc count
+    * aggregation.
+    */
+  def contaminatedDocs(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(wordNgrams(toks(col(textCol)), n)).as("gram"))
+      .distinct()
+    corpus
+      .select(col(idCol), explode(wordNgrams(toks(col(textCol)), n)).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("gram")).as("n_overlap"))
+  }
+
+  // ---------------------------------------------------------------
+  // Sequence packing
+  // ---------------------------------------------------------------
+
+  /** Assign each doc to a fixed-size training sequence ("pack") by
+    * running token offset: pack_id = tokens-before div maxTokens,
+    * pack_offset = tokens-before mod maxTokens, per partition-column
+    * stream ordered by id. Docs may straddle a pack boundary (the
+    * writer splits them) — this is the streaming-friendly assignment
+    * used when greedy first-fit packing's sequential state is too
+    * expensive; it is a pure window cumsum, ONE shuffle on the
+    * partition columns. For skewed streams add a shard column
+    * (e.g. pmod(id, S)) to `partitionCols` — packing does not need
+    * one global stream, only deterministic ones.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      partitionCols: Seq[String],
+      maxTokens: Int): DataFrame = {
+    val w = Window
+      .partitionBy(partitionCols.map(col): _*)
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol) +: partitionCols.map(col) :+ size(toks(col(textCol))).as("n_tok"): _*)
+      .withColumn("cum", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"cum div $maxTokens"))
+      .withColumn("pack_offset", col("cum") % maxTokens)
+      .drop("cum")
+  }
+
+  // ---------------------------------------------------------------
+  // Gopher/C4-style quality rules
+  // ---------------------------------------------------------------
+
+  /** Per-doc quality-rule flags (Gopher word-count/mean-word-length
+    * bands, C4 lorem-ipsum and curly-brace filters) and the combined
+    * keep decision. Pure per-row expressions — the downstream
+    * `filter(col("keep"))` pushes to the scan.
+    */
+  def qualityRuleFlags(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Int = 50,
+      maxTokens: Int = 100000,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0): DataFrame = {
+    val t      = toks(col(textCol))
+    val nTok   = size(t)
+    val sumLen = aggregate(t, lit(0L), (acc, x) => acc + length(x))
+    val mean   = when(nTok > 0, round(sumLen.cast("double") / nTok, 6)).otherwise(0.0)
+    df.select(
+        col(idCol),
+        nTok.as("n_tok"),
+        mean.as("mean_tok_len"),
+        lower(col(textCol)).as("lt"))
+      .select(
+        col(idCol),
+        col("n_tok"),
+        col("mean_tok_len"),
+        (col("n_tok") >= minTokens && col("n_tok") <= maxTokens).as("ok_word_count"),
+        (col("mean_tok_len") >= minMeanLen && col("mean_tok_len") <= maxMeanLen).as("ok_mean_len"),
+        (!col("lt").contains("lorem ipsum")).as("no_lorem"),
+        (!col("lt").contains("{")).as("no_brace"))
+      .withColumn("keep",
+        col("ok_word_count") && col("ok_mean_len") && col("no_lorem") && col("no_brace"))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.textops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scrub redacts emails/phones/ips and counts on the original text") {
+    val df = Seq(
+      (1L, "mail me at a.b@test.org or call 555-123-4567 from 10.0.0.1"),
+      (2L, "nothing sensitive here")).toDF("doc_id", "text")
+    val got = Curation.scrub(df, "doc_id", "text").orderBy("doc_id").collect()
+    assert(got(0).getAs[String]("clean_text") ==
+      "mail me at [REDACTED] or call [REDACTED] from [REDACTED]")
+    assert(got(0).getAs[Int]("n_email") == 1)
+    assert(got(0).getAs[Int]("n_phone") == 1)
+    assert(got(0).getAs[Int]("n_ipv4") == 1)
+    assert(got(1).getAs[String]("clean_text") == "nothing sensitive here")
+    assert(got(1).getAs[Int]("n_email") == 0)
+  }
+
+  test("wordNgrams handles short docs and exact-length docs") {
+    val df = Seq((1L, "a b c d"), (2L, "a b"), (3L, "a b c")).toDF("doc_id", "text")
+    val t  = filter(split(col("text"), " "), x => length(x) > 0)
+    val got = df.select(col("doc_id"), Curation.wordNgrams(t, 3).as("g"))
+      .orderBy("doc_id").collect()
+    assert(got(0).getSeq[String](1) == Seq("a b c", "b c d"))
+    assert(got(1).getSeq[String](1) == Seq.empty)
+    assert(got(2).getSeq[String](1) == Seq("a b c"))
+  }
+
+  test("contaminatedDocs counts distinct shared n-grams against the eval set") {
+    val corpus = Seq(
+      (1L, "x y z w"),   // shares "x y z" and "y z w"
+      (2L, "x y q"),     // no full 3-gram overlap
+      (3L, "p q r")).toDF("doc_id", "text")
+    val eval = Seq((100L, "x y z w v")).toDF("doc_id", "text")
+    val got = Curation.contaminatedDocs(corpus, eval, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
+  test("packSequences assigns running-offset packs per stream") {
+    val df = Seq(
+      (1L, "en", "a b c"),      // 3 toks, cum 0 → pack 0 off 0
+      (2L, "en", "d e f g"),    // 4 toks, cum 3 → pack 0 off 3
+      (3L, "en", "h i"),        // cum 7 → pack 1 off 2 (max=5)
+      (4L, "de", "x y z")       // separate stream → pack 0 off 0
+    ).toDF("doc_id", "lang", "text")
+    val got = Curation.packSequences(df, "doc_id", "text", Seq("lang"), maxTokens = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(r.fieldIndex("pack_id")), r.getLong(r.fieldIndex("pack_offset"))))
+    assert(got.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 3L), (3L, 1L, 2L), (4L, 0L, 0L)))
+  }
+
+  test("qualityRuleFlags bands and content rules drive keep") {
+    val df = Seq(
+      (1L, "one two three four five six"),           // 6 toks, ok with min=5
+      (2L, "hi"),                                    // too short
+      (3L, "lorem ipsum dolor sit amet consectetur") // lorem rule
+    ).toDF("doc_id", "text")
+    val got = Curation.qualityRuleFlags(df, "doc_id", "text", minTokens = 5)
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Boolean]("keep"))
+    assert(!got(1).getAs[Boolean]("ok_word_count") && !got(1).getAs[Boolean]("keep"))
+    assert(!got(2).getAs[Boolean]("no_lorem") && !got(2).getAs[Boolean]("keep"))
+    val m = got(0).getAs[Double]("mean_tok_len")
+    assert(math.abs(m - 22.0 / 6) < 1e-5) // "one two three four five six": 22 letters / 6 tokens (rounded to 6dp)
+  }
+}
