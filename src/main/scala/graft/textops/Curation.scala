@@ -86,10 +86,11 @@ object Curation {
       n: Int): DataFrame = {
     val evalGrams = evalSet
       .select(explode(wordNgrams(toks(col(textCol)), n)).as("gram"))
-      .distinct()
     corpus
       .select(col(idCol), explode(wordNgrams(toks(col(textCol)), n)).as("gram"))
-      .join(broadcast(evalGrams), Seq("gram"))
+      // left_semi keeps each corpus gram at most once regardless of
+      // eval-side duplicates — no distinct shuffle on the eval side
+      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
       .groupBy(col(idCol))
       .agg(countDistinct(col("gram")).as("n_overlap"))
   }

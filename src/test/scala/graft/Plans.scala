@@ -14,7 +14,10 @@ object Plans {
       "q_nb_posterior", "q_text_f1",
       // round-2 operators
       "q_sessionize", "q_dedup_jaccard_capped", "q_dedup_clusters",
-      "q_vocab_topk", "q_stratified_sample", "q_order_revenue_join")
+      "q_vocab_topk", "q_stratified_sample", "q_order_revenue_join",
+      // curation operators
+      "q_pii_scrub", "q_decontaminate", "q_seq_pack", "q_quality_rules",
+      "q_tfidf_top_terms")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
