@@ -162,6 +162,21 @@ object SparkEntry {
   private def cosNSql(ab: String, na: String, nb: String) =
     s"CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0 ELSE $ab / (sqrt($na) * sqrt($nb)) END"
 
+  /** DuckDB: per-dimension Lloyd means — exact decimal(27,18) sums
+    * (order-independent, same quantization Spark applies) divided AS
+    * DOUBLES (mirrors kmeansCentroids' sum.cast(double)/count).
+    */
+  private val kmeansMeanSql = (1 to 64)
+    .map(d => s"CAST(sum(CAST(CAST(embedding[$d] AS DOUBLE) AS DECIMAL(27,18))) AS DOUBLE) / count(*) AS m$d")
+    .mkString(", ")
+
+  /** DuckDB: refined centroid elements; empty clusters keep their
+    * seed (kmeansCentroids' means.getOrElse(i, prev)).
+    */
+  private val kmeansNewCentroidSql = (1 to 64)
+    .map(d => s"COALESCE(m.m$d, CAST(c.ce[$d] AS DOUBLE))")
+    .mkString(", ")
+
   /** DuckDB CTE: distinct 3-gram shingle list per doc. */
   private val shinglesSql =
     """shing AS (SELECT doc_id, lang,
@@ -509,6 +524,18 @@ object SparkEntry {
       Similarity.ivfTopK(
         Tables.embeddings(s, dir), "vec_id", "embedding", queryVec(s, dir),
         k = 20, nCentroids = 16, nProbe = 4)),
+
+    // ANN learned-index path: ONE deterministic Lloyd round refines
+    // the seed centroids (decimal-exact sums → bit-stable means),
+    // then the same probe/argmax serve path. Train AND serve both
+    // replay in the DuckDB oracle — no rows-only escape hatch.
+    "q_ann_kmeans" -> ((s, dir) => {
+      val emb   = Tables.embeddings(s, dir)
+      val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 16, iters = 1, dim = 64)
+      Similarity.ivfTopK(
+        emb, "vec_id", "embedding", queryVec(s, dir),
+        k = 20, nCentroids = 16, nProbe = 4, learnedCentroids = Some(cents))
+    }),
 
     // §2.4 retrieval top-1 rank join per bucket (retrieval.py:31-36)
     "q_retrieval_top1" -> ((s, dir) =>
@@ -1193,6 +1220,36 @@ object SparkEntry {
                      ORDER BY ${cosNSql(dotSql("c.ce", "q.qe"), "c.cn", "q.qn")} DESC, c.cid ASC LIMIT 4),
           scored AS (SELECT a.vec_id, round(${cosNSql(dotSql("a.embedding", "q.qe"), "a.nrm", "q.qn")}, 6) AS cos
                      FROM asg a, q WHERE a.centroid_id IN (SELECT cid FROM probes))
+          SELECT vec_id, cos, CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+          FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 20""",
+
+    "q_ann_kmeans" ->
+      s"""WITH e2 AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nrm FROM embeddings),
+          q AS (SELECT embedding AS qe, nrm AS qn FROM e2 WHERE vec_id = 0),
+          c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, embedding AS ce, nrm AS cn
+                FROM (SELECT vec_id, embedding, nrm FROM e2 ORDER BY vec_id LIMIT 16)),
+          asg AS (SELECT vec_id, embedding, cid FROM (
+                    SELECT e.vec_id, e.embedding, c.cid,
+                           row_number() OVER (
+                             PARTITION BY e.vec_id
+                             ORDER BY ${cosNSql(dotSql("e.embedding", "c.ce"), "e.nrm", "c.cn")} DESC, c.cid ASC) AS rn
+                    FROM e2 e CROSS JOIN c)
+                  WHERE rn = 1),
+          m AS (SELECT cid, $kmeansMeanSql FROM asg GROUP BY cid),
+          nc AS (SELECT c.cid, list_value($kmeansNewCentroidSql) AS ce FROM c LEFT JOIN m ON c.cid = m.cid),
+          nc2 AS (SELECT cid, ce, ${dotSql("ce", "ce")} AS cn FROM nc),
+          asg2 AS (SELECT vec_id, nrm, cid AS centroid_id FROM (
+                     SELECT e.vec_id, e.embedding, e.nrm, n.cid,
+                            row_number() OVER (
+                              PARTITION BY e.vec_id
+                              ORDER BY ${cosNSql(dotSql("e.embedding", "n.ce"), "e.nrm", "n.cn")} DESC, n.cid ASC) AS rn
+                     FROM e2 e CROSS JOIN nc2 n)
+                   WHERE rn = 1),
+          probes AS (SELECT n.cid FROM nc2 n, q
+                     ORDER BY ${cosNSql(dotSql("n.ce", "q.qe"), "n.cn", "q.qn")} DESC, n.cid ASC LIMIT 4),
+          scored AS (SELECT a.vec_id, round(${cosNSql(dotSql("e.embedding", "q.qe"), "e.nrm", "q.qn")}, 6) AS cos
+                     FROM asg2 a JOIN e2 e ON a.vec_id = e.vec_id, q
+                     WHERE a.centroid_id IN (SELECT cid FROM probes))
           SELECT vec_id, cos, CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
           FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 20""",
 

@@ -187,15 +187,16 @@ object Similarity {
       // bit-stable across partitionings/cluster sizes (double
       // partial sums would drift in the low bits and could flip
       // assignment for near-tied vectors). The decimal(27,18)
-      // quantization of each element is itself deterministic.
+      // quantization of each element is itself deterministic, and
+      // the mean divides the exact sum AS A DOUBLE (not decimal
+      // division) so a SQL oracle replays it bit-for-bit.
       val means = withV
         .withColumn("cid", -array_max(cands).getField("ncid"))
         .groupBy(col("cid"))
         .agg(
           count(lit(1)).as("n"),
           (0 until dim).map(d =>
-            (sum(element_at(col("v"), d + 1).cast("decimal(27,18)")) / count(lit(1)))
-              .cast("double")
+            (sum(element_at(col("v"), d + 1).cast("decimal(27,18)")).cast("double") / count(lit(1)))
               .as(s"m$d")): _*)
         .collect()
         .map(r => r.getAs[Int]("cid") -> (0 until dim).map(d => r.getAs[Double](s"m$d")))
