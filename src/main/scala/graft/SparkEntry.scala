@@ -684,6 +684,12 @@ object SparkEntry {
           minTokens = 20, maxTokens = 100000, minMeanLen = 2.0, maxMeanLen = 10.0)
         .orderBy(col("doc_id"))),
 
+    // training-data ops: BM25 relevance top-k against fixed query
+    // terms (topic-targeted corpus assembly)
+    "q_bm25_topk" -> ((s, dir) =>
+      TextStats.bm25TopK(docs(s, dir), "doc_id", "text",
+        terms = Seq("spark", "data", "query"), k = 20)),
+
     // training-data ops: whitespace + BPE-ish token counts
     "q_token_count" -> ((s, dir) =>
       docs(s, dir)
@@ -1444,6 +1450,28 @@ object SparkEntry {
                 ((n_tok >= 20 AND n_tok <= 100000) AND (mean_tok_len >= 2.0 AND mean_tok_len <= 10.0)
                  AND strpos(lt, 'lorem ipsum') = 0 AND strpos(lt, '{') = 0) AS keep
          FROM f ORDER BY doc_id""",
+
+    "q_bm25_topk" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+                    FROM documents),
+          f AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl,
+                       CAST(len(list_filter(tk, x -> x = 'spark')) AS DOUBLE) AS tf_0,
+                       CAST(len(list_filter(tk, x -> x = 'data')) AS DOUBLE) AS tf_1,
+                       CAST(len(list_filter(tk, x -> x = 'query')) AS DOUBLE) AS tf_2
+                FROM t),
+          s AS (SELECT count(*) AS n_docs,
+                       CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE) / count(*) AS avgdl,
+                       sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+                       sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+                       sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+                FROM f),
+          sc AS (SELECT f.doc_id,
+                        round(  ln((n_docs - df_0 + 0.5) / (df_0 + 0.5) + 1.0) * (tf_0 * 2.2 / (tf_0 + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+                              + ln((n_docs - df_1 + 0.5) / (df_1 + 0.5) + 1.0) * (tf_1 * 2.2 / (tf_1 + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+                              + ln((n_docs - df_2 + 0.5) / (df_2 + 0.5) + 1.0) * (tf_2 * 2.2 / (tf_2 + 1.2 * (0.25 + 0.75 * (dl / avgdl)))), 6) AS score
+                 FROM f, s)
+         SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+         FROM (SELECT * FROM sc ORDER BY score DESC, doc_id ASC LIMIT 20) ORDER BY rank""",
 
     "q_tfidf_top_terms" ->
       """WITH tc AS (SELECT doc_id, t AS term, count(*) AS tf

@@ -143,6 +143,53 @@ object TextStats {
       .select(col(idCol), col("term"), col("tf"), col("score"), col("rank"))
   }
 
+  /** BM25 top-k relevance of each document to a fixed term set
+    * (Lucene-style idf: ln((N - df + 0.5)/(df + 0.5) + 1)). The
+    * standard relevance filter for assembling topic-targeted
+    * training corpora.
+    *
+    * Scale shape: corpus stats (N, avgdl, per-term df) reduce to ONE
+    * broadcast row; scoring is then a pure per-row expression and
+    * the top-k is a TakeOrdered — no wide shuffle anywhere. Terms
+    * are scored in argument order (the float sum replays in SQL).
+    */
+  def bm25TopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withT = df.select(col(idCol), toks(col(textCol)).as("t"))
+    val feats = withT.select(
+      col(idCol) +:
+        size(col("t")).cast("double").as("dl") +:
+        terms.indices.map(i =>
+          size(filter(col("t"), x => x === terms(i))).cast("double").as(s"tf_$i")): _*)
+    val stats = feats.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl").cast("long")).cast("double") / count(lit(1))).as("avgdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i")): _*)
+    val score = terms.indices
+      .map { i =>
+        val tf  = col(s"tf_$i")
+        val dfc = col(s"df_$i")
+        val idf = log((col("n_docs") - dfc + lit(0.5)) / (dfc + lit(0.5)) + lit(1.0))
+        idf * (tf * lit(k1 + 1.0) / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / col("avgdl")))))
+      }
+      .reduce(_ + _)
+    feats
+      .crossJoin(broadcast(stats))
+      .withColumn("score", round(score, 6))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("score"))
+      .withColumn("rank", row_number().over(Window.orderBy(desc("score"), col(idCol))))
+  }
+
   /** Corpus vocabulary: top-k tokens by frequency (vocabulary /
     * BPE-seed construction over a lake). One explode + one hash
     * aggregation (partial map-side combine collapses each partition's

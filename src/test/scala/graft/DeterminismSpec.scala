@@ -17,7 +17,9 @@ class DeterminismSpec extends SparkSpec {
     "q_dedup_minhash", "q_rank_attributes", "q_cosine_topk", "q_schema_eval_at_k",
     // round-2 operators
     "q_dedup_clusters", "q_sessionize", "q_stratified_sample", "q_vocab_topk",
-    "q_dedup_jaccard_capped", "q_ann_ivf")
+    "q_dedup_jaccard_capped", "q_ann_ivf",
+    // curation + learned-ANN operators
+    "q_ann_kmeans", "q_decontaminate", "q_seq_pack", "q_tfidf_top_terms")
 
   test("queries are stable across repeated runs") {
     sampleQueries.foreach { name =>

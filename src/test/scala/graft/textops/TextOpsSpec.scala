@@ -197,6 +197,22 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(doc1a.getAs[Double]("score") - 2 * math.log(1.5)) < 1e-5)
   }
 
+  test("bm25TopK ranks term-dense short docs first and ignores absent terms") {
+    val df = Seq(
+      (1L, "spark spark data"),          // dense in query terms
+      (2L, "spark and a lot of other words that dilute the match badly"),
+      (3L, "nothing relevant here at all"),
+      (4L, "data query")                 // two distinct terms, short doc
+    ).toDF("doc_id", "text")
+    val got = TextStats.bm25TopK(df, "doc_id", "text", Seq("spark", "data", "query"), k = 4)
+      .orderBy("rank").collect()
+    val order = got.map(_.getLong(0)).toSeq
+    assert(order.head == 4L || order.head == 1L) // term-dense docs on top
+    assert(order.last == 3L)                     // no query terms → minimum score
+    assert(got.map(_.getAs[Double]("score")).toSeq.reverse == got.map(_.getAs[Double]("score")).toSeq.sorted)
+    assert(got.last.getAs[Double]("score") == 0.0)
+  }
+
   test("fingerprint is deterministic and order-sensitive") {
     val fp = (t: String) =>
       Seq(Tuple1(t)).toDF("text").select(TextStats.fingerprint(col("text"))).head.getLong(0)
