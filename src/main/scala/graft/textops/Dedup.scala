@@ -262,9 +262,13 @@ object Dedup {
       .select(col("e.cc_u").as("cc_u"), col("e.cc_v").as("cc_v"))
       .distinct()
       .persist()
-    var labels = nodes
+    // `cached` is the handle .persist() was called on (unpersist must
+    // see that exact plan); `labels` is the (cc_id, cluster_id) view
+    // of it that each round consumes
+    var cached = nodes
       .select(col(idCol).as("cc_id"), col(idCol).as("cluster_id"))
       .persist()
+    var labels    = cached
     var converged = false
     var iter      = 0
     while (!converged && iter < maxIter) {
@@ -272,29 +276,30 @@ object Dedup {
         .join(labels, edges("cc_v") === labels("cc_id"))
         .groupBy(col("cc_u"))
         .agg(min(col("cluster_id")).as("cc_nbr_min"))
+      // carry the previous label through the update join so the
+      // convergence check needs no second labels join per round
       val next = labels
         .join(nbrMin, labels("cc_id") === nbrMin("cc_u"), "left")
         .select(
           col("cc_id"),
-          least(col("cluster_id"), coalesce(col("cc_nbr_min"), col("cluster_id"))).as("cluster_id"))
+          least(col("cluster_id"), coalesce(col("cc_nbr_min"), col("cluster_id"))).as("cc_next"),
+          col("cluster_id").as("cc_prev"))
         .persist()
-      // full count, not limit(1): the aggregation scans every
+      // full aggregation, not limit(1): the count scans every
       // partition, so `next` is completely materialized into the
       // cache here — a short-circuiting probe would leave partitions
       // uncached and each later round would recompute them through
       // the whole unpersisted lineage (pair generation included)
-      val changed = next
-        .join(labels.withColumnRenamed("cluster_id", "cc_prev"), "cc_id")
-        .filter(col("cluster_id") =!= col("cc_prev"))
-        .count()
-      labels.unpersist()
-      labels = next
+      val changed = next.filter(col("cc_next") =!= col("cc_prev")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("cc_id"), col("cc_next").as("cluster_id"))
       converged = changed == 0
       iter += 1
     }
     if (!converged) {
       edges.unpersist()
-      labels.unpersist()
+      cached.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — component diameter exceeds " +
           s"maxIter; raise maxIter (or use alternating large-star/small-star for high-diameter graphs)")

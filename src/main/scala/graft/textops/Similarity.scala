@@ -26,10 +26,16 @@ object Similarity {
     cosine(v, q)
   }
 
+  /** Dot product of two ARRAY<DOUBLE> columns: the codegen'd
+    * expression (graft.expressions.DotProduct), bit-identical to the
+    * `aggregate(zip_with(a, b, *), 0.0, +)` fold it replaced but one
+    * fused primitive loop instead of per-element interpreted lambdas.
+    */
+  def dot(x: Column, y: Column): Column =
+    graft.expressions.DotProduct.dotD(x, y)
+
   /** Cosine of two double-array columns. */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, t) => acc + t)
     val na = dot(a, a)
     val nb = dot(b, b)
     when(na === 0.0 || nb === 0.0, 0.0).otherwise(dot(a, b) / (sqrt(na) * sqrt(nb)))
@@ -109,15 +115,13 @@ object Similarity {
     // bit-identical to the brute-force path and the oracle replay.
     // argmax = array_max over (cos, -cid) structs: max cosine, ties
     // to the smallest centroid id.
-    def dotc(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, t) => acc + t)
     val withV = embeddings
       .withColumn("v", transform(col(vecCol), x => x.cast("double")))
-      .withColumn("nrm", dotc(col("v"), col("v")))
+      .withColumn("nrm", dot(col("v"), col("v")))
     val cands = array(centroids.map { case (i, c) =>
       val cn = c.map(x => x * x).sum
       val cos = when(col("nrm") === 0.0 || lit(cn) === 0.0, 0.0)
-        .otherwise(dotc(col("v"), typedLit(c)) / (sqrt(col("nrm")) * lit(math.sqrt(cn))))
+        .otherwise(dot(col("v"), typedLit(c)) / (sqrt(col("nrm")) * lit(math.sqrt(cn))))
       struct(cos.as("cos"), lit(-i).as("ncid"))
     }: _*)
     val assigned = withV
@@ -172,14 +176,12 @@ object Similarity {
       .map { case (v, i) => (i, v) }
     val withV = embeddings
       .withColumn("v", transform(col(vecCol), x => x.cast("double")))
-      .withColumn("nrm", sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, b) => a + b)))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     (0 until iters).foreach { _ =>
       val cands = array(centroids.map { case (i, c) =>
         val cn = math.sqrt(c.map(x => x * x).sum)
         val cos = when(col("nrm") === 0.0 || lit(cn) === 0.0, 0.0)
-          .otherwise(
-            aggregate(zip_with(col("v"), typedLit(c), (p, q) => p * q), lit(0.0), (a, b) => a + b)
-              / (col("nrm") * lit(cn)))
+          .otherwise(dot(col("v"), typedLit(c)) / (col("nrm") * lit(cn)))
         struct(cos.as("cos"), lit(-i).as("ncid"))
       }: _*)
       // decimal sums, not double avg: decimal addition is
@@ -219,10 +221,8 @@ object Similarity {
     // precompute per-row norms once; the pair stage computes only the
     // cross dot product (3× fewer flops than re-deriving norms per
     // pair). Expression form beats a Scala UDF here: the UDF pays
-    // UnsafeArrayData→Seq boxing per pair (measured 3.2s vs 1.9s at
-    // sf0.1), while zip_with/aggregate read the arrays in place.
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, t) => acc + t)
+    // UnsafeArrayData→Seq boxing per pair, while the codegen'd dot
+    // expression reads the arrays in place.
     val withNorm = embeddings.select(
       col(bucketCol),
       col(idCol),

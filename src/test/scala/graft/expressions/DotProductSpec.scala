@@ -1,0 +1,48 @@
+package graft.expressions
+
+import graft.SparkSpec
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+class DotProductSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hofDot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, t) => acc + t)
+
+  test("dot_d is bit-identical to the HOF fold on real embeddings") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("w", reverse(col("v")))
+    val cmp = e.select(
+      DotProduct.dotD(col("v"), col("w")).as("native"),
+      hofDot(col("v"), col("w")).as("hof"))
+    // exact bit equality, not approximate: the fold order must match
+    assert(cmp.filter(col("native") =!= col("hof")).count() == 0)
+    assert(cmp.filter(col("native").isNull).count() == 0)
+  }
+
+  test("dot_d null semantics match zip_with padding / null propagation") {
+    val df = Seq(
+      (Seq(1.0, 2.0), Seq(3.0, 4.0)),         // 11.0
+      (Seq(1.0, 2.0, 9.0), Seq(3.0, 4.0)),    // length mismatch -> null
+      (Seq.empty[Double], Seq.empty[Double])  // 0.0
+    ).toDF("a", "b")
+    val got = df.select(DotProduct.dotD(col("a"), col("b")).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(got.toSeq == Seq(11.0, null, 0.0))
+
+    // null element -> null (matches NULL propagating through * and +)
+    val withNull = spark.sql("SELECT array(1.0D, CAST(NULL AS DOUBLE)) a, array(2.0D, 3.0D) b")
+    DotProduct.register(spark)
+    assert(withNull.selectExpr("dot_d(a, b) d").head.isNullAt(0))
+    // whole-array null input -> null
+    assert(spark.sql("SELECT dot_d(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) d").head.isNullAt(0))
+  }
+
+  test("interpreted eval matches codegen path") {
+    // force the interpreted path through an expression eval on literals
+    val d = spark.sql("SELECT dot_d(array(1.5D, -2.0D), array(4.0D, 0.25D)) d").head.getDouble(0)
+    assert(d == 1.5 * 4.0 + -2.0 * 0.25)
+  }
+}
