@@ -67,6 +67,27 @@ object Curation {
       transform(sequence(lit(0), size(t) - n), i => array_join(slice(t, i + lit(1), lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
 
+  /** DISTINCT word n-grams as one Scala call — the hot-path variant
+    * (same reasoning as Dedup.shinglesFast: the HOF chain runs
+    * interpreted and re-inlines per consumer). Set semantics equal
+    * array_distinct(wordNgrams(toks(text), n)): first-occurrence
+    * order, empty when the doc has fewer than n tokens — unlike
+    * shinglesFast, which emits one short shingle for short docs.
+    */
+  def wordNgramsFastDistinct(text: Column, n: Int): Column = {
+    val f = udf((t: String) => {
+      val toks = if (t == null) Array.empty[String] else t.split(" ").filter(_.nonEmpty)
+      if (toks.length < n) Seq.empty[String]
+      else {
+        val seen = new java.util.LinkedHashSet[String]()
+        var i    = 0
+        while (i <= toks.length - n) { seen.add(toks.slice(i, i + n).mkString(" ")); i += 1 }
+        seen.toArray(new Array[String](seen.size)).toSeq
+      }
+    })
+    f(text)
+  }
+
   /** Docs sharing at least one word n-gram with a benchmark/eval set
     * — the standard train-set decontamination check (13-grams in
     * real pipelines; n is a parameter). Returns
@@ -84,15 +105,24 @@ object Curation {
       idCol: String,
       textCol: String,
       n: Int): DataFrame = {
+    // per-doc DISTINCT grams (one JVM call per row), then 8-byte
+    // xxhash64 join keys instead of gram strings: the broadcast set
+    // and the per-gram compares shrink ~10×, and distinct-per-doc
+    // cuts the explode volume. count(distinct hash) equals
+    // count(distinct gram) up to 64-bit collisions (~1e-10 at
+    // millions of grams — the same accepted trade as the Jaccard
+    // family's hashed shingles).
     val evalGrams = evalSet
-      .select(explode(wordNgrams(toks(col(textCol)), n)).as("gram"))
+      .select(explode(wordNgramsFastDistinct(col(textCol), n)).as("gram"))
+      .select(xxhash64(col("gram")).as("gram_h"))
     corpus
-      .select(col(idCol), explode(wordNgrams(toks(col(textCol)), n)).as("gram"))
+      .select(col(idCol), explode(wordNgramsFastDistinct(col(textCol), n)).as("gram"))
+      .select(col(idCol), xxhash64(col("gram")).as("gram_h"))
       // left_semi keeps each corpus gram at most once regardless of
       // eval-side duplicates — no distinct shuffle on the eval side
-      .join(broadcast(evalGrams), Seq("gram"), "left_semi")
+      .join(broadcast(evalGrams), Seq("gram_h"), "left_semi")
       .groupBy(col(idCol))
-      .agg(countDistinct(col("gram")).as("n_overlap"))
+      .agg(countDistinct(col("gram_h")).as("n_overlap"))
   }
 
   // ---------------------------------------------------------------

@@ -30,6 +30,18 @@ class CurationSpec extends SparkSpec {
     assert(got(2).getSeq[String](1) == Seq("a b c"))
   }
 
+  test("wordNgramsFastDistinct equals array_distinct(wordNgrams) on real docs") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val t = filter(split(col("text"), " "), x => length(x) > 0)
+    val cmp = d.select(
+      Curation.wordNgramsFastDistinct(col("text"), 3).as("fast"),
+      array_distinct(Curation.wordNgrams(t, 3)).as("hof"))
+    assert(cmp.filter(not(col("fast") <=> col("hof"))).count() == 0)
+    // short-doc edge: empty, not a truncated gram
+    val short = Seq((1L, "a b")).toDF("doc_id", "text")
+    assert(short.select(Curation.wordNgramsFastDistinct(col("text"), 3)).head.getSeq[String](0).isEmpty)
+  }
+
   test("contaminatedDocs counts distinct shared n-grams against the eval set") {
     val corpus = Seq(
       (1L, "x y z w"),   // shares "x y z" and "y z w"
