@@ -13,7 +13,7 @@ import graft.eval.Harness
 import graft.schema.SchemaId
 import graft.textops.{Curation, Dedup, Sampling, Similarity, TextStats}
 import graft.multimodal.Multimodal
-import graft.streaming.Sessionize
+import graft.streaming.{EventWindows, Sessionize}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -690,6 +690,26 @@ object SparkEntry {
       TextStats.bm25TopK(docs(s, dir), "doc_id", "text",
         terms = Seq("spark", "data", "query"), k = 20)),
 
+    // training-data ops: unigram-LM cross-entropy (CCNet-style
+    // perplexity filter; ppl = exp(xent) is monotone in xent) — top-25
+    // vocab + half-count OOV floor, decimal-exact per-doc sums
+    "q_unigram_ppl" -> ((s, dir) =>
+      TextStats.unigramXent(docs(s, dir), "doc_id", "text", vocabK = 25)
+        .orderBy(col("doc_id"))),
+
+    // training-data ops: temperature-scaled domain mixture weights
+    // (alpha-sampling over per-source token shares)
+    "q_domain_mix" -> ((s, dir) =>
+      Sampling.domainMixWeights(docs(s, dir), "source", "text", alpha = 0.3)
+        .orderBy(col("source"))),
+
+    // training-data ops: cross-doc repeated-sentence (boilerplate)
+    // profile — testdata has no punctuation, so pseudo-sentences
+    // split on " the "; real lakes use the default ". "/newline split
+    "q_boilerplate" -> ((s, dir) =>
+      Curation.boilerplateProfile(docs(s, dir), "doc_id", "text", maxDf = 2, sepRegex = " the ")
+        .orderBy(col("doc_id"))),
+
     // training-data ops: whitespace + BPE-ish token counts
     "q_token_count" -> ((s, dir) =>
       docs(s, dir)
@@ -804,6 +824,20 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("rn"))
         .orderBy(col("user_id"), col("rn"))
     }),
+
+    // north-star event op: tumbling event-time windows (1-day
+    // buckets × event type) — one hash aggregation with map-side
+    // combine; the streaming variant shares the grouping
+    "q_event_windows" -> ((s, dir) =>
+      EventWindows
+        .tumblingStats(events(s, dir), "ts", "event_type", "value", windowLen = "1 day")
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          date_format(col("window_end"), "yyyy-MM-dd HH:mm:ss").as("window_end"),
+          col("event_type"),
+          col("n_events"),
+          col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))),
 
     // north-star event op: gap-based sessionization (6h gap) —
     // per-user window boundary flags + running sum, then per-session
@@ -1472,6 +1506,52 @@ object SparkEntry {
                  FROM f, s)
          SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
          FROM (SELECT * FROM sc ORDER BY score DESC, doc_id ASC LIMIT 20) ORDER BY rank""",
+
+    "q_unigram_ppl" ->
+      """WITH toks AS (SELECT doc_id, t AS token
+                       FROM documents, unnest(string_split(text, ' ')) AS u(t) WHERE len(t) > 0),
+          counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+          tot AS (SELECT sum(cnt) AS total FROM counts),
+          vocab AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT 25),
+          scored AS (SELECT t.doc_id,
+                            CAST(CASE WHEN v.cnt IS NOT NULL THEN ln(CAST(v.cnt AS DOUBLE) / total)
+                                      ELSE ln(0.5 / total) END AS DECIMAL(27,18)) AS lp
+                     FROM toks t LEFT JOIN vocab v USING (token) CROSS JOIN tot)
+         SELECT doc_id, CAST(count(*) AS INT) AS n_tok,
+                round(-(CAST(sum(lp) AS DOUBLE) / count(*)), 6) AS xent
+         FROM scored GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_domain_mix" ->
+      """WITH d AS (SELECT source, sum(len(list_filter(string_split(text, ' '), x -> len(x) > 0))) AS domain_tok
+                    FROM documents GROUP BY source),
+          tot AS (SELECT sum(domain_tok) AS total_tok FROM d),
+          p AS (SELECT source, domain_tok,
+                       CAST(pow(CAST(domain_tok AS DOUBLE) / total_tok, 0.3) AS DECIMAL(27,18)) AS p_alpha
+                FROM d CROSS JOIN tot),
+          z AS (SELECT sum(p_alpha) AS z FROM p)
+         SELECT source, domain_tok,
+                round(CAST(domain_tok AS DOUBLE) / (SELECT CAST(total_tok AS DOUBLE) FROM tot), 6) AS share,
+                round(CAST(p_alpha AS DOUBLE) / CAST(z AS DOUBLE), 6) AS weight
+         FROM p CROSS JOIN z ORDER BY source""",
+
+    "q_boilerplate" ->
+      """WITH s AS (SELECT doc_id, sent
+                    FROM documents, unnest(string_split(text, ' the ')) AS u(sent) WHERE len(sent) > 0),
+          sd AS (SELECT sent, count(DISTINCT doc_id) AS sent_df FROM s GROUP BY sent)
+         SELECT s.doc_id, CAST(count(*) AS INT) AS n_sent,
+                CAST(sum(CASE WHEN sent_df > 2 THEN 1 ELSE 0 END) AS INT) AS n_boiler,
+                round(CAST(sum(CASE WHEN sent_df > 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS boiler_ratio
+         FROM s JOIN sd USING (sent) GROUP BY s.doc_id ORDER BY s.doc_id""",
+
+    "q_event_windows" ->
+      """WITH b AS (SELECT epoch_us(ts) // 86400000000 AS bucket, event_type,
+                           CAST(value AS DECIMAL(27,6)) AS v
+                    FROM events)
+         SELECT strftime(make_timestamp(bucket * 86400000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+                strftime(make_timestamp((bucket + 1) * 86400000000), '%Y-%m-%d %H:%M:%S') AS window_end,
+                event_type, count(*) AS n_events,
+                round(CAST(sum(v) AS DOUBLE), 6) AS sum_value
+         FROM b GROUP BY bucket, event_type ORDER BY window_start, event_type""",
 
     "q_tfidf_top_terms" ->
       """WITH tc AS (SELECT doc_id, t AS term, count(*) AS tf

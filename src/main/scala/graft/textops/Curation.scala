@@ -126,6 +126,48 @@ object Curation {
   }
 
   // ---------------------------------------------------------------
+  // Cross-document boilerplate (repeated-sentence) removal
+  // ---------------------------------------------------------------
+
+  /** Per-doc boilerplate profile: sentences (". "-separated spans,
+    * empties dropped) whose corpus-wide document frequency exceeds
+    * `maxDf` are boilerplate (nav bars, footers, license blurbs —
+    * the CCNet/C4 repeated-line filter at sentence granularity).
+    * Output per doc: n_sent, n_boiler (sentence positions whose
+    * sentence is boilerplate), boiler_ratio.
+    *
+    * Scale shape: two keyed aggregations — per-(doc, sentence-hash)
+    * explode feeds a sentence-df count (map-side combine; the
+    * sentence TEXT never shuffles, only 64-bit xxhash64 keys — the
+    * Jaccard family's accepted collision trade), then the df relation
+    * joins back on the hash and reduces per doc. Hot sentences are
+    * exactly the boilerplate ones, and they arrive pre-aggregated as
+    * one (hash, df) row each, so the join can't skew.
+    */
+  def boilerplateProfile(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDf: Int,
+      sepRegex: String = "\\. |\\n"): DataFrame = {
+    val sents = df.select(
+      col(idCol),
+      explode(filter(split(col(textCol), sepRegex), s => length(s) > 0)).as("sent"))
+      .select(col(idCol), xxhash64(col("sent")).as("sent_h"))
+    // document frequency per sentence hash: distinct docs containing it
+    val sdf = sents
+      .groupBy(col("sent_h"))
+      .agg(countDistinct(col(idCol)).as("sent_df"))
+    sents
+      .join(sdf, Seq("sent_h"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_sent"),
+        sum(when(col("sent_df") > maxDf, 1).otherwise(0)).cast("int").as("n_boiler"))
+      .withColumn("boiler_ratio", round(col("n_boiler").cast("double") / col("n_sent"), 6))
+  }
+
+  // ---------------------------------------------------------------
   // Sequence packing
   // ---------------------------------------------------------------
 

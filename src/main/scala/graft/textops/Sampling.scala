@@ -35,4 +35,46 @@ object Sampling {
     }
     df.filter(keepPct(col(idCol), pct, salt))
   }
+
+  /** Temperature-scaled domain mixture weights (the multilingual-LM
+    * alpha-sampling rule: w_i ∝ p_i^alpha with p_i = domain i's token
+    * share; alpha<1 upweights tail domains, alpha=1 keeps natural
+    * proportions). Output per domain: token count, natural share,
+    * mixture weight (sums to 1).
+    *
+    * Scale shape: token counting is one hash aggregation with
+    * map-side combine; the domain relation that follows is tiny
+    * (#domains rows), so the normalization runs on a broadcast-sized
+    * frame. Cross-engine parity: pow() is quantized to
+    * DECIMAL(27,18) per domain, the normalizing sum is decimal-exact,
+    * and the final divide runs in doubles rounded to 6dp.
+    */
+  def domainMixWeights(
+      df: DataFrame,
+      domainCol: String,
+      textCol: String,
+      alpha: Double): DataFrame = {
+    val toks = filter(split(col(textCol), " "), t => length(t) > 0)
+    val byDomain = df
+      .select(col(domainCol), size(toks).cast("long").as("n_tok"))
+      .groupBy(col(domainCol))
+      .agg(sum(col("n_tok")).as("domain_tok"))
+    val total = byDomain.agg(sum(col("domain_tok")).as("total_tok"))
+    val powD = pow(col("domain_tok").cast("double") / col("total_tok"), lit(alpha))
+      .cast("decimal(27,18)")
+    val withPow = byDomain
+      .crossJoin(broadcast(total))
+      .withColumn("p_alpha", powD)
+    val z = withPow.agg(sum(col("p_alpha")).as("z"))
+    withPow
+      .crossJoin(broadcast(z))
+      .select(
+        col(domainCol),
+        col("domain_tok"),
+        round(col("domain_tok").cast("double") / col("total_tok"), 6).as("share"),
+        // divide in doubles (decimal/decimal quotient scale rules
+        // differ across engines); decimal->double casts are
+        // correctly-rounded in both
+        round(col("p_alpha").cast("double") / col("z").cast("double"), 6).as("weight"))
+  }
 }

@@ -190,6 +190,45 @@ object TextStats {
       .withColumn("rank", row_number().over(Window.orderBy(desc("score"), col(idCol))))
   }
 
+  /** Per-doc unigram-LM cross-entropy (the CCNet-style perplexity
+    * filter: docs whose token distribution diverges from the corpus
+    * LM score high and get bucketed/dropped; perplexity = exp(xent)
+    * is monotone in the returned xent, so thresholds translate).
+    *
+    * Model: p(tok) = corpusCount/totalTokens for the top-`vocabK`
+    * tokens (count desc, token asc — deterministic cut); out-of-vocab
+    * tokens get ln(0.5/totalTokens) (a half-count floor). Per-doc
+    * xent = -avg(ln p).
+    *
+    * Scale shape: vocab fitting is one hash aggregation + a k-row
+    * TakeOrdered; scoring is one explode + a broadcast join against
+    * the (bounded-size) vocab + one doc-key aggregation. The corpus
+    * never shuffles its token inventory. Cross-engine parity: each
+    * token's ln(p) is quantized to DECIMAL(27,18) (deterministic in
+    * both engines), the per-doc sum is decimal-exact (order-free),
+    * and the final divide runs in doubles, rounded to 6dp.
+    */
+  def unigramXent(df: DataFrame, idCol: String, textCol: String, vocabK: Int): DataFrame = {
+    val tokens = df.select(col(idCol), explode(toks(col(textCol))).as("token"))
+    val counts = tokens.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total  = counts.agg(sum(col("cnt")).as("total"))
+    val vocab = counts
+      .orderBy(desc("cnt"), col("token"))
+      .limit(vocabK)
+    tokens
+      .join(broadcast(vocab), Seq("token"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn(
+        "lp",
+        when(col("cnt").isNotNull, log(col("cnt").cast("double") / col("total")))
+          .otherwise(log(lit(0.5) / col("total")))
+          .cast("decimal(27,18)"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_tok"),
+        round(-(sum(col("lp")).cast("double") / count(lit(1))), 6).as("xent"))
+  }
+
   /** Corpus vocabulary: top-k tokens by frequency (vocabulary /
     * BPE-seed construction over a lake). One explode + one hash
     * aggregation (partial map-side combine collapses each partition's

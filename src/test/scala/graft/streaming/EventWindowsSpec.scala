@@ -1,0 +1,56 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class EventWindowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val eventsDf = Seq(
+    (ts("2026-01-01 00:10:00"), "click", 1.5),
+    (ts("2026-01-01 00:50:00"), "click", 2.5),
+    (ts("2026-01-01 00:20:00"), "view", 10.0),
+    (ts("2026-01-01 01:05:00"), "click", 4.0))
+    .toDF("ts", "event_type", "value")
+
+  test("tumblingStats buckets by epoch-aligned windows with exact decimal sums") {
+    val got = EventWindows
+      .tumblingStats(eventsDf, "ts", "event_type", "value", windowLen = "1 hour")
+      .select(
+        date_format(col("window_start"), "HH:mm").as("w"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy(col("w"), col("event_type"))
+    assert(rows(got) == Seq(
+      Seq("00:00", "click", 2L, 4.0),
+      Seq("00:00", "view", 1L, 10.0),
+      Seq("01:00", "click", 1L, 4.0)))
+  }
+
+  test("window_end = window_start + length") {
+    val got = EventWindows
+      .tumblingStats(eventsDf, "ts", "event_type", "value", windowLen = "1 hour")
+      .filter(unix_micros(col("window_end")) - unix_micros(col("window_start")) =!= 3600000000L)
+    assert(got.count() == 0)
+  }
+
+  test("streamingTumblingStats is a valid watermarked streaming aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = EventWindows.streamingTumblingStats(
+      in.toDF().toDF("ts", "event_type", "value"),
+      "ts", "event_type", "value", windowLen = "1 hour", watermark = "10 minutes")
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName("win_out").start()
+    in.addData(
+      (ts("2026-01-01 00:10:00"), "click", 1.0),
+      (ts("2026-01-01 00:40:00"), "click", 2.0),
+      (ts("2026-01-01 02:00:00"), "view", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("win_out")
+    assert(got.count() == 2)
+    assert(got.filter(col("event_type") === "click").head.getAs[Long]("n_events") == 2L)
+  }
+}
