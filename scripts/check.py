@@ -27,7 +27,10 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        # keep a type marker so a BIGINT column on one side vs a
+        # float-widened HUGEINT on the other (1136 vs 1136.0) fails
+        # locally the same way the driver's stricter hash does
+        return f"f:{v:.6g}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm(x) for x in v) + "]"
     return str(v)

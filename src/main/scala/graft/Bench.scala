@@ -39,7 +39,11 @@ object Bench {
     // a pure-projection query costs up to 6s of compile, 0.5s steady
     // — and at deployment scale the one-time compile amortizes to
     // zero, so steady state is the number that predicts 100 TB cost.
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // optional comma-separated query filter for local profiling runs
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val ok =
         try { evalAll(fn(spark, sfDir)); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); false }
@@ -47,6 +51,17 @@ object Bench {
       if (ok) evalAll(fn(spark, sfDir))
       val sec = (System.nanoTime() - t0) / 1e9
       if (!ok) System.err.println(s"[bench] $name FAILED")
+      // drop persisted frames a query leaves behind (e.g. the CC
+      // label cache): queries are independent, so any surviving cache
+      // entry is pure storage-memory pressure on every later query —
+      // this is what inflated round-2 numbers (q_dedup_clusters read
+      // 13.4s in the full run vs 4.2s in isolation)
+      spark.catalog.clearCache()
+      // collect the previous query's garbage OUTSIDE the next timed
+      // window: without this, allocation-heavy queries charge their
+      // GC debt to whichever query runs next (observed 1.6s → 6.3s
+      // swings on q_ann_kmeans purely from run order)
+      System.gc()
       name -> sec
     }
     // Locale.ROOT: the f-interpolator is locale-sensitive and would

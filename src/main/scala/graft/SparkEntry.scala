@@ -1464,7 +1464,8 @@ object SparkEntry {
                        coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
                                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
                 FROM t)
-         SELECT doc_id, lang, n_tok, cum // 64 AS pack_id, cum % 64 AS pack_offset
+         SELECT doc_id, lang, n_tok, CAST(cum // 64 AS BIGINT) AS pack_id,
+                CAST(cum % 64 AS BIGINT) AS pack_offset
          FROM c ORDER BY doc_id""",
 
     "q_quality_rules" ->
@@ -1522,7 +1523,7 @@ object SparkEntry {
          FROM scored GROUP BY doc_id ORDER BY doc_id""",
 
     "q_domain_mix" ->
-      """WITH d AS (SELECT source, sum(len(list_filter(string_split(text, ' '), x -> len(x) > 0))) AS domain_tok
+      """WITH d AS (SELECT source, CAST(sum(len(list_filter(string_split(text, ' '), x -> len(x) > 0))) AS BIGINT) AS domain_tok
                     FROM documents GROUP BY source),
           tot AS (SELECT sum(domain_tok) AS total_tok FROM d),
           p AS (SELECT source, domain_tok,

@@ -75,15 +75,63 @@ object Dedup {
     f(text)
   }
 
+  /** Distinct shingles as 64-bit hashes, computed in one JVM pass —
+    * the hot-path form the pair pipelines explode. Skipping the
+    * string array (UDF→UTF8String conversion, string explode, a
+    * separate xxhash64 projection) halves the inverted-index build
+    * cost; 64-bit hashes keep collision odds ~1e-10 at millions of
+    * distinct shingles (same argument as the previous explode+xxhash
+    * form). Hash = XXH64 over the shingle's UTF-8 bytes, seed 42 —
+    * identical input set to shinglesFast (asserted in TextOpsSpec).
+    */
+  def shingleHashes(text: Column, n: Int): Column = {
+    val f = udf((t: String) => {
+      val toks  = if (t == null) Array.empty[String] else t.split(" ").filter(_.nonEmpty)
+      val limit = math.max(toks.length - (n - 1), 1)
+      val out   = new Array[Long](limit)
+      val sb    = new java.lang.StringBuilder(64)
+      var i     = 0
+      while (i < limit) {
+        sb.setLength(0)
+        var j = i
+        val end = math.min(i + n, toks.length)
+        while (j < end) {
+          if (j > i) sb.append(' ')
+          sb.append(toks(j))
+          j += 1
+        }
+        val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+        i += 1
+      }
+      // sort+dedup (no boxing): explode order is irrelevant downstream
+      java.util.Arrays.sort(out)
+      var w = 0
+      var r = 0
+      while (r < out.length) {
+        if (r == 0 || out(r) != out(r - 1)) { out(w) = out(r); w += 1 }
+        r += 1
+      }
+      out.take(w).toSeq
+    })
+    f(text)
+  }
+
   /** Jaccard-similar candidate pairs within a blocking bucket:
     * |A∩B| / |A∪B| over distinct shingles.
     *
     * Implemented as an inverted shingle index, not an all-pairs
-    * nested loop: explode distinct shingles, equi-join on
-    * (bucket, shingle), count common shingles per pair. Pairs with
-    * zero overlap are never materialized, so cost scales with
-    * actual shingle collisions — the only formulation that survives
-    * 100 TB (the n² loop dies at thousands of docs per bucket).
+    * nested loop: explode distinct shingle hashes, count common
+    * shingles per colliding pair. Pairs with zero overlap are never
+    * materialized, so cost scales with actual shingle collisions —
+    * the only formulation that survives 100 TB (the n² loop dies at
+    * thousands of docs per bucket).
+    *
+    * One shuffle keyed (bucket, shingle) serves both the df count
+    * (window) and the posting-list aggregation (exchange-free after
+    * the window), so singleton shingles — the vast majority — never
+    * reach the ObjectHashAggregate that builds posting lists.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -92,14 +140,17 @@ object Dedup {
       textCol: String,
       n: Int = 3): DataFrame = {
     val withSh = df
-      .select(col(bucketCol), col(idCol), shinglesFast(col(textCol), n).as("sh"))
+      .select(col(bucketCol), col(idCol), shingleHashes(col(textCol), n).as("sh"))
       .withColumn("sz", size(col("sh")))
-    // shuffle 8-byte shingle hashes, not strings (64-bit xxhash:
-    // collision odds ~1e-10 for millions of distinct shingles)
     val inv = withSh
       .select(col(bucketCol), col(idCol), col("sz"), explode(col("sh")).as("shingle"))
-      .withColumn("shingle", xxhash64(col("shingle")))
-    pairsFromInvertedIndex(inv, bucketCol, idCol, maxDf = Int.MaxValue)
+    val wSh = Window.partitionBy(col(bucketCol), col("shingle"))
+    val kept = inv
+      .withColumn("df", count(lit(1)).over(wSh))
+      .filter(col("df") > 1)
+    pairsFromInvertedIndex(
+      kept.select(col(bucketCol), col(idCol), col("sz"), col("shingle")),
+      bucketCol, idCol, maxDf = Int.MaxValue)
   }
 
   /** Jaccard pairs over the DF-CAPPED shingle space: shingles whose
@@ -122,11 +173,8 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       maxDf: Int = 1000): DataFrame = {
-    val withSh = df
-      .select(col(bucketCol), col(idCol), shinglesFast(col(textCol), n).as("sh"))
-    val inv = withSh
-      .select(col(bucketCol), col(idCol), explode(col("sh")).as("shingle"))
-      .withColumn("shingle", xxhash64(col("shingle")))
+    val inv = df
+      .select(col(bucketCol), col(idCol), explode(shingleHashes(col(textCol), n)).as("shingle"))
     // df per (bucket, shingle) and capped per-doc set size: two
     // partitioned window counts (same shuffle keys the groupBys
     // downstream use; no unpartitioned windows)
@@ -136,6 +184,9 @@ object Dedup {
       .withColumn("df", count(lit(1)).over(wSh))
       .filter(col("df") <= maxDf)
       .withColumn("sz", count(lit(1)).over(wDoc).cast("int"))
+      // sz (rare-shingle set size) is fixed above; df==1 shingles can
+      // never produce a pair, so drop them before the posting-list agg
+      .filter(col("df") > 1)
     pairsFromInvertedIndex(kept.select(col(bucketCol), col(idCol), col("sz"), col("shingle")), bucketCol, idCol, maxDf)
   }
 
@@ -233,9 +284,9 @@ object Dedup {
     * near-cliques (LSH bands / high-Jaccard pairs), so diameter is
     * tiny and this converges in 2-3 rounds regardless of lake size —
     * the per-round relations stay fully distributed. Labels persist
-    * per round (lineage stays O(1) deep via cache); for adversarial
-    * high-diameter graphs swap in alternating large-star/small-star,
-    * which this API admits without interface change.
+    * per round (lineage stays O(1) deep via cache), and each round
+    * path-halves (label ← label(label)), so even adversarial
+    * chain-shaped components need only O(log diameter) rounds.
     *
     * Deterministic: min over ids, no RNG — same labels on any
     * partitioning/cluster size.
@@ -254,13 +305,17 @@ object Dedup {
       maxIter: Int = 25): DataFrame = {
     // both edge directions from ONE pass over the pair pipeline
     // (a union of two selects would evaluate the upstream — here the
-    // whole Jaccard pair generation — once per branch)
+    // whole Jaccard pair generation — once per branch). Pre-hashed on
+    // the probe key cc_v: the cached plan keeps that outputPartitioning,
+    // so the per-round edges ⋈ labels join never reshuffles the edge
+    // set — only the (much smaller) label deltas move each round.
     val edges = pairs
       .select(explode(array(
         struct(col(aCol).as("cc_u"), col(bCol).as("cc_v")),
         struct(col(bCol).as("cc_u"), col(aCol).as("cc_v")))).as("e"))
       .select(col("e.cc_u").as("cc_u"), col("e.cc_v").as("cc_v"))
       .distinct()
+      .repartition(col("cc_v"))
       .persist()
     // `cached` is the handle .persist() was called on (unpersist must
     // see that exact plan); `labels` is the (cc_id, cluster_id) view
@@ -276,14 +331,27 @@ object Dedup {
         .join(labels, edges("cc_v") === labels("cc_id"))
         .groupBy(col("cc_u"))
         .agg(min(col("cluster_id")).as("cc_nbr_min"))
-      // carry the previous label through the update join so the
-      // convergence check needs no second labels join per round
-      val next = labels
+      // propagation: min over self + neighbors' previous labels
+      val prop = labels
         .join(nbrMin, labels("cc_id") === nbrMin("cc_u"), "left")
         .select(
           col("cc_id"),
-          least(col("cluster_id"), coalesce(col("cc_nbr_min"), col("cluster_id"))).as("cc_next"),
+          least(col("cluster_id"), coalesce(col("cc_nbr_min"), col("cluster_id"))).as("cc_mid"),
           col("cluster_id").as("cc_prev"))
+      // path halving: follow the propagated label one hop through the
+      // previous round's labels (label(v) ← label(label(v))). Labels
+      // only decrease within a component, so correctness is unchanged,
+      // but chain-shaped components converge in O(log diameter)
+      // rounds instead of O(diameter) — the worst case a lake-scale
+      // near-dup graph (A≈B≈C≈… drift chains) actually hits.
+      val hop = labels
+        .select(col("cc_id").as("cc_hop_id"), col("cluster_id").as("cc_hop_lbl"))
+      val next = prop
+        .join(hop, prop("cc_mid") === hop("cc_hop_id"), "left")
+        .select(
+          col("cc_id"),
+          least(col("cc_mid"), coalesce(col("cc_hop_lbl"), col("cc_mid"))).as("cc_next"),
+          col("cc_prev"))
         .persist()
       // full aggregation, not limit(1): the count scans every
       // partition, so `next` is completely materialized into the

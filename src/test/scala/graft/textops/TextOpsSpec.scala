@@ -88,6 +88,16 @@ class TextOpsSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("shingleHashes equals sorted-distinct xxhash64 of shinglesFast on real data") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val diff = d.select(
+      array_sort(array_distinct(transform(Dedup.shinglesFast(col("text"), 3), s => xxhash64(s)))).as("a"),
+      Dedup.shingleHashes(col("text"), 3).as("b"))
+      .filter(col("a") =!= col("b"))
+      .count()
+    assert(diff == 0)
+  }
+
   test("fast signature variants equal their expression forms on real data") {
     val d = spark.read.parquet(s"$sf0001/documents.parquet").limit(100)
     val mh = d
