@@ -162,6 +162,34 @@ object SparkEntry {
   private def cosNSql(ab: String, na: String, nb: String) =
     s"CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0 ELSE $ab / (sqrt($na) * sqrt($nb)) END"
 
+  /** DuckDB CTE chain for the IVF probe path (seed centroids = first
+    * 16 vecs by id, nProbe 4): shared by q_ann_ivf and q_ann_recall.
+    */
+  private lazy val ivfCtes: String =
+    s"""e2 AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nrm FROM embeddings),
+        q AS (SELECT embedding AS qe, nrm AS qn FROM e2 WHERE vec_id = 0),
+        c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, embedding AS ce, nrm AS cn
+              FROM (SELECT vec_id, embedding, nrm FROM e2 ORDER BY vec_id LIMIT 16)),
+        asg AS (SELECT vec_id, embedding, nrm, cid AS centroid_id FROM (
+                  SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+                         row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY ${cosNSql(dotSql("e.embedding", "c.ce"), "e.nrm", "c.cn")} DESC, c.cid ASC) AS rn
+                  FROM e2 e CROSS JOIN c)
+                WHERE rn = 1),
+        probes AS (SELECT c.cid FROM c, q
+                   ORDER BY ${cosNSql(dotSql("c.ce", "q.qe"), "c.cn", "q.qn")} DESC, c.cid ASC LIMIT 4),
+        ivf_scored AS (SELECT a.vec_id, round(${cosNSql(dotSql("a.embedding", "q.qe"), "a.nrm", "q.qn")}, 6) AS cos
+                       FROM asg a, q WHERE a.centroid_id IN (SELECT cid FROM probes))"""
+
+  /** DuckDB: md5-derived random-hyperplane value in [-1, 1] for LSH
+    * plane `b`, dimension `i` (lambda vars in the q_ann_lsh oracle) —
+    * replays Similarity.lshPlaneValue bit-for-bit.
+    */
+  private val lshPlaneSql =
+    """((('0x' || substr(md5('lsh:' || CAST(b AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+        / 1152921504606846976.0) * 2 - 1)"""
+
   /** DuckDB: per-dimension Lloyd means — exact decimal(27,18) sums
     * (order-independent, same quantization Spark applies) divided AS
     * DOUBLES (mirrors kmeansCentroids' sum.cast(double)/count).
@@ -537,6 +565,29 @@ object SparkEntry {
         k = 20, nCentroids = 16, nProbe = 4, learnedCentroids = Some(cents))
     }),
 
+    // ANN scale path #2: random-hyperplane LSH signatures with
+    // multi-probe (Hamming ≤ 2), exact-cosine rerank of survivors
+    "q_ann_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(
+        Tables.embeddings(s, dir), "vec_id", "embedding", queryVec(s, dir),
+        k = 20, nBits = 6, maxHamming = 2)),
+
+    // ANN quality gauge: recall@20 of the IVF probe path against the
+    // brute-force exact top-20
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q   = queryVec(s, dir)
+      Similarity.recallAtK(
+        Similarity.cosineTopK(emb, "vec_id", "embedding", q, k = 20),
+        Similarity.ivfTopK(emb, "vec_id", "embedding", q, k = 20, nCentroids = 16, nProbe = 4),
+        "vec_id", k = 20)
+    }),
+
+    // contriever-style mean pooling lifted to groups (retrieval.py:5-36)
+    "q_embed_mean_pool" -> ((s, dir) =>
+      Similarity.meanPool(Tables.embeddings(s, dir), "label", "embedding")
+        .orderBy(col("label"), col("dim"))),
+
     // §2.4 retrieval top-1 rank join per bucket (retrieval.py:31-36)
     "q_retrieval_top1" -> ((s, dir) =>
       Similarity
@@ -676,6 +727,21 @@ object SparkEntry {
     // assignment per language stream, 64-token context windows
     "q_seq_pack" -> ((s, dir) =>
       Curation.packSequences(docs(s, dir), "doc_id", "text", Seq("lang"), maxTokens = 64)
+        .orderBy(col("doc_id"))),
+
+    // training-data ops: C4-style cross-corpus paragraph dedup —
+    // keep the globally-first occurrence of each pseudo-paragraph
+    // (testdata has no newlines; real lakes use the "\n\n" default)
+    "q_dedup_paragraph" -> ((s, dir) =>
+      Curation.paragraphDedup(docs(s, dir), "doc_id", "text", sepRegex = " the ")
+        .orderBy(col("doc_id"))),
+
+    // training-data ops: DSIR importance weights — log-likelihood
+    // ratio of target (lang='en') vs background unigram LMs, the
+    // cheap "more data like this slice" selection filter
+    "q_dsir_weight" -> ((s, dir) =>
+      Curation.dsirWeights(docs(s, dir), "doc_id", "text",
+          isTarget = col("lang") === "en", vocabK = 25)
         .orderBy(col("doc_id"))),
 
     // training-data ops: Gopher/C4 quality-rule flags + keep decision
@@ -1245,23 +1311,41 @@ object SparkEntry {
           FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 20""",
 
     "q_ann_ivf" ->
-      s"""WITH e2 AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nrm FROM embeddings),
-          q AS (SELECT embedding AS qe, nrm AS qn FROM e2 WHERE vec_id = 0),
-          c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, embedding AS ce, nrm AS cn
-                FROM (SELECT vec_id, embedding, nrm FROM e2 ORDER BY vec_id LIMIT 16)),
-          asg AS (SELECT vec_id, embedding, nrm, cid AS centroid_id FROM (
-                    SELECT e.vec_id, e.embedding, e.nrm, c.cid,
-                           row_number() OVER (
-                             PARTITION BY e.vec_id
-                             ORDER BY ${cosNSql(dotSql("e.embedding", "c.ce"), "e.nrm", "c.cn")} DESC, c.cid ASC) AS rn
-                    FROM e2 e CROSS JOIN c)
-                  WHERE rn = 1),
-          probes AS (SELECT c.cid FROM c, q
-                     ORDER BY ${cosNSql(dotSql("c.ce", "q.qe"), "c.cn", "q.qn")} DESC, c.cid ASC LIMIT 4),
-          scored AS (SELECT a.vec_id, round(${cosNSql(dotSql("a.embedding", "q.qe"), "a.nrm", "q.qn")}, 6) AS cos
-                     FROM asg a, q WHERE a.centroid_id IN (SELECT cid FROM probes))
+      s"""WITH $ivfCtes
           SELECT vec_id, cos, CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
-          FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 20""",
+          FROM ivf_scored ORDER BY cos DESC, vec_id ASC LIMIT 20""",
+
+    "q_ann_recall" ->
+      s"""WITH $ivfCtes,
+          ivf_k AS (SELECT vec_id FROM ivf_scored ORDER BY cos DESC, vec_id ASC LIMIT 20),
+          bf_k AS (SELECT vec_id FROM (
+                     SELECT e.vec_id, round(${cosNSql(dotSql("e.embedding", "q.qe"), "e.nrm", "q.qn")}, 6) AS cos
+                     FROM e2 e, q)
+                   ORDER BY cos DESC, vec_id ASC LIMIT 20),
+          ov AS (SELECT CAST(count(*) AS INT) AS n_overlap
+                 FROM bf_k JOIN ivf_k USING (vec_id))
+          SELECT n_overlap, round(CAST(n_overlap AS DOUBLE) / 20, 6) AS recall FROM ov""",
+
+    "q_ann_lsh" ->
+      s"""WITH e2 AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nrm FROM embeddings),
+          sigs AS (SELECT vec_id, embedding, nrm,
+                          CAST(list_sum(list_transform(range(0, 6), b ->
+                            CASE WHEN list_sum(list_transform(range(1, 65), i ->
+                                        CAST(embedding[i] AS DOUBLE) * $lshPlaneSql)) > 0
+                                 THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+                   FROM e2),
+          q AS (SELECT embedding AS qe, nrm AS qn, sig AS qsig FROM sigs WHERE vec_id = 0),
+          cand AS (SELECT s.vec_id, s.sig,
+                          round(${cosNSql(dotSql("s.embedding", "q.qe"), "s.nrm", "q.qn")}, 6) AS cos
+                   FROM sigs s, q WHERE bit_count(xor(s.sig, q.qsig)) <= 2)
+          SELECT vec_id, sig, cos, CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+          FROM (SELECT * FROM cand ORDER BY cos DESC, vec_id ASC LIMIT 20) ORDER BY rank""",
+
+    "q_embed_mean_pool" ->
+      """SELECT label, CAST(i AS INT) AS dim, CAST(count(*) AS INT) AS n_vecs,
+                round(CAST(sum(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(27,18))) AS DOUBLE) / count(*), 6) AS mean
+         FROM embeddings, unnest(range(1, 65)) AS u(i)
+         GROUP BY label, i ORDER BY label, dim""",
 
     "q_ann_kmeans" ->
       s"""WITH e2 AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nrm FROM embeddings),
@@ -1467,6 +1551,35 @@ object SparkEntry {
          SELECT doc_id, lang, n_tok, CAST(cum // 64 AS BIGINT) AS pack_id,
                 CAST(cum % 64 AS BIGINT) AS pack_offset
          FROM c ORDER BY doc_id""",
+
+    "q_dedup_paragraph" ->
+      """WITH sp AS (SELECT doc_id, string_split(text, ' the ') AS s FROM documents),
+          p AS (SELECT doc_id, CAST(i AS INT) AS pos, s[i] AS para
+                FROM sp, unnest(range(1, len(s) + 1)) AS u(i)
+                WHERE len(s[i]) > 0),
+          r AS (SELECT doc_id, row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn FROM p)
+         SELECT doc_id, CAST(count(*) AS INT) AS n_para,
+                CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+                round(CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS kept_ratio
+         FROM r GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_dsir_weight" ->
+      """WITH toks AS (SELECT doc_id, lang = 'en' AS is_t, t AS token
+                       FROM documents, unnest(string_split(text, ' ')) AS u(t) WHERE len(t) > 0),
+          counts AS (SELECT token, count(*) AS cnt,
+                            sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS cnt_t
+                     FROM toks GROUP BY token),
+          c2 AS (SELECT token, cnt, cnt_t, cnt - cnt_t AS cnt_b FROM counts),
+          tot AS (SELECT sum(cnt_t) AS n_t, sum(cnt_b) AS n_b FROM c2),
+          vocab AS (SELECT token, cnt_t, cnt_b FROM c2 ORDER BY cnt DESC, token LIMIT 25),
+          sc AS (SELECT t.doc_id,
+                        CAST(  ln((CAST(coalesce(v.cnt_t, 0) AS DOUBLE) + 0.5) / (CAST(n_t AS DOUBLE) + 0.5 * 26))
+                             - ln((CAST(coalesce(v.cnt_b, 0) AS DOUBLE) + 0.5) / (CAST(n_b AS DOUBLE) + 0.5 * 26))
+                          AS DECIMAL(27,18)) AS lr
+                 FROM toks t LEFT JOIN vocab v USING (token) CROSS JOIN tot)
+         SELECT doc_id, CAST(count(*) AS INT) AS n_tok,
+                round(CAST(sum(lr) AS DOUBLE), 6) AS dsir_weight
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
 
     "q_quality_rules" ->
       """WITH t AS (SELECT doc_id, lower(text) AS lt,

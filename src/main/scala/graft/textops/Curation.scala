@@ -236,4 +236,96 @@ object Curation {
       .withColumn("keep",
         col("ok_word_count") && col("ok_mean_len") && col("no_lorem") && col("no_brace"))
   }
+
+  // ---------------------------------------------------------------
+  // Paragraph-level exact dedup (C4-style)
+  // ---------------------------------------------------------------
+
+  /** Cross-corpus paragraph dedup: split each doc on `sepRegex`, keep
+    * only the globally-FIRST occurrence of every distinct paragraph
+    * (first = smallest (doc id, position)), report per-doc survival.
+    * This is C4's "discard duplicate three-sentence spans" shape —
+    * exact dedup below document granularity, where most boilerplate
+    * lives.
+    *
+    * One shuffle keyed by the paragraph text (window rank); per-doc
+    * re-aggregation rides the second, much smaller shuffle. Positions
+    * are pre-filter ordinals, so empty splits don't renumber.
+    *
+    * Output: (id, n_para, n_kept, kept_ratio).
+    */
+  def paragraphDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sepRegex: String = "\n\n"): DataFrame = {
+    val paras = df
+      .select(col(idCol), posexplode(split(col(textCol), sepRegex)).as(Seq("pos0", "para")))
+      .filter(length(col("para")) > 0)
+      .select(col(idCol), (col("pos0") + 1).as("pos"), col("para"))
+    val w = Window.partitionBy(col("para")).orderBy(col(idCol), col("pos"))
+    paras
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_para"),
+        sum(when(col("rn") === 1, 1).otherwise(0)).cast("int").as("n_kept"))
+      .withColumn("kept_ratio", round(col("n_kept").cast("double") / col("n_para"), 6))
+  }
+
+  // ---------------------------------------------------------------
+  // DSIR-style importance weights (data selection)
+  // ---------------------------------------------------------------
+
+  /** Importance weight for data selection à la DSIR (Xie et al.):
+    * per-doc log-likelihood ratio between a target-slice unigram LM
+    * and a background unigram LM, over a shared top-`vocabK` vocab
+    * with an OOV bucket and add-0.5 smoothing. Docs scoring high look
+    * like the target domain — the standard cheap filter for "give me
+    * more data like this slice" at pretraining scale.
+    *
+    * Everything is two hash aggregations (token counts) + one
+    * broadcast join of the (vocabK+1)-row LM table against the token
+    * stream; the per-doc sum is decimal-exact so engines agree
+    * bit-for-bit.
+    *
+    * Output: (id, n_tok, dsir_weight) — weight rounded to 6.
+    */
+  def dsirWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      vocabK: Int = 25): DataFrame = {
+    val tokens = df
+      .select(col(idCol), isTarget.as("is_t"), explode(toks(col(textCol))).as("token"))
+    val counts = tokens
+      .groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("cnt_t"))
+      .withColumn("cnt_b", col("cnt") - col("cnt_t"))
+    val totals = counts.agg(
+      sum(col("cnt_t")).as("n_t"),
+      sum(col("cnt_b")).as("n_b"))
+    val vocab = counts
+      .orderBy(desc("cnt"), col("token"))
+      .limit(vocabK)
+      .select(col("token"), col("cnt_t"), col("cnt_b"))
+    // smoothed log-ratio per vocab token; OOV uses zero counts. The
+    // +1 in the denominator's vocab size is the OOV bucket itself.
+    def lp(cnt: Column, n: Column) =
+      log((cnt.cast("double") + 0.5) / (n.cast("double") + 0.5 * (vocabK + 1)))
+    tokens
+      .join(broadcast(vocab), Seq("token"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn(
+        "lr",
+        (lp(coalesce(col("cnt_t"), lit(0L)), col("n_t"))
+          - lp(coalesce(col("cnt_b"), lit(0L)), col("n_b"))).cast("decimal(27,18)"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_tok"),
+        round(sum(col("lr")).cast("double"), 6).as("dsir_weight"))
+  }
 }

@@ -358,7 +358,10 @@ object Dedup {
       // cache here — a short-circuiting probe would leave partitions
       // uncached and each later round would recompute them through
       // the whole unpersisted lineage (pair generation included)
+      val t0      = System.nanoTime()
       val changed = next.filter(col("cc_next") =!= col("cc_prev")).count()
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(f"[cc] round $iter changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2f s")
       cached.unpersist()
       cached = next
       labels = next.select(col("cc_id"), col("cc_next").as("cluster_id"))

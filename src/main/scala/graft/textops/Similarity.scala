@@ -238,4 +238,94 @@ object Similarity {
           .otherwise(dot(col("va"), col("vb")) / (sqrt(col("na")) * sqrt(col("nb")))))
       .select(col(bucketCol), col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
+
+  /** Mean-pooled embedding per group (contriever mean pooling,
+    * `retrieval.py:5-36`, lifted from token→doc to doc→group):
+    * element-wise mean over every vector in the group, long form
+    * (group, dim, mean, n_vecs) — one posexplode + one hash
+    * aggregation keyed (group, dim), partial map-side combine for
+    * free, no wide rows. Decimal sums make the means bit-stable
+    * across partitionings (same argument as kmeansCentroids); the
+    * mean divides the exact sum AS A DOUBLE so a SQL oracle replays
+    * it bit-for-bit.
+    */
+  def meanPool(embeddings: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    embeddings
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("d", "x")))
+      .groupBy(col(groupCol), (col("d") + 1).cast("int").as("dim"))
+      .agg(
+        count(lit(1)).cast("int").as("n_vecs"),
+        round(
+          sum(col("x").cast("double").cast("decimal(27,18)")).cast("double") / count(lit(1)),
+          6).as("mean"))
+
+  /** Recall@k of an approximate top-k against the exact top-k — the
+    * quality gauge every production ANN deployment tracks next to its
+    * latency. Inputs are the two ranked frames (only the first k rows
+    * of each are considered); output is one row (n_overlap, recall).
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, idCol: String, k: Int): DataFrame =
+    exact
+      .limit(k)
+      .select(col(idCol))
+      .join(approx.limit(k).select(col(idCol)), Seq(idCol), "left_semi")
+      .agg(count(lit(1)).cast("int").as("n_overlap"))
+      .select(
+        col("n_overlap"),
+        round(col("n_overlap").cast("double") / k, 6).as("recall"))
+
+  /** Deterministic random-hyperplane value: md5-derived uniform in
+    * [-1, 1] (same hash60 construction the dedup signatures use —
+    * engine-portable, no RNG). Plane b, dimension d (1-based d, to
+    * match SQL list indexing).
+    */
+  def lshPlaneValue(b: Int, d: Int): Double = {
+    val md  = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"lsh:$b:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.substring(0, 15), 16) / 1152921504606846976.0) * 2 - 1
+  }
+
+  /** LSH-bucketed ANN top-k: random-hyperplane (SimHash-for-cosine)
+    * signatures with multi-probe — candidates are rows whose nBits-bit
+    * signature is within `maxHamming` of the query's, ranked by exact
+    * cosine. The scale path next to IVF: signatures are per-row
+    * expressions (nBits codegen'd dot products, no shuffle), the
+    * Hamming filter prunes the lake scan to a few buckets, and the
+    * top-k is a TakeOrdered over survivors — at 100 TB the signature
+    * becomes a partition column so probing touches only
+    * 2^maxHamming-choose-style partitions instead of scanning.
+    * Deterministic end-to-end: hyperplanes are md5-derived constants.
+    */
+  def lshTopK(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      nBits: Int = 6,
+      maxHamming: Int = 2): DataFrame = {
+    val dim    = query.length
+    val planes = (0 until nBits).map(b => (1 to dim).map(d => lshPlaneValue(b, d)))
+    // query signature: same sequential fold the row side uses
+    val qSig = planes.zipWithIndex.map { case (p, b) =>
+      val dp = query.zip(p).foldLeft(0.0) { case (acc, (a, c)) => acc + a * c }
+      if (dp > 0) 1L << b else 0L
+    }.sum
+    val withV = embeddings
+      .withColumn("v", transform(col(vecCol), x => x.cast("double")))
+      .withColumn("nrm", dot(col("v"), col("v")))
+    val sig = planes.zipWithIndex
+      .map { case (p, b) => when(dot(col("v"), typedLit(p)) > 0, 1L << b).otherwise(0L) }
+      .reduce(_ + _)
+    val qn = math.sqrt(query.foldLeft(0.0)((acc, a) => acc + a * a))
+    val cos = when(col("nrm") === 0.0 || lit(qn) === 0.0, 0.0)
+      .otherwise(dot(col("v"), typedLit(query)) / (sqrt(col("nrm")) * lit(qn)))
+    val scored = withV
+      .withColumn("sig", sig)
+      .filter(bit_count(col("sig").bitwiseXOR(lit(qSig))) <= maxHamming)
+      .select(col(idCol), col("sig"), round(cos, 6).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+    scored.withColumn("rank", row_number().over(Window.orderBy(desc("cos"), col(idCol))))
+  }
 }

@@ -19,7 +19,10 @@ class DeterminismSpec extends SparkSpec {
     "q_dedup_clusters", "q_sessionize", "q_stratified_sample", "q_vocab_topk",
     "q_dedup_jaccard_capped", "q_ann_ivf",
     // curation + learned-ANN operators
-    "q_ann_kmeans", "q_decontaminate", "q_seq_pack", "q_tfidf_top_terms")
+    "q_ann_kmeans", "q_decontaminate", "q_seq_pack", "q_tfidf_top_terms",
+    // round-3 operators
+    "q_ann_lsh", "q_ann_recall", "q_embed_mean_pool", "q_dedup_paragraph",
+    "q_dsir_weight")
 
   test("queries are stable across repeated runs") {
     sampleQueries.foreach { name =>

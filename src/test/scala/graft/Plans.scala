@@ -17,7 +17,8 @@ object Plans {
       "q_vocab_topk", "q_stratified_sample", "q_order_revenue_join",
       // curation operators
       "q_pii_scrub", "q_decontaminate", "q_seq_pack", "q_quality_rules",
-      "q_tfidf_top_terms")
+      "q_tfidf_top_terms",
+      "q_ann_lsh", "q_dedup_paragraph", "q_dsir_weight", "q_embed_mean_pool")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

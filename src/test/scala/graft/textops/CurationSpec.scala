@@ -80,4 +80,54 @@ class CurationSpec extends SparkSpec {
     val m = got(0).getAs[Double]("mean_tok_len")
     assert(math.abs(m - 22.0 / 6) < 1e-5) // "one two three four five six": 22 letters / 6 tokens (rounded to 6dp)
   }
+
+  test("paragraphDedup keeps the globally-first occurrence of each paragraph") {
+    val df = Seq(
+      (1L, "alpha\n\nbeta"),
+      (2L, "beta\n\ngamma\n\nalpha"), // beta, alpha already seen in doc 1
+      (3L, "beta")                    // fully duplicate
+    ).toDF("doc_id", "text")
+    val got = Curation.paragraphDedup(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2, 2, 1.0), (2L, 3, 1, 0.333333), (3L, 1, 0, 0.0)))
+  }
+
+  test("paragraphDedup within-doc repeats: only the first position survives") {
+    val df  = Seq((1L, "x\n\nx\n\ny")).toDF("doc_id", "text")
+    val got = Curation.paragraphDedup(df, "doc_id", "text").collect()(0)
+    assert(got.getAs[Int]("n_para") == 3 && got.getAs[Int]("n_kept") == 2)
+  }
+
+  test("dsirWeights scores target-like docs above background-like docs") {
+    // target docs say "cat", background docs say "dog"
+    val df = Seq(
+      (1L, "cat cat cat", true),
+      (2L, "dog dog dog", false),
+      (3L, "cat cat dog", false), // target-looking text in background slice
+      (4L, "dog dog cat", true)
+    ).toDF("doc_id", "text", "t")
+    val got = Curation.dsirWeights(df, "doc_id", "text", isTarget = col("t"), vocabK = 2)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("dsir_weight")).toMap
+    assert(got(1L) > 0 && got(2L) < 0) // pure cat > 0 > pure dog
+    assert(got(3L) > got(2L))          // cat-heavy beats dog-heavy regardless of slice
+    assert(got(1L) > got(3L))
+  }
+
+  test("dsirWeights OOV tokens hit the smoothing floor consistently") {
+    val df = Seq(
+      (1L, "cat cat rare1", true),
+      (2L, "dog dog rare2", false)
+    ).toDF("doc_id", "text", "t")
+    // vocabK=2 keeps {cat, dog}; rare1/rare2 are OOV on both sides →
+    // their log-ratio contribution is ln(0.5/(3+1.5)) - ln(0.5/(3+1.5)) = 0
+    val got = Curation.dsirWeights(df, "doc_id", "text", isTarget = col("t"), vocabK = 2)
+      .orderBy("doc_id").collect()
+    assert(got.forall(_.getAs[Int]("n_tok") == 3))
+    val w1 = got(0).getAs[Double]("dsir_weight")
+    // doc1 = 2×cat + OOV; cat ratio = ln((2.5)/(3+1.5)) - ln((0.5)/(3+1.5))
+    val expect = 2 * (math.log(2.5 / 4.5) - math.log(0.5 / 4.5))
+    assert(math.abs(w1 - expect) < 1e-5)
+  }
 }

@@ -128,6 +128,36 @@ class TextOpsSpec extends SparkSpec {
     assert(sig(1L) >= 0 && sig(1L) < 65536)
   }
 
+  test("meanPool is the element-wise mean per group") {
+    val df = Seq(
+      (1L, 0, Seq(1.0f, 3.0f)),
+      (2L, 0, Seq(3.0f, 5.0f)),
+      (3L, 1, Seq(2.0f, 2.0f))).toDF("vec_id", "label", "embedding")
+    val got = Similarity.meanPool(df, "label", "embedding")
+      .orderBy("label", "dim").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((0, 1, 2, 2.0), (0, 2, 2, 4.0), (1, 1, 1, 2.0), (1, 2, 1, 2.0)))
+  }
+
+  test("recallAtK counts approx hits in the exact top-k") {
+    val exact  = Seq(1L, 2L, 3L).toDF("id")
+    val approx = Seq(2L, 3L, 9L).toDF("id")
+    val got    = Similarity.recallAtK(exact, approx, "id", k = 3).collect()(0)
+    assert(got.getInt(0) == 2 && math.abs(got.getDouble(1) - 0.666667) < 1e-9)
+  }
+
+  test("lshTopK retrieves the query vector itself at rank 1") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1).map(_.toDouble).toSeq
+    val got = Similarity.lshTopK(emb, "vec_id", "embedding", q, k = 5)
+      .orderBy("rank").collect()
+    assert(got.nonEmpty)
+    assert(got(0).getAs[Long]("vec_id") == 0L && got(0).getAs[Double]("cos") == 1.0)
+    // signature buckets: every candidate within Hamming 2 of the query's
+    val qSig = got(0).getAs[Long]("sig")
+    assert(got.forall(r => java.lang.Long.bitCount(r.getAs[Long]("sig") ^ qSig) <= 2))
+  }
+
   test("cosine similarity basics") {
     val df = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 2.0)), (3L, Seq(2.0, 0.0)))
       .toDF("id", "v")
