@@ -656,6 +656,23 @@ object SparkEntry {
         .select(col("doc_id"), TextStats.langIdFromTokens(col("toks"), LangMarkers).as("pred_lang"))
         .orderBy(col("doc_id"))),
 
+    // eval harness: language-ID confusion matrix — predicted vs
+    // labeled language, the slice report a curation pipeline ships
+    // with its lang filter
+    "q_langid_confusion" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("lang"), Dedup.tokensCol(lower(col("text"))).as("toks"))
+        .select(col("lang"), TextStats.langIdFromTokens(col("toks"), LangMarkers).as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("pred_lang"))),
+
+    // eval harness: MinHash sketch calibration — estimated vs exact
+    // Jaccard on the top similar pairs (est error ~ 1/sqrt(numHashes))
+    "q_minhash_est" -> ((s, dir) =>
+      Dedup.minhashEstVsExact(docs(s, dir), "lang", "doc_id", "text", n = 3, numHashes = 8, k = 20)
+        .orderBy(desc("jaccard"), col("id_a"), col("id_b"))),
+
     // training-data ops: quality features + composite score
     "q_quality_score" -> ((s, dir) =>
       docs(s, dir)
@@ -1474,6 +1491,45 @@ object SparkEntry {
                      WHEN c_fr >= c_zh THEN 'fr'
                      ELSE 'zh' END AS pred_lang
          FROM sc ORDER BY doc_id""",
+
+    "q_langid_confusion" ->
+      """WITH sc AS (SELECT doc_id, lang,
+                len(list_filter(toks, x -> x = 'join')) + len(list_filter(toks, x -> x = 'table')) AS c_de,
+                len(list_filter(toks, x -> x = 'the')) + len(list_filter(toks, x -> x = 'data')) AS c_en,
+                len(list_filter(toks, x -> x = 'spark')) + len(list_filter(toks, x -> x = 'query')) AS c_es,
+                len(list_filter(toks, x -> x = 'merge')) + len(list_filter(toks, x -> x = 'filter')) AS c_fr,
+                len(list_filter(toks, x -> x = 'row')) + len(list_filter(toks, x -> x = 'key')) AS c_zh
+              FROM (SELECT doc_id, lang, list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+                    FROM documents)),
+          p AS (SELECT lang,
+                CASE WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+                     WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+                     WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+                     WHEN c_fr >= c_zh THEN 'fr'
+                     ELSE 'zh' END AS pred_lang
+                FROM sc)
+         SELECT lang, pred_lang, count(*) AS n_docs
+         FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang""",
+
+    "q_minhash_est" ->
+      s"""WITH $shinglesSql,
+          jp AS (SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+                        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                              / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 6) AS jaccard
+                 FROM shing a JOIN shing b ON a.lang = b.lang AND a.doc_id < b.doc_id
+                 WHERE len(list_intersect(a.sh, b.sh)) > 0
+                 ORDER BY jaccard DESC, id_a ASC, id_b ASC LIMIT 20),
+          sigs AS (SELECT doc_id,
+                          list_transform(range(0, 8), s ->
+                            list_min(list_transform(sh, g ->
+                              ('0x' || substr(md5(g || '#' || CAST(s AS VARCHAR)), 1, 15))::BIGINT))) AS sig
+                   FROM shing),
+          est AS (SELECT jp.lang, jp.id_a, jp.id_b, jp.jaccard,
+                         CAST(len(list_filter(range(1, 9), h -> sa.sig[h] = sb.sig[h])) AS DOUBLE) / 8 AS e
+                  FROM jp JOIN sigs sa ON jp.id_a = sa.doc_id
+                          JOIN sigs sb ON jp.id_b = sb.doc_id)
+         SELECT lang, id_a, id_b, jaccard, round(e, 6) AS est, round(abs(e - jaccard), 6) AS abs_err
+         FROM est ORDER BY jaccard DESC, id_a, id_b""",
 
     "q_quality_score" ->
       """WITH f AS (SELECT doc_id,

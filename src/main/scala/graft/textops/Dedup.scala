@@ -175,18 +175,23 @@ object Dedup {
       maxDf: Int = 1000): DataFrame = {
     val inv = df
       .select(col(bucketCol), col(idCol), explode(shingleHashes(col(textCol), n)).as("shingle"))
-    // df per (bucket, shingle) and capped per-doc set size: two
-    // partitioned window counts (same shuffle keys the groupBys
-    // downstream use; no unpartitioned windows)
-    val wSh  = Window.partitionBy(col(bucketCol), col("shingle"))
-    val wDoc = Window.partitionBy(col(bucketCol), col(idCol))
-    val kept = inv
-      .withColumn("df", count(lit(1)).over(wSh))
-      .filter(col("df") <= maxDf)
-      .withColumn("sz", count(lit(1)).over(wDoc).cast("int"))
-      // sz (rare-shingle set size) is fixed above; df==1 shingles can
-      // never produce a pair, so drop them before the posting-list agg
+    // df per (bucket, shingle): one partitioned window count (the same
+    // shuffle key the posting-list groupBy uses downstream)
+    val wSh = Window.partitionBy(col(bucketCol), col("shingle"))
+    val withDf = inv.withColumn("df", count(lit(1)).over(wSh))
+    val rare   = withDf.filter(col("df") <= maxDf)
+    // capped per-doc set size via groupBy, not a second window: the
+    // window would re-sort the full inverted index by (bucket, id);
+    // the aggregation partial-combines map-side and its join lands on
+    // the df>1 survivors only — a tiny fraction of the index
+    val sizes = rare
+      .groupBy(col(bucketCol), col(idCol))
+      .agg(count(lit(1)).cast("int").as("sz"))
+    // df==1 shingles can never produce a pair (they're still counted
+    // in sz above), so drop them before the posting-list agg
+    val kept = rare
       .filter(col("df") > 1)
+      .join(sizes, Seq(bucketCol, idCol))
     pairsFromInvertedIndex(kept.select(col(bucketCol), col(idCol), col("sz"), col("shingle")), bucketCol, idCol, maxDf)
   }
 
@@ -272,6 +277,39 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("band_idx"))
       .distinct()
+  }
+
+  /** Sketch-quality gauge: MinHash-estimated Jaccard vs the exact
+    * n-gram Jaccard on the top-k most similar pairs — the calibration
+    * check that tells you whether `numHashes` is adequate BEFORE
+    * trusting LSH banding on the full lake (est error ~1/√numHashes).
+    * The exact side reuses the inverted-index pair pipeline; the
+    * k-row pair list then broadcasts into the signature join.
+    * Output: (bucket, id_a, id_b, jaccard, est, abs_err).
+    */
+  def minhashEstVsExact(
+      df: DataFrame,
+      bucketCol: String,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 8,
+      k: Int = 20): DataFrame = {
+    val pairs = ngramJaccardPairs(df, bucketCol, idCol, textCol, n)
+      .orderBy(desc("jaccard"), col("id_a"), col("id_b"))
+      .limit(k)
+    val sigs = df
+      .select(col(idCol), shinglesFast(col(textCol), n).as("sh"))
+      .select(col(idCol), minhashFast(col("sh"), numHashes).as("sig"))
+    val est = size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+      .cast("double") / numHashes
+    broadcast(pairs)
+      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(
+        col(bucketCol), col("id_a"), col("id_b"), col("jaccard"),
+        round(est, 6).as("est"),
+        round(abs(est - col("jaccard")), 6).as("abs_err"))
   }
 
   /** Connected components over an undirected pair list by iterative

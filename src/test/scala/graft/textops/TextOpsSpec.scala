@@ -114,6 +114,17 @@ class TextOpsSpec extends SparkSpec {
     assert(shh == 0)
   }
 
+  test("minhashEstVsExact: identical docs estimate 1.0 with zero error") {
+    val got = Dedup.minhashEstVsExact(docsDf, "bucket", "doc_id", "text")
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[Double]("jaccard"), r.getAs[Double]("est"), r.getAs[Double]("abs_err"))).toMap
+    val (j, e, err) = got((1L, 4L)) // docs 1 and 4 are exact duplicates
+    assert(j == 1.0 && e == 1.0 && err == 0.0)
+    // estimates are valid probabilities everywhere
+    got.values.foreach { case (_, est, _) => assert(est >= 0.0 && est <= 1.0) }
+  }
+
   test("minhashLshPairs surfaces exact dups as candidates") {
     val cands = Dedup.minhashLshPairs(docsDf, "doc_id", "text")
       .select("id_a", "id_b").distinct()
