@@ -786,6 +786,33 @@ object SparkEntry {
       Sampling.domainMixWeights(docs(s, dir), "source", "text", alpha = 0.3)
         .orderBy(col("source"))),
 
+    // training-data ops: content-addressed shard assignment — the
+    // reproducible "global shuffle before training" layout step
+    "q_shard_assign" -> ((s, dir) =>
+      Sampling.shardAssign(docs(s, dir), "doc_id", nShards = 16)
+        .orderBy(col("doc_id"))),
+
+    // training-data ops: realize the alpha=0.3 mixture under a token
+    // budget — per-domain quota, deterministic doc take, data-card row
+    "q_mix_realize" -> ((s, dir) =>
+      Sampling.mixRealize(docs(s, dir), "source", "doc_id", "text",
+          alpha = 0.3, budgetTokens = 20000L)
+        .orderBy(col("source"))),
+
+    // training-data ops: near-dup resolution keeping the LONGEST copy
+    // per cluster (quality tie-break, not first-arrival)
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val d        = docs(s, dir)
+      val clusters = Dedup.nearDupClusters(d, "lang", "doc_id", "text", n = 3, minJaccard = 0.5)
+      Dedup
+        .keepBestPerCluster(
+          clusters
+            .select(col("doc_id"), col("cluster_id"))
+            .join(d.select(col("doc_id"), length(col("text")).as("n_chars")), Seq("doc_id")),
+          "doc_id", "n_chars")
+        .orderBy(col("doc_id"))
+    }),
+
     // training-data ops: cross-doc repeated-sentence (boilerplate)
     // profile — testdata has no punctuation, so pseudo-sentences
     // split on " the "; real lakes use the default ". "/newline split
@@ -1703,6 +1730,55 @@ object SparkEntry {
                 round(CAST(domain_tok AS DOUBLE) / (SELECT CAST(total_tok AS DOUBLE) FROM tot), 6) AS share,
                 round(CAST(p_alpha AS DOUBLE) / CAST(z AS DOUBLE), 6) AS weight
          FROM p CROSS JOIN z ORDER BY source""",
+
+    "q_shard_assign" ->
+      """WITH h AS (SELECT doc_id,
+                           ('0x' || substr(md5('shard#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+                    FROM documents)
+         SELECT doc_id, CAST(h % 16 AS INT) AS shard,
+                CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS INT) AS pos
+         FROM h ORDER BY doc_id""",
+
+    "q_mix_realize" ->
+      """WITH d AS (SELECT source, CAST(sum(len(list_filter(string_split(text, ' '), x -> len(x) > 0))) AS BIGINT) AS domain_tok
+                    FROM documents GROUP BY source),
+          tot AS (SELECT sum(domain_tok) AS total_tok FROM d),
+          p AS (SELECT source, CAST(pow(CAST(domain_tok AS DOUBLE) / total_tok, 0.3) AS DECIMAL(27,18)) AS p_alpha
+                FROM d CROSS JOIN tot),
+          z AS (SELECT sum(p_alpha) AS z FROM p),
+          q AS (SELECT source,
+                       CAST(round(round(CAST(p_alpha AS DOUBLE) / CAST(z AS DOUBLE), 6) * 20000, 0) AS BIGINT) AS quota_tok
+                FROM p CROSS JOIN z),
+          t AS (SELECT source, doc_id,
+                       CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tok,
+                       ('0x' || substr(md5('mix#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+                FROM documents),
+          c AS (SELECT source, doc_id, n_tok,
+                       sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM t)
+         SELECT c.source, q.quota_tok, CAST(count(*) AS INT) AS n_docs_kept,
+                CAST(sum(n_tok) AS BIGINT) AS n_tok_kept
+         FROM c JOIN q USING (source) WHERE cum <= quota_tok
+         GROUP BY c.source, q.quota_tok ORDER BY c.source""",
+
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE $shinglesSql,
+          jp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM shing a JOIN shing b ON a.lang = b.lang AND a.doc_id < b.doc_id
+                 WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 6) >= 0.5),
+          e AS (SELECT id_a AS u, id_b AS v FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+          reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.u, reach.r FROM e JOIN reach ON reach.id = e.v),
+          cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+          sc AS (SELECT cl.doc_id, cl.cluster_id, CAST(length(d.text) AS INT) AS n_chars
+                 FROM cl JOIN documents d USING (doc_id))
+         SELECT doc_id, cluster_id, n_chars,
+                (row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) = 1) AS is_kept
+         FROM sc ORDER BY doc_id""",
 
     "q_boilerplate" ->
       """WITH s AS (SELECT doc_id, sent

@@ -443,6 +443,22 @@ object Dedup {
       .withColumn("is_canonical", col(idCol) === col("cluster_id"))
   }
 
+  /** Near-dup resolution with a quality tie-break: within each
+    * cluster keep the row with the HIGHEST score (ties → smallest
+    * id), not blindly the first arrival — the resolution policy real
+    * curation pipelines want (drop the truncated/boilerplate copy,
+    * keep the clean one). Input: a clustered frame (id, cluster_id,
+    * ...) joined with a per-row score column; one window shuffle
+    * keyed by cluster_id.
+    */
+  def keepBestPerCluster(clusters: DataFrame, idCol: String, scoreCol: String): DataFrame = {
+    val w = Window.partitionBy(col("cluster_id")).orderBy(desc(scoreCol), col(idCol))
+    clusters
+      .withColumn("kb_rn", row_number().over(w))
+      .withColumn("is_kept", col("kb_rn") === 1)
+      .drop("kb_rn")
+  }
+
   /** 16-bit SimHash from a PRE-PROJECTED tokens column (md5-derived
     * bit hashes; token multiplicity counts). Pure per-row expression.
     */

@@ -77,4 +77,71 @@ object Sampling {
         // correctly-rounded in both
         round(col("p_alpha").cast("double") / col("z").cast("double"), 6).as("weight"))
   }
+
+  /** Deterministic shard assignment for training-data layout: shard =
+    * md5-hash of the id mod `nShards`, in-shard position = rank of
+    * the (salted) hash — a content-addressed global shuffle with no
+    * RNG, so any engine lays out byte-identical shards. This is the
+    * "randomize document order before training" step done the only
+    * way that's reproducible at 100 TB: the order is a pure function
+    * of ids, the window shuffles once on the shard key, and writers
+    * can `partitionBy(shard)` straight from it.
+    *
+    * Output: (id..., shard INT, pos INT).
+    */
+  def shardAssign(
+      df: DataFrame,
+      idCol: String,
+      nShards: Int,
+      salt: String = "shard"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Dedup.hash60(concat(lit(salt + "#"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col(idCol))
+    df.select(col(idCol), h.as("h"))
+      .withColumn("shard", (col("h") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** Materialize a temperature-scaled domain mixture under a token
+    * budget: each domain gets quota_i = round(weight_i × budget)
+    * tokens (weights from [[domainMixWeights]]), then docs are taken
+    * in deterministic md5 order until the RUNNING token total within
+    * the domain exceeds the quota (the overshooting doc is excluded;
+    * every domain with a positive quota keeps at least its first doc
+    * if that doc alone fits). The realized per-domain report is what
+    * a pretraining run's data card states.
+    *
+    * One window shuffle keyed by domain for the running sum; the
+    * quota table is #domains rows, broadcast.
+    *
+    * Output per domain: (domain, quota_tok, n_docs_kept, n_tok_kept).
+    */
+  def mixRealize(
+      df: DataFrame,
+      domainCol: String,
+      idCol: String,
+      textCol: String,
+      alpha: Double,
+      budgetTokens: Long,
+      salt: String = "mix"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quotas = domainMixWeights(df, domainCol, textCol, alpha)
+      .select(col(domainCol), round(col("weight") * budgetTokens, 0).cast("long").as("quota_tok"))
+    val toks = filter(split(col(textCol), " "), t => length(t) > 0)
+    val h    = Dedup.hash60(concat(lit(salt + "#"), col(idCol).cast("string")))
+    val w = Window
+      .partitionBy(col(domainCol))
+      .orderBy(col("h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(domainCol), col(idCol), size(toks).cast("long").as("n_tok"), h.as("h"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .join(broadcast(quotas), Seq(domainCol))
+      .filter(col("cum_tok") <= col("quota_tok"))
+      .groupBy(col(domainCol), col("quota_tok"))
+      .agg(
+        count(lit(1)).cast("int").as("n_docs_kept"),
+        sum(col("n_tok")).as("n_tok_kept"))
+      .select(col(domainCol), col("quota_tok"), col("n_docs_kept"), col("n_tok_kept"))
+  }
 }

@@ -22,7 +22,8 @@ class DeterminismSpec extends SparkSpec {
     "q_ann_kmeans", "q_decontaminate", "q_seq_pack", "q_tfidf_top_terms",
     // round-3 operators
     "q_ann_lsh", "q_ann_recall", "q_embed_mean_pool", "q_dedup_paragraph",
-    "q_dsir_weight")
+    "q_dsir_weight", "q_shard_assign", "q_mix_realize", "q_dedup_keep_best",
+    "q_minhash_est", "q_langid_confusion")
 
   test("queries are stable across repeated runs") {
     sampleQueries.foreach { name =>

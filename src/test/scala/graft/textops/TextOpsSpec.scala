@@ -78,6 +78,42 @@ class TextOpsSpec extends SparkSpec {
     assert(canon == Set(1L, 3L))
   }
 
+  test("shardAssign: stable shards, contiguous in-shard positions") {
+    val d   = spark.read.parquet(s"$sf0001/documents.parquet")
+    val got = Sampling.shardAssign(d, "doc_id", nShards = 8).collect()
+    assert(got.length == d.count())
+    assert(got.forall(r => r.getAs[Int]("shard") >= 0 && r.getAs[Int]("shard") < 8))
+    // positions are 1..n within each shard
+    got.groupBy(_.getAs[Int]("shard")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Int]("pos")).sorted.toSeq == (1 to rows.length))
+    }
+    // layout-independent: repartitioned input yields identical rows
+    val again = Sampling.shardAssign(d.repartition(7), "doc_id", nShards = 8)
+      .collect().map(_.toString).sorted.toSeq
+    assert(again == got.map(_.toString).sorted.toSeq)
+  }
+
+  test("mixRealize respects per-domain token quotas") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val got = Sampling.mixRealize(d, "source", "doc_id", "text", alpha = 0.3, budgetTokens = 2000L)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_tok_kept") <= r.getAs[Long]("quota_tok"))
+      assert(r.getAs[Int]("n_docs_kept") > 0)
+    }
+  }
+
+  test("keepBestPerCluster keeps the highest score, ties to smallest id") {
+    val cl = Seq(
+      (1L, 1L, 10), (2L, 1L, 30), (3L, 1L, 30), // cluster 1: 2 and 3 tie on 30 → keep 2
+      (4L, 4L, 5)                               // singleton
+    ).toDF("doc_id", "cluster_id", "score")
+    val kept = Dedup.keepBestPerCluster(cl, "doc_id", "score")
+      .filter(col("is_kept")).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L))
+  }
+
   test("shinglesFast equals the HOF shingles on real data") {
     val d = spark.read.parquet(s"$sf0001/documents.parquet")
     val diff = d.select(
