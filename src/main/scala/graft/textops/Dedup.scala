@@ -75,48 +75,17 @@ object Dedup {
     f(text)
   }
 
-  /** Distinct shingles as 64-bit hashes, computed in one JVM pass —
-    * the hot-path form the pair pipelines explode. Skipping the
-    * string array (UDF→UTF8String conversion, string explode, a
-    * separate xxhash64 projection) halves the inverted-index build
-    * cost; 64-bit hashes keep collision odds ~1e-10 at millions of
-    * distinct shingles (same argument as the previous explode+xxhash
-    * form). Hash = XXH64 over the shingle's UTF-8 bytes, seed 42 —
-    * identical input set to shinglesFast (asserted in TextOpsSpec).
+  /** Distinct shingles as 64-bit hashes — the hot-path form the pair
+    * pipelines explode. A native codegen'd expression
+    * (graft.expressions.ShingleHashes): tokenizes the raw UTF-8 bytes
+    * in place (no UDF encoder boundary, no string array, no separate
+    * xxhash64 projection) and emits sorted distinct XXH64 hashes,
+    * seed 42 — the same values xxhash64 computes over the string
+    * shingles (asserted in TextOpsSpec). 64-bit hashes keep collision
+    * odds ~1e-10 at millions of distinct shingles.
     */
-  def shingleHashes(text: Column, n: Int): Column = {
-    val f = udf((t: String) => {
-      val toks  = if (t == null) Array.empty[String] else t.split(" ").filter(_.nonEmpty)
-      val limit = math.max(toks.length - (n - 1), 1)
-      val out   = new Array[Long](limit)
-      val sb    = new java.lang.StringBuilder(64)
-      var i     = 0
-      while (i < limit) {
-        sb.setLength(0)
-        var j = i
-        val end = math.min(i + n, toks.length)
-        while (j < end) {
-          if (j > i) sb.append(' ')
-          sb.append(toks(j))
-          j += 1
-        }
-        val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        out(i) = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
-        i += 1
-      }
-      // sort+dedup (no boxing): explode order is irrelevant downstream
-      java.util.Arrays.sort(out)
-      var w = 0
-      var r = 0
-      while (r < out.length) {
-        if (r == 0 || out(r) != out(r - 1)) { out(w) = out(r); w += 1 }
-        r += 1
-      }
-      out.take(w).toSeq
-    })
-    f(text)
-  }
+  def shingleHashes(text: Column, n: Int): Column =
+    graft.expressions.ShingleHashes.shingleHashes(text, lit(n))
 
   /** Jaccard-similar candidate pairs within a blocking bucket:
     * |A∩B| / |A∪B| over distinct shingles.

@@ -134,6 +134,29 @@ class TextOpsSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("shingleHashes edge cases: multi-space runs, empties, short docs, unicode") {
+    val cases = Seq(
+      "a  b c d",        // double space → normalized shingle "a b c"
+      "  a b  ",         // leading/trailing/multiple spaces
+      "",                // no tokens: the empty shingle
+      " ",               // spaces only
+      "x",               // one token, n=3 → single short shingle
+      "x y",             // two tokens
+      "héllo wörld ünïcode ありがとう ok" // multi-byte UTF-8
+    )
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val diff = df.select(
+      array_sort(array_distinct(transform(Dedup.shinglesFast(col("t"), 3), s => xxhash64(s)))).as("a"),
+      Dedup.shingleHashes(col("t"), 3).as("b"))
+      .filter(col("a") =!= col("b"))
+      .count()
+    assert(diff == 0)
+    // null text → null output, like the HOF form
+    val n = Seq((1L, null.asInstanceOf[String])).toDF("id", "t")
+      .select(Dedup.shingleHashes(col("t"), 3).as("b")).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("fast signature variants equal their expression forms on real data") {
     val d = spark.read.parquet(s"$sf0001/documents.parquet").limit(100)
     val mh = d
