@@ -44,7 +44,10 @@ final case class ProfilerConfig(
       */
     combiner: String = "mv",
     /** Abstention threshold on the sample-gold extraction fraction
-      * (`--extraction_fraction_thresh`, `configs.py:167-172`). */
+      * (`--extraction_fraction_thresh`, `configs.py:167-172`, default
+      * 0.9; the 0.8 function-level default at `profiler.py:123` /
+      * `evaluate_profiler.py:86` is always overridden by this CLI arg
+      * via `profiler.py:636,684`, so 0.9 is the effective default). */
     extractionFractionThresh: Double = 0.9
 )
 
