@@ -588,6 +588,33 @@ object SparkEntry {
       Similarity.meanPool(Tables.embeddings(s, dir), "label", "embedding")
         .orderBy(col("label"), col("dim"))),
 
+    // ANN memory path: int8 scalar quantization (FAISS-SQ8-style) —
+    // quantized dot-product ranking with the exact cosine attached as
+    // the rerank column; floor-based quantization replays in SQL
+    "q_ann_int8" -> ((s, dir) =>
+      Similarity.int8TopK(
+        Tables.embeddings(s, dir), "vec_id", "embedding", queryVec(s, dir), k = 20)),
+
+    // hybrid retrieval: reciprocal-rank fusion of the lexical (BM25)
+    // and dense (cosine) top-30 lists into a fused top-20
+    "q_rrf_fusion" -> ((s, dir) => {
+      val lex = TextStats
+        .bm25TopK(docs(s, dir), "doc_id", "text", terms = Seq("spark", "data", "query"), k = 30)
+        .select(col("doc_id"), col("rank"))
+      val dense = Similarity
+        .cosineTopK(Tables.embeddings(s, dir), "vec_id", "embedding", queryVec(s, dir), k = 30)
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      Similarity.rrfFusion(Seq(lex, dense), "doc_id", k = 20)
+        .select(col("doc_id"), col("n_lists"), col("rrf"), col("rank"))
+    }),
+
+    // contrastive-training data prep: per-class hard negatives — the
+    // 5 out-of-class vectors nearest to each class centroid
+    "q_hard_negatives" -> ((s, dir) =>
+      Similarity
+        .hardNegatives(Tables.embeddings(s, dir), "label", "vec_id", "embedding", k = 5)
+        .orderBy(col("neg_label"), col("rank"))),
+
     // §2.4 retrieval top-1 rank join per bucket (retrieval.py:31-36)
     "q_retrieval_top1" -> ((s, dir) =>
       Similarity
@@ -760,6 +787,19 @@ object SparkEntry {
       Curation.dsirWeights(docs(s, dir), "doc_id", "text",
           isTarget = col("lang") === "en", vocabK = 25)
         .orderBy(col("doc_id"))),
+
+    // training-data ops: per-doc duplicate-n-gram fraction — the
+    // corpus-overlap scalar near-dedup thresholds are calibrated on
+    "q_dup_ngram_frac" -> ((s, dir) =>
+      Curation.dupNgramFraction(docs(s, dir), "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))),
+
+    // training-data ops: winnowing (MOSS) fingerprints — local-copy
+    // detection sketch; every ≥(w+n−1)-token exact overlap between
+    // two docs is guaranteed to share a selected fingerprint
+    "q_winnow_fingerprint" -> ((s, dir) =>
+      Dedup.winnowFingerprints(docs(s, dir), "doc_id", "text", n = 3, w = 4)
+        .orderBy(col("doc_id"), col("fp_pos"), col("fp_hash"))),
 
     // training-data ops: Gopher/C4 quality-rule flags + keep decision
     "q_quality_rules" -> ((s, dir) =>
@@ -1391,6 +1431,83 @@ object SparkEntry {
          FROM embeddings, unnest(range(1, 65)) AS u(i)
          GROUP BY label, i ORDER BY label, dim""",
 
+    "q_ann_int8" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+          es AS (SELECT vec_id, embedding, v,
+                        CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0.0 THEN 0.0
+                             ELSE CAST(127 AS DOUBLE) / list_max(list_transform(v, x -> abs(x))) END AS scale
+                 FROM e),
+          eq AS (SELECT vec_id, embedding, v, scale,
+                        list_transform(v, x -> floor(x * scale + 0.5)) AS qv
+                 FROM es),
+          q AS (SELECT qv AS qq, scale AS qscale, embedding AS qe FROM eq WHERE vec_id = 0),
+          sc AS (SELECT e.vec_id,
+                        round(CASE WHEN e.scale = 0.0 OR q.qscale = 0.0 THEN 0.0
+                                   ELSE ${dotSql("e.qv", "q.qq")} / (e.scale * q.qscale) END, 6) AS score_q8,
+                        round(${cosSql("e.embedding", "q.qe")}, 6) AS cos
+                 FROM eq e, q)
+          SELECT vec_id, score_q8, cos,
+                 CAST(row_number() OVER (ORDER BY score_q8 DESC, vec_id ASC) AS INT) AS rank
+          FROM (SELECT * FROM sc ORDER BY score_q8 DESC, vec_id ASC LIMIT 20) ORDER BY rank""",
+
+    "q_rrf_fusion" ->
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+                     FROM documents),
+          f AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl,
+                       CAST(len(list_filter(tk, x -> x = 'spark')) AS DOUBLE) AS tf_0,
+                       CAST(len(list_filter(tk, x -> x = 'data')) AS DOUBLE) AS tf_1,
+                       CAST(len(list_filter(tk, x -> x = 'query')) AS DOUBLE) AS tf_2
+                FROM t),
+          s AS (SELECT count(*) AS n_docs,
+                       CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE) / count(*) AS avgdl,
+                       sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+                       sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+                       sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+                FROM f),
+          sc AS (SELECT f.doc_id,
+                        round(  ln((n_docs - df_0 + 0.5) / (df_0 + 0.5) + 1.0) * (tf_0 * 2.2 / (tf_0 + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+                              + ln((n_docs - df_1 + 0.5) / (df_1 + 0.5) + 1.0) * (tf_1 * 2.2 / (tf_1 + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+                              + ln((n_docs - df_2 + 0.5) / (df_2 + 0.5) + 1.0) * (tf_2 * 2.2 / (tf_2 + 1.2 * (0.25 + 0.75 * (dl / avgdl)))), 6) AS score
+                 FROM f, s),
+          bmr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+                  FROM (SELECT * FROM sc ORDER BY score DESC, doc_id ASC LIMIT 30)),
+          q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+          cs AS (SELECT vec_id AS doc_id, round(${cosSql("e.embedding", "q.qe")}, 6) AS cos
+                 FROM embeddings e, q),
+          csr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS INT) AS rank
+                  FROM (SELECT * FROM cs ORDER BY cos DESC, doc_id ASC LIMIT 30)),
+          u AS (SELECT doc_id, CAST(1 AS DOUBLE) / (60 + rank) AS c FROM bmr
+                UNION ALL
+                SELECT doc_id, CAST(1 AS DOUBLE) / (60 + rank) AS c FROM csr),
+          fused AS (SELECT doc_id, CAST(count(*) AS INT) AS n_lists, round(sum(c), 6) AS rrf
+                    FROM u GROUP BY doc_id)
+          SELECT doc_id, n_lists, rrf,
+                 CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank
+          FROM (SELECT * FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 20) ORDER BY rank""",
+
+    "q_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label,
+                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                     FROM embeddings),
+          cm AS (SELECT label AS neg_label, i AS dim,
+                        round(CAST(sum(CAST(v[i] AS DECIMAL(27,18))) AS DOUBLE) / count(*), 6) AS m
+                 FROM e, unnest(range(1, 65)) AS u(i)
+                 GROUP BY label, i),
+          cl AS (SELECT neg_label, list(m ORDER BY dim) AS c FROM cm GROUP BY neg_label),
+          cln AS (SELECT neg_label, c, ${dotSql("c", "c")} AS cn FROM cl),
+          en AS (SELECT vec_id, label, v, ${dotSql("v", "v")} AS nrm FROM e),
+          sc AS (SELECT en.vec_id, en.label, cln.neg_label,
+                        round(${cosNSql(dotSql("en.v", "cln.c"), "en.nrm", "cln.cn")}, 6) AS cos
+                 FROM en CROSS JOIN cln
+                 WHERE en.label <> cln.neg_label),
+          rk AS (SELECT neg_label, vec_id, label, cos,
+                        CAST(row_number() OVER (PARTITION BY neg_label ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+                 FROM sc)
+          SELECT neg_label, rank, vec_id, label, cos
+          FROM rk WHERE rank <= 5 ORDER BY neg_label, rank""",
+
     "q_ann_kmeans" ->
       s"""WITH e2 AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nrm FROM embeddings),
           q AS (SELECT embedding AS qe, nrm AS qn FROM e2 WHERE vec_id = 0),
@@ -1663,6 +1780,38 @@ object SparkEntry {
          SELECT doc_id, CAST(count(*) AS INT) AS n_tok,
                 round(CAST(sum(lr) AS DOUBLE), 6) AS dsir_weight
          FROM sc GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_dup_ngram_frac" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+                    FROM documents),
+          g AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS gram
+                FROM t, unnest(range(1, len(tk) - 1)) AS u(i)
+                WHERE len(tk) >= 3),
+          df AS (SELECT gram, count(*) AS nd FROM g GROUP BY gram),
+          p AS (SELECT doc_id, CAST(count(*) AS INT) AS n_grams,
+                       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS INT) AS n_dup
+                FROM g JOIN df USING (gram) GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(n_grams, 0) AS n_grams, COALESCE(n_dup, 0) AS n_dup,
+                CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0.0
+                     ELSE round(CAST(COALESCE(n_dup, 0) AS DOUBLE) / n_grams, 6) END AS dup_frac
+         FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id""",
+
+    "q_winnow_fingerprint" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+                    FROM documents),
+          g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, array_to_string(tk[i:i+2], ' ') AS gram
+                FROM t, unnest(range(1, greatest(len(tk) - 2, 1) + 1)) AS u(i)),
+          h AS (SELECT doc_id, pos,
+                       ('0x' || substr(md5(gram), 1, 10))::BIGINT * 1048576 + pos AS cmb,
+                       count(*) OVER (PARTITION BY doc_id) AS ng
+                FROM g),
+          wm AS (SELECT doc_id, pos, ng,
+                        min(cmb) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+                 FROM h),
+          fp AS (SELECT DISTINCT doc_id, sel FROM wm WHERE pos <= greatest(ng - 3, 1))
+         SELECT doc_id, CAST(sel & 1048575 AS INT) AS fp_pos, sel >> 20 AS fp_hash
+         FROM fp ORDER BY doc_id, fp_pos, fp_hash""",
 
     "q_quality_rules" ->
       """WITH t AS (SELECT doc_id, lower(text) AS lt,

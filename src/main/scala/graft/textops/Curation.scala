@@ -125,6 +125,52 @@ object Curation {
       .agg(countDistinct(col("gram_h")).as("n_overlap"))
   }
 
+  /** Per-doc duplicate-n-gram fraction: the share of a doc's DISTINCT
+    * word n-grams that also occur in at least one OTHER doc — the
+    * corpus-level cousin of the Gopher within-doc repetition signals,
+    * and the scalar every near-dedup threshold sweep is calibrated
+    * against (Lee et al. "Deduplicating Training Data…", ACL'22 —
+    * public method, reimplemented from the description). Docs with
+    * fewer than n tokens report (0, 0, 0.0).
+    *
+    * Scale shape: distinct grams per doc (one JVM call per row) →
+    * 8-byte hash keys → ONE (gram_h) aggregation counting docs per
+    * gram (map-side partial combine does the heavy lifting: most
+    * grams are singletons) → join back on gram_h → per-doc avg. Two
+    * keyed shuffles total, both on 8-byte keys; the doc bodies never
+    * move. At 100 TB the df table can additionally be df>1-filtered
+    * before the join (a semi-join against the non-singleton minority,
+    * same trick as ngramJaccardPairsCapped) — kept explicit here so
+    * n_grams is exact.
+    */
+  def dupNgramFraction(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val grams = corpus
+      .select(col(idCol), explode(wordNgramsFastDistinct(col(textCol), n)).as("gram"))
+      .select(col(idCol), xxhash64(col("gram")).as("gram_h"))
+    val df = grams.groupBy(col("gram_h")).agg(count(lit(1)).as("n_docs_with"))
+    val perDoc = grams
+      .join(df, Seq("gram_h"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_grams"),
+        sum(when(col("n_docs_with") > 1, 1L).otherwise(0L)).cast("int").as("n_dup"))
+    corpus
+      .select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_grams"), lit(0)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0)).as("n_dup"))
+      .withColumn(
+        "dup_frac",
+        when(col("n_grams") === 0, 0.0)
+          .otherwise(round(col("n_dup").cast("double") / col("n_grams"), 6)))
+  }
+
   // ---------------------------------------------------------------
   // Cross-document boilerplate (repeated-sentence) removal
   // ---------------------------------------------------------------

@@ -87,6 +87,60 @@ object Dedup {
   def shingleHashes(text: Column, n: Int): Column =
     graft.expressions.ShingleHashes.shingleHashes(text, lit(n))
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    * the MOSS local-similarity sketch; public algorithm, reimplemented
+    * from the formula): hash every positional word n-gram, slide a
+    * w-gram window, keep each window's minimum; ties break to the
+    * leftmost position. Guarantees every ≥(w+n−1)-token exact overlap
+    * between two docs shares a fingerprint — the structural complement
+    * to MinHash (whole-doc similarity) for plagiarism-style local-copy
+    * detection.
+    *
+    * Determinism + SQL parity: the window minimum runs over ONE
+    * combined key hash·2²⁰ + pos (hash = 40-bit md5 prefix, pos < 2²⁰
+    * — docs are chunked well below a million grams), so min() alone
+    * encodes the (min-hash, leftmost) rule and both engines decode the
+    * same (pos, hash) pair with shifts/masks.
+    *
+    * Scale shape: one shuffle (doc key) feeding both the per-doc gram
+    * count and the running window min; output is the distinct selected
+    * fingerprints, ~n_grams/w rows per doc. Fingerprint → posting-list
+    * join (ngramJaccardPairs' inverted-index pattern) is the pair
+    * stage at lake scale.
+    */
+  def winnowFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      w: Int = 4): DataFrame = {
+    val grams = df
+      .select(col(idCol), tokensCol(col(textCol)).as("t"))
+      .select(
+        col(idCol),
+        posexplode(
+          transform(
+            sequence(lit(1), greatest(size(col("t")) - (n - 1), lit(1))),
+            i => concat_ws(" ", slice(col("t"), i, lit(n))))).as(Seq("p0", "gram")))
+      .select(
+        col(idCol),
+        (col("p0") + 1).as("pos"),
+        (conv(substring(md5(col("gram").cast("binary")), 1, 10), 16, 10).cast("long") * lit(1048576L)
+          + col("p0") + 1).as("cmb"))
+    val byDoc = Window.partitionBy(col(idCol))
+    val win   = byDoc.orderBy(col("pos")).rowsBetween(0, w - 1)
+    grams
+      .withColumn("ng", count(lit(1)).over(byDoc))
+      .withColumn("sel", min(col("cmb")).over(win))
+      .filter(col("pos") <= greatest(col("ng") - (w - 1), lit(1)))
+      .select(col(idCol), col("sel"))
+      .distinct()
+      .select(
+        col(idCol),
+        col("sel").bitwiseAND(1048575L).cast("int").as("fp_pos"),
+        shiftright(col("sel"), 20).as("fp_hash"))
+  }
+
   /** Jaccard-similar candidate pairs within a blocking bucket:
     * |A∩B| / |A∪B| over distinct shingles.
     *

@@ -328,4 +328,127 @@ object Similarity {
       .limit(k)
     scored.withColumn("rank", row_number().over(Window.orderBy(desc("cos"), col(idCol))))
   }
+
+  /** Reciprocal-rank fusion of independently ranked candidate lists
+    * (hybrid retrieval: lexical BM25 + dense cosine is the canonical
+    * pair). Each input carries (id, rank); fused score per id is
+    * Σ 1/(k0 + rank) over the lists that ranked it, k0 = 60 from the
+    * original RRF formulation (Cormack et al., SIGIR'09 — public
+    * method, reimplemented from the formula).
+    *
+    * Scale shape: the inputs are already top-N frames (tiny); the
+    * fusion is a union + one hash aggregation on id + a k-row
+    * TakeOrdered. At 100 TB the per-list retrieval does the heavy
+    * lifting (each with its own index path); fusion cost stays
+    * O(lists × N) regardless of corpus size.
+    */
+  def rrfFusion(ranked: Seq[DataFrame], idCol: String, k: Int, k0: Int = 60): DataFrame = {
+    val contrib = ranked
+      .map(df => df.select(col(idCol), (lit(1.0) / (lit(k0) + col("rank"))).as("c")))
+      .reduce(_.unionByName(_))
+    contrib
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_lists"), round(sum(col("c")), 6).as("rrf"))
+      .orderBy(desc("rrf"), col(idCol))
+      .limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(desc("rrf"), col(idCol))))
+  }
+
+  /** Symmetric per-vector int8 scalar quantization + quantized top-k
+    * (the memory-bound ANN path: 4 bytes/dim → 1 byte/dim means a
+    * 100 TB float corpus scans as 25 TB; the asymmetric-distance
+    * reconstruction below is how FAISS-style SQ8 indexes score).
+    *
+    * Quantization: scale = 127 / max|v| per vector (scale 0 for the
+    * zero vector), q_i = floor(v_i·scale + 0.5) — explicit floor
+    * formula, not `round`, so both engines agree on halfway cases for
+    * negative values. Approximate score reconstructs the dot product
+    * as dot(q_v, q_query) / (scale_v · scale_query); int products are
+    * ≤ 64·127² so the double arithmetic is exact and the SQL oracle
+    * replays bit-for-bit. Ranking: approx score desc (rounded 6dp),
+    * id asc. The exact cosine of each survivor is attached as the
+    * rerank column a production pipeline would sort by after fetching
+    * the float vectors of just these k rows.
+    */
+  def int8TopK(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int): DataFrame = {
+    val qAmax  = query.map(math.abs).max
+    val qScale = if (qAmax == 0) 0.0 else 127.0 / qAmax
+    val qQ     = query.map(x => math.floor(x * qScale + 0.5))
+    val withV = embeddings
+      .withColumn("v", transform(col(vecCol), x => x.cast("double")))
+      .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("scale", when(col("amax") === 0.0, 0.0).otherwise(lit(127.0) / col("amax")))
+      // Spark floor() yields LONG — cast back so dotD sees doubles
+      // (values are integral either way; DuckDB floor stays DOUBLE)
+      .withColumn("qv", transform(col("v"), x => floor(x * col("scale") + lit(0.5)).cast("double")))
+    val qdot = dot(col("qv"), typedLit(qQ))
+    val approx = when(col("scale") === 0.0 || lit(qScale) === 0.0, 0.0)
+      .otherwise(qdot / (col("scale") * lit(qScale)))
+    withV
+      .select(
+        col(idCol),
+        round(approx, 6).as("score_q8"),
+        round(cosineToQuery(col(vecCol), query), 6).as("cos"))
+      .orderBy(desc("score_q8"), col(idCol))
+      .limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(desc("score_q8"), col(idCol))))
+  }
+
+  /** Hard-negative mining for contrastive training: for every class,
+    * the k out-of-class vectors nearest to the class centroid (the
+    * negatives a trainer wants in the batch). Centroids are the
+    * 6dp-rounded per-dimension means (meanPool's decimal-exact sums),
+    * so the whole operator is deterministic and SQL-replayable.
+    *
+    * Scale shape: centroids reduce to one (nLabels × dim) matrix that
+    * ships back into the plan as broadcast literals; mining is then a
+    * single scan computing nLabels cosines per row (codegen'd dot
+    * products over a hoisted double vector) + one rank window keyed by
+    * the MINED label — the shuffle moves only (label, id, cos) triples,
+    * never the vectors.
+    */
+  def hardNegatives(
+      embeddings: DataFrame,
+      labelCol: String,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val dim = embeddings.select(size(col(vecCol))).head().getInt(0)
+    val centroids: Seq[(Int, Seq[Double])] = meanPool(embeddings, labelCol, vecCol)
+      .collect()
+      .toSeq
+      .groupBy(_.getAs[Int](labelCol))
+      .map { case (lbl, rows) =>
+        (lbl, rows.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("mean")).toSeq)
+      }
+      .toSeq
+      .sortBy(_._1)
+    require(centroids.forall(_._2.length == dim), "centroid dim mismatch")
+    val withV = embeddings
+      .withColumn("v", transform(col(vecCol), x => x.cast("double")))
+      .withColumn("nrm", dot(col("v"), col("v")))
+    val cands = array(centroids.map { case (lbl, c) =>
+      val cn = c.map(x => x * x).sum
+      val cos = when(col("nrm") === 0.0 || lit(cn) === 0.0, 0.0)
+        .otherwise(dot(col("v"), typedLit(c)) / (sqrt(col("nrm")) * lit(math.sqrt(cn))))
+      struct(lit(lbl).as("neg_label"), round(cos, 6).as("cos"))
+    }: _*)
+    val w = Window.partitionBy(col("neg_label")).orderBy(desc("cos"), col(idCol))
+    withV
+      .select(col(labelCol), col(idCol), explode(cands).as("cand"))
+      .select(
+        col(labelCol),
+        col(idCol),
+        col("cand.neg_label").as("neg_label"),
+        col("cand.cos").as("cos"))
+      .filter(col(labelCol) =!= col("neg_label"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("neg_label"), col("rank"), col(idCol), col(labelCol), col("cos"))
+  }
 }

@@ -23,7 +23,10 @@ class DeterminismSpec extends SparkSpec {
     // round-3 operators
     "q_ann_lsh", "q_ann_recall", "q_embed_mean_pool", "q_dedup_paragraph",
     "q_dsir_weight", "q_shard_assign", "q_mix_realize", "q_dedup_keep_best",
-    "q_minhash_est", "q_langid_confusion")
+    "q_minhash_est", "q_langid_confusion",
+    // round-3 wave 2
+    "q_ann_int8", "q_rrf_fusion", "q_hard_negatives", "q_winnow_fingerprint",
+    "q_dup_ngram_frac")
 
   test("queries are stable across repeated runs") {
     sampleQueries.foreach { name =>

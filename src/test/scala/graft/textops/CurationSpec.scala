@@ -130,4 +130,21 @@ class CurationSpec extends SparkSpec {
     val expect = 2 * (math.log(2.5 / 4.5) - math.log(0.5 / 4.5))
     assert(math.abs(w1 - expect) < 1e-5)
   }
+
+  test("dupNgramFraction counts cross-doc shared grams, not within-doc repeats") {
+    val df = Seq(
+      (1L, "a b c d e"),    // grams: "a b c","b c d","c d e"
+      (2L, "a b c x y"),    // shares "a b c" with doc 1
+      (3L, "p q r p q r"),  // within-doc repeat only ("p q r" ×2, distinct once)
+      (4L, "one two")       // < n tokens → no grams
+    ).toDF("doc_id", "text")
+    val got = Curation.dupNgramFraction(df, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(got(0).getAs[Int]("n_grams") == 3 && got(0).getAs[Int]("n_dup") == 1)
+    assert(math.abs(got(0).getAs[Double]("dup_frac") - 1.0 / 3) < 1e-6)
+    assert(got(1).getAs[Int]("n_dup") == 1)
+    // doc 3's repeat is internal — distinct-per-doc means df stays 1
+    assert(got(2).getAs[Int]("n_dup") == 0)
+    assert(got(3).getAs[Int]("n_grams") == 0 && got(3).getAs[Double]("dup_frac") == 0.0)
+  }
 }

@@ -330,4 +330,82 @@ class TextOpsSpec extends SparkSpec {
     assert(fp("a b c") != fp("c b a"))
     assert(fp("a b c") >= 0)
   }
+
+  test("winnowFingerprints: shared long overlap guarantees a shared fingerprint") {
+    val overlap = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (1L, s"alpha beta gamma $overlap"),
+      (2L, s"$overlap delta epsilon zeta eta"),
+      (3L, "completely different words everywhere now")).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(df, "doc_id", "text", n = 3, w = 4)
+    val byDoc = fps.collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    // w+n-1 = 6 < 12 shared tokens → docs 1,2 must share a hash
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) & byDoc(3L)).isEmpty)
+    // identical docs → identical fingerprint sets (positions included)
+    val dup  = Seq((1L, s"alpha beta gamma $overlap"), (2L, s"alpha beta gamma $overlap")).toDF("doc_id", "text")
+    val dfps = Dedup.winnowFingerprints(dup, "doc_id", "text", n = 3, w = 4).collect()
+    val d1   = dfps.filter(_.getLong(0) == 1L).map(r => (r.getInt(1), r.getLong(2))).toSet
+    val d2   = dfps.filter(_.getLong(0) == 2L).map(r => (r.getInt(1), r.getLong(2))).toSet
+    assert(d1 == d2 && d1.nonEmpty)
+    // density: ~1 fingerprint per window, never more than n_grams
+    assert(byDoc(1L).size <= 13)
+  }
+
+  test("winnowFingerprints: short docs yield exactly one fingerprint") {
+    val df  = Seq((1L, "a b"), (2L, "")).toDF("doc_id", "text")
+    val got = Dedup.winnowFingerprints(df, "doc_id", "text", n = 3, w = 4).collect()
+    assert(got.count(_.getLong(0) == 1L) == 1) // one gram, one window
+    assert(got.count(_.getLong(0) == 2L) == 1) // empty-string gram
+  }
+
+  test("rrfFusion sums reciprocal ranks across lists and ranks deterministically") {
+    val l1 = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val l2 = Seq((20L, 1), (10L, 2)).toDF("doc_id", "rank")
+    val got = Similarity.rrfFusion(Seq(l1, l2), "doc_id", k = 3).orderBy("rank").collect()
+    // doc 20: 1/62 + 1/61 > doc 10: 1/61 + 1/62 — equal! tie → id asc ⇒ 10 first
+    val r10 = 1.0 / 61 + 1.0 / 62
+    assert(got(0).getLong(0) == 10L && got(1).getLong(0) == 20L && got(2).getLong(0) == 30L)
+    assert(math.abs(got(0).getAs[Double]("rrf") - r10) < 1e-6)
+    assert(got(0).getAs[Int]("n_lists") == 2)
+    assert(got(2).getAs[Int]("n_lists") == 1)
+  }
+
+  test("int8TopK approximates the float dot product within quantization error") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.5f, -0.25f, 0.0f)),
+      (1L, Array(0.9f, 0.4f, -0.2f, 0.1f)),
+      (2L, Array(-1.0f, 0.3f, 0.8f, 0.6f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q   = Seq(1.0, 0.5, -0.25, 0.0)
+    val got = Similarity.int8TopK(vecs, "vec_id", "embedding", q, k = 4).collect()
+    got.foreach { r =>
+      val vid  = r.getLong(0)
+      val v    = vecs.filter(col("vec_id") === vid).head.getSeq[Float](1).map(_.toDouble)
+      val truth = v.zip(q).map { case (a, b) => a * b }.sum
+      // int8 SQ error bound: ~|v||q|·(1/127)·2 per element sum — loose 0.05 here
+      assert(math.abs(r.getAs[Double]("score_q8") - truth) < 0.05, s"vec $vid")
+    }
+    // zero vector scores exactly 0; the anti-aligned vector (negative
+    // dot) ranks below it
+    assert(got.find(_.getLong(0) == 3L).get.getAs[Double]("score_q8") == 0.0)
+    assert(got.maxBy(_.getAs[Int]("rank")).getLong(0) == 2L)
+  }
+
+  test("hardNegatives mines the nearest out-of-class vectors per class") {
+    // two well-separated clusters + one label-1 vector planted inside
+    // cluster 0 — it must be label 0's top negative
+    val vecs = Seq(
+      (0L, 0, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, 0, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, 1, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (3L, 1, Array(0.0f, 0.1f, 0.9f, 0.0f)),
+      (4L, 1, Array(0.95f, 0.05f, 0.0f, 0.0f))).toDF("vec_id", "label", "embedding")
+    val got = Similarity.hardNegatives(vecs, "label", "vec_id", "embedding", k = 2)
+    val rows = got.collect()
+    rows.foreach(r => assert(r.getAs[Int]("neg_label") != r.getAs[Int]("label")))
+    rows.foreach(r => assert(r.getAs[Int]("rank") <= 2))
+    val top0 = rows.filter(r => r.getAs[Int]("neg_label") == 0).minBy(_.getAs[Int]("rank"))
+    assert(top0.getAs[Long]("vec_id") == 4L)
+  }
 }
