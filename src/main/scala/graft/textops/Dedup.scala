@@ -113,6 +113,22 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int = 3,
+      w: Int = 4): DataFrame =
+    df.select(
+      col(idCol),
+      explode(winnowFast(col(textCol), n, w)).as("fp"))
+      .select(col(idCol), col("fp._1").as("fp_pos"), col("fp._2").as("fp_hash"))
+
+  /** Expression-form winnowing — the SQL-shaped reference the fast
+    * path is asserted against (TextOpsSpec), and the literal shape of
+    * the DuckDB oracle. Costs a window shuffle on the doc key that
+    * winnowFast avoids entirely; not the hot path.
+    */
+  def winnowFingerprintsExpr(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
       w: Int = 4): DataFrame = {
     val grams = df
       .select(col(idCol), tokensCol(col(textCol)).as("t"))
@@ -539,6 +555,55 @@ object Dedup {
   private def hash16Jvm(s: String): Long = {
     val b = md5Bytes(s)
     ((b(0) & 0xffL) << 8) | (b(1) & 0xffL)
+  }
+
+  /** First 10 hex chars (5 bytes) of md5 as a 40-bit value. */
+  private def hash40Jvm(s: String): Long = {
+    val b = md5Bytes(s)
+    var v = 0L
+    var i = 0
+    while (i < 5) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** Winnowing in one JVM pass per doc (the hot path behind
+    * winnowFingerprints): positional n-gram hashes, sliding w-window
+    * min on the combined hash·2²⁰+pos key, per-doc dedup — all local
+    * to the row, ZERO shuffle (the expression form pays a doc-key
+    * window exchange for the same answer). Returns
+    * array<struct<_1: pos, _2: hash>> of the selected fingerprints.
+    */
+  def winnowFast(text: Column, n: Int, w: Int): Column = {
+    val f = udf((t: String) => {
+      val toks = if (t == null) Array.empty[String] else t.split(" ").filter(_.nonEmpty)
+      val nG   = math.max(toks.length - (n - 1), 1)
+      val cmb  = new Array[Long](nG)
+      var i    = 0
+      while (i < nG) {
+        val end = math.min(i + n, toks.length)
+        val sb  = new java.lang.StringBuilder
+        var j   = i
+        while (j < end) { if (j > i) sb.append(' '); sb.append(toks(j)); j += 1 }
+        cmb(i) = (hash40Jvm(sb.toString) << 20) | (i + 1).toLong
+        i += 1
+      }
+      val out   = new java.util.LinkedHashSet[Long]
+      val lastS = math.max(nG - w, 0)
+      var s     = 0
+      while (s <= lastS) {
+        var m = cmb(s)
+        var j = s + 1
+        val e = math.min(s + w, nG)
+        while (j < e) { if (cmb(j) < m) m = cmb(j); j += 1 }
+        out.add(m)
+        s += 1
+      }
+      val it  = out.iterator()
+      val res = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+      while (it.hasNext) { val v = it.next(); res += (((v & 1048575L).toInt, v >>> 20)) }
+      res.toSeq
+    })
+    f(text)
   }
 
   /** MinHash signature in one call: min over shingles per seed. */

@@ -352,6 +352,15 @@ class TextOpsSpec extends SparkSpec {
     assert(byDoc(1L).size <= 13)
   }
 
+  test("winnowFast path equals the expression form on real data") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val fast = Dedup.winnowFingerprints(d, "doc_id", "text", n = 3, w = 4)
+      .collect().map(_.toString).sorted.toSeq
+    val expr = Dedup.winnowFingerprintsExpr(d, "doc_id", "text", n = 3, w = 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fast == expr)
+  }
+
   test("winnowFingerprints: short docs yield exactly one fingerprint") {
     val df  = Seq((1L, "a b"), (2L, "")).toDF("doc_id", "text")
     val got = Dedup.winnowFingerprints(df, "doc_id", "text", n = 3, w = 4).collect()
