@@ -1002,7 +1002,24 @@ object SparkEntry {
           date_format(col("start_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("start_ts"),
           date_format(col("end_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("end_ts"),
           col("duration_sec"))
-        .orderBy(col("user_id"), col("session_idx")))
+        .orderBy(col("user_id"), col("session_idx"))),
+
+    // north-star event op: binned interval self-join — same-user
+    // activity within ±60s of each purchase; time-bucket binning
+    // prunes candidates to the anchor's neighborhood instead of the
+    // per-user event² pair space
+    "q_range_join_binned" -> ((s, dir) =>
+      EventWindows
+        .nearbyEventStats(events(s, dir), "event_id", "user_id", "ts", "value",
+          anchorPred = col("event_type") === "purchase", windowSec = 60)
+        .orderBy(col("event_id"))),
+
+    // curation reporting: per-source data card (docs, tokens, mean
+    // quality, pivot-language share) — the audit table a curated
+    // corpus ships with
+    "q_data_card" -> ((s, dir) =>
+      Curation.dataCard(docs(s, dir), "source", "lang", "text", Stopwords)
+        .orderBy(col("source")))
   )
 
   /** DuckDB fragment: first n words of documents.text. */
@@ -2065,6 +2082,39 @@ object SparkEntry {
                  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_ts,
                  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_ts,
                  (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec
-          FROM a GROUP BY user_id, session_idx ORDER BY user_id, session_idx"""
+          FROM a GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
+
+    "q_range_join_binned" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
+          a AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+                WHERE event_type = 'purchase')
+         SELECT a.event_id,
+                CAST(count(o.event_id) AS INT) AS n_nearby,
+                COALESCE(round(CAST(sum(CAST(o.value AS DECIMAL(27,6))) AS DOUBLE), 6), 0.0) AS sum_nearby_value
+         FROM a LEFT JOIN e o
+           ON o.user_id = a.user_id AND o.event_id <> a.event_id
+              AND abs(o.ts_us - a.ts_us) <= 60000000
+         GROUP BY a.event_id ORDER BY a.event_id""",
+
+    "q_data_card" ->
+      """WITH t AS (SELECT source, lang, text,
+                           list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+                    FROM documents),
+          m AS (SELECT source, lang,
+                       CAST(len(toks) AS BIGINT) AS tok,
+                       len(toks) AS n_tokens, length(text) AS n_chars,
+                       len(list_filter(toks, x -> x = 'the')) + len(list_filter(toks, x -> x = 'a')) AS n_stop,
+                       length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct
+                FROM t),
+          f AS (SELECT source, lang, tok,
+                       round((least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+                              + least((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 4.0, 1.0)
+                              + greatest(1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) * 10.0, 0.0)) / 3.0, 6) AS q
+                FROM m)
+         SELECT source, CAST(count(*) AS INT) AS n_docs,
+                CAST(sum(tok) AS BIGINT) AS n_tokens,
+                round(CAST(sum(CAST(q AS DECIMAL(27,18))) AS DOUBLE) / count(*), 6) AS mean_quality,
+                round(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS en_share
+         FROM f GROUP BY source ORDER BY source"""
   )
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Fixed (tumbling) event-time window aggregation over an event
@@ -46,6 +46,74 @@ object EventWindows {
         col(keyCol),
         col("n_events"),
         col("sum_value"))
+
+  /** Binned interval self-join (range join): for each anchor event,
+    * count and value-sum the OTHER events of the same key within
+    * ±windowSec of the anchor's timestamp — "activity around the
+    * purchase", the canonical event-analytics interval join.
+    *
+    * Spark has no range-join strategy; the naive plan is an equi-join
+    * on the key alone followed by the time predicate, which
+    * materializes per-key event² pairs (a heavy user's timeline blows
+    * up quadratically). The scale-safe shape implemented here is
+    * time-bucket binning: non-anchors land in bucket
+    * floor(ts/windowSec); anchors fan out to buckets {b−1, b, b+1}
+    * (every event within ±windowSec of the anchor is in one of those
+    * three), the join runs on (key, bucket) — pruning candidates to
+    * the anchor's immediate time neighborhood — and the exact |Δts| ≤
+    * window predicate filters the survivors. Candidate volume scales
+    * with events-per-window, not events-per-key. Anchors with no
+    * neighbors are restored by a final left join (count 0, sum 0.0).
+    *
+    * Cross-engine parity: timestamps compare in integral epoch
+    * micros; value sums are decimal-quantized (order-free).
+    */
+  def nearbyEventStats(
+      events: DataFrame,
+      idCol: String,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      anchorPred: Column,
+      windowSec: Int): DataFrame = {
+    val binUs = windowSec.toLong * 1000000L
+    val base = events.select(
+      col(idCol),
+      col(keyCol),
+      unix_micros(col(tsCol)).as("ts_us"),
+      col(valueCol).as("ev_value"),
+      anchorPred.as("is_anchor"))
+    // exact floor division (ts_us ≥ 0 here, but keep the pmod form —
+    // same reasoning as Tables.events' nanos→micros conversion)
+    val bucketOf = expr(s"(ts_us - pmod(ts_us, ${binUs}L)) div ${binUs}L")
+    val others = base.select(
+      col(keyCol),
+      col(idCol).as("nb_id"),
+      col("ts_us").as("nb_ts_us"),
+      col("ev_value"),
+      bucketOf.as("bucket"))
+    val anchors = base
+      .filter(col("is_anchor"))
+      .select(col(idCol), col(keyCol), col("ts_us"), bucketOf.as("b0"))
+      .withColumn("bucket", explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
+    val stats = anchors
+      .join(others, Seq(keyCol, "bucket"))
+      .filter(
+        col("nb_id") =!= col(idCol) &&
+          abs(col("nb_ts_us") - col("ts_us")) <= binUs)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_nearby"),
+        round(sum(col("ev_value").cast("decimal(27,6)")).cast("double"), 6).as("sum_nearby_value"))
+    base
+      .filter(col("is_anchor"))
+      .select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_nearby"), lit(0)).as("n_nearby"),
+        coalesce(col("sum_nearby_value"), lit(0.0)).as("sum_nearby_value"))
+  }
 
   /** Streaming equivalent: same tumbling aggregation with
     * watermark-bounded state (append mode emits a window once the

@@ -171,6 +171,43 @@ object Curation {
           .otherwise(round(col("n_dup").cast("double") / col("n_grams"), 6)))
   }
 
+  /** Per-source data card: the summary table a curated corpus ships
+    * with (and the first thing a training run's data audit asks for)
+    * — doc count, total whitespace tokens, mean quality score, and
+    * share of docs in the pivot language, per source/domain.
+    *
+    * Scale shape: per-doc features are pure column expressions
+    * (codegen, no shuffle), then ONE hash aggregation keyed by
+    * source with map-side partial combine — the classic reduce; at
+    * 100 TB the group count is the domain count, trivially driver-
+    * sized. Mean quality sums the 6dp-rounded per-doc score through
+    * DECIMAL (order-free) so the mean is bit-stable under any
+    * partitioning.
+    */
+  def dataCard(
+      corpus: DataFrame,
+      sourceCol: String,
+      langCol: String,
+      textCol: String,
+      stopwords: Seq[String],
+      pivotLang: String = "en"): DataFrame =
+    corpus
+      .select(
+        col(sourceCol),
+        col(langCol),
+        size(toks(col(textCol))).cast("long").as("dc_tok"),
+        round(graft.textops.TextStats.qualityScore(col(textCol), stopwords), 6).as("dc_q"))
+      .groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_docs"),
+        sum(col("dc_tok")).as("n_tokens"),
+        round(
+          sum(col("dc_q").cast("decimal(27,18)")).cast("double") / count(lit(1)),
+          6).as("mean_quality"),
+        round(
+          sum(when(col(langCol) === pivotLang, 1L).otherwise(0L)).cast("double") / count(lit(1)),
+          6).as(s"${pivotLang}_share"))
+
   // ---------------------------------------------------------------
   // Cross-document boilerplate (repeated-sentence) removal
   // ---------------------------------------------------------------

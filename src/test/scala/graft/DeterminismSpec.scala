@@ -26,7 +26,7 @@ class DeterminismSpec extends SparkSpec {
     "q_minhash_est", "q_langid_confusion",
     // round-3 wave 2
     "q_ann_int8", "q_rrf_fusion", "q_hard_negatives", "q_winnow_fingerprint",
-    "q_dup_ngram_frac")
+    "q_dup_ngram_frac", "q_range_join_binned", "q_data_card")
 
   test("queries are stable across repeated runs") {
     sampleQueries.foreach { name =>

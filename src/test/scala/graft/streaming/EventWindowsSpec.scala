@@ -53,4 +53,27 @@ class EventWindowsSpec extends SparkSpec {
     assert(got.count() == 2)
     assert(got.filter(col("event_type") === "click").head.getAs[Long]("n_events") == 2L)
   }
+
+  test("nearbyEventStats finds neighbors across bucket boundaries, not beyond the window") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // anchor at 00:01:59 — bucket 1 (60s bins)
+      (1L, 7L, ts("2026-01-01 00:01:59"), "purchase", 10.0),
+      (2L, 7L, ts("2026-01-01 00:02:30"), "click", 1.0),  // +31s, bucket 2 → neighbor
+      (3L, 7L, ts("2026-01-01 00:01:10"), "view", 2.0),   // −49s, bucket 1 → neighbor
+      (4L, 7L, ts("2026-01-01 00:03:05"), "click", 4.0),  // +66s → outside window
+      (5L, 9L, ts("2026-01-01 00:02:00"), "click", 8.0),  // other user → excluded
+      (6L, 9L, ts("2026-01-01 05:00:00"), "purchase", 3.0) // isolated anchor
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val got = EventWindows
+      .nearbyEventStats(events, "event_id", "user_id", "ts", "value",
+        anchorPred = col("event_type") === "purchase", windowSec = 60)
+      .orderBy("event_id").collect()
+    assert(got.length == 2)
+    assert(got(0).getLong(0) == 1L && got(0).getAs[Int]("n_nearby") == 2)
+    assert(got(0).getAs[Double]("sum_nearby_value") == 3.0)
+    assert(got(1).getLong(0) == 6L && got(1).getAs[Int]("n_nearby") == 0)
+    assert(got(1).getAs[Double]("sum_nearby_value") == 0.0)
+  }
 }

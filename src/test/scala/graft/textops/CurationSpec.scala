@@ -147,4 +147,20 @@ class CurationSpec extends SparkSpec {
     assert(got(2).getAs[Int]("n_dup") == 0)
     assert(got(3).getAs[Int]("n_grams") == 0 && got(3).getAs[Double]("dup_frac") == 0.0)
   }
+
+  test("dataCard aggregates docs/tokens/quality/lang-share per source") {
+    val df = Seq(
+      (1L, "srcA", "en", "the cat sat on a mat"),
+      (2L, "srcA", "de", "der hund"),
+      (3L, "srcB", "en", "a b")
+    ).toDF("doc_id", "source", "lang", "text")
+    val got = Curation.dataCard(df, "source", "lang", "text", Seq("the", "a"))
+      .orderBy("source").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Int]("n_docs") == 2 && got(0).getAs[Long]("n_tokens") == 8L)
+    assert(got(0).getAs[Double]("en_share") == 0.5)
+    assert(got(1).getAs[Double]("en_share") == 1.0)
+    val q = got(1).getAs[Double]("mean_quality")
+    assert(q > 0.0 && q <= 1.0)
+  }
 }
