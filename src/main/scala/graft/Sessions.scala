@@ -15,6 +15,9 @@ object Sessions {
       .builder()
       .master(s"local[$cpus]")
       .appName(appName)
+      // engine extension: rewrite HOF dot products to the codegen'd
+      // native expression (graft.expressions.FuseDotProduct)
+      .withExtensions(_.injectOptimizerRule(_ => graft.expressions.FuseDotProduct))
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
