@@ -595,6 +595,13 @@ object SparkEntry {
       Similarity.int8TopK(
         Tables.embeddings(s, dir), "vec_id", "embedding", queryVec(s, dir), k = 20)),
 
+    // SemDeDup: cluster-bounded semantic dedup — the embedding-space
+    // dedup that scales (pairs only within clusters). τ=0.35 sits at
+    // the 99th pct of this synthetic corpus's within-cluster cosine
+    // (max 0.49), so the verdict splits non-trivially.
+    "q_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding", tau = 0.35)),
+
     // hybrid retrieval: reciprocal-rank fusion of the lexical (BM25)
     // and dense (cosine) top-30 lists into a fused top-20
     "q_rrf_fusion" -> ((s, dir) => {
@@ -807,6 +814,13 @@ object SparkEntry {
           minTokens = 20, maxTokens = 100000, minMeanLen = 2.0, maxMeanLen = 10.0)
         .orderBy(col("doc_id"))),
 
+    // training-data ops: fastText-style hashed linear quality scorer
+    // (hashing-trick buckets + broadcast weight table; md5-derived
+    // placeholder weights exercise the full plumbing)
+    "q_quality_classifier" -> ((s, dir) =>
+      Curation.hashedLinearScore(docs(s, dir), "doc_id", "text", nBuckets = 64)
+        .orderBy(col("doc_id"))),
+
     // training-data ops: BM25 relevance top-k against fixed query
     // terms (topic-targeted corpus assembly)
     "q_bm25_topk" -> ((s, dir) =>
@@ -818,6 +832,13 @@ object SparkEntry {
     // vocab + half-count OOV floor, decimal-exact per-doc sums
     "q_unigram_ppl" -> ((s, dir) =>
       TextStats.unigramXent(docs(s, dir), "doc_id", "text", vocabK = 25)
+        .orderBy(col("doc_id"))),
+
+    // training-data ops: bigram-LM cross-entropy with stupid backoff
+    // (Brants et al. 2007) — top-50 bigram + top-25 unigram tables,
+    // in-row bigram expansion (no window shuffle)
+    "q_bigram_ppl" -> ((s, dir) =>
+      TextStats.bigramXent(docs(s, dir), "doc_id", "text", bigramK = 50, vocabK = 25)
         .orderBy(col("doc_id"))),
 
     // training-data ops: temperature-scaled domain mixture weights
@@ -1525,6 +1546,24 @@ object SparkEntry {
           SELECT neg_label, rank, vec_id, label, cos
           FROM rk WHERE rank <= 5 ORDER BY neg_label, rank""",
 
+    "q_semdedup" ->
+      s"""WITH e2 AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nrm FROM embeddings),
+          c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, embedding AS ce, nrm AS cn
+                FROM (SELECT vec_id, embedding, nrm FROM e2 ORDER BY vec_id LIMIT 16)),
+          asg AS (SELECT vec_id, embedding, nrm, cid AS cluster_id, round(cosv, 6) AS cos_c FROM (
+                    SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+                           ${cosNSql(dotSql("e.embedding", "c.ce"), "e.nrm", "c.cn")} AS cosv,
+                           row_number() OVER (
+                             PARTITION BY e.vec_id
+                             ORDER BY ${cosNSql(dotSql("e.embedding", "c.ce"), "e.nrm", "c.cn")} DESC, c.cid ASC) AS rn
+                    FROM e2 e CROSS JOIN c) WHERE rn = 1),
+          drops AS (SELECT DISTINCT b.vec_id
+                    FROM asg a JOIN asg b ON a.cluster_id = b.cluster_id
+                     AND (a.cos_c < b.cos_c OR (a.cos_c = b.cos_c AND a.vec_id < b.vec_id))
+                    WHERE round(${cosNSql(dotSql("a.embedding", "b.embedding"), "a.nrm", "b.nrm")}, 6) >= 0.35)
+          SELECT a.vec_id, a.cluster_id, a.cos_c, (d.vec_id IS NULL) AS is_kept
+          FROM asg a LEFT JOIN drops d ON a.vec_id = d.vec_id ORDER BY a.vec_id""",
+
     "q_ann_kmeans" ->
       s"""WITH e2 AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nrm FROM embeddings),
           q AS (SELECT embedding AS qe, nrm AS qn FROM e2 WHERE vec_id = 0),
@@ -1848,6 +1887,19 @@ object SparkEntry {
                  AND strpos(lt, 'lorem ipsum') = 0 AND strpos(lt, '{') = 0) AS keep
          FROM f ORDER BY doc_id""",
 
+    "q_quality_classifier" ->
+      """WITH toks AS (SELECT doc_id, t AS token
+                       FROM documents, unnest(string_split(text, ' ')) AS u(t) WHERE len(t) > 0),
+          b AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT % 64 AS bkt FROM toks),
+          wt AS (SELECT doc_id,
+                        CAST((('0x' || substr(md5('qcw:' || CAST(bkt AS VARCHAR)), 1, 15))::BIGINT
+                              / 1152921504606846976.0) * 2 - 1 AS DECIMAL(27,18)) AS w
+                 FROM b)
+         SELECT doc_id, CAST(count(*) AS INT) AS n_tok,
+                round(CAST(sum(w) AS DOUBLE) / count(*), 6) AS logit,
+                (round(CAST(sum(w) AS DOUBLE) / count(*), 6) >= 0.0) AS keep
+         FROM wt GROUP BY doc_id ORDER BY doc_id""",
+
     "q_bm25_topk" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
                     FROM documents),
@@ -1881,6 +1933,30 @@ object SparkEntry {
                                       ELSE ln(0.5 / total) END AS DECIMAL(27,18)) AS lp
                      FROM toks t LEFT JOIN vocab v USING (token) CROSS JOIN tot)
          SELECT doc_id, CAST(count(*) AS INT) AS n_tok,
+                round(-(CAST(sum(lp) AS DOUBLE) / count(*)), 6) AS xent
+         FROM scored GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_bigram_ppl" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t FROM documents),
+          ev AS (SELECT doc_id, t[i-1] AS prev, t[i] AS cur
+                 FROM tk, unnest(range(2, len(t) + 1)) AS u(i) WHERE len(t) >= 2),
+          toks AS (SELECT doc_id, tok AS token FROM tk, unnest(t) AS u(tok)),
+          counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+          tot AS (SELECT sum(cnt) AS total FROM counts),
+          vocab AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT 25),
+          bgtop AS (SELECT prev, cur, count(*) AS bg_cnt FROM ev GROUP BY prev, cur
+                    ORDER BY bg_cnt DESC, prev, cur LIMIT 50),
+          scored AS (SELECT ev.doc_id,
+                            CAST(CASE WHEN bg.bg_cnt IS NOT NULL AND vp.cnt IS NOT NULL
+                                      THEN ln(CAST(bg.bg_cnt AS DOUBLE) / vp.cnt)
+                                      ELSE ln(0.4 * (CASE WHEN vc.cnt IS NOT NULL
+                                                          THEN CAST(vc.cnt AS DOUBLE) ELSE 0.5 END) / total)
+                                 END AS DECIMAL(27,18)) AS lp
+                     FROM ev LEFT JOIN bgtop bg USING (prev, cur)
+                             LEFT JOIN vocab vp ON ev.prev = vp.token
+                             LEFT JOIN vocab vc ON ev.cur = vc.token
+                             CROSS JOIN tot)
+         SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
                 round(-(CAST(sum(lp) AS DOUBLE) / count(*)), 6) AS xent
          FROM scored GROUP BY doc_id ORDER BY doc_id""",
 

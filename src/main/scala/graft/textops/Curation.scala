@@ -411,4 +411,51 @@ object Curation {
         count(lit(1)).cast("int").as("n_tok"),
         round(sum(col("lr")).cast("double"), 6).as("dsir_weight"))
   }
+
+  /** md5-derived uniform in [-1, 1] for a seed string — the same
+    * deterministic construction Similarity.lshPlaneValue uses (no
+    * RNG, engine-replayable).
+    */
+  def hashWeight(seed: String): Double = {
+    val md  = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(seed.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.substring(0, 15), 16) / 1152921504606846976.0) * 2 - 1
+  }
+
+  /** fastText-style hashed linear document scorer (Joulin et al.
+    * 2016's bag-of-hashed-tokens architecture — public method): each
+    * token hashes into one of `nBuckets` weight slots (the hashing
+    * trick), the document logit is the mean bucket weight, and the
+    * keep verdict thresholds the logit at 0 (≡ sigmoid ≥ 0.5 — the
+    * sigmoid itself is monotone, and exp() is libm-dependent, so the
+    * engine-checked value is the logit). This is the quality-filter
+    * harness every curation pipeline runs (CCNet / GPT-3's
+    * wiki-reference classifier); plug trained weights in via
+    * `weights` — the default md5-derived placeholder exercises the
+    * full plumbing deterministically.
+    *
+    * Scale shape: the weight table is nBuckets doubles shipped as a
+    * broadcast literal array — scoring is one explode + pure
+    * column expressions + one doc-key aggregation (decimal-exact
+    * mean). No joins, nothing corpus-sized shuffles.
+    *
+    * Output: (id, n_tok, logit, keep).
+    */
+  def hashedLinearScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      nBuckets: Int = 64,
+      weights: Option[Seq[Double]] = None): DataFrame = {
+    val w = weights.getOrElse((0 until nBuckets).map(b => hashWeight(s"qcw:$b")))
+    require(w.length == nBuckets, s"got ${w.length} weights for $nBuckets buckets")
+    val bucket = Dedup.hash60(col("token")) % nBuckets
+    df.select(col(idCol), explode(toks(col(textCol))).as("token"))
+      .withColumn("w", element_at(typedLit(w), (bucket + 1).cast("int")).cast("decimal(27,18)"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_tok"),
+        round(sum(col("w")).cast("double") / count(lit(1)), 6).as("logit"))
+      .withColumn("keep", col("logit") >= 0.0)
+  }
 }

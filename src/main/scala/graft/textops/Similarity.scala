@@ -399,6 +399,88 @@ object Similarity {
       .withColumn("rank", row_number().over(Window.orderBy(desc("score_q8"), col(idCol))))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540 — public method, reimplemented from the paper's
+    * formulation): cluster the embeddings, then prune within each
+    * cluster any vector that is τ-cosine-similar to a *preceding*
+    * vector in centroid-distance order. Per the paper the survivor of
+    * a similar set is the one FARTHEST from its centroid ("keep
+    * outliers"), and similarity is evaluated against all predecessors
+    * (upper-triangular matrix), not greedily chained.
+    *
+    * Output: (id, cluster_id, cos_c, is_kept) — every input row, with
+    * its cluster, rounded cosine-to-centroid, and the keep verdict.
+    *
+    * Scale shape: this is THE point of SemDeDup — clustering bounds
+    * the O(n²) pair space to Σ|cluster|², so the pair stage is an
+    * equi-join on cluster_id (shuffle scales with cluster sizes,
+    * never corpus²). Assignment is one scan against broadcast
+    * centroid literals (codegen'd dot products, no shuffle); at
+    * 100 TB, nCentroids grows to keep clusters bounded (the paper
+    * uses 50k clusters for LAION) and the assignment column becomes
+    * the partition key. Centroids: deterministic first-k seeds (plug
+    * kmeansCentroids output in for learned ones); ordering ties
+    * break on id, so the verdict is engine-replayable bit-for-bit.
+    */
+  def semDedup(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double,
+      nCentroids: Int = 16,
+      learnedCentroids: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
+    val centroids: Seq[(Int, Seq[Double])] = learnedCentroids.getOrElse(
+      embeddings
+        .orderBy(col(idCol))
+        .limit(nCentroids)
+        .select(col(vecCol))
+        .collect()
+        .toSeq
+        .map(_.getSeq[Float](0).map(_.toDouble))
+        .zipWithIndex
+        .map { case (v, i) => (i, v) })
+    val withV = embeddings
+      .withColumn("v", transform(col(vecCol), x => x.cast("double")))
+      .withColumn("nrm", dot(col("v"), col("v")))
+    val cands = array(centroids.map { case (i, c) =>
+      val cn = c.map(x => x * x).sum
+      val cos = when(col("nrm") === 0.0 || lit(cn) === 0.0, 0.0)
+        .otherwise(dot(col("v"), typedLit(c)) / (sqrt(col("nrm")) * lit(math.sqrt(cn))))
+      struct(cos.as("cos"), lit(-i).as("ncid"))
+    }: _*)
+    val asg = withV
+      .withColumn("best", array_max(cands))
+      .select(
+        col(idCol),
+        (-col("best").getField("ncid")).as("cluster_id"),
+        round(col("best").getField("cos"), 6).as("cos_c"),
+        col("v"),
+        col("nrm"))
+    // predecessors = lower rounded cos_c (farther from centroid wins),
+    // ties on id — the rounded value is what both engines order by
+    val a = asg.select(
+      col("cluster_id"),
+      col(idCol).as("id_a"), col("cos_c").as("ca"), col("v").as("va"), col("nrm").as("na"))
+    val b = asg.select(
+      col("cluster_id"),
+      col(idCol).as("id_b"), col("cos_c").as("cb"), col("v").as("vb"), col("nrm").as("nb"))
+    val dropped = a
+      .join(b, Seq("cluster_id"))
+      .filter(col("ca") < col("cb") || (col("ca") === col("cb") && col("id_a") < col("id_b")))
+      .filter(
+        round(
+          when(col("na") === 0.0 || col("nb") === 0.0, 0.0)
+            .otherwise(dot(col("va"), col("vb")) / (sqrt(col("na")) * sqrt(col("nb")))),
+          6) >= tau)
+      .select(col("id_b").as(idCol))
+      .distinct()
+      .withColumn("__dropped", lit(true))
+    asg
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cluster_id"), col("cos_c"), col("__dropped").isNull.as("is_kept"))
+      .orderBy(col(idCol))
+  }
+
   /** Hard-negative mining for contrastive training: for every class,
     * the k out-of-class vectors nearest to the class centroid (the
     * negatives a trainer wants in the batch). Centroids are the

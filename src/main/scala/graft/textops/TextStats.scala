@@ -229,6 +229,65 @@ object TextStats {
         round(-(sum(col("lp")).cast("double") / count(lit(1))), 6).as("xent"))
   }
 
+  /** Per-doc cross-entropy under a corpus bigram LM with stupid
+    * backoff (Brants et al. 2007, "Large Language Models in Machine
+    * Translation" — public method): score(cur|prev) =
+    * C(prev,cur) / C(prev) when the bigram is in the top-`bigramK`
+    * bigram table AND prev is in the top-`vocabK` vocab, else
+    * 0.4 × p_uni(cur) with unigramXent's unigram table (cnt/total,
+    * 0.5/total OOV floor). The sharper next-token signal a
+    * perplexity filter wants over the unigram model, with the same
+    * engine-replayable determinism.
+    *
+    * Scale shape: bigram expansion is an in-row array zip (NO window
+    * shuffle — the (prev,cur) pairs come from slicing the token array
+    * against itself); both LM tables are top-K truncations →
+    * broadcast joins; the per-doc reduce is one keyed aggregation
+    * with decimal-exact sums. Corpus stats are two hash aggregations
+    * with map-side partial combine.
+    */
+  def bigramXent(df: DataFrame, idCol: String, textCol: String, bigramK: Int, vocabK: Int): DataFrame = {
+    val t = toks(col(textCol))
+    // (prev, cur) pairs: zip tokens[1..n-1] with tokens[2..n] in-row
+    val events = df
+      .filter(size(t) >= 2)
+      .select(
+        col(idCol),
+        explode(
+          zip_with(
+            slice(t, lit(1), size(t) - 1),
+            slice(t, lit(2), size(t) - 1),
+            (p, c) => struct(p.as("prev"), c.as("cur")))).as("bg"))
+      .select(col(idCol), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+
+    val tokens = df.select(explode(toks(col(textCol))).as("token"))
+    val counts = tokens.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total  = counts.agg(sum(col("cnt")).as("total"))
+    val vocab  = counts.orderBy(desc("cnt"), col("token")).limit(vocabK)
+    val bgTop = events
+      .groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("bg_cnt"))
+      .orderBy(desc("bg_cnt"), col("prev"), col("cur"))
+      .limit(bigramK)
+
+    events
+      .join(broadcast(bgTop), Seq("prev", "cur"), "left")
+      .join(broadcast(vocab.select(col("token").as("prev"), col("cnt").as("prev_cnt"))), Seq("prev"), "left")
+      .join(broadcast(vocab.select(col("token").as("cur"), col("cnt").as("cur_cnt"))), Seq("cur"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn(
+        "lp",
+        when(
+          col("bg_cnt").isNotNull && col("prev_cnt").isNotNull,
+          log(col("bg_cnt").cast("double") / col("prev_cnt")))
+          .otherwise(log(lit(0.4) * coalesce(col("cur_cnt").cast("double"), lit(0.5)) / col("total")))
+          .cast("decimal(27,18)"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_bigrams"),
+        round(-(sum(col("lp")).cast("double") / count(lit(1))), 6).as("xent"))
+  }
+
   /** Corpus vocabulary: top-k tokens by frequency (vocabulary /
     * BPE-seed construction over a lake). One explode + one hash
     * aggregation (partial map-side combine collapses each partition's

@@ -1,0 +1,97 @@
+package graft.textops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics of the round-3 training-data additions: SemDeDup,
+  * bigram-LM xent (stupid backoff), hashed linear quality scorer.
+  */
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two planted near-dup groups far apart in R^4, padded arrays as
+  // float (the operator casts to double like the parquet path)
+  private val vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),  // cluster A seed
+    (1L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),  // cluster B seed
+    (2L, Seq(0.99f, 0.14f, 0.0f, 0.0f)), // near-dup of 0 (cos≈0.99)
+    (3L, Seq(0.0f, 0.98f, 0.2f, 0.0f)),  // near-dup of 1
+    (4L, Seq(0.6f, 0.0f, 0.8f, 0.0f))    // cluster A, NOT a dup (cos=0.6)
+  ).toDF("vec_id", "embedding")
+
+  test("semDedup drops τ-similar followers, keeps outliers and uniques") {
+    val out = Similarity
+      .semDedup(vecs, "vec_id", "embedding", tau = 0.9, nCentroids = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    // every input row appears with a verdict
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    // exactly one of each τ-similar pair survives
+    assert(out(0L)._3 ^ out(2L)._3)
+    assert(out(1L)._3 ^ out(3L)._3)
+    // the survivor is the one FARTHER from its centroid (paper keeps
+    // outliers): centroid A is vec 0 itself, so cos_c(0)=1.0 > cos_c(2)
+    // → 2 survives, 0 drops
+    assert(!out(0L)._3 && out(2L)._3)
+    // non-dup cluster member always survives
+    assert(out(4L)._3)
+    // clusters bound the pair space: 0/2/4 share a cluster, 1/3 the other
+    assert(out(0L)._1 == out(2L)._1 && out(2L)._1 == out(4L)._1)
+    assert(out(1L)._1 == out(3L)._1 && out(0L)._1 != out(1L)._1)
+  }
+
+  test("semDedup with tau above all similarities keeps everything") {
+    val out = Similarity.semDedup(vecs, "vec_id", "embedding", tau = 0.999999, nCentroids = 2)
+    assert(out.filter(!col("is_kept")).count() == 0)
+  }
+
+  private val lmDocs = Seq(
+    (1L, "a b a b a b"),
+    (2L, "a b c"),
+    (3L, "z")) // single token: no bigram events
+    .toDF("doc_id", "text")
+
+  test("bigramXent: seen bigrams score C(bg)/C(prev); unseen back off to 0.4·p_uni") {
+    val out = TextStats
+      .bigramXent(lmDocs, "doc_id", "text", bigramK = 10, vocabK = 10)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2)))
+      .toMap
+    // corpus: tokens a×4,b×4,c×1,z×1 (total 10); bigrams ab×4, ba×2, bc×1
+    // doc 1 events: ab,ba,ab,ba,ab → lp = 3·ln(4/4) + 2·ln(2/4)
+    val d1 = -(3 * math.log(4.0 / 4) + 2 * math.log(2.0 / 4)) / 5
+    assert(math.abs(out(1L)._2 - d1) < 1e-6 && out(1L)._1 == 5)
+    // doc 2: ab → ln(4/4); bc → ln(1/4)
+    val d2 = -(math.log(4.0 / 4) + math.log(1.0 / 4)) / 2
+    assert(math.abs(out(2L)._2 - d2) < 1e-6 && out(2L)._1 == 2)
+    // single-token doc has no bigram events → absent from output
+    assert(!out.contains(3L))
+  }
+
+  test("bigramXent backoff path: bigram outside top-k uses 0.4·unigram") {
+    // bigramK=1 keeps only ab (count 4); ba and bc back off
+    val byId = TextStats
+      .bigramXent(lmDocs, "doc_id", "text", bigramK = 1, vocabK = 10)
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(2))
+      .toMap
+    // doc 2: ab seen → ln(4/4); bc backs off → ln(0.4·(1/10))
+    val d2 = -(math.log(4.0 / 4) + math.log(0.4 * (1.0 / 10))) / 2
+    assert(math.abs(byId(2L) - d2) < 1e-6)
+  }
+
+  test("hashedLinearScore: deterministic, respects injected weights") {
+    val docs = Seq((1L, "x x x"), (2L, "x y")).toDF("doc_id", "text")
+    // all-positive weights → every logit positive, keep everywhere
+    val pos = Curation
+      .hashedLinearScore(docs, "doc_id", "text", nBuckets = 4, weights = Some(Seq(0.5, 0.5, 0.5, 0.5)))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getBoolean(3)))
+    assert(pos.toSeq == Seq((1L, 3, 0.5, true), (2L, 2, 0.5, true)))
+    // default md5-derived weights are stable across invocations
+    val a = Curation.hashedLinearScore(docs, "doc_id", "text").collect().toSeq
+    val b = Curation.hashedLinearScore(docs, "doc_id", "text").collect().toSeq
+    assert(a == b)
+  }
+}
