@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, Trigger}
 import org.apache.spark.sql.Row
 
 import graft.lake.{Chunker, ChunkFilter}
@@ -126,6 +126,94 @@ object StreamingExtract {
       .agg(count(lit(1)).as("__fresh_bands"))
       .filter(col("__fresh_bands") === bands)
       .select(col(idCol))
+  }
+
+  /** Key of the running-majority state store. */
+  final case class VoteKey(path: String, attribute: String)
+
+  /** Custom state: per-(path, attribute) vote tally. */
+  final case class VoteTally(counts: Map[String, Long])
+
+  /** One running-majority emission: the current winner for the key,
+    * its vote count, the total votes seen, and whether this is the
+    * idle-timeout finalization (state evicted).
+    */
+  final case class MajoritySnapshot(
+      path: String,
+      attribute: String,
+      value: String,
+      n_votes: Long,
+      n_total: Long,
+      finalized: Boolean)
+
+  private def majorityOf(tally: Map[String, Long]): (String, Long) =
+    if (tally.isEmpty) ("", 0L)
+    else {
+      // max count, lexicographically smallest value — the same
+      // tie-break Combiners.majorityVote's rank window uses
+      val (v, n) = tally.minBy { case (value, n) => (-n, value) }
+      (v, n)
+    }
+
+  /** Incremental structured-view maintenance with CUSTOM state
+    * (`mapGroupsWithState`): a running majority vote per (path,
+    * attribute) as extraction votes stream in. Each trigger folds the
+    * new votes into the key's tally and emits the current winner
+    * (Combiners.majorityVote's exact tie-break: max count, then
+    * lexicographically smallest value); a key idle past
+    * `idleTimeoutMs` emits one `finalized = true` snapshot and its
+    * state is evicted.
+    *
+    * This is the arbitrary-state upgrade over the foreachBatch path
+    * above: foreachBatch recombines votes only WITHIN a micro-batch,
+    * while the tally here accumulates ACROSS triggers — late votes
+    * for a doc seen triggers ago still flip its majority. Works
+    * unchanged on a batch frame (state scoped to the one pass).
+    *
+    * Scale shape: one keyed exchange of raw (path, attribute, value)
+    * votes; state is a per-key value-count map in the state store
+    * (RocksDB-backed on a cluster), bounded by the timeout eviction —
+    * the natural fit since votes per key are few (top-k extractors)
+    * but keys are corpus-sized. Output mode: update.
+    */
+  def runningMajority(
+      votes: DataFrame,
+      idCol: String,
+      attrCol: String,
+      valueCol: String,
+      idleTimeoutMs: Long = 0L): Dataset[MajoritySnapshot] = {
+    val spark = votes.sparkSession
+    import spark.implicits._
+    // ProcessingTimeTimeout makes the engine schedule timeout-check
+    // batches on its own clock; only opt in when eviction is wanted
+    val timeoutConf =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    votes
+      .select(
+        col(idCol).cast("string").as("path"),
+        col(attrCol).cast("string").as("attribute"),
+        col(valueCol).cast("string").as("value"))
+      .as[(String, String, String)]
+      .groupByKey { case (p, a, _) => VoteKey(p, a) }
+      .mapGroupsWithState[VoteTally, MajoritySnapshot](timeoutConf) {
+        (key: VoteKey, events: Iterator[(String, String, String)], state: GroupState[VoteTally]) =>
+          if (state.hasTimedOut) {
+            val tally = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+            state.remove()
+            val (v, n) = majorityOf(tally)
+            MajoritySnapshot(key.path, key.attribute, v, n, tally.values.sum, finalized = true)
+          } else {
+            val prev = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+            val tally = events.foldLeft(prev) { case (m, (_, _, v)) =>
+              m.updated(v, m.getOrElse(v, 0L) + 1L)
+            }
+            state.update(VoteTally(tally))
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            val (v, n) = majorityOf(tally)
+            MajoritySnapshot(key.path, key.attribute, v, n, tally.values.sum, finalized = false)
+          }
+      }
   }
 
   /** Streaming-native windowed aggregation over an event stream:

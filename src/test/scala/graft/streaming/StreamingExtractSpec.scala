@@ -73,6 +73,36 @@ class StreamingExtractSpec extends SparkSpec {
       s"expected one of the identical docs dropped, got $got")
   }
 
+  test("runningMajority accumulates votes ACROSS triggers with custom state") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String, String)]
+    val maj = StreamingExtract.runningMajority(
+      in.toDF().toDF("path", "attribute", "value"), "path", "attribute", "value")
+    val q = maj.writeStream.outputMode("update").format("memory").queryName("maj_out").start()
+    // trigger 1: d1/budget sees $5M twice, $9M once
+    in.addData(("d1", "budget", "$5M"), ("d1", "budget", "$9M"), ("d1", "budget", "$5M"))
+    q.processAllAvailable()
+    val after1 = spark.table("maj_out").collect()
+      .map(r => (r.getString(0), r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(after1 == Seq(("d1", "$5M", 2L, 3L)))
+    // trigger 2: two LATE $9M votes arrive — the cross-trigger tally
+    // flips the majority (foreachBatch recombination could not)
+    in.addData(("d1", "budget", "$9M"), ("d1", "budget", "$9M"))
+    q.processAllAvailable()
+    q.stop()
+    val after2 = spark.table("maj_out").collect()
+      .map(r => (r.getString(0), r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(after2.last == ("d1", "$9M", 3L, 5L), s"got $after2")
+  }
+
+  test("runningMajority ties break to the lexicographically smallest value (batch mode)") {
+    val votes = Seq(("d1", "a", "x"), ("d1", "a", "y"), ("d2", "a", "z"))
+      .toDF("path", "attribute", "value")
+    val got = StreamingExtract.runningMajority(votes, "path", "attribute", "value")
+      .collect().map(s => (s.path, s.value, s.n_votes, s.n_total)).sortBy(_._1).toSeq
+    assert(got == Seq(("d1", "x", 1L, 2L), ("d2", "z", 1L, 1L)))
+  }
+
   test("windowedEventCounts is a valid streaming aggregation") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String, Double)]
