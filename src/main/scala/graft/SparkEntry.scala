@@ -814,6 +814,15 @@ object SparkEntry {
           minTokens = 20, maxTokens = 100000, minMeanLen = 2.0, maxMeanLen = 10.0)
         .orderBy(col("doc_id"))),
 
+    // OLAP sketch path: KMV bottom-k distinct sketch per language
+    // with exact-count calibration — engine-replayable (unlike HLL),
+    // so the estimate itself sits under the hash gate
+    // k=16 < the 31-token per-lang vocab, so the estimator branch
+    // (not the exact-count fallback) is what the gate checks
+    "q_kmv_distinct" -> ((s, dir) =>
+      TextStats.kmvDistinct(docs(s, dir), "lang", "text", k = 16)
+        .orderBy(col("lang"))),
+
     // training-data ops: fastText-style hashed linear quality scorer
     // (hashing-trick buckets + broadcast weight table; md5-derived
     // placeholder weights exercise the full plumbing)
@@ -1886,6 +1895,21 @@ object SparkEntry {
                 ((n_tok >= 20 AND n_tok <= 100000) AND (mean_tok_len >= 2.0 AND mean_tok_len <= 10.0)
                  AND strpos(lt, 'lorem ipsum') = 0 AND strpos(lt, '{') = 0) AS keep
          FROM f ORDER BY doc_id""",
+
+    "q_kmv_distinct" ->
+      """WITH h AS (SELECT DISTINCT lang, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+                    FROM documents, unnest(string_split(text, ' ')) AS u(t) WHERE len(t) > 0),
+          sk AS (SELECT lang, CAST(count(*) AS INT) AS n_seen, max(h) AS h_k FROM (
+                   SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM h)
+                 WHERE rn <= 16 GROUP BY lang),
+          ex AS (SELECT lang, count(*) AS n_exact FROM h GROUP BY lang),
+          est AS (SELECT sk.lang, ex.n_exact,
+                         CASE WHEN sk.n_seen < 16 THEN CAST(ex.n_exact AS DOUBLE)
+                              ELSE round(15.0 * 1152921504606846976.0 / h_k, 6) END AS kmv_est
+                  FROM sk JOIN ex ON sk.lang = ex.lang)
+         SELECT lang, n_exact, kmv_est,
+                round(abs(kmv_est - n_exact) / n_exact, 6) AS rel_err
+         FROM est ORDER BY lang""",
 
     "q_quality_classifier" ->
       """WITH toks AS (SELECT doc_id, t AS token

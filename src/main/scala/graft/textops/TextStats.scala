@@ -288,6 +288,56 @@ object TextStats {
         round(-(sum(col("lp")).cast("double") / count(lit(1))), 6).as("xent"))
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch per group, with
+    * the exact count attached as calibration (Bar-Yossef et al. 2002,
+    * the bottom-k sketch Theta/KMV sketch libraries implement —
+    * public method). Each value hashes to a 60-bit md5-derived point
+    * in [0, 2^60); the k smallest distinct hashes summarize the set,
+    * and |D| ≈ (k−1) · 2^60 / h_(k) when ≥ k values were seen (exact
+    * count below that). Unlike HLL, the sketch is engine-replayable
+    * bit-for-bit (hash + order + one division), so the estimate
+    * itself sits under the DuckDB hash gate.
+    *
+    * Scale shape: the sketch is what a 100 TB vocabulary census
+    * ships — per-partition the k minima fold in constant memory
+    * (here: distinct → per-group rank window bounded to k rows);
+    * only k hashes per group ever cross the wire, and sketches
+    * merge by keeping the k smallest of a union (the window does
+    * exactly that when re-run over merged inputs).
+    *
+    * Output: (group, n_exact, kmv_est, rel_err).
+    */
+  def kmvDistinct(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashes = df
+      .select(col(groupCol), explode(toks(col(textCol))).as("token"))
+      .select(col(groupCol), Dedup.hash60(col("token")).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("h"))
+    val sketch = hashes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("int").as("n_seen"), max(col("h")).as("h_k"))
+    val exact = hashes.groupBy(col(groupCol)).agg(count(lit(1)).as("n_exact"))
+    sketch
+      .join(exact, Seq(groupCol))
+      .withColumn(
+        "kmv_est",
+        when(col("n_seen") < k, col("n_exact").cast("double"))
+          .otherwise(
+            round(lit((k - 1).toDouble) * lit(1152921504606846976.0) / col("h_k"), 6)))
+      .select(
+        col(groupCol),
+        col("n_exact"),
+        col("kmv_est"),
+        round(abs(col("kmv_est") - col("n_exact")) / col("n_exact"), 6).as("rel_err"))
+  }
+
   /** Corpus vocabulary: top-k tokens by frequency (vocabulary /
     * BPE-seed construction over a lake). One explode + one hash
     * aggregation (partial map-side combine collapses each partition's

@@ -81,6 +81,26 @@ class SemDedupSpec extends SparkSpec {
     assert(math.abs(byId(2L) - d2) < 1e-6)
   }
 
+  test("kmvDistinct: exact below k, sane estimate above k") {
+    val docs = Seq(
+      (1L, "small", "a b c"),                       // 3 distinct < k
+      (2L, "big", (1 to 200).map(i => s"t$i").mkString(" ")),
+      (3L, "big", (150 to 300).map(i => s"t$i").mkString(" "))) // 300 distinct total
+      .toDF("doc_id", "grp", "text")
+    val out = TextStats.kmvDistinct(docs, "grp", "text", k = 16)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // under k: estimate IS the exact count, rel_err 0
+    assert(out("small") == ((3L, 3.0, 0.0)))
+    // over k: exact 300; the KMV estimate is unbiased-ish — accept a
+    // generous band (k=16 → ~25% std), but it must differ from exact
+    val (n, est, _) = out("big")
+    assert(n == 300L && est > 100.0 && est < 900.0 && est != 300.0)
+    // deterministic across invocations
+    val again = TextStats.kmvDistinct(docs, "grp", "text", k = 16)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(again("big") == est)
+  }
+
   test("hashedLinearScore: deterministic, respects injected weights") {
     val docs = Seq((1L, "x x x"), (2L, "x y")).toDF("doc_id", "text")
     // all-positive weights → every logit positive, keep everywhere
