@@ -1034,6 +1034,20 @@ object SparkEntry {
           col("duration_sec"))
         .orderBy(col("user_id"), col("session_idx"))),
 
+    // north-star event op: ordered conversion funnel — stage k must
+    // complete STRICTLY after stage k−1's first qualifying event;
+    // per-stage reached-frames shrink monotonically, counts land in
+    // one aggregation (no driver count() loop)
+    "q_funnel" -> ((s, dir) =>
+      EventWindows.funnel(events(s, dir), "user_id", "event_type", "ts",
+        stages = Seq("signup", "click", "purchase"))),
+
+    // north-star event op: weekly cohort retention — integer
+    // epoch-week buckets (engine-identical, no calendar date_trunc),
+    // distinct (user, week) collapses raw volume before any join
+    "q_cohort_retention" -> ((s, dir) =>
+      EventWindows.cohortRetention(events(s, dir), "user_id", "ts")),
+
     // north-star event op: binned interval self-join — same-user
     // activity within ±60s of each purchase; time-bucket binning
     // prunes candidates to the anchor's neighborhood instead of the
@@ -2183,6 +2197,44 @@ object SparkEntry {
                  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_ts,
                  (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec
           FROM a GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
+
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY user_id),
+          s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id
+                 WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+          s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.user_id
+                 WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id),
+          c AS (SELECT (SELECT count(*) FROM s1) AS n0,
+                       (SELECT count(*) FROM s2) AS n1,
+                       (SELECT count(*) FROM s3) AS n2)
+         SELECT * FROM (
+           SELECT 1 AS stage, 'signup' AS event_type, n0 AS n_users,
+                  CASE WHEN n0 = 0 THEN 0.0 ELSE round(CAST(n0 AS DOUBLE) / n0, 6) END AS conv_overall,
+                  CASE WHEN n0 = 0 THEN 0.0 ELSE round(CAST(n0 AS DOUBLE) / n0, 6) END AS conv_prev
+           FROM c
+           UNION ALL
+           SELECT 2, 'click', n1,
+                  CASE WHEN n0 = 0 THEN 0.0 ELSE round(CAST(n1 AS DOUBLE) / n0, 6) END,
+                  CASE WHEN n0 = 0 THEN 0.0 ELSE round(CAST(n1 AS DOUBLE) / n0, 6) END
+           FROM c
+           UNION ALL
+           SELECT 3, 'purchase', n2,
+                  CASE WHEN n0 = 0 THEN 0.0 ELSE round(CAST(n2 AS DOUBLE) / n0, 6) END,
+                  CASE WHEN n1 = 0 THEN 0.0 ELSE round(CAST(n2 AS DOUBLE) / n1, 6) END
+           FROM c)
+         ORDER BY stage""",
+
+    "q_cohort_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+          f AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id),
+          sz AS (SELECT cohort_wk, count(*) AS cohort_size FROM f GROUP BY cohort_wk),
+          act AS (SELECT f.cohort_wk, CAST(uw.wk - f.cohort_wk AS INT) AS week_k, count(*) AS n_active
+                  FROM uw JOIN f ON uw.user_id = f.user_id
+                  GROUP BY f.cohort_wk, uw.wk - f.cohort_wk)
+         SELECT act.cohort_wk, act.week_k, act.n_active, sz.cohort_size,
+                round(CAST(act.n_active AS DOUBLE) / sz.cohort_size, 6) AS retention
+         FROM act JOIN sz ON act.cohort_wk = sz.cohort_wk
+         ORDER BY act.cohort_wk, act.week_k""",
 
     "q_range_join_binned" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),

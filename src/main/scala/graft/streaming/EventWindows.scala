@@ -138,4 +138,87 @@ object EventWindows {
         col(keyCol),
         col("n_events"),
         col("sum_value"))
+
+  /** Ordered conversion funnel: how many users complete stage k of
+    * `stages` STRICTLY after their stage k−1 completion (first
+    * qualifying event each). The event-analytics staple next to
+    * sessions/windows. Semantics: t₁ = min ts of a stage-1 event;
+    * tₖ = min ts of a stage-k event with ts > tₖ₋₁ — strict event-time
+    * order, engine-replayable (no tie heuristics).
+    *
+    * One job: per-stage reached-frames chain through broadcast-able
+    * per-user join keys (each frame is ≤ one row per user — the
+    * working set shrinks every stage), then a single aggregation
+    * counts all stages at once; the k output rows are in-plan
+    * literal selects, no driver loop over count() jobs.
+    *
+    * Output: (stage, event_type, n_users, conv_overall, conv_prev).
+    */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val perStage = stages.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (st, _)) =>
+        val hits = events.filter(col(typeCol) === st)
+        val reached = prev match {
+          case None =>
+            hits.groupBy(col(userCol)).agg(min(col(tsCol)).as("t"))
+          case Some(p) =>
+            hits
+              .join(p.select(col(userCol), col("t").as("t_prev")), Seq(userCol))
+              .filter(col(tsCol) > col("t_prev"))
+              .groupBy(col(userCol))
+              .agg(min(col(tsCol)).as("t"))
+        }
+        Some(reached)
+    }.flatten
+    // one wide row of stage counts, then k literal stage rows
+    val wide = perStage.zipWithIndex
+      .map { case (df, i) => df.agg(count(lit(1)).as(s"n$i")) }
+      .reduce(_ crossJoin _)
+    val rows = stages.zipWithIndex.map { case (st, i) =>
+      val n       = col(s"n$i")
+      val nFirst  = col("n0")
+      val nPrev   = if (i == 0) col("n0") else col(s"n${i - 1}")
+      val safeDiv = (a: Column, b: Column) => when(b === 0, 0.0).otherwise(round(a.cast("double") / b, 6))
+      wide.select(
+        lit(i + 1).as("stage"),
+        lit(st).as("event_type"),
+        n.as("n_users"),
+        safeDiv(n, nFirst).as("conv_overall"),
+        safeDiv(n, nPrev).as("conv_prev"))
+    }
+    rows.reduce(_ unionByName _).orderBy(col("stage"))
+  }
+
+  /** Weekly cohort retention: users bucketed by the absolute epoch
+    * week (floor(unix_micros/week)) of their FIRST event; for each
+    * cohort and week-offset k, the fraction of the cohort active in
+    * week cohort+k. Integer epoch-week math (not calendar
+    * date_trunc) so both engines bucket identically.
+    *
+    * Scale shape: distinct (user, week) first — the raw event volume
+    * collapses before anything else; first-week and the join reuse
+    * the user-key exchange; the final (cohort, k) aggregation is
+    * tiny. Three keyed shuffles total, each over shrinking data.
+    *
+    * Output: (cohort_wk, week_k, n_active, cohort_size, retention).
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val wk = (unix_micros(col(tsCol)) / lit(604800000000L)).cast("long")
+    val uw = events.select(col(userCol), wk.as("wk")).distinct()
+    val first = uw.groupBy(col(userCol)).agg(min(col("wk")).as("cohort_wk"))
+    val sizes = first.groupBy(col("cohort_wk")).agg(count(lit(1)).as("cohort_size"))
+    uw.join(first, Seq(userCol))
+      .select(col("cohort_wk"), (col("wk") - col("cohort_wk")).cast("int").as("week_k"))
+      .groupBy(col("cohort_wk"), col("week_k"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, Seq("cohort_wk"))
+      .withColumn("retention", round(col("n_active").cast("double") / col("cohort_size"), 6))
+      .orderBy(col("cohort_wk"), col("week_k"))
+  }
 }

@@ -54,6 +54,56 @@ class EventWindowsSpec extends SparkSpec {
     assert(got.filter(col("event_type") === "click").head.getAs[Long]("n_events") == 2L)
   }
 
+  test("funnel: strict ordering, drop-off per stage, out-of-order events don't count") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // u1 completes all three in order
+      (1L, ts("2026-01-01 00:00:00"), "signup"),
+      (2L, ts("2026-01-01 01:00:00"), "click"),
+      (3L, ts("2026-01-01 02:00:00"), "purchase"),
+      // u2 clicks BEFORE signing up — click must not count; no purchase
+      (4L, ts("2026-01-01 00:30:00"), "click"),
+      (5L, ts("2026-01-01 01:30:00"), "signup"),
+      // u3 signs up only
+      (6L, ts("2026-01-01 00:00:00"), "signup"),
+      // u4 purchases without ever signing up — enters no stage
+      (7L, ts("2026-01-01 00:00:00"), "purchase"))
+      .zipWithIndex
+      .map { case ((id, t, et), i) => (id, Seq(1L, 1L, 1L, 2L, 2L, 3L, 4L)(i), t, et) }
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventWindows
+      .funnel(events, "user_id", "event_type", "ts", Seq("signup", "click", "purchase"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1, "signup", 3L, 1.0, 1.0),
+      (2, "click", 1L, 0.333333, 0.333333),
+      (3, "purchase", 1L, 0.333333, 1.0)))
+  }
+
+  test("cohortRetention: cohorts by first epoch-week, per-offset active fractions") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // epoch weeks: 1970-01-01 is week 0 (Thu-anchored buckets); use
+    // relative spacing only — a & b first seen week W, b returns W+1;
+    // c first seen W+1
+    val events = Seq(
+      (1L, ts("2026-01-01 00:00:00")), // a, week W
+      (1L, ts("2026-01-01 05:00:00")), // a again same week (distinct collapses)
+      (2L, ts("2026-01-02 00:00:00")), // b, week W
+      (2L, ts("2026-01-09 00:00:00")), // b, week W+1
+      (3L, ts("2026-01-09 01:00:00"))) // c, week W+1
+      .toDF("user_id", "ts")
+    val got = EventWindows.cohortRetention(events, "user_id", "ts")
+      .collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))) // drop abs cohort id
+    assert(got.toSeq == Seq(
+      (0, 2L, 2L, 1.0),   // cohort W: both active at offset 0
+      (1, 1L, 2L, 0.5),   // cohort W: only b at offset 1
+      (0, 1L, 1L, 1.0)))  // cohort W+1: c
+  }
+
   test("nearbyEventStats finds neighbors across bucket boundaries, not beyond the window") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
