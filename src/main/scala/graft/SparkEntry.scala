@@ -981,6 +981,56 @@ object SparkEntry {
           count(lit(1)).as("n_orders"))
         .orderBy(col("o_orderpriority"))),
 
+    // TPC-H Q3 shape (shipping priority): 3-way customer ⋈ orders ⋈
+    // lineitem — segment/date filters push into all three scans, the
+    // customer key list broadcasts, lineitem revenue pre-aggregates
+    // per orderkey BEFORE the join (one row per order moves), and the
+    // top-10 is a TakeOrdered, not a global sort
+    "q_shipping_priority" -> ((s, dir) => {
+      val cutoff = lit("1998-01-01").cast("timestamp")
+      val cust = Tables.table(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") < cutoff)
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > cutoff)
+        .groupBy(col("l_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")).as("rev"))
+      rev
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(
+          col("l_orderkey"),
+          round(col("rev").cast("double"), 6).as("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_orderpriority"))
+        .orderBy(desc("revenue"), col("order_date"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // OLAP rollup: token totals per (source, lang) with subtotal and
+    // grand-total levels — the GROUPING SETS surface; level derived
+    // from rollup nulls pre-coalesce (engine-identical, no
+    // grouping_id bit-convention dependence)
+    "q_rollup_tokens" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        col("source"),
+        col("lang"),
+        size(filter(split(col("text"), " "), t => length(t) > 0)).as("n_tok"))
+      d.rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tok"))
+        .select(
+          (when(col("source").isNull, 1).otherwise(0)
+            + when(col("lang").isNull, 1).otherwise(0)).as("level"),
+          coalesce(col("source"), lit("ALL")).as("source"),
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          col("n_docs"),
+          col("total_tok"))
+        .orderBy(col("level"), col("source"), col("lang"))
+    }),
+
     // as-of-style self window: each order with the customer's previous
     // order date (lag over (custkey, orderdate))
     "q_order_asof_prev" -> ((s, dir) => {
@@ -2223,6 +2273,30 @@ object SparkEntry {
                   CASE WHEN n1 = 0 THEN 0.0 ELSE round(CAST(n2 AS DOUBLE) / n1, 6) END
            FROM c)
          ORDER BY stage""",
+
+    "q_shipping_priority" ->
+      """WITH rev AS (SELECT l_orderkey, sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+                      FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-01-01' GROUP BY l_orderkey)
+         SELECT r.l_orderkey, round(CAST(r.rev AS DOUBLE), 6) AS revenue,
+                strftime(o.o_orderdate, '%Y-%m-%d') AS order_date, o.o_orderpriority
+         FROM rev r
+         JOIN orders o ON r.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+         ORDER BY revenue DESC, order_date, r.l_orderkey LIMIT 10""",
+
+    "q_rollup_tokens" ->
+      """WITH d AS (SELECT source, lang,
+                           len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS n_tok
+                    FROM documents),
+          r AS (SELECT source, lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tok
+                FROM d GROUP BY ROLLUP (source, lang))
+         SELECT (CASE WHEN source IS NULL THEN 1 ELSE 0 END
+                 + CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS level,
+                COALESCE(source, 'ALL') AS source,
+                COALESCE(lang, 'ALL') AS lang,
+                n_docs, total_tok
+         FROM r ORDER BY level, source, lang""",
 
     "q_cohort_retention" ->
       """WITH uw AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
