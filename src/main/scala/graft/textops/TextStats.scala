@@ -298,12 +298,14 @@ object TextStats {
     * bit-for-bit (hash + order + one division), so the estimate
     * itself sits under the DuckDB hash gate.
     *
-    * Scale shape: the sketch is what a 100 TB vocabulary census
-    * ships — per-partition the k minima fold in constant memory
-    * (here: distinct → per-group rank window bounded to k rows);
-    * only k hashes per group ever cross the wire, and sketches
-    * merge by keeping the k smallest of a union (the window does
-    * exactly that when re-run over merged inputs).
+    * Scale shape: the sketch is the custom `kmv_sketch` aggregate
+    * (graft.expressions.KmvSketchAgg, a TypedImperativeAggregate):
+    * per-partition the k minima fold in a bounded TreeSet, partials
+    * merge by union-then-trim (exactly how KMV sketches compose), so
+    * map-side combine collapses every partition to ≤ k longs before
+    * the single keyed shuffle — no distinct pre-shuffle, no
+    * per-group sort window. The exact count rides the same
+    * aggregation as count(DISTINCT …) calibration.
     *
     * Output: (group, n_exact, kmv_est, rel_err).
     */
@@ -312,25 +314,20 @@ object TextStats {
       groupCol: String,
       textCol: String,
       k: Int = 64): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val hashes = df
-      .select(col(groupCol), explode(toks(col(textCol))).as("token"))
+    import graft.expressions.KmvSketch.kmvSketch
+    df.select(col(groupCol), explode(toks(col(textCol))).as("token"))
       .select(col(groupCol), Dedup.hash60(col("token")).as("h"))
-      .distinct()
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("h"))
-    val sketch = hashes
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
       .groupBy(col(groupCol))
-      .agg(count(lit(1)).cast("int").as("n_seen"), max(col("h")).as("h_k"))
-    val exact = hashes.groupBy(col(groupCol)).agg(count(lit(1)).as("n_exact"))
-    sketch
-      .join(exact, Seq(groupCol))
+      .agg(
+        countDistinct(col("h")).as("n_exact"),
+        kmvSketch(col("h"), k).as("sk"))
       .withColumn(
         "kmv_est",
-        when(col("n_seen") < k, col("n_exact").cast("double"))
+        when(size(col("sk")) < k, col("n_exact").cast("double"))
           .otherwise(
-            round(lit((k - 1).toDouble) * lit(1152921504606846976.0) / col("h_k"), 6)))
+            round(
+              lit((k - 1).toDouble) * lit(1152921504606846976.0) / element_at(col("sk"), size(col("sk"))),
+              6)))
       .select(
         col(groupCol),
         col("n_exact"),
