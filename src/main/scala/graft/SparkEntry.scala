@@ -1098,6 +1098,39 @@ object SparkEntry {
     "q_cohort_retention" -> ((s, dir) =>
       EventWindows.cohortRetention(events(s, dir), "user_id", "ts")),
 
+    // north-star event op: AS-OF join (purchase → last preceding view
+    // attribution) — union+window formulation, ONE key shuffle, no
+    // inequality-join pair explosion; DuckDB's native ASOF JOIN is
+    // the oracle
+    "q_asof_attribution" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev
+        .filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"), col("event_id"), col("value"))
+        // unique per (user, ts): max event_id wins (none collide in
+        // this data, but the reduction is the operator's contract)
+        .groupBy(col("user_id"), col("view_ts"))
+        .agg(max(struct(col("event_id"), col("value"))).as("m"))
+        .select(
+          col("user_id"),
+          col("view_ts"),
+          col("m.event_id").as("view_id"),
+          col("m.value").as("view_value"))
+      graft.relops.AsOfJoin
+        .asof(purchases, views, Seq("user_id"), "ts", "view_ts",
+          rightVals = Seq("view_id", "view_value"))
+        .select(
+          col("event_id"),
+          col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("view_id"),
+          col("view_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // north-star event op: binned interval self-join — same-user
     // activity within ±60s of each purchase; time-bucket binning
     // prunes candidates to the anchor's neighborhood instead of the
@@ -2309,6 +2342,17 @@ object SparkEntry {
                 round(CAST(act.n_active AS DOUBLE) / sz.cohort_size, 6) AS retention
          FROM act JOIN sz ON act.cohort_wk = sz.cohort_wk
          ORDER BY act.cohort_wk, act.week_k""",
+
+    "q_asof_attribution" ->
+      """WITH v AS (SELECT user_id, ts AS view_ts,
+                           max(event_id) AS view_id,
+                           arg_max(value, event_id) AS view_value
+                    FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+          p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id, strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+                v.view_id, v.view_value
+         FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.view_ts
+         ORDER BY p.event_id""",
 
     "q_range_join_binned" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
