@@ -1045,6 +1045,24 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // §2.6 RANGE-frame window: 7-day moving average of daily event
+    // counts — RANGE (value-based) frame over integer day indices, so
+    // calendar gaps are handled by the frame bounds, not row offsets
+    "q_moving_avg" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .groupBy(
+          col("event_type"),
+          (unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("day"))
+        .rangeBetween(-6, Window.currentRow)
+      daily
+        .withColumn("ma7", round(sum(col("n")).over(w).cast("double") / 7.0, 6))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // §2.6 window rank (events): row_number per user by time
     "q_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -2342,6 +2360,14 @@ object SparkEntry {
                 round(CAST(act.n_active AS DOUBLE) / sz.cohort_size, 6) AS retention
          FROM act JOIN sz ON act.cohort_wk = sz.cohort_wk
          ORDER BY act.cohort_wk, act.week_k""",
+
+    "q_moving_avg" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS n
+                        FROM events GROUP BY event_type, epoch_us(ts) // 86400000000)
+         SELECT event_type, day, n,
+                round(CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+                                        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 7.0, 6) AS ma7
+         FROM daily ORDER BY event_type, day""",
 
     "q_asof_attribution" ->
       """WITH v AS (SELECT user_id, ts AS view_ts,
