@@ -318,6 +318,26 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // D9 inverse: melt the wide view back to the long relation
+    // (unpivot — pure Expand, zero shuffles past the pivot input)
+    "q_unpivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val wide = events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .count()
+      val filled = types.foldLeft(wide) { case (df, t) => df.withColumn(t, coalesce(col(t), lit(0L))) }
+      StructuredView.meltView(filled, "user_id", types, attrName = "event_type", valueName = "n")
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // training-data ops: curriculum buckets — per-lang ntile quartiles
+    // over (n_chars desc, doc_id): the deterministic data-layout step
+    // of curriculum training
+    "q_curriculum" -> ((s, dir) =>
+      Sampling.curriculumBuckets(docs(s, dir), "lang", "n_chars", "doc_id", nBuckets = 4)
+        .orderBy(col("lang"), col("doc_id"))),
+
     // §2.5 text-F1: per-pair SQuAD token F1 (evaluate_profiler.py:81-153)
     // — native Catalyst expression (codegen path; semantics identical
     // to Score.tokenF1, asserted by TokenF1ExprSpec)
@@ -1202,6 +1222,20 @@ object SparkEntry {
 
   /** DuckDB-equivalent ANSI SQL per queries key (same tables). */
   def oracleSql: Map[String, String] = ListMap(
+    "q_unpivot" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+          t AS (SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']) AS event_type),
+          c AS (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY user_id, event_type)
+         SELECT u.user_id, t.event_type, COALESCE(c.n, 0) AS n
+         FROM u CROSS JOIN t
+         LEFT JOIN c ON u.user_id = c.user_id AND t.event_type = c.event_type
+         ORDER BY u.user_id, t.event_type""",
+
+    "q_curriculum" ->
+      """SELECT lang, doc_id, n_chars,
+                ntile(4) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS bucket
+         FROM documents ORDER BY lang, doc_id""",
+
     "q_text_f1" ->
       s"""WITH pg AS (SELECT doc_id, ${fwSql(8)} AS pred, ${fwSql(10)} AS gold FROM documents),
           pt AS (SELECT doc_id, t, count(*) AS pc FROM pg, unnest(string_split(pred, ' ')) AS u(t)

@@ -25,4 +25,19 @@ object StructuredView {
       .groupBy(col(keyCol))
       .pivot(attrCol, attributes)
       .agg(first(col(valueCol), ignoreNulls = true))
+
+  /** The inverse reshape: melt a wide view back to the long
+    * (key, attribute, value) relation (`unpivot`/`melt`). Wide views
+    * are the serving shape; the long form is what every relational
+    * operator here consumes — pipelines convert both ways. Pure
+    * per-row expansion (Spark's Expand node): zero shuffles, each
+    * wide row emits |attrCols| long rows.
+    */
+  def meltView(
+      wide: DataFrame,
+      keyCol: String,
+      attrCols: Seq[String],
+      attrName: String = "attribute",
+      valueName: String = "value"): DataFrame =
+    wide.unpivot(Array(col(keyCol)), attrCols.map(col).toArray, attrName, valueName)
 }

@@ -144,4 +144,26 @@ object Sampling {
         sum(col("n_tok")).as("n_tok_kept"))
       .select(col(domainCol), col("quota_tok"), col("n_docs_kept"), col("n_tok_kept"))
   }
+
+  /** Curriculum buckets: per stratum, ntile over a deterministic
+    * difficulty order (orderCol desc, id asc — e.g. length or a
+    * quality score) → bucket 1 = "hardest"/longest quartile. The
+    * data-layout step of curriculum training: a scheduler then walks
+    * buckets easiest-first (or mixes rates per bucket). One window
+    * shuffle keyed by the stratum; ntile's quotient/remainder split
+    * is engine-exact, so the assignment replays in SQL.
+    *
+    * Output: every input row with (stratum, id, orderCol, bucket).
+    */
+  def curriculumBuckets(
+      df: DataFrame,
+      strataCol: String,
+      orderCol: String,
+      idCol: String,
+      nBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol)).orderBy(desc(orderCol), col(idCol))
+    df.select(col(strataCol), col(idCol), col(orderCol))
+      .withColumn("bucket", ntile(nBuckets).over(w))
+  }
 }
