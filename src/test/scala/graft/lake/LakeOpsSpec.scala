@@ -105,6 +105,27 @@ class LakeOpsSpec extends SparkSpec {
     assert(rows(plainSum.orderBy("k")) == rows(saltSum.orderBy("k")))
   }
 
+  test("writePartitioned prunes partition directories at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val docs = Seq(
+      (1L, "en", "hello"), (2L, "en", "world"),
+      (3L, "de", "hallo"), (4L, "fr", "salut"))
+      .toDF("doc_id", "lang", "text")
+    Sinks.writePartitioned(docs, dir, "lang")
+    val back = spark.read.parquet(dir).filter(col("lang") === "en")
+    // the equality filter must land in PartitionFilters (directory
+    // pruning), not PushedFilters (row-group IO on every file)
+    val scan = back.queryExecution.executedPlan
+      .collectLeaves()
+      .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      .get
+    assert(scan.partitionFilters.nonEmpty, scan.toString)
+    // exactly the en partition's files survive pruning
+    assert(scan.inputRDDs().head.partitions.nonEmpty)
+    assert(back.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(scan.metadata("Location").contains(dir))
+  }
+
   test("writeBucketed joins two co-bucketed tables without a shuffle exchange") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bucket").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS bktdb LOCATION '$dir'")
