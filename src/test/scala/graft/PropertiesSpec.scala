@@ -60,6 +60,42 @@ class PropertiesSpec extends SparkSpec {
     assert(disagree == 0)
   }
 
+  test("property: asof join equals the naive greatest-≤ correlated lookup on random streams") {
+    val n = 400
+    val pairGen = Gen.zip(Gen.choose(0, 5), Gen.choose(0L, 1000L))
+    val leftRows = Gen.listOfN(n, pairGen).apply(Gen.Parameters.default, Seed(7L)).get
+      .zipWithIndex.map { case ((k, t), i) => (i.toLong, s"k$k", t) }
+    // right side unique per (key, ts) — the operator's contract
+    val rightRows = Gen.listOfN(n, pairGen).apply(Gen.Parameters.default, Seed(8L)).get
+      .map { case (k, t) => (s"k$k", t) }.distinct
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong * 10) }
+    val left  = leftRows.toDF("lid", "key", "lts")
+    val right = rightRows.toDF("key", "rts", "payload")
+    val got = graft.relops.AsOfJoin
+      .asof(left, right, Seq("key"), "lts", "rts", Seq("payload"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    // naive reference: per left row, max rts ≤ lts within the key
+    val byKey = rightRows.groupBy(_._1)
+    leftRows.foreach { case (lid, k, lts) =>
+      val expect = byKey.getOrElse(k, Seq.empty).filter(_._2 <= lts)
+        .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+      assert(got(lid) == expect, s"lid=$lid key=$k ts=$lts")
+    }
+  }
+
+  test("property: kmv_sketch equals sorted-distinct-take-k on random longs") {
+    val valsGen = Gen.listOfN(500, Gen.choose(0L, 300L))
+    (0 until 5).foreach { s =>
+      val vals = valsGen.apply(Gen.Parameters.default, Seed(s.toLong)).get
+      val sk = vals.toDF("h").repartition(7)
+        .agg(graft.expressions.KmvSketch.kmvSketch(col("h"), 32))
+        .head().getSeq[Long](0)
+      assert(sk == vals.distinct.sorted.take(32))
+    }
+  }
+
   test("property: minhash signatures respect containment monotonicity on identical docs") {
     val texts = cases(50, Gen.zip(text, text)).map { case (a, b) => a + " " + b }.filter(_.trim.nonEmpty)
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
