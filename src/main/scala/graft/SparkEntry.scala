@@ -1136,6 +1136,24 @@ object SparkEntry {
     "q_cohort_retention" -> ((s, dir) =>
       EventWindows.cohortRetention(events(s, dir), "user_id", "ts")),
 
+    // semi-structured surface: JSON property extraction (from_json
+    // with an explicit schema — the typed, codegen'd path; no
+    // schema-inference scan) aggregated per event type
+    "q_json_props" -> ((s, dir) => {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))
+      events(s, dir)
+        .withColumn("k", from_json(col("props"), schema).getField("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_missing"))
+        .orderBy(col("event_type"))
+    }),
+
     // north-star event op: AS-OF join (purchase → last preceding view
     // attribution) — union+window formulation, ONE key shuffle, no
     // inequality-join pair explosion; DuckDB's native ASOF JOIN is
@@ -2402,6 +2420,13 @@ object SparkEntry {
                 round(CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
                                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 7.0, 6) AS ma7
          FROM daily ORDER BY event_type, day""",
+
+    "q_json_props" ->
+      """WITH p AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+         SELECT event_type, count(*) AS n_events,
+                CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+                CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+         FROM p GROUP BY event_type ORDER BY event_type""",
 
     "q_asof_attribution" ->
       """WITH v AS (SELECT user_id, ts AS view_ts,
