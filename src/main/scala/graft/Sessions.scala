@@ -8,6 +8,17 @@ import org.apache.spark.sql.SparkSession
   * builder settings apply minus master. AQE stays on so skewed
   * shuffles re-plan at runtime; shuffle partitions match local cores
   * (a cluster deploy overrides via --conf).
+  *
+  * Cluster-deploy knobs intentionally left at defaults here and
+  * sized per deployment (they are data-dependent, not code):
+  *  - spark.sql.shuffle.partitions ≈ 2-3× total executor cores (AQE
+  *    coalesces down, so err high);
+  *  - spark.sql.files.maxPartitionBytes 128-256 MB so a scan split
+  *    fits executor memory alongside shuffle buffers at 100 TB;
+  *  - spark.sql.autoBroadcastJoinThreshold raised only if the gold /
+  *    attribute / quota tables outgrow 10 MB (they shouldn't);
+  *  - AQE skew-join handles hot join keys; the salted aggregations
+  *    (graft.lake.Skew) cover hot GROUP BY keys, which AQE doesn't.
   */
 object Sessions {
   def local(cpus: Int = 32, appName: String = "graft"): SparkSession = {
