@@ -26,7 +26,12 @@ class DeterminismSpec extends SparkSpec {
     "q_minhash_est", "q_langid_confusion",
     // round-3 wave 2
     "q_ann_int8", "q_rrf_fusion", "q_hard_negatives", "q_winnow_fingerprint",
-    "q_dup_ngram_frac", "q_range_join_binned", "q_data_card")
+    "q_dup_ngram_frac", "q_range_join_binned", "q_data_card",
+    // round-3 wave 3
+    "q_semdedup", "q_bigram_ppl", "q_quality_classifier", "q_kmv_distinct",
+    "q_funnel", "q_cohort_retention", "q_asof_attribution", "q_moving_avg",
+    "q_shipping_priority", "q_rollup_tokens", "q_unpivot", "q_curriculum",
+    "q_json_props")
 
   test("queries are stable across repeated runs") {
     sampleQueries.foreach { name =>
@@ -49,6 +54,17 @@ class DeterminismSpec extends SparkSpec {
     val j4 = graft.textops.Dedup.ngramJaccardPairs(docs.repartition(4), "lang", "doc_id", "text")
     val j13 = graft.textops.Dedup.ngramJaccardPairs(docs.repartition(13), "lang", "doc_id", "text")
     assert(fingerprint(j4) == fingerprint(j13))
+
+    // round-3 wave 3: semantic dedup verdicts and KMV sketches must
+    // not depend on partition layout either
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val sd4  = graft.textops.Similarity.semDedup(emb.repartition(4), "vec_id", "embedding", tau = 0.35)
+    val sd13 = graft.textops.Similarity.semDedup(emb.repartition(13), "vec_id", "embedding", tau = 0.35)
+    assert(fingerprint(sd4) == fingerprint(sd13))
+
+    val k4  = graft.textops.TextStats.kmvDistinct(docs.repartition(4), "lang", "text", k = 16)
+    val k13 = graft.textops.TextStats.kmvDistinct(docs.repartition(13), "lang", "text", k = 16)
+    assert(fingerprint(k4) == fingerprint(k13))
   }
 
   test("profiler sampling is partition-layout independent") {
