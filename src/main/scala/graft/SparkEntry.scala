@@ -1136,6 +1136,12 @@ object SparkEntry {
     "q_cohort_retention" -> ((s, dir) =>
       EventWindows.cohortRetention(events(s, dir), "user_id", "ts")),
 
+    // north-star event op: trailing 7-day active users (rolling WAU)
+    // — sliding distinct via the expand trick over the collapsed
+    // (user, day) relation, never the raw event stream
+    "q_rolling_wau" -> ((s, dir) =>
+      EventWindows.rollingActiveUsers(events(s, dir), "user_id", "ts", days = 7)),
+
     // semi-structured surface: JSON property extraction (from_json
     // with an explicit schema — the typed, codegen'd path; no
     // schema-inference scan) aggregated per event type
@@ -2420,6 +2426,12 @@ object SparkEntry {
                 round(CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
                                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 7.0, 6) AS ma7
          FROM daily ORDER BY event_type, day""",
+
+    "q_rolling_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+          ex AS (SELECT user_id, day + i AS wday FROM ud, unnest(range(0, 7)) AS u(i))
+         SELECT wday AS day, count(DISTINCT user_id) AS n_active
+         FROM ex GROUP BY wday ORDER BY day""",
 
     "q_json_props" ->
       """WITH p AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)

@@ -195,6 +195,30 @@ object EventWindows {
     rows.reduce(_ unionByName _).orderBy(col("stage"))
   }
 
+  /** Trailing 7-day active users per day (rolling WAU): sliding
+    * DISTINCT counts can't ride a window frame (distinct doesn't
+    * decompose over frames), so this uses the standard expand trick —
+    * each distinct (user, day) contributes itself to the 7 window
+    * days it stays "active" for, then one exact distinct count per
+    * window day. Cost is a 7× row expand of the ALREADY-collapsed
+    * (user, day) relation (tiny next to raw events), not of the
+    * event stream; at wider windows swap the exact distinct for the
+    * KMV sketch aggregate (graft.expressions.KmvSketchAgg).
+    *
+    * Output: (day, n_active) for every day with ≥1 active user in
+    * its trailing window.
+    */
+  def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String, days: Int = 7): DataFrame = {
+    val day = (unix_micros(col(tsCol)) / lit(86400000000L)).cast("long")
+    events
+      .select(col(userCol), day.as("day"))
+      .distinct()
+      .select(col(userCol), explode(sequence(col("day"), col("day") + (days - 1))).as("wday"))
+      .groupBy(col("wday").as("day"))
+      .agg(countDistinct(col(userCol)).as("n_active"))
+      .orderBy(col("day"))
+  }
+
   /** Weekly cohort retention: users bucketed by the absolute epoch
     * week (floor(unix_micros/week)) of their FIRST event; for each
     * cohort and week-offset k, the fraction of the cohort active in
