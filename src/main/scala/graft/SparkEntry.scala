@@ -1136,6 +1136,14 @@ object SparkEntry {
     "q_cohort_retention" -> ((s, dir) =>
       EventWindows.cohortRetention(events(s, dir), "user_id", "ts")),
 
+    // §2.11 WS diagnostics: pairwise Cohen's kappa between extractors
+    // (chance-corrected agreement — the redundancy signal for
+    // diverse top-k voter selection); integer marginal arithmetic,
+    // doubles only at the final divisions
+    "q_cohens_kappa" -> ((s, dir) =>
+      LabelModel.cohensKappa(binaryVotes(s, dir), "doc_id")
+        .orderBy(col("ex_a"), col("ex_b"))),
+
     // north-star event op: trailing 7-day active users (rolling WAU)
     // — sliding distinct via the expand trick over the collapsed
     // (user, day) relation, never the raw event stream
@@ -2426,6 +2434,30 @@ object SparkEntry {
                 round(CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
                                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 7.0, 6) AS ma7
          FROM daily ORDER BY event_type, day""",
+
+    "q_cohens_kappa" ->
+      s"""WITH $votesCtes,
+          p AS (SELECT a.doc_id, a.extractor AS ex_a, b.extractor AS ex_b, a.vote AS va, b.vote AS vb
+                FROM votes a JOIN votes b ON a.doc_id = b.doc_id AND a.extractor < b.extractor),
+          agg AS (SELECT ex_a, ex_b, count(*) AS n,
+                         sum(CASE WHEN va = vb THEN 1 ELSE 0 END) AS n_agree,
+                         sum(CASE WHEN va = -1 THEN 1 ELSE 0 END) AS na_0,
+                         sum(CASE WHEN vb = -1 THEN 1 ELSE 0 END) AS nb_0,
+                         sum(CASE WHEN va = 0 THEN 1 ELSE 0 END) AS na_1,
+                         sum(CASE WHEN vb = 0 THEN 1 ELSE 0 END) AS nb_1,
+                         sum(CASE WHEN va = 1 THEN 1 ELSE 0 END) AS na_2,
+                         sum(CASE WHEN vb = 1 THEN 1 ELSE 0 END) AS nb_2
+                  FROM p GROUP BY ex_a, ex_b),
+          k AS (SELECT ex_a, ex_b, n, n_agree,
+                       CAST(na_0*nb_0 + na_1*nb_1 + na_2*nb_2 AS BIGINT) AS pe_num
+                FROM agg)
+         SELECT ex_a, ex_b, n,
+                round(CAST(n_agree AS DOUBLE) / n, 6) AS po,
+                round(CAST(pe_num AS DOUBLE) / (n * n), 6) AS pe,
+                round(CASE WHEN pe_num = n * n THEN 1.0
+                           ELSE (CAST(n_agree AS DOUBLE) / n - CAST(pe_num AS DOUBLE) / (n * n))
+                                / (1.0 - CAST(pe_num AS DOUBLE) / (n * n)) END, 6) AS kappa
+         FROM k ORDER BY ex_a, ex_b""",
 
     "q_rolling_wau" ->
       """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),

@@ -188,4 +188,53 @@ object LabelModel {
     // strict `>` scan semantics
     etas.maxBy(e => accByEta.getOrElse(e, 0.0))
   }
+
+  /** Pairwise Cohen's kappa between extractors — chance-corrected
+    * inter-annotator agreement (Cohen 1960, the WS-diagnostics
+    * staple next to the confusion matrix): κ = (p_o − p_e)/(1 − p_e)
+    * with p_o the observed agreement and p_e the chance agreement
+    * from the per-category marginals. High κ between two extractors
+    * means they are redundant voters; κ ≈ 0 means independent — the
+    * signal used to pick a diverse top-k.
+    *
+    * Engine-exact: the marginal products and their sum stay in LONG
+    * integer arithmetic (counts ≤ doc count, so no overflow below
+    * ~3B docs per pair); only the final two divisions run in
+    * doubles, identically ordered in the SQL replay. Perfectly
+    * concentrated pairs (p_e = 1) define κ = 1 (agreement is total
+    * when both extractors are the same constant).
+    *
+    * One self-join on the doc key + one aggregation per pair;
+    * categories are an explicit small set (votes are label ints).
+    */
+  def cohensKappa(votes: DataFrame, keyCol: String, cats: Seq[Int] = Seq(-1, 0, 1)): DataFrame = {
+    val a = votes.select(col(keyCol), col("extractor").as("ex_a"), col("vote").as("va"))
+    val b = votes.select(col(keyCol), col("extractor").as("ex_b"), col("vote").as("vb"))
+    val catAggs = cats.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
+        sum(when(col("va") === c, 1L).otherwise(0L)).as(s"na_$i"),
+        sum(when(col("vb") === c, 1L).otherwise(0L)).as(s"nb_$i"))
+    }
+    val peNum = cats.indices.map(i => col(s"na_$i") * col(s"nb_$i")).reduce(_ + _)
+    a.join(b, Seq(keyCol))
+      .filter(col("ex_a") < col("ex_b"))
+      .groupBy(col("ex_a"), col("ex_b"))
+      .agg(
+        count(lit(1)).as("n"),
+        (Seq(sum(when(col("va") === col("vb"), 1L).otherwise(0L)).as("n_agree")) ++ catAggs): _*)
+      .withColumn("pe_num", peNum)
+      .select(
+        col("ex_a"),
+        col("ex_b"),
+        col("n"),
+        round(col("n_agree").cast("double") / col("n"), 6).as("po"),
+        round(col("pe_num").cast("double") / (col("n") * col("n")), 6).as("pe"),
+        round(
+          when(col("pe_num") === col("n") * col("n"), 1.0)
+            .otherwise(
+              (col("n_agree").cast("double") / col("n")
+                - col("pe_num").cast("double") / (col("n") * col("n")))
+                / (lit(1.0) - col("pe_num").cast("double") / (col("n") * col("n")))),
+          6).as("kappa"))
+  }
 }
