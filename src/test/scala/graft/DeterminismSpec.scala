@@ -31,7 +31,7 @@ class DeterminismSpec extends SparkSpec {
     "q_semdedup", "q_bigram_ppl", "q_quality_classifier", "q_kmv_distinct",
     "q_funnel", "q_cohort_retention", "q_asof_attribution", "q_moving_avg",
     "q_shipping_priority", "q_rollup_tokens", "q_unpivot", "q_curriculum",
-    "q_json_props")
+    "q_json_props", "q_rolling_wau", "q_cohens_kappa")
 
   test("queries are stable across repeated runs") {
     sampleQueries.foreach { name =>
