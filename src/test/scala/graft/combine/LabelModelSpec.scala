@@ -76,6 +76,26 @@ class LabelModelSpec extends SparkSpec {
     assert(rows(cold.select("doc_id", "pred")) == Seq(Seq(1L, -1))) // unweighted: 2 beat 1
   }
 
+  test("cohensKappa matches hand-computed agreement on planted votes") {
+    // 4 docs, two voters: agree on 3 (docs 1,2,4), disagree on 1.
+    // marginals: a votes (1,1,-1,1) → p(1)=3/4; b votes (1,-1,-1,1) →
+    // p(1)=1/2. po=3/4; pe=(3*2 + 1*2)/16 = 0.5; κ=(0.75-0.5)/0.5=0.5
+    val votes = Seq(
+      (1L, "a", 1), (1L, "b", 1),
+      (2L, "a", 1), (2L, "b", -1),
+      (3L, "a", -1), (3L, "b", -1),
+      (4L, "a", 1), (4L, "b", 1)).toDF("doc_id", "extractor", "vote")
+    val got = LabelModel.cohensKappa(votes, "doc_id").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getString(0) == "a" && r.getString(1) == "b" && r.getLong(2) == 4L)
+    assert(r.getDouble(3) == 0.75 && r.getDouble(4) == 0.5 && r.getDouble(5) == 0.5)
+    // perfectly concentrated pair (both constant): pe = 1 → κ defined 1
+    val const = Seq((1L, "a", 1), (1L, "b", 1), (2L, "a", 1), (2L, "b", 1))
+      .toDF("doc_id", "extractor", "vote")
+    assert(LabelModel.cohensKappa(const, "doc_id").head.getDouble(5) == 1.0)
+  }
+
   test("expWeightBestEta grid-picks a temperature that beats plain MV on planted votes") {
     val (votes, gold) = plantedVotes(2000, Map("a" -> 0.92, "b" -> 0.55, "c" -> 0.55))
     val accs          = LabelModel.accuracies(votes, gold, "doc_id")
