@@ -1136,6 +1136,18 @@ object SparkEntry {
     "q_cohort_retention" -> ((s, dir) =>
       EventWindows.cohortRetention(events(s, dir), "user_id", "ts")),
 
+    // training-data ops: per-lang length-outlier flags — percent_rank
+    // over a fully deterministic order (n_chars, doc_id); docs past
+    // the 99th percentile get trimmed by a curation pass
+    "q_length_outliers" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("is_outlier", col("pr") >= 0.99)
+        .orderBy(col("doc_id"))
+    }),
+
     // §2.11 WS diagnostics: pairwise Cohen's kappa between extractors
     // (chance-corrected agreement — the redundancy signal for
     // diverse top-k voter selection); integer marginal arithmetic,
@@ -2434,6 +2446,12 @@ object SparkEntry {
                 round(CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
                                         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 7.0, 6) AS ma7
          FROM daily ORDER BY event_type, day""",
+
+    "q_length_outliers" ->
+      """SELECT doc_id, lang, n_chars,
+                round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id), 6) AS pr,
+                (round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id), 6) >= 0.99) AS is_outlier
+         FROM documents ORDER BY doc_id""",
 
     "q_cohens_kappa" ->
       s"""WITH $votesCtes,
