@@ -141,8 +141,8 @@ object SparkEntry {
       .filter(col("vec_id") === 0)
       .select(col("embedding"))
       .head()
-      .getSeq[Float](0)
-      .map(_.toDouble)
+      .getSeq[Any](0)
+      .map(_.asInstanceOf[Number].doubleValue)
 
   /** DuckDB: double dot product of two 64-dim list columns. */
   private def dotSql(x: String, y: String) =
@@ -696,6 +696,14 @@ object SparkEntry {
           element_at(Dedup.lshBandKeys(col("sig"), 2, 4), 1).as("band_a"),
           element_at(Dedup.lshBandKeys(col("sig"), 2, 4), 2).as("band_b"))
         .orderBy(col("doc_id"))),
+
+    // training-data ops: LSH band candidate pairs with the hot-band
+    // df cap — a bucket of N identical docs with N > maxDf emits
+    // zero pairs instead of N² (maxDf=3 exercises the cap at test SF)
+    "q_lsh_pairs" -> ((s, dir) =>
+      Dedup
+        .minhashLshPairs(docs(s, dir), "doc_id", "text", shingleN = 3, numHashes = 8, bands = 2, maxDf = 3)
+        .orderBy(col("id_a"), col("id_b"), col("band_idx"))),
 
     // training-data ops: 16-bit SimHash fingerprints
     "q_dedup_simhash" -> ((s, dir) =>
@@ -1867,6 +1875,24 @@ object SparkEntry {
                  md5(array_to_string(sig[1:4], ',')) AS band_a,
                  md5(array_to_string(sig[5:8], ',')) AS band_b
           FROM sigs ORDER BY doc_id""",
+
+    "q_lsh_pairs" ->
+      s"""WITH $shinglesSql,
+          sigs AS (SELECT doc_id,
+                          list_transform(range(0, 8), s ->
+                            list_min(list_transform(sh, g ->
+                              ('0x' || substr(md5(g || '#' || CAST(s AS VARCHAR)), 1, 15))::BIGINT))) AS sig
+                   FROM shing),
+          bk AS (SELECT doc_id, 0 AS band_idx, md5(array_to_string(sig[1:4], ',')) AS band_key FROM sigs
+                 UNION ALL
+                 SELECT doc_id, 1, md5(array_to_string(sig[5:8], ',')) FROM sigs),
+          keep AS (SELECT band_idx, band_key FROM bk
+                   GROUP BY 1, 2 HAVING count(*) > 1 AND count(*) <= 3)
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.band_idx AS band_idx
+          FROM bk a
+          JOIN bk b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+          JOIN keep k ON a.band_idx = k.band_idx AND a.band_key = k.band_key
+          ORDER BY id_a, id_b, band_idx""",
 
     "q_dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, t

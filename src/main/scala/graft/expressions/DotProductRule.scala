@@ -72,8 +72,13 @@ object FuseDotProduct extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case ArrayAggregate(zw: ZipWith, Literal(zero, DoubleType), merge: LambdaFunction, finish)
-        if zero == 0.0 && isMul(zw.function) && isAdd(merge) && isIdentity(finish) &&
+    // +0.0 only, by bit pattern: a -0.0 zero is NOT fused (the fused
+    // expr starts at +0.0, so it would lose the -0.0 sign on empty
+    // arrays / all-negative-zero folds — this rule is exact, not
+    // approximate).
+    case ArrayAggregate(zw: ZipWith, Literal(zero: java.lang.Double, DoubleType), merge: LambdaFunction, finish)
+        if java.lang.Double.doubleToRawLongBits(zero) == 0L &&
+          isMul(zw.function) && isAdd(merge) && isIdentity(finish) &&
           isDoubleArray(zw.left) && isDoubleArray(zw.right) =>
       DotProductExpr(zw.left, zw.right)
   }

@@ -49,26 +49,32 @@ object AsOfJoin {
       !rightVals.exists(leftCols.contains),
       s"right payload columns ${rightVals.filter(leftCols.contains)} collide with left columns")
 
-    // union schema: key cols + ts + tagged side + left payload +
-    // right payload (each side nulls the other's payload)
+    // union schema: key cols + ts + tagged side + left payload + ONE
+    // struct of the right payload. The struct is non-null for every
+    // right row (even when every payload field inside it is NULL) and
+    // null for left rows, so a single last(ignoreNulls=true) carries
+    // the whole matched row atomically — per-column carries would mix
+    // values from different right rows and skip a matched row whose
+    // field is NULL, diverging from DuckDB ASOF JOIN semantics.
+    val rightStructType = org.apache.spark.sql.types.StructType(
+      rightVals.map(v => right.schema(v).copy(name = v)))
     val lTagged = left.select(
       (keyCols.map(col) :+ col(leftTs).as("__ts") :+ lit(1).as("__side")) ++
-        leftCols.filterNot(keyCols.contains).map(col) ++
-        rightVals.map(v => lit(null).cast(right.schema(v).dataType).as(v)): _*)
+        leftCols.filterNot(keyCols.contains).map(col) :+
+        lit(null).cast(rightStructType).as("__rpay"): _*)
     val rTagged = right.select(
       (keyCols.map(col) :+ col(rightTs).as("__ts") :+ lit(0).as("__side")) ++
-        leftCols.filterNot(keyCols.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightVals.map(col): _*)
+        leftCols.filterNot(keyCols.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightVals.map(col): _*).as("__rpay"): _*)
 
     val w = Window
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightVals.foldLeft(lTagged.unionByName(rTagged)) { (df, v) =>
-      df.withColumn(v, last(col(v), ignoreNulls = true).over(w))
-    }
-    carried
+    lTagged
+      .unionByName(rTagged)
+      .withColumn("__rpay", last(col("__rpay"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ rightVals.map(col): _*)
+      .select(leftCols.map(col) ++ rightVals.map(v => col(s"__rpay.$v").as(v)): _*)
   }
 }

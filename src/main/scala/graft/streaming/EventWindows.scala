@@ -209,7 +209,10 @@ object EventWindows {
     * its trailing window.
     */
   def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String, days: Int = 7): DataFrame = {
-    val day = (unix_micros(col(tsCol)) / lit(86400000000L)).cast("long")
+    // integral floor division (matches DuckDB `//` and the
+    // nearbyEventStats bucket formula) — double-divide + cast('long')
+    // truncates toward zero, diverging for pre-1970 timestamps
+    val day = expr(s"unix_micros($tsCol) div 86400000000L")
     events
       .select(col(userCol), day.as("day"))
       .distinct()
@@ -233,7 +236,7 @@ object EventWindows {
     * Output: (cohort_wk, week_k, n_active, cohort_size, retention).
     */
   def cohortRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
-    val wk = (unix_micros(col(tsCol)) / lit(604800000000L)).cast("long")
+    val wk = expr(s"unix_micros($tsCol) div 604800000000L")
     val uw = events.select(col(userCol), wk.as("wk")).distinct()
     val first = uw.groupBy(col(userCol)).agg(min(col("wk")).as("cohort_wk"))
     val sizes = first.groupBy(col("cohort_wk")).agg(count(lit(1)).as("cohort_size"))

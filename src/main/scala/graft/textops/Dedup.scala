@@ -234,6 +234,18 @@ object Dedup {
     pairsFromInvertedIndex(kept.select(col(bucketCol), col(idCol), col("sz"), col("shingle")), bucketCol, idCol, maxDf)
   }
 
+  /** Ordered pairs (i < j) from a sorted array column, shaped by
+    * `pair`. Shared by every posting-list pair emitter.
+    */
+  private def orderedPairs(arr: Column, pair: (Column, Column) => Column): Column =
+    flatten(
+      transform(
+        arr,
+        (x, i) =>
+          transform(
+            slice(arr, i + 2, greatest(size(arr) - (i + 1), lit(0))),
+            y => pair(x, y))))
+
   /** Shared pair-emission core: group each shingle's postings and
     * emit ordered pairs from the sorted list — the inverted index is
     * computed ONCE (a self-join would re-evaluate the whole shingle
@@ -250,18 +262,12 @@ object Dedup {
       .filter(size(col("ds")) > 1 && size(col("ds")) <= maxDf)
     val pairs = grouped.select(
       col(bucketCol),
-      explode(
-        flatten(
-          transform(
-            col("ds"),
-            (x, i) =>
-              transform(
-                slice(col("ds"), i + 2, greatest(size(col("ds")) - (i + 1), lit(0))),
-                y => struct(
-                  x.getField("id").as("id_a"),
-                  x.getField("s").as("sz_a"),
-                  y.getField("id").as("id_b"),
-                  y.getField("s").as("sz_b")))))).as("p"))
+      explode(orderedPairs(col("ds"), (x, y) =>
+        struct(
+          x.getField("id").as("id_a"),
+          x.getField("s").as("sz_a"),
+          y.getField("id").as("id_b"),
+          y.getField("s").as("sz_b")))).as("p"))
     pairs
       .groupBy(
         col(bucketCol),
@@ -296,25 +302,49 @@ object Dedup {
       sequence(lit(0), lit(bands - 1)),
       b => md5(concat_ws(",", slice(sig, b * rows + 1, lit(rows))).cast("binary")))
 
-  /** Candidate near-dup pairs via MinHash LSH banding. */
+  /** Candidate near-dup pairs via MinHash LSH banding, with a
+    * document-frequency cap per band bucket.
+    *
+    * NOT a band self-join: a hot band key (mass-duplicated
+    * boilerplate) would emit df² rows before any filter could run.
+    * Instead the band keys form posting lists — the same df-capped
+    * inverted-index shape as [[ngramJaccardPairsCapped]]: one window
+    * count on (band_idx, band_key) (the same key the posting-list
+    * groupBy shuffles on, so it's ONE exchange), drop buckets with
+    * df > maxDf entirely, then emit ordered pairs from each sorted
+    * posting list. Worst-case fan-out per bucket is maxDf²,
+    * independent of lake size; a bucket of N identical docs with
+    * N > maxDf emits ZERO pairs instead of N². Docs dropped from one
+    * hot band still pair through their other bands — and truly
+    * mass-duplicated docs are exact dups, which [[exactDedupGroups]]
+    * catches in one hash agg before LSH ever runs.
+    */
   def minhashLshPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleN: Int = 3,
       numHashes: Int = 8,
-      bands: Int = 2): DataFrame = {
+      bands: Int = 2,
+      maxDf: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     val rows = numHashes / bands
     val keyed = df
       .select(col(idCol), shinglesFast(col(textCol), shingleN).as("sh"))
       .select(col(idCol), minhashFast(col("sh"), numHashes).as("sig"))
       .select(col(idCol), posexplode(lshBandKeys(col("sig"), bands, rows)).as(Seq("band_idx", "band_key")))
-    val a = keyed.select(col("band_idx"), col("band_key"), col(idCol).as("id_a"))
-    val b = keyed.select(col("band_idx"), col("band_key"), col(idCol).as("id_b"))
-    a.join(b, Seq("band_idx", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("band_idx"))
+    val wB = Window.partitionBy(col("band_idx"), col("band_key"))
+    val kept = keyed
+      .withColumn("df", count(lit(1)).over(wB))
+      .filter(col("df") > 1 && col("df") <= maxDf)
+    kept
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+      .select(
+        col("band_idx"),
+        explode(orderedPairs(col("ids"), (x, y) =>
+          struct(x.as("id_a"), y.as("id_b")))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("band_idx"))
       .distinct()
   }
 

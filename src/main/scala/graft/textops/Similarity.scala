@@ -102,7 +102,7 @@ object Similarity {
         .select(col(vecCol))
         .collect()
         .toSeq
-        .map(_.getSeq[Float](0).map(_.toDouble))
+        .map(_.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue))
         .zipWithIndex
         .map { case (v, i) => (i, v) })
 
@@ -171,7 +171,7 @@ object Similarity {
       .select(col(vecCol))
       .collect()
       .toSeq
-      .map(_.getSeq[Float](0).map(_.toDouble))
+      .map(_.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue))
       .zipWithIndex
       .map { case (v, i) => (i, v) }
     val withV = embeddings
@@ -436,7 +436,7 @@ object Similarity {
         .select(col(vecCol))
         .collect()
         .toSeq
-        .map(_.getSeq[Float](0).map(_.toDouble))
+        .map(_.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue))
         .zipWithIndex
         .map { case (v, i) => (i, v) })
     val withV = embeddings

@@ -190,6 +190,26 @@ class TextOpsSpec extends SparkSpec {
     assert(rows(cands).contains(Seq(1L, 4L)))
   }
 
+  test("minhashLshPairs hot band over maxDf emits zero pairs, not N²") {
+    // 6 identical docs: every band bucket has df=6 > maxDf=4, so the
+    // cap drops the whole bucket — 0 pairs instead of 6*5/2 per band
+    val hot = (1L to 6L).map(i => (i, "g", "same text repeated in every document here"))
+      .toDF("doc_id", "bucket", "text")
+    assert(Dedup.minhashLshPairs(hot, "doc_id", "text", maxDf = 4).count() == 0)
+    // with the cap above df the pairs come back (all 15, both bands)
+    val uncapped = Dedup.minhashLshPairs(hot, "doc_id", "text", maxDf = 100)
+    assert(uncapped.select("id_a", "id_b").distinct().count() == 15)
+    // mixed: a hot group (5 identical > maxDf) plus a cold pair —
+    // only the cold pair survives
+    val mixed = ((1L to 5L).map(i => (i, "g", "hot boilerplate shared by many docs yes")) ++
+      Seq((10L, "g", "a genuinely rare document about catalyst rules"),
+          (11L, "g", "a genuinely rare document about catalyst rules")))
+      .toDF("doc_id", "bucket", "text")
+    val got = Dedup.minhashLshPairs(mixed, "doc_id", "text", maxDf = 4)
+      .select("id_a", "id_b").distinct()
+    assert(rows(got) == Seq(Seq(10L, 11L)))
+  }
+
   test("simhash is identical for identical docs, differs for different docs") {
     val sig = docsDf.select(col("doc_id"), Dedup.simhash16(col("text")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
