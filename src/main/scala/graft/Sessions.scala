@@ -30,6 +30,10 @@ object Sessions {
       // native expression (graft.expressions.FuseDotProduct)
       .withExtensions(_.injectOptimizerRule(_ => graft.expressions.FuseDotProduct))
       .config("spark.sql.shuffle.partitions", cpus.toString)
+      // the profiler submits per-attribute jobs from a driver thread
+      // pool (Profiler.run); FAIR keeps a long lake pass for one
+      // attribute from head-of-line blocking the others' sample work
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -48,7 +48,14 @@ final case class ProfilerConfig(
       * 0.9; the 0.8 function-level default at `profiler.py:123` /
       * `evaluate_profiler.py:86` is always overridden by this CLI arg
       * via `profiler.py:636,684`, so 0.9 is the effective default). */
-    extractionFractionThresh: Double = 0.9
+    extractionFractionThresh: Double = 0.9,
+    /** Driver threads running per-attribute cascades concurrently.
+      * The reference's loop (`run_profiler.py:420-441`) is serial —
+      * attribute i+1 idles behind attribute i's lake pass; with
+      * concurrent job submission (+ FAIR scheduling, Sessions.local)
+      * attribute i+1's sample/LLM work fills the cluster while i's
+      * APPLY shuffle drains. 1 restores the serial order. */
+    attrParallelism: Int = 8
 )
 
 class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = ProfilerConfig()) {
@@ -164,17 +171,28 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
     * (path, extractor, value); one value per (doc, extractor) — the
     * lexicographically greatest hit across chunks (deterministic
     * regardless of chunk partitioning; empty string = abstain).
+    *
+    * ONE lake scan and ONE shuffle for ALL specs: each chunk row
+    * evaluates every spec in place (per-chunk max hit, '' = no hit),
+    * posexplode turns that into (path, spec_idx, value) rows, and a
+    * single groupBy(path, spec_idx) folds chunks. The APPLY stage is
+    * the only stage that touches the whole lake — the previous
+    * spec-at-a-time union cost k scans + k shuffles for top-k specs.
+    * max distributes, so max over chunks of per-chunk maxima equals
+    * the old max over all exploded hits, byte for byte.
     */
-  def applySpecs(chunks: DataFrame, specs: Seq[ExtractorSpec]): DataFrame =
-    specs
-      .map { s =>
-        chunks
-          .select(col("path"), explode_outer(s.compile(col("chunk"))).as("value"))
-          .groupBy(col("path"))
-          .agg(max(coalesce(col("value"), lit(""))).as("value"))
-          .select(col("path"), lit(s.key).as("extractor"), col("value"))
-      }
-      .reduce(_ unionByName _)
+  def applySpecs(chunks: DataFrame, specs: Seq[ExtractorSpec]): DataFrame = {
+    require(specs.nonEmpty, "applySpecs needs at least one spec")
+    val keys = array(specs.map(s => lit(s.key)): _*)
+    chunks
+      .select(
+        col("path"),
+        posexplode(array(specs.map(s =>
+          coalesce(array_max(s.compile(col("chunk"))), lit(""))): _*)).as(Seq("pos", "value")))
+      .groupBy(col("path"), col("pos"))
+      .agg(max(col("value")).as("value"))
+      .select(col("path"), element_at(keys, col("pos") + 1).as("extractor"), col("value"))
+  }
 
   /** Score specs against the sample gold and keep the top-k
     * (`evaluate` + `get_topk_scripts_per_field`). Also returns the
@@ -238,6 +256,38 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
         .withColumn("value", Clean.cleanPrediction(col("value"), lit(attribute)))
       combineVotes(votes, attribute, frac)
         .select(col("path"), lit(attribute).as("attribute"), col("value"))
+    }
+  }
+
+  /** All attribute cascades, `cfg.attrParallelism` at a time on a
+    * driver thread pool. Each cascade's driver-side steps (sample
+    * collects, LLM batches, spec scoring) run on its own thread, so
+    * attribute i+1's sample work overlaps attribute i's lake jobs —
+    * Spark schedules concurrent jobs from separate threads, FAIR mode
+    * (Sessions.local) keeps them from head-of-line blocking. Result
+    * order is attrsAll order regardless of completion order, so the
+    * union is deterministic.
+    */
+  def profileAttributes(
+      chunks: DataFrame,
+      sampleChunks: DataFrame,
+      attrsAll: Seq[String],
+      doEndToEnd: Boolean): DataFrame = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val par = math.max(1, math.min(cfg.attrParallelism, attrsAll.size))
+    if (par == 1)
+      attrsAll.map(a => profileAttribute(chunks, sampleChunks, a, doEndToEnd)).reduce(_ unionByName _)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        par,
+        (r: Runnable) => { val t = new Thread(r, "graft-attr"); t.setDaemon(true); t })
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val futs = attrsAll.map(a => Future(profileAttribute(chunks, sampleChunks, a, doEndToEnd)))
+        Await
+          .result(Future.sequence(futs), scala.concurrent.duration.Duration.Inf)
+          .reduce(_ unionByName _)
+      } finally pool.shutdown()
     }
   }
 
@@ -350,9 +400,7 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
       // nothing discovered (prose-only lake): the view is just the
       // file universe, no attribute columns
       return lake.select(col("path")).distinct()
-    val extractionsAll = attrsAll
-      .map(a => profileAttribute(chunks, sample, a, doEnd))
-      .reduce(_ unionByName _)
+    val extractionsAll = profileAttributes(chunks, sample, attrsAll, doEnd)
     val (attrs, extractions) =
       if (!doEnd) (attrsAll, extractionsAll)
       else {

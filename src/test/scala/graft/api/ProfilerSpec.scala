@@ -46,6 +46,48 @@ class ProfilerSpec extends SparkSpec {
     assert(attrs.forall(a => noise(a) == null || noise(a).isEmpty))
   }
 
+  test("applySpecs runs all specs in one scan and one shuffle") {
+    import graft.extract.{FieldLine, RegexExtract, SplitMarker}
+    val chunks = lake
+      .select(col("path"), col("content").as("chunk"), lit(0).as("chunk_id"))
+    val specs = Seq(
+      RegexExtract("function_0", "([A-Z]\\d{6})"),
+      SplitMarker("function_1", "Applicant:", "\n"),
+      FieldLine("function_2", "device name"))
+    val out  = profiler.applySpecs(chunks, specs)
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected 1 Exchange for ${specs.size} specs, got $exchanges:\n$plan")
+    // semantics: long relation, one row per (path, spec), '' = abstain
+    val rows = out.collect()
+    assert(rows.length == lake.count() * specs.size)
+    assert(rows.forall(_.getAs[String]("value") != null))
+    val k1 = rows.filter(r => r.getAs[String]("extractor") == "function_0" && r.getAs[String]("value").nonEmpty)
+    assert(k1.nonEmpty, "regex spec should hit at least one doc")
+  }
+
+  test("per-attribute cascades overlap via the driver thread pool") {
+    ProfilerSpec.active.set(0)
+    ProfilerSpec.maxActive.set(0)
+    val probe = new graft.extract.LlmClient {
+      private val inner = MockLlmClient()
+      def complete(prompts: Iterator[String]): Iterator[String] = {
+        val a = ProfilerSpec.active.incrementAndGet()
+        ProfilerSpec.maxActive.getAndUpdate(m => math.max(m, a))
+        try {
+          Thread.sleep(150) // widen the overlap window
+          inner.complete(prompts.toIndexedSeq.iterator).toIndexedSeq.iterator
+        } finally ProfilerSpec.active.decrementAndGet()
+      }
+    }
+    val p    = new Profiler(spark, probe, ProfilerConfig(chunkSize = 3000, trainSize = 6, attrParallelism = 4))
+    val view = p.run(lake, attrs)
+    assert(view.count() > 0)
+    assert(
+      ProfilerSpec.maxActive.get() >= 2,
+      s"expected concurrent driver-side LLM batches, max active = ${ProfilerSpec.maxActive.get()}")
+  }
+
   test("checkRemoveAttributes drops constant and all-empty attributes") {
     import spark.implicits._
     val ex = Seq(
@@ -111,4 +153,13 @@ class ProfilerSpec extends SparkSpec {
     val acc = hits.sum.toDouble / hits.size
     assert(acc == 1.0, s"gold accuracy $acc < 1.0")
   }
+}
+
+/** Static counters for the overlap probe: local-mode executor copies
+  * of the client deserialize to closures referencing this singleton,
+  * so driver- and executor-side calls all hit the same JVM counters.
+  */
+object ProfilerSpec {
+  val active    = new java.util.concurrent.atomic.AtomicInteger(0)
+  val maxActive = new java.util.concurrent.atomic.AtomicInteger(0)
 }
