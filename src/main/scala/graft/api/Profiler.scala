@@ -136,7 +136,14 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
       .complete(prompts.iterator)
       .flatMap { js =>
         try Some(ExtractorSpec.fromJson(js))
-        catch { case _: Throwable => None }
+        catch {
+          case _: Throwable =>
+            // unparsable synthesis → bounded-eval fallback, so it
+            // degrades like the reference's exec path instead of
+            // vanishing (profiler.py:293-335); blank answers drop
+            val body = js.trim
+            if (body.isEmpty) None else Some(OpaqueEval("opaque", body))
+        }
       }
       .toSeq
       .distinct
@@ -145,10 +152,12 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
   }
 
   private def renameSpec(s: ExtractorSpec, k: String): ExtractorSpec = s match {
-    case r: RegexExtract => r.copy(key = k)
-    case r: SplitMarker  => r.copy(key = k)
-    case r: FieldLine    => r.copy(key = k)
-    case r: HtmlSelector => r.copy(key = k)
+    case r: RegexExtract    => r.copy(key = k)
+    case r: SplitMarker     => r.copy(key = k)
+    case r: FieldLine       => r.copy(key = k)
+    case r: HtmlSelector    => r.copy(key = k)
+    case r: OpaqueEval      => r.copy(key = k)
+    case r: CallableExtract => r.copy(key = k)
   }
 
   /** LLM "gold" on the sample via direct extraction (the expensive

@@ -87,6 +87,11 @@ object ExtractorSpec {
       case SplitMarker(k, a, b)  => Map("kind" -> "split", "key" -> k, "pre" -> a, "post" -> b)
       case FieldLine(k, a)       => Map("kind" -> "field_line", "key" -> k, "attr" -> a)
       case HtmlSelector(k, t, a) => Map("kind" -> "html", "key" -> k, "tag" -> t, "attrName" -> a)
+      case OpaqueEval(k, b, t, _) => Map("kind" -> "opaque", "key" -> k, "body" -> b, "timeoutMs" -> t)
+      case CallableExtract(k, _) =>
+        // code-defined (the QA hook) — lives in code, not the catalog,
+        // same as the reference's callable-fn branch
+        throw new IllegalArgumentException(s"CallableExtract($k) is code-defined and not JSON-serializable")
     }
     JsonMethods.compact(JsonMethods.render(Extraction.decompose(m)))
   }
@@ -99,7 +104,213 @@ object ExtractorSpec {
       case "split"      => SplitMarker(str("key"), str("pre"), str("post"))
       case "field_line" => FieldLine(str("key"), str("attr"))
       case "html"       => HtmlSelector(str("key"), str("tag"), (j \ "attrName").extractOrElse[String](""))
+      case "opaque"     => OpaqueEval(str("key"), str("body"), (j \ "timeoutMs").extractOrElse[Long](1000L))
       case k            => throw new IllegalArgumentException(s"unknown extractor kind: $k")
     }
   }
+}
+
+/** Code-defined extractor — the QA-model hook (`configs.py:136-141`,
+  * `profiler.py:293-296`): when the extraction "function" is a
+  * callable rather than synthesized source, the reference calls
+  * `fn(text)` directly with no parsing or sandbox. Here the callable
+  * is any serializable `String => Seq[String]` (a span-scoring QA
+  * model behind an endpoint, a tokenizer+heuristic, …) and it slots
+  * into the same spec pipeline: `applySpecs` folds it with the
+  * codegen'd specs, one scan, one shuffle.
+  *
+  * Not JSON-serializable by design (same as the reference, where the
+  * callable lives in code, not in the function dictionary).
+  */
+final case class CallableExtract(key: String, fn: String => Seq[String]) extends ExtractorSpec {
+  def compile(text: Column): Column = {
+    val f = fn
+    val u = udf { (s: String) =>
+      if (s == null) Seq.empty[String] else f(s).map(_.trim).filter(_.nonEmpty)
+    }
+    u(text)
+  }
+}
+
+/** Bounded-eval fallback for opaque syntheses — the escape hatch the
+  * spec runtime deliberately lacks (`exec` + 1 s SIGALRM,
+  * `profiler.py:37-46,247-347`). When an LLM answer parses as none of
+  * the spec shapes, the raw body lands here instead of vanishing:
+  * a salvage interpreter pulls the first usable strategy out of the
+  * code (a regex literal, a `re.search/findall` pattern, or a
+  * `split('pre')[1].split('post')[0]` marker pair) and applies it to
+  * the chunk under a hard wall-clock bound.
+  *
+  * Reference behaviors mirrored:
+  *  - 1 s timeout per evaluation (`time_limit(1)`,
+  *    `profiler.py:305,331`) → Future + Await; regex evaluation is
+  *    made interruptible by an interrupt-checking CharSequence, so a
+  *    catastrophically backtracking synthesized pattern dies at the
+  *    bound instead of eating an executor core;
+  *  - kill switch after `maxTimeouts` timeouts (`num_timeouts > 1`
+  *    skips remaining files, `profiler.py:281-283`) — per (JVM, key),
+  *    later rows short-circuit to abstain;
+  *  - error second-chance on preprocessed text
+  *    (`text.replace(">\n", ">")`, `profiler.py:286,317-330`);
+  *  - error/timeout counting (`num_function_errors`,
+  *    `profiler.py:322-335`) → per-key counters the driver can read
+  *    after an action ([[OpaqueEval.errorCount]] /
+  *    [[OpaqueEval.timeoutCount]] — local-mode exact; on a cluster
+  *    they are per-executor and advisory, which is all the reference
+  *    uses them for (a boolean "this fn errored" flag).
+  *
+  * A UDF, not codegen — deliberately: this is the slow path for the
+  * rare unparsable synthesis; the prompt-elicited shapes stay native.
+  */
+final case class OpaqueEval(
+    key: String,
+    body: String,
+    timeoutMs: Long = 1000,
+    maxTimeouts: Int = 2
+) extends ExtractorSpec {
+  def compile(text: Column): Column = {
+    val (k, b, tm, mt) = (key, body, timeoutMs, maxTimeouts)
+    val u = udf { (s: String) =>
+      if (s == null) Seq.empty[String] else OpaqueEval.eval(k, b, s, tm, mt)
+    }
+    u(text)
+  }
+}
+
+object OpaqueEval {
+
+  private val timeouts = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+  private val errors   = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+
+  def timeoutCount(key: String): Int = Option(timeouts.get(key)).map(_.get).getOrElse(0)
+  def errorCount(key: String): Int   = Option(errors.get(key)).map(_.get).getOrElse(0)
+  def resetCounters(): Unit          = { timeouts.clear(); errors.clear() }
+
+  private def counter(m: java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger], k: String) =
+    m.computeIfAbsent(k, _ => new java.util.concurrent.atomic.AtomicInteger(0))
+
+  /** Daemon pool for bounded evaluation; sized generously (evals are
+    * short; the pool exists to own interruptible threads, not to
+    * queue work).
+    */
+  private lazy val pool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool((r: Runnable) => {
+      val t = new Thread(r, "graft-opaque-eval"); t.setDaemon(true); t
+    })
+
+  private[extract] def eval(key: String, body: String, text: String, timeoutMs: Long, maxTimeouts: Int): Seq[String] = {
+    val tc = counter(timeouts, key)
+    if (tc.get() >= maxTimeouts) return Seq.empty // kill switch
+    val fut = pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+      private def interrupted(e: Throwable) =
+        e.isInstanceOf[InterruptedException] || e.getCause.isInstanceOf[InterruptedException]
+      def call(): Seq[String] = {
+        // FutureTask.cancel(true) does not clear the worker's interrupt
+        // flag — scrub any stale one from a previously timed-out eval
+        Thread.interrupted()
+        try interpret(body, text)
+        catch {
+          case e: Throwable if interrupted(e) => throw e // timed out — no retry
+          case _: Throwable =>
+            // second chance on preprocessed text; an error only counts
+            // when both attempts fail (err reset at profiler.py:328)
+            try interpret(body, text.replace(">\n", ">"))
+            catch { case _: Throwable => counter(errors, key).incrementAndGet(); Seq.empty }
+        }
+      }
+    })
+    try fut.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        fut.cancel(true) // interrupts; InterruptibleCharSequence aborts the matcher
+        tc.incrementAndGet()
+        Seq.empty
+      case _: Throwable => counter(errors, key).incrementAndGet(); Seq.empty
+    }
+  }
+
+  /** Pull the first workable extraction strategy out of an opaque
+    * code body. Strategies, in order:
+    *  1. a regex literal — `r'…'`, `r"…"`, or the first quoted arg of
+    *     `re.search/findall/match/finditer(…)` — applied as findall
+    *     (group 1 when the pattern has groups, whole match otherwise);
+    *  2. a marker chain — `split('pre')[1]` then optional
+    *     `split('post')[0]` — applied as substring-between;
+    *  3. nothing recognizable → abstain (empty).
+    */
+  private[extract] def interpret(body: String, text: String): Seq[String] = {
+    val cs = new InterruptibleCharSequence(text)
+    regexLiteral(body) match {
+      case Some(pat) =>
+        val p = java.util.regex.Pattern.compile(pat, java.util.regex.Pattern.MULTILINE)
+        val m = p.matcher(cs)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        val grp = if (p.matcher("").groupCount() > 0) 1 else 0
+        while (m.find()) {
+          val v = m.group(grp)
+          if (v != null && v.trim.nonEmpty) out += v.trim
+        }
+        out.toSeq
+      case None =>
+        markerChain(body) match {
+          case Some((pre, post)) =>
+            val i = text.indexOf(pre)
+            if (i < 0) Seq.empty
+            else {
+              val rest = text.substring(i + pre.length)
+              val j    = if (post.isEmpty) -1 else rest.indexOf(post)
+              val v    = (if (j < 0) rest else rest.substring(0, j)).trim
+              if (v.isEmpty) Seq.empty else Seq(v)
+            }
+          case None => Seq.empty
+        }
+    }
+  }
+
+  private val reCall  = java.util.regex.Pattern.compile("""re\s*\.\s*(?:search|findall|match|finditer)\s*\(\s*r?(['"])(.*?)\1""", java.util.regex.Pattern.DOTALL)
+  private val rawLit  = java.util.regex.Pattern.compile("""\br(['"])(.*?)\1""", java.util.regex.Pattern.DOTALL)
+  private val splitP  = java.util.regex.Pattern.compile("""\.\s*split\s*\(\s*(['"])(.*?)\1\s*\)\s*\[\s*(\d+)\s*\]""")
+
+  private def regexLiteral(body: String): Option[String] = {
+    val m1 = reCall.matcher(body)
+    if (m1.find()) return compilable(m1.group(2))
+    val m2 = rawLit.matcher(body)
+    if (m2.find()) return compilable(m2.group(2))
+    None
+  }
+
+  private def compilable(pat: String): Option[String] =
+    try { java.util.regex.Pattern.compile(pat); Some(pat) }
+    catch { case _: Throwable => None }
+
+  /** `x.split('pre')[1]` (+ optional `.split('post')[0]`) → markers. */
+  private def markerChain(body: String): Option[(String, String)] = {
+    val m = splitP.matcher(body)
+    var pre: Option[String] = None
+    var post                = ""
+    while (m.find()) {
+      val marker = m.group(2)
+      val idx    = m.group(3).toInt
+      if (pre.isEmpty && idx >= 1) pre = Some(marker)
+      else if (pre.nonEmpty && idx == 0 && post.isEmpty) post = marker
+    }
+    pre.map(_ -> post)
+  }
+}
+
+/** CharSequence that aborts regex matching when its thread is
+  * interrupted — `java.util.regex` never checks interrupt status
+  * itself, so Future.cancel(true) alone cannot stop a backtracking
+  * match; routing every charAt through this check can.
+  */
+final class InterruptibleCharSequence(underlying: CharSequence) extends CharSequence {
+  def length(): Int = underlying.length()
+  def charAt(index: Int): Char = {
+    if (Thread.currentThread().isInterrupted)
+      throw new RuntimeException(new InterruptedException("regex evaluation interrupted"))
+    underlying.charAt(index)
+  }
+  def subSequence(start: Int, end: Int): CharSequence =
+    new InterruptibleCharSequence(underlying.subSequence(start, end))
+  override def toString: String = underlying.toString
 }

@@ -41,6 +41,71 @@ class ExtractorsSpec extends SparkSpec {
     specs.foreach { s => assert(ExtractorSpec.fromJson(ExtractorSpec.toJson(s)) == s) }
   }
 
+  test("OpaqueEval salvages a regex from an unparsable python-ish body") {
+    OpaqueEval.resetCounters()
+    val body =
+      """def get_number_field(text):
+        |    import re
+        |    matches = re.findall(r'(K\d{6})', text)
+        |    return matches[0] if matches else ''""".stripMargin
+    val s = OpaqueEval("op1", body)
+    assert(runSpec(s, "id K151917 and K209999", "no ids here") ==
+      Seq(Seq("K151917", "K209999"), Seq()))
+    assert(OpaqueEval.errorCount("op1") == 0)
+  }
+
+  test("OpaqueEval salvages a split-marker chain") {
+    val body = "return text.split('Applicant: ')[1].split('|')[0]"
+    val s    = OpaqueEval("op2", body)
+    assert(runSpec(s, "Applicant: Acme Corp|Date: x", "none") == Seq(Seq("Acme Corp"), Seq()))
+  }
+
+  test("OpaqueEval abstains on unrecognizable bodies without errors") {
+    OpaqueEval.resetCounters()
+    val s = OpaqueEval("op3", "some prose the llm emitted instead of code")
+    assert(runSpec(s, "any text") == Seq(Seq()))
+    assert(OpaqueEval.errorCount("op3") == 0)
+  }
+
+  test("OpaqueEval timeout kill switch: catastrophic regex dies at the bound, later rows short-circuit") {
+    OpaqueEval.resetCounters()
+    // exponential backtracker on a long non-matching subject; the
+    // backreference disables the JDK 9+ loop-memoization that tames
+    // the textbook (a+)+$ shape
+    val body    = """re.search(r'(a+)+\1y', text)"""
+    val subject = "a" * 40 + "b"
+    val s       = OpaqueEval("op4", body, timeoutMs = 300, maxTimeouts = 2)
+    val t0      = System.nanoTime()
+    assert(OpaqueEval.eval("op4", body, subject, 300, 2) == Seq.empty)
+    assert(OpaqueEval.eval("op4", body, subject, 300, 2) == Seq.empty)
+    assert(OpaqueEval.timeoutCount("op4") == 2)
+    // kill switch: third call returns instantly without evaluating
+    val t1 = System.nanoTime()
+    assert(OpaqueEval.eval("op4", body, subject, 300, 2) == Seq.empty)
+    val killMs = (System.nanoTime() - t1) / 1e6
+    assert(killMs < 100, s"kill switch should short-circuit, took $killMs ms")
+    assert(OpaqueEval.timeoutCount("op4") == 2)
+    assert((System.nanoTime() - t0) / 1e6 < 5000)
+  }
+
+  test("opaque spec JSON round-trips through the catalog") {
+    val s = OpaqueEval("op5", "re.findall(r'x(\\d+)', text)", timeoutMs = 500)
+    assert(ExtractorSpec.fromJson(ExtractorSpec.toJson(s)) == s)
+  }
+
+  test("CallableExtract: the QA-model hook slots a callable into the spec pipeline") {
+    // mock span scorer: "answers" the attribute by scoring candidate
+    // spans (here: tokens containing digits score 1) — the
+    // configs.py:136-141 / profiler.py:293-296 branch
+    val qa: String => Seq[String] =
+      text => text.split("\\s+").toSeq.filter(_.exists(_.isDigit)).take(1)
+    val s = CallableExtract("qa1", qa)
+    assert(runSpec(s, "approved on 1999 by fda", "no digits") == Seq(Seq("1999"), Seq()))
+    // code-defined: not serializable into the JSON catalog, like the
+    // reference's callable branch
+    intercept[IllegalArgumentException](ExtractorSpec.toJson(s))
+  }
+
   test("MockLlmClient extracts field-line answers from direct prompts") {
     val c   = MockLlmClient()
     val out = c.complete(Iterator("attribute: budget\ntext: name: x\nbudget: $5M\n")).toSeq
