@@ -118,8 +118,15 @@ object Combiners {
     * per-row expression over the distributed vote matrix.
     *
     * votes: (key, extractor, value). Returns (key, value).
+    *
+    * `learnDeps`: run structure learning first
+    * (`LabelModel.learnTopDependency` — `run_ws.py:228-248`) and, if a
+    * dependency pair stands out, retrain the accuracies with the
+    * contaminated moments excluded; any failure falls back to the
+    * independent model, like `run_ws.py:256-257`. Off by default —
+    * the oracle-gated paths stay byte-identical.
     */
-  def wsCombine(votes: DataFrame, keyCol: String, numElts: Int = 5): DataFrame = {
+  def wsCombine(votes: DataFrame, keyCol: String, numElts: Int = 5, learnDeps: Boolean = false): DataFrame = {
     val spark = votes.sparkSession
     // empty/null votes are abstains (`run_ws.py:53-57` maps them to
     // 'abstain' and excludes them from the candidate labels); keys
@@ -138,7 +145,20 @@ object Combiners {
         col(keyCol),
         col("extractor"),
         when(col("vote_id") === -1, 0).when(col("vote_id") === 0, 1).otherwise(-1).as("vote"))
-    val accs  = LabelModel.flyingSquidAccuracies(LabelModel.pairwiseMoments(pm, keyCol))
+    val moments = LabelModel.pairwiseMoments(pm, keyCol)
+    val accs =
+      if (!learnDeps) LabelModel.flyingSquidAccuracies(moments)
+      else
+        try {
+          val deps = LabelModel.learnTopDependency(moments) match {
+            case Some((i, j, _)) => Set((i, j))
+            case None            => Set.empty[(String, String)]
+          }
+          LabelModel.flyingSquidAccuracies(moments, deps)
+        } catch {
+          // "Not modeling dependencies." (run_ws.py:256-257)
+          case _: Throwable => LabelModel.flyingSquidAccuracies(moments)
+        }
     val accDf = spark.createDataFrame(accs.toSeq.sorted).toDF("extractor", "acc")
 
     // Per-key NB decode over the candidate labels: score(c) =

@@ -69,8 +69,18 @@ object LabelModel {
     * a_i = mean over pairs (j,k) of sqrt(|M_ij·M_ik / M_jk|),
     * mapped to accuracy (1 + a_i) / 2. Driver-side on the collected
     * m×m moment matrix (m is small by construction).
+    *
+    * `deps`: learned dependency pairs ([[learnTopDependency]]) whose
+    * moments are contaminated (M_ij ≠ m_i·m_j when i,j are directly
+    * correlated, breaking the triplet identity). The dependency-aware
+    * retrain — the role of `train_model(..., deps=deps)` at
+    * `run_ws.py:239-248` — simply refuses to form any triplet that
+    * touches a dependent edge; with deps empty this is the
+    * independent model unchanged.
     */
-  def flyingSquidAccuracies(moments: DataFrame): Map[String, Double] = {
+  def flyingSquidAccuracies(
+      moments: DataFrame,
+      deps: Set[(String, String)] = Set.empty): Map[String, Double] = {
     val m = moments
       .select(col("e_i"), col("e_j"), col("moment"))
       .collect()
@@ -79,16 +89,51 @@ object LabelModel {
         Seq((i, j) -> v, (j, i) -> v)
       }
       .toMap
+    val dep        = deps.flatMap { case (a, b) => Seq((a, b), (b, a)) }
     val extractors = m.keys.map(_._1).toSeq.distinct.sorted
     extractors.map { i =>
       val others = extractors.filter(_ != i)
       val pairs = for {
         j <- others; k <- others if j < k
+        if !dep((i, j)) && !dep((i, k)) && !dep((j, k))
         mij <- m.get((i, j)); mik <- m.get((i, k)); mjk <- m.get((j, k)) if math.abs(mjk) > 1e-12
       } yield math.sqrt(math.abs(mij * mik / mjk)).min(1.0)
       val a = if (pairs.nonEmpty) pairs.sum / pairs.size else 0.0
       i -> (1.0 + a) / 2.0
     }.toMap
+  }
+
+  /** Structure learning (lite) — the closed-form counterpart of the
+    * reference's sparse+low-rank covariance split
+    * (`learn_structure`, `run_ws.py:116-151`; deps extracted at
+    * `get_top_deps_from_inverse_sig`, `:101-114`). Under the latent
+    * label model, the abstain-masked moment matrix decomposes as
+    * M = m·mᵀ + S: a rank-1 component from the shared latent y
+    * (m_i = E[v_i·y] = 2a_i − 1) plus a sparse residual that is
+    * nonzero exactly on directly-dependent voter pairs. The reference
+    * solves the split as a CVXPY program; here the rank-1 part comes
+    * from the triplet closed form and the residual is read off
+    * directly — same decomposition, no solver, driver-side on the
+    * collected m×m matrix.
+    *
+    * Returns the top-1 dependency (the reference also keeps k=1,
+    * `run_ws.py:236`) when its |residual| clears `minResidual`;
+    * None = model no deps, the `run_ws.py:233-235` guard ("if values
+    * in J are all too large / nothing stands out, don't model deps").
+    */
+  def learnTopDependency(
+      moments: DataFrame,
+      minResidual: Double = 0.05): Option[(String, String, Double)] = {
+    val rows = moments.select(col("e_i"), col("e_j"), col("moment")).collect()
+    if (rows.isEmpty) return None
+    val accs = flyingSquidAccuracies(moments)
+    val corr = accs.map { case (e, a) => e -> (2.0 * a - 1.0) }
+    val residuals = rows.map { r =>
+      val (i, j, mij) = (r.getString(0), r.getString(1), r.getDouble(2))
+      (i, j, mij - corr.getOrElse(i, 0.0) * corr.getOrElse(j, 0.0))
+    }
+    val (bi, bj, br) = residuals.maxBy { case (_, _, res) => math.abs(res) }
+    if (math.abs(br) < minResidual) None else Some((bi, bj, br))
   }
 
   /** Naive-Bayes posterior vote combination (`methods.py:521`):

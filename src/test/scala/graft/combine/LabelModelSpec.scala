@@ -7,16 +7,35 @@ import scala.util.Random
 class LabelModelSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Conditionally-independent planted-accuracy sampler (the role of
-    * the reference's Ising PGM fixture, `pgm.py:8-117`): y ~ ±1
-    * uniform, vote_i = y with prob acc_i else -y. Deterministic seed.
+  /** Planted-accuracy sampler (the role of the reference's Ising PGM
+    * fixture, `pgm.py:8-117`): y ~ ±1 uniform, vote_i = y with prob
+    * acc_i else -y. Deterministic seed.
+    *
+    * `deps`: Ising-style pairwise dependence — for each ((a, b), ρ),
+    * voter b COPIES voter a's realized vote with prob ρ instead of
+    * voting from its own planted accuracy (the exponential-family
+    * coupling's effect, reduced to its copy mechanism: conditional on
+    * y, a and b stay correlated). ρ = 0 recovers the
+    * conditionally-independent sampler.
     */
-  private def plantedVotes(n: Int, accs: Map[String, Double], seed: Int = 7) = {
-    val rnd = new Random(seed)
+  private def plantedVotes(
+      n: Int,
+      accs: Map[String, Double],
+      seed: Int = 7,
+      deps: Map[(String, String), Double] = Map.empty) = {
+    val rnd     = new Random(seed)
+    val copyOf  = deps.map { case ((a, b), rho) => b -> (a, rho) }
     val rows = (0 until n).flatMap { i =>
       val y = if (rnd.nextBoolean()) 1 else -1
-      accs.toSeq.sortBy(_._1).map { case (e, a) =>
-        (i.toLong, e, if (rnd.nextDouble() < a) y else -y, y)
+      val own = accs.toSeq.sortBy(_._1).map { case (e, a) =>
+        e -> (if (rnd.nextDouble() < a) y else -y)
+      }.toMap
+      accs.keys.toSeq.sorted.map { e =>
+        val v = copyOf.get(e) match {
+          case Some((src, rho)) if rnd.nextDouble() < rho => own(src)
+          case _                                          => own(e)
+        }
+        (i.toLong, e, v, y)
       }
     }
     val df = rows.toDF("doc_id", "extractor", "vote", "y")
@@ -94,6 +113,60 @@ class LabelModelSpec extends SparkSpec {
     val const = Seq((1L, "a", 1), (1L, "b", 1), (2L, "a", 1), (2L, "b", 1))
       .toDF("doc_id", "extractor", "vote")
     assert(LabelModel.cohensKappa(const, "doc_id").head.getDouble(5) == 1.0)
+  }
+
+  test("learnTopDependency recovers a planted correlated voter pair; retrain un-inflates it") {
+    // b copies a 60% of the time; c/d/e are honest independents.
+    // The a–b moment is contaminated: E[v_a·v_b] ≈ ρ + (1−ρ)m_a·m_b
+    // instead of m_a·m_b, so independent triplets through the a–b
+    // edge overestimate both voters.
+    val planted = Map("a" -> 0.75, "b" -> 0.75, "c" -> 0.8, "d" -> 0.7, "e" -> 0.65)
+    val (votes, _) = plantedVotes(12000, planted, deps = Map(("a", "b") -> 0.6))
+    val moments    = LabelModel.pairwiseMoments(votes, "doc_id")
+
+    val dep = LabelModel.learnTopDependency(moments)
+    assert(dep.isDefined, "structure learning should find the planted dependency")
+    val (di, dj, res) = dep.get
+    assert(Set(di, dj) == Set("a", "b"), s"recovered ($di,$dj), want (a,b)")
+    assert(res > 0.2, s"copy-dependence residual should be strongly positive, got $res")
+
+    val indep = LabelModel.flyingSquidAccuracies(moments)
+    val aware = LabelModel.flyingSquidAccuracies(moments, Set((di, dj)))
+    // independent model mis-weights the correlated pair upward;
+    // excluding the contaminated edge pulls both back toward truth
+    Seq("a", "b").foreach { e =>
+      assert(indep(e) > planted(e) + 0.03, s"$e: independent estimate ${indep(e)} should be inflated")
+      assert(
+        math.abs(aware(e) - planted(e)) < math.abs(indep(e) - planted(e)),
+        s"$e: dep-aware ${aware(e)} should beat independent ${indep(e)} vs truth ${planted(e)}")
+      assert(math.abs(aware(e) - planted(e)) < 0.06, s"$e: dep-aware ${aware(e)} vs truth ${planted(e)}")
+    }
+    // honest voters stay recovered
+    Seq("c", "d", "e").foreach { e =>
+      assert(math.abs(aware(e) - planted(e)) < 0.06, s"$e: ${aware(e)} vs ${planted(e)}")
+    }
+  }
+
+  test("learnTopDependency declines to model deps on independent votes") {
+    val (votes, _) = plantedVotes(12000, Map("a" -> 0.85, "b" -> 0.75, "c" -> 0.65, "d" -> 0.7))
+    val moments    = LabelModel.pairwiseMoments(votes, "doc_id")
+    assert(LabelModel.learnTopDependency(moments).isEmpty)
+  }
+
+  test("wsCombine with learnDeps stays correct when a voter pair is correlated") {
+    import org.apache.spark.sql.functions.{col => c}
+    // string-valued votes through the full ws pipeline: b copies a
+    val planted    = Map("a" -> 0.75, "b" -> 0.75, "c" -> 0.8, "d" -> 0.7, "e" -> 0.65)
+    val (votes, gold) = plantedVotes(4000, planted, deps = Map(("a", "b") -> 0.6))
+    val sv = votes.withColumn("value", when(c("vote") === 1, "yes").otherwise("no"))
+      .select(c("doc_id"), c("extractor"), c("value"))
+    val pred = Combiners.wsCombine(sv, "doc_id", learnDeps = true)
+    val acc = pred
+      .join(gold, "doc_id")
+      .withColumn("py", when(c("value") === "yes", 1).otherwise(-1))
+      .agg(avg(when(c("py") === c("y"), 1.0).otherwise(0.0)))
+      .head.getDouble(0)
+    assert(acc > 0.8, s"dep-aware ws accuracy $acc")
   }
 
   test("expWeightBestEta grid-picks a temperature that beats plain MV on planted votes") {
