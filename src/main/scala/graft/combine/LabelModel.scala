@@ -234,6 +234,77 @@ object LabelModel {
     etas.maxBy(e => accByEta.getOrElse(e, 0.0))
   }
 
+  /** Junction-tree inference for a learned dependency pair
+    * (`methods.py:550` with clique tree `:123-156`): with one learned
+    * dep (a, b) the chordal clique tree is the {a, b} clique plus
+    * singletons, so exact message passing reduces to naive Bayes with
+    * a JOINT factor P(v_a, v_b | y) replacing the pair's independent
+    * product. The joint table comes from the same statistics the
+    * triplet model already yields, no extra estimation:
+    * conditional means m_i = 2a_i − 1 and the learned residual
+    * c = E[v_a·v_b|y] − m_a·m_b ([[learnTopDependency]]'s score), via
+    * P(v_a=s, v_b=t | y) = ((1 + s·y·m_a)(1 + t·y·m_b) + s·t·c) / 4.
+    *
+    * Scale shape: the pair's votes pivot per key (one keyed agg), the
+    * independents contribute the usual broadcast-join log-sum — same
+    * single-shuffle plan as [[naiveBayesPredict]]. Driver holds only
+    * the 8-entry joint table.
+    *
+    * votes: (key, extractor, vote) in ±1/0; abstains (0) fall back to
+    * independent semantics (contribute nothing — for the pair, an
+    * abstaining partner degrades that row to the marginal term).
+    */
+  def junctionTreePredict(
+      votes: DataFrame,
+      accs: DataFrame,
+      dep: (String, String),
+      residual: Double,
+      keyCol: String): DataFrame = {
+    val (ea, eb) = dep
+    val accMap = accs.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val (ma, mb) = (2 * accMap(ea) - 1, 2 * accMap(eb) - 1)
+    def clamp(p: Double) = math.max(p, 1e-4)
+    // 8-entry joint: logJoint(y)(s, t); abstain (0) on one side uses
+    // the partner's marginal (sum over the abstaining coordinate)
+    def joint(y: Int, s: Int, t: Int): Double =
+      ((1.0 + s * y * ma) * (1.0 + t * y * mb) + s * t * residual) / 4.0
+    def pairTerm(y: Int, s: Int, t: Int): Double =
+      if (s == 0 && t == 0) 0.0
+      else if (s == 0) math.log(clamp((1.0 + t * y * mb) / 2.0))
+      else if (t == 0) math.log(clamp((1.0 + s * y * ma) / 2.0))
+      else math.log(clamp(joint(y, s, t)))
+    val pairTable = typedLit(
+      (for { y <- Seq(1, -1); s <- Seq(-1, 0, 1); t <- Seq(-1, 0, 1) }
+        yield s"$y:$s:$t" -> pairTerm(y, s, t)).toMap)
+
+    val indep = votes.filter(col("extractor") =!= ea && col("extractor") =!= eb)
+    def term(cand: Int) =
+      when(col("vote") === 0, 0.0)
+        .when(col("vote") === cand, log(col("acc")))
+        .otherwise(log(lit(1.0) - col("acc")))
+    val indepScores = indep
+      .join(broadcast(accs), Seq("extractor"))
+      .groupBy(col(keyCol))
+      .agg(sum(term(1)).as("li_pos"), sum(term(-1)).as("li_neg"))
+    val pairVotes = votes
+      .filter(col("extractor") === ea || col("extractor") === eb)
+      .groupBy(col(keyCol))
+      .agg(
+        coalesce(max(when(col("extractor") === ea, col("vote"))), lit(0)).as("va"),
+        coalesce(max(when(col("extractor") === eb, col("vote"))), lit(0)).as("vb"))
+    // full outer: a key may have only pair votes or only independents
+    indepScores
+      .join(pairVotes, Seq(keyCol), "full_outer")
+      .withColumn("va", coalesce(col("va"), lit(0)))
+      .withColumn("vb", coalesce(col("vb"), lit(0)))
+      .withColumn("lp_pos", element_at(pairTable, concat_ws(":", lit(1), col("va"), col("vb"))))
+      .withColumn("lp_neg", element_at(pairTable, concat_ws(":", lit(-1), col("va"), col("vb"))))
+      .withColumn("score_pos", exp(coalesce(col("li_pos"), lit(0.0)) + col("lp_pos")))
+      .withColumn("score_neg", exp(coalesce(col("li_neg"), lit(0.0)) + col("lp_neg")))
+      .withColumn("jt_pred", when(col("score_pos") >= col("score_neg"), 1).otherwise(-1))
+      .select(col(keyCol), col("jt_pred"), col("score_pos"), col("score_neg"))
+  }
+
   /** Pairwise Cohen's kappa between extractors — chance-corrected
     * inter-annotator agreement (Cohen 1960, the WS-diagnostics
     * staple next to the confusion matrix): κ = (p_o − p_e)/(1 − p_e)

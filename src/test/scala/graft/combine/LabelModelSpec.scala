@@ -169,6 +169,57 @@ class LabelModelSpec extends SparkSpec {
     assert(acc > 0.8, s"dep-aware ws accuracy $acc")
   }
 
+  test("junctionTreePredict matches hand-computed pair-clique posteriors") {
+    // pair (a,b) with m_a=0.6, m_b=0.2 (accs 0.8, 0.6), residual 0.1;
+    // independent e with acc 0.7. doc 1: va=1, vb=-1, ve=1;
+    // doc 2: va=1, vb=0 (abstain → marginal), no e vote.
+    val votes = Seq(
+      (1L, "a", 1), (1L, "b", -1), (1L, "e", 1),
+      (2L, "a", 1), (2L, "b", 0)).toDF("doc_id", "extractor", "vote")
+    val accs = Seq(("a", 0.8), ("b", 0.6), ("e", 0.7)).toDF("extractor", "acc")
+    val got = LabelModel.junctionTreePredict(votes, accs, ("a", "b"), 0.1, "doc_id")
+      .orderBy("doc_id").collect()
+    val (ma, mb, c) = (0.6, 0.2, 0.1)
+    def joint(y: Int, s: Int, t: Int) = ((1 + s * y * ma) * (1 + t * y * mb) + s * t * c) / 4.0
+    // doc 1: independent e contributes log(0.7) vs log(0.3)
+    val d1pos = math.exp(math.log(0.7) + math.log(joint(1, 1, -1)))
+    val d1neg = math.exp(math.log(0.3) + math.log(joint(-1, 1, -1)))
+    assert(math.abs(got(0).getDouble(2) - d1pos) < 1e-12)
+    assert(math.abs(got(0).getDouble(3) - d1neg) < 1e-12)
+    assert(got(0).getInt(1) == (if (d1pos >= d1neg) 1 else -1))
+    // doc 2: abstaining b → a's marginal (1 ± m_a)/2, no independents
+    val d2pos = (1 + ma) / 2.0
+    val d2neg = (1 - ma) / 2.0
+    assert(math.abs(got(1).getDouble(2) - d2pos) < 1e-12)
+    assert(math.abs(got(1).getDouble(3) - d2neg) < 1e-12)
+    assert(got(1).getInt(1) == 1)
+  }
+
+  test("junctionTreePredict under planted correlation is at least as accurate as independent NB") {
+    val planted       = Map("a" -> 0.75, "b" -> 0.75, "c" -> 0.8, "d" -> 0.7, "e" -> 0.65)
+    val (votes, gold) = plantedVotes(12000, planted, deps = Map(("a", "b") -> 0.6))
+    val moments       = LabelModel.pairwiseMoments(votes, "doc_id")
+    val dep           = LabelModel.learnTopDependency(moments).get
+    val (di, dj, _)   = dep
+    val aware         = LabelModel.flyingSquidAccuracies(moments, Set((di, dj)))
+    // residual consistent with the dep-aware conditional means
+    val mab = moments
+      .filter((col("e_i") === di && col("e_j") === dj) || (col("e_i") === dj && col("e_j") === di))
+      .head.getAs[Double]("moment")
+    val c      = mab - (2 * aware(di) - 1) * (2 * aware(dj) - 1)
+    val accDf  = aware.toSeq.sorted.toDF("extractor", "acc")
+    val indep  = LabelModel.flyingSquidAccuracies(moments)
+    val accIndep = indep.toSeq.sorted.toDF("extractor", "acc")
+    def accOf(pred: org.apache.spark.sql.DataFrame, cn: String) = pred
+      .join(gold, "doc_id")
+      .agg(avg(when(col(cn) === col("y"), 1.0).otherwise(0.0)))
+      .head.getDouble(0)
+    val jtAcc = accOf(LabelModel.junctionTreePredict(votes, accDf, (di, dj), c, "doc_id"), "jt_pred")
+    val nbAcc = accOf(LabelModel.naiveBayesPredict(votes, accIndep, "doc_id"), "nb_pred")
+    assert(jtAcc >= nbAcc - 1e-9, s"jt $jtAcc vs independent nb $nbAcc")
+    assert(jtAcc > 0.8, s"jt accuracy $jtAcc")
+  }
+
   test("expWeightBestEta grid-picks a temperature that beats plain MV on planted votes") {
     val (votes, gold) = plantedVotes(2000, Map("a" -> 0.92, "b" -> 0.55, "c" -> 0.55))
     val accs          = LabelModel.accuracies(votes, gold, "doc_id")
