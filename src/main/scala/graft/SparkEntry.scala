@@ -933,6 +933,18 @@ object SparkEntry {
         .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
+    // training-data ops: type-token ratio — lexical diversity for the
+    // quality filter bank (low TTR = templated/repetitive text)
+    "q_ttr" -> ((s, dir) =>
+      TextStats.typeTokenRatio(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // training-data ops: character-level Shannon entropy — the
+    // random-bytes/gibberish detector next to perplexity
+    "q_char_entropy" -> ((s, dir) =>
+      TextStats.charEntropy(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // multimodal plumbing: opaque binary column + typed metadata —
     // the text payload stands in for image bytes (the container ships
     // no codecs; the decode is stubbed behind Multimodal.MediaCodec),
@@ -2309,6 +2321,27 @@ object SparkEntry {
                 CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS INT) AS n_ws,
                 CAST(len(regexp_extract_all(text, '\w+|[^\w\s]', 0)) AS INT) AS n_bpe
          FROM documents ORDER BY doc_id""",
+
+    "q_ttr" ->
+      """WITH t AS (SELECT doc_id,
+                           len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS n_tok,
+                           len(list_distinct(list_filter(string_split(text, ' '), x -> len(x) > 0))) AS n_types
+                    FROM documents)
+         SELECT doc_id, CAST(n_tok AS INT) AS n_tok, CAST(n_types AS INT) AS n_types,
+                CASE WHEN n_tok = 0 THEN 0.0 ELSE round(CAST(n_types AS DOUBLE) / n_tok, 6) END AS ttr
+         FROM t ORDER BY doc_id""",
+
+    "q_char_entropy" ->
+      """WITH chars AS (SELECT doc_id, c
+                        FROM documents, unnest(string_split_regex(text, '')) AS u(c) WHERE len(c) > 0),
+          counts AS (SELECT doc_id, c, count(*) AS n FROM chars GROUP BY doc_id, c),
+          agg AS (SELECT doc_id, sum(n) AS len,
+                         sum(CAST(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)) AS DECIMAL(27,18))) AS nlogn
+                  FROM counts GROUP BY doc_id)
+         SELECT doc_id, CAST(len AS INT) AS n_chars,
+                round(CASE WHEN len <= 1 THEN 0.0
+                           ELSE (ln(CAST(len AS DOUBLE)) - CAST(nlogn AS DOUBLE) / len) / ln(2.0) END, 6) AS entropy
+         FROM agg ORDER BY doc_id""",
 
     "q_fingerprint" ->
       """SELECT doc_id,

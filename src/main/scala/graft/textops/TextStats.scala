@@ -229,6 +229,58 @@ object TextStats {
         round(-(sum(col("lp")).cast("double") / count(lit(1))), 6).as("xent"))
   }
 
+  /** Type-token ratio per doc — the lexical-diversity staple of
+    * quality filtering (low TTR = templated/repetitive text, a
+    * signal the Gopher repetition rules approximate from the other
+    * direction). Whitespace tokens, in-row `array_distinct` — a pure
+    * projection, zero shuffles, scales linearly with input splits.
+    * Integer counts + one final rounded division: engine-exact under
+    * the DuckDB hash gate.
+    */
+  def typeTokenRatio(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = toks(col(textCol))
+    df.select(
+      col(idCol),
+      size(t).as("n_tok"),
+      size(array_distinct(t)).as("n_types"),
+      when(size(t) === 0, 0.0)
+        .otherwise(round(size(array_distinct(t)).cast("double") / size(t), 6))
+        .as("ttr"))
+  }
+
+  /** Character-level Shannon entropy per doc (bits/char) — the
+    * random-bytes / gibberish detector quality pipelines run next to
+    * perplexity (C4/Gopher lineage). H = log2(L) − (Σ n_c·ln n_c) /
+    * (L·ln 2) over per-doc char counts n_c, length L.
+    *
+    * Engine-exact recipe (same as the ppl queries): every
+    * transcendental is `ln` of an integer count — identical on both
+    * engines for these inputs — each term casts to DECIMAL(27,18)
+    * before the sum (order-independent), one rounded double at the
+    * end. Scale shape: the (doc, char) aggregation's map-side partial
+    * combine collapses duplicates per partition, so shuffle volume is
+    * bounded by docs × |alphabet|, not corpus characters; the per-doc
+    * fold is the second half of the same keyed aggregation chain.
+    */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = df.select(col(idCol), explode(split(col(textCol), "")).as("c"))
+      .filter(length(col("c")) > 0)
+    chars
+      .groupBy(col(idCol), col("c"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("n")).as("len"),
+        sum((col("n").cast("double") * log(col("n").cast("double"))).cast("decimal(27,18)")).as("nlogn"))
+      .select(
+        col(idCol),
+        col("len").cast("int").as("n_chars"),
+        round(
+          when(col("len") <= 1, 0.0).otherwise(
+            (log(col("len").cast("double")) - col("nlogn").cast("double") / col("len")) / log(lit(2.0))),
+          6).as("entropy"))
+  }
+
   /** Per-doc cross-entropy under a corpus bigram LM with stupid
     * backoff (Brants et al. 2007, "Large Language Models in Machine
     * Translation" — public method): score(cur|prev) =

@@ -310,6 +310,22 @@ class TextOpsSpec extends SparkSpec {
     assert(got.getInt(1) == 5) // hello , world ! foo
   }
 
+  test("typeTokenRatio: distinct/total with empty-doc guard") {
+    val df = Seq((1L, "a b a c"), (2L, "x x x x"), (3L, "")).toDF("doc_id", "text")
+    val got = TextStats.typeTokenRatio(df, "doc_id", "text").orderBy("doc_id").collect()
+    assert(got(0).getInt(1) == 4 && got(0).getInt(2) == 3 && got(0).getDouble(3) == 0.75)
+    assert(got(1).getInt(1) == 4 && got(1).getInt(2) == 1 && got(1).getDouble(3) == 0.25)
+    assert(got(2).getInt(1) == 0 && got(2).getDouble(3) == 0.0)
+  }
+
+  test("charEntropy: constant text is 0 bits, uniform binary text is 1 bit") {
+    val df = Seq((1L, "aaaa"), (2L, "abab"), (3L, "abcd")).toDF("doc_id", "text")
+    val got = TextStats.charEntropy(df, "doc_id", "text").orderBy("doc_id").collect()
+    assert(got(0).getInt(1) == 4 && got(0).getDouble(2) == 0.0)
+    assert(got(1).getInt(1) == 4 && got(1).getDouble(2) == 1.0)
+    assert(got(2).getInt(1) == 4 && got(2).getDouble(2) == 2.0)
+  }
+
   test("tfidfTopTerms ranks by tf*idf, breaks ties lexicographically, zeroes ubiquitous terms") {
     val df = Seq(
       (1L, "a a b z"),
