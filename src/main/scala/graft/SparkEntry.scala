@@ -1127,6 +1127,26 @@ object SparkEntry {
           col("sum_value"))
         .orderBy(col("window_start"), col("event_type"))),
 
+    // volume event op: RFM segmentation — quartile tiles assigned
+    // against broadcast exact-percentile cutpoints (no global-window
+    // ntile single-reducer trap)
+    "q_rfm_segments" -> ((s, dir) =>
+      EventWindows.rfmSegments(events(s, dir), "user_id", "ts", "value")
+        .orderBy(col("user_id"))),
+
+    // volume event op: burst-day anomaly flags — daily counts vs 3x
+    // the per-type median daily count (integer-robust, no z-score
+    // float-sum order sensitivity)
+    "q_burst_days" -> ((s, dir) =>
+      EventWindows.burstDays(events(s, dir), "event_type", "ts", factor = 3.0)
+        .select(
+          col("event_type"),
+          date_format(col("day_start"), "yyyy-MM-dd").as("day"),
+          col("n_events"),
+          col("median_daily"),
+          col("burst"))
+        .orderBy(col("event_type"), col("day"))),
+
     // north-star event op: gap-based sessionization (6h gap) —
     // per-user window boundary flags + running sum, then per-session
     // aggregate; one shuffle on the user key
@@ -2420,6 +2440,39 @@ object SparkEntry {
                       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS rn
                FROM events)
          WHERE rn <= 3 ORDER BY user_id, rn""",
+
+    "q_rfm_segments" ->
+      """WITH per AS (SELECT user_id, max(ts) AS last_ts, count(*) AS frequency,
+                             round(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE), 6) AS monetary
+                      FROM events GROUP BY user_id),
+          anch AS (SELECT max(ts) AS anchor FROM events),
+          p2 AS (SELECT user_id,
+                        CAST(datediff('day', CAST(last_ts AS DATE), CAST(anchor AS DATE)) AS INT) AS recency_days,
+                        frequency, monetary,
+                        CAST(round(monetary * 1e6, 0) AS BIGINT) AS monetary_u
+                 FROM per CROSS JOIN anch),
+          cuts AS (SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS rc,
+                          quantile_cont(frequency,    [0.25, 0.5, 0.75]) AS fc,
+                          quantile_cont(monetary_u,   [0.25, 0.5, 0.75]) AS mc
+                   FROM p2),
+          t AS (SELECT user_id, recency_days, frequency, monetary,
+                       1 + (recency_days > rc[1])::INT + (recency_days > rc[2])::INT + (recency_days > rc[3])::INT AS r_tile,
+                       1 + (frequency < fc[3])::INT + (frequency < fc[2])::INT + (frequency < fc[1])::INT AS f_tile,
+                       1 + (monetary_u < mc[3])::INT + (monetary_u < mc[2])::INT + (monetary_u < mc[1])::INT AS m_tile
+                FROM p2 CROSS JOIN cuts)
+         SELECT user_id, recency_days, frequency, monetary, r_tile, f_tile, m_tile,
+                CAST(r_tile AS VARCHAR) || CAST(f_tile AS VARCHAR) || CAST(m_tile AS VARCHAR) AS segment
+         FROM t ORDER BY user_id""",
+
+    "q_burst_days" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d, count(*) AS n_events
+                        FROM events GROUP BY event_type, d),
+          med AS (SELECT event_type, round(quantile_cont(n_events, 0.5), 6) AS median_daily
+                  FROM daily GROUP BY event_type)
+         SELECT event_type, strftime(make_timestamp(d * 86400000000), '%Y-%m-%d') AS day,
+                n_events, median_daily,
+                CAST(n_events AS DOUBLE) > 3.0 * median_daily AS burst
+         FROM daily JOIN med USING (event_type) ORDER BY event_type, day""",
 
     "q_sessionize" ->
       """WITH s AS (SELECT user_id, event_id, ts,

@@ -248,4 +248,89 @@ object EventWindows {
       .withColumn("retention", round(col("n_active").cast("double") / col("cohort_size"), 6))
       .orderBy(col("cohort_wk"), col("week_k"))
   }
+
+  /** RFM segmentation (recency / frequency / monetary quartiles) —
+    * the classic behavioral-cohort cut of an event stream. Tiles are
+    * assigned against exact-percentile CUTPOINTS broadcast from a
+    * one-row aggregate, NOT a global-window ntile: a global ntile
+    * collapses every user row into one window partition (the
+    * single-reducer trap), while three cutpoints per metric cost one
+    * tiny extra aggregation and the assignment stays a per-row
+    * comparison. Tile 1 = most recent / most frequent / highest
+    * spend. Determinism: the monetary sum goes through
+    * DECIMAL(27,6) (order-independent), cutpoints and values round
+    * to 6, and tile assignment is integer sums of comparisons —
+    * engine-exact under the DuckDB gate.
+    *
+    * Output: (user, recency_days, frequency, monetary, r/f/m tiles,
+    * segment).
+    */
+  def rfmSegments(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      valueCol: String): DataFrame = {
+    val per = events
+      .groupBy(col(userCol))
+      .agg(
+        max(col(tsCol)).as("last_ts"),
+        count(lit(1)).as("frequency"),
+        round(sum(col(valueCol).cast("decimal(27,6)")).cast("double"), 6).as("monetary"))
+      .crossJoin(broadcast(events.agg(max(col(tsCol)).as("anchor"))))
+      .withColumn("recency_days", datediff(col("anchor"), col("last_ts")))
+      // micro-units keep the monetary percentile on the integer side:
+      // dyadic quantiles (0.25/0.5/0.75) of integers are IEEE-exact
+      // under every interpolation arrangement, so both engines land
+      // on the same cutpoint bit for bit
+      .withColumn("monetary_u", round(col("monetary") * 1e6, 0).cast("long"))
+      .select(col(userCol), col("recency_days"), col("frequency"), col("monetary"), col("monetary_u"))
+    val cuts = per.agg(
+      expr("percentile(recency_days, array(0.25, 0.5, 0.75))").as("rc"),
+      expr("percentile(frequency,    array(0.25, 0.5, 0.75))").as("fc"),
+      expr("percentile(monetary_u,   array(0.25, 0.5, 0.75))").as("mc"))
+    // tile 1 = best: for ascending-is-worse metrics count cutpoints
+    // passed going up; for descending-is-worse count going down
+    def tileAsc(v: Column, c: Column): Column =
+      lit(1) + (v > element_at(c, 1)).cast("int") + (v > element_at(c, 2)).cast("int") + (v > element_at(c, 3)).cast("int")
+    def tileDesc(v: Column, c: Column): Column =
+      lit(1) + (v < element_at(c, 3)).cast("int") + (v < element_at(c, 2)).cast("int") + (v < element_at(c, 1)).cast("int")
+    per
+      .crossJoin(broadcast(cuts))
+      .withColumn("r_tile", tileAsc(col("recency_days").cast("double"), col("rc")))
+      .withColumn("f_tile", tileDesc(col("frequency").cast("double"), col("fc")))
+      .withColumn("m_tile", tileDesc(col("monetary_u").cast("double"), col("mc")))
+      .withColumn("segment", concat_ws("", col("r_tile"), col("f_tile"), col("m_tile")))
+      .select(
+        col(userCol), col("recency_days"), col("frequency"), col("monetary"),
+        col("r_tile"), col("f_tile"), col("m_tile"), col("segment"))
+  }
+
+  /** Burst-day detection: flag (event_type, day) buckets whose count
+    * exceeds `factor` × that type's median daily count — the
+    * integer-robust anomaly cut (a stddev z-score needs
+    * order-sensitive float sums of squares; a median of integer
+    * counts replays exactly). Daily buckets use the same integral
+    * floor division as the other epoch-day ops here. Per-type medians
+    * are a tiny aggregate broadcast back over the daily counts.
+    *
+    * Output: (event_type, day_start, n_events, median_daily, burst).
+    */
+  def burstDays(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      factor: Double = 3.0): DataFrame = {
+    val day = expr(s"unix_micros($tsCol) div 86400000000L")
+    val daily = events
+      .groupBy(col(typeCol), day.as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val med = daily
+      .groupBy(col(typeCol))
+      .agg(round(expr("percentile(n_events, 0.5)"), 6).as("median_daily"))
+    daily
+      .join(broadcast(med), Seq(typeCol))
+      .withColumn("day_start", timestamp_micros(col("day") * lit(86400000000L)))
+      .withColumn("burst", col("n_events").cast("double") > lit(factor) * col("median_daily"))
+      .select(col(typeCol), col("day_start"), col("n_events"), col("median_daily"), col("burst"))
+  }
 }
