@@ -1127,6 +1127,12 @@ object SparkEntry {
           col("sum_value"))
         .orderBy(col("window_start"), col("event_type"))),
 
+    // volume event op: equi-width value histogram — broadcast bounds,
+    // per-row bucket index, one tiny shuffle on <= 20 keys
+    "q_value_histogram" -> ((s, dir) =>
+      graft.relops.Stats.equiWidthHistogram(events(s, dir), "value", nBuckets = 20)
+        .orderBy(col("bucket"))),
+
     // volume event op: RFM segmentation — quartile tiles assigned
     // against broadcast exact-percentile cutpoints (no global-window
     // ntile single-reducer trap)
@@ -2440,6 +2446,18 @@ object SparkEntry {
                       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS rn
                FROM events)
          WHERE rn <= 3 ORDER BY user_id, rn""",
+
+    "q_value_histogram" ->
+      """WITH mm AS (SELECT CAST(min(value) AS DOUBLE) AS lo, CAST(max(value) AS DOUBLE) AS hi FROM events),
+          b AS (SELECT CASE WHEN hi = lo THEN 0
+                            ELSE CAST(least(greatest(floor((CAST(value AS DOUBLE) - lo) / (hi - lo) * 20), 0.0), 19.0) AS INT)
+                       END AS bucket, lo, hi
+                FROM events CROSS JOIN mm)
+         SELECT bucket,
+                round(lo + bucket * (hi - lo) / 20, 6) AS bucket_lo,
+                round(lo + (bucket + 1) * (hi - lo) / 20, 6) AS bucket_hi,
+                count(*) AS n
+         FROM b GROUP BY bucket, lo, hi ORDER BY bucket""",
 
     "q_rfm_segments" ->
       """WITH per AS (SELECT user_id, max(ts) AS last_ts, count(*) AS frequency,

@@ -326,6 +326,36 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2).getInt(1) == 4 && got(2).getDouble(2) == 2.0)
   }
 
+  test("property: charEntropy matches the direct per-doc computation on random strings") {
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 60).map { i =>
+      (i.toLong, (0 until rnd.nextInt(200) + 1).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString)
+    }
+    val got = TextStats.charEntropy(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    docs.foreach { case (id, s) =>
+      val counts = s.groupBy(identity).map(_._2.length.toDouble)
+      val l      = s.length.toDouble
+      val h =
+        if (s.length <= 1) 0.0
+        else (math.log(l) - counts.map(n => n * math.log(n)).sum / l) / math.log(2.0)
+      assert(got(id)._1 == s.length)
+      assert(math.abs(got(id)._2 - h) < 1e-5, s"doc $id: got ${got(id)._2}, want $h")
+    }
+  }
+
+  test("equiWidthHistogram: bounds, clamping, and degenerate single-value column") {
+    import graft.relops.Stats
+    val df  = Seq(0.0, 1.0, 2.0, 3.0, 4.0, 10.0).toDF("v")
+    val got = Stats.equiWidthHistogram(df, "v", nBuckets = 5).orderBy("bucket").collect()
+    // lo=0, hi=10, width 2: 0,1→b0; 2,3→b1; 4→b2; 10 clamps into b4
+    assert(got.map(r => (r.getInt(0), r.getLong(3))).toSeq == Seq((0, 2L), (1, 2L), (2, 1L), (4, 1L)))
+    assert(got.head.getDouble(1) == 0.0 && got.head.getDouble(2) == 2.0)
+    val const = Seq(7.0, 7.0).toDF("v")
+    val g2    = Stats.equiWidthHistogram(const, "v", nBuckets = 5).collect()
+    assert(g2.length == 1 && g2.head.getInt(0) == 0 && g2.head.getLong(3) == 2L)
+  }
+
   test("tfidfTopTerms ranks by tf*idf, breaks ties lexicographically, zeroes ubiquitous terms") {
     val df = Seq(
       (1L, "a a b z"),
