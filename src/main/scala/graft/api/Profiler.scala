@@ -292,7 +292,17 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
         (r: Runnable) => { val t = new Thread(r, "graft-attr"); t.setDaemon(true); t })
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       try {
-        val futs = attrsAll.map(a => Future(profileAttribute(chunks, sampleChunks, a, doEndToEnd)))
+        val futs = attrsAll.zipWithIndex.map { case (a, i) =>
+          Future {
+            // FAIR mode schedules fairly ACROSS pools, while jobs
+            // inside one pool (including 'default') queue FIFO — so
+            // each attribute's jobs get their own pool, created on
+            // demand by name; without this the FAIR config is inert
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-attr-${i % par}")
+            try profileAttribute(chunks, sampleChunks, a, doEndToEnd)
+            finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+          }
+        }
         Await
           .result(Future.sequence(futs), scala.concurrent.duration.Duration.Inf)
           .reduce(_ unionByName _)

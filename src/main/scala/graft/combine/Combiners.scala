@@ -145,19 +145,23 @@ object Combiners {
         col(keyCol),
         col("extractor"),
         when(col("vote_id") === -1, 0).when(col("vote_id") === 0, 1).otherwise(-1).as("vote"))
-    val moments = LabelModel.pairwiseMoments(pm, keyCol)
+    // one collect of the m×m moment matrix serves the triplet solve,
+    // structure learning, and the dep-aware retrain — the self-join
+    // behind it is the combiner's only lake-scale stage and must not
+    // re-execute per consumer
+    val mm = LabelModel.momentMap(LabelModel.pairwiseMoments(pm, keyCol))
     val accs =
-      if (!learnDeps) LabelModel.flyingSquidAccuracies(moments)
+      if (!learnDeps) LabelModel.flyingSquidFromMap(mm, Set.empty)
       else
         try {
-          val deps = LabelModel.learnTopDependency(moments) match {
+          val deps = LabelModel.learnTopDependencyFromMap(mm) match {
             case Some((i, j, _)) => Set((i, j))
             case None            => Set.empty[(String, String)]
           }
-          LabelModel.flyingSquidAccuracies(moments, deps)
+          LabelModel.flyingSquidFromMap(mm, deps)
         } catch {
           // "Not modeling dependencies." (run_ws.py:256-257)
-          case _: Throwable => LabelModel.flyingSquidAccuracies(moments)
+          case _: Throwable => LabelModel.flyingSquidFromMap(mm, Set.empty)
         }
     val accDf = spark.createDataFrame(accs.toSeq.sorted).toDF("extractor", "acc")
 

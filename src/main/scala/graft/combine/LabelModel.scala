@@ -80,8 +80,17 @@ object LabelModel {
     */
   def flyingSquidAccuracies(
       moments: DataFrame,
-      deps: Set[(String, String)] = Set.empty): Map[String, Double] = {
-    val m = moments
+      deps: Set[(String, String)] = Set.empty): Map[String, Double] =
+    flyingSquidFromMap(momentMap(moments), deps)
+
+  /** Collect the m×m moment matrix once (symmetrized). The matrix is
+    * the ONLY lake-scale computation in the label-model solve — every
+    * driver-side consumer (triplet accuracies, structure learning,
+    * the dep-aware retrain) should share one collect of it rather
+    * than re-running the self-join per call.
+    */
+  def momentMap(moments: DataFrame): Map[(String, String), Double] =
+    moments
       .select(col("e_i"), col("e_j"), col("moment"))
       .collect()
       .flatMap { r =>
@@ -89,6 +98,11 @@ object LabelModel {
         Seq((i, j) -> v, (j, i) -> v)
       }
       .toMap
+
+  /** Triplet solve over a pre-collected moment map (no Spark jobs). */
+  def flyingSquidFromMap(
+      m: Map[(String, String), Double],
+      deps: Set[(String, String)]): Map[String, Double] = {
     val dep        = deps.flatMap { case (a, b) => Seq((a, b), (b, a)) }
     val extractors = m.keys.map(_._1).toSeq.distinct.sorted
     extractors.map { i =>
@@ -123,14 +137,18 @@ object LabelModel {
     */
   def learnTopDependency(
       moments: DataFrame,
+      minResidual: Double = 0.05): Option[(String, String, Double)] =
+    learnTopDependencyFromMap(momentMap(moments), minResidual)
+
+  /** Structure learning over a pre-collected moment map. */
+  def learnTopDependencyFromMap(
+      m: Map[(String, String), Double],
       minResidual: Double = 0.05): Option[(String, String, Double)] = {
-    val rows = moments.select(col("e_i"), col("e_j"), col("moment")).collect()
-    if (rows.isEmpty) return None
-    val accs = flyingSquidAccuracies(moments)
-    val corr = accs.map { case (e, a) => e -> (2.0 * a - 1.0) }
-    val residuals = rows.map { r =>
-      val (i, j, mij) = (r.getString(0), r.getString(1), r.getDouble(2))
-      (i, j, mij - corr.getOrElse(i, 0.0) * corr.getOrElse(j, 0.0))
+    if (m.isEmpty) return None
+    val corr = flyingSquidFromMap(m, Set.empty).map { case (e, a) => e -> (2.0 * a - 1.0) }
+    val residuals = m.toSeq.collect {
+      case ((i, j), mij) if i < j =>
+        (i, j, mij - corr.getOrElse(i, 0.0) * corr.getOrElse(j, 0.0))
     }
     val (bi, bj, br) = residuals.maxBy { case (_, _, res) => math.abs(res) }
     if (math.abs(br) < minResidual) None else Some((bi, bj, br))

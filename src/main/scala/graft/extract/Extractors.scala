@@ -87,7 +87,8 @@ object ExtractorSpec {
       case SplitMarker(k, a, b)  => Map("kind" -> "split", "key" -> k, "pre" -> a, "post" -> b)
       case FieldLine(k, a)       => Map("kind" -> "field_line", "key" -> k, "attr" -> a)
       case HtmlSelector(k, t, a) => Map("kind" -> "html", "key" -> k, "tag" -> t, "attrName" -> a)
-      case OpaqueEval(k, b, t, _) => Map("kind" -> "opaque", "key" -> k, "body" -> b, "timeoutMs" -> t)
+      case OpaqueEval(k, b, t, mt) =>
+        Map("kind" -> "opaque", "key" -> k, "body" -> b, "timeoutMs" -> t, "maxTimeouts" -> mt)
       case CallableExtract(k, _) =>
         // code-defined (the QA hook) — lives in code, not the catalog,
         // same as the reference's callable-fn branch
@@ -104,7 +105,12 @@ object ExtractorSpec {
       case "split"      => SplitMarker(str("key"), str("pre"), str("post"))
       case "field_line" => FieldLine(str("key"), str("attr"))
       case "html"       => HtmlSelector(str("key"), str("tag"), (j \ "attrName").extractOrElse[String](""))
-      case "opaque"     => OpaqueEval(str("key"), str("body"), (j \ "timeoutMs").extractOrElse[Long](1000L))
+      case "opaque" =>
+        OpaqueEval(
+          str("key"),
+          str("body"),
+          (j \ "timeoutMs").extractOrElse[Long](1000L),
+          (j \ "maxTimeouts").extractOrElse[Int](2))
       case k            => throw new IllegalArgumentException(s"unknown extractor kind: $k")
     }
   }
@@ -179,12 +185,18 @@ final case class OpaqueEval(
 
 object OpaqueEval {
 
+  // counters and the kill switch key on the BODY, not the spec key:
+  // the profiler renames every attribute's specs function_0..n, so a
+  // key-scoped switch tripped by attribute A's broken code would
+  // silently abstain attribute B's healthy extractor; the body is
+  // what actually times out, and two specs sharing a body share its
+  // fate (same as the reference's per-fn num_timeouts)
   private val timeouts = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
   private val errors   = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
 
-  def timeoutCount(key: String): Int = Option(timeouts.get(key)).map(_.get).getOrElse(0)
-  def errorCount(key: String): Int   = Option(errors.get(key)).map(_.get).getOrElse(0)
-  def resetCounters(): Unit          = { timeouts.clear(); errors.clear() }
+  def timeoutCount(body: String): Int = Option(timeouts.get(body)).map(_.get).getOrElse(0)
+  def errorCount(body: String): Int   = Option(errors.get(body)).map(_.get).getOrElse(0)
+  def resetCounters(): Unit           = { timeouts.clear(); errors.clear() }
 
   private def counter(m: java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger], k: String) =
     m.computeIfAbsent(k, _ => new java.util.concurrent.atomic.AtomicInteger(0))
@@ -199,7 +211,7 @@ object OpaqueEval {
     })
 
   private[extract] def eval(key: String, body: String, text: String, timeoutMs: Long, maxTimeouts: Int): Seq[String] = {
-    val tc = counter(timeouts, key)
+    val tc = counter(timeouts, body)
     if (tc.get() >= maxTimeouts) return Seq.empty // kill switch
     val fut = pool.submit(new java.util.concurrent.Callable[Seq[String]] {
       private def interrupted(e: Throwable) =
@@ -215,7 +227,7 @@ object OpaqueEval {
             // second chance on preprocessed text; an error only counts
             // when both attempts fail (err reset at profiler.py:328)
             try interpret(body, text.replace(">\n", ">"))
-            catch { case _: Throwable => counter(errors, key).incrementAndGet(); Seq.empty }
+            catch { case _: Throwable => counter(errors, body).incrementAndGet(); Seq.empty }
         }
       }
     })
@@ -225,12 +237,38 @@ object OpaqueEval {
         fut.cancel(true) // interrupts; InterruptibleCharSequence aborts the matcher
         tc.incrementAndGet()
         Seq.empty
-      case _: Throwable => counter(errors, key).incrementAndGet(); Seq.empty
+      case _: Throwable => counter(errors, body).incrementAndGet(); Seq.empty
     }
   }
 
-  /** Pull the first workable extraction strategy out of an opaque
-    * code body. Strategies, in order:
+  /** Per-body compiled strategy, memoized: the salvage parse and the
+    * Pattern.compile happen once per distinct body per JVM, not once
+    * per row of the whole-lake APPLY pass.
+    */
+  private sealed trait Strategy
+  private final case class RegexStrategy(p: java.util.regex.Pattern, grp: Int) extends Strategy
+  private final case class MarkerStrategy(pre: String, post: String)           extends Strategy
+  private case object NoStrategy                                               extends Strategy
+
+  private val strategies = new java.util.concurrent.ConcurrentHashMap[String, Strategy]()
+
+  private def strategyFor(body: String): Strategy =
+    strategies.computeIfAbsent(
+      body,
+      b =>
+        regexLiteral(b) match {
+          case Some(pat) =>
+            val p = java.util.regex.Pattern.compile(pat, java.util.regex.Pattern.MULTILINE)
+            RegexStrategy(p, if (p.matcher("").groupCount() > 0) 1 else 0)
+          case None =>
+            markerChain(b) match {
+              case Some((pre, post)) => MarkerStrategy(pre, post)
+              case None              => NoStrategy
+            }
+        })
+
+  /** Apply the first workable extraction strategy from an opaque code
+    * body. Strategies, in order:
     *  1. a regex literal — `r'…'`, `r"…"`, or the first quoted arg of
     *     `re.search/findall/match/finditer(…)` — applied as findall
     *     (group 1 when the pattern has groups, whole match otherwise);
@@ -238,34 +276,27 @@ object OpaqueEval {
     *     `split('post')[0]` — applied as substring-between;
     *  3. nothing recognizable → abstain (empty).
     */
-  private[extract] def interpret(body: String, text: String): Seq[String] = {
-    val cs = new InterruptibleCharSequence(text)
-    regexLiteral(body) match {
-      case Some(pat) =>
-        val p = java.util.regex.Pattern.compile(pat, java.util.regex.Pattern.MULTILINE)
-        val m = p.matcher(cs)
+  private[extract] def interpret(body: String, text: String): Seq[String] =
+    strategyFor(body) match {
+      case RegexStrategy(p, grp) =>
+        val m   = p.matcher(new InterruptibleCharSequence(text))
         val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        val grp = if (p.matcher("").groupCount() > 0) 1 else 0
         while (m.find()) {
           val v = m.group(grp)
           if (v != null && v.trim.nonEmpty) out += v.trim
         }
         out.toSeq
-      case None =>
-        markerChain(body) match {
-          case Some((pre, post)) =>
-            val i = text.indexOf(pre)
-            if (i < 0) Seq.empty
-            else {
-              val rest = text.substring(i + pre.length)
-              val j    = if (post.isEmpty) -1 else rest.indexOf(post)
-              val v    = (if (j < 0) rest else rest.substring(0, j)).trim
-              if (v.isEmpty) Seq.empty else Seq(v)
-            }
-          case None => Seq.empty
+      case MarkerStrategy(pre, post) =>
+        val i = text.indexOf(pre)
+        if (i < 0) Seq.empty
+        else {
+          val rest = text.substring(i + pre.length)
+          val j    = if (post.isEmpty) -1 else rest.indexOf(post)
+          val v    = (if (j < 0) rest else rest.substring(0, j)).trim
+          if (v.isEmpty) Seq.empty else Seq(v)
         }
+      case NoStrategy => Seq.empty
     }
-  }
 
   private val reCall  = java.util.regex.Pattern.compile("""re\s*\.\s*(?:search|findall|match|finditer)\s*\(\s*r?(['"])(.*?)\1""", java.util.regex.Pattern.DOTALL)
   private val rawLit  = java.util.regex.Pattern.compile("""\br(['"])(.*?)\1""", java.util.regex.Pattern.DOTALL)

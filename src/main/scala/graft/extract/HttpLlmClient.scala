@@ -66,11 +66,14 @@ final case class HttpLlmClient(
         }
     }
 
-  /** Cache key binds the response to everything that shaped it, like
-    * the reference cache keying on prompt + client params.
+  /** Cache key binds the response to everything that shaped it —
+    * endpoint included, so two clients pointed at different servers
+    * that happen to share a model name never serve each other's
+    * cached completions (the reference keys its sqlite cache per
+    * session the same way).
     */
   private def cacheKey(prompt: String): String =
-    sha256(s"$model|$maxTokens|$stopToken|$prompt")
+    sha256(s"$endpoint|$model|$maxTokens|$stopToken|$prompt")
 
   private def truncate(resp: String): String = {
     val t = resp.trim

@@ -17,6 +17,15 @@ import org.apache.spark.sql.functions._
   * egress (the container has no network anyway).
   */
 trait LlmClient extends Serializable {
+
+  /** Implementations MUST be thread-safe and reentrant: the profiler
+    * invokes one shared instance concurrently from
+    * `ProfilerConfig.attrParallelism` driver threads (per-attribute
+    * cascades) and from every executor task of a `mapPartitions` LLM
+    * stage. Keep per-call state local (as [[MockLlmClient]] and
+    * [[HttpLlmClient]] do) or guard shared state yourself; a client
+    * with unsynchronized mutable state needs `attrParallelism = 1`.
+    */
   def complete(prompts: Iterator[String]): Iterator[String]
 }
 

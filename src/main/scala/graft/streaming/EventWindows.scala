@@ -209,9 +209,13 @@ object EventWindows {
     * its trailing window.
     */
   def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String, days: Int = 7): DataFrame = {
-    // integral floor division (matches DuckDB `//` and the
-    // nearbyEventStats bucket formula) — double-divide + cast('long')
-    // truncates toward zero, diverging for pre-1970 timestamps
+    // integral `div` truncates toward zero, and so does DuckDB's `//`
+    // on integers (verified: -5 // 2 = -2) — the two engines agree on
+    // every input, including pre-1970 negatives, and staying integral
+    // removes the double-rounding risk of divide-then-cast. NOTE this
+    // is truncation, not floor: a bucket op that needs true
+    // floor-to-boundary semantics for negative epochs must use the
+    // pmod-subtract form (nearbyEventStats, Tables.scala:27).
     val day = expr(s"unix_micros($tsCol) div 86400000000L")
     events
       .select(col(userCol), day.as("day"))
@@ -309,9 +313,11 @@ object EventWindows {
     * exceeds `factor` × that type's median daily count — the
     * integer-robust anomaly cut (a stddev z-score needs
     * order-sensitive float sums of squares; a median of integer
-    * counts replays exactly). Daily buckets use the same integral
-    * floor division as the other epoch-day ops here. Per-type medians
-    * are a tiny aggregate broadcast back over the daily counts.
+    * counts replays exactly). Daily buckets use the same
+    * engine-matched integral division as the other epoch-day ops
+    * here (truncating on both engines — see rollingActiveUsers).
+    * Per-type medians are a tiny aggregate broadcast back over the
+    * daily counts.
     *
     * Output: (event_type, day_start, n_events, median_daily, burst).
     */

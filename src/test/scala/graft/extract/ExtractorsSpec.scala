@@ -51,7 +51,7 @@ class ExtractorsSpec extends SparkSpec {
     val s = OpaqueEval("op1", body)
     assert(runSpec(s, "id K151917 and K209999", "no ids here") ==
       Seq(Seq("K151917", "K209999"), Seq()))
-    assert(OpaqueEval.errorCount("op1") == 0)
+    assert(OpaqueEval.errorCount(body) == 0)
   }
 
   test("OpaqueEval salvages a split-marker chain") {
@@ -62,9 +62,10 @@ class ExtractorsSpec extends SparkSpec {
 
   test("OpaqueEval abstains on unrecognizable bodies without errors") {
     OpaqueEval.resetCounters()
-    val s = OpaqueEval("op3", "some prose the llm emitted instead of code")
+    val body = "some prose the llm emitted instead of code"
+    val s    = OpaqueEval("op3", body)
     assert(runSpec(s, "any text") == Seq(Seq()))
-    assert(OpaqueEval.errorCount("op3") == 0)
+    assert(OpaqueEval.errorCount(body) == 0)
   }
 
   test("OpaqueEval timeout kill switch: catastrophic regex dies at the bound, later rows short-circuit") {
@@ -74,22 +75,28 @@ class ExtractorsSpec extends SparkSpec {
     // the textbook (a+)+$ shape
     val body    = """re.search(r'(a+)+\1y', text)"""
     val subject = "a" * 40 + "b"
-    val s       = OpaqueEval("op4", body, timeoutMs = 300, maxTimeouts = 2)
-    val t0      = System.nanoTime()
+    val t0 = System.nanoTime()
     assert(OpaqueEval.eval("op4", body, subject, 300, 2) == Seq.empty)
     assert(OpaqueEval.eval("op4", body, subject, 300, 2) == Seq.empty)
-    assert(OpaqueEval.timeoutCount("op4") == 2)
+    assert(OpaqueEval.timeoutCount(body) == 2)
     // kill switch: third call returns instantly without evaluating
     val t1 = System.nanoTime()
     assert(OpaqueEval.eval("op4", body, subject, 300, 2) == Seq.empty)
     val killMs = (System.nanoTime() - t1) / 1e6
     assert(killMs < 100, s"kill switch should short-circuit, took $killMs ms")
-    assert(OpaqueEval.timeoutCount("op4") == 2)
+    assert(OpaqueEval.timeoutCount(body) == 2)
+    // the switch keys on the BODY: a different spec key sharing the
+    // broken body is also short-circuited, but a healthy body under
+    // the same RENAMED key (the profiler names every attribute's
+    // specs function_0..n) keeps extracting
+    assert(OpaqueEval.eval("other_key", body, subject, 300, 2) == Seq.empty)
+    val healthy = """re.findall(r'(b)', text)"""
+    assert(OpaqueEval.eval("op4", healthy, subject, 300, 2) == Seq("b"))
     assert((System.nanoTime() - t0) / 1e6 < 5000)
   }
 
-  test("opaque spec JSON round-trips through the catalog") {
-    val s = OpaqueEval("op5", "re.findall(r'x(\\d+)', text)", timeoutMs = 500)
+  test("opaque spec JSON round-trips through the catalog, non-default knobs included") {
+    val s = OpaqueEval("op5", "re.findall(r'x(\\d+)', text)", timeoutMs = 500, maxTimeouts = 5)
     assert(ExtractorSpec.fromJson(ExtractorSpec.toJson(s)) == s)
   }
 
