@@ -836,6 +836,12 @@ object SparkEntry {
       Dedup.winnowFingerprints(docs(s, dir), "doc_id", "text", n = 3, w = 4)
         .orderBy(col("doc_id"), col("fp_pos"), col("fp_hash"))),
 
+    // training-data ops: exact-substring dedup pairs (suffix-array
+    // method's role, Lee et al. 2022) — longest certified shared
+    // token run per pair via winnowing diagonals
+    "q_substring_dedup" -> ((s, dir) =>
+      Dedup.substringDedupPairs(docs(s, dir), "doc_id", "text", n = 3, w = 4, maxDf = 20, topK = 20)),
+
     // training-data ops: Gopher/C4 quality-rule flags + keep decision
     "q_quality_rules" -> ((s, dir) =>
       Curation.qualityRuleFlags(docs(s, dir), "doc_id", "text",
@@ -2134,6 +2140,39 @@ object SparkEntry {
           fp AS (SELECT DISTINCT doc_id, sel FROM wm WHERE pos <= greatest(ng - 3, 1))
          SELECT doc_id, CAST(sel & 1048575 AS INT) AS fp_pos, sel >> 20 AS fp_hash
          FROM fp ORDER BY doc_id, fp_pos, fp_hash""",
+
+    "q_substring_dedup" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+                    FROM documents),
+          g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, array_to_string(tk[i:i+2], ' ') AS gram
+                FROM t, unnest(range(1, greatest(len(tk) - 2, 1) + 1)) AS u(i)),
+          h AS (SELECT doc_id, pos,
+                       ('0x' || substr(md5(gram), 1, 10))::BIGINT * 1048576 + pos AS cmb,
+                       count(*) OVER (PARTITION BY doc_id) AS ng
+                FROM g),
+          wm AS (SELECT doc_id, pos, ng,
+                        min(cmb) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+                 FROM h),
+          fpd AS (SELECT DISTINCT doc_id, sel FROM wm WHERE pos <= greatest(ng - 3, 1)),
+          fpv AS (SELECT doc_id, CAST(sel & 1048575 AS INT) AS fp_pos, sel >> 20 AS fp_hash FROM fpd),
+          c AS (SELECT *, count(*) OVER (PARTITION BY fp_hash) AS df FROM fpv),
+          k AS (SELECT * FROM c WHERE df > 1 AND df <= 20),
+          hits AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                          a.fp_pos AS pos_a, a.fp_pos - b.fp_pos AS diag
+                   FROM k a JOIN k b USING (fp_hash) WHERE a.doc_id < b.doc_id),
+          r AS (SELECT id_a, id_b, diag, pos_a,
+                       CASE WHEN lag(pos_a) OVER wd IS NULL OR pos_a - lag(pos_a) OVER wd > 4
+                            THEN 1 ELSE 0 END AS brk
+                FROM hits WINDOW wd AS (PARTITION BY id_a, id_b, diag ORDER BY pos_a)),
+          ri AS (SELECT *, sum(brk) OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS run_id FROM r),
+          runs AS (SELECT id_a, id_b, diag, run_id, min(pos_a) AS p0, max(pos_a) AS p1, count(*) AS n_fp
+                   FROM ri GROUP BY id_a, id_b, diag, run_id)
+         SELECT id_a, id_b,
+                CAST(max(p1 - p0 + 3) AS INT) AS max_shared_tokens,
+                CAST(sum(n_fp) AS INT) AS n_shared_fps
+         FROM runs GROUP BY id_a, id_b
+         ORDER BY max_shared_tokens DESC, id_a, id_b LIMIT 20""",
 
     "q_quality_rules" ->
       """WITH t AS (SELECT doc_id, lower(text) AS lt,

@@ -119,6 +119,64 @@ object Dedup {
       explode(winnowFast(col(textCol), n, w)).as("fp"))
       .select(col(idCol), col("fp._1").as("fp_pos"), col("fp._2").as("fp_hash"))
 
+  /** Exact-substring near-dup pairs — the role of suffix-array
+    * training-data dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better"; public method): find doc
+    * pairs sharing a long contiguous token run and certify its
+    * length. Built on winnowing fingerprints because their positions
+    * are CONTENT-defined: a shared region selects the same
+    * fingerprints in both docs at any offset, where a strided gram
+    * grid only collides when the offset difference happens to be a
+    * stride multiple.
+    *
+    * Pipeline: fingerprints → df-capped postings on fp_hash (the
+    * same hot-key guard as every pair emitter here) → pair hits with
+    * positions → per (pair, diagonal = pos_a − pos_b) gap-bounded
+    * islands (winnowing guarantees consecutive selected fingerprints
+    * inside a fully-shared region are ≤ w grams apart, so a gap > w
+    * breaks the run) → per pair the longest island span
+    * (max − min + n tokens) and total shared fingerprints, top-K by
+    * span with a total tie order.
+    *
+    * Scale: fingerprints are ~n_grams/w rows per doc; postings
+    * bounded by maxDf² fan-out per hash; islands are one window over
+    * pair-hit rows (collision-sized, not corpus-sized). All-integer
+    * arithmetic end to end — engine-exact under the DuckDB gate.
+    */
+  def substringDedupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      w: Int = 4,
+      maxDf: Int = 20,
+      topK: Int = 20): DataFrame = {
+    val fp   = winnowFingerprints(df, idCol, textCol, n, w)
+    val wDf  = Window.partitionBy(col("fp_hash"))
+    val kept = fp.withColumn("df", count(lit(1)).over(wDf)).filter(col("df") > 1 && col("df") <= maxDf)
+    val a    = kept.select(col("fp_hash"), col(idCol).as("id_a"), col("fp_pos").as("pos_a"))
+    val b    = kept.select(col("fp_hash"), col(idCol).as("id_b"), col("fp_pos").as("pos_b"))
+    val hits = a
+      .join(b, Seq("fp_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("pos_a"), (col("pos_a") - col("pos_b")).as("diag"))
+      .distinct()
+    val wRun = Window.partitionBy(col("id_a"), col("id_b"), col("diag")).orderBy(col("pos_a"))
+    val runs = hits
+      .withColumn("prev", lag(col("pos_a"), 1).over(wRun))
+      .withColumn("brk", when(col("prev").isNull || col("pos_a") - col("prev") > w, 1).otherwise(0))
+      .withColumn("run_id", sum(col("brk")).over(wRun))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("run_id"))
+      .agg(min(col("pos_a")).as("p0"), max(col("pos_a")).as("p1"), count(lit(1)).as("n_fp"))
+    runs
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(
+        max(col("p1") - col("p0") + n).cast("int").as("max_shared_tokens"),
+        sum(col("n_fp")).cast("int").as("n_shared_fps"))
+      .orderBy(desc("max_shared_tokens"), col("id_a"), col("id_b"))
+      .limit(topK)
+  }
+
   /** Expression-form winnowing — the SQL-shaped reference the fast
     * path is asserted against (TextOpsSpec), and the literal shape of
     * the DuckDB oracle. Costs a window shuffle on the doc key that

@@ -326,6 +326,28 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2).getInt(1) == 4 && got(2).getDouble(2) == 2.0)
   }
 
+  test("substringDedupPairs certifies a planted shared token run at misaligned offsets") {
+    val rnd    = new scala.util.Random(23)
+    def tok(p: String, k: Int) = (0 until k).map(i => s"$p${rnd.nextInt(100000)}_$i")
+    val shared = (0 until 40).map(i => s"shared_token_$i")
+    // different offsets (10 vs 3) — content-defined sampling must
+    // still line the shared run up on one diagonal
+    val docA = (tok("a", 10) ++ shared ++ tok("a2", 15)).mkString(" ")
+    val docB = (tok("b", 3) ++ shared ++ tok("b2", 8)).mkString(" ")
+    val docC = tok("c", 60).mkString(" ") // unrelated
+    val df   = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
+    val got  = Dedup.substringDedupPairs(df, "doc_id", "text", n = 3, w = 4, maxDf = 20, topK = 5).collect()
+    assert(got.nonEmpty, "planted pair not found")
+    val top = got.head
+    assert(top.getLong(0) == 1L && top.getLong(1) == 2L)
+    val span = top.getInt(2)
+    // interior fingerprints certify most of the 40-token run; edges
+    // lose at most ~(w + n) tokens per side
+    assert(span >= 40 - 2 * (4 + 3) && span <= 40 + 3, s"span $span for a 40-token planted run")
+    // the unrelated doc never pairs
+    assert(got.forall(r => r.getLong(0) != 3L && r.getLong(1) != 3L))
+  }
+
   test("property: charEntropy matches the direct per-doc computation on random strings") {
     val rnd = new scala.util.Random(11)
     val docs = (0 until 60).map { i =>
