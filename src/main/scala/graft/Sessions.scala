@@ -32,8 +32,12 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       // the profiler submits per-attribute jobs from a driver thread
       // pool (Profiler.run); FAIR keeps a long lake pass for one
-      // attribute from head-of-line blocking the others' sample work
-      .config("spark.scheduler.mode", "FAIR")
+      // attribute from head-of-line blocking the others' sample work.
+      // Env override for A/B-measuring scheduler cost on serial
+      // workloads (the bench runs queries one at a time, where FAIR
+      // buys nothing and its sort-based task ordering is pure
+      // overhead on many-job iterative queries).
+      .config("spark.scheduler.mode", sys.env.getOrElse("GRAFT_SCHEDULER_MODE", "FAIR"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -55,7 +55,15 @@ final case class ProfilerConfig(
       * concurrent job submission (+ FAIR scheduling, Sessions.local)
       * attribute i+1's sample/LLM work fills the cluster while i's
       * APPLY shuffle drains. 1 restores the serial order. */
-    attrParallelism: Int = 8
+    attrParallelism: Int = 8,
+    /** Wall-clock bound per attribute cascade in the parallel path: a
+      * wedged LLM call (custom client with no read timeout) fails
+      * that attribute instead of stalling the whole run. */
+    attrTimeoutSec: Long = 600,
+    /** Consecutive LLM-error bail per attribute
+      * (`profiler.py:474-477`: >10 consecutive errors abandon the
+      * attribute, remaining prompts unasked). */
+    maxConsecutiveLlmErrors: Int = 10
 )
 
 class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = ProfilerConfig()) {
@@ -123,7 +131,10 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
     * a spec JSON; unparsable answers are dropped (the reference
     * similarly drops functions that fail to exec).
     */
-  def synthesizeSpecs(attribute: String, sampleChunks: DataFrame): Seq[ExtractorSpec] = {
+  def synthesizeSpecs(
+      attribute: String,
+      sampleChunks: DataFrame,
+      cl: LlmClient = client): Seq[ExtractorSpec] = {
     val prompts = sampleChunks
       // deterministic chunk choice (unordered limit is partition-layout
       // dependent): content-hash order, like sampleDocs
@@ -132,7 +143,7 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
       .collect()
       .map(_.getAs[String]("chunk"))
       .flatMap(c => Seq(Prompts.synthesizeSpecA(attribute, c), Prompts.synthesizeSpecB(attribute)))
-    client
+    cl
       .complete(prompts.iterator)
       .flatMap { js =>
         try Some(ExtractorSpec.fromJson(js))
@@ -163,9 +174,9 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
   /** LLM "gold" on the sample via direct extraction (the expensive
     * supervision source, `get_all_extractions` `profiler.py:539-596`).
     */
-  def goldOnSample(attribute: String, sampleChunks: DataFrame): DataFrame = {
+  def goldOnSample(attribute: String, sampleChunks: DataFrame, cl: LlmClient = client): DataFrame = {
     val filtered = keywordFiltered(sampleChunks, attribute)
-    DirectExtract(filtered.select(col("path"), col("attribute"), col("chunk")), client, "path", "gold_llm")
+    DirectExtract(filtered.select(col("path"), col("attribute"), col("chunk")), cl, "path", "gold_llm")
       .withColumn("value", Clean.cleanPrediction(col("value"), col("attribute")))
       .groupBy(col("path"))
       .agg(max(col("value")).as("gold"))
@@ -250,16 +261,14 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
       sampleChunks: DataFrame,
       attribute: String,
       doEndToEnd: Boolean): DataFrame = {
-    val specs            = synthesizeSpecs(attribute, sampleChunks)
-    val gold             = goldOnSample(attribute, sampleChunks)
+    // per-attribute error scope: the bail counter lives and dies with
+    // this cascade, matching the reference's per-attribute loop
+    val cl               = new BailingLlmClient(client, cfg.maxConsecutiveLlmErrors)
+    val specs            = synthesizeSpecs(attribute, sampleChunks, cl)
+    val gold             = goldOnSample(attribute, sampleChunks, cl)
     val (selected, frac) = selectSpecs(attribute, specs, sampleChunks, gold, doEndToEnd)
     if (selected.isEmpty) {
-      spark.emptyDataFrame
-        .select()
-        .withColumn("path", lit(null).cast("string"))
-        .withColumn("attribute", lit(null).cast("string"))
-        .withColumn("value", lit(null).cast("string"))
-        .limit(0)
+      emptyExtractions
     } else {
       val votes = applySpecs(keywordFiltered(chunks, attribute), selected)
         .withColumn("value", Clean.cleanPrediction(col("value"), lit(attribute)))
@@ -281,34 +290,85 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
       chunks: DataFrame,
       sampleChunks: DataFrame,
       attrsAll: Seq[String],
-      doEndToEnd: Boolean): DataFrame = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
+      doEndToEnd: Boolean): DataFrame =
+    profileAttributesChecked(chunks, sampleChunks, attrsAll, doEndToEnd)._1
+
+  /** [[profileAttributes]] with the failure report: the second member
+    * lists attributes whose cascade failed or timed out — each is
+    * excluded from the result (contributes no extractions) instead of
+    * sinking the run, the reference's per-attribute bail
+    * (`profiler.py:474-477`). A cascade gets `cfg.attrTimeoutSec`
+    * of wall clock once its await begins (earlier awaits overlap its
+    * computation, so the bound is per-attribute, not cumulative); on
+    * timeout its running Spark jobs are cancelled through the
+    * attribute's job group, and a thread still wedged inside a
+    * hanging LLM client is interrupted at pool shutdown.
+    */
+  def profileAttributesChecked(
+      chunks: DataFrame,
+      sampleChunks: DataFrame,
+      attrsAll: Seq[String],
+      doEndToEnd: Boolean): (DataFrame, Seq[String]) = {
+    import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
+    import scala.concurrent.duration._
+    import scala.util.{Failure, Success, Try}
     val par = math.max(1, math.min(cfg.attrParallelism, attrsAll.size))
-    if (par == 1)
-      attrsAll.map(a => profileAttribute(chunks, sampleChunks, a, doEndToEnd)).reduce(_ unionByName _)
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        par,
-        (r: Runnable) => { val t = new Thread(r, "graft-attr"); t.setDaemon(true); t })
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      try {
-        val futs = attrsAll.zipWithIndex.map { case (a, i) =>
-          Future {
-            // FAIR mode schedules fairly ACROSS pools, while jobs
-            // inside one pool (including 'default') queue FIFO — so
-            // each attribute's jobs get their own pool, created on
-            // demand by name; without this the FAIR config is inert
-            spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-attr-${i % par}")
-            try profileAttribute(chunks, sampleChunks, a, doEndToEnd)
-            finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+    val results: Seq[(String, Try[DataFrame])] =
+      if (par == 1)
+        attrsAll.map(a => a -> Try(profileAttribute(chunks, sampleChunks, a, doEndToEnd)))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          par,
+          (r: Runnable) => { val t = new Thread(r, "graft-attr"); t.setDaemon(true); t })
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try {
+          val futs = attrsAll.zipWithIndex.map { case (a, i) =>
+            Future {
+              // FAIR mode schedules fairly ACROSS pools, while jobs
+              // inside one pool (including 'default') queue FIFO — so
+              // each attribute's jobs get their own pool, created on
+              // demand by name; without this the FAIR config is inert
+              spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-attr-${i % par}")
+              spark.sparkContext.setJobGroup(s"graft-attr-$a", s"profile attribute $a", interruptOnCancel = true)
+              try profileAttribute(chunks, sampleChunks, a, doEndToEnd)
+              finally {
+                spark.sparkContext.clearJobGroup()
+                spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+              }
+            }
           }
-        }
-        Await
-          .result(Future.sequence(futs), scala.concurrent.duration.Duration.Inf)
-          .reduce(_ unionByName _)
-      } finally pool.shutdown()
+          attrsAll.zip(futs).map { case (a, fut) =>
+            a -> (Try(Await.result(fut, cfg.attrTimeoutSec.seconds)) match {
+              case Failure(_: TimeoutException) =>
+                // reclaim the executors; the stuck driver thread (if
+                // blocked in a client call) dies with the pool below
+                spark.sparkContext.cancelJobGroup(s"graft-attr-$a")
+                Failure(new TimeoutException(s"attribute $a exceeded ${cfg.attrTimeoutSec}s"))
+              case other => other
+            })
+          }
+        } finally pool.shutdownNow()
+      }
+    val failed = results.collect { case (a, Failure(e)) =>
+      org.slf4j.LoggerFactory
+        .getLogger(classOf[Profiler])
+        .warn(s"attribute cascade failed: $a (${e.getClass.getSimpleName}: ${e.getMessage})")
+      a
     }
+    val frames = results.map { case (_, t) => t.getOrElse(emptyExtractions) }
+    (frames.reduce(_ unionByName _), failed)
   }
+
+  /** Empty (path, attribute, value) frame — a failed/specless
+    * attribute's contribution.
+    */
+  private def emptyExtractions: DataFrame =
+    spark.emptyDataFrame
+      .select()
+      .withColumn("path", lit(null).cast("string"))
+      .withColumn("attribute", lit(null).cast("string"))
+      .withColumn("value", lit(null).cast("string"))
+      .limit(0)
 
   /** Vote → value per doc, dispatching on `cfg.combiner`
     * (`combine_extractions`, `profiler.py:115-185`). The measured
@@ -402,6 +462,12 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
     * post-hoc attribute validity filter.
     */
   def run(lake: DataFrame, attributes: Seq[String] = Seq.empty): DataFrame = {
+    // fresh OpaqueEval state per run: counters/kill-switches are
+    // per-run in the reference (num_timeouts) and must not leak from
+    // an earlier run in this JVM; accumulators give the driver
+    // cluster-true totals afterwards
+    OpaqueEval.installAccumulators(spark.sparkContext)
+    OpaqueEval.resetCounters()
     val chunks = prepare(lake)
     val sample = sampleDocs(chunks, cfg.trainSize)
     val doEnd  = attributes.isEmpty

@@ -176,8 +176,14 @@ final case class OpaqueEval(
 ) extends ExtractorSpec {
   def compile(text: Column): Column = {
     val (k, b, tm, mt) = (key, body, timeoutMs, maxTimeouts)
+    // capture the driver-registered accumulators (if any) into the UDF
+    // closure NOW, at plan-build time on the driver: accumulators
+    // serialize with the closure and merge executor-side increments
+    // back with task results, which is what makes the counts
+    // cluster-true (the per-JVM maps below stay executor-local)
+    val (ea, ta) = (OpaqueEval.errorAccumulator, OpaqueEval.timeoutAccumulator)
     val u = udf { (s: String) =>
-      if (s == null) Seq.empty[String] else OpaqueEval.eval(k, b, s, tm, mt)
+      if (s == null) Seq.empty[String] else OpaqueEval.eval(k, b, s, tm, mt, ea, ta)
     }
     u(text)
   }
@@ -196,7 +202,46 @@ object OpaqueEval {
 
   def timeoutCount(body: String): Int = Option(timeouts.get(body)).map(_.get).getOrElse(0)
   def errorCount(body: String): Int   = Option(errors.get(body)).map(_.get).getOrElse(0)
-  def resetCounters(): Unit           = { timeouts.clear(); errors.clear() }
+
+  /** Clear kill-switch state and counters. Called by `Profiler.run` at
+    * the start of every run so a body that tripped the switch in one
+    * run gets fresh chances in the next (the reference's num_timeouts
+    * is per-run state, `profiler.py:281-283`); without this a
+    * long-lived session silently abstains the body forever.
+    */
+  def resetCounters(): Unit = {
+    timeouts.clear(); errors.clear()
+    errorAccumulator.foreach(_.reset())
+    timeoutAccumulator.foreach(_.reset())
+  }
+
+  // Cluster-truth totals. The maps above are per-JVM: exact in local
+  // mode, per-executor on a cluster (each executor gives a bad body
+  // its own maxTimeouts chances — acceptable for the kill switch,
+  // wrong for reporting). These LongAccumulators, registered by the
+  // driver and captured into every OpaqueEval UDF closure at
+  // compile(), aggregate increments across executors the way Spark
+  // metrics are meant to (speculative/retried tasks may double-count,
+  // which is the documented accumulator caveat and fine for
+  // diagnostics).
+  @volatile private var accs: Option[(org.apache.spark.util.LongAccumulator, org.apache.spark.util.LongAccumulator)] = None
+  @volatile private var accOwner: String = ""
+
+  /** Register (or re-register after a SparkContext restart) the
+    * error/timeout accumulators. Idempotent per application.
+    */
+  def installAccumulators(sc: org.apache.spark.SparkContext): Unit = synchronized {
+    if (accs.isEmpty || accOwner != sc.applicationId) {
+      accs = Some((sc.longAccumulator("graft.opaque.errors"), sc.longAccumulator("graft.opaque.timeouts")))
+      accOwner = sc.applicationId
+    }
+  }
+  def errorAccumulator: Option[org.apache.spark.util.LongAccumulator]   = accs.map(_._1)
+  def timeoutAccumulator: Option[org.apache.spark.util.LongAccumulator] = accs.map(_._2)
+
+  /** Driver-visible totals across all executors (0 until installed). */
+  def accumulatedErrors: Long   = errorAccumulator.map(_.sum).getOrElse(0L)
+  def accumulatedTimeouts: Long = timeoutAccumulator.map(_.sum).getOrElse(0L)
 
   private def counter(m: java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger], k: String) =
     m.computeIfAbsent(k, _ => new java.util.concurrent.atomic.AtomicInteger(0))
@@ -210,7 +255,14 @@ object OpaqueEval {
       val t = new Thread(r, "graft-opaque-eval"); t.setDaemon(true); t
     })
 
-  private[extract] def eval(key: String, body: String, text: String, timeoutMs: Long, maxTimeouts: Int): Seq[String] = {
+  private[extract] def eval(
+      key: String,
+      body: String,
+      text: String,
+      timeoutMs: Long,
+      maxTimeouts: Int,
+      errAcc: Option[org.apache.spark.util.LongAccumulator] = None,
+      toAcc: Option[org.apache.spark.util.LongAccumulator] = None): Seq[String] = {
     val tc = counter(timeouts, body)
     if (tc.get() >= maxTimeouts) return Seq.empty // kill switch
     val fut = pool.submit(new java.util.concurrent.Callable[Seq[String]] {
@@ -227,7 +279,10 @@ object OpaqueEval {
             // second chance on preprocessed text; an error only counts
             // when both attempts fail (err reset at profiler.py:328)
             try interpret(body, text.replace(">\n", ">"))
-            catch { case _: Throwable => counter(errors, body).incrementAndGet(); Seq.empty }
+            catch {
+              case _: Throwable =>
+                counter(errors, body).incrementAndGet(); errAcc.foreach(_.add(1L)); Seq.empty
+            }
         }
       }
     })
@@ -236,8 +291,10 @@ object OpaqueEval {
       case _: java.util.concurrent.TimeoutException =>
         fut.cancel(true) // interrupts; InterruptibleCharSequence aborts the matcher
         tc.incrementAndGet()
+        toAcc.foreach(_.add(1L))
         Seq.empty
-      case _: Throwable => counter(errors, body).incrementAndGet(); Seq.empty
+      case _: Throwable =>
+        counter(errors, body).incrementAndGet(); errAcc.foreach(_.add(1L)); Seq.empty
     }
   }
 

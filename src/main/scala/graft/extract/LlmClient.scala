@@ -84,6 +84,46 @@ final case class MockLlmClient(canned: Map[String, String] = Map.empty) extends 
   }
 }
 
+/** Thrown by [[BailingLlmClient]] when too many consecutive prompts
+  * fail — the cascade catches it and fails just that attribute.
+  */
+final case class LlmBailException(message: String) extends RuntimeException(message)
+
+/** Per-attribute consecutive-error bail (`profiler.py:474-477`: >10
+  * consecutive LLM errors abandon the attribute). Each failing prompt
+  * yields "" (the abstain completion) and bumps a consecutive-failure
+  * counter; any success resets it; once failures exceed
+  * `maxConsecutive` the next prompt throws [[LlmBailException]].
+  *
+  * The profiler creates ONE instance per attribute cascade, so the
+  * counter scope matches the reference's per-attribute loop. Prompts
+  * are forwarded one at a time (a failure must not poison the whole
+  * batch); batching clients keep their connection reuse — only the
+  * batch boundary moves. Serialized into executor tasks the counter
+  * is per-partition: a bail there fails the Spark job, which the
+  * cascade reports as that attribute's failure — same outcome.
+  */
+final class BailingLlmClient(inner: LlmClient, maxConsecutive: Int = 10) extends LlmClient {
+  private val consec = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def complete(prompts: Iterator[String]): Iterator[String] = prompts.map { p =>
+    if (consec.get() > maxConsecutive)
+      throw LlmBailException(s"abandoning attribute after ${consec.get()} consecutive LLM errors")
+    try {
+      val it = inner.complete(Iterator.single(p))
+      val a  = if (it.hasNext) it.next() else ""
+      consec.set(0)
+      a
+    } catch {
+      case e: LlmBailException => throw e
+      case _: Throwable =>
+        if (consec.incrementAndGet() > maxConsecutive)
+          throw LlmBailException(s"abandoning attribute after ${consec.get()} consecutive LLM errors")
+        ""
+    }
+  }
+}
+
 /** Evaporate-Direct (`main.py:52-99`): prompt the model on every
   * (chunk, attribute) pair and parse one value per pair.
   */

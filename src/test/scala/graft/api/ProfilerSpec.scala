@@ -139,6 +139,50 @@ class ProfilerSpec extends SparkSpec {
     assert(view.count() == 2)
   }
 
+  test("a hanging LLM client fails only its attribute; the cascade completes") {
+    // hangs on any prompt that mentions the poisoned attribute,
+    // serves every other attribute normally — the wedged-custom-client
+    // scenario the bounded await exists for
+    val hanging = new graft.extract.LlmClient {
+      private val inner = MockLlmClient()
+      def complete(prompts: Iterator[String]): Iterator[String] = {
+        val ps = prompts.toIndexedSeq
+        if (ps.exists(_.contains("hang attr"))) { Thread.sleep(3600 * 1000L); Iterator.empty }
+        else inner.complete(ps.iterator).toIndexedSeq.iterator
+      }
+    }
+    val p = new Profiler(
+      spark, hanging,
+      ProfilerConfig(chunkSize = 3000, trainSize = 6, attrParallelism = 4, attrTimeoutSec = 5))
+    val chunks = p.prepare(lake)
+    val sample = p.sampleDocs(chunks, 6)
+    val (ex, failed) =
+      p.profileAttributesChecked(chunks, sample, Seq("applicant", "hang attr"), doEndToEnd = false)
+    assert(failed == Seq("hang attr"), s"failed=$failed")
+    assert(ex.filter(col("attribute") === "applicant").count() > 0)
+    assert(ex.filter(col("attribute") === "hang attr").count() == 0)
+  }
+
+  test("consecutive LLM errors bail the attribute instead of stalling or sinking the run") {
+    val flaky = new graft.extract.LlmClient {
+      private val inner = MockLlmClient()
+      def complete(prompts: Iterator[String]): Iterator[String] = {
+        val ps = prompts.toIndexedSeq
+        if (ps.exists(_.contains("broken attr"))) throw new RuntimeException("model error 500")
+        inner.complete(ps.iterator).toIndexedSeq.iterator
+      }
+    }
+    val p = new Profiler(
+      spark, flaky,
+      ProfilerConfig(chunkSize = 3000, trainSize = 6, attrParallelism = 2, maxConsecutiveLlmErrors = 3))
+    val chunks = p.prepare(lake)
+    val sample = p.sampleDocs(chunks, 6)
+    val (ex, failed) =
+      p.profileAttributesChecked(chunks, sample, Seq("broken attr", "applicant"), doEndToEnd = false)
+    assert(failed == Seq("broken attr"), s"failed=$failed")
+    assert(ex.filter(col("attribute") === "applicant").count() > 0)
+  }
+
   test("OpenIE end-to-end matches gold on discovered attributes") {
     val view = profiler.run(lake)
     assert(attrs.forall(view.columns.contains))

@@ -95,6 +95,38 @@ class ExtractorsSpec extends SparkSpec {
     assert((System.nanoTime() - t0) / 1e6 < 5000)
   }
 
+  test("OpaqueEval accumulators report cluster-true error/timeout totals from the driver") {
+    OpaqueEval.installAccumulators(spark.sparkContext)
+    OpaqueEval.resetCounters() // also zeroes the accumulators
+    assert(OpaqueEval.accumulatedErrors == 0 && OpaqueEval.accumulatedTimeouts == 0)
+    // a backtracking body that times out on every row: compiled AFTER
+    // install, so the UDF closure captures the accumulators and the
+    // executor-side increments merge back with task results (the
+    // local[4] session exercises the same serialize-merge path a
+    // cluster uses)
+    val bad  = """re.search(r'(a+)+\1y', text)"""
+    val spec = OpaqueEval("acc1", bad, timeoutMs = 300, maxTimeouts = 2)
+    val subject = "a" * 40 + "b"
+    // one partition → rows evaluate serially, so the kill-switch count
+    // is deterministic (4 concurrent partitions could each start an
+    // eval before any counter reaches the switch)
+    // collect, not count: count() lets Catalyst prune the
+    // deterministic UDF column and nothing would evaluate
+    val out = Seq(subject, subject, subject, subject)
+      .toDF("t")
+      .repartition(1)
+      .select(spec.compile(col("t")).as("v"))
+      .collect()
+    assert(out.length == 4)
+    // 4 rows, kill switch at 2: exactly 2 timed evaluations ran
+    assert(OpaqueEval.accumulatedTimeouts == 2, s"got ${OpaqueEval.accumulatedTimeouts}")
+    assert(OpaqueEval.accumulatedErrors == 0)
+    // per-run reset clears them (the ADVICE leak: without this a body
+    // that tripped the switch abstains for the JVM's lifetime)
+    OpaqueEval.resetCounters()
+    assert(OpaqueEval.accumulatedTimeouts == 0 && OpaqueEval.timeoutCount(bad) == 0)
+  }
+
   test("opaque spec JSON round-trips through the catalog, non-default knobs included") {
     val s = OpaqueEval("op5", "re.findall(r'x(\\d+)', text)", timeoutMs = 500, maxTimeouts = 5)
     assert(ExtractorSpec.fromJson(ExtractorSpec.toJson(s)) == s)
