@@ -1,6 +1,6 @@
 package graft.combine
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -150,18 +150,19 @@ object Combiners {
     // behind it is the combiner's only lake-scale stage and must not
     // re-execute per consumer
     val mm = LabelModel.momentMap(LabelModel.pairwiseMoments(pm, keyCol))
-    val accs =
-      if (!learnDeps) LabelModel.flyingSquidFromMap(mm, Set.empty)
+    val (accs, depOpt) =
+      if (!learnDeps) (LabelModel.flyingSquidFromMap(mm, Set.empty), None)
       else
         try {
-          val deps = LabelModel.learnTopDependencyFromMap(mm) match {
+          val learned = LabelModel.learnTopDependencyFromMap(mm)
+          val deps = learned match {
             case Some((i, j, _)) => Set((i, j))
             case None            => Set.empty[(String, String)]
           }
-          LabelModel.flyingSquidFromMap(mm, deps)
+          (LabelModel.flyingSquidFromMap(mm, deps), learned)
         } catch {
           // "Not modeling dependencies." (run_ws.py:256-257)
-          case _: Throwable => LabelModel.flyingSquidFromMap(mm, Set.empty)
+          case _: Throwable => (LabelModel.flyingSquidFromMap(mm, Set.empty), None)
         }
     val accDf = spark.createDataFrame(accs.toSeq.sorted).toDF("extractor", "acc")
 
@@ -191,22 +192,53 @@ object Combiners {
                   .otherwise(log((lit(1.0) - v.getField("acc")) / (k - 1))))))
       .drop("va")
     // argmax by score, tie → smaller label id (= higher plurality
-    // rank, matching majorityVote's deterministic preference)
-    val decoded = perLabelScores
-      .withColumn(
-        "best_id",
+    // rank, matching majorityVote's deterministic preference).
+    // argmaxFrom(1) is the best NON-plurality label — the junction
+    // tree path below needs it when the pair model overrules the
+    // plurality decision.
+    def argmaxFrom(lo: Int) =
+      when(
+        size(col("labels")) > lo,
         aggregate(
-          sequence(lit(0), size(col("labels")) - 1),
+          sequence(lit(lo), size(col("labels")) - 1),
           struct(lit(-1).as("id"), lit(Double.NegativeInfinity).as("s")),
           (best, c) =>
             when(element_at(col("scores"), c + 1) > best.getField("s"),
               struct(c.as("id"), element_at(col("scores"), c + 1).as("s")))
               .otherwise(best),
-          b => b.getField("id")))
-      .select(
-        col(keyCol),
-        when(col("best_id") >= 0, element_at(col("labels"), col("best_id") + 1))
-          .otherwise(lit("")).as("value"))
+          b => b.getField("id"))).otherwise(lit(-1))
+    val scoredIds = perLabelScores
+      .withColumn("best_id", argmaxFrom(0))
+      .withColumn("best_alt_id", argmaxFrom(1))
+    def label(idCol: Column) =
+      when(idCol >= 0, element_at(col("labels"), idCol + 1)).otherwise(lit(""))
+    val decoded = depOpt match {
+      case None =>
+        scoredIds.select(col(keyCol), label(col("best_id")).as("value"))
+      case Some((ea, eb, residual)) =>
+        // dependency learned → decode the plurality-vs-rest decision
+        // with the exact pair-clique posterior (the reference switches
+        // to clique-tree inference when deps are modeled,
+        // run_ws.py:239-248). The binary reduction: pm's ±1 encoding
+        // is "voted the plurality label / voted another", so the
+        // junction tree corrects P(y = plurality | votes) with the
+        // joint P(v_a, v_b | y) factor; when it says NOT-plurality,
+        // the best non-plurality label by the NB scores wins (the
+        // among-others choice stays conditionally independent — the
+        // learned pair carries no signal between non-plurality
+        // labels in this encoding). Keys the pair model never saw
+        // fall back to the NB argmax.
+        val jt = LabelModel
+          .junctionTreePredict(pm, accDf, (ea, eb), residual, keyCol)
+          .select(col(keyCol), col("jt_pred"))
+        scoredIds
+          .join(jt, Seq(keyCol), "left")
+          .select(
+            col(keyCol),
+            when(col("jt_pred").isNull, label(col("best_id")))
+              .when(col("jt_pred") === 1, label(lit(0)))
+              .otherwise(label(col("best_alt_id"))).as("value"))
+    }
     votes
       .select(col(keyCol))
       .distinct()

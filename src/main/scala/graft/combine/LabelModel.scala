@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
   * closed-form solve happens on the driver, mirroring Spark ML's
   * design for small-parameter models. Combiners implemented natively:
   * majority vote (Combiners), naive Bayes, pick-best, FlyingSquid
-  * triplets, exp-weight (grid-searched multiplicative weighting).
-  * Junction-tree / data-programming SGD / LR are research baselines
-  * the paper's pipeline doesn't use (SURVEY §2.11) — out of scope by
-  * design.
+  * triplets, exp-weight (grid-searched multiplicative weighting),
+  * junction-tree inference for learned dependency pairs (single pair
+  * and disjoint-pair chains, [[junctionTreePredict]] /
+  * [[junctionTreePredictChain]]), and logistic regression over
+  * vote/pairwise features ([[lrFeatures]] / [[logisticRegressionFit]]
+  * — `methods.py:884-953`). Only data-programming SGD remains an
+  * out-of-scope research baseline (the paper's pipeline doesn't run
+  * it).
   */
 object LabelModel {
 
@@ -143,15 +147,35 @@ object LabelModel {
   /** Structure learning over a pre-collected moment map. */
   def learnTopDependencyFromMap(
       m: Map[(String, String), Double],
-      minResidual: Double = 0.05): Option[(String, String, Double)] = {
-    if (m.isEmpty) return None
+      minResidual: Double = 0.05): Option[(String, String, Double)] =
+    learnTopDependenciesFromMap(m, 1, minResidual).headOption
+
+  /** Top-k DISJOINT dependencies — `get_top_deps_from_inverse_sig`'s
+    * k parameter (`run_ws.py:101-114`). Greedy selection over the
+    * residual matrix: strongest |residual| first, skipping any pair
+    * touching an already-selected voter (disjointness is what keeps
+    * the clique tree trivial — [[junctionTreePredictChain]]), stopping
+    * below `minResidual` (the `run_ws.py:233-235` nothing-stands-out
+    * guard). Deterministic: ties break on the pair's name order.
+    */
+  def learnTopDependenciesFromMap(
+      m: Map[(String, String), Double],
+      k: Int,
+      minResidual: Double = 0.05): Seq[(String, String, Double)] = {
+    if (m.isEmpty || k <= 0) return Seq.empty
     val corr = flyingSquidFromMap(m, Set.empty).map { case (e, a) => e -> (2.0 * a - 1.0) }
-    val residuals = m.toSeq.collect {
-      case ((i, j), mij) if i < j =>
-        (i, j, mij - corr.getOrElse(i, 0.0) * corr.getOrElse(j, 0.0))
-    }
-    val (bi, bj, br) = residuals.maxBy { case (_, _, res) => math.abs(res) }
-    if (math.abs(br) < minResidual) None else Some((bi, bj, br))
+    val residuals = m.toSeq
+      .collect {
+        case ((i, j), mij) if i < j =>
+          (i, j, mij - corr.getOrElse(i, 0.0) * corr.getOrElse(j, 0.0))
+      }
+      .filter { case (_, _, r) => math.abs(r) >= minResidual }
+      .sortBy { case (i, j, r) => (-math.abs(r), i, j) }
+    val used = scala.collection.mutable.Set.empty[String]
+    residuals.flatMap { case (i, j, r) =>
+      if (used(i) || used(j) || used.size / 2 >= k) None
+      else { used += i; used += j; Some((i, j, r)) }
+    }.take(k)
   }
 
   /** Naive-Bayes posterior vote combination (`methods.py:521`):
@@ -162,10 +186,15 @@ object LabelModel {
     */
   def naiveBayesPredict(votes: DataFrame, accs: DataFrame, keyCol: String): DataFrame = {
     val joined = votes.join(broadcast(accs), Seq("extractor"))
+    // clamp before logs: an externally-estimated acc of exactly 1.0
+    // (or 0.0) would make log() return null and SILENTLY drop that
+    // vote from the sum — the [1e-4, 0.9999] window accuracies()
+    // already applies, enforced here for any accs source
+    val a = least(greatest(col("acc"), lit(1e-4)), lit(0.9999))
     def term(cand: Int) =
       when(col("vote") === 0, 0.0)
-        .when(col("vote") === cand, log(col("acc")))
-        .otherwise(log(lit(1.0) - col("acc")))
+        .when(col("vote") === cand, log(a))
+        .otherwise(log(lit(1.0) - a))
     joined
       .groupBy(col(keyCol))
       .agg(
@@ -277,48 +306,89 @@ object LabelModel {
       accs: DataFrame,
       dep: (String, String),
       residual: Double,
-      keyCol: String): DataFrame = {
-    val (ea, eb) = dep
-    val accMap = accs.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val (ma, mb) = (2 * accMap(ea) - 1, 2 * accMap(eb) - 1)
-    def clamp(p: Double) = math.max(p, 1e-4)
-    // 8-entry joint: logJoint(y)(s, t); abstain (0) on one side uses
-    // the partner's marginal (sum over the abstaining coordinate)
-    def joint(y: Int, s: Int, t: Int): Double =
-      ((1.0 + s * y * ma) * (1.0 + t * y * mb) + s * t * residual) / 4.0
-    def pairTerm(y: Int, s: Int, t: Int): Double =
-      if (s == 0 && t == 0) 0.0
-      else if (s == 0) math.log(clamp((1.0 + t * y * mb) / 2.0))
-      else if (t == 0) math.log(clamp((1.0 + s * y * ma) / 2.0))
-      else math.log(clamp(joint(y, s, t)))
-    val pairTable = typedLit(
-      (for { y <- Seq(1, -1); s <- Seq(-1, 0, 1); t <- Seq(-1, 0, 1) }
-        yield s"$y:$s:$t" -> pairTerm(y, s, t)).toMap)
+      keyCol: String): DataFrame =
+    junctionTreePredictChain(votes, accs, Seq((dep._1, dep._2, residual)), keyCol)
 
-    val indep = votes.filter(col("extractor") =!= ea && col("extractor") =!= eb)
+  /** Junction-tree inference for a CHAIN of disjoint learned
+    * dependency pairs — the k > 1 case of
+    * `get_top_deps_from_inverse_sig` (`run_ws.py:101-114`). With
+    * pairwise-disjoint deps the chordal clique tree is k two-voter
+    * cliques plus singletons, so exact message passing is still a
+    * product of factors: each pair contributes its JOINT
+    * P(v_a, v_b | y) table, every untouched voter its usual
+    * independent term. (Overlapping pairs would chain cliques through
+    * separator voters — rejected here; the reference's top-k selection
+    * also yields disjoint pairs in practice because one voter rarely
+    * tops two residuals.)
+    *
+    * Scale shape: ONE keyed aggregation builds every pair's
+    * (v_a, v_b) pivot (grouped by key × pair index), one more folds
+    * the per-pair joint log-terms per key; the independents keep the
+    * broadcast-join log-sum. Driver holds k 18-entry tables.
+    *
+    * deps: (extractorA, extractorB, residual) — residual as learned
+    * by [[learnTopDependency]]. Accuracies are clamped into
+    * [1e-4, 0.9999] before logs (a triplet-estimated 1.0 would
+    * otherwise log(0) → null and silently drop the vote).
+    */
+  def junctionTreePredictChain(
+      votes: DataFrame,
+      accs: DataFrame,
+      deps: Seq[(String, String, Double)],
+      keyCol: String): DataFrame = {
+    require(deps.nonEmpty, "junctionTreePredictChain needs at least one dependency pair")
+    val members = deps.flatMap { case (a, b, _) => Seq(a, b) }
+    require(members.distinct.size == members.size, s"dependency pairs must be disjoint: $deps")
+    def clampD(p: Double) = math.min(math.max(p, 1e-4), 0.9999)
+    val accMap = accs.collect().map(r => r.getString(0) -> clampD(r.getDouble(1))).toMap
+
+    // per-pair 18-entry joint log tables, keyed "pairIdx:y:s:t";
+    // abstain (0) on one side degrades to the partner's marginal,
+    // both abstaining contribute 0 (same as a missing pair)
+    val tableEntries = deps.zipWithIndex.flatMap { case ((ea, eb, residual), p) =>
+      val (ma, mb) = (2 * accMap(ea) - 1, 2 * accMap(eb) - 1)
+      def joint(y: Int, s: Int, t: Int): Double =
+        ((1.0 + s * y * ma) * (1.0 + t * y * mb) + s * t * residual) / 4.0
+      def pairTerm(y: Int, s: Int, t: Int): Double =
+        if (s == 0 && t == 0) 0.0
+        else if (s == 0) math.log(math.max((1.0 + t * y * mb) / 2.0, 1e-4))
+        else if (t == 0) math.log(math.max((1.0 + s * y * ma) / 2.0, 1e-4))
+        else math.log(math.max(joint(y, s, t), 1e-4))
+      for { y <- Seq(1, -1); s <- Seq(-1, 0, 1); t <- Seq(-1, 0, 1) }
+        yield s"$p:$y:$s:$t" -> pairTerm(y, s, t)
+    }
+    val pairTable = typedLit(tableEntries.toMap)
+    // extractor → (pair index, side): tiny broadcast-style literal maps
+    val pairIdx = typedLit(deps.zipWithIndex.flatMap { case ((a, b, _), p) => Seq(a -> p, b -> p) }.toMap)
+    val isSideA = typedLit(deps.flatMap { case (a, b, _) => Seq(a -> true, b -> false) }.toMap)
+
+    val depSet = members.toSet
+    val indep  = votes.filter(!col("extractor").isin(depSet.toSeq: _*))
+    val aCl    = least(greatest(col("acc"), lit(1e-4)), lit(0.9999))
     def term(cand: Int) =
       when(col("vote") === 0, 0.0)
-        .when(col("vote") === cand, log(col("acc")))
-        .otherwise(log(lit(1.0) - col("acc")))
+        .when(col("vote") === cand, log(aCl))
+        .otherwise(log(lit(1.0) - aCl))
     val indepScores = indep
       .join(broadcast(accs), Seq("extractor"))
       .groupBy(col(keyCol))
       .agg(sum(term(1)).as("li_pos"), sum(term(-1)).as("li_neg"))
-    val pairVotes = votes
-      .filter(col("extractor") === ea || col("extractor") === eb)
-      .groupBy(col(keyCol))
+    val pairScores = votes
+      .filter(col("extractor").isin(depSet.toSeq: _*))
+      .withColumn("pr", element_at(pairIdx, col("extractor")))
+      .groupBy(col(keyCol), col("pr"))
       .agg(
-        coalesce(max(when(col("extractor") === ea, col("vote"))), lit(0)).as("va"),
-        coalesce(max(when(col("extractor") === eb, col("vote"))), lit(0)).as("vb"))
+        coalesce(max(when(element_at(isSideA, col("extractor")), col("vote"))), lit(0)).as("va"),
+        coalesce(max(when(!element_at(isSideA, col("extractor")), col("vote"))), lit(0)).as("vb"))
+      .withColumn("lp_pos", element_at(pairTable, concat_ws(":", col("pr"), lit(1), col("va"), col("vb"))))
+      .withColumn("lp_neg", element_at(pairTable, concat_ws(":", col("pr"), lit(-1), col("va"), col("vb"))))
+      .groupBy(col(keyCol))
+      .agg(sum(col("lp_pos")).as("lp_pos"), sum(col("lp_neg")).as("lp_neg"))
     // full outer: a key may have only pair votes or only independents
     indepScores
-      .join(pairVotes, Seq(keyCol), "full_outer")
-      .withColumn("va", coalesce(col("va"), lit(0)))
-      .withColumn("vb", coalesce(col("vb"), lit(0)))
-      .withColumn("lp_pos", element_at(pairTable, concat_ws(":", lit(1), col("va"), col("vb"))))
-      .withColumn("lp_neg", element_at(pairTable, concat_ws(":", lit(-1), col("va"), col("vb"))))
-      .withColumn("score_pos", exp(coalesce(col("li_pos"), lit(0.0)) + col("lp_pos")))
-      .withColumn("score_neg", exp(coalesce(col("li_neg"), lit(0.0)) + col("lp_neg")))
+      .join(pairScores, Seq(keyCol), "full_outer")
+      .withColumn("score_pos", exp(coalesce(col("li_pos"), lit(0.0)) + coalesce(col("lp_pos"), lit(0.0))))
+      .withColumn("score_neg", exp(coalesce(col("li_neg"), lit(0.0)) + coalesce(col("lp_neg"), lit(0.0))))
       .withColumn("jt_pred", when(col("score_pos") >= col("score_neg"), 1).otherwise(-1))
       .select(col(keyCol), col("jt_pred"), col("score_pos"), col("score_neg"))
   }

@@ -220,6 +220,96 @@ class LabelModelSpec extends SparkSpec {
     assert(jtAcc > 0.8, s"jt accuracy $jtAcc")
   }
 
+  /** Ising draws → (votes df, gold df). */
+  private def isingVotes(model: IsingSampler.Model, n: Int, seed: Long) = {
+    val draws = IsingSampler.sample(model, n, seed)
+    val votes = IsingSampler.toVoteRows(draws).toDF("doc_id", "extractor", "vote")
+    val gold  = draws.map(d => (d.key, d.y)).toDF("doc_id", "y")
+    (votes, gold)
+  }
+
+  test("Ising property: structure learning recovers the planted pair and JT beats NB, across theta settings") {
+    // exponential-family ground truth (pgm.py:8-117): 5 voters with
+    // accuracy potentials, one planted pairwise potential on (0,1),
+    // swept over three coupling strengths. At every setting the
+    // residual must single out the planted pair and the pair-clique
+    // posterior must not lose to the independent NB decode that
+    // double-counts the correlated voters; at the strongest coupling
+    // it must strictly win.
+    val thetaAcc = Seq(0.55, 0.50, 0.60, 0.45, 0.40)
+    val results = Seq(0.4, 0.8, 1.2).map { thetaDep =>
+      val model = IsingSampler.Model(thetaY = 0.0, thetaAcc = thetaAcc, deps = Map((0, 1) -> thetaDep))
+      val (votes, gold) = isingVotes(model, n = 8000, seed = 42 + (thetaDep * 10).toInt)
+      val mm  = LabelModel.momentMap(LabelModel.pairwiseMoments(votes, "doc_id"))
+      val dep = LabelModel.learnTopDependencyFromMap(mm)
+      assert(dep.isDefined, s"theta=$thetaDep: no dependency found")
+      val (di, dj, res) = dep.get
+      assert(Set(di, dj) == Set("lf_0", "lf_1"), s"theta=$thetaDep: recovered ($di,$dj)")
+      assert(res > 0.0, s"theta=$thetaDep: residual $res should be positive")
+      val aware    = LabelModel.flyingSquidFromMap(mm, Set((di, dj)))
+      val indep    = LabelModel.flyingSquidFromMap(mm, Set.empty)
+      val mab      = mm((di, dj))
+      val residual = mab - (2 * aware(di) - 1) * (2 * aware(dj) - 1)
+      val accDf    = aware.toSeq.sorted.toDF("extractor", "acc")
+      val accIndep = indep.toSeq.sorted.toDF("extractor", "acc")
+      def accOf(pred: org.apache.spark.sql.DataFrame, cn: String) = pred
+        .join(gold, "doc_id")
+        .agg(avg(when(col(cn) === col("y"), 1.0).otherwise(0.0)))
+        .head.getDouble(0)
+      val jt = accOf(LabelModel.junctionTreePredict(votes, accDf, (di, dj), residual, "doc_id"), "jt_pred")
+      val nb = accOf(LabelModel.naiveBayesPredict(votes, accIndep, "doc_id"), "nb_pred")
+      assert(jt >= nb - 1e-9, s"theta=$thetaDep: jt $jt lost to nb $nb")
+      (thetaDep, jt, nb)
+    }
+    val (tMax, jtMax, nbMax) = results.last
+    assert(jtMax > nbMax, s"theta=$tMax: jt $jtMax should strictly beat nb $nbMax under strong coupling")
+  }
+
+  test("Ising two planted pairs: k=2 structure learning + chain junction tree") {
+    // the adversarial regime for independent NB: two WEAK voter pairs,
+    // each strongly coupled (near-duplicates), against two strong
+    // honest voters. NB counts each near-duplicate twice, so the four
+    // weak voters can outvote the strong pair; the chain junction tree
+    // collapses each coupled pair toward one effective voter.
+    val thetaAcc = Seq(0.3, 0.3, 0.3, 0.3, 0.8, 0.7)
+    val model = IsingSampler.Model(
+      thetaY   = 0.0,
+      thetaAcc = thetaAcc,
+      deps     = Map((0, 1) -> 1.5, (2, 3) -> 1.5))
+    val (votes, gold) = isingVotes(model, n = 8000, seed = 99)
+    val mm   = LabelModel.momentMap(LabelModel.pairwiseMoments(votes, "doc_id"))
+    val deps = LabelModel.learnTopDependenciesFromMap(mm, k = 2)
+    assert(deps.size == 2, s"expected 2 deps, got $deps")
+    assert(
+      deps.map { case (i, j, _) => Set(i, j) }.toSet == Set(Set("lf_0", "lf_1"), Set("lf_2", "lf_3")),
+      s"recovered $deps")
+    val depPairs = deps.map { case (i, j, _) => (i, j) }.toSet
+    val aware    = LabelModel.flyingSquidFromMap(mm, depPairs)
+    val indep    = LabelModel.flyingSquidFromMap(mm, Set.empty)
+    // chain deps with residuals re-derived from the dep-aware means
+    val chain = deps.map { case (i, j, _) => (i, j, mm((i, j)) - (2 * aware(i) - 1) * (2 * aware(j) - 1)) }
+    val accDf    = aware.toSeq.sorted.toDF("extractor", "acc")
+    val accIndep = indep.toSeq.sorted.toDF("extractor", "acc")
+    def accOf(pred: org.apache.spark.sql.DataFrame, cn: String) = pred
+      .join(gold, "doc_id")
+      .agg(avg(when(col(cn) === col("y"), 1.0).otherwise(0.0)))
+      .head.getDouble(0)
+    val jt = accOf(LabelModel.junctionTreePredictChain(votes, accDf, chain, "doc_id"), "jt_pred")
+    val nb = accOf(LabelModel.naiveBayesPredict(votes, accIndep, "doc_id"), "nb_pred")
+    assert(jt > nb, s"chain jt $jt should beat independent nb $nb with two strong planted pairs")
+  }
+
+  test("junctionTreePredictChain rejects overlapping pairs; single-pair chain equals junctionTreePredict") {
+    val votes = Seq((1L, "a", 1), (1L, "b", -1), (1L, "e", 1)).toDF("doc_id", "extractor", "vote")
+    val accs  = Seq(("a", 0.8), ("b", 0.6), ("e", 0.7)).toDF("extractor", "acc")
+    intercept[IllegalArgumentException] {
+      LabelModel.junctionTreePredictChain(votes, accs, Seq(("a", "b", 0.1), ("b", "e", 0.1)), "doc_id")
+    }
+    val single = LabelModel.junctionTreePredict(votes, accs, ("a", "b"), 0.1, "doc_id").collect()
+    val chain  = LabelModel.junctionTreePredictChain(votes, accs, Seq(("a", "b", 0.1)), "doc_id").collect()
+    assert(single.map(_.toSeq).toSeq == chain.map(_.toSeq).toSeq)
+  }
+
   test("expWeightBestEta grid-picks a temperature that beats plain MV on planted votes") {
     val (votes, gold) = plantedVotes(2000, Map("a" -> 0.92, "b" -> 0.55, "c" -> 0.55))
     val accs          = LabelModel.accuracies(votes, gold, "doc_id")
