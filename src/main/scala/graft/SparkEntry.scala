@@ -454,6 +454,14 @@ object SparkEntry {
         .select(col("extractor"), round(col("acc"), 6).as("acc"))
     }),
 
+    // §2.11 logistic-regression aggregator: relational feature build
+    // (methods.py:884-953) — vote vector + pairwise interactions per
+    // doc, long form; the fit itself is driver-side (LabelModelSpec)
+    "q_lr_features" -> ((s, dir) =>
+      LabelModel
+        .lrFeatures(binaryVotes(s, dir), "doc_id", Seq("v1", "v2", "v3"))
+        .orderBy(col("doc_id"), col("feature"))),
+
     // §2.5 field frequency across docs (schema_identification.py:24,84)
     "q_field_count" -> ((s, dir) =>
       SchemaId.fieldCount(docFields(s, dir), "doc_id").orderBy(col("field"))),
@@ -1549,6 +1557,22 @@ object SparkEntry {
             SELECT 'v3',
                    CASE WHEN abs(m12) > 1e-12 THEN (1.0 + least(sqrt(abs(m13 * m23 / m12)), 1.0)) / 2 ELSE 0.5 END FROM wide)
           ORDER BY extractor""",
+
+    "q_lr_features" ->
+      s"""WITH $votesCtes,
+          wide AS (SELECT doc_id,
+                          CAST(coalesce(max(CASE WHEN extractor = 'v1' THEN vote END), 0) AS DOUBLE) AS v1,
+                          CAST(coalesce(max(CASE WHEN extractor = 'v2' THEN vote END), 0) AS DOUBLE) AS v2,
+                          CAST(coalesce(max(CASE WHEN extractor = 'v3' THEN vote END), 0) AS DOUBLE) AS v3
+                   FROM votes GROUP BY doc_id)
+          SELECT doc_id, feature, value FROM (
+            SELECT doc_id, 'v1' AS feature, v1 AS value FROM wide
+            UNION ALL SELECT doc_id, 'v2', v2 FROM wide
+            UNION ALL SELECT doc_id, 'v3', v3 FROM wide
+            UNION ALL SELECT doc_id, 'v1*v2', v1 * v2 FROM wide
+            UNION ALL SELECT doc_id, 'v1*v3', v1 * v3 FROM wide
+            UNION ALL SELECT doc_id, 'v2*v3', v2 * v3 FROM wide)
+          ORDER BY doc_id, feature""",
 
     "q_field_count" ->
       s"""WITH $fieldCountSql

@@ -393,6 +393,125 @@ object LabelModel {
       .select(col(keyCol), col("jt_pred"), col("score_pos"), col("score_neg"))
   }
 
+  /** Relational feature build for the logistic-regression aggregator
+    * (`methods.py:884-953`): per key, the ordered vote vector plus
+    * (optionally) all pairwise interaction products v_i·v_j — the
+    * interactions are what lets a linear model discount correlated
+    * voters the way the reference's LR baseline does. Missing votes
+    * are abstains (0), so products vanish whenever either side
+    * abstains.
+    *
+    * Long-form output (key, feature, value): one conditional
+    * aggregation pivots the votes (single shuffle on the key), the
+    * feature explosion is a per-row expression. m voters → m + C(m,2)
+    * rows per key; m is extractor-ensemble-sized (~10), never
+    * lake-sized.
+    */
+  def lrFeatures(
+      votes: DataFrame,
+      keyCol: String,
+      extractors: Seq[String],
+      withPairwise: Boolean = true): DataFrame = {
+    require(extractors.nonEmpty, "lrFeatures needs the extractor list (feature order)")
+    val voteCols = extractors.map(e =>
+      coalesce(max(when(col("extractor") === e, col("vote"))), lit(0)).cast("double").as(s"v_$e"))
+    val pivoted = votes.groupBy(col(keyCol)).agg(voteCols.head, voteCols.tail: _*)
+    val singles = extractors.map(e => (e, col(s"v_$e")))
+    val pairs =
+      if (!withPairwise) Seq.empty
+      else for { i <- extractors.indices; j <- extractors.indices if i < j }
+        yield (s"${extractors(i)}*${extractors(j)}", col(s"v_${extractors(i)}") * col(s"v_${extractors(j)}"))
+    val feats = singles ++ pairs
+    pivoted.select(
+      col(keyCol),
+      explode(array(feats.map { case (n, c) => struct(lit(n).as("feature"), c.as("value")) }: _*)).as("f"))
+      .select(col(keyCol), col("f.feature").as("feature"), col("f.value").as("value"))
+  }
+
+  /** Fit L2-regularized logistic regression on the LABELED subset of
+    * a long-form feature frame — the `logistic_regression` inference
+    * mode (`methods.py:884-953`). The training set is gold-sized (the
+    * cascade's economics: supervision is sample-scale, the lake pass
+    * is where Spark earns its keep), so the solve is driver-side
+    * Breeze LBFGS on the collected matrix, deterministic (keys
+    * sorted, LBFGS from zero init). Returns ("(bias)" +: features)
+    * → weights; the bias is unregularized.
+    */
+  def logisticRegressionFit(
+      features: DataFrame,
+      gold: DataFrame,
+      keyCol: String,
+      featureNames: Seq[String],
+      l2: Double = 1e-2,
+      maxIter: Int = 200): Map[String, Double] = {
+    import breeze.linalg.{DenseMatrix, DenseVector}
+    import breeze.optimize.{DiffFunction, LBFGS}
+    val idx = featureNames.zipWithIndex.toMap
+    val rows = features
+      .join(broadcast(gold), Seq(keyCol))
+      .groupBy(col(keyCol), col("y"))
+      .agg(collect_list(struct(col("feature"), col("value"))).as("fv"))
+      .collect()
+      .sortBy(_.getAs[Any](keyCol).toString)
+    require(rows.nonEmpty, "logisticRegressionFit needs at least one labeled key")
+    val d = featureNames.size
+    val x = DenseMatrix.zeros[Double](rows.length, d)
+    val y = DenseVector.zeros[Double](rows.length)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      y(i) = r.getAs[Int]("y").toDouble
+      r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("fv").foreach { f =>
+        idx.get(f.getString(0)).foreach(j => x(i, j) = f.getDouble(1))
+      }
+    }
+    // minimize Σ log(1 + exp(-y (w·x + b))) + l2/2 ||w||²  (bias at
+    // slot 0 of the packed vector, excluded from the penalty)
+    val obj = new DiffFunction[DenseVector[Double]] {
+      def calculate(wb: DenseVector[Double]): (Double, DenseVector[Double]) = {
+        val b    = wb(0)
+        val w    = wb(1 to d)
+        val grad = DenseVector.zeros[Double](d + 1)
+        var loss = 0.0
+        var i    = 0
+        while (i < rows.length) {
+          val xi     = x(i, ::).t
+          val margin = y(i) * ((w dot xi) + b)
+          // log1p(exp(-m)) computed stably on both branches
+          loss += (if (margin > 0) math.log1p(math.exp(-margin))
+                   else -margin + math.log1p(math.exp(margin)))
+          val s = -y(i) / (1.0 + math.exp(margin))
+          grad(0) += s
+          grad(1 to d) += xi * s
+          i += 1
+        }
+        loss += 0.5 * l2 * (w dot w)
+        grad(1 to d) += w * l2
+        (loss, grad)
+      }
+    }
+    val sol = new LBFGS[DenseVector[Double]](maxIter = maxIter, m = 7)
+      .minimize(obj, DenseVector.zeros[Double](d + 1))
+    (("(bias)" -> sol(0)) +: featureNames.zipWithIndex.map { case (f, j) => f -> sol(j + 1) }).toMap
+  }
+
+  /** Distributed LR scoring over long-form features: one broadcast
+    * join feature→weight, one keyed sum, a sigmoid — the lake-scale
+    * half of the LR aggregator. Returns (key, p_pos, lr_pred).
+    */
+  def lrPredict(features: DataFrame, keyCol: String, weights: Map[String, Double]): DataFrame = {
+    val spark = features.sparkSession
+    val bias  = weights.getOrElse("(bias)", 0.0)
+    val wDf = spark
+      .createDataFrame(weights.toSeq.filter(_._1 != "(bias)").sorted)
+      .toDF("feature", "w")
+    features
+      .join(broadcast(wDf), Seq("feature"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("value") * col("w")).as("margin"))
+      .withColumn("p_pos", lit(1.0) / (lit(1.0) + exp(-(col("margin") + lit(bias)))))
+      .withColumn("lr_pred", when(col("p_pos") >= 0.5, 1).otherwise(-1))
+      .select(col(keyCol), col("p_pos"), col("lr_pred"))
+  }
+
   /** Pairwise Cohen's kappa between extractors — chance-corrected
     * inter-annotator agreement (Cohen 1960, the WS-diagnostics
     * staple next to the confusion matrix): κ = (p_o − p_e)/(1 − p_e)

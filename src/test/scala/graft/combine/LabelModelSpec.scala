@@ -310,6 +310,57 @@ class LabelModelSpec extends SparkSpec {
     assert(single.map(_.toSeq).toSeq == chain.map(_.toSeq).toSeq)
   }
 
+  test("logistic regression recovers planted voter quality and beats the best single voter") {
+    // balanced ensemble: the optimal combiner genuinely beats the
+    // best single voter (with one dominant voter, always-follow-the
+    // -leader is optimal and nothing can exceed its accuracy)
+    val planted       = Map("a" -> 0.8, "b" -> 0.75, "c" -> 0.7)
+    val (votes, gold) = plantedVotes(4000, planted)
+    val names         = Seq("a", "b", "c")
+    val featNames     = names ++ Seq("a*b", "a*c", "b*c")
+    val feats         = LabelModel.lrFeatures(votes, "doc_id", names)
+    // train on half the docs, score everywhere (the labeled subset is
+    // sample-sized; scoring is the distributed half)
+    val trainGold = gold.filter(col("doc_id") % 2 === 0)
+    val w         = LabelModel.logisticRegressionFit(feats, trainGold, "doc_id", featNames)
+    assert(w("a") > w("b") && w("b") > 0, s"weights should track planted quality: $w")
+    assert(w("a") > w("c"), s"weights should track planted quality: $w")
+    val pred = LabelModel.lrPredict(feats, "doc_id", w)
+    val acc = pred.join(gold, "doc_id")
+      .agg(avg(when(col("lr_pred") === col("y"), 1.0).otherwise(0.0)))
+      .head.getDouble(0)
+    assert(acc > 0.8, s"LR accuracy $acc should beat the best single voter (0.8)")
+  }
+
+  test("logistic regression with interactions discounts an Ising-coupled pair") {
+    // correlated weak pair + strong honest voter: interactions give
+    // the linear model the term it needs to not double-count the pair
+    val model = IsingSampler.Model(
+      thetaY   = 0.0,
+      thetaAcc = Seq(0.3, 0.3, 0.9),
+      deps     = Map((0, 1) -> 1.5))
+    val (votes, gold) = isingVotes(model, n = 6000, seed = 7)
+    val names     = Seq("lf_0", "lf_1", "lf_2")
+    val featNames = names ++ Seq("lf_0*lf_1", "lf_0*lf_2", "lf_1*lf_2")
+    val feats     = LabelModel.lrFeatures(votes, "doc_id", names)
+    val trainGold = gold.filter(col("doc_id") % 2 === 0)
+    val w         = LabelModel.logisticRegressionFit(feats, trainGold, "doc_id", featNames)
+    val pred      = LabelModel.lrPredict(feats, "doc_id", w)
+    def accOf(p: org.apache.spark.sql.DataFrame, cn: String) = p
+      .join(gold, "doc_id")
+      .agg(avg(when(col(cn) === col("y"), 1.0).otherwise(0.0)))
+      .head.getDouble(0)
+    val lrAcc = accOf(pred, "lr_pred")
+    // independent NB with triplet accs double-counts the coupled pair
+    val mm    = LabelModel.momentMap(LabelModel.pairwiseMoments(votes, "doc_id"))
+    val indep = LabelModel.flyingSquidFromMap(mm, Set.empty)
+    val nbAcc = accOf(
+      LabelModel.naiveBayesPredict(votes, indep.toSeq.sorted.toDF("extractor", "acc"), "doc_id"),
+      "nb_pred")
+    assert(lrAcc >= nbAcc - 1e-9, s"LR $lrAcc should not lose to independent NB $nbAcc")
+    assert(lrAcc > 0.85, s"LR accuracy $lrAcc")
+  }
+
   test("expWeightBestEta grid-picks a temperature that beats plain MV on planted votes") {
     val (votes, gold) = plantedVotes(2000, Map("a" -> 0.92, "b" -> 0.55, "c" -> 0.55))
     val accs          = LabelModel.accuracies(votes, gold, "doc_id")
