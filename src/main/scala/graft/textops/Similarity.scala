@@ -76,6 +76,41 @@ object Similarity {
       .drop("rn")
   }
 
+  /** Retrieval from RAW TEXT (`get_most_similarity`,
+    * `retrieval.py:31-36`, which encodes both sides before the cosine
+    * argmax): runs the [[graft.extract.Encode]] mapPartitions
+    * embedding stage over the text column, encodes the query string
+    * once on the driver, and reuses [[retrievalTop1]] unchanged. The
+    * embedding pass is shuffle-free; everything downstream is the
+    * same plan as the precomputed-embeddings path.
+    */
+  def retrievalTop1FromText(
+      docs: DataFrame,
+      groupCol: String,
+      idCol: String,
+      textCol: String,
+      queryText: String,
+      client: graft.extract.EncoderClient): DataFrame = {
+    val embedded = graft.extract.Encode.embed(docs, textCol, client, "emb_vec")
+    val q        = client.encode(Iterator.single(queryText)).next().map(_.toDouble).toSeq
+    retrievalTop1(embedded, groupCol, idCol, "emb_vec", q)
+  }
+
+  /** Brute-force top-k from raw text — [[cosineTopK]] behind the
+    * encoder seam.
+    */
+  def cosineTopKFromText(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryText: String,
+      k: Int,
+      client: graft.extract.EncoderClient): DataFrame = {
+    val embedded = graft.extract.Encode.embed(docs, textCol, client, "emb_vec")
+    val q        = client.encode(Iterator.single(queryText)).next().map(_.toDouble).toSeq
+    cosineTopK(embedded, idCol, "emb_vec", q, k)
+  }
+
   /** IVF-style approximate top-k: partition vectors by nearest of
     * `nCentroids` deterministic seed centroids (the first vectors by
     * id — a real deployment plugs in k-means centroids), then search

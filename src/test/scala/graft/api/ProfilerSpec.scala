@@ -183,6 +183,24 @@ class ProfilerSpec extends SparkSpec {
     assert(ex.filter(col("attribute") === "applicant").count() > 0)
   }
 
+  test("retrieval runs from raw text through the encoder seam (text-only e2e)") {
+    import graft.extract.MockEncoderClient
+    import graft.textops.Similarity
+    val docs      = lake.withColumn("grp", (length(col("path")) % 2).cast("int"))
+    val queryText = docs.filter(col("path") === "doc3.txt").head.getAs[String]("content")
+    // get_most_similarity (retrieval.py:31-36) from text: the doc
+    // itself must win with cosine ~1 (identical text, same encoder)
+    val top  = Similarity.cosineTopKFromText(docs, "path", "content", queryText, 3, MockEncoderClient())
+    val best = top.orderBy(col("rank")).head
+    assert(best.getAs[String]("path") == "doc3.txt", s"top-1 was ${best.getAs[String]("path")}")
+    assert(best.getAs[Double]("cos") > 0.999)
+    // grouped top-1 (q_retrieval_top1's shape) from text-only input
+    val t1 = Similarity.retrievalTop1FromText(docs, "grp", "path", "content", queryText, MockEncoderClient())
+    val grp3   = docs.filter(col("path") === "doc3.txt").head.getAs[Int]("grp")
+    val winner = t1.filter(col("grp") === grp3).head
+    assert(winner.getAs[String]("path") == "doc3.txt")
+  }
+
   test("OpenIE end-to-end matches gold on discovered attributes") {
     val view = profiler.run(lake)
     assert(attrs.forall(view.columns.contains))
