@@ -489,6 +489,70 @@ class TextOpsSpec extends SparkSpec {
     assert(got.maxBy(_.getAs[Int]("rank")).getLong(0) == 2L)
   }
 
+  test("hot-key stress: mass-duplicated doc + mega-doc stay bounded through every pair emitter") {
+    // adversarial lake: 200 byte-identical copies of one boilerplate
+    // doc (the LSH/shingle hot key), one 20k-token mega-doc, 40 unique
+    // docs, and ONE crafted near-dup pair that must still be found.
+    // maxDf = 20 for every emitter: the hot key's posting lists (df
+    // 200) must be dropped whole — emitting its pairs would be
+    // C(200,2) ≈ 20k rows per shingle/band, the n² blowup the caps
+    // exist to prevent at 100 TB.
+    val rnd = new scala.util.Random(5)
+    def uniqueText(tag: String, n: Int) =
+      (0 until n).map(i => s"u${tag}x${i}w${rnd.nextInt(1000000)}").mkString(" ")
+    val sharedRun = (0 until 40).map(i => s"sharedrun$i").mkString(" ")
+    val hot  = (0 until 200).map(i => (1000L + i, "g", "hot boilerplate tokens repeated verbatim in every copy of this mass duplicated doc"))
+    val mega = Seq((2000L, "g", (0 until 20000).map(i => s"mega$i").mkString(" ")))
+    val uniq = (0 until 40).map(i => (i.toLong, "g", uniqueText(s"d$i", 30)))
+    val nearA = (3000L, "g", sharedRun + " " + uniqueText("na", 5))
+    val nearB = (3001L, "g", sharedRun + " " + uniqueText("nb", 5))
+    val lake  = (hot ++ mega ++ uniq ++ Seq(nearA, nearB)).toDF("doc_id", "bucket", "text")
+
+    // per-task shuffle-read bound via listener (async bus → poll)
+    val maxRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null)
+          maxRead.getAndUpdate(v => math.max(v, m.shuffleReadMetrics.recordsRead))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val lsh = Dedup
+        .minhashLshPairs(lake, "doc_id", "text", maxDf = 20)
+        .collect()
+      val jac = Dedup
+        .ngramJaccardPairsCapped(lake, "bucket", "doc_id", "text", maxDf = 20)
+        .collect()
+      val sub = Dedup
+        .substringDedupPairs(lake, "doc_id", "text", maxDf = 20, topK = 20)
+        .collect()
+      def ids(rs: Array[org.apache.spark.sql.Row]) =
+        rs.flatMap(r => Seq(r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      // hot copies emit ZERO pairs everywhere (dropped buckets), so
+      // output is near-dup-sized, not 20k-sized
+      assert(!ids(lsh).exists(id => id >= 1000L && id < 2000L), "hot ids leaked into LSH pairs")
+      assert(!ids(jac).exists(id => id >= 1000L && id < 2000L), "hot ids leaked into jaccard pairs")
+      assert(!ids(sub).exists(id => id >= 1000L && id < 2000L), "hot ids leaked into substring pairs")
+      assert(lsh.length < 100, s"LSH pair fan-out ${lsh.length}")
+      assert(jac.length < 100, s"jaccard pair fan-out ${jac.length}")
+      // the crafted near-dup pair still surfaces in both content paths
+      assert(ids(jac).contains(3000L) && ids(jac).contains(3001L), "near-dup pair lost by jaccard cap")
+      val subPair = sub.find(r => r.getAs[Long]("id_a") == 3000L && r.getAs[Long]("id_b") == 3001L)
+      assert(subPair.isDefined, "near-dup pair lost by substring cap")
+      assert(subPair.get.getAs[Int]("max_shared_tokens") >= 30, s"run length ${subPair.get}")
+      // task input bound: no task read a hot-key-squared record set.
+      // Uncapped, the hot doc alone is C(200,2) pairs × ~10 shingles
+      // ≈ 200k records through one task; capped, everything any task
+      // reads stays fixture-sized.
+      val deadline = System.currentTimeMillis() + 5000
+      while (System.currentTimeMillis() < deadline && maxRead.get() == 0) Thread.sleep(100)
+      assert(maxRead.get() > 0, "listener saw no shuffle reads (metrics wiring broke?)")
+      assert(maxRead.get() < 100000, s"a task read ${maxRead.get()} shuffle records — hot key not bounded")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("hardNegatives mines the nearest out-of-class vectors per class") {
     // two well-separated clusters + one label-1 vector planted inside
     // cluster 0 — it must be label 0's top negative
