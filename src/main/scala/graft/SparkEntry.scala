@@ -231,8 +231,13 @@ object SparkEntry {
     * majority vote → pivot to the structured view (SURVEY §3 E2 with
     * one extractor family).
     */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir   = "/root/testdata/sf0.001"
+  def entry(spark: SparkSession): DataFrame = entryOn(spark, "/root/testdata/sf0.001")
+
+  /** Flagship spine at an arbitrary scale factor — Bench times this
+    * at the bench SF as `entry_e2e` so the end-to-end path (not just
+    * its unit queries) has a tracked wall-time.
+    */
+  def entryOn(spark: SparkSession, dir: String): DataFrame = {
     val d     = docs(spark, dir)
     val ch    = Chunker.chunkText(d, "doc_id", "text", 500)
     val attrs = spark.createDataFrame(KeywordAttrs.map(Tuple1(_))).toDF("attribute")
