@@ -16,11 +16,12 @@ import org.apache.spark.sql.functions._
   * triplets, exp-weight (grid-searched multiplicative weighting),
   * junction-tree inference for learned dependency pairs (single pair
   * and disjoint-pair chains, [[junctionTreePredict]] /
-  * [[junctionTreePredictChain]]), and logistic regression over
+  * [[junctionTreePredictChain]]), logistic regression over
   * vote/pairwise features ([[lrFeatures]] / [[logisticRegressionFit]]
-  * — `methods.py:884-953`). Only data-programming SGD remains an
-  * out-of-scope research baseline (the paper's pipeline doesn't run
-  * it).
+  * — `methods.py:884-953`), and the data-programming marginal-MLE
+  * ([[dataProgrammingFit]] — `methods.py:786-880`, optimized by
+  * deterministic EM over pattern counts instead of torch SGD). Every
+  * `methods.py` inference mode now has a counterpart.
   */
 object LabelModel {
 
@@ -491,6 +492,83 @@ object LabelModel {
     val sol = new LBFGS[DenseVector[Double]](maxIter = maxIter, m = 7)
       .minimize(obj, DenseVector.zeros[Double](d + 1))
     (("(bias)" -> sol(0)) +: featureNames.zipWithIndex.map { case (f, j) => f -> sol(j + 1) }).toMap
+  }
+
+  /** data_programming MLE (`methods.py:786-880`): fit per-voter
+    * accuracies α_i by maximizing the UNSUPERVISED marginal likelihood
+    * of the votes under the symmetric generative model
+    * P(v | y) = Π_i [v_i = y → β_i·α_i; v_i = −y → β_i·(1−α_i);
+    * v_i = 0 → 1−β_i], P(y) = 1/2 — the reference optimizes this
+    * exact objective with torch SGD (lr/epochs/seed); here the
+    * optimizer is EM, which climbs the same likelihood
+    * deterministically with no learning-rate tuning. The coverage
+    * β_i is fixed (the reference does not optimize beta either) and
+    * cancels from both EM steps, so it never needs estimating.
+    *
+    * Scale shape: the lake-scale work is ONE aggregation — votes
+    * pivot to per-doc sign patterns and EM consumes the (pattern,
+    * count) sufficient statistics driver-side (distinct patterns are
+    * ensemble-bounded, ≤ 3^m in theory and tiny in practice; m ≈ 10
+    * extractors). No per-epoch Spark jobs, unlike a literal SGD port
+    * which would shuffle per step.
+    *
+    * α clamped into [0.5, 0.9999] per iteration (the reference's
+    * `alpha.clamp_(0.5, 1)` — accuracy assumed better than random;
+    * the upper clamp keeps logs finite). Decode with
+    * [[naiveBayesPredict]] over the returned accuracies (β cancels
+    * at inference too, as the reference notes).
+    */
+  def dataProgrammingFit(
+      votes: DataFrame,
+      keyCol: String,
+      extractors: Seq[String],
+      iters: Int = 100,
+      tol: Double = 1e-9): Map[String, Double] = {
+    require(extractors.nonEmpty, "dataProgrammingFit needs the extractor list")
+    val m = extractors.size
+    val voteCols = extractors.map(e =>
+      coalesce(max(when(col("extractor") === e, col("vote"))), lit(0)).as(s"v_$e"))
+    val patterns: Array[(Array[Int], Long)] = votes
+      .groupBy(col(keyCol))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .groupBy((1 to m).map(i => col(s"v_${extractors(i - 1)}")): _*)
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (Array.tabulate(m)(i => r.getInt(i)), r.getLong(m)))
+    var alpha = Array.fill(m)(0.7)
+    var it    = 0
+    var delta = Double.MaxValue
+    while (it < iters && delta > tol) {
+      // E-step: P(y=1 | pattern) — β and the 1/2 prior cancel in the
+      // posterior ratio, only non-abstain match terms remain
+      // M-step: α_i ← E[# votes matching the latent label] / E[# non-abstain]
+      val num = Array.fill(m)(0.0)
+      val den = Array.fill(m)(0.0)
+      patterns.foreach { case (v, n) =>
+        var lp = 0.0; var ln = 0.0
+        var i  = 0
+        while (i < m) {
+          if (v(i) == 1) { lp += math.log(alpha(i)); ln += math.log(1 - alpha(i)) }
+          else if (v(i) == -1) { lp += math.log(1 - alpha(i)); ln += math.log(alpha(i)) }
+          i += 1
+        }
+        val w = 1.0 / (1.0 + math.exp(ln - lp)) // P(y=1 | v)
+        i = 0
+        while (i < m) {
+          if (v(i) != 0) {
+            num(i) += n * (if (v(i) == 1) w else 1.0 - w)
+            den(i) += n
+          }
+          i += 1
+        }
+      }
+      val next = Array.tabulate(m)(i =>
+        math.min(math.max(if (den(i) > 0) num(i) / den(i) else 0.5, 0.5), 0.9999))
+      delta = (0 until m).map(i => math.abs(next(i) - alpha(i))).max
+      alpha = next
+      it += 1
+    }
+    extractors.zip(alpha).toMap
   }
 
   /** Distributed LR scoring over long-form features: one broadcast

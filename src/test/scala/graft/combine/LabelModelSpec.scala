@@ -361,6 +361,37 @@ class LabelModelSpec extends SparkSpec {
     assert(lrAcc > 0.85, s"LR accuracy $lrAcc")
   }
 
+  test("dataProgrammingFit recovers planted accuracies by unsupervised EM on the marginal likelihood") {
+    // balanced ensemble (see the LR test): the optimal combiner must
+    // genuinely beat the best single voter for the decode assertion
+    val planted       = Map("a" -> 0.8, "b" -> 0.75, "c" -> 0.7)
+    val (votes, gold) = plantedVotes(8000, planted)
+    val alphas        = LabelModel.dataProgrammingFit(votes, "doc_id", Seq("a", "b", "c"))
+    planted.foreach { case (e, a) =>
+      assert(math.abs(alphas(e) - a) < 0.04, s"$e: got ${alphas(e)}, want ~$a")
+    }
+    // decode with NB over the learned accs (beta cancels, methods.py:858)
+    val pred = LabelModel.naiveBayesPredict(
+      votes, alphas.toSeq.sorted.toDF("extractor", "acc"), "doc_id")
+    val acc = pred.join(gold, "doc_id")
+      .agg(avg(when(col("nb_pred") === col("y"), 1.0).otherwise(0.0)))
+      .head.getDouble(0)
+    assert(acc > 0.8, s"DP decode accuracy $acc should beat the best single voter (0.8)")
+  }
+
+  test("dataProgrammingFit handles abstains: accuracies match the Ising model's implied rates") {
+    // no deps → P(v_i = y | v_i != 0) = sigmoid(2 theta_i); a quarter
+    // of votes abstain, exercising the pattern space with zeros
+    val thetas = Seq(0.6, 0.5, 0.4)
+    val model  = IsingSampler.Model(thetaY = 0.0, thetaAcc = thetas, pAbstain = 0.25)
+    val (votes, _) = isingVotes(model, n = 8000, seed = 11)
+    val alphas = LabelModel.dataProgrammingFit(votes, "doc_id", Seq("lf_0", "lf_1", "lf_2"))
+    thetas.zipWithIndex.foreach { case (t, i) =>
+      val want = 1.0 / (1.0 + math.exp(-2 * t))
+      assert(math.abs(alphas(s"lf_$i") - want) < 0.04, s"lf_$i: got ${alphas(s"lf_$i")}, want ~$want")
+    }
+  }
+
   test("expWeightBestEta grid-picks a temperature that beats plain MV on planted votes") {
     val (votes, gold) = plantedVotes(2000, Map("a" -> 0.92, "b" -> 0.55, "c" -> 0.55))
     val accs          = LabelModel.accuracies(votes, gold, "doc_id")
