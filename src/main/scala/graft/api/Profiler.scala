@@ -110,12 +110,16 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
   def rerankSchema(ranked: DataFrame): DataFrame = {
     val fields = ranked.orderBy(col("rank")).collect().map(_.getAs[String]("field")).toSeq
     if (fields.isEmpty) return ranked
-    val mentions = client
-      .complete((0 until 3).iterator.map(r => Prompts.rerankFields(fields, r)))
-      .flatMap(_.split("\n"))
-      .map(_.trim.toLowerCase)
-      .filter(_.nonEmpty)
-      .toSeq
+    // an erroring client degrades to the frequency ranking (zero
+    // mentions) instead of failing schema identification outright
+    val mentions = scala.util.Try {
+      client
+        .complete((0 until 3).iterator.map(r => Prompts.rerankFields(fields, r)))
+        .flatMap(_.split("\n"))
+        .map(_.trim.toLowerCase)
+        .filter(_.nonEmpty)
+        .toSeq
+    }.getOrElse(Seq.empty)
     import spark.implicits._
     val votes = mentions
       .groupBy(identity)
@@ -191,6 +195,13 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
     * (path, extractor, value); one value per (doc, extractor) — the
     * lexicographically greatest hit across chunks (deterministic
     * regardless of chunk partitioning; empty string = abstain).
+    *
+    * API note: when one document yields MULTIPLE distinct hits for a
+    * spec, this keeps the lexicographic max, where the reference
+    * keeps the first-seen hit (Python dict insertion order). Both
+    * pick one representative; ours is partition-order-independent —
+    * the property a distributed engine must have — and the vote
+    * combiners downstream are agnostic to which representative wins.
     *
     * ONE lake scan and ONE shuffle for ALL specs: each chunk row
     * evaluates every spec in place (per-chunk max hit, '' = no hit),
@@ -417,10 +428,15 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
         .toSeq
       if (samples.isEmpty) Some(attr)
       else {
-        // 3-vote LLM majority, like the reference's repeated check
-        val answers = client.complete(Iterator.fill(3)(Prompts.attrValidity(attr, samples))).toSeq
-        val yes     = answers.count(_.trim.toLowerCase.startsWith("y"))
-        if (yes * 2 < answers.size) Some(attr) else None
+        // 3-vote LLM majority, like the reference's repeated check.
+        // An erroring client keeps the attribute (extraction evidence
+        // already exists; dropping on infrastructure failure would
+        // silently shrink the schema) rather than sinking OpenIE.
+        scala.util.Try {
+          val answers = client.complete(Iterator.fill(3)(Prompts.attrValidity(attr, samples))).toSeq
+          val yes     = answers.count(_.trim.toLowerCase.startsWith("y"))
+          if (yes * 2 < answers.size) Some(attr) else None
+        }.getOrElse(None)
       }
     }
     (autoDrop.map(_.getAs[String]("attribute")) ++ llmDrop).toSeq.sorted

@@ -201,6 +201,25 @@ class ProfilerSpec extends SparkSpec {
     assert(winner.getAs[String]("path") == "doc3.txt")
   }
 
+  test("OpenIE survives an erroring client in rerank and validity prompts") {
+    // rerank + attr-validity calls fail hard; schema id and
+    // extraction work — the run must degrade (frequency ranking,
+    // attributes kept) instead of throwing
+    val flaky = new graft.extract.LlmClient {
+      private val inner = MockLlmClient()
+      def complete(prompts: Iterator[String]): Iterator[String] = {
+        val ps = prompts.toIndexedSeq
+        if (ps.exists(p => p.contains("from the candidate fields") || p.contains("Answer yes or no")))
+          throw new RuntimeException("model error 500")
+        inner.complete(ps.iterator).toIndexedSeq.iterator
+      }
+    }
+    val p    = new Profiler(spark, flaky, ProfilerConfig(chunkSize = 3000, trainSize = 6))
+    val view = p.run(lake)
+    assert(view.count() > 0)
+    assert(attrs.forall(view.columns.contains), s"lost attributes: ${attrs.filterNot(view.columns.contains)}")
+  }
+
   test("OpenIE end-to-end matches gold on discovered attributes") {
     val view = profiler.run(lake)
     assert(attrs.forall(view.columns.contains))
