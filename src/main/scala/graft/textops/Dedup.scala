@@ -509,15 +509,22 @@ object Dedup {
       // but chain-shaped components converge in O(log diameter)
       // rounds instead of O(diameter) — the worst case a lake-scale
       // near-dup graph (A≈B≈C≈… drift chains) actually hits.
-      val hop = labels
-        .select(col("cc_id").as("cc_hop_id"), col("cluster_id").as("cc_hop_lbl"))
-      val next = prop
-        .join(hop, prop("cc_mid") === hop("cc_hop_id"), "left")
-        .select(
-          col("cc_id"),
-          least(col("cc_mid"), coalesce(col("cc_hop_lbl"), col("cc_mid"))).as("cc_next"),
-          col("cc_prev"))
-        .persist()
+      // Round 0 skips the hop: labels are still the identity map, so
+      // label(label(v)) = label(v) and the join would be a full-size
+      // no-op shuffle.
+      val halved =
+        if (iter == 0) prop.select(col("cc_id"), col("cc_mid").as("cc_next"), col("cc_prev"))
+        else {
+          val hop = labels
+            .select(col("cc_id").as("cc_hop_id"), col("cluster_id").as("cc_hop_lbl"))
+          prop
+            .join(hop, prop("cc_mid") === hop("cc_hop_id"), "left")
+            .select(
+              col("cc_id"),
+              least(col("cc_mid"), coalesce(col("cc_hop_lbl"), col("cc_mid"))).as("cc_next"),
+              col("cc_prev"))
+        }
+      val next = halved.persist()
       // full aggregation, not limit(1): the count scans every
       // partition, so `next` is completely materialized into the
       // cache here — a short-circuiting probe would leave partitions
