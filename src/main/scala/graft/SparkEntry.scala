@@ -467,6 +467,13 @@ object SparkEntry {
         .lrFeatures(binaryVotes(s, dir), "doc_id", Seq("v1", "v2", "v3"))
         .orderBy(col("doc_id"), col("feature"))),
 
+    // §2.11 data_programming sufficient statistics (methods.py:786-880)
+    // — the one lake-scale aggregation the EM fit consumes
+    "q_dp_patterns" -> ((s, dir) =>
+      LabelModel
+        .dpPatternCounts(binaryVotes(s, dir), "doc_id", Seq("v1", "v2", "v3"))
+        .orderBy(col("v_v1"), col("v_v2"), col("v_v3"))),
+
     // §2.5 field frequency across docs (schema_identification.py:24,84)
     "q_field_count" -> ((s, dir) =>
       SchemaId.fieldCount(docFields(s, dir), "doc_id").orderBy(col("field"))),
@@ -1578,6 +1585,16 @@ object SparkEntry {
             UNION ALL SELECT doc_id, 'v1*v3', v1 * v3 FROM wide
             UNION ALL SELECT doc_id, 'v2*v3', v2 * v3 FROM wide)
           ORDER BY doc_id, feature""",
+
+    "q_dp_patterns" ->
+      s"""WITH $votesCtes,
+          wide AS (SELECT doc_id,
+                          coalesce(max(CASE WHEN extractor = 'v1' THEN vote END), 0) AS v_v1,
+                          coalesce(max(CASE WHEN extractor = 'v2' THEN vote END), 0) AS v_v2,
+                          coalesce(max(CASE WHEN extractor = 'v3' THEN vote END), 0) AS v_v3
+                   FROM votes GROUP BY doc_id)
+          SELECT v_v1, v_v2, v_v3, count(*) AS n
+          FROM wide GROUP BY v_v1, v_v2, v_v3 ORDER BY v_v1, v_v2, v_v3""",
 
     "q_field_count" ->
       s"""WITH $fieldCountSql

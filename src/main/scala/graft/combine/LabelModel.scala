@@ -518,21 +518,31 @@ object LabelModel {
     * [[naiveBayesPredict]] over the returned accuracies (β cancels
     * at inference too, as the reference notes).
     */
+  /** The lake-scale half of [[dataProgrammingFit]]: per-key vote sign
+    * patterns collapsed to (v_e1, …, v_em, n) counts — the sufficient
+    * statistics of the symmetric DP model. Two aggregations (key
+    * pivot, then pattern count, the second one tiny); output is
+    * ensemble-bounded (≤ 3^m rows), never lake-sized.
+    */
+  def dpPatternCounts(votes: DataFrame, keyCol: String, extractors: Seq[String]): DataFrame = {
+    require(extractors.nonEmpty, "dpPatternCounts needs the extractor list")
+    val voteCols = extractors.map(e =>
+      coalesce(max(when(col("extractor") === e, col("vote"))), lit(0)).as(s"v_$e"))
+    votes
+      .groupBy(col(keyCol))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .groupBy(extractors.map(e => col(s"v_$e")): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
   def dataProgrammingFit(
       votes: DataFrame,
       keyCol: String,
       extractors: Seq[String],
       iters: Int = 100,
       tol: Double = 1e-9): Map[String, Double] = {
-    require(extractors.nonEmpty, "dataProgrammingFit needs the extractor list")
     val m = extractors.size
-    val voteCols = extractors.map(e =>
-      coalesce(max(when(col("extractor") === e, col("vote"))), lit(0)).as(s"v_$e"))
-    val patterns: Array[(Array[Int], Long)] = votes
-      .groupBy(col(keyCol))
-      .agg(voteCols.head, voteCols.tail: _*)
-      .groupBy((1 to m).map(i => col(s"v_${extractors(i - 1)}")): _*)
-      .agg(count(lit(1)).as("n"))
+    val patterns: Array[(Array[Int], Long)] = dpPatternCounts(votes, keyCol, extractors)
       .collect()
       .map(r => (Array.tabulate(m)(i => r.getInt(i)), r.getLong(m)))
     var alpha = Array.fill(m)(0.7)
