@@ -183,7 +183,7 @@ object HttpLlmClient {
     d.digest(s.getBytes(StandardCharsets.UTF_8)).map("%02x".format(_)).mkString
   }
 
-  private def quote(s: String): String = {
+  private[extract] def quote(s: String): String = {
     val sb = new StringBuilder("\"")
     s.foreach {
       case '"'          => sb.append("\\\"")
@@ -197,7 +197,7 @@ object HttpLlmClient {
     sb.append('"').toString
   }
 
-  private def drain(in: java.io.InputStream): String =
+  private[extract] def drain(in: java.io.InputStream): String =
     if (in == null) ""
     else
       try new String(in.readAllBytes(), StandardCharsets.UTF_8)
