@@ -69,23 +69,25 @@ final case class MockEncoderClient(dim: Int = 64) extends EncoderClient {
   */
 object Encode {
 
+  /** Works on BATCH and STREAMING frames alike: Dataset.mapPartitions
+    * (not `df.rdd`, which streaming plans reject), so the same stage
+    * embeds a readStream ingest — new documents get vectors as they
+    * arrive, with the client's cache deduplicating re-deliveries.
+    */
   def embed(
       df: DataFrame,
       textCol: String,
       client: EncoderClient,
       outCol: String = "embedding"): DataFrame = {
-    val spark  = df.sparkSession
     val schema = StructType(df.schema.fields :+ StructField(outCol, ArrayType(FloatType)))
     val cl     = client
     val ti     = df.schema.fieldIndex(textCol)
-    spark.createDataFrame(
-      df.rdd.mapPartitions { rows =>
-        val buf  = rows.toArray
-        val vecs = cl.encode(buf.iterator.map(r => r.getString(ti)))
-        buf.iterator.zip(vecs).map { case (r, v) =>
-          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v.toSeq)
-        }
-      },
-      schema)
+    df.mapPartitions { rows =>
+      val buf  = rows.toArray
+      val vecs = cl.encode(buf.iterator.map(r => r.getString(ti)))
+      buf.iterator.zip(vecs).map { case (r, v) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v.toSeq)
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
   }
 }

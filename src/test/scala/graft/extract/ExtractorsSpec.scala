@@ -145,6 +145,31 @@ class ExtractorsSpec extends SparkSpec {
     intercept[IllegalArgumentException](ExtractorSpec.toJson(s))
   }
 
+  test("Encode.embed works on a STREAMING frame (embedding on ingest)") {
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)](spark)(org.apache.spark.sql.Encoders.product[(Long, String)])
+    val lake = in.toDF().toDF("doc_id", "text")
+    val out  = Encode.embed(lake, "text", MockEncoderClient(dim = 8))
+    in.addData((1L, "alpha beta"), (2L, "gamma delta"))
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Float])]
+    val q = out.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        collected ++= batch.collect().map(r => (r.getAs[Long]("doc_id"), r.getSeq[Float](2)))
+        ()
+      }
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("embckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(collected.size == 2)
+    assert(collected.forall(_._2.length == 8))
+    // deterministic: identical text embeds identically batch or stream
+    val batchVec = Encode.embed(Seq((1L, "alpha beta")).toDF("doc_id", "text"), "text", MockEncoderClient(dim = 8))
+      .head.getSeq[Float](2)
+    assert(collected.find(_._1 == 1L).get._2 == batchVec)
+  }
+
   test("MockLlmClient extracts field-line answers from direct prompts") {
     val c   = MockLlmClient()
     val out = c.complete(Iterator("attribute: budget\ntext: name: x\nbudget: $5M\n")).toSeq
