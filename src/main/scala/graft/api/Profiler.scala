@@ -459,17 +459,15 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
       org.apache.spark.sql.types.StructField(keyCol, disputed.schema(keyCol).dataType),
       org.apache.spark.sql.types.StructField("attribute", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType)))
-    val resolved = spark.createDataFrame(
-      disputed.rdd.mapPartitions { rows =>
-        val buf = rows.toArray
-        val answers = cl.complete(buf.iterator.map { r =>
-          Prompts.pickValue(r.getAs[String]("attribute"), r.getAs[scala.collection.Seq[String]]("cands").toSeq)
-        })
-        buf.iterator.zip(answers).map { case (r, a) =>
-          org.apache.spark.sql.Row(r.get(0), r.getAs[String]("attribute"), a.trim)
-        }
-      },
-      schema)
+    val resolved = disputed.mapPartitions { rows =>
+      val buf = rows.toArray
+      val answers = cl.complete(buf.iterator.map { r =>
+        Prompts.pickValue(r.getAs[String]("attribute"), r.getAs[scala.collection.Seq[String]]("cands").toSeq)
+      })
+      buf.iterator.zip(answers).map { case (r, a) =>
+        org.apache.spark.sql.Row(r.get(0), r.getAs[String]("attribute"), a.trim)
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
     unanimous.unionByName(resolved)
   }
 
@@ -516,18 +514,19 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
       .join(StructuredView.pivotView(extractions, "path", "attribute", "value", attrs), Seq("path"), "left")
   }
 
-  /** mapPartitions LLM stage over chunks → (path, chunk, completion). */
+  /** mapPartitions LLM stage over chunks → (path, chunk, completion).
+    * Dataset.mapPartitions keeps the stage streaming-compatible, like
+    * DirectExtract and Encode.embed.
+    */
   private def llmMap(chunks: DataFrame, mkPrompt: String => String): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType(
       chunks.schema.fields :+ org.apache.spark.sql.types.StructField("completion", org.apache.spark.sql.types.StringType))
     val cl = client
     val fn = mkPrompt
-    spark.createDataFrame(
-      chunks.rdd.mapPartitions { rows =>
-        val buf     = rows.toArray
-        val answers = cl.complete(buf.iterator.map(r => fn(r.getAs[String]("chunk"))))
-        buf.iterator.zip(answers).map(r => org.apache.spark.sql.Row.fromSeq(r._1.toSeq :+ r._2))
-      },
-      schema)
+    chunks.mapPartitions { rows =>
+      val buf     = rows.toArray
+      val answers = cl.complete(buf.iterator.map(r => fn(r.getAs[String]("chunk"))))
+      buf.iterator.zip(answers).map(r => org.apache.spark.sql.Row.fromSeq(r._1.toSeq :+ r._2))
+    }(org.apache.spark.sql.Encoders.row(schema))
   }
 }

@@ -129,21 +129,21 @@ final class BailingLlmClient(inner: LlmClient, maxConsecutive: Int = 10) extends
   */
 object DirectExtract {
 
-  /** chunks: (idCol, attribute, chunk). Output adds (extractor, value). */
+  /** chunks: (idCol, attribute, chunk). Output adds (extractor, value).
+    * Dataset.mapPartitions (not `df.rdd`), so the stage also runs
+    * inside a STREAMING plan — extraction on ingest.
+    */
   def apply(chunks: DataFrame, client: LlmClient, idCol: String, extractorName: String = "llm"): DataFrame = {
-    val spark  = chunks.sparkSession
     val schema = org.apache.spark.sql.types.StructType(
       chunks.schema.fields :+ org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType))
-    val out = spark.createDataFrame(
-      chunks.rdd.mapPartitions { rows =>
-        val buf     = rows.toArray
-        val prompts = buf.iterator.map { r =>
-          s"attribute: ${r.getAs[String]("attribute")}\ntext: ${r.getAs[String]("chunk")}"
-        }
-        val answers = client.complete(prompts)
-        buf.iterator.zip(answers).map { case (r, a) => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ a) }
-      },
-      schema)
+    val out = chunks.mapPartitions { rows =>
+      val buf     = rows.toArray
+      val prompts = buf.iterator.map { r =>
+        s"attribute: ${r.getAs[String]("attribute")}\ntext: ${r.getAs[String]("chunk")}"
+      }
+      val answers = client.complete(prompts)
+      buf.iterator.zip(answers).map { case (r, a) => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ a) }
+    }(org.apache.spark.sql.Encoders.row(schema))
     out.withColumn("extractor", lit(extractorName))
   }
 }

@@ -74,18 +74,15 @@ object Multimodal {
     * features ARRAY<FLOAT>.
     */
   def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
-    val spark  = media.sparkSession
     val schema = StructType(media.schema.fields :+ StructField("features", ArrayType(FloatType), nullable = true))
-    spark.createDataFrame(
-      media.rdd.mapPartitions { rows =>
-        // per-partition codec init goes here in a real deployment
-        rows.map { r =>
-          val bytes = r.getAs[Array[Byte]]("bytes")
-          val f     = MediaCodec.decodeFeatures(bytes, dim)
-          Row.fromSeq(r.toSeq :+ (if (f == null) null else f.toSeq))
-        }
-      },
-      schema)
+    media.mapPartitions { rows =>
+      // per-partition codec init goes here in a real deployment
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("bytes")
+        val f     = MediaCodec.decodeFeatures(bytes, dim)
+        Row.fromSeq(r.toSeq :+ (if (f == null) null else f.toSeq))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
   }
 
   /** Media "resize" as a batched partition stage: every factor-th
@@ -93,39 +90,33 @@ object Multimodal {
     * (media_id, resized_bytes).
     */
   def resizeMedia(media: DataFrame, factor: Int): DataFrame = {
-    val spark = media.sparkSession
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("resized_bytes", BinaryType, nullable = true)))
-    spark.createDataFrame(
-      media.rdd.mapPartitions { rows =>
-        rows.map { r =>
-          val bytes = r.getAs[Array[Byte]]("bytes")
-          Row(r.getAs[Long]("media_id"), if (bytes == null) null else MediaCodec.resize(bytes, factor))
-        }
-      },
-      schema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("bytes")
+        Row(r.getAs[Long]("media_id"), if (bytes == null) null else MediaCodec.resize(bytes, factor))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
   }
 
   /** Video frame sampling as an exploding partition stage:
     * (media_id, frame_idx, frame_bytes).
     */
   def sampleFrames(media: DataFrame, framesPerVideo: Int): DataFrame = {
-    val spark = media.sparkSession
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("frame_idx", IntegerType, nullable = false),
       StructField("frame_bytes", BinaryType, nullable = true)))
-    spark.createDataFrame(
-      media.rdd.mapPartitions { rows =>
-        rows.flatMap { r =>
-          val id = r.getAs[Long]("media_id")
-          MediaCodec.frameSample(r.getAs[Array[Byte]]("bytes"), framesPerVideo).zipWithIndex.map {
-            case (fb, i) => Row(id, i, fb)
-          }
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getAs[Long]("media_id")
+        MediaCodec.frameSample(r.getAs[Array[Byte]]("bytes"), framesPerVideo).zipWithIndex.map {
+          case (fb, i) => Row(id, i, fb)
         }
-      },
-      schema)
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
   }
 
   /** Byte-level metadata projection — pure columnar, no codec. */
