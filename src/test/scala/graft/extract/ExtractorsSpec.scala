@@ -170,6 +170,26 @@ class ExtractorsSpec extends SparkSpec {
     assert(collected.find(_._1 == 1L).get._2 == batchVec)
   }
 
+  test("DirectExtract runs INSIDE a streaming plan (extraction on ingest)") {
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)](spark)(org.apache.spark.sql.Encoders.product[(Long, String, String)])
+    val chunks = in.toDF().toDF("doc_id", "attribute", "chunk")
+    val out    = DirectExtract(chunks, MockLlmClient(), "doc_id")
+    in.addData((1L, "budget", "budget: $5M"), (2L, "budget", "nothing here"))
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = out.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        collected ++= batch.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("value")))
+        ()
+      }
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("dxckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(collected.sortBy(_._1) == Seq((1L, "$5M"), (2L, "")))
+  }
+
   test("MockLlmClient extracts field-line answers from direct prompts") {
     val c   = MockLlmClient()
     val out = c.complete(Iterator("attribute: budget\ntext: name: x\nbudget: $5M\n")).toSeq
