@@ -312,29 +312,30 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
     * of wall clock once its await begins (earlier awaits overlap its
     * computation, so the bound is per-attribute, not cumulative); on
     * timeout its running Spark jobs are cancelled through the
-    * attribute's job group, and a thread still wedged inside a
-    * hanging LLM client is interrupted at pool shutdown.
+    * attribute's job group and its worker thread is interrupted
+    * (Future.cancel(true)), reclaiming the pool slot for queued
+    * attributes. Applies at every attrParallelism, including 1.
     */
   def profileAttributesChecked(
       chunks: DataFrame,
       sampleChunks: DataFrame,
       attrsAll: Seq[String],
       doEndToEnd: Boolean): (DataFrame, Seq[String]) = {
-    import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
-    import scala.concurrent.duration._
-    import scala.util.{Failure, Success, Try}
+    import java.util.concurrent.{Callable, TimeoutException, TimeUnit}
+    import scala.util.{Failure, Try}
+    // one code path for serial and parallel: par == 1 is just a
+    // single-thread pool, so the per-attribute timeout protects the
+    // serial configuration too (a wedged client must never hang the
+    // run regardless of attrParallelism)
     val par = math.max(1, math.min(cfg.attrParallelism, attrsAll.size))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      par,
+      (r: Runnable) => { val t = new Thread(r, "graft-attr"); t.setDaemon(true); t })
     val results: Seq[(String, Try[DataFrame])] =
-      if (par == 1)
-        attrsAll.map(a => a -> Try(profileAttribute(chunks, sampleChunks, a, doEndToEnd)))
-      else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          par,
-          (r: Runnable) => { val t = new Thread(r, "graft-attr"); t.setDaemon(true); t })
-        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-        try {
-          val futs = attrsAll.zipWithIndex.map { case (a, i) =>
-            Future {
+      try {
+        val futs = attrsAll.zipWithIndex.map { case (a, i) =>
+          pool.submit(new Callable[DataFrame] {
+            def call(): DataFrame = {
               // FAIR mode schedules fairly ACROSS pools, while jobs
               // inside one pool (including 'default') queue FIFO — so
               // each attribute's jobs get their own pool, created on
@@ -347,19 +348,26 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
                 spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
               }
             }
-          }
-          attrsAll.zip(futs).map { case (a, fut) =>
-            a -> (Try(Await.result(fut, cfg.attrTimeoutSec.seconds)) match {
-              case Failure(_: TimeoutException) =>
-                // reclaim the executors; the stuck driver thread (if
-                // blocked in a client call) dies with the pool below
-                spark.sparkContext.cancelJobGroup(s"graft-attr-$a")
-                Failure(new TimeoutException(s"attribute $a exceeded ${cfg.attrTimeoutSec}s"))
-              case other => other
-            })
-          }
-        } finally pool.shutdownNow()
-      }
+          })
+        }
+        attrsAll.zip(futs).map { case (a, fut) =>
+          a -> (Try(fut.get(cfg.attrTimeoutSec, TimeUnit.SECONDS)) match {
+            case Failure(_: TimeoutException) =>
+              // cancel(true) interrupts the worker thread, so the pool
+              // slot is RECLAIMED for queued attributes (a wedged
+              // client costs one attribute, not every attribute behind
+              // it); job-group cancel reclaims the executors. A client
+              // that swallows interrupts keeps its thread until pool
+              // shutdown — queued work still proceeds on the others.
+              fut.cancel(true)
+              spark.sparkContext.cancelJobGroup(s"graft-attr-$a")
+              Failure(new TimeoutException(s"attribute $a exceeded ${cfg.attrTimeoutSec}s"))
+            case Failure(e: java.util.concurrent.ExecutionException) if e.getCause != null =>
+              Failure(e.getCause)
+            case other => other
+          })
+        }
+      } finally pool.shutdownNow()
     val failed = results.collect { case (a, Failure(e)) =>
       org.slf4j.LoggerFactory
         .getLogger(classOf[Profiler])

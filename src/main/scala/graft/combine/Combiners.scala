@@ -215,7 +215,7 @@ object Combiners {
     val decoded = depOpt match {
       case None =>
         scoredIds.select(col(keyCol), label(col("best_id")).as("value"))
-      case Some((ea, eb, residual)) =>
+      case Some((ea, eb, _)) =>
         // dependency learned → decode the plurality-vs-rest decision
         // with the exact pair-clique posterior (the reference switches
         // to clique-tree inference when deps are modeled,
@@ -228,6 +228,18 @@ object Combiners {
         // learned pair carries no signal between non-plurality
         // labels in this encoding). Keys the pair model never saw
         // fall back to the NB argmax.
+        //
+        // The residual handed to the joint MUST be re-derived against
+        // the RETRAINED accuracies: learnTopDependencyFromMap scores
+        // the residual off the independent model, but the joint table
+        // is parameterized by the dep-aware means — mixing the two
+        // makes P(v_a,v_b|y) inconsistent with its own marginals
+        // (E[v_a v_b] would read m_a·m_b + residual_indep ≠ m_ab).
+        val residual = mm.get((ea, eb)) match {
+          case Some(mab) =>
+            mab - (2 * accs.getOrElse(ea, 0.5) - 1) * (2 * accs.getOrElse(eb, 0.5) - 1)
+          case None => 0.0
+        }
         val jt = LabelModel
           .junctionTreePredict(pm, accDf, (ea, eb), residual, keyCol)
           .select(col(keyCol), col("jt_pred"))

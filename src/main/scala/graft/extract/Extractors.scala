@@ -176,14 +176,19 @@ final case class OpaqueEval(
 ) extends ExtractorSpec {
   def compile(text: Column): Column = {
     val (k, b, tm, mt) = (key, body, timeoutMs, maxTimeouts)
-    // capture the driver-registered accumulators (if any) into the UDF
-    // closure NOW, at plan-build time on the driver: accumulators
-    // serialize with the closure and merge executor-side increments
-    // back with task results, which is what makes the counts
-    // cluster-true (the per-JVM maps below stay executor-local)
+    // capture the driver-registered accumulators (if any) AND the
+    // current reset epoch into the UDF closure NOW, at plan-build time
+    // on the driver: accumulators serialize with the closure and merge
+    // executor-side increments back with task results, and the epoch
+    // scopes the per-JVM kill-switch maps so a driver-side
+    // resetCounters() gives bodies fresh chances on EXECUTOR JVMs too
+    // (their static maps never see the driver's clear(), but plans
+    // compiled after the reset carry a new epoch and key past the
+    // stale entries)
     val (ea, ta) = (OpaqueEval.errorAccumulator, OpaqueEval.timeoutAccumulator)
+    val ep       = OpaqueEval.currentEpoch
     val u = udf { (s: String) =>
-      if (s == null) Seq.empty[String] else OpaqueEval.eval(k, b, s, tm, mt, ea, ta)
+      if (s == null) Seq.empty[String] else OpaqueEval.eval(k, b, s, tm, mt, ea, ta, ep)
     }
     u(text)
   }
@@ -200,16 +205,31 @@ object OpaqueEval {
   private val timeouts = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
   private val errors   = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
 
-  def timeoutCount(body: String): Int = Option(timeouts.get(body)).map(_.get).getOrElse(0)
-  def errorCount(body: String): Int   = Option(errors.get(body)).map(_.get).getOrElse(0)
+  // Reset epoch: counter-map keys are "epoch|body". compile() captures
+  // the driver's current epoch into each UDF closure, so a driver-side
+  // resetCounters() makes plans built AFTERWARDS key past any stale
+  // executor-JVM entries — the reset is cluster-true without touching
+  // executor statics (old-epoch entries linger unused, bounded by one
+  // per (reset, distinct body)).
+  @volatile private var epoch: Long = 0L
+  private[extract] def currentEpoch: Long = epoch
+
+  private def epochKey(ep: Long, body: String): String = s"$ep|$body"
+
+  def timeoutCount(body: String): Int =
+    Option(timeouts.get(epochKey(epoch, body))).map(_.get).getOrElse(0)
+  def errorCount(body: String): Int =
+    Option(errors.get(epochKey(epoch, body))).map(_.get).getOrElse(0)
 
   /** Clear kill-switch state and counters. Called by `Profiler.run` at
     * the start of every run so a body that tripped the switch in one
     * run gets fresh chances in the next (the reference's num_timeouts
     * is per-run state, `profiler.py:281-283`); without this a
-    * long-lived session silently abstains the body forever.
+    * long-lived session silently abstains the body forever. The epoch
+    * bump extends the guarantee to executor JVMs (see above).
     */
   def resetCounters(): Unit = {
+    epoch += 1
     timeouts.clear(); errors.clear()
     errorAccumulator.foreach(_.reset())
     timeoutAccumulator.foreach(_.reset())
@@ -262,8 +282,10 @@ object OpaqueEval {
       timeoutMs: Long,
       maxTimeouts: Int,
       errAcc: Option[org.apache.spark.util.LongAccumulator] = None,
-      toAcc: Option[org.apache.spark.util.LongAccumulator] = None): Seq[String] = {
-    val tc = counter(timeouts, body)
+      toAcc: Option[org.apache.spark.util.LongAccumulator] = None,
+      ep: Long = currentEpoch): Seq[String] = {
+    val ck = epochKey(ep, body)
+    val tc = counter(timeouts, ck)
     if (tc.get() >= maxTimeouts) return Seq.empty // kill switch
     val fut = pool.submit(new java.util.concurrent.Callable[Seq[String]] {
       private def interrupted(e: Throwable) =
@@ -281,7 +303,7 @@ object OpaqueEval {
             try interpret(body, text.replace(">\n", ">"))
             catch {
               case _: Throwable =>
-                counter(errors, body).incrementAndGet(); errAcc.foreach(_.add(1L)); Seq.empty
+                counter(errors, ck).incrementAndGet(); errAcc.foreach(_.add(1L)); Seq.empty
             }
         }
       }
@@ -294,7 +316,7 @@ object OpaqueEval {
         toAcc.foreach(_.add(1L))
         Seq.empty
       case _: Throwable =>
-        counter(errors, body).incrementAndGet(); errAcc.foreach(_.add(1L)); Seq.empty
+        counter(errors, ck).incrementAndGet(); errAcc.foreach(_.add(1L)); Seq.empty
     }
   }
 

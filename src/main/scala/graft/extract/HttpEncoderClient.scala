@@ -44,8 +44,12 @@ final case class HttpEncoderClient(
 
   import HttpLlmClient.{drain, quote, sha256, RetryableHttpError}
 
+  /** Null texts encode as "" (the mock does the same): a scraped lake
+    * routinely carries NULL documents and one of them must not kill a
+    * 100 TB embedding pass with an NPE inside the JSON encoder.
+    */
   def encode(texts: Iterator[String]): Iterator[Array[Float]] =
-    texts.grouped(batchSize).flatMap(encodeBatch)
+    texts.map(t => if (t == null) "" else t).grouped(batchSize).flatMap(encodeBatch)
 
   private def encodeBatch(batch: Seq[String]): Seq[Array[Float]] = {
     val cached: Seq[Option[Array[Float]]] = cacheDir match {
@@ -70,20 +74,8 @@ final case class HttpEncoderClient(
 
   // -- HTTP ----------------------------------------------------------
 
-  private def request(texts: Seq[String]): Seq[Array[Float]] = {
-    var attempt = 0
-    var lastErr: Throwable = null
-    while (attempt < math.max(1, maxRetries)) {
-      if (attempt > 0) Thread.sleep(backoffMs << (attempt - 1)) // 1x, 2x, 4x…
-      try return requestOnce(texts)
-      catch {
-        case e: RetryableHttpError  => lastErr = e
-        case e: java.io.IOException => lastErr = e
-      }
-      attempt += 1
-    }
-    throw new java.io.IOException(s"embedding request failed after $maxRetries attempts", lastErr)
-  }
+  private def request(texts: Seq[String]): Seq[Array[Float]] =
+    HttpSupport.withRetries(maxRetries, backoffMs, "embedding request")(requestOnce(texts))
 
   private def requestOnce(texts: Seq[String]): Seq[Array[Float]] = {
     val url  = new java.net.URL(endpoint)
@@ -116,10 +108,9 @@ final case class HttpEncoderClient(
     } finally conn.disconnect()
   }
 
-  private def nextKey(): String =
-    keys((rotor.getAndIncrement() % keys.size + keys.size) % keys.size)
+  private def nextKey(): String = rotor.next()
 
-  @transient private lazy val rotor = new java.util.concurrent.atomic.AtomicInteger(0)
+  @transient private lazy val rotor = new HttpSupport.KeyRotor(keys)
 
   private def requestJson(texts: Seq[String]): String = {
     val sb = new StringBuilder("{")
@@ -128,36 +119,17 @@ final case class HttpEncoderClient(
     sb.append('}').toString
   }
 
-  // -- cache (Hadoop FS: file:, hdfs:, s3a: all work) ---------------
+  // -- cache: shared Hadoop-FS string store (HttpSupport), vectors
+  // serialized as comma-joined floats -------------------------------
 
-  @transient private lazy val hadoopConf = new org.apache.hadoop.conf.Configuration()
-
-  private def fs(dir: String) =
-    new org.apache.hadoop.fs.Path(dir).getFileSystem(hadoopConf)
-
-  private def cacheGet(dir: String, key: String): Option[Array[Float]] = {
-    val p = new org.apache.hadoop.fs.Path(dir, key)
-    val f = fs(dir)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try {
-        val s = new String(in.readAllBytes(), StandardCharsets.UTF_8)
-        val v = s.split(',').map(_.toFloat)
-        if (v.length == dim) Some(v) else None // stale entry from another dim config
-      } finally in.close()
+  private def cacheGet(dir: String, key: String): Option[Array[Float]] =
+    HttpSupport.cacheGet(dir, key).flatMap { s =>
+      val v = s.split(',').map(_.toFloat)
+      if (v.length == dim) Some(v) else None // stale entry from another dim config
     }
-  }
 
-  private def cachePut(dir: String, key: String, value: Array[Float]): Unit = {
-    val f   = fs(dir)
-    val tmp = new org.apache.hadoop.fs.Path(dir, s".$key.${Thread.currentThread().getId}.tmp")
-    val dst = new org.apache.hadoop.fs.Path(dir, key)
-    val out = f.create(tmp, true)
-    try out.write(value.mkString(",").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    if (!f.rename(tmp, dst)) f.delete(tmp, false)
-  }
+  private def cachePut(dir: String, key: String, value: Array[Float]): Unit =
+    HttpSupport.cachePut(dir, key, value.mkString(","))
 }
 
 object HttpEncoderClient {

@@ -82,20 +82,8 @@ final case class HttpLlmClient(
 
   // -- HTTP ----------------------------------------------------------
 
-  private def request(prompt: String): String = {
-    var attempt = 0
-    var lastErr: Throwable = null
-    while (attempt < math.max(1, maxRetries)) {
-      if (attempt > 0) Thread.sleep(backoffMs << (attempt - 1)) // 1x, 2x, 4x…
-      try return requestOnce(prompt)
-      catch {
-        case e: RetryableHttpError => lastErr = e
-        case e: java.io.IOException => lastErr = e
-      }
-      attempt += 1
-    }
-    throw new java.io.IOException(s"LLM request failed after $maxRetries attempts", lastErr)
-  }
+  private def request(prompt: String): String =
+    HttpSupport.withRetries(maxRetries, backoffMs, "LLM request")(requestOnce(prompt))
 
   private def requestOnce(prompt: String): String = {
     val url  = new java.net.URL(endpoint)
@@ -123,14 +111,9 @@ final case class HttpLlmClient(
     } finally conn.disconnect()
   }
 
-  /** Round-robin key rotation; AtomicInteger makes concurrent
-    * per-attribute driver threads and executor tasks each take the
-    * next key without duplication inside one JVM.
-    */
-  private def nextKey(): String =
-    keys((rotor.getAndIncrement() % keys.size + keys.size) % keys.size)
+  private def nextKey(): String = rotor.next()
 
-  @transient private lazy val rotor = new java.util.concurrent.atomic.AtomicInteger(0)
+  @transient private lazy val rotor = new HttpSupport.KeyRotor(keys)
 
   private def requestJson(prompt: String): String = {
     val sb = new StringBuilder("{")
@@ -142,35 +125,13 @@ final case class HttpLlmClient(
     sb.append('}').toString
   }
 
-  // -- cache (Hadoop FS: file:, hdfs:, s3a: all work) ---------------
+  // -- cache: shared Hadoop-FS string store (HttpSupport) ------------
 
-  @transient private lazy val hadoopConf = new org.apache.hadoop.conf.Configuration()
+  private def cacheGet(dir: String, key: String): Option[String] =
+    HttpSupport.cacheGet(dir, key)
 
-  private def fs(dir: String) =
-    new org.apache.hadoop.fs.Path(dir).getFileSystem(hadoopConf)
-
-  private def cacheGet(dir: String, key: String): Option[String] = {
-    val p = new org.apache.hadoop.fs.Path(dir, key)
-    val f = fs(dir)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8))
-      finally in.close()
-    }
-  }
-
-  private def cachePut(dir: String, key: String, value: String): Unit = {
-    val f   = fs(dir)
-    val tmp = new org.apache.hadoop.fs.Path(dir, s".$key.${Thread.currentThread().getId}.tmp")
-    val dst = new org.apache.hadoop.fs.Path(dir, key)
-    val out = f.create(tmp, true)
-    try out.write(value.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    // rename-into-place: concurrent writers of the same key race
-    // benignly (same content — responses are temperature-0)
-    if (!f.rename(tmp, dst)) f.delete(tmp, false)
-  }
+  private def cachePut(dir: String, key: String, value: String): Unit =
+    HttpSupport.cachePut(dir, key, value)
 }
 
 object HttpLlmClient {

@@ -111,6 +111,14 @@ class HttpEncoderClientSpec extends AnyFunSuite {
     }
   }
 
+  test("null texts encode as empty string instead of NPEing the batch") {
+    withServer { (body, _) => (200, okJson(countInputs(body), 2, _ => 9.0)) } { url =>
+      val c   = HttpEncoderClient(url, dim = 2)
+      val got = c.encode(Iterator(null, "real text")).toSeq
+      assert(got.size == 2 && got.forall(_.length == 2))
+    }
+  }
+
   test("slots into the Encode.embed stage like the mock (EncoderClient seam)") {
     withServer { (body, _) => (200, okJson(countInputs(body), 2, _ => 3.0)) } { url =>
       val spark = graft.TestSpark.spark
