@@ -159,11 +159,16 @@ final case class CallableExtract(key: String, fn: String => Seq[String]) extends
   *  - error second-chance on preprocessed text
   *    (`text.replace(">\n", ">")`, `profiler.py:286,317-330`);
   *  - error/timeout counting (`num_function_errors`,
-  *    `profiler.py:322-335`) → per-key counters the driver can read
-  *    after an action ([[OpaqueEval.errorCount]] /
-  *    [[OpaqueEval.timeoutCount]] — local-mode exact; on a cluster
-  *    they are per-executor and advisory, which is all the reference
-  *    uses them for (a boolean "this fn errored" flag).
+  *    `profiler.py:322-335`) → per-body counters the driver can read
+  *    after an action. Two tiers: the per-JVM maps behind
+  *    [[OpaqueEval.errorCount]]/[[OpaqueEval.timeoutCount]] drive the
+  *    kill switch (per-executor on a cluster — each executor gives a
+  *    bad body its own maxTimeouts chances, bounded and acceptable),
+  *    while driver-registered LongAccumulators captured into the UDF
+  *    closure ([[OpaqueEval.accumulatedErrors]]/
+  *    [[OpaqueEval.accumulatedTimeouts]]) give cluster-true totals.
+  *    `resetCounters()` bumps an epoch baked into later-compiled
+  *    plans, so per-run state resets reach executor JVMs too.
   *
   * A UDF, not codegen — deliberately: this is the slow path for the
   * rare unparsable synthesis; the prompt-elicited shapes stay native.
