@@ -581,6 +581,88 @@ object LabelModel {
     extractors.zip(alpha).toMap
   }
 
+  /** Neighborhood structure learning — the reference's supervised
+    * Ising model selection (`structure_learning`/`learn_neighborhood`,
+    * `binary_deps.py:244-374`; Ravikumar et al. 2010): for each voter
+    * v, fit an L1-regularized logistic regression predicting v's vote
+    * from every OTHER voter's vote, with the vote–label edge frozen at
+    * the scaled training accuracy θ_v = E[v_v·y] (the reference
+    * initializes it and does not optimize it — only vote–vote edges
+    * are learned). Nonzero weights are graph edges; the sparsity
+    * pattern is the dependency structure.
+    *
+    * Spark-first shape: the ONLY lake-scale work is the same
+    * sufficient-statistics aggregation [[dpPatternCounts]] uses,
+    * extended with the gold label — (pattern, y, count) rows,
+    * ensemble-bounded. All m neighborhood fits run driver-side on
+    * those counts by deterministic proximal gradient (ISTA: gradient
+    * step + soft-threshold), zero-initialized, no RNG — unlike the
+    * reference's 50k-epoch torch SGD per vertex, the whole solve
+    * costs zero additional Spark jobs.
+    *
+    * Returns θ(u→v) for every ordered pair (response voter u,
+    * covariate voter v); symmetrize by max(|θ_uv|, |θ_vu|) to read
+    * off edges. Supervised: needs gold (key, y ∈ ±1) on a labeled
+    * subset, like the reference's train split.
+    */
+  def neighborhoodStructure(
+      votes: DataFrame,
+      gold: DataFrame,
+      keyCol: String,
+      extractors: Seq[String],
+      l1Lambda: Double = 0.2,
+      iters: Int = 3000,
+      lr: Double = 0.25): Map[(String, String), Double] = {
+    require(extractors.size >= 2, "need at least 2 voters to learn structure")
+    val m = extractors.size
+    val voteCols = extractors.map(e =>
+      coalesce(max(when(col("extractor") === e, col("vote"))), lit(0)).as(s"v_$e"))
+    val stats: Array[(Array[Int], Int, Double)] = votes
+      .groupBy(col(keyCol))
+      .agg(voteCols.head, voteCols.tail: _*)
+      .join(broadcast(gold), Seq(keyCol))
+      .groupBy((extractors.map(e => col(s"v_$e")) :+ col("y")): _*)
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (Array.tabulate(m)(i => r.getInt(i)), r.getInt(m), r.getLong(m + 1).toDouble))
+    val total = stats.map(_._3).sum
+    // frozen vote-label potentials: θ_v = E[v_v·y] (abstain = 0)
+    val accTheta = Array.tabulate(m)(i => stats.map { case (v, y, n) => n * v(i) * y }.sum / total)
+
+    val out = scala.collection.mutable.Map.empty[(String, String), Double]
+    for (v <- 0 until m) {
+      // response rows: v's non-abstain votes; covariates: other votes
+      val rows = stats.filter(_._1(v) != 0)
+      val w    = Array.fill(m)(0.0) // slot v unused
+      var it   = 0
+      while (it < iters) {
+        val grad = Array.fill(m)(0.0)
+        rows.foreach { case (x, y, n) =>
+          val s      = x(v).toDouble
+          var margin = accTheta(v) * y
+          var u      = 0
+          while (u < m) { if (u != v) margin += w(u) * x(u); u += 1 }
+          // d/dw of n·log(1+exp(-2·s·margin)) = -2·s·x_u·n·σ(-2·s·margin)
+          val sig = 1.0 / (1.0 + math.exp(2.0 * s * margin))
+          u = 0
+          while (u < m) { if (u != v) grad(u) -= 2.0 * s * x(u) * n * sig; u += 1 }
+        }
+        var u = 0
+        while (u < m) {
+          if (u != v) {
+            val step = w(u) - lr * grad(u) / total
+            val thr  = lr * l1Lambda
+            w(u) = if (step > thr) step - thr else if (step < -thr) step + thr else 0.0
+          }
+          u += 1
+        }
+        it += 1
+      }
+      for (u <- 0 until m if u != v) out((extractors(v), extractors(u))) = w(u)
+    }
+    out.toMap
+  }
+
   /** Distributed LR scoring over long-form features: one broadcast
     * join feature→weight, one keyed sum, a sigmoid — the lake-scale
     * half of the LR aggregator. Returns (key, p_pos, lr_pred).

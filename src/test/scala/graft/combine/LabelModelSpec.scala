@@ -392,6 +392,28 @@ class LabelModelSpec extends SparkSpec {
     }
   }
 
+  test("neighborhoodStructure recovers the planted Ising edges and zeros the rest") {
+    // two planted pairwise potentials among 5 voters; supervised
+    // (gold available), like the reference's train split
+    val model = IsingSampler.Model(
+      thetaY   = 0.0,
+      thetaAcc = Seq(0.5, 0.5, 0.5, 0.5, 0.6),
+      deps     = Map((0, 1) -> 0.9, (2, 3) -> 0.9))
+    val (votes, gold) = isingVotes(model, n = 8000, seed = 23)
+    val names  = (0 until 5).map(i => s"lf_$i")
+    val thetas = LabelModel.neighborhoodStructure(votes, gold, "doc_id", names, l1Lambda = 0.05)
+    def edge(a: Int, b: Int) =
+      math.max(math.abs(thetas((s"lf_$a", s"lf_$b"))), math.abs(thetas((s"lf_$b", s"lf_$a"))))
+    val planted = Seq(edge(0, 1), edge(2, 3))
+    val absent = for {
+      a <- 0 until 5; b <- 0 until 5 if a < b
+      if !(Set(a, b) == Set(0, 1)) && !(Set(a, b) == Set(2, 3))
+    } yield edge(a, b)
+    assert(planted.forall(_ > 0.3), s"planted edges too weak: $planted")
+    assert(absent.forall(_ < 0.15), s"phantom edges: $absent")
+    assert(planted.min > absent.max * 2, s"separation: planted $planted vs absent $absent")
+  }
+
   test("expWeightBestEta grid-picks a temperature that beats plain MV on planted votes") {
     val (votes, gold) = plantedVotes(2000, Map("a" -> 0.92, "b" -> 0.55, "c" -> 0.55))
     val accs          = LabelModel.accuracies(votes, gold, "doc_id")
