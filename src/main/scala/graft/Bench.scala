@@ -69,19 +69,21 @@ object Bench {
     // chunk → keyword filter → direct extract → clean → vote → pivot
     // — so the composed path has a tracked wall-time, not just its
     // unit queries
-    val e2e: Option[(String, Double)] =
-      if (only.forall(_.contains("entry_e2e"))) {
+    def timeE2e(name: String, mk: () => org.apache.spark.sql.DataFrame): Option[(String, Double)] =
+      if (only.forall(_.contains(name))) {
         val ok =
-          try { evalAll(SparkEntry.entryOn(spark, sfDir)); true }
-          catch { case e: Throwable => System.err.println(s"[bench] entry_e2e: ${e.getMessage}"); false }
+          try { evalAll(mk()); true }
+          catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); false }
         val t0 = System.nanoTime()
-        if (ok) evalAll(SparkEntry.entryOn(spark, sfDir))
+        if (ok) evalAll(mk())
         val sec = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         System.gc()
-        if (ok) Some("entry_e2e" -> sec) else None
+        if (ok) Some(name -> sec) else None
       } else None
-    val all = results ++ e2e
+    val all = results ++
+      timeE2e("entry_e2e", () => SparkEntry.entryOn(spark, sfDir)) ++
+      timeE2e("cascade_e2e", () => SparkEntry.cascadeOn(spark, sfDir))
     // Locale.ROOT: the f-interpolator is locale-sensitive and would
     // emit comma decimals (invalid JSON) under e.g. a German default
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

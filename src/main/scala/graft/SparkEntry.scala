@@ -233,6 +233,27 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = entryOn(spark, "/root/testdata/sf0.001")
 
+  /** The FULL profiler cascade at an arbitrary scale factor — Bench
+    * times this as `cascade_e2e`: sample → spec synthesis (mock LLM)
+    * → gold-on-sample → scoring/top-k → whole-lake codegen'd APPLY →
+    * vote → pivot. The lake derives field-line content from the
+    * documents table so synthesis/extraction are non-degenerate
+    * (FieldLine specs really fire on every doc).
+    */
+  def cascadeOn(spark: SparkSession, dir: String): DataFrame = {
+    val lake = docs(spark, dir).select(
+      col("doc_id").cast("string").as("path"),
+      concat(
+        lit("topic: "), element_at(split(col("text"), " "), 1),
+        lit("\nsource: "), col("source"),
+        lit("\n"), col("text")).as("content"))
+    val prof = new graft.api.Profiler(
+      spark,
+      MockLlmClient(),
+      graft.api.ProfilerConfig(chunkSize = 1000, trainSize = 10))
+    prof.run(lake, Seq("topic", "source"))
+  }
+
   /** Flagship spine at an arbitrary scale factor — Bench times this
     * at the bench SF as `entry_e2e` so the end-to-end path (not just
     * its unit queries) has a tracked wall-time.

@@ -8,6 +8,18 @@ class EntrySpec extends SparkSpec {
     assert(df.columns.contains("doc_id"))
   }
 
+  test("cascadeOn: full profiler cascade extracts the derived field lines at sf0.001") {
+    import org.apache.spark.sql.functions._
+    val view = SparkEntry.cascadeOn(spark, sf0001)
+    val n    = view.count()
+    assert(n > 0)
+    assert(view.columns.toSet == Set("path", "topic", "source"))
+    // the lake embeds "topic: <first word>" per doc — the cascade's
+    // synthesized FieldLine specs must recover it on (nearly) all docs
+    val extracted = view.filter(col("topic").isNotNull && length(col("topic")) > 0).count()
+    assert(extracted >= n * 9 / 10, s"only $extracted/$n docs got a topic")
+  }
+
   test("queries and oracleSql keys are consistent") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
