@@ -491,22 +491,45 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
     OpaqueEval.installAccumulators(spark.sparkContext)
     OpaqueEval.resetCounters()
     val chunks = prepare(lake)
-    val sample = sampleDocs(chunks, cfg.trainSize)
+    // persist the SAMPLE chunks (trainSize docs — tiny), not the lake:
+    // the sample's lineage runs the chunker over the whole lake (the
+    // semi-join can't prune the scan by content-hash order), and every
+    // sample-side action — schema id, per-attribute synthesis collects,
+    // gold-on-sample, spec scoring — would re-chunk the entire lake
+    // without this. The lake-sized `chunks` is deliberately NOT
+    // persisted: it is scanned once per attribute APPLY, and at 100 TB
+    // caching it would evict everything else for no reuse win.
+    val sample = sampleDocs(chunks, cfg.trainSize).persist()
     val doEnd  = attributes.isEmpty
-    val attrsAll =
-      if (attributes.nonEmpty) attributes
-      else
-        // OpenIE: frequency-ranked candidates, then the 3-round LLM
-        // rerank (reference E1 step 3) decides the final order/cut
-        rerankSchema(identifySchema(sample))
-          .orderBy(col("rank"))
-          .collect()
-          .map(_.getAs[String]("field"))
-          .toSeq
-    if (attrsAll.isEmpty)
-      // nothing discovered (prose-only lake): the view is just the
-      // file universe, no attribute columns
-      return lake.select(col("path")).distinct()
+    try {
+      val attrsAll =
+        if (attributes.nonEmpty) attributes
+        else
+          // OpenIE: frequency-ranked candidates, then the 3-round LLM
+          // rerank (reference E1 step 3) decides the final order/cut
+          rerankSchema(identifySchema(sample))
+            .orderBy(col("rank"))
+            .collect()
+            .map(_.getAs[String]("field"))
+            .toSeq
+      if (attrsAll.isEmpty)
+        // nothing discovered (prose-only lake): the view is just the
+        // file universe, no attribute columns
+        return lake.select(col("path")).distinct()
+      runWith(lake, chunks, sample, attrsAll, doEnd)
+    } finally
+      // the returned view's lineage is chunks-only (selection was
+      // eager inside the cascade), so dropping the sample cache here
+      // is safe for later consumption
+      sample.unpersist(false)
+  }
+
+  private def runWith(
+      lake: DataFrame,
+      chunks: DataFrame,
+      sample: DataFrame,
+      attrsAll: Seq[String],
+      doEnd: Boolean): DataFrame = {
     val extractionsAll = profileAttributes(chunks, sample, attrsAll, doEnd)
     val (attrs, extractions) =
       if (!doEnd) (attrsAll, extractionsAll)
