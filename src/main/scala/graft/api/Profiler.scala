@@ -225,6 +225,46 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
       .select(col("path"), element_at(keys, col("pos") + 1).as("extractor"), col("value"))
   }
 
+  /** ONE lake pass for EVERY attribute's selected specs — the
+    * k-invariance applySpecs gives within an attribute, extended
+    * across attributes: a 35-attribute OpenIE run costs ONE scan of
+    * the 100 TB lake, not 35. The combined keyword filter (one
+    * broadcast cross join + one (doc, attribute) window) reproduces
+    * the per-attribute filter exactly — scoring and capping are
+    * independent per attribute — and each chunk×attribute row
+    * evaluates ONLY that attribute's specs: the `when` gates compile
+    * to lazy codegen branches, so other attributes' specs cost
+    * nothing on the row.
+    *
+    * Output: (path, attribute, extractor, value), '' = abstain, one
+    * row per (doc, attribute-spec) with a surviving candidate chunk —
+    * byte-identical to running [[applySpecs]] per attribute over
+    * [[graft.lake.ChunkFilter.keywordChunkFilter]].
+    */
+  def applySpecsAll(chunks: DataFrame, specsByAttr: Seq[(String, Seq[ExtractorSpec])]): DataFrame = {
+    require(specsByAttr.nonEmpty && specsByAttr.forall(_._2.nonEmpty), "applySpecsAll needs specs per attribute")
+    val attrsDf  = spark.createDataFrame(specsByAttr.map(p => Tuple1(p._1))).toDF("attribute")
+    val filtered = ChunkFilter.keywordChunkFilter(chunks, attrsDf, "path")
+    val indexed  = specsByAttr.flatMap { case (a, specs) => specs.map(s => (a, s)) }
+    val keys     = array(indexed.map { case (_, s) => lit(s.key) }: _*)
+    val attrs    = array(indexed.map { case (a, _) => lit(a) }: _*)
+    filtered
+      .select(
+        col("path"),
+        posexplode(array(indexed.map { case (a, s) =>
+          when(col("attribute") === a, coalesce(array_max(s.compile(col("chunk"))), lit("")))
+            .otherwise(lit(null))
+        }: _*)).as(Seq("pos", "value")))
+      .filter(col("value").isNotNull)
+      .groupBy(col("path"), col("pos"))
+      .agg(max(col("value")).as("value"))
+      .select(
+        col("path"),
+        element_at(attrs, col("pos") + 1).as("attribute"),
+        element_at(keys, col("pos") + 1).as("extractor"),
+        col("value"))
+  }
+
   /** Score specs against the sample gold and keep the top-k
     * (`evaluate` + `get_topk_scripts_per_field`). Also returns the
     * sample-gold extraction fraction — `combine_extractions`
@@ -264,6 +304,24 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
     (specs.filter(s => keep.contains(s.key)), frac)
   }
 
+  /** Sample-side half of one attribute's cascade: synthesis → gold →
+    * scoring/top-k. Returns (selected specs, sample-gold extraction
+    * fraction). The expensive lake pass is NOT here — callers batch
+    * it ([[applySpecsAll]]) or run it per attribute
+    * ([[profileAttribute]]).
+    */
+  def selectSpecsForAttribute(
+      sampleChunks: DataFrame,
+      attribute: String,
+      doEndToEnd: Boolean): (Seq[ExtractorSpec], Double) = {
+    // per-attribute error scope: the bail counter lives and dies with
+    // this cascade, matching the reference's per-attribute loop
+    val cl    = new BailingLlmClient(client, cfg.maxConsecutiveLlmErrors)
+    val specs = synthesizeSpecs(attribute, sampleChunks, cl)
+    val gold  = goldOnSample(attribute, sampleChunks, cl)
+    selectSpecs(attribute, specs, sampleChunks, gold, doEndToEnd)
+  }
+
   /** Full per-attribute cascade over the lake. Returns the long
     * extraction relation (path, attribute, value).
     */
@@ -272,12 +330,7 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
       sampleChunks: DataFrame,
       attribute: String,
       doEndToEnd: Boolean): DataFrame = {
-    // per-attribute error scope: the bail counter lives and dies with
-    // this cascade, matching the reference's per-attribute loop
-    val cl               = new BailingLlmClient(client, cfg.maxConsecutiveLlmErrors)
-    val specs            = synthesizeSpecs(attribute, sampleChunks, cl)
-    val gold             = goldOnSample(attribute, sampleChunks, cl)
-    val (selected, frac) = selectSpecs(attribute, specs, sampleChunks, gold, doEndToEnd)
+    val (selected, frac) = selectSpecsForAttribute(sampleChunks, attribute, doEndToEnd)
     if (selected.isEmpty) {
       emptyExtractions
     } else {
@@ -323,26 +376,27 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
       doEndToEnd: Boolean): (DataFrame, Seq[String]) = {
     import java.util.concurrent.{Callable, TimeoutException, TimeUnit}
     import scala.util.{Failure, Try}
-    // one code path for serial and parallel: par == 1 is just a
-    // single-thread pool, so the per-attribute timeout protects the
-    // serial configuration too (a wedged client must never hang the
-    // run regardless of attrParallelism)
+    // PHASE 1 — sample-side selection per attribute (synthesis, gold,
+    // scoring), parallel + bounded. One code path for serial and
+    // parallel: par == 1 is just a single-thread pool, so the
+    // per-attribute timeout protects the serial configuration too (a
+    // wedged client must never hang the run).
     val par = math.max(1, math.min(cfg.attrParallelism, attrsAll.size))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       par,
       (r: Runnable) => { val t = new Thread(r, "graft-attr"); t.setDaemon(true); t })
-    val results: Seq[(String, Try[DataFrame])] =
+    val selections: Seq[(String, Try[(Seq[ExtractorSpec], Double)])] =
       try {
         val futs = attrsAll.zipWithIndex.map { case (a, i) =>
-          pool.submit(new Callable[DataFrame] {
-            def call(): DataFrame = {
+          pool.submit(new Callable[(Seq[ExtractorSpec], Double)] {
+            def call(): (Seq[ExtractorSpec], Double) = {
               // FAIR mode schedules fairly ACROSS pools, while jobs
               // inside one pool (including 'default') queue FIFO — so
               // each attribute's jobs get their own pool, created on
               // demand by name; without this the FAIR config is inert
               spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-attr-${i % par}")
               spark.sparkContext.setJobGroup(s"graft-attr-$a", s"profile attribute $a", interruptOnCancel = true)
-              try profileAttribute(chunks, sampleChunks, a, doEndToEnd)
+              try selectSpecsForAttribute(sampleChunks, a, doEndToEnd)
               finally {
                 spark.sparkContext.clearJobGroup()
                 spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
@@ -368,14 +422,58 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
           })
         }
       } finally pool.shutdownNow()
-    val failed = results.collect { case (a, Failure(e)) =>
+    val failed = selections.collect { case (a, Failure(e)) =>
       org.slf4j.LoggerFactory
         .getLogger(classOf[Profiler])
         .warn(s"attribute cascade failed: $a (${e.getClass.getSimpleName}: ${e.getMessage})")
       a
     }
-    val frames = results.map { case (_, t) => t.getOrElse(emptyExtractions) }
-    (frames.reduce(_ unionByName _), failed)
+    val ok = selections.collect {
+      case (a, scala.util.Success((specs, frac))) if specs.nonEmpty => (a, specs, frac)
+    }
+    if (ok.isEmpty) return (emptyExtractions, failed)
+
+    // PHASE 2 — the lake pass. Majority-vote combiners run ONE
+    // combined scan for every attribute (applySpecsAll); the
+    // LLM-backed and WS combiners keep the per-attribute pass (their
+    // vote-combine step is itself attribute-scoped and LLM/driver
+    // bound, so there is no scan to save proportionally).
+    val extractions = cfg.combiner match {
+      case "mv" | "top_k" =>
+        val votes = applySpecsAll(chunks, ok.map(t => (t._1, t._2)))
+          .withColumn("value", Clean.cleanPrediction(col("value"), col("attribute")))
+        // abstain handling is a per-attribute scalar decision (frac vs
+        // thresh), so attributes split into two groups and each group
+        // votes in ONE aggregation — 2 passes over the extraction
+        // relation regardless of attribute count ("top_k" forces
+        // fraction 0: nothing drops abstains)
+        val dropAbstains = ok.collect {
+          case (a, _, frac) if cfg.combiner == "mv" && frac >= cfg.extractionFractionThresh => a
+        }.toSet
+        val groups = Seq(
+          (dropAbstains, 1.0, 0.0), // force the drop-abstain branch
+          (ok.map(_._1).toSet -- dropAbstains, 0.0, 1.0)) // force plain MV
+        groups
+          .collect { case (attrs, frac, thresh) if attrs.nonEmpty =>
+            Combiners
+              .majorityVoteAbstainAware(
+                votes.filter(col("attribute").isin(attrs.toSeq: _*)),
+                Seq("path", "attribute"),
+                "value",
+                extractionFraction = frac,
+                thresh = thresh)
+              .select(col("path"), col("attribute"), col("value"))
+          }
+          .reduce(_ unionByName _)
+      case _ =>
+        ok.map { case (a, specs, frac) =>
+          val votes = applySpecs(keywordFiltered(chunks, a), specs)
+            .withColumn("value", Clean.cleanPrediction(col("value"), lit(a)))
+          combineVotes(votes, a, frac)
+            .select(col("path"), lit(a).as("attribute"), col("value"))
+        }.reduce(_ unionByName _)
+    }
+    (extractions, failed)
   }
 
   /** Empty (path, attribute, value) frame — a failed/specless

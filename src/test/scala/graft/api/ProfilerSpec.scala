@@ -66,6 +66,40 @@ class ProfilerSpec extends SparkSpec {
     assert(k1.nonEmpty, "regex spec should hit at least one doc")
   }
 
+  test("applySpecsAll: one lake scan for every attribute's specs") {
+    import graft.extract.{FieldLine, RegexExtract}
+    val chunks = lake
+      .select(col("path"), col("content").as("chunk"), lit(0).as("chunk_id"))
+    val specsByAttr = Seq(
+      "510(k) number" -> Seq[graft.extract.ExtractorSpec](RegexExtract("function_0", "([A-Z]\\d{6})")),
+      "applicant"     -> Seq[graft.extract.ExtractorSpec](FieldLine("function_0", "applicant")),
+      "device name"   -> Seq[graft.extract.ExtractorSpec](FieldLine("function_0", "device name")))
+    val out  = profiler.applySpecsAll(chunks, specsByAttr)
+    val plan = out.queryExecution.executedPlan.toString
+    // the lake relation must be scanned ONCE for all three attributes
+    // (the old path cost one scan per attribute)
+    val scans = plan.linesIterator.count(l => l.contains("Scan ExistingRDD") || l.contains("FileScan"))
+    assert(scans == 1, s"expected 1 lake scan for 3 attributes, got $scans:\n$plan")
+    // semantics: rows only for (attr, doc) pairs with candidate
+    // chunks; each attribute's specs fire only on its own rows
+    val rows = out.collect()
+    assert(rows.forall(_.getAs[String]("value") != null))
+    val k1 = rows.filter(r => r.getAs[String]("attribute") == "510(k) number" && r.getAs[String]("value").nonEmpty)
+    assert(k1.nonEmpty, "regex spec should hit at least one doc")
+    // parity with the per-attribute path, byte for byte
+    val legacy = specsByAttr
+      .map { case (a, specs) =>
+        profiler
+          .applySpecs(
+            graft.lake.ChunkFilter.keywordChunkFilter(chunks, spark.createDataFrame(Seq(Tuple1(a))).toDF("attribute"), "path"),
+            specs)
+          .select(col("path"), lit(a).as("attribute"), col("extractor"), col("value"))
+      }
+      .reduce(_ unionByName _)
+      .collect()
+    assert(rows.map(_.toSeq).toSet == legacy.map(_.toSeq).toSet)
+  }
+
   test("per-attribute cascades overlap via the driver thread pool") {
     ProfilerSpec.active.set(0)
     ProfilerSpec.maxActive.set(0)
