@@ -341,14 +341,15 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
     }
   }
 
-  /** All attribute cascades, `cfg.attrParallelism` at a time on a
-    * driver thread pool. Each cascade's driver-side steps (sample
-    * collects, LLM batches, spec scoring) run on its own thread, so
-    * attribute i+1's sample work overlaps attribute i's lake jobs —
-    * Spark schedules concurrent jobs from separate threads, FAIR mode
-    * (Sessions.local) keeps them from head-of-line blocking. Result
-    * order is attrsAll order regardless of completion order, so the
-    * union is deterministic.
+  /** All attribute cascades in two phases: sample-side selection
+    * (synthesis, gold, scoring) runs `cfg.attrParallelism` attributes
+    * at a time on a driver thread pool — Spark schedules concurrent
+    * jobs from separate threads, FAIR mode (Sessions.local) keeps
+    * them from head-of-line blocking — then the whole-lake APPLY runs
+    * as ONE combined scan for every selected attribute
+    * ([[applySpecsAll]], mv/top_k combiners) or per attribute
+    * (ws/pick_value). Result order is attrsAll order regardless of
+    * completion order, so the output is deterministic.
     */
   def profileAttributes(
       chunks: DataFrame,
