@@ -633,8 +633,17 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
     val (attrs, extractions) =
       if (!doEnd) (attrsAll, extractionsAll)
       else {
-        val dropped = checkRemoveAttributes(extractionsAll).toSet
-        (attrsAll.filterNot(dropped), extractionsAll.filter(!col("attribute").isin(dropped.toSeq: _*)))
+        // OpenIE's validity filter runs several actions over the
+        // extraction relation (the aggregate check + one sample
+        // collect per borderline attribute) and the final pivot reads
+        // it once more — without a persist each action re-executes
+        // the WHOLE lake APPLY. The relation is extraction-sized
+        // (docs × attributes), far smaller than the lake; it stays
+        // cached for the returned view's consumption (evictable, like
+        // the CC label cache).
+        val cached  = extractionsAll.persist()
+        val dropped = checkRemoveAttributes(cached).toSet
+        (attrsAll.filterNot(dropped), cached.filter(!col("attribute").isin(dropped.toSeq: _*)))
       }
     // every lake file appears in the view — docs with no extraction
     // carry nulls (abstention), they don't vanish from the index

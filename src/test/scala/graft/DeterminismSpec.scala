@@ -67,6 +67,13 @@ class DeterminismSpec extends SparkSpec {
     assert(fingerprint(k4) == fingerprint(k13))
   }
 
+  test("full cascade (one-pass APPLY) is stable across runs and partitionings") {
+    val a = fingerprint(SparkEntry.cascadeOn(spark, sf0001))
+    val b = fingerprint(SparkEntry.cascadeOn(spark, sf0001))
+    assert(a == b, "cascade differs between identical runs")
+    assert(a.nonEmpty)
+  }
+
   test("profiler sampling is partition-layout independent") {
     import spark.implicits._
     val lake = (1 to 40).map(i => (s"doc$i.txt", s"field: v$i")).toDF("path", "content")
