@@ -34,11 +34,26 @@ object Bench {
     }
     // Steady-state timing (JMH-style): one untimed warm-up execution
     // per query triggers Janino codegen + JIT compilation of that
-    // query's generated classes, then the timed run measures the
-    // plan's real execution cost. Measured on this box: first run of
-    // a pure-projection query costs up to 6s of compile, 0.5s steady
-    // — and at deployment scale the one-time compile amortizes to
-    // zero, so steady state is the number that predicts 100 TB cost.
+    // query's generated classes, then MEDIAN-OF-3 timed runs measure
+    // the plan's real execution cost. Single-run timing produced 2-4×
+    // phantom swings on byte-identical code across rounds (r5-r7:
+    // q_dedup_keep_best 2.11→4.96 s with zero code change) — the
+    // median of three suppresses one-off GC/scheduler/page-cache
+    // outliers in either direction. At deployment scale the one-time
+    // compile amortizes to zero, so steady state is the number that
+    // predicts 100 TB cost.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    def medianOf3(run: () => Unit): Double = {
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        run()
+        val sec = (System.nanoTime() - t0) / 1e9
+        // GC between reps so one rep's garbage doesn't bill the next
+        System.gc()
+        sec
+      }.sorted
+      times(times.length / 2)
+    }
     // optional comma-separated query filter for local profiling runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq
@@ -47,9 +62,7 @@ object Bench {
       val ok =
         try { evalAll(fn(spark, sfDir)); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); false }
-      val t0 = System.nanoTime()
-      if (ok) evalAll(fn(spark, sfDir))
-      val sec = (System.nanoTime() - t0) / 1e9
+      val sec = if (ok) medianOf3(() => evalAll(fn(spark, sfDir))) else 0.0
       if (!ok) System.err.println(s"[bench] $name FAILED")
       // drop persisted frames a query leaves behind (e.g. the CC
       // label cache): queries are independent, so any surviving cache
@@ -74,9 +87,7 @@ object Bench {
         val ok =
           try { evalAll(mk()); true }
           catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); false }
-        val t0 = System.nanoTime()
-        if (ok) evalAll(mk())
-        val sec = (System.nanoTime() - t0) / 1e9
+        val sec = if (ok) medianOf3(() => evalAll(mk())) else 0.0
         spark.catalog.clearCache()
         System.gc()
         if (ok) Some(name -> sec) else None

@@ -12,21 +12,32 @@ object Tables {
 
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
-    * parquet reader only accepts as long (nanosAsLong). Read it that
-    * way and surface a proper timestamp column (µs precision).
+  /** events.parquet's `ts` physical type has shifted across testdata
+    * generations — TIMESTAMP(NANOS) (readable only as long via
+    * nanosAsLong), then TIMESTAMP(isAdjustedToUTC=false) which Spark 4
+    * reads as TIMESTAMP_NTZ. This seam absorbs both flavors and always
+    * surfaces a session-tz TIMESTAMP column (µs precision) so that
+    * downstream µs arithmetic (`unix_micros`) resolves.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, sfDir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // exact integer floor-division: long / long promotes to double
-      // (ulp ~256 ns at epoch magnitude), and bare `div` truncates
-      // toward zero, which mis-rounds pre-1970 (negative) nanos;
-      // subtracting pmod first makes div exact in both directions
-      raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // exact integer floor-division: long / long promotes to double
+        // (ulp ~256 ns at epoch magnitude), and bare `div` truncates
+        // toward zero, which mis-rounds pre-1970 (negative) nanos;
+        // subtracting pmod first makes div exact in both directions
+        raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      case TimestampNTZType =>
+        // numeric no-op under the engine's fixed UTC session timezone
+        // (Sessions sets spark.sql.session.timeZone=UTC); restores
+        // unix_micros, which rejects NTZ inputs
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "orders")
