@@ -254,6 +254,29 @@ object SparkEntry {
     prof.run(lake, Seq("topic", "source"))
   }
 
+  /** OpenIE end-to-end at an arbitrary scale factor — the full
+    * schema-id fan-out the reference calls Evaporate's headline mode
+    * (`schema_identification.py:14-87` → rerank → per-attribute
+    * cascades → `check_remove_attribute`): no attribute list is
+    * given, so the profiler must DISCOVER the schema from sample
+    * chunks before the cascade runs. Bench times this as
+    * `openie_e2e`, giving the discovery path a tracked wall-time
+    * (cascade_e2e covers ClosedIE only).
+    */
+  def openieOn(spark: SparkSession, dir: String): DataFrame = {
+    val lake = docs(spark, dir).select(
+      col("doc_id").cast("string").as("path"),
+      concat(
+        lit("topic: "), element_at(split(col("text"), " "), 1),
+        lit("\nsource: "), col("source"),
+        lit("\n"), col("text")).as("content"))
+    val prof = new graft.api.Profiler(
+      spark,
+      MockLlmClient(),
+      graft.api.ProfilerConfig(chunkSize = 1000, trainSize = 10))
+    prof.run(lake)
+  }
+
   /** Flagship spine at an arbitrary scale factor — Bench times this
     * at the bench SF as `entry_e2e` so the end-to-end path (not just
     * its unit queries) has a tracked wall-time.
@@ -494,6 +517,24 @@ object SparkEntry {
       LabelModel
         .dpPatternCounts(binaryVotes(s, dir), "doc_id", Seq("v1", "v2", "v3"))
         .orderBy(col("v_v1"), col("v_v2"), col("v_v3"))),
+
+    // §2.11 conditional entropy H(Y|votes) under the learned NB
+    // posterior (conditional_entropy, methods.py:597-631)
+    "q_cond_entropy" -> ((s, dir) => {
+      val accs = LabelModel.accuracies(binaryVotes(s, dir), binaryGold(s, dir), "doc_id")
+      LabelModel
+        .conditionalEntropy(binaryVotes(s, dir), accs, "doc_id")
+        .select(round(col("h_cond"), 6).as("h_cond"), col("n_docs"))
+    }),
+
+    // §2.11 conditional cross-entropy -1/n sum ln P(y_gold|votes)
+    // (cross_entropy_conditional, methods.py:694-707)
+    "q_cross_entropy" -> ((s, dir) => {
+      val accs = LabelModel.accuracies(binaryVotes(s, dir), binaryGold(s, dir), "doc_id")
+      LabelModel
+        .crossEntropyConditional(binaryVotes(s, dir), binaryGold(s, dir), accs, "doc_id")
+        .select(round(col("ce_cond"), 6).as("ce_cond"), col("n_docs"))
+    }),
 
     // §2.5 field frequency across docs (schema_identification.py:24,84)
     "q_field_count" -> ((s, dir) =>
@@ -1616,6 +1657,41 @@ object SparkEntry {
                    FROM votes GROUP BY doc_id)
           SELECT v_v1, v_v2, v_v3, count(*) AS n
           FROM wide GROUP BY v_v1, v_v2, v_v3 ORDER BY v_v1, v_v2, v_v3""",
+
+    "q_cond_entropy" ->
+      s"""WITH $votesCtes,
+          accs AS (SELECT v.extractor,
+                          least(greatest(avg(CASE WHEN v.vote = g.y THEN 1.0 ELSE 0.0 END), 0.0001), 0.9999) AS acc
+                   FROM votes v JOIN gold g ON v.doc_id = g.doc_id
+                   WHERE v.vote <> 0 GROUP BY v.extractor),
+          scored AS (SELECT v.doc_id,
+                            exp(sum(CASE WHEN v.vote = 0 THEN 0.0 WHEN v.vote = 1 THEN ln(a.acc) ELSE ln(1.0 - a.acc) END)) AS score_pos,
+                            exp(sum(CASE WHEN v.vote = 0 THEN 0.0 WHEN v.vote = -1 THEN ln(a.acc) ELSE ln(1.0 - a.acc) END)) AS score_neg
+                     FROM votes v JOIN accs a ON v.extractor = a.extractor
+                     GROUP BY v.doc_id),
+          post AS (SELECT doc_id, 0.5 * score_pos / (0.5 * score_pos + 0.5 * score_neg) AS p FROM scored)
+          SELECT round(-avg(CASE WHEN p > 0 THEN p * ln(p) ELSE 0.0 END +
+                            CASE WHEN p < 1 THEN (1.0 - p) * ln(1.0 - p) ELSE 0.0 END), 6) AS h_cond,
+                 count(*) AS n_docs
+          FROM post""",
+
+    "q_cross_entropy" ->
+      s"""WITH $votesCtes,
+          accs AS (SELECT v.extractor,
+                          least(greatest(avg(CASE WHEN v.vote = g.y THEN 1.0 ELSE 0.0 END), 0.0001), 0.9999) AS acc
+                   FROM votes v JOIN gold g ON v.doc_id = g.doc_id
+                   WHERE v.vote <> 0 GROUP BY v.extractor),
+          scored AS (SELECT v.doc_id,
+                            exp(sum(CASE WHEN v.vote = 0 THEN 0.0 WHEN v.vote = 1 THEN ln(a.acc) ELSE ln(1.0 - a.acc) END)) AS score_pos,
+                            exp(sum(CASE WHEN v.vote = 0 THEN 0.0 WHEN v.vote = -1 THEN ln(a.acc) ELSE ln(1.0 - a.acc) END)) AS score_neg
+                     FROM votes v JOIN accs a ON v.extractor = a.extractor
+                     GROUP BY v.doc_id),
+          post AS (SELECT s.doc_id,
+                          CASE WHEN g.y = 1 THEN 0.5 * s.score_pos / (0.5 * s.score_pos + 0.5 * s.score_neg)
+                               ELSE 0.5 * s.score_neg / (0.5 * s.score_pos + 0.5 * s.score_neg) END AS p_gold
+                   FROM scored s JOIN gold g ON s.doc_id = g.doc_id)
+          SELECT round(-avg(ln(greatest(p_gold, 1e-300))), 6) AS ce_cond, count(*) AS n_docs
+          FROM post""",
 
     "q_field_count" ->
       s"""WITH $fieldCountSql

@@ -66,11 +66,27 @@ final case class ProfilerConfig(
     maxConsecutiveLlmErrors: Int = 10
 )
 
+object Profiler {
+  /** Prompts per LlmClient.complete call inside executor-side
+    * mapPartitions stages (llmMap, pickValueCombine, DirectExtract).
+    * Bounds per-task buffering to batch size — a whole-partition
+    * buffer grows with partition size, which at 100 TB is unbounded —
+    * while keeping calls multi-prompt for clients that batch/pipeline
+    * HTTP requests. 64 amortizes connection reuse and stays far under
+    * any provider's request-size ceiling at ~3 KB/prompt.
+    */
+  val LlmBatchSize: Int = 64
+}
+
 class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = ProfilerConfig()) {
 
-  /** D2 → D3: chunk the lake. lake: (path, content). */
+  /** D2 → D3: chunk the lake, dispatching on format
+    * (`profiler_utils.py:200-214`): html/xhtml paths go through the
+    * tag-aware html chunker, everything else through the text packer.
+    * lake: (path, content).
+    */
   def prepare(lake: DataFrame): DataFrame =
-    Chunker.chunkText(lake, "path", "content", cfg.chunkSize)
+    Chunker.chunkAuto(lake, "path", "path", "content", cfg.chunkSize)
 
   /** Deterministic train sample: first n docs by md5(path) — stable
     * across runs and engines, no RNG (replaces seeded random.sample,
@@ -566,13 +582,17 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
       org.apache.spark.sql.types.StructField(keyCol, disputed.schema(keyCol).dataType),
       org.apache.spark.sql.types.StructField("attribute", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType)))
+    // fixed-size prompt batches (not a whole-partition buffer): the
+    // disputed relation is doc-count-sized, so a partition of it can
+    // be arbitrarily large at scale
     val resolved = disputed.mapPartitions { rows =>
-      val buf = rows.toArray
-      val answers = cl.complete(buf.iterator.map { r =>
-        Prompts.pickValue(r.getAs[String]("attribute"), r.getAs[scala.collection.Seq[String]]("cands").toSeq)
-      })
-      buf.iterator.zip(answers).map { case (r, a) =>
-        org.apache.spark.sql.Row(r.get(0), r.getAs[String]("attribute"), a.trim)
+      rows.grouped(Profiler.LlmBatchSize).flatMap { batch =>
+        val answers = cl.complete(batch.iterator.map { r =>
+          Prompts.pickValue(r.getAs[String]("attribute"), r.getAs[scala.collection.Seq[String]]("cands").toSeq)
+        })
+        batch.iterator.zip(answers).map { case (r, a) =>
+          org.apache.spark.sql.Row(r.get(0), r.getAs[String]("attribute"), a.trim)
+        }
       }
     }(org.apache.spark.sql.Encoders.row(schema))
     unanimous.unionByName(resolved)
@@ -655,7 +675,11 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
 
   /** mapPartitions LLM stage over chunks → (path, chunk, completion).
     * Dataset.mapPartitions keeps the stage streaming-compatible, like
-    * DirectExtract and Encode.embed.
+    * DirectExtract and Encode.embed. Prompts flow in fixed-size
+    * batches ([[Profiler.LlmBatchSize]]) instead of buffering the
+    * whole partition: memory is bounded by batch size regardless of
+    * how many chunk rows a 100 TB partition holds, and batching
+    * clients still see multi-prompt calls for connection reuse.
     */
   private def llmMap(chunks: DataFrame, mkPrompt: String => String): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType(
@@ -663,9 +687,10 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
     val cl = client
     val fn = mkPrompt
     chunks.mapPartitions { rows =>
-      val buf     = rows.toArray
-      val answers = cl.complete(buf.iterator.map(r => fn(r.getAs[String]("chunk"))))
-      buf.iterator.zip(answers).map(r => org.apache.spark.sql.Row.fromSeq(r._1.toSeq :+ r._2))
+      rows.grouped(Profiler.LlmBatchSize).flatMap { batch =>
+        val answers = cl.complete(batch.iterator.map(r => fn(r.getAs[String]("chunk"))))
+        batch.iterator.zip(answers).map(r => org.apache.spark.sql.Row.fromSeq(r._1.toSeq :+ r._2))
+      }
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 }

@@ -581,6 +581,105 @@ object LabelModel {
     extractors.zip(alpha).toMap
   }
 
+  /** Conditional entropy H(Y | votes) (`conditional_entropy`,
+    * `methods.py:597-631`): −1/n Σ_docs Σ_y P(y|v) ln P(y|v), with the
+    * learned NB posterior treated as the true P(y|v) (exactly the
+    * reference's estimator). Relational: per-doc posteriors are the
+    * [[naiveBayesPredict]] scores — one keyed aggregation over the
+    * vote relation — and the entropy mean is a second, 1-row
+    * aggregation; nothing driver-side touches per-doc data.
+    * Returns 1 row: (h_cond, n_docs). pPos is the class prior
+    * (P(y=+1)); the reference's symmetric DP model uses 1/2.
+    */
+  def conditionalEntropy(
+      votes: DataFrame,
+      accs: DataFrame,
+      keyCol: String,
+      pPos: Double = 0.5): DataFrame = {
+    val nb = naiveBayesPredict(votes, accs, keyCol)
+    val p  = lit(pPos) * col("score_pos") /
+      (lit(pPos) * col("score_pos") + lit(1.0 - pPos) * col("score_neg"))
+    val term = (c: org.apache.spark.sql.Column) => when(c > 0, c * log(c)).otherwise(lit(0.0))
+    nb.select(p.as("p"))
+      .agg((-avg(term(col("p")) + term(lit(1.0) - col("p")))).as("h_cond"), count(lit(1)).as("n_docs"))
+  }
+
+  /** Conditional cross-entropy vs gold (`cross_entropy_conditional`,
+    * `methods.py:694-707`): −1/n Σ ln P(y = gold_i | v_i) under the
+    * same NB posterior. The joint cross-entropy −1/n Σ ln P(v, y)
+    * (`cross_entropy`, `methods.py:709-723`) decomposes as this value
+    * plus the label-free vote cross-entropy (ln P(v,y) = ln P(y|v) +
+    * ln P(v)), so it needs no separate relational pass — see
+    * [[entropyFromPatterns]] for the P(v) half.
+    * Returns 1 row: (ce_cond, n_docs).
+    */
+  def crossEntropyConditional(
+      votes: DataFrame,
+      gold: DataFrame,
+      accs: DataFrame,
+      keyCol: String,
+      pPos: Double = 0.5): DataFrame = {
+    val nb = naiveBayesPredict(votes, accs, keyCol).join(broadcast(gold), Seq(keyCol))
+    val p  = lit(pPos) * col("score_pos") /
+      (lit(pPos) * col("score_pos") + lit(1.0 - pPos) * col("score_neg"))
+    nb.select(when(col("y") === 1, p).otherwise(lit(1.0) - p).as("p_gold"))
+      .agg((-avg(log(greatest(col("p_gold"), lit(1e-300))))).as("ce_cond"), count(lit(1)).as("n_docs"))
+  }
+
+  /** Driver-side entropy diagnostics from the already-collected DP
+    * sufficient statistics ([[dpPatternCounts]] output — ensemble-
+    * bounded, never lake-sized): returns (H(Y|votes),
+    * −1/n Σ ln P(v)) under the symmetric coverage model
+    * P(v_i|y) = [v_i=0 → 1−β_i; match → β_i·α_i; mismatch →
+    * β_i·(1−α_i)] — `cross_entropy_no_label`, `methods.py:725-735`.
+    * Joint cross-entropy = [[crossEntropyConditional]] + the second
+    * member. Zero additional Spark jobs beyond the pattern collect.
+    */
+  def entropyFromPatterns(
+      patternCounts: DataFrame,
+      extractors: Seq[String],
+      accs: Map[String, Double],
+      coverage: Map[String, Double],
+      pPos: Double = 0.5): (Double, Double) = {
+    val m = extractors.size
+    val rows: Array[(Array[Int], Long)] = patternCounts
+      .collect()
+      .map(r => (Array.tabulate(m)(i => r.getInt(i)), r.getLong(m)))
+    val n = rows.map(_._2).sum.toDouble
+    var hCond = 0.0
+    var ceV   = 0.0
+    rows.foreach { case (v, cnt) =>
+      var lp = math.log(pPos); var ln = math.log(1.0 - pPos)
+      var i  = 0
+      while (i < m) {
+        val a = accs(extractors(i)); val b = coverage(extractors(i))
+        if (v(i) == 0) { lp += math.log(1.0 - b); ln += math.log(1.0 - b) }
+        else if (v(i) == 1) { lp += math.log(b * a); ln += math.log(b * (1.0 - a)) }
+        else { lp += math.log(b * (1.0 - a)); ln += math.log(b * a) }
+        i += 1
+      }
+      // log-sum-exp for ln P(v); posterior from the same two terms
+      val mx  = math.max(lp, ln)
+      val lv  = mx + math.log(math.exp(lp - mx) + math.exp(ln - mx))
+      val p   = math.exp(lp - lv)
+      val ent = -(if (p > 0) p * math.log(p) else 0.0) - (if (p < 1) (1 - p) * math.log(1 - p) else 0.0)
+      hCond += cnt / n * ent
+      ceV -= cnt / n * lv
+    }
+    (hCond, ceV)
+  }
+
+  /** Per-extractor coverage P(vote ≠ 0) — the β of the symmetric DP
+    * model; one aggregation over the vote relation.
+    */
+  def coverageMap(votes: DataFrame): Map[String, Double] =
+    votes
+      .groupBy(col("extractor"))
+      .agg(avg(when(col("vote") =!= 0, 1.0).otherwise(0.0)).as("beta"))
+      .collect()
+      .map(r => r.getString(0) -> math.min(math.max(r.getDouble(1), 1e-4), 1.0 - 1e-4))
+      .toMap
+
   /** Neighborhood structure learning — the reference's supervised
     * Ising model selection (`structure_learning`/`learn_neighborhood`,
     * `binary_deps.py:244-374`; Ravikumar et al. 2010): for each voter

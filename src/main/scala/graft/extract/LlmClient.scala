@@ -32,14 +32,39 @@ trait LlmClient extends Serializable {
 /** Deterministic mock: answers extraction prompts of the form
   * "attribute: X\ntext: ..." with the first "X: value" line found in
   * the text; schema-id prompts with the "k: v"-shaped lines present.
-  * Canned overrides win (keyed by exact prompt) — the test fixture
-  * path (FIXTURES.md A7).
+  * HTML text is read the way an LLM would: `<meta name="X"
+  * content="V">` and `<X>V</X>` count as (X, V) pairs for both
+  * extraction and schema-id, and synthesis prompts whose example
+  * chunk is HTML elicit an `html`-kind spec (HtmlSelector) instead of
+  * a field_line — the SWDE-style corpus path (`run.sh:4-27`,
+  * `prompts.py:206-281`). Canned overrides win (keyed by exact
+  * prompt) — the test fixture path (FIXTURES.md A7).
   */
 final case class MockLlmClient(canned: Map[String, String] = Map.empty) extends LlmClient {
   private val fieldLine = java.util.regex.Pattern.compile("(?m)^\\s*([A-Za-z0-9()/ _-]{1,40}?)\\s*:\\s*(.+?)\\s*$")
+  private val metaPair  = java.util.regex.Pattern.compile("(?is)<meta[^>]*\\bname\\s*=\\s*[\"']([^\"']+)[\"'][^>]*\\bcontent\\s*=\\s*[\"']([^\"']*)[\"']")
+  private val titlePair = java.util.regex.Pattern.compile("(?is)<(title)[^>]*>(.*?)</title>")
 
   def complete(prompts: Iterator[String]): Iterator[String] = prompts.map { p =>
     canned.getOrElse(p, answer(p))
+  }
+
+  private def quoted(s: String) = java.util.regex.Pattern.quote(s)
+
+  /** First (attr, value) hit in HTML text: the attr's meta tag, else
+    * an `<attr>` element (e.g. title).
+    */
+  private def htmlValue(attr: String, text: String): String = {
+    val meta = java.util.regex.Pattern
+      .compile(s"(?is)<meta[^>]*\\bname\\s*=\\s*[\"']${quoted(attr)}[\"'][^>]*\\bcontent\\s*=\\s*[\"']([^\"']*)[\"']")
+      .matcher(text)
+    if (meta.find()) meta.group(1)
+    else {
+      val tag = java.util.regex.Pattern
+        .compile(s"(?is)<${quoted(attr)}[^>]*>(.*?)</${quoted(attr)}>")
+        .matcher(text)
+      if (tag.find()) tag.group(1).trim else ""
+    }
   }
 
   private def answer(p: String): String = {
@@ -48,11 +73,19 @@ final case class MockLlmClient(canned: Map[String, String] = Map.empty) extends 
     val ai         = p.indexOf(attrMarker)
     val ti         = p.indexOf(textMarker)
     if (p.contains("write an extractor spec")) {
-      // function-synthesis prompts → a FieldLine spec for the attribute
+      // function-synthesis prompts → a spec for the attribute; an
+      // HTML example chunk elicits an html-kind spec (the shape the
+      // reference's prompts produce on SWDE pages), else field_line
       val m = java.util.regex.Pattern.compile("extracts \"([^\"]+)\"").matcher(p)
       if (m.find()) {
-        val attr = m.group(1)
-        ExtractorSpec.toJson(FieldLine(s"fn_${attr.replaceAll("[^A-Za-z0-9]", "_")}", attr))
+        val attr    = m.group(1)
+        val key     = s"fn_${attr.replaceAll("[^A-Za-z0-9]", "_")}"
+        val exIdx   = p.indexOf("example: ")
+        val example = if (exIdx >= 0) p.substring(exIdx + "example: ".length) else ""
+        val exLc    = example.toLowerCase
+        if (exLc.contains(s"""name="${attr.toLowerCase}"""")) ExtractorSpec.toJson(HtmlSelector(key, "meta", "content"))
+        else if (exLc.contains(s"<${attr.toLowerCase}>")) ExtractorSpec.toJson(HtmlSelector(key, attr))
+        else ExtractorSpec.toJson(FieldLine(key, attr))
       } else ""
     } else if (p.contains("Answer yes or no")) {
       "yes"
@@ -69,16 +102,23 @@ final case class MockLlmClient(canned: Map[String, String] = Map.empty) extends 
     } else if (ai >= 0 && ti >= 0) {
       val attr = p.substring(ai + attrMarker.length, p.indexOf('\n', ai).max(ai + attrMarker.length))
       val text = p.substring(ti + textMarker.length)
-      val m    = java.util.regex.Pattern.compile("(?im)^\\s*" + java.util.regex.Pattern.quote(attr.trim) + "\\s*[:=]\\s*(.+?)\\s*$").matcher(text)
-      if (m.find()) m.group(1) else ""
+      val m    = java.util.regex.Pattern.compile("(?im)^\\s*" + quoted(attr.trim) + "\\s*[:=]\\s*(.+?)\\s*$").matcher(text)
+      if (m.find()) m.group(1)
+      else htmlValue(attr.trim, text) // HTML docs: meta/tag hit or abstain
     } else {
       // schema-id shape: emit the field: value lines present in the
       // document text (only scan after the "text:" marker so prompt
-      // instructions don't leak in as fields)
+      // instructions don't leak in as fields); HTML meta/title tags
+      // count as pairs too — how the reference's schema-id prompt
+      // reads SWDE pages
       val body = if (ti >= 0) p.substring(ti + textMarker.length) else p
       val m    = fieldLine.matcher(body)
       val sb   = new StringBuilder
       while (m.find()) { sb.append(m.group(1)).append(": ").append(m.group(2)).append('\n') }
+      val mm = metaPair.matcher(body)
+      while (mm.find()) { sb.append(mm.group(1)).append(": ").append(mm.group(2)).append('\n') }
+      val tm = titlePair.matcher(body)
+      while (tm.find()) { sb.append(tm.group(1)).append(": ").append(tm.group(2).trim).append('\n') }
       sb.toString
     }
   }
@@ -131,18 +171,21 @@ object DirectExtract {
 
   /** chunks: (idCol, attribute, chunk). Output adds (extractor, value).
     * Dataset.mapPartitions (not `df.rdd`), so the stage also runs
-    * inside a STREAMING plan — extraction on ingest.
+    * inside a STREAMING plan — extraction on ingest. Prompts flow in
+    * fixed-size batches (graft.api.Profiler.LlmBatchSize) so per-task
+    * memory is bounded by batch size, not partition size.
     */
   def apply(chunks: DataFrame, client: LlmClient, idCol: String, extractorName: String = "llm"): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType(
       chunks.schema.fields :+ org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType))
     val out = chunks.mapPartitions { rows =>
-      val buf     = rows.toArray
-      val prompts = buf.iterator.map { r =>
-        s"attribute: ${r.getAs[String]("attribute")}\ntext: ${r.getAs[String]("chunk")}"
+      rows.grouped(graft.api.Profiler.LlmBatchSize).flatMap { batch =>
+        val prompts = batch.iterator.map { r =>
+          s"attribute: ${r.getAs[String]("attribute")}\ntext: ${r.getAs[String]("chunk")}"
+        }
+        val answers = client.complete(prompts)
+        batch.iterator.zip(answers).map { case (r, a) => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ a) }
       }
-      val answers = client.complete(prompts)
-      buf.iterator.zip(answers).map { case (r, a) => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ a) }
     }(org.apache.spark.sql.Encoders.row(schema))
     out.withColumn("extractor", lit(extractorName))
   }

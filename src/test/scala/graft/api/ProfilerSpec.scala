@@ -329,6 +329,60 @@ class ProfilerSpec extends SparkSpec {
     val acc = hits.sum.toDouble / hits.size
     assert(acc == 1.0, s"gold accuracy $acc < 1.0")
   }
+
+  // ---- HTML golden lake (SWDE-shaped corpus — the reference's
+  // flagship input, run.sh:4-27): .html paths dispatch through
+  // chunkAuto → chunkHtml, syntheses elicit HtmlSelector specs ----
+
+  private val htmlLakeDir = new java.io.File("src/test/resources/goldlake_html").getAbsolutePath
+  private val htmlAttrs   = Seq("title", "applicant", "device name", "decision date")
+
+  private def htmlLake = Tables
+    .rawLake(spark, htmlLakeDir + "/*.html")
+    .withColumn("path", regexp_extract(col("path"), "([^/]+)$", 1))
+
+  private def htmlGold: Map[String, Map[String, String]] = {
+    implicit val fmts: Formats = DefaultFormats
+    val src = scala.io.Source.fromFile(s"$htmlLakeDir/gold.json")
+    try JsonMethods.parse(src.mkString).extract[Map[String, Map[String, String]]]
+    finally src.close()
+  }
+
+  // chunkSize 64: each meta tag lands in its own chunk, so the keyword
+  // filter isolates the attribute's tag — the per-line granularity the
+  // reference's html chunker produces on SWDE pages
+  private def htmlProfiler = new Profiler(spark, MockLlmClient(), ProfilerConfig(chunkSize = 64, trainSize = 6))
+
+  test("ClosedIE cascade over an HTML lake matches gold (chunkAuto + HtmlSelector)") {
+    val view = htmlProfiler.run(htmlLake, htmlAttrs)
+    val got = view.collect().map { r =>
+      r.getAs[String]("path") -> htmlAttrs.map(a => a -> r.getAs[String](a)).toMap
+    }.toMap
+    htmlGold.foreach { case (path, fields) =>
+      fields.foreach { case (attr, want) =>
+        assert(got(path)(attr) == want, s"$path/$attr: got ${got(path).get(attr)}, want $want")
+      }
+    }
+    // the prose-only page must abstain on every attribute
+    val noise = got("doc6.html")
+    assert(htmlAttrs.forall(a => noise(a) == null || noise(a).isEmpty), s"doc6 hallucinated: $noise")
+  }
+
+  test("OpenIE discovers the schema from HTML meta tags and matches gold") {
+    val view = htmlProfiler.run(htmlLake)
+    assert(
+      htmlAttrs.forall(view.columns.contains),
+      s"missing discovered attributes: ${htmlAttrs.filterNot(view.columns.contains)} in ${view.columns.toSeq}")
+    val got = view.collect().map { r =>
+      r.getAs[String]("path") -> htmlAttrs.map(a => a -> r.getAs[String](a)).toMap
+    }.toMap
+    val hits = for {
+      (path, fields) <- htmlGold.toSeq
+      (attr, want)   <- fields.toSeq
+    } yield if (got(path)(attr) == want) 1 else 0
+    val acc = hits.sum.toDouble / hits.size
+    assert(acc == 1.0, s"gold accuracy $acc < 1.0")
+  }
 }
 
 /** Static counters for the overlap probe: local-mode executor copies

@@ -71,6 +71,43 @@ class LabelModelSpec extends SparkSpec {
     assert(acc > 0.8, s"NB accuracy $acc should beat best single (0.8)")
   }
 
+  test("entropy diagnostics match hand-computed values") {
+    // 2 extractors with FIXED accuracies (0.8, 0.6), 4 docs covering
+    // agree / disagree / single-vote / all-abstain patterns — every
+    // posterior and entropy below is hand-computed from the NB model
+    val votes = Seq(
+      (1L, "a", 1), (1L, "b", 1),   // p(y=+1|v) = .48/.56     = 6/7
+      (2L, "a", 1), (2L, "b", -1),  // p = .32/.44             = 8/11
+      (3L, "a", -1), (3L, "b", 0),  // p = .2/1.0              = 0.2
+      (4L, "a", 0), (4L, "b", 0)    // p                       = 0.5
+    ).toDF("doc_id", "extractor", "vote")
+    val gold = Seq((1L, 1), (2L, -1), (3L, -1), (4L, 1)).toDF("doc_id", "y")
+    val accs = Seq(("a", 0.8), ("b", 0.6)).toDF("extractor", "acc")
+
+    def h(p: Double) = -p * math.log(p) - (1 - p) * math.log(1 - p)
+    val wantH = (h(6.0 / 7) + h(8.0 / 11) + h(0.2) + h(0.5)) / 4
+    val gotH  = LabelModel.conditionalEntropy(votes, accs, "doc_id").head.getDouble(0)
+    assert(math.abs(gotH - wantH) < 1e-9, s"H(y|v): got $gotH, want $wantH")
+
+    // p of the GOLD label per doc: 6/7, 3/11, 0.8, 0.5
+    val wantCe = -(math.log(6.0 / 7) + math.log(3.0 / 11) + math.log(0.8) + math.log(0.5)) / 4
+    val gotCe  = LabelModel.crossEntropyConditional(votes, gold, accs, "doc_id").head.getDouble(0)
+    assert(math.abs(gotCe - wantCe) < 1e-9, s"CE(y|v): got $gotCe, want $wantCe")
+
+    // driver-side halves from the DP sufficient statistics: same
+    // H(y|v) (coverage cancels in the posterior), and the label-free
+    // vote cross-entropy −mean ln P(v) with β_a=3/4, β_b=1/2
+    val patterns = LabelModel.dpPatternCounts(votes, "doc_id", Seq("a", "b"))
+    val cov      = LabelModel.coverageMap(votes)
+    assert(math.abs(cov("a") - 0.75) < 1e-9 && math.abs(cov("b") - 0.5) < 1e-9)
+    val (hPat, ceV) = LabelModel.entropyFromPatterns(
+      patterns, Seq("a", "b"), Map("a" -> 0.8, "b" -> 0.6), cov)
+    assert(math.abs(hPat - wantH) < 1e-9, s"pattern H: got $hPat, want $wantH")
+    // P(v) per doc: .105, .0825, .1875, .125 (hand-computed)
+    val wantCeV = -(math.log(0.105) + math.log(0.0825) + math.log(0.1875) + math.log(0.125)) / 4
+    assert(math.abs(ceV - wantCeV) < 1e-9, s"CE(v): got $ceV, want $wantCeV")
+  }
+
   test("confusionMatrix clips probabilities into [1e-4, 0.9999]") {
     val votes = Seq((1L, "e", 1), (2L, "e", 1)).toDF("doc_id", "extractor", "vote")
     val gold  = Seq((1L, 1), (2L, 1)).toDF("doc_id", "y")
