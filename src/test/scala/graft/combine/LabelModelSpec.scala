@@ -108,6 +108,47 @@ class LabelModelSpec extends SparkSpec {
     assert(math.abs(ceV - wantCeV) < 1e-9, s"CE(v): got $ceV, want $wantCeV")
   }
 
+  test("snorkel_lm cross-check: unsupervised EM matches the supervised conditional table and decode") {
+    // the reference's snorkel_lm (methods.py:761-784) fits Snorkel's
+    // MeTaL label model and reads back get_conditional_probs() — the
+    // P(vote | y) table. The engine's declared stance: its
+    // unsupervised fitters solve the SAME latent-variable model, so on
+    // one shared fixture the DP-EM marginal MLE must (1) recover the
+    // parameters the supervised estimate sees, (2) reproduce the
+    // conditional-probability table, (3) decode like the supervised
+    // model — the numerical content of the MeTaL cross-check without
+    // a torch/Snorkel dependency
+    val planted       = Map("a" -> 0.85, "b" -> 0.7, "c" -> 0.6)
+    val (votes, gold) = plantedVotes(8000, planted)
+    val em            = LabelModel.dataProgrammingFit(votes, "doc_id", Seq("a", "b", "c"))
+    // (1) parameter recovery vs the supervised accuracies
+    val sup = LabelModel.accuracies(votes, gold, "doc_id")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    planted.keys.foreach { e =>
+      assert(math.abs(em(e) - sup(e)) < 0.03, s"$e: EM ${em(e)} vs supervised ${sup(e)}")
+    }
+    // (2) conditional-probability table: model-implied P(v|y) vs the
+    // empirical confusion estimates (get_conditional_probs analogue;
+    // no abstains in this fixture, so P(v=y|y)=α, P(v=-y|y)=1-α)
+    LabelModel.confusionMatrix(votes, gold, "doc_id").collect().foreach { r =>
+      val (e, y, v, p) = (r.getString(0), r.getInt(1), r.getInt(2), r.getDouble(4))
+      val want         = if (v == y) em(e) else 1.0 - em(e)
+      assert(math.abs(p - want) < 0.03, s"P(v=$v|y=$y) for $e: empirical $p vs model $want")
+    }
+    // (3) decode agreement: NB posterior argmax under EM params vs
+    // under supervised params
+    val accsEm  = em.toSeq.toDF("extractor", "acc")
+    val accsSup = LabelModel.accuracies(votes, gold, "doc_id")
+    val predEm = LabelModel.naiveBayesPredict(votes, accsEm, "doc_id")
+      .select(col("doc_id"), col("nb_pred").as("pred_em"))
+    val predSup = LabelModel.naiveBayesPredict(votes, accsSup, "doc_id")
+      .select(col("doc_id"), col("nb_pred").as("pred_sup"))
+    val agree = predEm.join(predSup, "doc_id")
+      .agg(avg(when(col("pred_em") === col("pred_sup"), 1.0).otherwise(0.0)))
+      .head.getDouble(0)
+    assert(agree > 0.99, s"decode agreement $agree < 0.99")
+  }
+
   test("confusionMatrix clips probabilities into [1e-4, 0.9999]") {
     val votes = Seq((1L, "e", 1), (2L, "e", 1)).toDF("doc_id", "extractor", "vote")
     val gold  = Seq((1L, 1), (2L, 1)).toDF("doc_id", "y")
