@@ -112,12 +112,16 @@ object Chunker {
   }
 
   /** Format-dispatching chunker (`profiler_utils.py:200-214`): html
-    * suffixes go through the html path, everything else text.
+    * suffixes go through the html path, everything else text. The
+    * dispatch happens per ROW inside one UDF — a filter-per-format
+    * union would scan the lake once per format, and this operator
+    * sits at the head of every profiler run.
     */
   def chunkAuto(docs: DataFrame, idCol: String, pathCol: String, textCol: String, chunkSize: Int): DataFrame = {
-    val isHtml = lower(col(pathCol)).rlike("\\.(html?|xhtml)$")
-    chunkHtml(docs.filter(isHtml), idCol, textCol, chunkSize)
-      .unionByName(chunkText(docs.filter(!isHtml), idCol, textCol, chunkSize))
+    val f = udf((path: String, t: String) =>
+      if (path != null && path.toLowerCase.matches(".*\\.(html?|xhtml)$")) splitHtml(t, chunkSize)
+      else splitText(t, chunkSize))
+    docs.select(col(idCol), posexplode(f(col(pathCol), col(textCol))).as(Seq("chunk_id", "chunk")))
   }
 
   /** Chunk trimming on context overflow (`trim_chunks`,
