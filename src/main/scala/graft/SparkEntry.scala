@@ -536,6 +536,21 @@ object SparkEntry {
         .select(round(col("ce_cond"), 6).as("ce_cond"), col("n_docs"))
     }),
 
+    // §2.11 H(Y | MV output) (conditional_entropy_mv, methods.py:669-692)
+    "q_cond_entropy_mv" -> ((s, dir) =>
+      LabelModel
+        .conditionalEntropyMv(binaryVotes(s, dir), binaryGold(s, dir), "doc_id")
+        .select(round(col("h_mv"), 6).as("h_mv"), col("n_docs"))),
+
+    // §2.11 H(Y | WS output), posterior-weighted
+    // (conditional_entropy_singleton, methods.py:632-667)
+    "q_cond_entropy_singleton" -> ((s, dir) => {
+      val accs = LabelModel.accuracies(binaryVotes(s, dir), binaryGold(s, dir), "doc_id")
+      LabelModel
+        .conditionalEntropySingleton(binaryVotes(s, dir), binaryGold(s, dir), accs, "doc_id")
+        .select(round(col("h_singleton"), 6).as("h_singleton"), col("n_docs"))
+    }),
+
     // §2.5 field frequency across docs (schema_identification.py:24,84)
     "q_field_count" -> ((s, dir) =>
       SchemaId.fieldCount(docFields(s, dir), "doc_id").orderBy(col("field"))),
@@ -1692,6 +1707,46 @@ object SparkEntry {
                    FROM scored s JOIN gold g ON s.doc_id = g.doc_id)
           SELECT round(-avg(ln(greatest(p_gold, 1e-300))), 6) AS ce_cond, count(*) AS n_docs
           FROM post""",
+
+    "q_cond_entropy_mv" ->
+      s"""WITH $votesCtes,
+          mvp AS (SELECT doc_id, CASE WHEN sum(vote) >= 0 THEN 1 ELSE -1 END AS mv_pred
+                  FROM votes GROUP BY doc_id),
+          yacc AS (SELECT m.mv_pred, avg(CASE WHEN g.y = 1 THEN 1.0 ELSE 0.0 END) AS p_pos
+                   FROM mvp m JOIN gold g ON m.doc_id = g.doc_id GROUP BY m.mv_pred),
+          hs AS (SELECT mv_pred,
+                        CASE WHEN p_pos > 0 THEN -p_pos * ln(p_pos) ELSE 0.0 END +
+                        CASE WHEN p_pos < 1 THEN -(1.0 - p_pos) * ln(1.0 - p_pos) ELSE 0.0 END AS h
+                 FROM yacc)
+          SELECT round(avg(h), 6) AS h_mv, count(*) AS n_docs
+          FROM mvp m JOIN hs ON m.mv_pred = hs.mv_pred""",
+
+    "q_cond_entropy_singleton" ->
+      s"""WITH $votesCtes,
+          accs AS (SELECT v.extractor,
+                          least(greatest(avg(CASE WHEN v.vote = g.y THEN 1.0 ELSE 0.0 END), 0.0001), 0.9999) AS acc
+                   FROM votes v JOIN gold g ON v.doc_id = g.doc_id
+                   WHERE v.vote <> 0 GROUP BY v.extractor),
+          scored AS (SELECT v.doc_id,
+                            exp(sum(CASE WHEN v.vote = 0 THEN 0.0 WHEN v.vote = 1 THEN ln(a.acc) ELSE ln(1.0 - a.acc) END)) AS score_pos,
+                            exp(sum(CASE WHEN v.vote = 0 THEN 0.0 WHEN v.vote = -1 THEN ln(a.acc) ELSE ln(1.0 - a.acc) END)) AS score_neg
+                     FROM votes v JOIN accs a ON v.extractor = a.extractor
+                     GROUP BY v.doc_id),
+          post AS (SELECT doc_id,
+                          0.5 * score_pos / (0.5 * score_pos + 0.5 * score_neg) AS p,
+                          CASE WHEN score_pos >= score_neg THEN 1 ELSE -1 END AS pred
+                   FROM scored),
+          yacc AS (SELECT p2.pred, avg(CASE WHEN g.y = 1 THEN 1.0 ELSE 0.0 END) AS p_pos
+                   FROM post p2 JOIN gold g ON p2.doc_id = g.doc_id GROUP BY p2.pred),
+          hs AS (SELECT max(CASE WHEN pred = 1 THEN h END) AS h_pos,
+                        max(CASE WHEN pred = -1 THEN h END) AS h_neg
+                 FROM (SELECT pred,
+                              CASE WHEN p_pos > 0 THEN -p_pos * ln(p_pos) ELSE 0.0 END +
+                              CASE WHEN p_pos < 1 THEN -(1.0 - p_pos) * ln(1.0 - p_pos) ELSE 0.0 END AS h
+                       FROM yacc))
+          SELECT round(avg(p * coalesce(h_pos, 0.0) + (1.0 - p) * coalesce(h_neg, 0.0)), 6) AS h_singleton,
+                 count(*) AS n_docs
+          FROM post LEFT JOIN hs ON true""",
 
     "q_field_count" ->
       s"""WITH $fieldCountSql

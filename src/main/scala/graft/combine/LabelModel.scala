@@ -626,6 +626,61 @@ object LabelModel {
       .agg((-avg(log(greatest(col("p_gold"), lit(1e-300))))).as("ce_cond"), count(lit(1)).as("n_docs"))
   }
 
+  /** H(Y | MV output) (`conditional_entropy_mv`, `methods.py:669-692`):
+    * majority-vote prediction per doc (ties → +1, like
+    * [[naiveBayesPredict]]), P(y | ŷ) estimated from gold per
+    * predicted class, entropy of that conditional averaged over docs.
+    * Two keyed aggregations + one tiny (2-row) join.
+    * Returns 1 row: (h_mv, n_docs).
+    */
+  def conditionalEntropyMv(votes: DataFrame, gold: DataFrame, keyCol: String): DataFrame = {
+    val pred = votes
+      .groupBy(col(keyCol))
+      .agg(when(sum(col("vote")) >= 0, 1).otherwise(-1).as("mv_pred"))
+    val term = (c: org.apache.spark.sql.Column) => when(c > 0, -c * log(c)).otherwise(lit(0.0))
+    val yAcc = pred
+      .join(gold, Seq(keyCol))
+      .groupBy(col("mv_pred"))
+      .agg(avg(when(col("y") === 1, 1.0).otherwise(0.0)).as("p_pos"))
+      .select(col("mv_pred"), (term(col("p_pos")) + term(lit(1.0) - col("p_pos"))).as("h"))
+    pred
+      .join(broadcast(yAcc), Seq("mv_pred"))
+      .agg(avg(col("h")).as("h_mv"), count(lit(1)).as("n_docs"))
+  }
+
+  /** H(Y | WS output) (`conditional_entropy_singleton`,
+    * `methods.py:632-667`): the per-doc posterior P(ŷ=j | votes) from
+    * the NB model weights each predicted class's gold-estimated
+    * label-given-prediction entropy. A predicted class no doc lands in
+    * contributes 0 (the reference would divide by zero there).
+    * Returns 1 row: (h_singleton, n_docs).
+    */
+  def conditionalEntropySingleton(
+      votes: DataFrame,
+      gold: DataFrame,
+      accs: DataFrame,
+      keyCol: String,
+      pPos: Double = 0.5): DataFrame = {
+    val nb = naiveBayesPredict(votes, accs, keyCol)
+    val p  = lit(pPos) * col("score_pos") /
+      (lit(pPos) * col("score_pos") + lit(1.0 - pPos) * col("score_neg"))
+    val post = nb.select(col(keyCol), p.as("p"), col("nb_pred").as("pred"))
+    val term = (c: org.apache.spark.sql.Column) => when(c > 0, -c * log(c)).otherwise(lit(0.0))
+    val hByPred = post
+      .join(gold, Seq(keyCol))
+      .groupBy(col("pred"))
+      .agg(avg(when(col("y") === 1, 1.0).otherwise(0.0)).as("p_pos"))
+      .agg(
+        max(when(col("pred") === 1, term(col("p_pos")) + term(lit(1.0) - col("p_pos")))).as("h_pos"),
+        max(when(col("pred") === -1, term(col("p_pos")) + term(lit(1.0) - col("p_pos")))).as("h_neg"))
+    post
+      .crossJoin(broadcast(hByPred))
+      .agg(
+        avg(col("p") * coalesce(col("h_pos"), lit(0.0)) +
+          (lit(1.0) - col("p")) * coalesce(col("h_neg"), lit(0.0))).as("h_singleton"),
+        count(lit(1)).as("n_docs"))
+  }
+
   /** Driver-side entropy diagnostics from the already-collected DP
     * sufficient statistics ([[dpPatternCounts]] output — ensemble-
     * bounded, never lake-sized): returns (H(Y|votes),

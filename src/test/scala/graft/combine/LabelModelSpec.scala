@@ -94,6 +94,20 @@ class LabelModelSpec extends SparkSpec {
     val gotCe  = LabelModel.crossEntropyConditional(votes, gold, accs, "doc_id").head.getDouble(0)
     assert(math.abs(gotCe - wantCe) < 1e-9, s"CE(y|v): got $gotCe, want $wantCe")
 
+    // MV variant: preds (+1,+1,-1,+1) — ties vote +1; P(y=+1|pred=+1)
+    // = 2/3 over docs {1,2,4}, P(y=+1|pred=-1) = 0 → per-pred
+    // entropies h(2/3) and 0, averaged over docs
+    val wantMv = 3.0 / 4 * h(2.0 / 3)
+    val gotMv  = LabelModel.conditionalEntropyMv(votes, gold, "doc_id").head.getDouble(0)
+    assert(math.abs(gotMv - wantMv) < 1e-9, s"H(y|mv): got $gotMv, want $wantMv")
+
+    // singleton variant: NB argmax partitions docs the same way here,
+    // so ce_i = p_i·h(2/3) + (1-p_i)·0 and the mean is h(2/3)·mean(p)
+    val meanP    = (6.0 / 7 + 8.0 / 11 + 0.2 + 0.5) / 4
+    val wantSing = h(2.0 / 3) * meanP
+    val gotSing  = LabelModel.conditionalEntropySingleton(votes, gold, accs, "doc_id").head.getDouble(0)
+    assert(math.abs(gotSing - wantSing) < 1e-9, s"H(y|ws): got $gotSing, want $wantSing")
+
     // driver-side halves from the DP sufficient statistics: same
     // H(y|v) (coverage cancels in the posterior), and the label-free
     // vote cross-entropy −mean ln P(v) with β_a=3/4, β_b=1/2
