@@ -20,6 +20,23 @@ class EntrySpec extends SparkSpec {
     assert(extracted >= n * 9 / 10, s"only $extracted/$n docs got a topic")
   }
 
+  test("Tables.events normalizes ts to session-tz TIMESTAMP at every SF") {
+    // the driver's events.parquet has shipped two physical ts flavors
+    // (TIMESTAMP(NANOS), then TIMESTAMP_NTZ) across testdata
+    // generations; the loader seam must always surface TimestampType
+    // so unix_micros arithmetic resolves — the r7 regression gate
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.TimestampType
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .filter(d => new java.io.File(s"$d/events.parquet").exists())
+      .foreach { d =>
+        val ev = graft.lake.Tables.events(spark, d)
+        assert(ev.schema("ts").dataType == TimestampType, s"$d: ${ev.schema("ts").dataType}")
+        val n = ev.select(unix_micros(col("ts")).as("um")).filter(col("um").isNotNull).count()
+        assert(n > 0, s"$d: unix_micros produced no rows")
+      }
+  }
+
   test("queries and oracleSql keys are consistent") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
