@@ -73,6 +73,9 @@ object Encode {
     * (not `df.rdd`, which streaming plans reject), so the same stage
     * embeds a readStream ingest — new documents get vectors as they
     * arrive, with the client's cache deduplicating re-deliveries.
+    * Texts flow in fixed-size batches (graft.api.Profiler.LlmBatchSize)
+    * so per-task memory is bounded by batch size, not partition size —
+    * same contract as the LLM seams.
     */
   def embed(
       df: DataFrame,
@@ -83,10 +86,11 @@ object Encode {
     val cl     = client
     val ti     = df.schema.fieldIndex(textCol)
     df.mapPartitions { rows =>
-      val buf  = rows.toArray
-      val vecs = cl.encode(buf.iterator.map(r => r.getString(ti)))
-      buf.iterator.zip(vecs).map { case (r, v) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v.toSeq)
+      rows.grouped(graft.api.Profiler.LlmBatchSize).flatMap { batch =>
+        val vecs = cl.encode(batch.iterator.map(r => r.getString(ti)))
+        batch.iterator.zip(vecs).map { case (r, v) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ v.toSeq)
+        }
       }
     }(org.apache.spark.sql.Encoders.row(schema))
   }
