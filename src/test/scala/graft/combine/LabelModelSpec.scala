@@ -122,6 +122,21 @@ class LabelModelSpec extends SparkSpec {
     assert(math.abs(ceV - wantCeV) < 1e-9, s"CE(v): got $ceV, want $wantCeV")
   }
 
+  test("conditionalEntropySingleton: a predicted class with no docs contributes 0") {
+    // every doc predicts +1 (unanimous positive votes) → the pred=-1
+    // entropy row is absent; the reference would divide by zero there,
+    // the engine's coalesce treats the empty class as zero entropy
+    val votes = Seq((1L, "a", 1), (1L, "b", 1), (2L, "a", 1), (2L, "b", 1))
+      .toDF("doc_id", "extractor", "vote")
+    val gold = Seq((1L, 1), (2L, -1)).toDF("doc_id", "y")
+    val accs = Seq(("a", 0.8), ("b", 0.6)).toDF("extractor", "acc")
+    // both docs: p = .48/.56 = 6/7, pred +1; P(y=+1|pred=+1) = 1/2 →
+    // H = ln 2; ce = mean(p·ln2 + (1-p)·0) = (6/7)·ln2
+    val got  = LabelModel.conditionalEntropySingleton(votes, gold, accs, "doc_id").head.getDouble(0)
+    val want = 6.0 / 7 * math.log(2)
+    assert(math.abs(got - want) < 1e-9, s"got $got, want $want")
+  }
+
   test("snorkel_lm cross-check: unsupervised EM matches the supervised conditional table and decode") {
     // the reference's snorkel_lm (methods.py:761-784) fits Snorkel's
     // MeTaL label model and reads back get_conditional_probs() — the

@@ -36,6 +36,19 @@ class ChunkerSpec extends SparkSpec {
     assert(out.forall(_.getString(2).length <= 50))
   }
 
+  test("chunkAuto dispatches per row: html paths strip scripts, txt paths don't") {
+    val html = "<html>\n<script>var x = 1;</script>\n<p>kept text</p>\n</html>"
+    val df = Seq(
+      ("a.html", html),
+      ("a.txt", html) // same CONTENT, txt suffix → text chunker, script survives
+    ).toDF("path", "content")
+    val out = Chunker.chunkAuto(df, "path", "path", "content", 1000).collect()
+    val byPath = out.groupBy(_.getString(0)).map { case (p, rs) => p -> rs.map(_.getString(2)).mkString("\n") }
+    assert(!byPath("a.html").contains("var x"), s"html path kept script: ${byPath("a.html")}")
+    assert(byPath("a.html").contains("kept text"))
+    assert(byPath("a.txt").contains("var x"), "txt path must not strip scripts")
+  }
+
   test("dynamicBackoff keeps chunk ids within mean+stddev") {
     val chunks = Seq(
       (1L, 0), (1L, 1), (2L, 0), (2L, 1), (2L, 2), (2L, 3), (2L, 4), (3L, 0))
