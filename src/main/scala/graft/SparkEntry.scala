@@ -254,6 +254,27 @@ object SparkEntry {
     prof.run(lake, Seq("topic", "source"))
   }
 
+  /** ClosedIE cascade over an HTML lake at an arbitrary scale factor —
+    * the reference's flagship corpus shape (SWDE HTML lakes,
+    * `run.sh:4-27`): every document rendered as a page with the
+    * derived fields in `<title>` / `<meta>` tags, so the cascade must
+    * route through the html chunker and synthesize HtmlSelector specs.
+    * Bench times this as `html_cascade_e2e`.
+    */
+  def htmlCascadeOn(spark: SparkSession, dir: String): DataFrame = {
+    val lake = docs(spark, dir).select(
+      concat(col("doc_id").cast("string"), lit(".html")).as("path"),
+      concat(
+        lit("<html>\n<head>\n<title>"), element_at(split(col("text"), " "), 1), lit("</title>\n"),
+        lit("<meta name=\"source\" content=\""), col("source"), lit("\">\n"),
+        lit("</head>\n<body>\n"), col("text"), lit("\n</body>\n</html>")).as("content"))
+    val prof = new graft.api.Profiler(
+      spark,
+      MockLlmClient(),
+      graft.api.ProfilerConfig(chunkSize = 200, trainSize = 10))
+    prof.run(lake, Seq("title", "source"))
+  }
+
   /** OpenIE end-to-end at an arbitrary scale factor — the full
     * schema-id fan-out the reference calls Evaporate's headline mode
     * (`schema_identification.py:14-87` → rerank → per-attribute

@@ -20,6 +20,18 @@ class EntrySpec extends SparkSpec {
     assert(extracted >= n * 9 / 10, s"only $extracted/$n docs got a topic")
   }
 
+  test("htmlCascadeOn: HTML-lake cascade recovers title and source at sf0.001") {
+    import org.apache.spark.sql.functions._
+    val view = SparkEntry.htmlCascadeOn(spark, sf0001)
+    val n    = view.count()
+    assert(n > 0)
+    assert(view.columns.toSet == Set("path", "title", "source"))
+    val extracted = view.filter(col("title").isNotNull && length(col("title")) > 0).count()
+    assert(extracted >= n * 9 / 10, s"only $extracted/$n docs got a title")
+    val sourced = view.filter(col("source").isNotNull && length(col("source")) > 0).count()
+    assert(sourced >= n * 9 / 10, s"only $sourced/$n docs got a source")
+  }
+
   test("Tables.events normalizes ts to session-tz TIMESTAMP at every SF") {
     // the driver's events.parquet has shipped two physical ts flavors
     // (TIMESTAMP(NANOS), then TIMESTAMP_NTZ) across testdata
