@@ -871,6 +871,16 @@ object SparkEntry {
     "q_vocab_topk" -> ((s, dir) =>
       TextStats.vocabTopK(docs(s, dir), "text", k = 50).orderBy(col("rank"))),
 
+    // training-data ops: exact heavy hitters by the two-pass
+    // Misra-Gries pattern — pass 1 one bounded-state sketch
+    // aggregation (≤ 2·capacity entries shuffle per partition, never
+    // the vocabulary), pass 2 exact re-count of the candidate
+    // superset; output is exact, so the sketch's partitioning
+    // nondeterminism never reaches the result
+    "q_heavy_hitters" -> ((s, dir) =>
+      TextStats.heavyHitters(docs(s, dir), "text", support = 0.033, capacity = 256)
+        .orderBy(desc("cnt"), col("token"))),
+
     // training-data ops: deterministic stratified downsampling —
     // md5-derived keep decision (same rows on any cluster size or
     // engine), per-lang rates rebalance the corpus
@@ -916,6 +926,18 @@ object SparkEntry {
       val d = docs(s, dir)
       Curation.contaminatedDocs(
           d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // training-data ops: Bloom-prefiltered decontamination — the
+    // eval-side-too-big-to-hash scale path (broadcast ~10-bit/entry
+    // Bloom test map-side, exact semi-join only on the surviving
+    // sliver); result is exact, FPs killed by the confirm join
+    "q_decontam_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.decontaminateBloom(
+          d.filter(col("doc_id") % 89 =!= 0), d.filter(col("doc_id") % 89 === 0),
           "doc_id", "text", n = 3)
         .orderBy(col("doc_id"))
     }),
@@ -2264,6 +2286,14 @@ object SparkEntry {
          SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS rank
          FROM c ORDER BY rank""",
 
+    "q_heavy_hitters" ->
+      """WITH tok AS (SELECT t AS token
+                      FROM documents, unnest(string_split(text, ' ')) AS u(t) WHERE len(t) > 0),
+          tot AS (SELECT count(*) AS n FROM tok),
+          c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
+         SELECT token, cnt FROM c, tot WHERE cnt >= ceil(0.033 * n)
+         ORDER BY cnt DESC, token""",
+
     "q_pii_scrub" ->
       """SELECT doc_id,
                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
@@ -2285,6 +2315,16 @@ object SparkEntry {
           ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
          SELECT g.doc_id, count(DISTINCT g.gram) AS n_overlap
          FROM g JOIN ev USING (gram) WHERE g.doc_id % 97 <> 0
+         GROUP BY g.doc_id ORDER BY g.doc_id""",
+
+    "q_decontam_bloom" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+                       FROM documents),
+          g AS (SELECT doc_id, list_aggregate(t[i+1:i+3], 'string_agg', ' ') AS gram
+                FROM toks, unnest(range(0, greatest(len(t) - 2, 0))) AS u(i)),
+          ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 89 = 0)
+         SELECT g.doc_id, count(DISTINCT g.gram) AS n_overlap
+         FROM g JOIN ev USING (gram) WHERE g.doc_id % 89 <> 0
          GROUP BY g.doc_id ORDER BY g.doc_id""",
 
     "q_seq_pack" ->

@@ -125,6 +125,53 @@ object Curation {
       .agg(countDistinct(col("gram_h")).as("n_overlap"))
   }
 
+  /** Bloom-prefiltered decontamination — same result as
+    * [[contaminatedDocs]] (the false-positive-free exact overlap),
+    * different scale path: when the eval suite outgrows a broadcast
+    * HASH table (a hash relation costs ~50–100 bytes/entry; a Bloom
+    * filter ~10 BITS/entry at 1% fpp — a 1B-gram eval side is ~1.2 GB
+    * of filter vs ~80 GB of hash relation), the corpus side is first
+    * cut down by a broadcast Bloom-filter test — pure map-side, no
+    * join machinery, drops ~all grams — and only the surviving sliver
+    * (true hits + fpp·misses) enters the exact semi-join that removes
+    * the false positives. The join side the planner sees is then the
+    * post-Bloom minority, so even a shuffle join moves almost nothing.
+    *
+    * The Bloom filter is BUILT distributed (`stat.bloomFilter` is an
+    * RDD tree-aggregate of fixed-size bitsets — no gram collection on
+    * the driver) and shipped once per executor as a broadcast.
+    *
+    * Output: (id, n_overlap) — bit-identical to [[contaminatedDocs]].
+    */
+  def decontaminateBloom(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    val evalGrams = evalSet
+      .select(explode(wordNgramsFastDistinct(col(textCol), n)).as("gram"))
+      .select(xxhash64(col("gram")).as("gram_h"))
+    // expected-items bound for sizing: one cheap count on the small
+    // side (benchmark suites are MBs; this is not the 100 TB side)
+    val nEval = math.max(evalGrams.count(), 1L)
+    val bf    = evalGrams.stat.bloomFilter("gram_h", nEval, fpp)
+    val bcBf  = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bcBf.value.mightContainLong(h))
+    corpus
+      .select(col(idCol), explode(wordNgramsFastDistinct(col(textCol), n)).as("gram"))
+      .select(col(idCol), xxhash64(col("gram")).as("gram_h"))
+      .filter(mightContain(col("gram_h")))
+      // exact confirm kills the Bloom false positives; deliberately NO
+      // broadcast hint — this models the eval-side-too-big-to-hash
+      // case (at test scale AQE may still choose broadcast; fine)
+      .join(evalGrams, Seq("gram_h"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("gram_h")).as("n_overlap"))
+  }
+
   /** Per-doc duplicate-n-gram fraction: the share of a doc's DISTINCT
     * word n-grams that also occur in at least one OTHER doc — the
     * corpus-level cousin of the Gopher within-doc repetition signals,

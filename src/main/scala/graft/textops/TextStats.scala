@@ -405,4 +405,53 @@ object TextStats {
       "rank",
       row_number().over(Window.orderBy(desc("n"), col("token"))))
   }
+
+  /** Exact heavy hitters over an unbounded vocabulary via the
+    * two-pass sketch-then-confirm pattern: tokens whose corpus
+    * frequency is at least `support × N` (N = total token count).
+    *
+    * Pass 1 is ONE aggregation over the exploded tokens computing a
+    * Misra–Gries summary (bounded state: ≤ 2·capacity entries per
+    * partition, merged map-side — see
+    * [[graft.expressions.MisraGriesAgg]]) alongside the exact N.
+    * MG guarantees every token with count > N/(capacity+1) survives,
+    * so with `capacity ≥ 2/support` the candidate set is a strict
+    * superset of the true heavy hitters. Pass 2 re-scans, keeps only
+    * candidate tokens (a ≤ capacity-entry broadcast literal filter —
+    * the aggregation state is now bounded by the candidate count,
+    * not the vocabulary), counts exactly, and applies the threshold.
+    *
+    * Why not a plain groupBy(token)? At 100 TB the vocabulary is
+    * billions of distinct tokens: the single-pass exact aggregation
+    * shuffles every singleton token. Here the shuffle volume is
+    * ≤ 2·capacity entries per partition in pass 1 and only
+    * candidate-token rows in pass 2. The OUTPUT is exact and
+    * partitioning-independent (MG's nondeterministic stragglers are
+    * killed by the exact pass-2 threshold), hence oracle-checkable.
+    *
+    * Output: (token, cnt) with cnt ≥ ceil(support·N).
+    */
+  def heavyHitters(
+      df: DataFrame,
+      textCol: String,
+      support: Double,
+      capacity: Int): DataFrame = {
+    require(support > 0 && support < 1, s"support must be in (0,1), got $support")
+    require(
+      capacity + 1 > math.ceil(1.0 / support).toInt,
+      s"capacity $capacity too small for support $support: MG recall needs capacity+1 > 1/support")
+    import graft.expressions.FreqSketch.mgSketch
+    val tokens = df.select(explode(toks(col(textCol))).as("token"))
+    val row = tokens
+      .agg(mgSketch(col("token"), capacity).as("mg"), count(lit(1)).as("n"))
+      .head()
+    val candidates = row.getMap[String, Long](0).keys.toSeq
+    val total      = row.getLong(1)
+    val threshold  = math.ceil(support * total).toLong
+    tokens
+      .filter(col("token").isin(candidates: _*))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+  }
 }

@@ -53,6 +53,19 @@ class CurationSpec extends SparkSpec {
     assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("decontaminateBloom is bit-identical to contaminatedDocs on real docs") {
+    val d      = spark.read.parquet(s"$sf0001/documents.parquet")
+    val corpus = d.filter(col("doc_id") % 7 =!= 0)
+    val ev     = d.filter(col("doc_id") % 7 === 0)
+    val exact = Curation.contaminatedDocs(corpus, ev, "doc_id", "text", n = 3)
+    val bloom = Curation.decontaminateBloom(corpus, ev, "doc_id", "text", n = 3)
+    assert(exact.count() > 0)
+    // exceptAll both ways: the Bloom path's false positives must all
+    // die in the confirm join, leaving the exact multiset
+    assert(bloom.exceptAll(exact).count() == 0)
+    assert(exact.exceptAll(bloom).count() == 0)
+  }
+
   test("packSequences assigns running-offset packs per stream") {
     val df = Seq(
       (1L, "en", "a b c"),      // 3 toks, cum 0 → pack 0 off 0
