@@ -39,8 +39,24 @@ object Tables {
       case _ => raw
     }
   }
-  def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")
-  def orders(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "orders")
+  /** Cast every TIMESTAMP_NTZ column to session-tz TIMESTAMP (a
+    * numeric no-op under the engine's fixed UTC session timezone).
+    * The driver's parquet writer has flipped `isAdjustedToUTC` across
+    * testdata generations (r7 broke six event queries that way);
+    * orders/lineitem date columns currently ship NTZ too and merely
+    * happen to survive because no query µs-extracts them — normalize
+    * at the seam so a future flavor flip can't take queries down.
+    */
+  private def normalizeNtz(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.TimestampNTZType
+    df.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(df) {
+      (d, f) => d.withColumn(f.name, col(f.name).cast("timestamp"))
+    }
+  }
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame   = normalizeNtz(table(spark, sfDir, "lineitem"))
+  def orders(spark: SparkSession, sfDir: String): DataFrame     = normalizeNtz(table(spark, sfDir, "orders"))
 
   /** Raw data-lake scan: every file under `dir` as (path, content).
     * Mirrors the reference's dir-scan + file-read

@@ -49,6 +49,21 @@ class EntrySpec extends SparkSpec {
       }
   }
 
+  test("Tables.orders/lineitem surface no TIMESTAMP_NTZ column at any SF") {
+    // o_orderdate / l_shipdate currently ship NTZ and only survive
+    // because no query µs-extracts them; the seam normalizes so a
+    // future flavor flip can't reproduce the r7 event-query break
+    import org.apache.spark.sql.types.TimestampNTZType
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .filter(d => new java.io.File(s"$d/orders.parquet").exists())
+      .foreach { d =>
+        Seq(graft.lake.Tables.orders(spark, d), graft.lake.Tables.lineitem(spark, d)).foreach { t =>
+          val ntz = t.schema.fields.filter(_.dataType == TimestampNTZType).map(_.name)
+          assert(ntz.isEmpty, s"$d: NTZ columns survived the seam: ${ntz.mkString(",")}")
+        }
+      }
+  }
+
   test("queries and oracleSql keys are consistent") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
