@@ -63,6 +63,25 @@ class FreqSketchSpec extends SparkSpec {
     }
   }
 
+  test("mg_sketch runs as a streaming aggregation across micro-batches") {
+    // the buffer must survive serialize/deserialize through the state
+    // store between triggers — the streaming heavy-hitter ingest path
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in  = MemoryStream[String]
+    val agg = in.toDF().toDF("token").agg(FreqSketch.mgSketch(col("token"), 8).as("mg"))
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName("mg_out").start()
+    in.addData(Seq.fill(50)("alpha") ++ (1 to 30).map(i => s"x$i"): _*)
+    q.processAllAvailable()
+    in.addData(Seq.fill(40)("beta") ++ (1 to 30).map(i => s"y$i"): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("mg_out").head().getMap[String, Long](0)
+    // N=150, cap=8 → anything with count > 150/9 ≈ 16 must survive
+    assert(got.contains("alpha") && got.contains("beta"))
+    assert(got.size <= 8)
+  }
+
   test("capacity guard rejects a support the sketch cannot guarantee") {
     val df = Seq("a", "b").toDF("text")
     intercept[IllegalArgumentException] {
