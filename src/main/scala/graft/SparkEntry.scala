@@ -942,6 +942,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // training-data ops: fuzzy (MinHash-LSH) decontamination — catches
+    // lightly-edited/truncated eval copies that verbatim gram overlap
+    // under-reports; the eval fixture is an 80%-prefix copy of every
+    // 83rd doc (an eval item excerpted from a training page), so each
+    // planted item must resolve back to its source
+    "q_decontam_fuzzy" -> ((s, dir) => {
+      val d  = docs(s, dir)
+      val tk = filter(split(col("text"), " "), t => length(t) > 0)
+      val nk = greatest(floor(size(tk) * 4 / 5).cast("int"), lit(1))
+      val ev = d.filter(col("doc_id") % 83 === 0)
+        .select(col("doc_id"), array_join(slice(tk, lit(1), nk), " ").as("text"))
+      // bands=4/rows=2: decontamination wants RECALL — more, narrower
+      // bands raise P(candidate) at a given similarity (0.8-Jaccard
+      // truncated copy: 1-(1-0.8²)⁴ ≈ 98% vs 65% at 2×4)
+      Curation.decontaminateFuzzy(d, ev, "doc_id", "text",
+          shingleN = 3, numHashes = 8, bands = 4, minJaccard = 0.3)
+        .orderBy(col("doc_id"))
+    }),
+
     // training-data ops: sequence packing — running-token-offset pack
     // assignment per language stream, 64-token context windows
     "q_seq_pack" -> ((s, dir) =>
@@ -2326,6 +2345,46 @@ object SparkEntry {
          SELECT g.doc_id, count(DISTINCT g.gram) AS n_overlap
          FROM g JOIN ev USING (gram) WHERE g.doc_id % 89 <> 0
          GROUP BY g.doc_id ORDER BY g.doc_id""",
+
+    "q_decontam_fuzzy" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+                       FROM documents),
+          ev AS (SELECT doc_id AS eval_id, t[1:greatest(len(t) * 4 // 5, 1)] AS t
+                 FROM toks WHERE doc_id % 83 = 0),
+          csh AS (SELECT doc_id,
+                         list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                                      i -> array_to_string(t[i:i+2], ' '))) AS sh
+                  FROM toks),
+          esh AS (SELECT eval_id,
+                         list_distinct(list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                                                      i -> array_to_string(t[i:i+2], ' '))) AS sh
+                  FROM ev),
+          csig AS (SELECT doc_id, sh,
+                          list_transform(range(0, 8), s ->
+                            list_min(list_transform(sh, g ->
+                              ('0x' || substr(md5(g || '#' || CAST(s AS VARCHAR)), 1, 15))::BIGINT))) AS sig
+                   FROM csh),
+          esig AS (SELECT eval_id, sh,
+                          list_transform(range(0, 8), s ->
+                            list_min(list_transform(sh, g ->
+                              ('0x' || substr(md5(g || '#' || CAST(s AS VARCHAR)), 1, 15))::BIGINT))) AS sig
+                   FROM esh),
+          cb AS (SELECT doc_id, sh, b.band_idx,
+                        md5(array_to_string(sig[b.band_idx * 2 + 1 : b.band_idx * 2 + 2], ',')) AS band_key
+                 FROM csig, (SELECT unnest(range(0, 4)) AS band_idx) b),
+          eb AS (SELECT eval_id, sh, b.band_idx,
+                        md5(array_to_string(sig[b.band_idx * 2 + 1 : b.band_idx * 2 + 2], ',')) AS band_key
+                 FROM esig, (SELECT unnest(range(0, 4)) AS band_idx) b),
+          j AS (SELECT DISTINCT c.doc_id, e.eval_id,
+                       round(CAST(len(list_intersect(c.sh, e.sh)) AS DOUBLE)
+                             / (len(c.sh) + len(e.sh)
+                                - CAST(len(list_intersect(c.sh, e.sh)) AS DOUBLE)), 6) AS jaccard
+                FROM cb c JOIN eb e ON c.band_idx = e.band_idx AND c.band_key = e.band_key)
+         SELECT doc_id, eval_id, jaccard FROM (
+           SELECT doc_id, eval_id, jaccard,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, eval_id ASC) AS rn
+           FROM j WHERE jaccard >= 0.3)
+         WHERE rn = 1 ORDER BY doc_id""",
 
     "q_seq_pack" ->
       """WITH t AS (SELECT doc_id, lang,

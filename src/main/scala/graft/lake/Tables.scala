@@ -8,7 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    normalizeNtz(spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
@@ -44,8 +44,9 @@ object Tables {
     * The driver's parquet writer has flipped `isAdjustedToUTC` across
     * testdata generations (r7 broke six event queries that way);
     * orders/lineitem date columns currently ship NTZ too and merely
-    * happen to survive because no query µs-extracts them — normalize
-    * at the seam so a future flavor flip can't take queries down.
+    * happen to survive because no query µs-extracts them — applied
+    * inside [[table]] so EVERY loader is drift-proof, not just the
+    * ones a past break happened to hit.
     */
   private def normalizeNtz(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -55,8 +56,8 @@ object Tables {
     }
   }
 
-  def lineitem(spark: SparkSession, sfDir: String): DataFrame   = normalizeNtz(table(spark, sfDir, "lineitem"))
-  def orders(spark: SparkSession, sfDir: String): DataFrame     = normalizeNtz(table(spark, sfDir, "orders"))
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "orders")
 
   /** Raw data-lake scan: every file under `dir` as (path, content).
     * Mirrors the reference's dir-scan + file-read

@@ -172,6 +172,68 @@ object Curation {
       .agg(countDistinct(col("gram_h")).as("n_overlap"))
   }
 
+  /** Fuzzy (MinHash-LSH) decontamination: corpus docs that are a
+    * NEAR-duplicate of an eval-suite item — the whole-document
+    * generalization of the n-gram-overlap checks above
+    * ([[contaminatedDocs]] / [[decontaminateBloom]] catch verbatim
+    * gram overlap; this catches lightly-edited or truncated copies,
+    * the contamination mode n-gram counting under-reports).
+    *
+    * Shape: MinHash signatures on both sides; the EVAL side (a
+    * benchmark suite — small by definition) broadcasts its LSH band
+    * keys AND its shingle sets; the corpus side is one scan → band
+    * keys → broadcast equi-join on (band_idx, band_key) → exact
+    * hashed-shingle Jaccard confirm computed map-side against the
+    * broadcast eval shingles → one final groupBy(corpus id) keeping
+    * the best match. No corpus self-pairs, no distinct over
+    * candidates (duplicate candidates from multiple shared bands
+    * collapse in the max aggregate), ONE shuffle total, and the
+    * shuffled rows are only the band-collision survivors. A corpus
+    * doc sharing no band with any eval item costs one broadcast
+    * hash probe and is gone.
+    *
+    * Deterministic: best match = highest rounded Jaccard, ties to
+    * the smallest eval id.
+    *
+    * @return (idCol, eval_id, jaccard) — one row per contaminated
+    *         corpus doc with its closest eval item, jaccard >=
+    *         `minJaccard`, rounded to 6 places
+    */
+  def decontaminateFuzzy(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 8,
+      bands: Int = 2,
+      minJaccard: Double = 0.3): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    val rows = numHashes / bands
+    def prep(df: DataFrame, outId: String, sh: String, sig: String) = df
+      .select(col(idCol).as(outId), Dedup.shinglesFast(col(textCol), shingleN).as(sh))
+      .withColumn(sig, Dedup.minhashFast(col(sh), numHashes))
+    val evalBands = prep(evalSet, "eval_id", "esh", "esig")
+      .select(
+        col("eval_id"), col("esh"),
+        posexplode(Dedup.lshBandKeys(col("esig"), bands, rows)).as(Seq("band_idx", "band_key")))
+    val corpusBands = prep(corpus, idCol, "csh", "csig")
+      .select(
+        col(idCol), col("csh"),
+        posexplode(Dedup.lshBandKeys(col("csig"), bands, rows)).as(Seq("band_idx", "band_key")))
+    val inter = size(array_intersect(col("csh"), col("esh"))).cast("double")
+    val jac   = round(inter / (size(col("csh")) + size(col("esh")) - inter), 6)
+    corpusBands
+      .join(broadcast(evalBands), Seq("band_idx", "band_key"))
+      .select(col(idCol), col("eval_id"), jac.as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      // best eval match per corpus doc; duplicate (doc, eval) rows
+      // from multiple shared bands are identical and collapse here
+      .groupBy(col(idCol))
+      .agg(max(struct(col("jaccard"), (-col("eval_id")).as("neg_id"))).as("m"))
+      .select(col(idCol), (-col("m.neg_id")).cast("long").as("eval_id"), col("m.jaccard").as("jaccard"))
+  }
+
   /** Per-doc duplicate-n-gram fraction: the share of a doc's DISTINCT
     * word n-grams that also occur in at least one OTHER doc — the
     * corpus-level cousin of the Gopher within-doc repetition signals,

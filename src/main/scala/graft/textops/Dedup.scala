@@ -406,6 +406,67 @@ object Dedup {
       .distinct()
   }
 
+  /** Persisted MinHash band index of a corpus: one row per (doc,
+    * band) carrying a single combined band key (band_idx folded into
+    * the key so joins and bucketing use ONE column) plus the full
+    * signature (so a later probe can estimate similarity without
+    * ever re-reading corpus text). This is the artifact an
+    * incremental ingest pipeline writes ONCE at corpus build — via
+    * `Sinks.writeBucketed(_, table, "band_key", n)` — and every
+    * daily batch probes with no index-side exchange.
+    */
+  def bandIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 8,
+      bands: Int = 2): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    val rows = numHashes / bands
+    df.select(col(idCol), shinglesFast(col(textCol), shingleN).as("sh"))
+      .select(col(idCol), minhashFast(col("sh"), numHashes).as("sig"))
+      .select(
+        col(idCol), col("sig"),
+        posexplode(lshBandKeys(col("sig"), bands, rows)).as(Seq("band_idx", "band_key")))
+      .select(col(idCol), col("sig"), concat_ws(":", col("band_idx"), col("band_key")).as("band_key"))
+  }
+
+  /** Incremental near-dup probe: candidate (new doc, indexed doc)
+    * pairs whose MinHash-ESTIMATED similarity (fraction of agreeing
+    * hashes, err ~1/√numHashes) clears `minEst` — the daily-ingest
+    * shape at 100 TB. The corpus NEVER re-shuffles and its text is
+    * never re-read: the bucketed index's band_key layout satisfies
+    * the join's distribution, so only the (small) new batch's band
+    * rows move — broadcast under the threshold, one batch-side
+    * exchange above it. Signature agreement is computed in the join
+    * output map-side; duplicate candidates from multiple shared
+    * bands collapse in the final distinct over already-thresholded
+    * rows. Must be called with the same shingleN/numHashes/bands the
+    * index was built with.
+    */
+  def probeBandIndex(
+      newBatch: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 8,
+      bands: Int = 2,
+      minEst: Double = 0.5): DataFrame = {
+    val probe = bandIndex(newBatch, idCol, textCol, shingleN, numHashes, bands)
+      .select(col(idCol).as("new_id"), col("sig").as("new_sig"), col("band_key"))
+    val est = size(filter(zip_with(col("new_sig"), col("sig"), (a, b) => a === b), x => x))
+      .cast("double") / numHashes
+    probe
+      .join(index, Seq("band_key"))
+      // re-probing a batch already in the index must not self-pair
+      .filter(col("new_id") =!= col(idCol))
+      .select(col("new_id"), col(idCol), round(est, 6).as("est_sim"))
+      .filter(col("est_sim") >= minEst)
+      .distinct()
+  }
+
   /** Sketch-quality gauge: MinHash-estimated Jaccard vs the exact
     * n-gram Jaccard on the top-k most similar pairs — the calibration
     * check that tells you whether `numHashes` is adequate BEFORE

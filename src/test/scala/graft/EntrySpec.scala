@@ -49,17 +49,21 @@ class EntrySpec extends SparkSpec {
       }
   }
 
-  test("Tables.orders/lineitem surface no TIMESTAMP_NTZ column at any SF") {
-    // o_orderdate / l_shipdate currently ship NTZ and only survive
-    // because no query µs-extracts them; the seam normalizes so a
-    // future flavor flip can't reproduce the r7 event-query break
+  test("no Tables loader surfaces a TIMESTAMP_NTZ column at any SF") {
+    // the driver's parquet writer has flipped isAdjustedToUTC across
+    // testdata generations (r7 broke six event queries that way);
+    // Tables.table normalizes EVERY loader at the seam so a future
+    // flavor flip in any table can't reproduce the break
     import org.apache.spark.sql.types.TimestampNTZType
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "documents", "embeddings")
     Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
       .filter(d => new java.io.File(s"$d/orders.parquet").exists())
       .foreach { d =>
-        Seq(graft.lake.Tables.orders(spark, d), graft.lake.Tables.lineitem(spark, d)).foreach { t =>
+        tables.filter(t => new java.io.File(s"$d/$t.parquet").exists()).foreach { name =>
+          val t   = graft.lake.Tables.table(spark, d, name)
           val ntz = t.schema.fields.filter(_.dataType == TimestampNTZType).map(_.name)
-          assert(ntz.isEmpty, s"$d: NTZ columns survived the seam: ${ntz.mkString(",")}")
+          assert(ntz.isEmpty, s"$d/$name: NTZ columns survived the seam: ${ntz.mkString(",")}")
         }
       }
   }

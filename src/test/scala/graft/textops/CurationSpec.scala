@@ -66,6 +66,42 @@ class CurationSpec extends SparkSpec {
     assert(exact.exceptAll(bloom).count() == 0)
   }
 
+  test("decontaminateFuzzy flags near-dup eval copies, best-match per doc") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely unrelated text about spark catalyst optimizer rules"),
+      (3L, "a b c d e f g h i j k l")).toDF("doc_id", "text")
+    val eval = Seq(
+      // exact copy of doc 1 → jaccard 1.0, certain band collision
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      // second exact copy: best-match tie must break to SMALLER eval id
+      (101L, "the quick brown fox jumps over the lazy dog again and again"),
+      (102L, "nothing in common with any corpus doc at all ok")).toDF("doc_id", "text")
+    val got = Curation.decontaminateFuzzy(corpus, eval, "doc_id", "text",
+        shingleN = 3, numHashes = 8, bands = 4, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 100L, 1.0)))
+  }
+
+  test("decontaminateFuzzy finds planted truncated copies on real docs") {
+    val d  = spark.read.parquet(s"$sf0001/documents.parquet")
+    val tk = filter(split(col("text"), " "), t => length(t) > 0)
+    val nk = greatest(floor(size(tk) * 4 / 5).cast("int"), lit(1))
+    val ev = d.filter(col("doc_id") % 83 === 0)
+      .select(col("doc_id"), array_join(slice(tk, lit(1), nk), " ").as("text"))
+    val got = Curation.decontaminateFuzzy(d, ev, "doc_id", "text",
+        shingleN = 3, numHashes = 8, bands = 4, minJaccard = 0.3)
+    // every planted eval item's SOURCE doc must be flagged and map to
+    // itself with the ~0.8 truncation Jaccard (subset shingles)
+    val self = got.filter(col("doc_id") === col("eval_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val planted = d.filter(col("doc_id") % 83 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(planted.nonEmpty && (planted -- self).isEmpty,
+      s"planted $planted not all recovered: $self")
+    assert(got.filter(col("jaccard") < 0.3 || col("jaccard") > 1.0).count() == 0)
+  }
+
   test("packSequences assigns running-offset packs per stream") {
     val df = Seq(
       (1L, "en", "a b c"),      // 3 toks, cum 0 → pack 0 off 0
