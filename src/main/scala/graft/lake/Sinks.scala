@@ -54,6 +54,37 @@ object Sinks {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * roughly `targetBytes` each. The operational lake chore at
+    * 100 TB — streaming appends and per-trigger foreachBatch sinks
+    * leave thousands of KB-sized files whose per-file open/footer
+    * cost dominates later scans. File count is derived from the
+    * LISTING (input_file_name-free: Spark's file index already has
+    * the sizes — no data pass); the rewrite uses `coalesce`, which
+    * merges partitions WITHOUT a shuffle (compaction needs no
+    * key-placement, so paying an exchange to co-locate rows would be
+    * pure waste). Output goes to `outDir`; swapping it over the
+    * source dir is the caller's (atomic-rename) concern.
+    *
+    * @return number of output files written
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      inDir: String,
+      outDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val df = spark.read.parquet(inDir)
+    val totalBytes = df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r.relation
+    }.collect {
+      case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+        f.location.listFiles(Nil, Nil).flatMap(_.files.map(_.getLen)).sum
+    }.sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    df.coalesce(nOut).write.mode("overwrite").parquet(outDir)
+    nOut
+  }
+
   /** Hive-layout partitioned sink: one directory per value of
     * `partitionCol`, so any later read with an equality/IN filter on
     * that column prunes whole directories at PLANNING time

@@ -63,6 +63,41 @@ object StreamingExtract {
         sink(voted, batchId)
       }
 
+  /** Stream-vs-HISTORY near-dup gate: each micro-batch probes the
+    * persisted corpus band index ([[graft.textops.Dedup.bandIndex]]
+    * written through `Sinks.writeBucketed`) and hands the sink only
+    * the docs with NO indexed near-duplicate at or above `minEst`
+    * estimated similarity. Complements [[nearDupStream]]
+    * (intra-stream dedup): this is the new-data-vs-historical-lake
+    * check. Because the probe runs the batch operator per trigger,
+    * each micro-batch joins through the index's bucket layout — no
+    * index-side exchange, corpus text never re-read. State lives in
+    * the INDEX, not the state store, so the gate is horizon-free: a
+    * duplicate of a year-old doc is still caught, which
+    * watermark-evicted band state cannot do. Parameters must match
+    * the index build.
+    */
+  def historyGateStream(
+      lake: DataFrame,
+      indexTable: String,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 8,
+      bands: Int = 2,
+      minEst: Double = 0.5)(sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    import graft.textops.Dedup
+    lake.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val dup = Dedup.probeBandIndex(
+            batch, batch.sparkSession.table(indexTable), idCol, textCol,
+            shingleN, numHashes, bands, minEst)
+          .select(col("new_id").as(idCol)).distinct()
+        sink(batch.join(dup, Seq(idCol), "left_anti"), batchId)
+      }
+  }
+
   /** Streaming exact dedup: drop re-arrivals of identical content
     * within the watermark horizon — the ingest-time half of the dedup
     * story (the batch operators in graft.textops handle the

@@ -126,6 +126,25 @@ class LakeOpsSpec extends SparkSpec {
     assert(scan.metadata("Location").contains(dir))
   }
 
+  test("compact rewrites a many-small-files dir into few target-sized files") {
+    val in   = java.nio.file.Files.createTempDirectory("graft_compact_in").toString
+    val out  = java.nio.file.Files.createTempDirectory("graft_compact_out").toString
+    val out2 = java.nio.file.Files.createTempDirectory("graft_compact_out2").toString
+    val df   = (0L until 2000L).map(i => (i, s"row $i payload")).toDF("id", "text")
+    df.repartition(40).write.mode("overwrite").parquet(in)
+    assert(new java.io.File(in).listFiles.count(_.getName.endsWith(".parquet")) == 40)
+    // generous target → everything folds into one file, no shuffle
+    val n1 = Sinks.compact(spark, in, out, targetBytes = 64L * 1024 * 1024)
+    assert(n1 == 1)
+    assert(new java.io.File(out).listFiles.count(_.getName.endsWith(".parquet")) == 1)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 2000 && back.exceptAll(df).count() == 0)
+    // tiny target → several files, still all rows
+    val n2 = Sinks.compact(spark, in, out2, targetBytes = 16 * 1024)
+    assert(n2 > 1, s"expected multiple output files, got $n2")
+    assert(spark.read.parquet(out2).count() == 2000)
+  }
+
   test("writeBucketed joins two co-bucketed tables without a shuffle exchange") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bucket").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS bktdb LOCATION '$dir'")

@@ -49,6 +49,37 @@ class StreamingExtractSpec extends SparkSpec {
     assert(spark.table("dedup_out").count() == 2)
   }
 
+  test("historyGateStream drops arrivals near-duplicating the persisted index") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_histidx").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS histdb LOCATION '$dir'")
+    try {
+      val corpus = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog again and again"),
+        (2L, "an entirely separate historical document about engines")).toDF("doc_id", "text")
+      graft.lake.Sinks.writeBucketed(
+        graft.textops.Dedup.bandIndex(corpus, "doc_id", "text"),
+        "histdb.hist_index", "band_key", nBuckets = 2)
+
+      val in = MemoryStream[(Long, String)]
+      val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val writer = StreamingExtract.historyGateStream(
+        in.toDF().toDF("doc_id", "text"), "histdb.hist_index", "doc_id", "text") {
+        (fresh, _) => kept ++= fresh.select("doc_id").collect().map(_.getLong(0))
+      }
+      in.addData(
+        (10L, "the quick brown fox jumps over the lazy dog again and again"), // year-old dup
+        (11L, "genuinely new content never seen in the corpus before now"))
+      val q = writer
+        .option("checkpointLocation", java.nio.file.Files.createTempDirectory("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      assert(kept.sorted.toSeq == Seq(11L), s"gate kept $kept")
+    } finally spark.sql("DROP DATABASE IF EXISTS histdb CASCADE")
+  }
+
   test("nearDupStream drops exact near-dup arrivals, keeps distinct docs") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, Long, String)]
