@@ -920,6 +920,16 @@ object SparkEntry {
           patterns = Curation.defaultPatterns :+ ("deny" -> "\\bkey\\b"))
         .orderBy(col("doc_id"))),
 
+    // training-data ops: Unicode NFC canonicalization (native
+    // codegen'd expression — Spark has no built-in) so decomposed
+    // and precomposed forms dedup/fingerprint/count identically
+    "q_nfc_normalize" -> ((s, dir) => {
+      val n = graft.expressions.NfcNormalize.nfcNormalize(s, col("text"))
+      docs(s, dir)
+        .select(col("doc_id"), n.as("norm_text"), (n =!= col("text")).cast("int").as("changed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // training-data ops: benchmark decontamination — docs sharing a
     // word 3-gram with the held-out eval slice (doc_id % 97 == 0)
     "q_decontaminate" -> ((s, dir) => {
@@ -2324,6 +2334,11 @@ object SparkEntry {
                 CAST(len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS INT) AS n_phone,
                 CAST(len(regexp_extract_all(text, '\b\d{1,3}(?:\.\d{1,3}){3}\b')) AS INT) AS n_ipv4,
                 CAST(len(regexp_extract_all(text, '\bkey\b')) AS INT) AS n_deny
+         FROM documents ORDER BY doc_id""",
+
+    "q_nfc_normalize" ->
+      """SELECT doc_id, nfc_normalize(text) AS norm_text,
+                CAST(nfc_normalize(text) <> text AS INT) AS changed
          FROM documents ORDER BY doc_id""",
 
     "q_decontaminate" ->
