@@ -109,7 +109,8 @@ object Combiners {
     * model the reference's MeTaL `LabelModel` fits by SGD), then
     * decode each key's label by an accuracy-weighted naive-Bayes
     * posterior over its top-`numElts` candidate labels (abstains
-    * contribute nothing). Falls back to plain majority where moments
+    * contribute nothing; the posterior form is `get_cond_probs` /
+    * `get_probs` / `get_nb_accuracy`, `ws_utils.py:72-113`). Falls back to plain majority where moments
     * are degenerate (accuracy 0.5 for every extractor reduces to
     * unweighted voting; our tie-break stays lexicographic).
     *

@@ -42,7 +42,9 @@ object LabelModel {
   }
 
   /** Per-extractor accuracy on non-abstaining votes: P(vote = y | vote ≠ 0).
-    * votes in ±1/0 encoding (0 = abstain), gold y in ±1.
+    * votes in ±1/0 encoding (0 = abstain), gold y in ±1 — the
+    * supervised accuracy estimate of `get_probabilties`
+    * (`ws_utils.py:4-70`), as one broadcast join + keyed aggregation.
     */
   def accuracies(votes: DataFrame, gold: DataFrame, keyCol: String): DataFrame =
     votes
@@ -55,7 +57,8 @@ object LabelModel {
           lit(0.9999)).as("acc"))
 
   /** Abstain-masked pairwise moments E[v_i·v_j] over ±1 votes
-    * (`methods.py:275-328`): one self-join on the vote key, pairs
+    * (`methods.py:275-328`, `ws_utils.py:115-129` estimate_matrix):
+    * one self-join on the vote key, pairs
     * (i < j). The join key is the doc key, so both sides share the
     * same hash partitioning — a single shuffle at lake scale.
     */
@@ -395,7 +398,8 @@ object LabelModel {
   }
 
   /** Relational feature build for the logistic-regression aggregator
-    * (`methods.py:884-953`): per key, the ordered vote vector plus
+    * (`methods.py:884-953`; `ws_utils.py:131-165` get_vote_vectors /
+    * get_feature_vector): per key, the ordered vote vector plus
     * (optionally) all pairwise interaction products v_i·v_j — the
     * interactions are what lets a linear model discount correlated
     * voters the way the reference's LR baseline does. Missing votes
