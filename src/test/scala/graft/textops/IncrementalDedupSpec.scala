@@ -23,6 +23,28 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(keys.distinct.length == 2 && keys.forall(k => k.matches("[01]:.*")))
   }
 
+  test("probeBandIndex and decontaminateFuzzy are partitioning-invariant") {
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+    val tk = filter(split(col("text"), " "), t => length(t) > 0)
+    val nk = greatest(floor(size(tk) * 4 / 5).cast("int"), lit(1))
+    val ev = corpus.filter(col("doc_id") % 83 === 0)
+      .select(col("doc_id"), array_join(slice(tk, lit(1), nk), " ").as("text"))
+    def fuzzy(parts: Int) = Curation.decontaminateFuzzy(
+        corpus.repartition(parts), ev, "doc_id", "text",
+        shingleN = 3, numHashes = 8, bands = 4, minJaccard = 0.3)
+      .orderBy("doc_id").collect().toSeq
+    val base = fuzzy(1)
+    assert(base.nonEmpty && fuzzy(3) == base && fuzzy(16) == base)
+
+    val idx = Dedup.bandIndex(corpus, "doc_id", "text")
+    def probe(parts: Int) = Dedup.probeBandIndex(
+        ev.select((col("doc_id") + 5000000L).as("doc_id"), col("text")).repartition(parts),
+        idx, "doc_id", "text", minEst = 0.5)
+      .orderBy("new_id", "doc_id").collect().toSeq
+    val pbase = probe(1)
+    assert(pbase.nonEmpty && probe(3) == pbase && probe(16) == pbase)
+  }
+
   test("probeBandIndex finds planted near-dups against a bucketed index with no index-side shuffle") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bandidx").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS bidb LOCATION '$dir'")
