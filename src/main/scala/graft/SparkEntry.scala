@@ -205,6 +205,63 @@ object SparkEntry {
     .map(d => s"COALESCE(m.m$d, CAST(c.ce[$d] AS DOUBLE))")
     .mkString(", ")
 
+  /** DuckDB CTE chain replaying pqCodebooks + pqTopK bit-for-bit:
+    * per subvector s — seed book = first-16 slices, one Lloyd round
+    * (argmin cw·cw − 2·sub·cw, decimal-sum means, empty keeps seed),
+    * final codes against the refined book, ADC lookup ||q_s − cw||²
+    * elementwise — then candidate top-40 by ADC and exact-cosine
+    * top-20 rerank. m=4 × subDim=16 × K=16, iters=1.
+    */
+  private lazy val pqSql: String = {
+    val m = 4; val subDim = 16; val kk = 16
+    def sliceD(src: String, s: Int) =
+      s"list_transform(range(${s * subDim + 1}, ${s * subDim + subDim + 1}), i -> CAST($src[i] AS DOUBLE))"
+    def dotL(x: String, y: String) =
+      s"list_sum(list_transform(range(1, ${subDim + 1}), i -> $x[i] * $y[i]))"
+    val perS = (0 until m).map { s =>
+      val meanCols = (0 until subDim)
+        .map(d => s"CAST(sum(CAST(sub[${d + 1}] AS DECIMAL(27,18))) AS DOUBLE) / count(*) AS m$d")
+        .mkString(", ")
+      val coalesce = (0 until subDim)
+        .map(d => s"COALESCE(m.m$d, b.cw[${d + 1}])").mkString(", ")
+      s"""sb$s AS (SELECT cid, ${sliceD("embedding", s)} AS cw FROM seeds),
+          a$s AS (SELECT vec_id, cid FROM (
+                    SELECT e.vec_id, b.cid,
+                           row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY ${dotL("b.cw", "b.cw")} - 2 * ${dotL(s"${sliceD("e.embedding", s)}", "b.cw")} ASC, b.cid ASC) AS rn
+                    FROM ev e CROSS JOIN sb$s b) WHERE rn = 1),
+          m$s AS (SELECT cid, $meanCols
+                  FROM (SELECT a.cid, ${sliceD("e.embedding", s)} AS sub
+                        FROM a$s a JOIN ev e USING (vec_id))
+                  GROUP BY cid),
+          nb$s AS (SELECT b.cid, list_value($coalesce) AS cw
+                   FROM sb$s b LEFT JOIN m$s m ON b.cid = m.cid),
+          c$s AS (SELECT vec_id, cid AS code FROM (
+                    SELECT e.vec_id, n.cid,
+                           row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY ${dotL("n.cw", "n.cw")} - 2 * ${dotL(s"${sliceD("e.embedding", s)}", "n.cw")} ASC, n.cid ASC) AS rn
+                    FROM ev e CROSS JOIN nb$s n) WHERE rn = 1),
+          d$s AS (SELECT n.cid,
+                         list_sum(list_transform(range(1, ${subDim + 1}),
+                           i -> (qq.qs[i] - n.cw[i]) * (qq.qs[i] - n.cw[i]))) AS dist
+                  FROM nb$s n, (SELECT ${sliceD("qe", s)} AS qs FROM q) qq)"""
+    }.mkString(",\n")
+    val joins = (0 until m)
+      .map(s => s"JOIN c$s ON c$s.vec_id = e.vec_id JOIN d$s ON d$s.cid = c$s.code").mkString(" ")
+    val adcSum = (0 until m).map(s => s"d$s.dist").mkString(" + ")
+    s"""WITH ev AS (SELECT vec_id, embedding FROM embeddings),
+        q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, embedding
+                  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $kk)),
+        $perS,
+        est AS (SELECT e.vec_id, $adcSum AS adc FROM ev e $joins),
+        cand AS (SELECT vec_id FROM est ORDER BY adc ASC, vec_id ASC LIMIT 40),
+        scored AS (SELECT e.vec_id, round(${cosSql("e.embedding", "q.qe")}, 6) AS cos
+                   FROM ev e JOIN cand USING (vec_id), q)
+       SELECT vec_id, cos, CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+       FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 20"""
+  }
+
   /** DuckDB CTE: distinct 3-gram shingle list per doc. */
   private val shinglesSql =
     """shing AS (SELECT doc_id, lang,
@@ -702,6 +759,14 @@ object SparkEntry {
         emb, "vec_id", "embedding", queryVec(s, dir),
         k = 20, nCentroids = 16, nProbe = 4, learnedCentroids = Some(cents))
     }),
+
+    // ANN scale path #3: product quantization + asymmetric distance
+    // (64 floats → 4 bytes per vector at memory scale) — Lloyd-fit
+    // subvector codebooks, ADC candidate scan, exact-cosine rerank
+    "q_ann_pq" -> ((s, dir) =>
+      Similarity.pqTopK(
+        Tables.embeddings(s, dir), "vec_id", "embedding", queryVec(s, dir),
+        k = 20, m = 4, codeK = 16, iters = 1, rerank = 40)),
 
     // ANN scale path #2: random-hyperplane LSH signatures with
     // multi-probe (Hamming ≤ 2), exact-cosine rerank of survivors
@@ -1971,6 +2036,8 @@ object SparkEntry {
           ov AS (SELECT CAST(count(*) AS INT) AS n_overlap
                  FROM bf_k JOIN ivf_k USING (vec_id))
           SELECT n_overlap, round(CAST(n_overlap AS DOUBLE) / 20, 6) AS recall FROM ov""",
+
+    "q_ann_pq" -> pqSql,
 
     "q_ann_lsh" ->
       s"""WITH e2 AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nrm FROM embeddings),

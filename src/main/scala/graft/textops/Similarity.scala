@@ -184,6 +184,135 @@ object Similarity {
     scored.withColumn("rank", row_number().over(rankWindow(idCol)))
   }
 
+  /** Product-quantization codebooks (Jégou/Douze/Schmid, TPAMI 2011 —
+    * public method, reimplemented from the formulation): the vector
+    * is split into `m` contiguous subvectors and each subvector space
+    * gets its own `k`-entry codebook fit by Lloyd iterations under
+    * squared-L2. Seeds = the first k vectors' slices in id order (the
+    * deterministic no-RNG convention kmeansCentroids set), assignment
+    * argmin uses the reduced score cw·cw − 2·sub·cw (the sub·sub term
+    * is constant per row), ties to the smallest code id, and the mean
+    * update sums decimal(27,18) per element so partial-sum order
+    * can't flip low bits — a SQL oracle replays the fit bit-for-bit.
+    *
+    * Scale: ALL m subvector fits share one scan per iteration (the
+    * slice rows posexplode off the same pass) and one (s, cid)
+    * aggregation; only the m×k×(dim/m) codebook matrix reaches the
+    * driver.
+    *
+    * @return ((subvector s, code cid) -> codeword)
+    */
+  def pqCodebooks(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int,
+      iters: Int,
+      dim: Int = 64): Map[(Int, Int), Seq[Double]] = {
+    val subDim = dim / m
+    require(m * subDim == dim, s"m ($m) must divide dim ($dim)")
+    val seedRows = embeddings
+      .orderBy(col(idCol)).limit(k).select(col(vecCol)).collect().toSeq
+      .map(_.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue))
+    var books: Map[(Int, Int), Seq[Double]] =
+      (for { s <- 0 until m; c <- 0 until k }
+        yield (s, c) -> seedRows(c).slice(s * subDim, (s + 1) * subDim).toSeq).toMap
+    if (iters > 0) {
+      // one row per (vector, subvector): all m fits share this scan
+      val subs = embeddings
+        .withColumn("v", transform(col(vecCol), x => x.cast("double")))
+        .select(
+          col(idCol),
+          posexplode(array((0 until m).map(s => slice(col("v"), s * subDim + 1, subDim)): _*))
+            .as(Seq("s", "sub")))
+      (0 until iters).foreach { _ =>
+        val cands = array((0 until k).map { c =>
+          // codeword for THIS row's subvector: m-way chain on s
+          val cw = (0 until m).foldLeft(lit(null).cast("array<double>")) { (acc, s) =>
+            when(col("s") === s, typedLit(books((s, c)))).otherwise(acc)
+          }
+          val cwDot = (0 until m).foldLeft(lit(0.0)) { (acc, s) =>
+            when(col("s") === s, lit(books((s, c)).map(x => x * x).sum)).otherwise(acc)
+          }
+          struct((cwDot - lit(2.0) * dot(col("sub"), cw)).as("score"), lit(c).as("cid"))
+        }: _*)
+        val means = subs
+          .withColumn("cid", array_min(cands).getField("cid"))
+          .groupBy(col("s"), col("cid"))
+          .agg(
+            count(lit(1)).as("n"),
+            (0 until subDim).map(d =>
+              (sum(element_at(col("sub"), d + 1).cast("decimal(27,18)")).cast("double") / count(lit(1)))
+                .as(s"m$d")): _*)
+          .collect()
+          .map(r => (r.getAs[Int]("s"), r.getAs[Int]("cid")) ->
+            (0 until subDim).map(d => r.getAs[Double](s"m$d")).toSeq)
+          .toMap
+        books = books.map { case (key, prev) => key -> means.getOrElse(key, prev) }
+      }
+    }
+    books
+  }
+
+  /** PQ-ADC top-k (the billion-scale ANN memory path: 64 floats →
+    * m bytes per vector): encode every vector as m code ids against
+    * [[pqCodebooks]], estimate its distance to the query as the sum
+    * of per-subvector ||q_s − codeword||² looked up from an m×k
+    * driver table (asymmetric distance computation), keep the
+    * `rerank` best estimates, then exact-cosine rerank to the final
+    * k. The scan never touches more than the m argmin expressions
+    * per row; candidate selection is TakeOrdered (no global sort);
+    * only `rerank` rows get the full-dimension cosine.
+    *
+    * Deterministic end-to-end: codebook fit (decimal sums), argmin
+    * ties to smallest code, ADC sum in fixed subvector order,
+    * candidate ties to smallest id — a SQL oracle reproduces the
+    * exact output.
+    */
+  def pqTopK(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      m: Int = 4,
+      codeK: Int = 16,
+      iters: Int = 1,
+      rerank: Int = 40,
+      dim: Int = 64): DataFrame = {
+    val subDim = dim / m
+    val books  = pqCodebooks(embeddings, idCol, vecCol, m, codeK, iters, dim)
+    // ADC lookup: (s, cid) -> ||q_s − cw||², elementwise accumulation
+    // in dimension order (the oracle replays the same fold)
+    val lut: Map[(Int, Int), Double] = books.map { case ((s, c), cw) =>
+      val qs = query.slice(s * subDim, (s + 1) * subDim)
+      (s, c) -> qs.zip(cw).map { case (a, b) => (a - b) * (a - b) }.sum
+    }
+    val withV = embeddings.withColumn("v", transform(col(vecCol), x => x.cast("double")))
+    // per-subvector code + its ADC contribution, fixed s order
+    val est = (0 until m).foldLeft(lit(0.0)) { (acc, s) =>
+      val sub = slice(col("v"), s * subDim + 1, subDim)
+      val cands = array((0 until codeK).map { c =>
+        val cw = books((s, c))
+        struct(
+          (lit(cw.map(x => x * x).sum) - lit(2.0) * dot(sub, typedLit(cw))).as("score"),
+          lit(c).as("cid"))
+      }: _*)
+      val code = array_min(cands).getField("cid")
+      acc + element_at(typedLit((0 until codeK).map(c => lut((s, c)))), code + 1)
+    }
+    val cand = withV
+      .select(col(idCol), col(vecCol), est.as("adc"))
+      .orderBy(col("adc"), col(idCol))
+      .limit(rerank)
+    cand
+      .select(col(idCol), round(cosineToQuery(col(vecCol), query), 6).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+      .withColumn("rank", row_number().over(rankWindow(idCol)))
+  }
+
   /** Deterministic spherical k-means for the IVF bucketer: seed
     * centroids = first k vectors by id (content-determined, no RNG —
     * SURVEY §7 hard part (d)), then `iters` Lloyd rounds: assign each

@@ -275,6 +275,36 @@ class TextOpsSpec extends SparkSpec {
     assert(ivfIds.subsetOf(bruteIds))
   }
 
+  test("pqTopK finds the query's own vector and overlaps brute force") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0).head.getSeq[Float](1).map(_.toDouble).toSeq
+    val pq = Similarity.pqTopK(emb, "vec_id", "embedding", q, k = 5)
+    assert(pq.filter(col("rank") === 1).head.getLong(0) == 0L) // exact self-match survives ADC
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", q, k = 50)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val pqIds = pq.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(pqIds.subsetOf(brute))
+    // partitioning-invariant: same rows on any layout
+    val base = pq.orderBy("rank").collect().toSeq
+    val again = Similarity.pqTopK(emb.repartition(7), "vec_id", "embedding", q, k = 5)
+      .orderBy("rank").collect().toSeq
+    assert(again == base)
+  }
+
+  test("pqCodebooks learns per-subvector structure on planted data") {
+    // subvector 0 carries two direction clusters; subvector 1 is flat
+    val vecs = (0L until 24L).map { i =>
+      val s0 = if (i % 2 == 0) Seq(1f, 0f) else Seq(0f, 1f)
+      (i, s0 ++ Seq(0.5f, 0.5f))
+    }
+    val df    = vecs.toDF("vec_id", "embedding")
+    val books = Similarity.pqCodebooks(df, "vec_id", "embedding", m = 2, k = 2, iters = 3, dim = 4)
+    assert(books.size == 4) // 2 subvectors × 2 codes
+    // subvector 0's two refined codewords must peak on different dims
+    val peaks = Seq(books((0, 0)), books((0, 1))).map(_.zipWithIndex.maxBy(_._1)._2).toSet
+    assert(peaks == Set(0, 1), s"codewords $peaks should split the planted clusters")
+  }
+
   test("kmeansCentroids separates two planted clusters and plugs into ivfTopK") {
     // two well-separated direction clusters in 4-d
     val vecs = (0L until 20L).map { i =>
