@@ -313,6 +313,76 @@ object Similarity {
       .withColumn("rank", row_number().over(rankWindow(idCol)))
   }
 
+  /** PQ encoding as a persistable column: each vector → m code ids
+    * (the 4-byte-per-vector artifact a production pipeline writes
+    * next to the id, like [[graft.textops.Dedup.bandIndex]] persists
+    * band keys). Codes use the same argmin/tie rules as the fit, so
+    * encode(fit corpus) reproduces the fit's assignments.
+    */
+  def pqEncode(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      books: Map[(Int, Int), Seq[Double]],
+      m: Int = 4,
+      codeK: Int = 16,
+      dim: Int = 64): DataFrame = {
+    val subDim = dim / m
+    val withV  = embeddings.withColumn("v", transform(col(vecCol), x => x.cast("double")))
+    val codes = array((0 until m).map { s =>
+      val sub = slice(col("v"), s * subDim + 1, subDim)
+      val cands = array((0 until codeK).map { c =>
+        val cw = books((s, c))
+        struct(
+          (lit(cw.map(x => x * x).sum) - lit(2.0) * dot(sub, typedLit(cw))).as("score"),
+          lit(c).as("cid"))
+      }: _*)
+      array_min(cands).getField("cid")
+    }: _*)
+    withV.select(col(idCol), codes.as("pq_codes"))
+  }
+
+  /** PQ-ADC top-k served from a PRECOMPUTED codes column: the hot
+    * query path of a deployed index — the scan reads m bytes + an id
+    * per vector (never the float vectors), estimates distance by m
+    * lookups into the broadcast ADC table, TakeOrdereds `rerank`
+    * candidate ids, and only those join back to the embedding table
+    * for the exact-cosine rerank. At 100 TB this is the difference
+    * between scanning 25 TB of floats and ~1.6 TB of codes per
+    * query batch.
+    */
+  def pqTopKFromCodes(
+      codes: DataFrame,
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      books: Map[(Int, Int), Seq[Double]],
+      k: Int,
+      m: Int = 4,
+      codeK: Int = 16,
+      rerank: Int = 40,
+      dim: Int = 64): DataFrame = {
+    val subDim = dim / m
+    val lut: Map[(Int, Int), Double] = books.map { case ((s, c), cw) =>
+      val qs = query.slice(s * subDim, (s + 1) * subDim)
+      (s, c) -> qs.zip(cw).map { case (a, b) => (a - b) * (a - b) }.sum
+    }
+    val est = (0 until m).foldLeft(lit(0.0)) { (acc, s) =>
+      acc + element_at(typedLit((0 until codeK).map(c => lut((s, c)))), element_at(col("pq_codes"), s + 1) + 1)
+    }
+    val cand = codes
+      .select(col(idCol), est.as("adc"))
+      .orderBy(col("adc"), col(idCol))
+      .limit(rerank)
+    cand
+      .join(embeddings.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col(idCol), round(cosineToQuery(col(vecCol), query), 6).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+      .withColumn("rank", row_number().over(rankWindow(idCol)))
+  }
+
   /** Deterministic spherical k-means for the IVF bucketer: seed
     * centroids = first k vectors by id (content-determined, no RNG —
     * SURVEY §7 hard part (d)), then `iters` Lloyd rounds: assign each

@@ -291,6 +291,20 @@ class TextOpsSpec extends SparkSpec {
     assert(again == base)
   }
 
+  test("pqTopKFromCodes served from a persisted codes column matches pqTopK") {
+    val emb   = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q     = emb.filter(col("vec_id") === 0).head.getSeq[Float](1).map(_.toDouble).toSeq
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, k = 16, iters = 1)
+    val dir   = java.nio.file.Files.createTempDirectory("graft_pqcodes").toString
+    Similarity.pqEncode(emb, "vec_id", "embedding", books).write.mode("overwrite").parquet(dir)
+    val served = Similarity.pqTopKFromCodes(
+        spark.read.parquet(dir), emb, "vec_id", "embedding", q, books, k = 5)
+      .orderBy("rank").collect().toSeq
+    val direct = Similarity.pqTopK(emb, "vec_id", "embedding", q, k = 5)
+      .orderBy("rank").collect().toSeq
+    assert(served == direct && served.nonEmpty)
+  }
+
   test("pqCodebooks learns per-subvector structure on planted data") {
     // subvector 0 carries two direction clusters; subvector 1 is flat
     val vecs = (0L until 24L).map { i =>
