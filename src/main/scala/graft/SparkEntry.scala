@@ -212,7 +212,15 @@ object SparkEntry {
     * elementwise — then candidate top-40 by ADC and exact-cosine
     * top-20 rerank. m=4 × subDim=16 × K=16, iters=1.
     */
-  private lazy val pqSql: String = {
+  private lazy val pqSql: String = pqSqlBuilder(withIvf = false)
+
+  /** Same chain with the IVF coarse filter composed in (q_ann_ivfpq):
+    * coarse centroids = the same first-16 seeds, cosine argmax
+    * bucket per vector, ADC only over the nProbe=4 probed buckets.
+    */
+  private lazy val ivfPqSql: String = pqSqlBuilder(withIvf = true)
+
+  private def pqSqlBuilder(withIvf: Boolean): String = {
     val m = 4; val subDim = 16; val kk = 16
     def sliceD(src: String, s: Int) =
       s"list_transform(range(${s * subDim + 1}, ${s * subDim + subDim + 1}), i -> CAST($src[i] AS DOUBLE))"
@@ -249,12 +257,26 @@ object SparkEntry {
     val joins = (0 until m)
       .map(s => s"JOIN c$s ON c$s.vec_id = e.vec_id JOIN d$s ON d$s.cid = c$s.code").mkString(" ")
     val adcSum = (0 until m).map(s => s"d$s.dist").mkString(" + ")
+    val ivfCte = if (!withIvf) "" else
+      s""",
+        cnorm AS (SELECT cid, embedding AS ce, ${dotSql("embedding", "embedding")} AS cn FROM seeds),
+        evn AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nrm FROM ev),
+        qn AS (SELECT qe, ${dotSql("qe", "qe")} AS qnrm FROM q),
+        asgc AS (SELECT vec_id, cid AS bucket FROM (
+                   SELECT e.vec_id, c.cid,
+                          row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY ${cosNSql(dotSql("e.embedding", "c.ce"), "e.nrm", "c.cn")} DESC, c.cid ASC) AS rn
+                   FROM evn e CROSS JOIN cnorm c) WHERE rn = 1),
+        probes AS (SELECT c.cid FROM cnorm c, qn
+                   ORDER BY ${cosNSql(dotSql("c.ce", "qn.qe"), "c.cn", "qn.qnrm")} DESC, c.cid ASC LIMIT 4)"""
+    val estFilter = if (!withIvf) "" else
+      " JOIN asgc ON asgc.vec_id = e.vec_id WHERE asgc.bucket IN (SELECT cid FROM probes)"
     s"""WITH ev AS (SELECT vec_id, embedding FROM embeddings),
         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, embedding
                   FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $kk)),
-        $perS,
-        est AS (SELECT e.vec_id, $adcSum AS adc FROM ev e $joins),
+        $perS$ivfCte,
+        est AS (SELECT e.vec_id, $adcSum AS adc FROM ev e $joins$estFilter),
         cand AS (SELECT vec_id FROM est ORDER BY adc ASC, vec_id ASC LIMIT 40),
         scored AS (SELECT e.vec_id, round(${cosSql("e.embedding", "q.qe")}, 6) AS cos
                    FROM ev e JOIN cand USING (vec_id), q)
@@ -767,6 +789,13 @@ object SparkEntry {
       Similarity.pqTopK(
         Tables.embeddings(s, dir), "vec_id", "embedding", queryVec(s, dir),
         k = 20, m = 4, codeK = 16, iters = 1, rerank = 40)),
+
+    // ANN scale path #4: the composed IVF-PQ production index —
+    // coarse probe prunes to 4/16 buckets, ADC scores survivors
+    "q_ann_ivfpq" -> ((s, dir) =>
+      Similarity.ivfPqTopK(
+        Tables.embeddings(s, dir), "vec_id", "embedding", queryVec(s, dir),
+        k = 20, nCentroids = 16, nProbe = 4, m = 4, codeK = 16, iters = 1, rerank = 40)),
 
     // ANN scale path #2: random-hyperplane LSH signatures with
     // multi-probe (Hamming ≤ 2), exact-cosine rerank of survivors
@@ -2038,6 +2067,8 @@ object SparkEntry {
           SELECT n_overlap, round(CAST(n_overlap AS DOUBLE) / 20, 6) AS recall FROM ov""",
 
     "q_ann_pq" -> pqSql,
+
+    "q_ann_ivfpq" -> ivfPqSql,
 
     "q_ann_lsh" ->
       s"""WITH e2 AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nrm FROM embeddings),

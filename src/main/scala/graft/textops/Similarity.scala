@@ -383,6 +383,79 @@ object Similarity {
       .withColumn("rank", row_number().over(rankWindow(idCol)))
   }
 
+  /** IVF-PQ: the composed production index (Faiss's workhorse
+    * layout, from the same TPAMI'11 paper) — a coarse IVF probe
+    * prunes the corpus to `nProbe` buckets, PQ-ADC scores only the
+    * survivors, exact cosine reranks the top `rerank`. Both halves
+    * are the operators verified independently above (same seed
+    * conventions, same tie rules); the composition multiplies their
+    * prunings: at 100 TB the query touches nProbe/nCentroids of the
+    * corpus, reading m bytes per touched vector, and full floats
+    * only for `rerank` rows.
+    */
+  def ivfPqTopK(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 4,
+      codeK: Int = 16,
+      iters: Int = 1,
+      rerank: Int = 40,
+      dim: Int = 64): DataFrame = {
+    val centroids: Seq[(Int, Seq[Double])] = embeddings
+      .orderBy(col(idCol)).limit(nCentroids).select(col(vecCol)).collect().toSeq
+      .map(_.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue))
+      .zipWithIndex.map { case (v, i) => (i, v) }
+    val books  = pqCodebooks(embeddings, idCol, vecCol, m, codeK, iters, dim)
+    val subDim = dim / m
+    val lut: Map[(Int, Int), Double] = books.map { case ((s, c), cw) =>
+      val qs = query.slice(s * subDim, (s + 1) * subDim)
+      (s, c) -> qs.zip(cw).map { case (a, b) => (a - b) * (a - b) }.sum
+    }
+    val probes = centroids
+      .map { case (i, c) =>
+        val d  = c.zip(query).map { case (x, y) => x * y }.sum
+        val na = math.sqrt(c.map(x => x * x).sum)
+        val nb = math.sqrt(query.map(x => x * x).sum)
+        (i, if (na == 0 || nb == 0) 0.0 else d / (na * nb))
+      }
+      .sortBy { case (i, c) => (-c, i) }.take(nProbe).map(_._1)
+    val withV = embeddings.withColumn("v", transform(col(vecCol), x => x.cast("double")))
+      .withColumn("nrm", dot(col("v"), col("v")))
+    val coarse = array(centroids.map { case (i, c) =>
+      val cn = c.map(x => x * x).sum
+      val cos = when(col("nrm") === 0.0 || lit(cn) === 0.0, 0.0)
+        .otherwise(dot(col("v"), typedLit(c)) / (sqrt(col("nrm")) * lit(math.sqrt(cn))))
+      struct(cos.as("cos"), lit(-i).as("ncid"))
+    }: _*)
+    val est = (0 until m).foldLeft(lit(0.0)) { (acc, s) =>
+      val sub = slice(col("v"), s * subDim + 1, subDim)
+      val cands = array((0 until codeK).map { c =>
+        val cw = books((s, c))
+        struct(
+          (lit(cw.map(x => x * x).sum) - lit(2.0) * dot(sub, typedLit(cw))).as("score"),
+          lit(c).as("cid"))
+      }: _*)
+      acc + element_at(
+        typedLit((0 until codeK).map(c => lut((s, c)))),
+        array_min(cands).getField("cid") + 1)
+    }
+    withV
+      .withColumn("centroid_id", -array_max(coarse).getField("ncid"))
+      .filter(col("centroid_id").isin(probes: _*))
+      .select(col(idCol), col(vecCol), est.as("adc"))
+      .orderBy(col("adc"), col(idCol))
+      .limit(rerank)
+      .select(col(idCol), round(cosineToQuery(col(vecCol), query), 6).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+      .withColumn("rank", row_number().over(rankWindow(idCol)))
+  }
+
   /** Deterministic spherical k-means for the IVF bucketer: seed
     * centroids = first k vectors by id (content-determined, no RNG —
     * SURVEY §7 hard part (d)), then `iters` Lloyd rounds: assign each

@@ -305,6 +305,21 @@ class TextOpsSpec extends SparkSpec {
     assert(served == direct && served.nonEmpty)
   }
 
+  test("ivfPqTopK composes the coarse probe with ADC and stays inside both prunings") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q   = emb.filter(col("vec_id") === 0).head.getSeq[Float](1).map(_.toDouble).toSeq
+    val got = Similarity.ivfPqTopK(emb, "vec_id", "embedding", q, k = 5)
+    assert(got.filter(col("rank") === 1).head.getLong(0) == 0L)
+    // ⊆ the IVF probe survivors (same seed centroids/probe rules)
+    val ivfIds = Similarity.ivfTopK(emb, "vec_id", "embedding", q, k = 1000)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ids = got.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(ivfIds))
+    // deterministic across layouts
+    val again = Similarity.ivfPqTopK(emb.repartition(5), "vec_id", "embedding", q, k = 5)
+    assert(again.orderBy("rank").collect().toSeq == got.orderBy("rank").collect().toSeq)
+  }
+
   test("pqCodebooks learns per-subvector structure on planted data") {
     // subvector 0 carries two direction clusters; subvector 1 is flat
     val vecs = (0L until 24L).map { i =>
