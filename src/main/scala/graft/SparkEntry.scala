@@ -220,8 +220,15 @@ object SparkEntry {
     */
   private lazy val ivfPqSql: String = pqSqlBuilder(withIvf = true)
 
-  private def pqSqlBuilder(withIvf: Boolean): String = {
-    val m = 4; val subDim = 16; val kk = 16
+  /** Recall@20 of the PQ path against brute force (q_ann_pq_recall). */
+  private lazy val pqRecallSql: String = pqSqlBuilder(withIvf = false, recall = true)
+
+  private def pqSqlBuilder(withIvf: Boolean, recall: Boolean = false): String = {
+    // m=8 × subDim=8 × K=16 with rerank=200: the quantization grid a
+    // recall sweep at sf0.1 selected (m=4/rerank=40 gave recall@20
+    // 0.2; 8×8 codes + a 200-candidate rerank reach ≈0.9+ while the
+    // ADC scan still reads only code bytes)
+    val m = 8; val subDim = 8; val kk = 16
     def sliceD(src: String, s: Int) =
       s"list_transform(range(${s * subDim + 1}, ${s * subDim + subDim + 1}), i -> CAST($src[i] AS DOUBLE))"
     def dotL(x: String, y: String) =
@@ -271,17 +278,26 @@ object SparkEntry {
                    ORDER BY ${cosNSql(dotSql("c.ce", "qn.qe"), "c.cn", "qn.qnrm")} DESC, c.cid ASC LIMIT 4)"""
     val estFilter = if (!withIvf) "" else
       " JOIN asgc ON asgc.vec_id = e.vec_id WHERE asgc.bucket IN (SELECT cid FROM probes)"
+    val tail = if (!recall)
+      s"""SELECT vec_id, cos, CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+       FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 20"""
+    else
+      s""", pq_k AS (SELECT vec_id FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 20),
+          bf_k AS (SELECT vec_id FROM (
+                     SELECT e.vec_id, round(${cosSql("e.embedding", "q.qe")}, 6) AS cos FROM ev e, q)
+                   ORDER BY cos DESC, vec_id ASC LIMIT 20),
+          ov AS (SELECT CAST(count(*) AS INT) AS n_overlap FROM bf_k JOIN pq_k USING (vec_id))
+         SELECT n_overlap, round(CAST(n_overlap AS DOUBLE) / 20, 6) AS recall FROM ov"""
+    val sep = if (recall) "" else "\n       "
     s"""WITH ev AS (SELECT vec_id, embedding FROM embeddings),
         q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         seeds AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, embedding
                   FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT $kk)),
         $perS$ivfCte,
         est AS (SELECT e.vec_id, $adcSum AS adc FROM ev e $joins$estFilter),
-        cand AS (SELECT vec_id FROM est ORDER BY adc ASC, vec_id ASC LIMIT 40),
+        cand AS (SELECT vec_id FROM est ORDER BY adc ASC, vec_id ASC LIMIT 200),
         scored AS (SELECT e.vec_id, round(${cosSql("e.embedding", "q.qe")}, 6) AS cos
-                   FROM ev e JOIN cand USING (vec_id), q)
-       SELECT vec_id, cos, CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
-       FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 20"""
+                   FROM ev e JOIN cand USING (vec_id), q)$sep$tail"""
   }
 
   /** DuckDB CTE: distinct 3-gram shingle list per doc. */
@@ -788,14 +804,25 @@ object SparkEntry {
     "q_ann_pq" -> ((s, dir) =>
       Similarity.pqTopK(
         Tables.embeddings(s, dir), "vec_id", "embedding", queryVec(s, dir),
-        k = 20, m = 4, codeK = 16, iters = 1, rerank = 40)),
+        k = 20, m = 8, codeK = 16, iters = 1, rerank = 200)),
+
+    // PQ quality gauge: recall@20 of the ADC path vs brute force —
+    // the number you check before trusting the compressed index
+    "q_ann_pq_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q   = queryVec(s, dir)
+      Similarity.recallAtK(
+        Similarity.cosineTopK(emb, "vec_id", "embedding", q, k = 20),
+        Similarity.pqTopK(emb, "vec_id", "embedding", q, k = 20, m = 8, codeK = 16, iters = 1, rerank = 200),
+        "vec_id", k = 20)
+    }),
 
     // ANN scale path #4: the composed IVF-PQ production index —
     // coarse probe prunes to 4/16 buckets, ADC scores survivors
     "q_ann_ivfpq" -> ((s, dir) =>
       Similarity.ivfPqTopK(
         Tables.embeddings(s, dir), "vec_id", "embedding", queryVec(s, dir),
-        k = 20, nCentroids = 16, nProbe = 4, m = 4, codeK = 16, iters = 1, rerank = 40)),
+        k = 20, nCentroids = 16, nProbe = 4, m = 8, codeK = 16, iters = 1, rerank = 200)),
 
     // ANN scale path #2: random-hyperplane LSH signatures with
     // multi-probe (Hamming ≤ 2), exact-cosine rerank of survivors
@@ -2069,6 +2096,8 @@ object SparkEntry {
     "q_ann_pq" -> pqSql,
 
     "q_ann_ivfpq" -> ivfPqSql,
+
+    "q_ann_pq_recall" -> pqRecallSql,
 
     "q_ann_lsh" ->
       s"""WITH e2 AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nrm FROM embeddings),
