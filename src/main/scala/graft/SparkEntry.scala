@@ -379,6 +379,29 @@ object SparkEntry {
     * `openie_e2e`, giving the discovery path a tracked wall-time
     * (cascade_e2e covers ClosedIE only).
     */
+  /** Batch-retrieval spine at the bench SF (`retrieval_e2e`): the
+    * deployed ANN serving shape — ONE codebook fit, ONE corpus
+    * encode to the m-byte code column, then every query answered
+    * from codes + its broadcast ADC table (floats only for rerank
+    * survivors). 8 queries share the cached codes; the per-query
+    * cost is the scan of code bytes, which is the number that
+    * matters at 100 TB.
+    */
+  def retrievalOn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.textops.Similarity
+    val emb   = Tables.embeddings(spark, dir)
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, k = 16, iters = 1)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books, m = 8).cache()
+    val qs = emb.filter(col("vec_id") < 8)
+      .orderBy(col("vec_id")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue).toSeq)
+    qs.map { case (qid, q) =>
+      Similarity.pqTopKFromCodes(codes, emb, "vec_id", "embedding", q, books,
+          k = 5, m = 8, codeK = 16, rerank = 200)
+        .withColumn("query_id", lit(qid))
+    }.reduce(_.unionByName(_))
+  }
+
   def openieOn(spark: SparkSession, dir: String): DataFrame = {
     val lake = docs(spark, dir).select(
       col("doc_id").cast("string").as("path"),

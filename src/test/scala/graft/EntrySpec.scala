@@ -68,6 +68,13 @@ class EntrySpec extends SparkSpec {
       }
   }
 
+  test("retrievalOn serves 8 queries from one fit+encode, each finding itself first") {
+    import org.apache.spark.sql.functions.col
+    val got  = SparkEntry.retrievalOn(spark, sf0001)
+    val self = got.filter(col("rank") === 1).select("query_id", "vec_id").collect()
+    assert(self.length == 8 && self.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
   test("queries and oracleSql keys are consistent") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
