@@ -98,6 +98,47 @@ object StreamingExtract {
       }
   }
 
+  /** Stream-STREAM interval join (click-attribution shape): each
+    * conversion joins the impressions of the SAME user that happened
+    * in the `windowSeconds` before it. Both sides carry watermarks,
+    * so the state store holds only rows still inside the join
+    * horizon — the impression buffer for a user is evicted once the
+    * watermark passes imp_ts + window; neither stream is ever
+    * materialized whole. This is the streaming counterpart of the
+    * batch AS-OF attribution (`graft.relops.AsOfJoin` /
+    * q_asof_attribution): the batch form answers the historical
+    * question in one union+window shuffle, this form answers it
+    * continuously with bounded state.
+    *
+    * Inputs must be streaming DataFrames with event-time columns.
+    * Output: (user, conv_id, imp_id, conv_ts, imp_ts) in append mode.
+    */
+  def attributionStream(
+      impressions: DataFrame,
+      conversions: DataFrame,
+      userCol: String,
+      windowSeconds: Long,
+      impWatermark: String = "30 seconds",
+      convWatermark: String = "30 seconds"): DataFrame = {
+    val imp = impressions
+      .select(
+        col(userCol), col("id").as("imp_id"),
+        col("ts").as("imp_ts"))
+      .withWatermark("imp_ts", impWatermark)
+    val conv = conversions
+      .select(
+        col(userCol).as("__cuser"), col("id").as("conv_id"),
+        col("ts").as("conv_ts"))
+      .withWatermark("conv_ts", convWatermark)
+    imp.join(
+        conv,
+        col(userCol) === col("__cuser") &&
+          col("conv_ts") >= col("imp_ts") &&
+          col("conv_ts") <= col("imp_ts") + expr(s"INTERVAL $windowSeconds SECONDS"),
+        "inner")
+      .select(col(userCol), col("conv_id"), col("imp_id"), col("conv_ts"), col("imp_ts"))
+  }
+
   /** Streaming exact dedup: drop re-arrivals of identical content
     * within the watermark horizon — the ingest-time half of the dedup
     * story (the batch operators in graft.textops handle the

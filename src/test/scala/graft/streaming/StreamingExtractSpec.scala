@@ -80,6 +80,37 @@ class StreamingExtractSpec extends SparkSpec {
     } finally spark.sql("DROP DATABASE IF EXISTS histdb CASCADE")
   }
 
+  test("attributionStream joins conversions to in-window impressions with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val imp  = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val conv = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val joined = StreamingExtract.attributionStream(
+      imp.toDF().toDF("user", "id", "ts"),
+      conv.toDF().toDF("user", "id", "ts"),
+      "user", windowSeconds = 60)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attr_out").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    imp.addData(
+      ("alice", 1L, t("2026-01-01 00:00:10")),
+      ("alice", 2L, t("2026-01-01 00:02:00")), // outside window of conv 100
+      ("bob",   3L, t("2026-01-01 00:00:20")))
+    conv.addData(
+      ("alice", 100L, t("2026-01-01 00:00:50")), // 40s after imp 1 → attributed
+      ("carol", 101L, t("2026-01-01 00:00:30"))) // no impression → dropped
+    q.processAllAvailable()
+    // advance both watermarks so the join horizon closes
+    imp.addData(("zz", 9L, t("2026-01-01 00:10:00")))
+    conv.addData(("zz", 99L, t("2026-01-01 00:10:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attr_out")
+      .select("user", "conv_id", "imp_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // zz's self-pair (conv at +0s of its own impression) is also in-window
+    assert(got == Set(("alice", 100L, 1L), ("zz", 99L, 9L)), s"got $got")
+  }
+
   test("nearDupStream drops exact near-dup arrivals, keeps distinct docs") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, Long, String)]
