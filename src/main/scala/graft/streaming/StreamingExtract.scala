@@ -119,7 +119,8 @@ object StreamingExtract {
       userCol: String,
       windowSeconds: Long,
       impWatermark: String = "30 seconds",
-      convWatermark: String = "30 seconds"): DataFrame = {
+      convWatermark: String = "30 seconds",
+      keepUnattributed: Boolean = false): DataFrame = {
     val imp = impressions
       .select(
         col(userCol), col("id").as("imp_id"),
@@ -130,13 +131,20 @@ object StreamingExtract {
         col(userCol).as("__cuser"), col("id").as("conv_id"),
         col("ts").as("conv_ts"))
       .withWatermark("conv_ts", convWatermark)
+    // leftOuter (conversions side preserved): a conversion with no
+    // in-window impression is emitted with null imp columns — but
+    // only once the watermark closes its horizon, which is exactly
+    // when "no impression arrived" becomes a fact rather than a race
+    val joinType = if (keepUnattributed) "rightOuter" else "inner"
     imp.join(
         conv,
         col(userCol) === col("__cuser") &&
           col("conv_ts") >= col("imp_ts") &&
           col("conv_ts") <= col("imp_ts") + expr(s"INTERVAL $windowSeconds SECONDS"),
-        "inner")
-      .select(col(userCol), col("conv_id"), col("imp_id"), col("conv_ts"), col("imp_ts"))
+        joinType)
+      .select(
+        coalesce(col(userCol), col("__cuser")).as(userCol),
+        col("conv_id"), col("imp_id"), col("conv_ts"), col("imp_ts"))
   }
 
   /** Streaming exact dedup: drop re-arrivals of identical content

@@ -24,6 +24,8 @@ class DeterminismSpec extends SparkSpec {
     "q_ann_lsh", "q_ann_recall", "q_embed_mean_pool", "q_dedup_paragraph",
     "q_dsir_weight", "q_shard_assign", "q_mix_realize", "q_dedup_keep_best",
     "q_minhash_est", "q_langid_confusion",
+    // round-8 PQ + fuzzy-decontam family
+    "q_ann_pq", "q_ann_ivfpq", "q_decontam_fuzzy",
     // round-3 wave 2
     "q_ann_int8", "q_rrf_fusion", "q_hard_negatives", "q_winnow_fingerprint",
     "q_dup_ngram_frac", "q_range_join_binned", "q_data_card",

@@ -111,6 +111,32 @@ class StreamingExtractSpec extends SparkSpec {
     assert(got == Set(("alice", 100L, 1L), ("zz", 99L, 9L)), s"got $got")
   }
 
+  test("attributionStream keepUnattributed emits null-matched conversions after the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val imp  = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val conv = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val joined = StreamingExtract.attributionStream(
+      imp.toDF().toDF("user", "id", "ts"),
+      conv.toDF().toDF("user", "id", "ts"),
+      "user", windowSeconds = 60, keepUnattributed = true)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attr_outer_out").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    imp.addData(("alice", 1L, t("2026-01-01 00:00:10")))
+    conv.addData(
+      ("alice", 100L, t("2026-01-01 00:00:50")),
+      ("carol", 101L, t("2026-01-01 00:00:30"))) // never attributable
+    q.processAllAvailable()
+    imp.addData(("zz", 9L, t("2026-01-01 00:20:00")))
+    conv.addData(("zz", 99L, t("2026-01-01 00:20:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attr_outer_out")
+      .select("user", "conv_id", "imp_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got.contains(("alice", 100L, 1L)) && got.contains(("carol", 101L, -1L)), s"got $got")
+  }
+
   test("nearDupStream drops exact near-dup arrivals, keeps distinct docs") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, Long, String)]
