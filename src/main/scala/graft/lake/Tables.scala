@@ -74,4 +74,22 @@ object Tables {
       .text(dir)
       .select(input_file_name().as("path"), org.apache.spark.sql.functions.col("value").as("content"))
   }
+
+  /** Streaming counterpart of [[rawLake]]: tail a landing directory —
+    * files dropped after the query starts surface as new (path,
+    * content) rows on the next trigger, which is how a production
+    * ingest feeds the extract pipeline continuously.
+    * `maxFilesPerTrigger` bounds per-trigger work so a backfilled
+    * directory of millions of files drains in controlled increments
+    * instead of one giant first batch.
+    */
+  def rawLakeStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 100): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.readStream
+      .option("wholetext", "true")
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(dir)
+      .select(input_file_name().as("path"), org.apache.spark.sql.functions.col("value").as("content"))
+  }
 }

@@ -36,6 +36,28 @@ class StreamingExtractSpec extends SparkSpec {
     assert(collected.sortBy(_._1) == Seq((1L, "budget", "$5M"), (2L, "budget", "$9M")))
   }
 
+  test("rawLakeStream tails a landing directory incrementally") {
+    val dir  = java.nio.file.Files.createTempDirectory("graft_landing")
+    def drop(name: String, body: String): Unit =
+      java.nio.file.Files.writeString(dir.resolve(name), body)
+    drop("a.txt", "doc a body")
+    drop("b.txt", "doc b body")
+    val q = graft.lake.Tables.rawLakeStream(spark, dir.toString)
+      .writeStream.outputMode("append").format("memory").queryName("lake_tail")
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    assert(spark.table("lake_tail").count() == 2)
+    // a file dropped AFTER start surfaces on the next trigger
+    drop("c.txt", "doc c body")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("lake_tail").collect()
+      .map(r => (r.getString(0).split("/").last, r.getString(1))).toSet
+    assert(got == Set(
+      ("a.txt", "doc a body"), ("b.txt", "doc b body"), ("c.txt", "doc c body")))
+  }
+
   test("dedupStream drops duplicate content within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String)]
