@@ -38,7 +38,8 @@ object DotProduct {
   }
 
   /** Register `dot_d` in the session's function registry. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = if (!spark.sessionState.functionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("dot_d")))
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_d",
       exprs => DotProductExpr(exprs.head, exprs(1)),

@@ -166,7 +166,8 @@ case class MisraGriesAgg(
 object FreqSketch {
 
   /** Register `mg_sketch(col, capacity)` (capacity must be a literal). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = if (!spark.sessionState.functionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("mg_sketch")))
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mg_sketch",
       exprs => {

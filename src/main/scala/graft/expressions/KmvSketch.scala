@@ -103,7 +103,8 @@ object KmvSketch {
   /** Register `kmv_sketch(col, k)` in the session's function
     * registry (k must be a literal).
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = if (!spark.sessionState.functionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("kmv_sketch")))
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "kmv_sketch",
       exprs => {

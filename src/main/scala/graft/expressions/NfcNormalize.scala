@@ -27,7 +27,8 @@ object NfcNormalize {
   }
 
   /** Register `nfc_normalize` in the session's function registry. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = if (!spark.sessionState.functionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize")))
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize",
       exprs => NfcNormalizeExpr(exprs.head),

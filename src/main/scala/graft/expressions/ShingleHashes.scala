@@ -109,7 +109,8 @@ object ShingleHashes {
   }
 
   /** Register `shingle_hashes` in the session's function registry. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = if (!spark.sessionState.functionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_hashes")))
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hashes",
       exprs => ShingleHashesExpr(exprs.head, exprs(1)),

@@ -49,7 +49,8 @@ object TokenF1 {
     s.split("\\s+").filter(_.nonEmpty)
 
   /** Register `token_f1` in the session's function registry. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = if (!spark.sessionState.functionRegistry
+      .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("token_f1")))
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "token_f1",
       exprs => TokenF1Expr(exprs.head, exprs(1)),
