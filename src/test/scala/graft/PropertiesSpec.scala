@@ -18,6 +18,22 @@ class PropertiesSpec extends SparkSpec {
   private def cases(n: Int, g: Gen[(String, String)]): Seq[(String, String)] =
     Gen.listOfN(n, g).apply(Gen.Parameters.default, Seed(42L)).get
 
+  test("property: NFC normalization is idempotent, ASCII-stable, and matches the JDK reference") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val uniChar = Gen.oneOf(
+      Gen.alphaNumChar,
+      Gen.oneOf('\u00e9', 'e', '\u0301', '\uac00', '\u1100', '\u1161', '\u00df', '\u00c5', '\u212b', ' '))
+    val uniText = Gen.listOfN(12, uniChar).map(_.mkString)
+    val texts   = Gen.listOfN(300, uniText).apply(Gen.Parameters.default, Seed(7L)).get
+    texts.foreach { s =>
+      val once  = graft.expressions.NfcNormalize.compute(UTF8String.fromString(s)).toString
+      val twice = graft.expressions.NfcNormalize.compute(UTF8String.fromString(once)).toString
+      assert(twice == once, s"not idempotent on ${s.map(_.toInt.toHexString)}")
+      assert(once == java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+      if (s.forall(_ < 128)) assert(once == s, s"ASCII not stable: $s")
+    }
+  }
+
   test("property: tokenF1 ∈ [0,1], symmetric, 1 iff equal token multisets") {
     val pairs = cases(300, Gen.zip(text, text))
     pairs.foreach { case (p, g) =>
