@@ -456,6 +456,104 @@ object Similarity {
       .withColumn("rank", row_number().over(rankWindow(idCol)))
   }
 
+  /** BATCH IVF-PQ: top-k for a whole TABLE of queries in one corpus
+    * scan — the shape a retrieval pipeline actually runs (thousands
+    * of eval queries against the lake), where looping per-query
+    * plans (retrieval_e2e's union) stops scaling. Corpus rows pair
+    * ONLY with queries probing their coarse bucket (broadcast
+    * (qid → probe buckets) join), so the pair stream is
+    * n × Q·nProbe/nCentroids, not n × Q; ADC comes from a broadcast
+    * per-query lookup map; per-query candidate and final cuts are
+    * rank windows (WindowGroupLimit pushes the limit map-side).
+    *
+    * Queries are passed as (qid, vector) rows and must be a
+    * driver-collectable batch (they broadcast twice: probe lists and
+    * ADC tables). Same seeds/codebooks/tie rules as [[ivfPqTopK]] —
+    * the spec asserts per-query equality with the single-query path.
+    */
+  def ivfPqTopKBatch(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: Seq[(Long, Seq[Double])],
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 4,
+      codeK: Int = 16,
+      iters: Int = 1,
+      rerank: Int = 40,
+      dim: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val centroids: Seq[(Int, Seq[Double])] = embeddings
+      .orderBy(col(idCol)).limit(nCentroids).select(col(vecCol)).collect().toSeq
+      .map(_.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue))
+      .zipWithIndex.map { case (v, i) => (i, v) }
+    val books  = pqCodebooks(embeddings, idCol, vecCol, m, codeK, iters, dim)
+    val subDim = dim / m
+    // per-query: probe buckets + flat ADC table (m×codeK doubles)
+    def probesFor(q: Seq[Double]): Seq[Int] = centroids
+      .map { case (i, c) =>
+        val d  = c.zip(q).map { case (x, y) => x * y }.sum
+        val na = math.sqrt(c.map(x => x * x).sum)
+        val nb = math.sqrt(q.map(x => x * x).sum)
+        (i, if (na == 0 || nb == 0) 0.0 else d / (na * nb))
+      }
+      .sortBy { case (i, c) => (-c, i) }.take(nProbe).map(_._1)
+    val lutByQid: Map[Long, Seq[Double]] = queries.map { case (qid, q) =>
+      qid -> (0 until m).flatMap { s =>
+        val qs = q.slice(s * subDim, (s + 1) * subDim)
+        (0 until codeK).map { c =>
+          qs.zip(books((s, c))).map { case (a, b) => (a - b) * (a - b) }.sum
+        }
+      }
+    }.toMap
+    val probePairs = queries
+      .flatMap { case (qid, q) => probesFor(q).map(b => (qid, b)) }
+      .toDF("qid", "centroid_id")
+    val qVecs = queries.map { case (qid, q) => (qid, q) }.toDF("qid", "qvec")
+
+    val withV = embeddings.withColumn("v", transform(col(vecCol), x => x.cast("double")))
+    val coarse = array(centroids.map { case (i, c) =>
+      val cn  = c.map(x => x * x).sum
+      val nrm = dot(col("v"), col("v"))
+      val cos = when(nrm === 0.0 || lit(cn) === 0.0, 0.0)
+        .otherwise(dot(col("v"), typedLit(c)) / (sqrt(nrm) * lit(math.sqrt(cn))))
+      struct(cos.as("cos"), lit(-i).as("ncid"))
+    }: _*)
+    val codes = array((0 until m).map { s =>
+      val sub = slice(col("v"), s * subDim + 1, subDim)
+      val cands = array((0 until codeK).map { c =>
+        val cw = books((s, c))
+        struct(
+          (lit(cw.map(x => x * x).sum) - lit(2.0) * dot(sub, typedLit(cw))).as("score"),
+          lit(c).as("cid"))
+      }: _*)
+      array_min(cands).getField("cid")
+    }: _*)
+    // ADC from the row's codes against THIS pair's query: flat LUT
+    // indexed s*codeK + code_s
+    val lutCol = element_at(typedLit(lutByQid), col("qid"))
+    val est = (0 until m).foldLeft(lit(0.0)) { (acc, s) =>
+      acc + element_at(lutCol, lit(s * codeK) + element_at(col("codes"), s + 1) + 1)
+    }
+    val wCand = Window.partitionBy(col("qid")).orderBy(col("adc"), col(idCol))
+    val wFin  = Window.partitionBy(col("qid")).orderBy(desc("cos"), col(idCol))
+    withV
+      .withColumn("centroid_id", -array_max(coarse).getField("ncid"))
+      .withColumn("codes", codes)
+      .join(broadcast(probePairs), Seq("centroid_id"))
+      .select(col("qid"), col(idCol), col("v"), est.as("adc"))
+      .withColumn("crank", row_number().over(wCand))
+      .filter(col("crank") <= rerank)
+      .join(broadcast(qVecs), Seq("qid"))
+      .select(col("qid"), col(idCol), round(cosine(col("v"), col("qvec")), 6).as("cos"))
+      .withColumn("rank", row_number().over(wFin))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col(idCol), col("cos"), col("rank"))
+  }
+
   /** Deterministic spherical k-means for the IVF bucketer: seed
     * centroids = first k vectors by id (content-determined, no RNG —
     * SURVEY §7 hard part (d)), then `iters` Lloyd rounds: assign each

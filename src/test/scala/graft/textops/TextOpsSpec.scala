@@ -320,6 +320,20 @@ class TextOpsSpec extends SparkSpec {
     assert(again.orderBy("rank").collect().toSeq == got.orderBy("rank").collect().toSeq)
   }
 
+  test("ivfPqTopKBatch equals the single-query path for every query in the batch") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = (0L until 4L).map { i =>
+      i -> emb.filter(col("vec_id") === i).head.getSeq[Float](1).map(_.toDouble).toSeq
+    }
+    val batch = Similarity.ivfPqTopKBatch(emb, "vec_id", "embedding", queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val singles = queries.flatMap { case (qid, q) =>
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding", q, k = 5)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1), r.getInt(2)))
+    }.toSet
+    assert(batch == singles && batch.nonEmpty)
+  }
+
   test("pqCodebooks learns per-subvector structure on planted data") {
     // subvector 0 carries two direction clusters; subvector 1 is flat
     val vecs = (0L until 24L).map { i =>
