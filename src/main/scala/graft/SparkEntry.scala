@@ -402,6 +402,23 @@ object SparkEntry {
     }.reduce(_.unionByName(_))
   }
 
+  /** Batch-retrieval via the one-scan batch operator
+    * (`retrieval_batch_e2e`): same 8 queries as [[retrievalOn]], but
+    * served by `ivfPqTopKBatch` — corpus rows pair only with queries
+    * probing their bucket, so the whole batch costs one scan + two
+    * rank windows instead of 8 plan branches.
+    */
+  def retrievalBatchOn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.textops.Similarity
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 8)
+      .orderBy(col("vec_id")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue).toSeq)
+      .toSeq
+    Similarity.ivfPqTopKBatch(emb, "vec_id", "embedding", queries,
+      k = 5, nCentroids = 16, nProbe = 4, m = 8, codeK = 16, iters = 1, rerank = 200)
+  }
+
   def openieOn(spark: SparkSession, dir: String): DataFrame = {
     val lake = docs(spark, dir).select(
       col("doc_id").cast("string").as("path"),

@@ -75,6 +75,13 @@ class EntrySpec extends SparkSpec {
     assert(self.length == 8 && self.forall(r => r.getLong(0) == r.getLong(1)))
   }
 
+  test("retrievalBatchOn serves the same 8 queries in one scan, each finding itself first") {
+    import org.apache.spark.sql.functions.col
+    val got  = SparkEntry.retrievalBatchOn(spark, sf0001)
+    val self = got.filter(col("rank") === 1).select("qid", "vec_id").collect()
+    assert(self.length == 8 && self.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
   test("queries and oracleSql keys are consistent") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
