@@ -112,6 +112,25 @@ object Bench {
     val compact = s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","queries_n":${all.size}}"""
     println(compact)
     println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
+    // the cascade's token economics at this SF (single measured run,
+    // not timed): per-stage LLM token cost of the ClosedIE cascade +
+    // the whole-lake Direct baseline on the same lake/attributes —
+    // the reference's headline `total_tokens_prompted` bookkeeping
+    // (main.py:25-26,97-98) as a bench artifact. `apply_lake` is the
+    // checked ZERO; ratio = direct tokens / cascade tokens (the
+    // Code+-vs-Direct reduction, growing with lake size).
+    if (only.isEmpty) try {
+      val rows = SparkEntry.tokenCostOn(spark, sfDir).collect()
+      val stages = rows
+        .map(r => "\"" + r.getString(0) + "\":" + r.getLong(4))
+        .mkString("{", ",", "}")
+      val direct  = rows.filter(_.getString(0) == "direct_whole_lake").map(_.getLong(4)).sum
+      val cascade = rows.filter(_.getString(0) != "direct_whole_lake").map(_.getLong(4)).sum
+      val ratio   = if (cascade > 0) direct.toDouble / cascade else 0.0
+      println(
+        s"""{"metric":"llm_tokens","stages":$stages,"cascade_total":$cascade,"direct_total":$direct,"direct_over_cascade":${num(
+            ratio)},"sf":"$sfDir"}""")
+    } catch { case e: Throwable => System.err.println(s"[bench] llm_tokens: ${e.getMessage}") }
     println(compact)
     spark.stop()
   }

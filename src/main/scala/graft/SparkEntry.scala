@@ -209,8 +209,9 @@ object SparkEntry {
     * per subvector s — seed book = first-16 slices, one Lloyd round
     * (argmin cw·cw − 2·sub·cw, decimal-sum means, empty keeps seed),
     * final codes against the refined book, ADC lookup ||q_s − cw||²
-    * elementwise — then candidate top-40 by ADC and exact-cosine
-    * top-20 rerank. m=4 × subDim=16 × K=16, iters=1.
+    * elementwise — then a 200-candidate shortlist by ADC and
+    * exact-cosine top-20 rerank. m=8 × subDim=8 × K=16, iters=1 (the
+    * recall-tuned grid pqSqlBuilder ships).
     */
   private lazy val pqSql: String = pqSqlBuilder(withIvf = false)
 
@@ -336,17 +337,54 @@ object SparkEntry {
     * (FieldLine specs really fire on every doc).
     */
   def cascadeOn(spark: SparkSession, dir: String): DataFrame = {
-    val lake = docs(spark, dir).select(
+    val prof = new graft.api.Profiler(
+      spark,
+      MockLlmClient(),
+      graft.api.ProfilerConfig(chunkSize = 1000, trainSize = 10))
+    prof.run(fieldLineLake(spark, dir), Seq("topic", "source"))
+  }
+
+  /** The documents table rendered as a field-line lake — the corpus
+    * shape cascadeOn/openieOn/tokenCostOn share.
+    */
+  private def fieldLineLake(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
       col("doc_id").cast("string").as("path"),
       concat(
         lit("topic: "), element_at(split(col("text"), " "), 1),
         lit("\nsource: "), col("source"),
         lit("\n"), col("text")).as("content"))
+
+  /** The cascade's token economics, measured (`main.py:25-26,97-98`,
+    * `run_profiler.py:477-488` — the reference threads
+    * `total_tokens_prompted` through every stage because the 110×
+    * Code+-vs-Direct token reduction is its headline claim). Runs the
+    * ClosedIE cascade with a [[graft.extract.TokenLedger]], then the
+    * Direct baseline (LLM on every surviving (chunk, attribute) pair
+    * of the WHOLE lake, `main.py:52-99`) on the same lake and
+    * attributes, and returns the per-stage cost relation. The shape
+    * that must hold at 100 TB: every cascade stage's tokens are
+    * sample-bounded (∝ trainSize docs), `apply_lake` is ZERO, and
+    * `direct_whole_lake` grows with the lake — so the ratio
+    * direct/cascade grows without bound as the lake does.
+    */
+  def tokenCostOn(spark: SparkSession, dir: String): DataFrame = {
+    val ledger = new graft.extract.TokenLedger(spark.sparkContext)
+    val lake   = fieldLineLake(spark, dir)
     val prof = new graft.api.Profiler(
       spark,
       MockLlmClient(),
-      graft.api.ProfilerConfig(chunkSize = 1000, trainSize = 10))
-    prof.run(lake, Seq("topic", "source"))
+      graft.api.ProfilerConfig(chunkSize = 1000, trainSize = 10),
+      Some(ledger))
+    prof.run(lake, Seq("topic", "source")).count() // materialize: accumulators fill on execution
+    val chunks = Chunker.chunkAuto(lake, "path", "path", "content", 1000)
+    val attrs  = spark.createDataFrame(Seq("topic", "source").map(Tuple1(_))).toDF("attribute")
+    val kept   = ChunkFilter.keywordChunkFilter(chunks, attrs, "path")
+    DirectExtract(
+      kept.select(col("path"), col("attribute"), col("chunk")),
+      ledger.wrap(MockLlmClient(), "direct_whole_lake"),
+      "path").count()
+    ledger.report(spark)
   }
 
   /** ClosedIE cascade over an HTML lake at an arbitrary scale factor —
@@ -420,12 +458,7 @@ object SparkEntry {
   }
 
   def openieOn(spark: SparkSession, dir: String): DataFrame = {
-    val lake = docs(spark, dir).select(
-      col("doc_id").cast("string").as("path"),
-      concat(
-        lit("topic: "), element_at(split(col("text"), " "), 1),
-        lit("\nsource: "), col("source"),
-        lit("\n"), col("text")).as("content"))
+    val lake = fieldLineLake(spark, dir)
     val prof = new graft.api.Profiler(
       spark,
       MockLlmClient(),
@@ -1338,24 +1371,31 @@ object SparkEntry {
 
     // lineitem ⋈ orders revenue by priority (join at volume; date
     // filters push into both parquet scans)
-    // pre-aggregate lineitem revenue per orderkey BEFORE the join:
-    // the join then moves one row per order (4× fewer here, ~7× at
-    // TPC-H shape), and the per-priority count needs no countDistinct
-    // expand (orderkey is unique post-agg). Decimal partial sums
-    // re-aggregate exactly, so the result is bit-identical to the
-    // join-first form the oracle runs.
-    "q_order_revenue_join" -> ((s, dir) =>
+    // the date filter prunes the AGGREGATE'S INPUT, not just the
+    // join: lineitem semi-joins the filtered orderkeys BEFORE the
+    // revenue aggregation, so rows of pre-cutoff orders never enter
+    // the partial sums (at 100× the filter is the selective side and
+    // this is the difference between aggregating the whole fact table
+    // and a slice of it). Post-agg the join moves one row per
+    // surviving order, and the per-priority count needs no
+    // countDistinct expand (orderkey is unique post-agg). Dropping a
+    // key pre-agg == dropping its aggregated row at the inner join,
+    // and decimal partial sums re-aggregate exactly — bit-identical
+    // to the join-first form the oracle runs.
+    "q_order_revenue_join" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
       Tables.lineitem(s, dir)
+        .join(ord.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left_semi")
         .groupBy(col("l_orderkey"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")).as("rev"))
-        .join(
-          Tables.orders(s, dir).filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp")),
-          col("l_orderkey") === col("o_orderkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(
           sum(col("rev")).cast("double").as("revenue"),
           count(lit(1)).as("n_orders"))
-        .orderBy(col("o_orderpriority"))),
+        .orderBy(col("o_orderpriority"))
+    }),
 
     // TPC-H Q3 shape (shipping priority): 3-way customer ⋈ orders ⋈
     // lineitem — segment/date filters push into all three scans, the

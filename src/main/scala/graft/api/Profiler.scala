@@ -78,7 +78,25 @@ object Profiler {
   val LlmBatchSize: Int = 64
 }
 
-class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = ProfilerConfig()) {
+class Profiler(
+    spark: SparkSession,
+    client: LlmClient,
+    cfg: ProfilerConfig = ProfilerConfig(),
+    /** Optional per-stage LLM token ledger (`main.py:25-26,97-98`,
+      * `run_profiler.py:477-488`): when given, every LLM stage bills
+      * its prompts/completions to a named accumulator set and
+      * `ledger.report(spark)` yields the cost relation. The whole-lake
+      * APPLY registers itself with ZERO calls — the cascade's
+      * economics (tokens ∝ trainSize, not lake size) as a checked row.
+      */
+    ledger: Option[TokenLedger] = None) {
+
+  /** The stage's accounting wrapper around the profiler's client (or
+    * around `cl`, letting two stages share one bail counter while
+    * billing apart). Identity when no ledger is installed.
+    */
+  private def stageClient(stage: String, cl: LlmClient = client): LlmClient =
+    ledger.map(_.wrap(cl, stage)).getOrElse(cl)
 
   /** D2 → D3: chunk the lake, dispatching on format
     * (`profiler_utils.py:200-214`): html/xhtml paths go through the
@@ -106,7 +124,7 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
     * frequency-ranked.
     */
   def identifySchema(sampleChunks: DataFrame): DataFrame = {
-    val proposed = llmMap(sampleChunks, c => Prompts.schemaId(c))
+    val proposed = llmMap(sampleChunks, c => Prompts.schemaId(c), stageClient("schema_id"))
       .withColumn("line", explode(split(col("completion"), "\n")))
       .withColumn("field", lower(trim(regexp_extract(col("line"), "^([^:]{1,60}):", 1))))
       .withColumn("value", trim(regexp_extract(col("line"), "^[^:]{1,60}:(.*)$", 1)))
@@ -129,7 +147,7 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
     // an erroring client degrades to the frequency ranking (zero
     // mentions) instead of failing schema identification outright
     val mentions = scala.util.Try {
-      client
+      stageClient("schema_rerank")
         .complete((0 until 3).iterator.map(r => Prompts.rerankFields(fields, r)))
         .flatMap(_.split("\n"))
         .map(_.trim.toLowerCase)
@@ -331,10 +349,14 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
       attribute: String,
       doEndToEnd: Boolean): (Seq[ExtractorSpec], Double) = {
     // per-attribute error scope: the bail counter lives and dies with
-    // this cascade, matching the reference's per-attribute loop
+    // this cascade, matching the reference's per-attribute loop.
+    // Token accounting wraps OUTSIDE the bail client: synthesis and
+    // gold bill to separate stages (`token_used["get_extract_
+    // functions"]` vs the direct-extract gold, `main.py:103-135`)
+    // while sharing the one per-attribute failure counter.
     val cl    = new BailingLlmClient(client, cfg.maxConsecutiveLlmErrors)
-    val specs = synthesizeSpecs(attribute, sampleChunks, cl)
-    val gold  = goldOnSample(attribute, sampleChunks, cl)
+    val specs = synthesizeSpecs(attribute, sampleChunks, stageClient("synthesis", cl))
+    val gold  = goldOnSample(attribute, sampleChunks, stageClient("gold_sample", cl))
     selectSpecs(attribute, specs, sampleChunks, gold, doEndToEnd)
   }
 
@@ -450,6 +472,10 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
     }
     if (ok.isEmpty) return (emptyExtractions, failed)
 
+    // the whole-lake APPLY spends ZERO LLM tokens (specs compile to
+    // native expressions) — register the stage so the report carries
+    // that zero as a row, not an absence
+    ledger.foreach(_.touch("apply_lake"))
     // PHASE 2 — the lake pass. Majority-vote combiners run ONE
     // combined scan for every attribute (applySpecsAll); the
     // LLM-backed and WS combiners keep the per-attribute pass (their
@@ -556,7 +582,8 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
         // already exists; dropping on infrastructure failure would
         // silently shrink the schema) rather than sinking OpenIE.
         scala.util.Try {
-          val answers = client.complete(Iterator.fill(3)(Prompts.attrValidity(attr, samples))).toSeq
+          val answers =
+            stageClient("attr_validity").complete(Iterator.fill(3)(Prompts.attrValidity(attr, samples))).toSeq
           val yes     = answers.count(_.trim.toLowerCase.startsWith("y"))
           if (yes * 2 < answers.size) Some(attr) else None
         }.getOrElse(None)
@@ -577,7 +604,7 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
       .filter(size(col("cands")) <= 1)
       .select(col(keyCol), col("attribute"), coalesce(element_at(col("cands"), 1), lit("")).as("value"))
     val disputed = grouped.filter(size(col("cands")) > 1)
-    val cl       = client
+    val cl       = stageClient("pick_value")
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(keyCol, disputed.schema(keyCol).dataType),
       org.apache.spark.sql.types.StructField("attribute", org.apache.spark.sql.types.StringType),
@@ -681,10 +708,10 @@ class Profiler(spark: SparkSession, client: LlmClient, cfg: ProfilerConfig = Pro
     * how many chunk rows a 100 TB partition holds, and batching
     * clients still see multi-prompt calls for connection reuse.
     */
-  private def llmMap(chunks: DataFrame, mkPrompt: String => String): DataFrame = {
+  private def llmMap(chunks: DataFrame, mkPrompt: String => String, cl0: LlmClient = null): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType(
       chunks.schema.fields :+ org.apache.spark.sql.types.StructField("completion", org.apache.spark.sql.types.StringType))
-    val cl = client
+    val cl = if (cl0 == null) client else cl0
     val fn = mkPrompt
     chunks.mapPartitions { rows =>
       rows.grouped(Profiler.LlmBatchSize).flatMap { batch =>

@@ -151,19 +151,19 @@ object Combiners {
     // behind it is the combiner's only lake-scale stage and must not
     // re-execute per consumer
     val mm = LabelModel.momentMap(LabelModel.pairwiseMoments(pm, keyCol))
-    val (accs, depOpt) =
-      if (!learnDeps) (LabelModel.flyingSquidFromMap(mm, Set.empty), None)
+    val (accs, depsLearned) =
+      if (!learnDeps) (LabelModel.flyingSquidFromMap(mm, Set.empty), Seq.empty[(String, String, Double)])
       else
         try {
-          val learned = LabelModel.learnTopDependencyFromMap(mm)
-          val deps = learned match {
-            case Some((i, j, _)) => Set((i, j))
-            case None            => Set.empty[(String, String)]
-          }
-          (LabelModel.flyingSquidFromMap(mm, deps), learned)
+          // up to 2 edges, overlap allowed (a voter correlated with
+          // two others chains cliques through itself — the general
+          // clique-tree decode handles it); chordality is maintained
+          // by the learner, so the decode below cannot raise
+          val learned = LabelModel.learnTopDependenciesOverlappingFromMap(mm, k = 2)
+          (LabelModel.flyingSquidFromMap(mm, learned.map(d => (d._1, d._2)).toSet), learned)
         } catch {
           // "Not modeling dependencies." (run_ws.py:256-257)
-          case _: Throwable => (LabelModel.flyingSquidFromMap(mm, Set.empty), None)
+          case _: Throwable => (LabelModel.flyingSquidFromMap(mm, Set.empty), Seq.empty[(String, String, Double)])
         }
     val accDf = spark.createDataFrame(accs.toSeq.sorted).toDF("extractor", "acc")
 
@@ -213,10 +213,10 @@ object Combiners {
       .withColumn("best_alt_id", argmaxFrom(1))
     def label(idCol: Column) =
       when(idCol >= 0, element_at(col("labels"), idCol + 1)).otherwise(lit(""))
-    val decoded = depOpt match {
-      case None =>
+    val decoded = depsLearned match {
+      case Seq() =>
         scoredIds.select(col(keyCol), label(col("best_id")).as("value"))
-      case Some((ea, eb, _)) =>
+      case learned =>
         // dependency learned → decode the plurality-vs-rest decision
         // with the exact pair-clique posterior (the reference switches
         // to clique-tree inference when deps are modeled,
@@ -236,13 +236,22 @@ object Combiners {
         // is parameterized by the dep-aware means — mixing the two
         // makes P(v_a,v_b|y) inconsistent with its own marginals
         // (E[v_a v_b] would read m_a·m_b + residual_indep ≠ m_ab).
-        val residual = mm.get((ea, eb)) match {
-          case Some(mab) =>
-            mab - (2 * accs.getOrElse(ea, 0.5) - 1) * (2 * accs.getOrElse(eb, 0.5) - 1)
-          case None => 0.0
+        val reDerived = learned.map { case (ea, eb, _) =>
+          val residual = mm.get((ea, eb)).orElse(mm.get((eb, ea))) match {
+            case Some(mab) =>
+              mab - (2 * accs.getOrElse(ea, 0.5) - 1) * (2 * accs.getOrElse(eb, 0.5) - 1)
+            case None => 0.0
+          }
+          (ea, eb, residual)
         }
-        val jt = LabelModel
-          .junctionTreePredict(pm, accDf, (ea, eb), residual, keyCol)
+        // single pair → the pair-clique fast path; overlapping or
+        // multiple pairs → the general chordal clique-tree decode
+        // (numerically identical on disjoint pairs, asserted in
+        // LabelModelSpec)
+        val jt = (if (reDerived.size == 1)
+                    LabelModel.junctionTreePredict(
+                      pm, accDf, (reDerived.head._1, reDerived.head._2), reDerived.head._3, keyCol)
+                  else LabelModel.junctionTreePredictTree(pm, accDf, reDerived, keyCol))
           .select(col(keyCol), col("jt_pred"))
         scoredIds
           .join(jt, Seq(keyCol), "left")

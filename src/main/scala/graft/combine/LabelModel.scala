@@ -182,6 +182,40 @@ object LabelModel {
     }.take(k)
   }
 
+  /** Top-k dependencies with OVERLAP allowed — the edge set
+    * `_set_clique_tree` accepts (`methods.py:123-156` takes any
+    * chordal edgeset, not just a matching). Greedy by |residual|
+    * like [[learnTopDependenciesFromMap]], but a pair sharing a
+    * voter with an already-selected pair is kept rather than
+    * skipped; an edge whose addition would make the graph
+    * non-chordal is skipped instead (the decode,
+    * [[junctionTreePredictTree]], requires chordality exactly as the
+    * reference raises NetworkXError on non-chordal input — greedily
+    * maintaining it beats failing later).
+    */
+  def learnTopDependenciesOverlappingFromMap(
+      m: Map[(String, String), Double],
+      k: Int,
+      minResidual: Double = 0.05): Seq[(String, String, Double)] = {
+    if (m.isEmpty || k <= 0) return Seq.empty
+    val corr = flyingSquidFromMap(m, Set.empty).map { case (e, a) => e -> (2.0 * a - 1.0) }
+    val residuals = m.toSeq
+      .collect {
+        case ((i, j), mij) if i < j =>
+          (i, j, mij - corr.getOrElse(i, 0.0) * corr.getOrElse(j, 0.0))
+      }
+      .filter { case (_, _, r) => math.abs(r) >= minResidual }
+      .sortBy { case (i, j, r) => (-math.abs(r), i, j) }
+    residuals.foldLeft(Seq.empty[(String, String, Double)]) { (acc, e) =>
+      if (acc.size >= k) acc
+      else {
+        val trial = acc :+ e
+        try { cliqueTree(trial.map(t => (t._1, t._2))); trial }
+        catch { case _: IllegalArgumentException => acc }
+      }
+    }
+  }
+
   /** Naive-Bayes posterior vote combination (`methods.py:521`):
     * per key, score each candidate class by Π_i P(v_i | y=c) using
     * per-extractor accuracies; abstains contribute 1. Binary ±1
@@ -393,6 +427,211 @@ object LabelModel {
       .join(pairScores, Seq(keyCol), "full_outer")
       .withColumn("score_pos", exp(coalesce(col("li_pos"), lit(0.0)) + coalesce(col("lp_pos"), lit(0.0))))
       .withColumn("score_neg", exp(coalesce(col("li_neg"), lit(0.0)) + coalesce(col("lp_neg"), lit(0.0))))
+      .withColumn("jt_pred", when(col("score_pos") >= col("score_neg"), 1).otherwise(-1))
+      .select(col(keyCol), col("jt_pred"), col("score_pos"), col("score_neg"))
+  }
+
+  /** Chordality check + maximal cliques + clique tree for a voter
+    * dependency graph — the driver-side twin of `_set_clique_tree`
+    * (`methods.py:123-156`, networkx `is_chordal` /
+    * `chordal_graph_cliques` / `maximum_spanning_tree`). The graph is
+    * extractor-ensemble sized (~10 voters), so O(m³) checks are free.
+    *
+    * Returns (maximal cliques, clique-tree edge separators) — one
+    * separator entry PER TREE EDGE, so a separator set shared by k+1
+    * chained cliques appears k times, which is exactly the number of
+    * divisions the factorization Π P(v_C|y) / Π P(v_S|y) needs.
+    * (The reference's singleton-separator loop divides by
+    * acc^(deg−1) on EVERY edge — `methods.py:484-494` — which
+    * over-divides when >2 cliques share a voter; like the html-chunk
+    * `use_raw_text` bug, that quirk is not replicated: this engine
+    * divides once per tree edge, the textbook junction-tree form.
+    * On the exercised ≤2-clique shapes the two agree exactly.)
+    */
+  private[combine] def cliqueTree(edges: Seq[(String, String)]): (Seq[Seq[String]], Seq[Seq[String]]) = {
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val adj: Map[String, Set[String]] = verts.map { v =>
+      v -> edges.collect {
+        case (a, b) if a == v => b
+        case (a, b) if b == v => a
+      }.toSet
+    }.toMap
+    // maximum cardinality search: pick the unnumbered vertex with the
+    // most numbered neighbors (ties → name order); reverse(pick
+    // order) is a perfect elimination ordering iff the graph is
+    // chordal
+    val picked = scala.collection.mutable.ArrayBuffer.empty[String]
+    val unpicked = scala.collection.mutable.SortedSet.empty[String] ++ verts
+    while (unpicked.nonEmpty) {
+      val next = unpicked.toSeq.sortBy(v => (-adj(v).count(picked.contains), v)).head
+      picked += next
+      unpicked -= next
+    }
+    val elim = picked.reverse.toSeq
+    val later = elim.zipWithIndex.map { case (v, i) =>
+      v -> elim.drop(i + 1).filter(adj(v)).toSet
+    }.toMap
+    // PEO test: each vertex's later neighbors must form a clique
+    later.foreach { case (v, s) =>
+      val ss = s.toSeq
+      for { i <- ss.indices; j <- i + 1 until ss.size }
+        if (!adj(ss(i))(ss(j)))
+          throw new IllegalArgumentException(
+            s"dependency graph is not chordal (fill-in needed at $v: ${ss(i)}–${ss(j)}); " +
+              "graph triangulation not implemented — matching the reference's NetworkXError " +
+              "(methods.py:138-141)")
+    }
+    // candidate cliques {v} ∪ laterNeighbors(v); keep the maximal ones
+    val cands = elim.map(v => (later(v) + v)).distinct
+    val cliques = cands
+      .filter(c => !cands.exists(o => o != c && c.subsetOf(o)))
+      .map(_.toSeq.sorted)
+      .sortBy(_.mkString(","))
+    // clique tree: maximum spanning forest over |C_i ∩ C_j| weights
+    // (Kruskal + union-find; ties → clique name order, deterministic)
+    val idx    = cliques.indices
+    val parent = scala.collection.mutable.ArrayBuffer(idx: _*)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); parent(x) = r; r }
+    val treeEdges = (for {
+      i <- idx; j <- idx if i < j
+      w = cliques(i).toSet.intersect(cliques(j).toSet).size if w > 0
+    } yield (i, j, w))
+      .sortBy { case (i, j, w) => (-w, i, j) }
+      .flatMap { case (i, j, w) =>
+        val (ri, rj) = (find(i), find(j))
+        if (ri == rj) None
+        else {
+          parent(ri) = rj
+          Some(cliques(i).toSet.intersect(cliques(j).toSet).toSeq.sorted)
+        }
+      }
+    (cliques, treeEdges)
+  }
+
+  /** Junction-tree inference over an ARBITRARY chordal dependency
+    * graph — the general `junction_tree` (`methods.py:549-596` with
+    * `_set_clique_tree` `:123-156` and the clique/separator
+    * factorization in `get_cond_probs` `:454-499`): edges may SHARE
+    * voters, so cliques chain through separator voters. With the
+    * label binary and every voter observed, exact message passing
+    * collapses to
+    *
+    *   log P(v | y) = Σ_{max cliques C} log P(v_C | y)
+    *                − Σ_{tree edges S}  log P(v_S | y)
+    *
+    * Clique joints generalize the pair table by pairwise-moment
+    * matching (the same statistics the triplet model yields — the
+    * reference instead counts labeled train rows,
+    * `get_clique_probs` `:428-452`, unavailable unsupervised):
+    *
+    *   P(v_B = s | y) = 2^{−|B|} [ Π_i (1 + s_i·y·m_i)
+    *     + Σ_{(i,j) ∈ E∩B²} s_i s_j c_ij Π_{k≠i,j} (1 + s_k·y·m_k) ]
+    *
+    * over the NON-ABSTAINING members B (abstainers drop to the
+    * sub-clique, exactly how the pair table degrades to a marginal) —
+    * it reproduces every first moment y·m_i, every learned edge
+    * moment m_i·m_j + c_ij, and marginalizes consistently (summing
+    * out a member recovers the sub-clique's table, so clique and
+    * separator tables cohere by construction). Disjoint pairs reduce
+    * it to [[junctionTreePredictChain]] term for term.
+    *
+    * Scale shape: unchanged from the chain — ONE keyed aggregation
+    * pivots each (clique|separator)-unit's member votes (a voter in
+    * d units contributes d rows via a tiny broadcast membership map),
+    * one more folds unit log-terms per key; independents keep the
+    * broadcast-join log-sum. Driver holds |units| ≤ m tables of
+    * ≤ 2·3^arity entries.
+    *
+    * deps: (extractorA, extractorB, residual) — overlap allowed; the
+    * graph they induce must be chordal ([[cliqueTree]] raises
+    * otherwise, matching the reference's NetworkXError).
+    */
+  def junctionTreePredictTree(
+      votes: DataFrame,
+      accs: DataFrame,
+      deps: Seq[(String, String, Double)],
+      keyCol: String): DataFrame = {
+    require(deps.nonEmpty, "junctionTreePredictTree needs at least one dependency edge")
+    def ord(a: String, b: String) = if (a <= b) (a, b) else (b, a)
+    val edgeRes = deps.map { case (a, b, r) => ord(a, b) -> r }.toMap
+    require(edgeRes.size == deps.size, s"duplicate dependency edges: $deps")
+    val (cliques, seps) = cliqueTree(deps.map(d => (d._1, d._2)))
+    // units: max cliques add their joint, each tree edge's separator
+    // subtracts its marginal (sign baked into the stored log value)
+    val units = cliques.map(c => (c, 1)) ++ seps.map(s => (s, -1))
+    val maxW  = units.map(_._1.size).max
+    require(maxW <= 6, s"clique of ${maxW} voters exceeds the 3^6-entry table bound")
+
+    def clampD(p: Double) = math.min(math.max(p, 1e-4), 0.9999)
+    val accMap = accs.collect().map(r => r.getString(0) -> clampD(r.getDouble(1))).toMap
+    val m      = accMap.map { case (e, a) => e -> (2 * a - 1) }
+
+    def jointLog(members: Seq[String], y: Int, s: Seq[Int]): Double = {
+      val active = members.zip(s).filter(_._2 != 0)
+      if (active.isEmpty) return 0.0
+      def prodExcept(skip: Set[String]) =
+        active.collect { case (v, sv) if !skip(v) => 1.0 + sv * y * m(v) }.product
+      val corr = (for {
+        ((vi, si), ii) <- active.zipWithIndex
+        (vj, sj)       <- active.drop(ii + 1)
+        c              <- edgeRes.get(ord(vi, vj))
+      } yield si * sj * c * prodExcept(Set(vi, vj))).sum
+      val p = (prodExcept(Set.empty) + corr) / math.pow(2.0, active.size)
+      math.log(math.max(p, 1e-4))
+    }
+
+    // per-unit log tables keyed "unit|y|s1:...:sw" ("x" pads unused
+    // slots so one config-string shape serves every arity)
+    val tableEntries = units.zipWithIndex.flatMap { case ((members, sign), ui) =>
+      def configs(w: Int): Seq[Seq[Int]] =
+        if (w == 0) Seq(Seq.empty) else for { rest <- configs(w - 1); v <- Seq(-1, 0, 1) } yield v +: rest
+      // "0" both fills unused high slots and is what a MISSING member
+      // row coalesces to below — missing vote == abstain, so the two
+      // must read identically or an absent row would miss the table
+      // and null out the whole unit's term
+      for { y <- Seq(1, -1); s <- configs(members.size) } yield {
+        val cfg = (s.map(_.toString) ++ Seq.fill(maxW - members.size)("0")).mkString(":")
+        s"$ui|$y|$cfg" -> sign * jointLog(members, y, s)
+      }
+    }
+    val table = typedLit(tableEntries.toMap)
+    // extractor → its (unit, slot) memberships; a shared voter fans
+    // out to every clique/separator that contains it
+    val membership = typedLit(
+      units.zipWithIndex
+        .flatMap { case ((members, _), ui) => members.zipWithIndex.map { case (v, p) => (v, ui, p) } }
+        .groupBy(_._1)
+        .map { case (v, xs) => v -> xs.map(x => (x._2, x._3)) })
+
+    val depSet = units.flatMap(_._1).distinct
+    val indep  = votes.filter(!col("extractor").isin(depSet: _*))
+    val aCl    = least(greatest(col("acc"), lit(1e-4)), lit(0.9999))
+    def term(cand: Int) =
+      when(col("vote") === 0, 0.0)
+        .when(col("vote") === cand, log(aCl))
+        .otherwise(log(lit(1.0) - aCl))
+    val indepScores = indep
+      .join(broadcast(accs), Seq("extractor"))
+      .groupBy(col(keyCol))
+      .agg(sum(term(1)).as("li_pos"), sum(term(-1)).as("li_neg"))
+    val slots = (0 until maxW).map(p =>
+      coalesce(
+        max(when(col("mem").getField("_2") === p, col("vote").cast("string"))),
+        lit("0")).as(s"s$p"))
+    val cfgCol = concat_ws(":", (0 until maxW).map(p => col(s"s$p")): _*)
+    def unitTerm(y: Int) =
+      element_at(table, concat_ws("|", col("unit"), lit(y), cfgCol))
+    val unitScores = votes
+      .filter(col("extractor").isin(depSet: _*))
+      .select(col(keyCol), col("vote"), explode(element_at(membership, col("extractor"))).as("mem"))
+      .groupBy(col(keyCol), col("mem").getField("_1").as("unit"))
+      .agg(slots.head, slots.tail: _*)
+      .groupBy(col(keyCol))
+      .agg(sum(unitTerm(1)).as("lt_pos"), sum(unitTerm(-1)).as("lt_neg"))
+    indepScores
+      .join(unitScores, Seq(keyCol), "full_outer")
+      .withColumn("score_pos", exp(coalesce(col("li_pos"), lit(0.0)) + coalesce(col("lt_pos"), lit(0.0))))
+      .withColumn("score_neg", exp(coalesce(col("li_neg"), lit(0.0)) + coalesce(col("lt_neg"), lit(0.0))))
       .withColumn("jt_pred", when(col("score_pos") >= col("score_neg"), 1).otherwise(-1))
       .select(col(keyCol), col("jt_pred"), col("score_pos"), col("score_neg"))
   }

@@ -63,10 +63,13 @@ object Sinks {
     * the sizes — no data pass); the rewrite uses `coalesce`, which
     * merges partitions WITHOUT a shuffle (compaction needs no
     * key-placement, so paying an exchange to co-locate rows would be
-    * pure waste). Output goes to `outDir`; swapping it over the
-    * source dir is the caller's (atomic-rename) concern.
+    * pure waste) — unless the target count EXCEEDS the read
+    * partitioning, where splitting requires a real `repartition`.
+    * Output goes to `outDir`; swapping it over the source dir is the
+    * caller's (atomic-rename) concern.
     *
-    * @return number of output files written
+    * @return number of part-files actually written (counted from the
+    *         output listing, not the requested split)
     */
   def compact(
       spark: org.apache.spark.sql.SparkSession,
@@ -81,8 +84,21 @@ object Sinks {
         f.location.listFiles(Nil, Nil).flatMap(_.files.map(_.getLen)).sum
     }.sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    df.coalesce(nOut).write.mode("overwrite").parquet(outDir)
-    nOut
+    // coalesce can only LOWER the partition count: when the read
+    // packs into fewer partitions than nOut (few large input files,
+    // small targetBytes), splitting needs a real repartition — the
+    // shuffle is the price of the requested file size, paid only on
+    // that path; the common many-tiny-files case stays shuffle-free
+    val nRead = df.rdd.getNumPartitions
+    val sized = if (nOut <= nRead) df.coalesce(nOut) else df.repartition(nOut)
+    sized.write.mode("overwrite").parquet(outDir)
+    // report what was actually written, not the plan: part-file count
+    // from the output listing keeps the return honest if a partition
+    // came out empty
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .count(s => s.getPath.getName.startsWith("part-"))
   }
 
   /** Hive-layout partitioned sink: one directory per value of

@@ -131,8 +131,10 @@ object StreamingExtract {
         col(userCol).as("__cuser"), col("id").as("conv_id"),
         col("ts").as("conv_ts"))
       .withWatermark("conv_ts", convWatermark)
-    // leftOuter (conversions side preserved): a conversion with no
-    // in-window impression is emitted with null imp columns — but
+    // rightOuter — conversions are the join's RIGHT side
+    // (imp.join(conv, ...)) and must be the preserved one: a
+    // conversion with no in-window impression is emitted with null
+    // imp columns — but
     // only once the watermark closes its horizon, which is exactly
     // when "no impression arrived" becomes a fact rather than a race
     val joinType = if (keepUnattributed) "rightOuter" else "inner"

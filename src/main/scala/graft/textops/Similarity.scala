@@ -215,6 +215,9 @@ object Similarity {
     val seedRows = embeddings
       .orderBy(col(idCol)).limit(k).select(col(vecCol)).collect().toSeq
       .map(_.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue))
+    require(
+      seedRows.length == k,
+      s"pqCodebooks: k=$k codewords need k seed vectors but the corpus has only ${seedRows.length} rows")
     var books: Map[(Int, Int), Seq[Double]] =
       (for { s <- 0 until m; c <- 0 until k }
         yield (s, c) -> seedRows(c).slice(s * subDim, (s + 1) * subDim).toSeq).toMap
@@ -410,6 +413,9 @@ object Similarity {
       .orderBy(col(idCol)).limit(nCentroids).select(col(vecCol)).collect().toSeq
       .map(_.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue))
       .zipWithIndex.map { case (v, i) => (i, v) }
+    require(
+      centroids.length == nCentroids,
+      s"nCentroids=$nCentroids coarse cells need that many seed vectors but the corpus has only ${centroids.length} rows")
     val books  = pqCodebooks(embeddings, idCol, vecCol, m, codeK, iters, dim)
     val subDim = dim / m
     val lut: Map[(Int, Int), Double] = books.map { case ((s, c), cw) =>
@@ -490,6 +496,9 @@ object Similarity {
       .orderBy(col(idCol)).limit(nCentroids).select(col(vecCol)).collect().toSeq
       .map(_.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue))
       .zipWithIndex.map { case (v, i) => (i, v) }
+    require(
+      centroids.length == nCentroids,
+      s"nCentroids=$nCentroids coarse cells need that many seed vectors but the corpus has only ${centroids.length} rows")
     val books  = pqCodebooks(embeddings, idCol, vecCol, m, codeK, iters, dim)
     val subDim = dim / m
     // per-query: probe buckets + flat ADC table (m×codeK doubles)

@@ -533,4 +533,161 @@ class LabelModelSpec extends SparkSpec {
     // toward the strong voter must recover ~0.9
     assert(acc > 0.85, s"exp-weight accuracy $acc should track the strong voter")
   }
+
+  test("cliqueTree: paths, triangles, stars, and the non-chordal rejection") {
+    // path a–b–c: two pair cliques chained through separator {b}
+    val (pathCl, pathSep) = LabelModel.cliqueTree(Seq(("a", "b"), ("b", "c")))
+    assert(pathCl.map(_.toSet).toSet == Set(Set("a", "b"), Set("b", "c")))
+    assert(pathSep == Seq(Seq("b")))
+    // triangle: one 3-clique, no separators
+    val (triCl, triSep) = LabelModel.cliqueTree(Seq(("a", "b"), ("b", "c"), ("a", "c")))
+    assert(triCl.map(_.toSet) == Seq(Set("a", "b", "c")) && triSep.isEmpty)
+    // star through b: three cliques, separator {b} once PER TREE EDGE
+    // (the k−1 divisions the factorization needs — not the
+    // reference's per-edge deg−1 exponent, methods.py:484-494)
+    val (starCl, starSep) = LabelModel.cliqueTree(Seq(("a", "b"), ("b", "c"), ("b", "d")))
+    assert(starCl.map(_.toSet).toSet == Set(Set("a", "b"), Set("b", "c"), Set("b", "d")))
+    assert(starSep == Seq(Seq("b"), Seq("b")))
+    // chordless 4-cycle → the reference's NetworkXError analogue
+    intercept[IllegalArgumentException] {
+      LabelModel.cliqueTree(Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")))
+    }
+    // chorded 4-cycle is fine: two triangles over separator {a, c}
+    val (chCl, chSep) = LabelModel.cliqueTree(Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"), ("a", "c")))
+    assert(chCl.map(_.toSet).toSet == Set(Set("a", "b", "c"), Set("a", "c", "d")))
+    assert(chSep.map(_.toSet) == Seq(Set("a", "c")))
+  }
+
+  test("junctionTreePredictTree matches hand-computed exact inference on a 3-clique star sharing a voter") {
+    // edges (a,b),(b,c),(b,d) — three pair cliques share voter b, so
+    // the decode must divide out b's marginal once per tree edge;
+    // e stays independent
+    val votes = Seq(
+      (1L, "a", 1), (1L, "b", -1), (1L, "c", 1), (1L, "d", -1), (1L, "e", 1),
+      (2L, "a", 1), (2L, "b", 0), (2L, "c", -1),
+      (3L, "b", 1)).toDF("doc_id", "extractor", "vote")
+    val accs = Seq(("a", 0.8), ("b", 0.6), ("c", 0.7), ("d", 0.55), ("e", 0.65)).toDF("extractor", "acc")
+    val deps = Seq(("a", "b", 0.1), ("b", "c", 0.15), ("b", "d", 0.05))
+    val got = LabelModel.junctionTreePredictTree(votes, accs, deps, "doc_id")
+      .orderBy("doc_id").collect()
+    // hand computation, written independently of the engine's table
+    // plumbing: per-pair joint with abstain degradation, singleton
+    // marginals for the separator, log-domain sum
+    val mM = Map("a" -> 0.6, "b" -> 0.2, "c" -> 0.4, "d" -> 0.1, "e" -> 0.3)
+    def pairT(y: Int, s: Int, t: Int, ma: Double, mb: Double, c: Double): Double =
+      if (s == 0 && t == 0) 0.0
+      else if (s == 0) math.log(math.max((1.0 + t * y * mb) / 2.0, 1e-4))
+      else if (t == 0) math.log(math.max((1.0 + s * y * ma) / 2.0, 1e-4))
+      else math.log(math.max(((1.0 + s * y * ma) * (1.0 + t * y * mb) + s * t * c) / 4.0, 1e-4))
+    def margT(y: Int, s: Int, mv: Double): Double =
+      if (s == 0) 0.0 else math.log(math.max((1.0 + s * y * mv) / 2.0, 1e-4))
+    def eTerm(y: Int, v: Int): Double =
+      if (v == 0) 0.0 else if (v == y) math.log(0.65) else math.log(0.35)
+    def score(y: Int, va: Int, vb: Int, vc: Int, vd: Int, ve: Int): Double =
+      math.exp(
+        eTerm(y, ve) +
+          pairT(y, va, vb, mM("a"), mM("b"), 0.1) +
+          pairT(y, vb, vc, mM("b"), mM("c"), 0.15) +
+          pairT(y, vb, vd, mM("b"), mM("d"), 0.05) -
+          2.0 * margT(y, vb, mM("b")))
+    val expected = Seq(
+      (1L, (score(1, 1, -1, 1, -1, 1), score(-1, 1, -1, 1, -1, 1))),
+      (2L, (score(1, 1, 0, -1, 0, 0), score(-1, 1, 0, -1, 0, 0))),
+      (3L, (score(1, 0, 1, 0, 0, 0), score(-1, 0, 1, 0, 0, 0))))
+    expected.zip(got).foreach { case ((id, (ep, en)), row) =>
+      assert(row.getLong(0) == id)
+      assert(math.abs(row.getDouble(2) - ep) < 1e-12, s"doc $id score_pos: got ${row.getDouble(2)}, want $ep")
+      assert(math.abs(row.getDouble(3) - en) < 1e-12, s"doc $id score_neg: got ${row.getDouble(3)}, want $en")
+      assert(row.getInt(1) == (if (ep >= en) 1 else -1), s"doc $id pred")
+    }
+  }
+
+  test("junctionTreePredictTree matches the hand-written triangle joint and reduces to the chain on disjoint pairs") {
+    val votes = Seq(
+      (1L, "a", 1), (1L, "b", -1), (1L, "c", 1),
+      (2L, "a", -1), (2L, "b", -1), (2L, "c", 0)).toDF("doc_id", "extractor", "vote")
+    val accs = Seq(("a", 0.8), ("b", 0.6), ("c", 0.7)).toDF("extractor", "acc")
+    // triangle: one 3-voter clique — second-order joint, written out
+    val tri = LabelModel.junctionTreePredictTree(
+      votes, accs, Seq(("a", "b", 0.1), ("b", "c", 0.12), ("a", "c", 0.08)), "doc_id")
+      .orderBy("doc_id").collect()
+    val (ma, mb, mc) = (0.6, 0.2, 0.4)
+    def tripleP(y: Int, sa: Int, sb: Int, sc: Int): Double =
+      ((1 + sa * y * ma) * (1 + sb * y * mb) * (1 + sc * y * mc) +
+        sa * sb * 0.1 * (1 + sc * y * mc) +
+        sb * sc * 0.12 * (1 + sa * y * ma) +
+        sa * sc * 0.08 * (1 + sb * y * mb)) / 8.0
+    def pairAbP(y: Int, sa: Int, sb: Int): Double =
+      ((1 + sa * y * ma) * (1 + sb * y * mb) + sa * sb * 0.1) / 4.0
+    // doc 1: all three vote → the full triple joint
+    assert(math.abs(tri(0).getDouble(2) - math.max(tripleP(1, 1, -1, 1), 1e-4)) < 1e-12)
+    assert(math.abs(tri(0).getDouble(3) - math.max(tripleP(-1, 1, -1, 1), 1e-4)) < 1e-12)
+    // doc 2: c abstains → the clique degrades to the (a,b) sub-joint
+    assert(math.abs(tri(1).getDouble(2) - pairAbP(1, -1, -1)) < 1e-12)
+    assert(math.abs(tri(1).getDouble(3) - pairAbP(-1, -1, -1)) < 1e-12)
+    // disjoint pairs: the general tree decode must equal the chain
+    val votes2 = Seq(
+      (1L, "a", 1), (1L, "b", -1), (1L, "c", 1), (1L, "d", 1), (1L, "e", -1),
+      (2L, "a", 1), (2L, "c", -1), (2L, "e", 1)).toDF("doc_id", "extractor", "vote")
+    val accs2 = Seq(("a", 0.8), ("b", 0.6), ("c", 0.7), ("d", 0.55), ("e", 0.65)).toDF("extractor", "acc")
+    val dj    = Seq(("a", "b", 0.1), ("c", "d", 0.2))
+    val chain = LabelModel.junctionTreePredictChain(votes2, accs2, dj, "doc_id").orderBy("doc_id").collect()
+    val tree  = LabelModel.junctionTreePredictTree(votes2, accs2, dj, "doc_id").orderBy("doc_id").collect()
+    chain.zip(tree).foreach { case (cr, tr) =>
+      assert(cr.getLong(0) == tr.getLong(0) && cr.getInt(1) == tr.getInt(1))
+      assert(math.abs(cr.getDouble(2) - tr.getDouble(2)) < 1e-12)
+      assert(math.abs(cr.getDouble(3) - tr.getDouble(3)) < 1e-12)
+    }
+  }
+
+  test("Ising overlapping pairs: chordal structure learning + tree junction tree beat independent NB") {
+    // voter 1 is coupled to BOTH 0 and 2 — the overlapping case the
+    // chain decode rejects: three weak correlated voters against two
+    // honest ones. The overlap-aware learner must recover both edges
+    // and the clique-tree decode must not double-count the triple.
+    // enough independent voters (4..6) that the triplet-median
+    // accuracy estimates stay clean despite the coupled triple —
+    // with only two honest voters the contaminated triplets leak a
+    // phantom residual onto them
+    val thetaAcc = Seq(0.35, 0.35, 0.35, 0.8, 0.7, 0.6, 0.5)
+    val model = IsingSampler.Model(
+      thetaY   = 0.0,
+      thetaAcc = thetaAcc,
+      deps     = Map((0, 1) -> 1.2, (1, 2) -> 1.2))
+    val (votes, gold) = isingVotes(model, n = 8000, seed = 123)
+    val mm   = LabelModel.momentMap(LabelModel.pairwiseMoments(votes, "doc_id"))
+    val deps = LabelModel.learnTopDependenciesOverlappingFromMap(mm, k = 2)
+    assert(
+      deps.map { case (i, j, _) => Set(i, j) }.toSet == Set(Set("lf_0", "lf_1"), Set("lf_1", "lf_2")),
+      s"recovered $deps")
+    val depPairs = deps.map { case (i, j, _) => (i, j) }.toSet
+    val aware    = LabelModel.flyingSquidFromMap(mm, depPairs)
+    val indep    = LabelModel.flyingSquidFromMap(mm, Set.empty)
+    val reDer = deps.map { case (i, j, _) => (i, j, mm((i, j)) - (2 * aware(i) - 1) * (2 * aware(j) - 1)) }
+    val accDf    = aware.toSeq.sorted.toDF("extractor", "acc")
+    val accIndep = indep.toSeq.sorted.toDF("extractor", "acc")
+    def accOf(pred: org.apache.spark.sql.DataFrame, cn: String) = pred
+      .join(gold, "doc_id")
+      .agg(avg(when(col(cn) === col("y"), 1.0).otherwise(0.0)))
+      .head.getDouble(0)
+    val jt = accOf(LabelModel.junctionTreePredictTree(votes, accDf, reDer, "doc_id"), "jt_pred")
+    val nb = accOf(LabelModel.naiveBayesPredict(votes, accIndep, "doc_id"), "nb_pred")
+    assert(jt > nb, s"tree jt $jt should beat independent nb $nb with an overlapping coupled triple")
+  }
+
+  test("wsCombine(learnDeps) routes overlapping learned deps through the tree decode and stays correct") {
+    import org.apache.spark.sql.functions.{col => c}
+    // b copies a AND c copies b — overlapping dependency chain
+    val planted = Map("a" -> 0.75, "b" -> 0.75, "c" -> 0.75, "d" -> 0.8, "e" -> 0.7)
+    val (votes, gold) = plantedVotes(6000, planted, deps = Map(("a", "b") -> 0.7, ("b", "c") -> 0.7))
+    val sv = votes.withColumn("value", when(c("vote") === 1, "yes").otherwise("no"))
+      .select(c("doc_id"), c("extractor"), c("value"))
+    val pred = Combiners.wsCombine(sv, "doc_id", learnDeps = true)
+    val acc = pred
+      .join(gold, "doc_id")
+      .withColumn("py", when(c("value") === "yes", 1).otherwise(-1))
+      .agg(avg(when(c("py") === c("y"), 1.0).otherwise(0.0)))
+      .head.getDouble(0)
+    assert(acc > 0.8, s"overlapping-dep ws accuracy $acc")
+  }
 }
