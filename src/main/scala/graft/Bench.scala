@@ -97,8 +97,10 @@ object Bench {
       timeE2e("cascade_e2e", () => SparkEntry.cascadeOn(spark, sfDir)) ++
       timeE2e("openie_e2e", () => SparkEntry.openieOn(spark, sfDir)) ++
       timeE2e("html_cascade_e2e", () => SparkEntry.htmlCascadeOn(spark, sfDir)) ++
-      timeE2e("retrieval_e2e", () => SparkEntry.retrievalOn(spark, sfDir)) ++
-      timeE2e("retrieval_batch_e2e", () => SparkEntry.retrievalBatchOn(spark, sfDir))
+      // the batch operator IS retrieval_e2e since round 9 (the
+      // per-query plan loop it replaced lives on as
+      // SparkEntry.retrievalLoopOn for the A/B equality specs)
+      timeE2e("retrieval_e2e", () => SparkEntry.retrievalOn(spark, sfDir))
     // Locale.ROOT: the f-interpolator is locale-sensitive and would
     // emit comma decimals (invalid JSON) under e.g. a German default
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

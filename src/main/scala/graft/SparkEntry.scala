@@ -417,15 +417,34 @@ object SparkEntry {
     * `openie_e2e`, giving the discovery path a tracked wall-time
     * (cascade_e2e covers ClosedIE only).
     */
-  /** Batch-retrieval spine at the bench SF (`retrieval_e2e`): the
-    * deployed ANN serving shape — ONE codebook fit, ONE corpus
-    * encode to the m-byte code column, then every query answered
-    * from codes + its broadcast ADC table (floats only for rerank
-    * survivors). 8 queries share the cached codes; the per-query
-    * cost is the scan of code bytes, which is the number that
-    * matters at 100 TB.
+  /** Batch-retrieval spine at the bench SF (`retrieval_e2e`) — the
+    * CANONICAL serving shape since round 9 (VERDICT r8 #6): a query
+    * TABLE served by the one-scan batch operator `ivfPqTopKBatch` —
+    * ONE coarse+PQ fit, one corpus encode, then corpus rows pair only
+    * with the queries probing their bucket (n × Q·nProbe/nCentroids
+    * pair rows), per-query rank windows. At 100 TB this is the
+    * deployed ANN server: the whole query batch costs one scan of
+    * code bytes, not one plan branch per query.
     */
   def retrievalOn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.textops.Similarity
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 8)
+      .orderBy(col("vec_id")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue).toSeq)
+      .toSeq
+    Similarity.ivfPqTopKBatch(emb, "vec_id", "embedding", queries,
+      k = 5, nCentroids = 16, nProbe = 4, m = 8, codeK = 16, iters = 1, rerank = 200)
+  }
+
+  /** The per-query plan-loop alternative [[retrievalOn]] replaced —
+    * kept ONLY as the A/B comparator (EntrySpec + TextOpsSpec's
+    * batch-equality spec): 8 `pqTopKFromCodes` branches over one
+    * cached code column, unioned. Benched at 2.7 s vs the batch
+    * path's 1.7 s at sf0.1 in round 8 — the loop's cost is one scan
+    * per query, which is why it is no longer the serving entry.
+    */
+  def retrievalLoopOn(spark: SparkSession, dir: String): DataFrame = {
     import graft.textops.Similarity
     val emb   = Tables.embeddings(spark, dir)
     val books = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, k = 16, iters = 1)
@@ -438,23 +457,6 @@ object SparkEntry {
           k = 5, m = 8, codeK = 16, rerank = 200)
         .withColumn("query_id", lit(qid))
     }.reduce(_.unionByName(_))
-  }
-
-  /** Batch-retrieval via the one-scan batch operator
-    * (`retrieval_batch_e2e`): same 8 queries as [[retrievalOn]], but
-    * served by `ivfPqTopKBatch` — corpus rows pair only with queries
-    * probing their bucket, so the whole batch costs one scan + two
-    * rank windows instead of 8 plan branches.
-    */
-  def retrievalBatchOn(spark: SparkSession, dir: String): DataFrame = {
-    import graft.textops.Similarity
-    val emb = Tables.embeddings(spark, dir)
-    val queries = emb.filter(col("vec_id") < 8)
-      .orderBy(col("vec_id")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue).toSeq)
-      .toSeq
-    Similarity.ivfPqTopKBatch(emb, "vec_id", "embedding", queries,
-      k = 5, nCentroids = 16, nProbe = 4, m = 8, codeK = 16, iters = 1, rerank = 200)
   }
 
   def openieOn(spark: SparkSession, dir: String): DataFrame = {
@@ -933,6 +935,19 @@ object SparkEntry {
     // (max 0.49), so the verdict splits non-trivially.
     "q_semdedup" -> ((s, dir) =>
       Similarity.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding", tau = 0.35)),
+
+    // SemDeDup at the SCALED shape (VERDICT r8 #4): centroids are
+    // kmeans-LEARNED (one Lloyd round over 32 seeds, the q_ann_kmeans
+    // fit) instead of the fixed 16 seeds, so max |cluster| stays
+    // bounded as the corpus grows and the pair stage's input is
+    // Σ|cluster|² ≈ N²/32 — the shape the operator runs at 100 TB
+    // (paper: 50k clusters for LAION). TextOpsSpec asserts the
+    // Σ|cluster|² bound and the equi-join plan on this exact config.
+    "q_semdedup_scaled" -> ((s, dir) => {
+      val emb     = Tables.embeddings(s, dir)
+      val learned = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 32, iters = 1)
+      Similarity.semDedup(emb, "vec_id", "embedding", tau = 0.35, nCentroids = 32, learnedCentroids = Some(learned))
+    }),
 
     // hybrid retrieval: reciprocal-rank fusion of the lexical (BM25)
     // and dense (cosine) top-30 lists into a fused top-20
@@ -2294,6 +2309,37 @@ object SparkEntry {
                     WHERE round(${cosNSql(dotSql("a.embedding", "b.embedding"), "a.nrm", "b.nrm")}, 6) >= 0.35)
           SELECT a.vec_id, a.cluster_id, a.cos_c, (d.vec_id IS NULL) AS is_kept
           FROM asg a LEFT JOIN drops d ON a.vec_id = d.vec_id ORDER BY a.vec_id""",
+
+    // q_ann_kmeans' one-Lloyd-round fit (32 seeds) composed with
+    // q_semdedup's within-cluster drop logic — replays
+    // kmeansCentroids + semDedup(learnedCentroids) bit-for-bit
+    "q_semdedup_scaled" ->
+      s"""WITH e2 AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nrm FROM embeddings),
+          c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, embedding AS ce, nrm AS cn
+                FROM (SELECT vec_id, embedding, nrm FROM e2 ORDER BY vec_id LIMIT 32)),
+          asg AS (SELECT vec_id, embedding, cid FROM (
+                    SELECT e.vec_id, e.embedding, c.cid,
+                           row_number() OVER (
+                             PARTITION BY e.vec_id
+                             ORDER BY ${cosNSql(dotSql("e.embedding", "c.ce"), "e.nrm", "c.cn")} DESC, c.cid ASC) AS rn
+                    FROM e2 e CROSS JOIN c)
+                  WHERE rn = 1),
+          m AS (SELECT cid, $kmeansMeanSql FROM asg GROUP BY cid),
+          nc AS (SELECT c.cid, list_value($kmeansNewCentroidSql) AS ce FROM c LEFT JOIN m ON c.cid = m.cid),
+          nc2 AS (SELECT cid, ce, ${dotSql("ce", "ce")} AS cn FROM nc),
+          asg2 AS (SELECT vec_id, embedding, nrm, cid AS cluster_id, round(cosv, 6) AS cos_c FROM (
+                     SELECT e.vec_id, e.embedding, e.nrm, n.cid,
+                            ${cosNSql(dotSql("e.embedding", "n.ce"), "e.nrm", "n.cn")} AS cosv,
+                            row_number() OVER (
+                              PARTITION BY e.vec_id
+                              ORDER BY ${cosNSql(dotSql("e.embedding", "n.ce"), "e.nrm", "n.cn")} DESC, n.cid ASC) AS rn
+                     FROM e2 e CROSS JOIN nc2 n) WHERE rn = 1),
+          drops AS (SELECT DISTINCT b.vec_id
+                    FROM asg2 a JOIN asg2 b ON a.cluster_id = b.cluster_id
+                     AND (a.cos_c < b.cos_c OR (a.cos_c = b.cos_c AND a.vec_id < b.vec_id))
+                    WHERE round(${cosNSql(dotSql("a.embedding", "b.embedding"), "a.nrm", "b.nrm")}, 6) >= 0.35)
+          SELECT a.vec_id, a.cluster_id, a.cos_c, (d.vec_id IS NULL) AS is_kept
+          FROM asg2 a LEFT JOIN drops d ON a.vec_id = d.vec_id ORDER BY a.vec_id""",
 
     "q_ann_kmeans" ->
       s"""WITH e2 AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nrm FROM embeddings),

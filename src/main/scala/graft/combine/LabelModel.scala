@@ -1079,6 +1079,105 @@ object LabelModel {
       .select(col(keyCol), col("p_pos"), col("lr_pred"))
   }
 
+  /** Sparse + low-rank structure learning — the reference's
+    * `learn_structure` convex program (`run_ws.py:116-153`:
+    * min ½‖R·O^½‖²_F − tr(R) + λ(γ‖S‖₁ + ‖L‖_*), R = S − L,
+    * S, L ⪰ 0, solved there by cvxpy/SCS) as a deterministic
+    * driver-side proximal-gradient (ISTA) split — no solver
+    * dependency. The smooth part f(R) = ½tr(R·O·R) − tr(R) pulls
+    * S − L toward O⁻¹; the nuclear-norm prox on L absorbs the
+    * latent label's rank-1 component of the precision matrix, so S
+    * keeps the SPARSE direct voter–voter dependencies — including
+    * OVERLAPPING edges the residual heuristic
+    * ([[learnTopDependenciesFromMap]]) structurally cannot return
+    * more than one of. Reference hyperparameters kept: λ = 1/√m,
+    * γ = 1e-8; step = 1/‖O‖₂ (the Lipschitz constant of ∇f).
+    *
+    * Spark-first shape: the ONLY lake-scale work is one self-join
+    * aggregation producing the m×m second-moment matrix plus one
+    * per-voter mean aggregation (missing rows are zero votes, so
+    * sums over present rows equal sums over the reference's
+    * zero-filled L matrix). The iteration runs on the collected m×m
+    * matrices — m is extractor-ensemble-sized, so a few hundred
+    * eigendecompositions cost microseconds and zero Spark jobs.
+    *
+    * Returns Ĵ = S with the diagonal zeroed (`run_ws.py:149-152`),
+    * keyed by ordered (i, j) name pairs, i < j; read dependencies
+    * off the largest |Ĵ| entries (`get_top_deps_from_inverse_sig`,
+    * `run_ws.py:101-114` — [[structureTopDeps]]).
+    */
+  def learnStructureSparseLowRank(
+      votes: DataFrame,
+      keyCol: String,
+      iters: Int = 500): Map[(String, String), Double] = {
+    import breeze.linalg.{diag, eigSym, DenseMatrix}
+    val exts = votes.select(col("extractor")).distinct().collect().map(_.getString(0)).sorted
+    val m    = exts.length
+    require(m >= 2, "need at least 2 voters to learn structure")
+    val n = votes.select(col(keyCol)).distinct().count().toDouble
+    require(n > 1, "need at least 2 keyed rows")
+    val sums = votes
+      .groupBy(col("extractor"))
+      .agg(sum(col("vote")).cast("double").as("s"))
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .toMap
+    val mu = exts.map(e => sums.getOrElse(e, 0.0) / n)
+    val a  = votes.select(col(keyCol), col("extractor").as("e_i"), col("vote").as("v_i"))
+    val b  = votes.select(col(keyCol), col("extractor").as("e_j"), col("vote").as("v_j"))
+    val prods = a
+      .join(b, Seq(keyCol))
+      .groupBy(col("e_i"), col("e_j"))
+      .agg(sum(col("v_i") * col("v_j")).cast("double").as("sp"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
+      .toMap
+    // sigma_O = LᵀL/(n−1) − μμᵀ, symmetrized (run_ws.py:119-122)
+    val bigO = DenseMatrix.tabulate(m, m) { (i, j) =>
+      prods.getOrElse((exts(i), exts(j)), 0.0) / (n - 1.0) - mu(i) * mu(j)
+    }
+    val os = (bigO + bigO.t) * 0.5
+
+    val lam   = 1.0 / math.sqrt(m.toDouble)
+    val gamma = 1e-8
+    val eta   = 1.0 / math.max(eigSym(os).eigenvalues.toArray.map(math.abs).max, 1e-9)
+    // eigenvalue soft-threshold + PSD clip: the prox of τ‖·‖_* over
+    // the PSD cone for a symmetric argument (τ = 0 → pure PSD
+    // projection, the S-step's constraint)
+    def psdShrink(x: DenseMatrix[Double], tau: Double): DenseMatrix[Double] = {
+      val es   = eigSym((x + x.t) * 0.5)
+      val vals = es.eigenvalues.map(v => math.max(v - tau, 0.0))
+      es.eigenvectors * diag(vals) * es.eigenvectors.t
+    }
+    def softThresh(x: DenseMatrix[Double], t: Double): DenseMatrix[Double] =
+      x.map(v => math.signum(v) * math.max(math.abs(v) - t, 0.0))
+    val eye = DenseMatrix.eye[Double](m)
+    var s   = DenseMatrix.zeros[Double](m, m)
+    var l   = DenseMatrix.zeros[Double](m, m)
+    (0 until iters).foreach { _ =>
+      val r = s - l
+      val g = ((r * os) + (os * r)) * 0.5 - eye
+      s = psdShrink(softThresh(s - (g * eta), eta * lam * gamma), 0.0)
+      l = psdShrink(l + (g * eta), eta * lam)
+    }
+    (for { i <- 0 until m; j <- i + 1 until m } yield (exts(i), exts(j)) -> s(i, j)).toMap
+  }
+
+  /** Top-k dependency pairs off the sparse factor —
+    * `get_top_deps_from_inverse_sig` (`run_ws.py:101-114`): largest
+    * |Ĵ| off-diagonals, with the `run_ws.py:233-235` nothing-stands-
+    * out guard as `minAbs`. Deterministic tie-break on names.
+    */
+  def structureTopDeps(
+      j: Map[(String, String), Double],
+      k: Int,
+      minAbs: Double = 1e-3): Seq[(String, String, Double)] =
+    j.toSeq
+      .map { case ((a, b), v) => (a, b, v) }
+      .filter { case (_, _, v) => math.abs(v) >= minAbs }
+      .sortBy { case (a, b, v) => (-math.abs(v), a, b) }
+      .take(k)
+
   /** Pairwise Cohen's kappa between extractors — chance-corrected
     * inter-annotator agreement (Cohen 1960, the WS-diagnostics
     * staple next to the confusion matrix): κ = (p_o − p_e)/(1 − p_e)

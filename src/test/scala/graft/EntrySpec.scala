@@ -68,17 +68,66 @@ class EntrySpec extends SparkSpec {
       }
   }
 
-  test("retrievalOn serves 8 queries from one fit+encode, each finding itself first") {
+  test("schema canary: every Tables loader surfaces the exact expected schema at every SF") {
+    // the full-schema extension of the NTZ gate (VERDICT r8 #8): two
+    // of rounds 6-8 broke on silent testdata drift, so EVERY loader's
+    // post-seam schema is pinned here — a future driver regeneration
+    // that renames, retypes, or adds a column fails THIS test with a
+    // column-level diff instead of hash-mismatching 20 queries
+    val expected: Map[String, Seq[(String, String)]] = Map(
+      "region"     -> Seq("r_regionkey" -> "int", "r_name" -> "string"),
+      "nation"     -> Seq("n_nationkey" -> "int", "n_name" -> "string", "n_regionkey" -> "int"),
+      "customer"   -> Seq("c_custkey" -> "bigint", "c_name" -> "string", "c_nationkey" -> "int",
+        "c_acctbal" -> "double", "c_mktsegment" -> "string"),
+      "supplier"   -> Seq("s_suppkey" -> "bigint", "s_name" -> "string", "s_nationkey" -> "int",
+        "s_acctbal" -> "double"),
+      "part"       -> Seq("p_partkey" -> "bigint", "p_name" -> "string", "p_brand" -> "string",
+        "p_type" -> "string", "p_size" -> "int", "p_retailprice" -> "double"),
+      "orders"     -> Seq("o_orderkey" -> "bigint", "o_custkey" -> "bigint", "o_orderstatus" -> "string",
+        "o_totalprice" -> "double", "o_orderdate" -> "timestamp", "o_orderpriority" -> "string"),
+      "lineitem"   -> Seq("l_orderkey" -> "bigint", "l_partkey" -> "bigint", "l_suppkey" -> "bigint",
+        "l_linenumber" -> "int", "l_quantity" -> "double", "l_extendedprice" -> "double",
+        "l_discount" -> "double", "l_tax" -> "double", "l_returnflag" -> "string",
+        "l_linestatus" -> "string", "l_shipdate" -> "timestamp"),
+      "documents"  -> Seq("doc_id" -> "bigint", "text" -> "string", "lang" -> "string",
+        "source" -> "string", "n_chars" -> "bigint"),
+      "embeddings" -> Seq("vec_id" -> "bigint", "embedding" -> "array<float>", "label" -> "int"),
+      "events"     -> Seq("event_id" -> "bigint", "ts" -> "timestamp", "user_id" -> "bigint",
+        "event_type" -> "string", "value" -> "double", "props" -> "string"))
+    def diff(name: String, d: String, got: Seq[(String, String)], want: Seq[(String, String)]): String = {
+      val gm      = got.toMap
+      val wm      = want.toMap
+      val missing = want.collect { case (c, t) if !gm.contains(c) => s"$c:$t" }
+      val extra   = got.collect { case (c, t) if !wm.contains(c) => s"$c:$t" }
+      val retyped = want.collect { case (c, t) if gm.contains(c) && gm(c) != t => s"$c: ${gm(c)} (want $t)" }
+      s"$d/$name drifted — missing[${missing.mkString(", ")}] extra[${extra.mkString(", ")}] " +
+        s"retyped[${retyped.mkString(", ")}]"
+    }
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .filter(d => new java.io.File(s"$d/orders.parquet").exists())
+      .foreach { d =>
+        expected.foreach { case (name, want) =>
+          if (new java.io.File(s"$d/$name.parquet").exists()) {
+            val t = if (name == "events") graft.lake.Tables.events(spark, d)
+                    else graft.lake.Tables.table(spark, d, name)
+            val got = t.schema.fields.toSeq.map(f => f.name -> f.dataType.simpleString)
+            assert(got == want, diff(name, d, got, want))
+          }
+        }
+      }
+  }
+
+  test("retrievalOn (canonical batch shape) serves 8 queries in one scan, each finding itself first") {
     import org.apache.spark.sql.functions.col
     val got  = SparkEntry.retrievalOn(spark, sf0001)
-    val self = got.filter(col("rank") === 1).select("query_id", "vec_id").collect()
+    val self = got.filter(col("rank") === 1).select("qid", "vec_id").collect()
     assert(self.length == 8 && self.forall(r => r.getLong(0) == r.getLong(1)))
   }
 
-  test("retrievalBatchOn serves the same 8 queries in one scan, each finding itself first") {
+  test("retrievalLoopOn (A/B comparator) agrees with the batch entry on every query's self-hit") {
     import org.apache.spark.sql.functions.col
-    val got  = SparkEntry.retrievalBatchOn(spark, sf0001)
-    val self = got.filter(col("rank") === 1).select("qid", "vec_id").collect()
+    val got  = SparkEntry.retrievalLoopOn(spark, sf0001)
+    val self = got.filter(col("rank") === 1).select("query_id", "vec_id").collect()
     assert(self.length == 8 && self.forall(r => r.getLong(0) == r.getLong(1)))
   }
 

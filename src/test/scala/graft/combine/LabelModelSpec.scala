@@ -675,6 +675,41 @@ class LabelModelSpec extends SparkSpec {
     assert(jt > nb, s"tree jt $jt should beat independent nb $nb with an overlapping coupled triple")
   }
 
+  test("sparse+low-rank structure learning recovers overlapping planted deps the residual heuristic cannot") {
+    // voter 1 coupled to BOTH 0 and 2: the disjoint residual greedy
+    // (get_top_deps analog) can return at most ONE of the two edges
+    // (both touch lf_1); the S−L split must surface BOTH as the top
+    // |J| off-diagonals, separated from every phantom edge
+    val thetaAcc = Seq(0.35, 0.35, 0.35, 0.8, 0.7, 0.6, 0.5)
+    val model = IsingSampler.Model(
+      thetaY   = 0.0,
+      thetaAcc = thetaAcc,
+      deps     = Map((0, 1) -> 1.2, (1, 2) -> 1.2))
+    val (votes, _) = isingVotes(model, n = 8000, seed = 321)
+    val j    = LabelModel.learnStructureSparseLowRank(votes, "doc_id")
+    val top2 = LabelModel.structureTopDeps(j, 2)
+    assert(
+      top2.map { case (a, b, _) => Set(a, b) }.toSet == Set(Set("lf_0", "lf_1"), Set("lf_1", "lf_2")),
+      s"top-2 from S: $top2 (J = ${j.toSeq.sortBy(-_._2.abs).take(6)})")
+    // planted edges must stand clear of the phantom floor
+    val planted = Set(Set("lf_0", "lf_1"), Set("lf_1", "lf_2"))
+    val (in, out) = j.toSeq.partition { case ((a, b), _) => planted(Set(a, b)) }
+    assert(in.map(_._2.abs).min > 2.0 * out.map(_._2.abs).max,
+      s"separation: planted ${in.map(_._2)} vs phantom max ${out.map(_._2.abs).max}")
+    // the disjoint heuristic structurally cannot return both edges
+    val mm       = LabelModel.momentMap(LabelModel.pairwiseMoments(votes, "doc_id"))
+    val disjoint = LabelModel.learnTopDependenciesFromMap(mm, k = 2)
+    assert(
+      disjoint.map { case (a, b, _) => Set(a, b) }.toSet != planted,
+      s"disjoint heuristic unexpectedly returned both overlapping edges: $disjoint")
+    // and on an independent ensemble S surfaces no strong edge
+    val indepModel     = IsingSampler.Model(thetaY = 0.0, thetaAcc = thetaAcc)
+    val (indVotes, _)  = isingVotes(indepModel, n = 8000, seed = 321)
+    val jInd           = LabelModel.learnStructureSparseLowRank(indVotes, "doc_id")
+    assert(jInd.values.map(_.abs).max < in.map(_._2.abs).min / 2.0,
+      s"independent ensemble should show no edge near the planted strength: ${jInd.toSeq.sortBy(-_._2.abs).take(3)}")
+  }
+
   test("wsCombine(learnDeps) routes overlapping learned deps through the tree decode and stays correct") {
     import org.apache.spark.sql.functions.{col => c}
     // b copies a AND c copies b — overlapping dependency chain

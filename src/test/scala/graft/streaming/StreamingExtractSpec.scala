@@ -102,6 +102,91 @@ class StreamingExtractSpec extends SparkSpec {
     } finally spark.sql("DROP DATABASE IF EXISTS histdb CASCADE")
   }
 
+  test("structuredViewStream restarts from its checkpoint: no doc lost, none duplicated") {
+    // the exactly-once claim every foreachBatch sink implicitly makes
+    // (VERDICT r8 #5), proven over a file-source lake: run → stop →
+    // drop more files → RESTART from the same checkpoint dir. The
+    // restarted query must pick up exactly the unprocessed files —
+    // a committed batch must not replay into the sink, a pending file
+    // must not be skipped.
+    val landing = java.nio.file.Files.createTempDirectory("graft_ckpt_landing")
+    val ckpt    = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    def drop(name: String, body: String): Unit =
+      java.nio.file.Files.writeString(landing.resolve(name), body)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    def run(): Unit = {
+      val writer = StreamingExtract.structuredViewStream(
+        graft.lake.Tables.rawLakeStream(spark, landing.toString),
+        Seq("budget"), "path", "content", 12, MockLlmClient()) { (voted, batchId) =>
+        seen ++= voted.select("path", "value").collect()
+          .map(r => (r.getString(0).split("/").last, r.getString(1), batchId))
+      }
+      val q = writer
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    drop("a.txt", "budget: $1M\nbody a")
+    drop("b.txt", "budget: $2M\nbody b")
+    run() // first incarnation processes a, b and commits the batch
+    assert(seen.map(_._1).sorted == Seq("a.txt", "b.txt"), s"first run saw $seen")
+    drop("c.txt", "budget: $3M\nbody c")
+    drop("d.txt", "budget: $4M\nbody d")
+    run() // killed-and-restarted incarnation resumes from the checkpoint
+    val byDoc = seen.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byDoc.keySet == Set("a.txt", "b.txt", "c.txt", "d.txt"),
+      s"lost docs across restart: ${Set("a.txt", "b.txt", "c.txt", "d.txt") -- byDoc.keySet}")
+    assert(byDoc.values.forall(_ == 1),
+      s"docs duplicated across restart (committed batch replayed): ${byDoc.filter(_._2 > 1)}")
+    val values = seen.map(t => t._1 -> t._2).toMap
+    assert(values == Map("a.txt" -> "$1M", "b.txt" -> "$2M", "c.txt" -> "$3M", "d.txt" -> "$4M"), s"$values")
+  }
+
+  test("historyGateStream restarts from its checkpoint: gate verdicts survive, nothing replays") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_histidx2").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS histdb2 LOCATION '$dir'")
+    try {
+      val corpus = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog again and again"),
+        (2L, "an entirely separate historical document about engines")).toDF("doc_id", "text")
+      graft.lake.Sinks.writeBucketed(
+        graft.textops.Dedup.bandIndex(corpus, "doc_id", "text"),
+        "histdb2.hist_index", "band_key", nBuckets = 2)
+      val landing = java.nio.file.Files.createTempDirectory("graft_gate_landing")
+      val ckpt    = java.nio.file.Files.createTempDirectory("graft_gate_ckpt").toString
+      def drop(name: String, body: String): Unit =
+        java.nio.file.Files.writeString(landing.resolve(name), body)
+      val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+      def run(): Unit = {
+        val writer = StreamingExtract.historyGateStream(
+          graft.lake.Tables.rawLakeStream(spark, landing.toString)
+            .select(
+              // numeric filenames → the index's long id domain
+              regexp_extract(col("path"), "(\\d+)\\.txt$", 1).cast("long").as("doc_id"),
+              col("content").as("text")),
+          "histdb2.hist_index", "doc_id", "text") { (fresh, _) =>
+          kept ++= fresh.select("doc_id").collect().map(_.getLong(0))
+        }
+        val q = writer
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.processAllAvailable()
+        q.stop()
+      }
+      drop("10.txt", "the quick brown fox jumps over the lazy dog again and again") // year-old dup
+      drop("11.txt", "genuinely new content never seen in the corpus before now")
+      run()
+      assert(kept.sorted.toSeq == Seq(11L), s"first run kept $kept")
+      drop("12.txt", "another batch of fresh material arriving after the restart")
+      run() // restart: must process ONLY 12, and not re-emit 11
+      assert(kept.sorted.toSeq == Seq(11L, 12L),
+        s"across restart the gate kept $kept (duplicate = replayed batch, missing = lost file)")
+    } finally spark.sql("DROP DATABASE IF EXISTS histdb2 CASCADE")
+  }
+
   test("attributionStream joins conversions to in-window impressions with bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val imp  = MemoryStream[(String, Long, java.sql.Timestamp)]

@@ -41,6 +41,30 @@ class SemDedupSpec extends SparkSpec {
     assert(out(1L)._1 == out(3L)._1 && out(0L)._1 != out(1L)._1)
   }
 
+  test("semDedup scale shape: kmeans-learned centroids bound the pair space to Σ|cluster|² ≪ N²") {
+    // the q_semdedup_scaled configuration (32 learned centroids, one
+    // Lloyd round) on real testdata embeddings — the claim the
+    // operator's scaladoc makes for 100 TB, checked: the pair join's
+    // input is Σ|cluster|², a fraction of N², and the pair stage is a
+    // plan-level equi-join on cluster_id (never a cartesian)
+    val emb     = graft.lake.Tables.embeddings(spark, sf0001)
+    val learned = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 32, iters = 1)
+    val out = Similarity.semDedup(
+      emb, "vec_id", "embedding", tau = 0.35, nCentroids = 32, learnedCentroids = Some(learned))
+    val sizes = out.groupBy(col("cluster_id")).count().collect().map(_.getLong(1))
+    val n     = sizes.sum.toDouble
+    val pairSpace = sizes.map(s => s.toDouble * s).sum
+    assert(sizes.length > 16, s"learned centroids should populate >16 clusters, got ${sizes.length}")
+    assert(pairSpace < n * n / 8.0,
+      s"pair space Σ|c|²=$pairSpace should be ≪ N²=${n * n} (ratio ${pairSpace / (n * n)})")
+    assert(sizes.max < n / 4.0, s"max cluster ${sizes.max} of ${n.toLong} rows is not bounded")
+    // plan audit: cluster_id equi-join, no cartesian/nested-loop pair stage
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair stage must be an equi-join:\n$plan")
+    assert(plan.contains("cluster_id"), "join key cluster_id missing from the physical plan")
+  }
+
   test("semDedup with tau above all similarities keeps everything") {
     val out = Similarity.semDedup(vecs, "vec_id", "embedding", tau = 0.999999, nCentroids = 2)
     assert(out.filter(!col("is_kept")).count() == 0)
