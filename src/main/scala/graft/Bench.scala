@@ -97,6 +97,7 @@ object Bench {
       timeE2e("cascade_e2e", () => SparkEntry.cascadeOn(spark, sfDir)) ++
       timeE2e("openie_e2e", () => SparkEntry.openieOn(spark, sfDir)) ++
       timeE2e("html_cascade_e2e", () => SparkEntry.htmlCascadeOn(spark, sfDir)) ++
+      timeE2e("curation_e2e", () => SparkEntry.curationOn(spark, sfDir)) ++
       // the batch operator IS retrieval_e2e since round 9 (the
       // per-query plan loop it replaced lives on as
       // SparkEntry.retrievalLoopOn for the A/B equality specs)

@@ -459,6 +459,50 @@ object SparkEntry {
     }.reduce(_.unionByName(_))
   }
 
+  /** The COMPOSED training-data curation pipeline at an arbitrary
+    * scale factor — Bench times this as `curation_e2e`: the path a
+    * pretraining corpus actually takes, as ONE plan instead of six
+    * unit queries. quality rules (per-row expressions, filter pushes
+    * to the scan) → exact dedup (one hash agg + semi-join) →
+    * Bloom-prefiltered decontamination vs a held-out eval slice
+    * (broadcast ~bits/entry filter, exact confirm on the sliver) →
+    * language-ID (per-row marker vote) → sequence packing (one
+    * window shuffle keyed by predicted lang) → shard assignment.
+    * Shuffle census of the whole pipeline: ONE hash aggregation,
+    * ONE broadcast semi-join confirm, TWO window shuffles — nothing
+    * keyed by anything wider than (lang) or (shard). Output: one row
+    * per surviving doc with its pack and shard coordinates.
+    */
+  def curationOn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.textops.{Curation, Dedup, Sampling, TextStats}
+    val d = docs(spark, dir)
+    // quality gate — flags are per-row expressions over the scan
+    val quality = Curation.qualityRuleFlags(d, "doc_id", "text",
+      minTokens = 20, maxTokens = 100000, minMeanLen = 2.0, maxMeanLen = 10.0)
+    val kept = d.join(quality.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+    // exact dedup — first copy per content hash survives
+    val deduped = Dedup.exactDedup(kept, "doc_id", "text")
+    // decontamination — every 89th doc plays the held-out eval suite
+    val contaminated = Curation.decontaminateBloom(
+        deduped.filter(col("doc_id") % 89 =!= 0), d.filter(col("doc_id") % 89 === 0),
+        "doc_id", "text", n = 3)
+      .select(col("doc_id")) // any surviving row has eval-gram overlap
+    val clean = deduped
+      .filter(col("doc_id") % 89 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // language-ID → packing partitions on the PREDICTED language
+    val langed = clean.withColumn(
+      "pred_lang",
+      TextStats.langIdFromTokens(Dedup.tokensCol(lower(col("text"))), LangMarkers))
+    val packed = Curation.packSequences(langed, "doc_id", "text", Seq("pred_lang"), maxTokens = 64)
+    val shards = Sampling.shardAssign(clean, "doc_id", nShards = 16)
+    packed
+      .join(shards, Seq("doc_id"))
+      .select(
+        col("doc_id"), col("pred_lang"), col("n_tok"),
+        col("pack_id"), col("pack_offset"), col("shard"), col("pos"))
+  }
+
   def openieOn(spark: SparkSession, dir: String): DataFrame = {
     val lake = fieldLineLake(spark, dir)
     val prof = new graft.api.Profiler(

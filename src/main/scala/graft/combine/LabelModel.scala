@@ -1163,6 +1163,38 @@ object LabelModel {
     (for { i <- 0 until m; j <- i + 1 until m } yield (exts(i), exts(j)) -> s(i, j)).toMap
   }
 
+  /** Multiclass structure learning — `learn_structure_multiclass`
+    * (`run_ws.py:157-166`) + the mean reduction `run_ws.py:231-232`:
+    * per class c, votes reduce to the one-vs-all indicator
+    * (vote == c → 1 else 0, abstains 0 like
+    * `all_votes_no_abstains`), [[learnStructureSparseLowRank]] runs
+    * on each, and Ĵ is the per-pair mean over classes. k tiny
+    * m×m problems — the Spark side is k indicator aggregations.
+    */
+  def learnStructureSparseLowRankMulticlass(
+      votes: DataFrame,
+      keyCol: String,
+      classes: Seq[Int],
+      iters: Int = 500): Map[(String, String), Double] = {
+    require(classes.size >= 2, "multiclass structure learning needs ≥ 2 classes")
+    classes
+      .map { c =>
+        val ind = votes.withColumn("vote", when(col("vote") === c, 1).otherwise(0))
+        learnStructureSparseLowRank(ind, keyCol, iters)
+      }
+      .flatMap(_.toSeq)
+      .groupBy(_._1)
+      .map { case (k, xs) => k -> xs.map(_._2).sum / classes.size }
+  }
+
+  /** The `run_ws.py:236-239` everything-connected guard
+    * (`get_min_off_diagonal`): when even the SMALLEST |Ĵ|
+    * off-diagonal clears `thresh`, structure learning has connected
+    * everything to everything — model no deps rather than trust it.
+    */
+  def structureAllConnected(j: Map[(String, String), Double], thresh: Double = 1.0): Boolean =
+    j.nonEmpty && j.values.map(_.abs).min >= thresh
+
   /** Top-k dependency pairs off the sparse factor —
     * `get_top_deps_from_inverse_sig` (`run_ws.py:101-114`): largest
     * |Ĵ| off-diagonals, with the `run_ws.py:233-235` nothing-stands-

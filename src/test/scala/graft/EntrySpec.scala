@@ -117,6 +117,23 @@ class EntrySpec extends SparkSpec {
       }
   }
 
+  test("curationOn composes quality→dedup→decontam→langid→pack→shard in one plan") {
+    import org.apache.spark.sql.functions.col
+    val out  = SparkEntry.curationOn(spark, sf0001)
+    val rows = out.collect()
+    assert(rows.nonEmpty, "curation pipeline should keep documents")
+    // survivors: quality-kept, dedup winners, not eval slice, not contaminated
+    val ids = rows.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length, "one row per surviving doc")
+    assert(ids.forall(_ % 89 != 0), "the eval slice must not appear in the training output")
+    // pack offsets stay under the budget; shard ids in range
+    assert(rows.forall(_.getAs[Long]("pack_offset") < 64))
+    assert(rows.forall(r => r.getAs[Int]("shard") >= 0 && r.getAs[Int]("shard") < 16))
+    // plan audit: the composed pipeline must not introduce a cartesian
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in curation plan:\n$plan")
+  }
+
   test("retrievalOn (canonical batch shape) serves 8 queries in one scan, each finding itself first") {
     import org.apache.spark.sql.functions.col
     val got  = SparkEntry.retrievalOn(spark, sf0001)

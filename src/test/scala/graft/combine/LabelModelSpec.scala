@@ -710,6 +710,34 @@ class LabelModelSpec extends SparkSpec {
       s"independent ensemble should show no edge near the planted strength: ${jInd.toSeq.sortBy(-_._2.abs).take(3)}")
   }
 
+  test("multiclass structure learning recovers a planted pair from one-vs-all indicator splits") {
+    // 3-class planted sampler: voters vote y with their accuracy else
+    // a uniform other class; voter b COPIES a with prob 0.7 — the
+    // direct dependence learn_structure_multiclass must surface after
+    // the per-class mean (run_ws.py:157-166, 231-232)
+    val rnd   = new Random(11)
+    val accs  = Map("a" -> 0.7, "b" -> 0.7, "c" -> 0.75, "d" -> 0.7, "e" -> 0.65)
+    val names = accs.keys.toSeq.sorted
+    val rows = (0 until 6000).flatMap { i =>
+      val y = rnd.nextInt(3)
+      val own = names.map { e =>
+        e -> (if (rnd.nextDouble() < accs(e)) y else (y + 1 + rnd.nextInt(2)) % 3)
+      }.toMap
+      names.map { e =>
+        val v = if (e == "b" && rnd.nextDouble() < 0.7) own("a") else own(e)
+        (i.toLong, e, v)
+      }
+    }
+    val votes = rows.toDF("doc_id", "extractor", "vote")
+    val j     = LabelModel.learnStructureSparseLowRankMulticlass(votes, "doc_id", classes = Seq(0, 1, 2))
+    val top   = LabelModel.structureTopDeps(j, 1)
+    assert(top.map { case (a, b, _) => Set(a, b) } == Seq(Set("a", "b")),
+      s"multiclass top dep: $top (J = ${j.toSeq.sortBy(-_._2.abs).take(4)})")
+    // the everything-connected guard fires on degenerate J, not here
+    assert(!LabelModel.structureAllConnected(j), s"guard misfired on ${j.values.map(_.abs).min}")
+    assert(LabelModel.structureAllConnected(j.map { case (k, _) => k -> 5.0 }))
+  }
+
   test("wsCombine(learnDeps) routes overlapping learned deps through the tree decode and stays correct") {
     import org.apache.spark.sql.functions.{col => c}
     // b copies a AND c copies b — overlapping dependency chain
