@@ -142,7 +142,13 @@ class Profiler(
     * re-ranked on the merged score.
     */
   def rerankSchema(ranked: DataFrame): DataFrame = {
-    val fields = ranked.orderBy(col("rank")).collect().map(_.getAs[String]("field")).toSeq
+    // ONE materialization of the ranked schema: the merge input below
+    // is rebuilt from these rows — referencing the lazy `ranked` a
+    // second time would RE-EXECUTE its lineage, and that lineage
+    // contains the schema-id LLM stage (every sample prompt asked
+    // twice; the token ledger exposed the double-bill)
+    val rankedRows = ranked.orderBy(col("rank")).collect()
+    val fields     = rankedRows.map(_.getAs[String]("field")).toSeq
     if (fields.isEmpty) return ranked
     // an erroring client degrades to the frequency ranking (zero
     // mentions) instead of failing schema identification outright
@@ -160,7 +166,10 @@ class Profiler(
       .map { case (f, xs) => (f, 2L * xs.size) }
       .toSeq
       .toDF("field", "votes")
-    val merged = SchemaId.rerankMerge(ranked.select(col("field"), col("n_docs")), votes)
+    val rankedLocal = rankedRows.toSeq
+      .map(r => (r.getAs[String]("field"), r.getAs[Long]("n_docs")))
+      .toDF("field", "n_docs")
+    val merged = SchemaId.rerankMerge(rankedLocal, votes)
     SchemaId.rankAttributes(merged, cfg.numAttrs, scoreCol = "merged")
   }
 

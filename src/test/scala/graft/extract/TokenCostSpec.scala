@@ -98,6 +98,28 @@ class TokenCostSpec extends SparkSpec {
     assert(synthCalls > 0 && synthCalls <= 8L * goldAttrs.size)
   }
 
+  test("OpenIE bills schema discovery stages too — and still zero on the lake pass") {
+    val ledger = new TokenLedger(spark.sparkContext)
+    val prof   = new Profiler(spark, MockLlmClient(), graft.api.ProfilerConfig(chunkSize = 3000, trainSize = 6), Some(ledger))
+    prof.run(goldLake).count() // no attribute list → schema-id → rerank → cascades → validity
+    val byStage = ledger.snapshot().map(r => r._1 -> r).toMap
+    // discovery stages billed (sample-scoped)
+    assert(byStage.get("schema_id").exists(_._2 > 0), s"schema_id not billed: ${ledger.snapshot()}")
+    assert(byStage.get("schema_rerank").exists(_._2 == 3), "rerank is exactly 3 prompts")
+    // schema-id prompts bounded by the sample CHUNK count (docs over
+    // one chunkSize yield several chunks; the bound is still
+    // sample-scoped, never lake-scoped)
+    val (_, sidCalls, _, _) = byStage("schema_id")
+    val sampleChunks = prof.sampleDocs(prof.prepare(goldLake), 6).count()
+    assert(sidCalls == sampleChunks, s"schema_id calls $sidCalls != sample chunks $sampleChunks")
+    // the lake APPLY stays a checked zero in OpenIE as well
+    val (_, ac, ap, aco) = byStage("apply_lake")
+    assert(ac == 0 && ap == 0 && aco == 0)
+    val billed = ledger.snapshot().filter(_._2 > 0).map(_._1).toSet
+    assert(billed.subsetOf(Set("schema_id", "schema_rerank", "synthesis", "gold_sample", "attr_validity")),
+      s"unexpected stages billed in OpenIE: $billed")
+  }
+
   test("cascade tokens are flat in lake size; Direct grows linearly — the 110x shape") {
     val attrs = Seq("topic", "source")
     def cascadeTokens(n: Int): Long = {
