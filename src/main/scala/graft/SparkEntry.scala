@@ -474,7 +474,7 @@ object SparkEntry {
     * per surviving doc with its pack and shard coordinates.
     */
   def curationOn(spark: SparkSession, dir: String): DataFrame = {
-    import graft.textops.{Curation, Dedup, Sampling, TextStats}
+    import graft.textops.{Curation, Dedup, TextStats}
     val d = docs(spark, dir)
     // quality gate — flags are per-row expressions over the scan
     val quality = Curation.qualityRuleFlags(d, "doc_id", "text",
@@ -490,17 +490,28 @@ object SparkEntry {
     val clean = deduped
       .filter(col("doc_id") % 89 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
-    // language-ID → packing partitions on the PREDICTED language
-    val langed = clean.withColumn(
-      "pred_lang",
-      TextStats.langIdFromTokens(Dedup.tokensCol(lower(col("text"))), LangMarkers))
+    // language-ID → packing partitions on the PREDICTED language.
+    // The tokens column is BOUND once (langIdFromTokens references it
+    // in one lambda per marker — an unbound subtree would re-split
+    // the document per reference), and the shard coordinates are
+    // computed IN the same lineage (a shardAssign(clean) branch would
+    // re-run the whole quality→dedup→decontam prefix under a second,
+    // column-pruned subplan that exchange reuse cannot collapse).
+    val langed = clean
+      .withColumn("toks", Dedup.tokensCol(lower(col("text"))))
+      .withColumn("pred_lang", TextStats.langIdFromTokens(col("toks"), LangMarkers))
+      .drop("toks")
     val packed = Curation.packSequences(langed, "doc_id", "text", Seq("pred_lang"), maxTokens = 64)
-    val shards = Sampling.shardAssign(clean, "doc_id", nShards = 16)
-    packed
-      .join(shards, Seq("doc_id"))
-      .select(
-        col("doc_id"), col("pred_lang"), col("n_tok"),
-        col("pack_id"), col("pack_offset"), col("shard"), col("pos"))
+    val sharded = packed
+      .withColumn("h", Dedup.hash60(concat(lit("shard#"), col("doc_id").cast("string"))))
+      .withColumn("shard", (col("h") % 16).cast("int"))
+      .withColumn(
+        "pos",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))))
+    sharded.select(
+      col("doc_id"), col("pred_lang"), col("n_tok"),
+      col("pack_id"), col("pack_offset"), col("shard"), col("pos"))
   }
 
   def openieOn(spark: SparkSession, dir: String): DataFrame = {

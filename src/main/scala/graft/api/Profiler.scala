@@ -149,7 +149,11 @@ class Profiler(
     // twice; the token ledger exposed the double-bill)
     val rankedRows = ranked.orderBy(col("rank")).collect()
     val fields     = rankedRows.map(_.getAs[String]("field")).toSeq
-    if (fields.isEmpty) return ranked
+    if (fields.isEmpty)
+      // empty-schema path: hand back an EMPTY LOCAL frame, not the
+      // lazy `ranked` — the caller's collect would re-execute its
+      // schema-id LLM lineage (same double-bill as below)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ranked.schema)
     // an erroring client degrades to the frequency ranking (zero
     // mentions) instead of failing schema identification outright
     val mentions = scala.util.Try {
@@ -717,10 +721,10 @@ class Profiler(
     * how many chunk rows a 100 TB partition holds, and batching
     * clients still see multi-prompt calls for connection reuse.
     */
-  private def llmMap(chunks: DataFrame, mkPrompt: String => String, cl0: LlmClient = null): DataFrame = {
+  private def llmMap(chunks: DataFrame, mkPrompt: String => String, cl0: LlmClient = client): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType(
       chunks.schema.fields :+ org.apache.spark.sql.types.StructField("completion", org.apache.spark.sql.types.StringType))
-    val cl = if (cl0 == null) client else cl0
+    val cl = cl0
     val fn = mkPrompt
     chunks.mapPartitions { rows =>
       rows.grouped(Profiler.LlmBatchSize).flatMap { batch =>

@@ -1166,20 +1166,31 @@ object LabelModel {
   /** Multiclass structure learning — `learn_structure_multiclass`
     * (`run_ws.py:157-166`) + the mean reduction `run_ws.py:231-232`:
     * per class c, votes reduce to the one-vs-all indicator
-    * (vote == c → 1 else 0, abstains 0 like
-    * `all_votes_no_abstains`), [[learnStructureSparseLowRank]] runs
-    * on each, and Ĵ is the per-pair mean over classes. k tiny
-    * m×m problems — the Spark side is k indicator aggregations.
+    * (vote == c → 1 else 0), [[learnStructureSparseLowRank]] runs on
+    * each, and Ĵ is the per-pair mean over classes. k tiny m×m
+    * problems — the Spark side is k indicator aggregations.
+    *
+    * `abstain`: rows with this vote value are DROPPED before the
+    * indicator (a dropped row contributes 0 to every class's sums —
+    * proper "not a vote for anything"). The reference instead maps
+    * abstain −1 to 0 (`all_votes_no_abstains`, `run_ws.py:223`) and
+    * then treats 0-as-a-class, so co-abstaining voters acquire
+    * phantom class-0 correlation — a quirk, not replicated (like the
+    * html-chunk `use_raw_text` bug); pass `abstain = None` on vote
+    * relations that genuinely have no abstain value.
     */
   def learnStructureSparseLowRankMulticlass(
       votes: DataFrame,
       keyCol: String,
       classes: Seq[Int],
+      abstain: Option[Int] = Some(-1),
       iters: Int = 500): Map[(String, String), Double] = {
     require(classes.size >= 2, "multiclass structure learning needs ≥ 2 classes")
+    require(!abstain.exists(classes.contains), s"abstain value $abstain collides with a class id")
+    val voting = abstain.fold(votes)(a => votes.filter(col("vote") =!= a))
     classes
       .map { c =>
-        val ind = votes.withColumn("vote", when(col("vote") === c, 1).otherwise(0))
+        val ind = voting.withColumn("vote", when(col("vote") === c, 1).otherwise(0))
         learnStructureSparseLowRank(ind, keyCol, iters)
       }
       .flatMap(_.toSeq)

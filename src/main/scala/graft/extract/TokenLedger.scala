@@ -32,17 +32,20 @@ import org.apache.spark.util.LongAccumulator
   * standing in for the API-reported `usage.total_tokens` the
   * reference reads (`utils.py:269`).
   */
-final class TokenLedger(@transient private val sc: SparkContext) extends Serializable {
+/** One stage's counters — a TOP-LEVEL class on purpose: the wrapped
+  * client serializes these into executor tasks, and an inner class
+  * would drag the enclosing [[TokenLedger]] along via `$outer`
+  * (safe only while every ledger field stays @transient — a trap for
+  * the next field added).
+  */
+final class StageCounters private[extract] (
+    val stage: String,
+    val calls: LongAccumulator,
+    val promptTokens: LongAccumulator,
+    val completionTokens: LongAccumulator)
+    extends Serializable
 
-  /** One stage's counters; Serializable so a wrapped client can ride
-    * into executor tasks.
-    */
-  final class StageCounters private[TokenLedger] (
-      val stage: String,
-      val calls: LongAccumulator,
-      val promptTokens: LongAccumulator,
-      val completionTokens: LongAccumulator)
-      extends Serializable
+final class TokenLedger(@transient private val sc: SparkContext) extends Serializable {
 
   @transient private val stages =
     new java.util.concurrent.ConcurrentHashMap[String, StageCounters]()
@@ -140,7 +143,7 @@ object TokenLedger {
   */
 final class TokenAccountingClient private[extract] (
     inner: LlmClient,
-    ctr: TokenLedger#StageCounters)
+    ctr: StageCounters)
     extends LlmClient {
 
   def complete(prompts: Iterator[String]): Iterator[String] = {

@@ -724,7 +724,10 @@ class LabelModelSpec extends SparkSpec {
         e -> (if (rnd.nextDouble() < accs(e)) y else (y + 1 + rnd.nextInt(2)) % 3)
       }.toMap
       names.map { e =>
-        val v = if (e == "b" && rnd.nextDouble() < 0.7) own("a") else own(e)
+        val v =
+          if (rnd.nextDouble() < 0.15) -1 // abstain — must NOT read as a class-0 vote
+          else if (e == "b" && rnd.nextDouble() < 0.7) own("a")
+          else own(e)
         (i.toLong, e, v)
       }
     }
