@@ -126,8 +126,21 @@ object Combiners {
     * contaminated moments excluded; any failure falls back to the
     * independent model, like `run_ws.py:256-257`. Off by default —
     * the oracle-gated paths stay byte-identical.
+    *
+    * `structureLearn`: use the reference's ACTUAL learner — the
+    * sparse+low-rank split of the vote covariance
+    * ([[LabelModel.learnStructureSparseLowRank]], `run_ws.py:228-239`:
+    * learn_structure → everything-connected guard →
+    * get_top_deps_from_inverse_sig k=1) — instead of the moment
+    * residual heuristic. Same retrain + decode downstream; same
+    * fall-back-on-failure.
     */
-  def wsCombine(votes: DataFrame, keyCol: String, numElts: Int = 5, learnDeps: Boolean = false): DataFrame = {
+  def wsCombine(
+      votes: DataFrame,
+      keyCol: String,
+      numElts: Int = 5,
+      learnDeps: Boolean = false,
+      structureLearn: Boolean = false): DataFrame = {
     val spark = votes.sparkSession
     // empty/null votes are abstains (`run_ws.py:53-57` maps them to
     // 'abstain' and excludes them from the candidate labels); keys
@@ -155,11 +168,21 @@ object Combiners {
       if (!learnDeps) (LabelModel.flyingSquidFromMap(mm, Set.empty), Seq.empty[(String, String, Double)])
       else
         try {
-          // up to 2 edges, overlap allowed (a voter correlated with
-          // two others chains cliques through itself — the general
-          // clique-tree decode handles it); chordality is maintained
-          // by the learner, so the decode below cannot raise
-          val learned = LabelModel.learnTopDependenciesOverlappingFromMap(mm, k = 2)
+          val learned =
+            if (structureLearn) {
+              // run_ws.py:228-239 verbatim shape: the convex S−L
+              // split learns Ĵ from the ±1 vote matrix, the
+              // everything-connected guard vetoes degenerate fits,
+              // and the top-1 |Ĵ| off-diagonal is the dependency
+              val j = LabelModel.learnStructureSparseLowRank(pm, keyCol)
+              if (LabelModel.structureAllConnected(j)) Seq.empty
+              else LabelModel.structureTopDeps(j, k = 1, minAbs = 0.05)
+            } else
+              // up to 2 edges, overlap allowed (a voter correlated
+              // with two others chains cliques through itself — the
+              // general clique-tree decode handles it); chordality is
+              // maintained by the learner, so the decode cannot raise
+              LabelModel.learnTopDependenciesOverlappingFromMap(mm, k = 2)
           (LabelModel.flyingSquidFromMap(mm, learned.map(d => (d._1, d._2)).toSet), learned)
         } catch {
           // "Not modeling dependencies." (run_ws.py:256-257)

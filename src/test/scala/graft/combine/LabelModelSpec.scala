@@ -276,6 +276,28 @@ class LabelModelSpec extends SparkSpec {
     assert(acc > 0.8, s"dep-aware ws accuracy $acc")
   }
 
+  test("wsCombine(structureLearn) uses the convex learner end-to-end and stays correct") {
+    import org.apache.spark.sql.functions.{col => c}
+    // the run_ws path: learn_structure on the vote matrix → guard →
+    // top-1 dep → dep-aware retrain → junction-tree decode
+    val planted       = Map("a" -> 0.75, "b" -> 0.75, "c" -> 0.8, "d" -> 0.7, "e" -> 0.65)
+    val (votes, gold) = plantedVotes(4000, planted, deps = Map(("a", "b") -> 0.6))
+    val sv = votes.withColumn("value", when(c("vote") === 1, "yes").otherwise("no"))
+      .select(c("doc_id"), c("extractor"), c("value"))
+    val pred = Combiners.wsCombine(sv, "doc_id", learnDeps = true, structureLearn = true)
+    val acc = pred
+      .join(gold, "doc_id")
+      .withColumn("py", when(c("value") === "yes", 1).otherwise(-1))
+      .agg(avg(when(c("py") === c("y"), 1.0).otherwise(0.0)))
+      .head.getDouble(0)
+    assert(acc > 0.8, s"structure-learned ws accuracy $acc")
+    // the learner itself must surface the planted pair on this fixture
+    val pm = votes.select(c("doc_id"), c("extractor"), c("vote"))
+    val j  = LabelModel.learnStructureSparseLowRank(pm, "doc_id")
+    assert(LabelModel.structureTopDeps(j, 1).map { case (i, k, _) => Set(i, k) } == Seq(Set("a", "b")),
+      s"J top: ${j.toSeq.sortBy(-_._2.abs).take(3)}")
+  }
+
   test("junctionTreePredict matches hand-computed pair-clique posteriors") {
     // pair (a,b) with m_a=0.6, m_b=0.2 (accs 0.8, 0.6), residual 0.1;
     // independent e with acc 0.7. doc 1: va=1, vb=-1, ve=1;
