@@ -163,6 +163,36 @@ object StreamingExtract {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming ANN index maintenance — the ANN twin of the
+    * incremental dedup band index ([[historyGateStream]]'s
+    * substrate): each micro-batch of newly-ingested embeddings is
+    * PQ-encoded against FROZEN codebooks
+    * ([[graft.textops.Similarity.pqCodebooks]], fit once offline on
+    * a corpus sample) and handed to the sink as m-byte code rows to
+    * append to the serving table. Serving
+    * ([[graft.textops.Similarity.pqTopKFromCodes]] /
+    * `ivfPqTopKBatch`) reads the accumulated codes — the index stays
+    * queryable DURING ingest, arrivals become searchable at the next
+    * trigger, and no full-corpus re-encode ever happens. Codebooks
+    * ride into executor tasks as broadcast-sized literals (m × codeK
+    * × subDim doubles). Codebook DRIFT (a corpus whose distribution
+    * walks away from the frozen fit) is the operator's one
+    * re-encode trigger; the recall gauges (q_ann_pq_recall) are the
+    * monitoring hook for that decision.
+    */
+  def pqEncodeStream(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      books: Map[(Int, Int), Seq[Double]],
+      m: Int = 8,
+      codeK: Int = 16)(sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    embeddings.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(graft.textops.Similarity.pqEncode(batch, idCol, vecCol, books, m, codeK), batchId)
+      }
+
   /** Streaming NEAR-dup suppression: MinHash-LSH band keys per doc,
     * keep only the first arrival per band bucket within the
     * watermark horizon. A doc survives iff ALL of its band keys are

@@ -187,6 +187,45 @@ class StreamingExtractSpec extends SparkSpec {
     } finally spark.sql("DROP DATABASE IF EXISTS histdb2 CASCADE")
   }
 
+  test("pqEncodeStream: codes appended per trigger equal the batch encode; serving sees arrivals") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.textops.Similarity
+    val emb = graft.lake.Tables.embeddings(spark, sf0001)
+    // frozen codebooks fit offline on the corpus sample
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, k = 16, iters = 1)
+    // the first 24 corpus vectors "arrive" over two triggers
+    val arrivals = emb.filter(col("vec_id") < 24)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val in = MemoryStream[(Long, Seq[Float])]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Int])]
+    val writer = StreamingExtract.pqEncodeStream(
+      in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", books) { (codes, _) =>
+      acc ++= codes.collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq))
+    }
+    in.addData(arrivals.take(12).toSeq: _*)
+    val q = writer
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    assert(acc.size == 12, s"first trigger encoded ${acc.size}")
+    in.addData(arrivals.drop(12).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    // incremental codes == one-shot batch encode, row for row
+    val batch = Similarity.pqEncode(emb.filter(col("vec_id") < 24), "vec_id", "embedding", books, m = 8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toSeq)).toMap
+    assert(acc.size == 24 && acc.toMap == batch,
+      s"incremental codes diverge from batch encode: ${acc.toMap.toSet.diff(batch.toSet).take(3)}")
+    // serving from the accumulated codes answers a query over arrivals
+    import spark.implicits._
+    val codesDf = acc.toSeq.toDF("vec_id", "pq_codes")
+    val q0 = emb.filter(col("vec_id") === 0).collect()(0)
+      .getSeq[Float](1).map(_.toDouble).toSeq
+    val served = Similarity.pqTopKFromCodes(
+      codesDf, emb, "vec_id", "embedding", q0, books, k = 5, m = 8, codeK = 16, rerank = 24)
+    assert(served.filter(col("rank") === 1).head().getLong(0) == 0L, "query vector must find itself")
+  }
+
   test("attributionStream joins conversions to in-window impressions with bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val imp  = MemoryStream[(String, Long, java.sql.Timestamp)]
