@@ -1275,6 +1275,15 @@ object SparkEntry {
     "q_substring_dedup" -> ((s, dir) =>
       Dedup.substringDedupPairs(docs(s, dir), "doc_id", "text", n = 3, w = 4, maxDf = 20, topK = 20)),
 
+    // training-data ops: duplicate-span REMOVAL (Lee et al. 2022
+    // ExactSubstr) — ≥50-token runs shared with an earlier doc are
+    // CUT from the later copy (keep-first), docs themselves survive;
+    // the testdata plants shared runs up to 93 tokens so the cut
+    // path fires
+    "q_dedup_span_removal" -> ((s, dir) =>
+      Dedup.removeDuplicateSpans(docs(s, dir), "doc_id", "text", minTokens = 50)
+        .orderBy(col("doc_id"))),
+
     // training-data ops: Gopher/C4 quality-rule flags + keep decision
     "q_quality_rules" -> ((s, dir) =>
       Curation.qualityRuleFlags(docs(s, dir), "doc_id", "text",
@@ -2814,6 +2823,51 @@ object SparkEntry {
                 CAST(sum(n_fp) AS INT) AS n_shared_fps
          FROM runs GROUP BY id_a, id_b
          ORDER BY max_shared_tokens DESC, id_a, id_b LIMIT 20""",
+
+    // the substring chain's `runs` CTE + the span splice: spans cut
+    // from the LATER doc (gram p covers tokens p..p+2), token kept
+    // unless some span covers its 1-based position
+    "q_dedup_span_removal" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+                    FROM documents),
+          g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, array_to_string(tk[i:i+2], ' ') AS gram
+                FROM t, unnest(range(1, greatest(len(tk) - 2, 1) + 1)) AS u(i)),
+          h AS (SELECT doc_id, pos,
+                       ('0x' || substr(md5(gram), 1, 10))::BIGINT * 1048576 + pos AS cmb,
+                       count(*) OVER (PARTITION BY doc_id) AS ng
+                FROM g),
+          wm AS (SELECT doc_id, pos, ng,
+                        min(cmb) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+                 FROM h),
+          fpd AS (SELECT DISTINCT doc_id, sel FROM wm WHERE pos <= greatest(ng - 3, 1)),
+          fpv AS (SELECT doc_id, CAST(sel & 1048575 AS INT) AS fp_pos, sel >> 20 AS fp_hash FROM fpd),
+          c AS (SELECT *, count(*) OVER (PARTITION BY fp_hash) AS df FROM fpv),
+          k AS (SELECT * FROM c WHERE df > 1 AND df <= 20),
+          hits AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                          a.fp_pos AS pos_a, a.fp_pos - b.fp_pos AS diag
+                   FROM k a JOIN k b USING (fp_hash) WHERE a.doc_id < b.doc_id),
+          r AS (SELECT id_a, id_b, diag, pos_a,
+                       CASE WHEN lag(pos_a) OVER wd IS NULL OR pos_a - lag(pos_a) OVER wd > 4
+                            THEN 1 ELSE 0 END AS brk
+                FROM hits WINDOW wd AS (PARTITION BY id_a, id_b, diag ORDER BY pos_a)),
+          ri AS (SELECT *, sum(brk) OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS run_id FROM r),
+          runs AS (SELECT id_a, id_b, diag, run_id, min(pos_a) AS p0, max(pos_a) AS p1
+                   FROM ri GROUP BY id_a, id_b, diag, run_id),
+          spans AS (SELECT id_b AS doc_id, p0 - diag AS s, p1 - diag + 2 AS e
+                    FROM runs WHERE p1 - p0 + 3 >= 50),
+          spl AS (SELECT doc_id, list(struct_pack(s := s, e := e) ORDER BY s, e) AS spans
+                  FROM spans GROUP BY doc_id),
+          cl AS (SELECT t.doc_id, t.tk,
+                        CASE WHEN sp.spans IS NULL THEN t.tk
+                             ELSE list_filter(t.tk, (x, i) ->
+                                    len(list_filter(sp.spans, rr -> i >= rr.s AND i <= rr.e)) = 0)
+                        END AS kept
+                 FROM t LEFT JOIN spl sp USING (doc_id))
+         SELECT doc_id, CAST(len(tk) AS INT) AS n_tok,
+                CAST(len(tk) - len(kept) AS INT) AS n_removed,
+                coalesce(array_to_string(kept, ' '), '') AS clean_text
+         FROM cl ORDER BY doc_id""",
 
     "q_quality_rules" ->
       """WITH t AS (SELECT doc_id, lower(text) AS lt,

@@ -150,7 +150,27 @@ object Dedup {
       n: Int = 3,
       w: Int = 4,
       maxDf: Int = 20,
-      topK: Int = 20): DataFrame = {
+      topK: Int = 20): DataFrame =
+    sharedRuns(df, idCol, textCol, n, w, maxDf)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(
+        max(col("p1") - col("p0") + n).cast("int").as("max_shared_tokens"),
+        sum(col("n_fp")).cast("int").as("n_shared_fps"))
+      .orderBy(desc("max_shared_tokens"), col("id_a"), col("id_b"))
+      .limit(topK)
+
+  /** Shared substrate of [[substringDedupPairs]] and
+    * [[removeDuplicateSpans]]: diagonal-gapped fingerprint islands
+    * per pair — (id_a, id_b, diag, run_id, p0, p1, n_fp), positions
+    * on id_a's gram axis (id_b's = pos − diag).
+    */
+  private def sharedRuns(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      w: Int,
+      maxDf: Int): DataFrame = {
     val fp   = winnowFingerprints(df, idCol, textCol, n, w)
     val wDf  = Window.partitionBy(col("fp_hash"))
     val kept = fp.withColumn("df", count(lit(1)).over(wDf)).filter(col("df") > 1 && col("df") <= maxDf)
@@ -162,19 +182,79 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("pos_a"), (col("pos_a") - col("pos_b")).as("diag"))
       .distinct()
     val wRun = Window.partitionBy(col("id_a"), col("id_b"), col("diag")).orderBy(col("pos_a"))
-    val runs = hits
+    hits
       .withColumn("prev", lag(col("pos_a"), 1).over(wRun))
       .withColumn("brk", when(col("prev").isNull || col("pos_a") - col("prev") > w, 1).otherwise(0))
       .withColumn("run_id", sum(col("brk")).over(wRun))
       .groupBy(col("id_a"), col("id_b"), col("diag"), col("run_id"))
       .agg(min(col("pos_a")).as("p0"), max(col("pos_a")).as("p1"), count(lit(1)).as("n_fp"))
-    runs
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(
-        max(col("p1") - col("p0") + n).cast("int").as("max_shared_tokens"),
-        sum(col("n_fp")).cast("int").as("n_shared_fps"))
-      .orderBy(desc("max_shared_tokens"), col("id_a"), col("id_b"))
-      .limit(topK)
+  }
+
+  /** Duplicate-span REMOVAL — the operation of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * §3 ExactSubstr, public method): a long token run that also
+    * appears in another document is CUT from all but one copy,
+    * rather than dropping whole near-dup documents. Built on the
+    * same df-capped winnowing-island substrate as
+    * [[substringDedupPairs]]; keep-first policy — the run survives in
+    * the smaller doc id, every later id loses it (3+ copies resolve
+    * consistently: each later copy pairs with the first and cuts the
+    * same span).
+    *
+    * Removal is CONSERVATIVE: an island's [p0, p1] are selected
+    * fingerprint positions inside the shared region, so the cut is
+    * the certified core — up to w−1 grams at each edge of the true
+    * shared run survive (winnowing's window guarantee), and nothing
+    * outside a genuinely shared run is ever cut.
+    *
+    * Scale shape: the island machinery is the posting-bounded pair
+    * stage (maxDf² fan-out); the splice is ONE groupBy(doc) of
+    * span rows (collision-sized) + an equi-join back to the corpus +
+    * a per-row HOF filter over the token array — no non-equi join,
+    * no per-token shuffle. Docs without spans pass through the join
+    * as-is.
+    *
+    * Output: (id, n_tok, n_removed, clean_text) for EVERY input doc.
+    */
+  def removeDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Int = 50,
+      n: Int = 3,
+      w: Int = 4,
+      maxDf: Int = 20): DataFrame = {
+    val runs = sharedRuns(df, idCol, textCol, n, w, maxDf)
+    // spans to cut, on the LATER doc's token axis (id_a < id_b by
+    // construction): gram p covers tokens p..p+n−1
+    val spans = runs
+      .filter(col("p1") - col("p0") + n >= minTokens)
+      .select(
+        col("id_b").as(idCol),
+        (col("p0") - col("diag")).as("s"),
+        (col("p1") - col("diag") + n - 1).as("e"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+    val withTk = df
+      .select(col(idCol), tokensCol(col(textCol)).as("tk"))
+      .join(spans, Seq(idCol), "left")
+      .withColumn("spans", coalesce(col("spans"), array().cast("array<struct<s:int,e:int>>")))
+    // keep token at 1-based position p unless SOME span covers it;
+    // spans per doc are few (island-sized), so the inner scan is flat
+    val keptToks = filter(
+      zip_with(col("tk"), sequence(lit(1), greatest(size(col("tk")), lit(1))), (t, p) =>
+        struct(t.as("t"), p.as("p"))),
+      st =>
+        st.getField("t").isNotNull && !exists(
+          col("spans"),
+          r => st.getField("p") >= r.getField("s") && st.getField("p") <= r.getField("e")))
+    withTk
+      .withColumn("kept", keptToks)
+      .select(
+        col(idCol),
+        size(col("tk")).as("n_tok"),
+        (size(col("tk")) - size(col("kept"))).as("n_removed"),
+        concat_ws(" ", transform(col("kept"), st => st.getField("t"))).as("clean_text"))
   }
 
   /** Expression-form winnowing — the SQL-shaped reference the fast

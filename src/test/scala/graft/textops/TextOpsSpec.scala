@@ -421,6 +421,32 @@ class TextOpsSpec extends SparkSpec {
     assert(got.forall(r => r.getLong(0) != 3L && r.getLong(1) != 3L))
   }
 
+  test("removeDuplicateSpans cuts the shared run from the LATER copy only, conservatively") {
+    val rnd    = new scala.util.Random(29)
+    def tok(p: String, k: Int) = (0 until k).map(i => s"$p${rnd.nextInt(100000)}_$i")
+    val shared = (0 until 60).map(i => s"dupspan_token_$i")
+    val aPre   = tok("a", 10); val aPost = tok("a2", 15)
+    val bPre   = tok("b", 3); val bPost = tok("b2", 8)
+    val docA   = (aPre ++ shared ++ aPost).mkString(" ")
+    val docB   = (bPre ++ shared ++ bPost).mkString(" ")
+    val docC   = tok("c", 70).mkString(" ")
+    val df     = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(df, "doc_id", "text", minTokens = 50)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // keep-first: the earlier copy and the unrelated doc are untouched
+    assert(got(1L).getAs[Int]("n_removed") == 0, s"doc 1 lost tokens: ${got(1L)}")
+    assert(got(3L).getAs[Int]("n_removed") == 0)
+    assert(got(1L).getAs[String]("clean_text") == docA)
+    // the later copy loses the certified core of the 60-token run —
+    // most of it, and NOTHING outside it (every surrounding token
+    // survives; removal is conservative at the edges)
+    val removedB = got(2L).getAs[Int]("n_removed")
+    assert(removedB >= 60 - 2 * (4 + 3) && removedB <= 60, s"doc 2 removed $removedB of a 60-token run")
+    val cleanB = got(2L).getAs[String]("clean_text").split(" ").toSet
+    assert((bPre ++ bPost).forall(cleanB), "tokens outside the shared run must survive")
+    assert(shared.count(cleanB) <= 2 * (4 + 3), "the run's core must be gone")
+  }
+
   test("property: charEntropy matches the direct per-doc computation on random strings") {
     val rnd = new scala.util.Random(11)
     val docs = (0 until 60).map { i =>
