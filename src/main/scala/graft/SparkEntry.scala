@@ -2854,10 +2854,21 @@ object SparkEntry {
           ri AS (SELECT *, sum(brk) OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS run_id FROM r),
           runs AS (SELECT id_a, id_b, diag, run_id, min(pos_a) AS p0, max(pos_a) AS p1
                    FROM ri GROUP BY id_a, id_b, diag, run_id),
-          spans AS (SELECT id_b AS doc_id, p0 - diag AS s, p1 - diag + 2 AS e
-                    FROM runs WHERE p1 - p0 + 3 >= 50),
-          spl AS (SELECT doc_id, list(struct_pack(s := s, e := e) ORDER BY s, e) AS spans
-                  FROM spans GROUP BY doc_id),
+          cand AS (SELECT id_a, id_b, diag, p0 AS sa, p0 - diag AS sb, p1 - p0 + 3 AS len
+                   FROM runs WHERE p1 - p0 + 3 >= 50),
+          vpos AS (SELECT DISTINCT c.id_b, c.id_a, c.diag, c.sb + u.i - 1 AS p
+                   FROM cand c
+                   JOIN t ta ON c.id_a = ta.doc_id
+                   JOIN t tb ON c.id_b = tb.doc_id,
+                   unnest(range(1, c.len + 1)) AS u(i)
+                   WHERE ta.tk[CAST(c.sa + u.i - 1 AS BIGINT)] = tb.tk[CAST(c.sb + u.i - 1 AS BIGINT)]),
+          isl AS (SELECT id_b, CAST(min(p) AS INT) AS s, CAST(max(p) AS INT) AS e
+                  FROM (SELECT *, p - row_number() OVER (PARTITION BY id_b, id_a, diag ORDER BY p) AS grp
+                        FROM vpos)
+                  GROUP BY id_b, id_a, diag, grp
+                  HAVING max(p) - min(p) + 1 >= 50),
+          spl AS (SELECT id_b AS doc_id, list(struct_pack(s := s, e := e) ORDER BY s, e) AS spans
+                  FROM isl GROUP BY id_b),
           cl AS (SELECT t.doc_id, t.tk,
                         CASE WHEN sp.spans IS NULL THEN t.tk
                              ELSE list_filter(t.tk, (x, i) ->

@@ -133,7 +133,9 @@ object Combiners {
     * learn_structure → everything-connected guard →
     * get_top_deps_from_inverse_sig k=1) — instead of the moment
     * residual heuristic. Same retrain + decode downstream; same
-    * fall-back-on-failure.
+    * fall-back-on-failure. Implies `learnDeps` (asking for the
+    * learner IS asking to learn deps — the flag alone must not be a
+    * silent no-op).
     */
   def wsCombine(
       votes: DataFrame,
@@ -164,8 +166,9 @@ object Combiners {
     // behind it is the combiner's only lake-scale stage and must not
     // re-execute per consumer
     val mm = LabelModel.momentMap(LabelModel.pairwiseMoments(pm, keyCol))
+    val doLearn = learnDeps || structureLearn
     val (accs, depsLearned) =
-      if (!learnDeps) (LabelModel.flyingSquidFromMap(mm, Set.empty), Seq.empty[(String, String, Double)])
+      if (!doLearn) (LabelModel.flyingSquidFromMap(mm, Set.empty), Seq.empty[(String, String, Double)])
       else
         try {
           val learned =
@@ -173,7 +176,13 @@ object Combiners {
               // run_ws.py:228-239 verbatim shape: the convex S−L
               // split learns Ĵ from the ±1 vote matrix, the
               // everything-connected guard vetoes degenerate fits,
-              // and the top-1 |Ĵ| off-diagonal is the dependency
+              // and the top-1 |Ĵ| off-diagonal is the dependency.
+              // pm feeds 4 driver-side statistics actions here on
+              // top of the moments pass — persist it so the
+              // voteMatrix shuffle behind it runs once, not five
+              // times (evictable cache, like the profiler's
+              // extraction relation)
+              pm.persist()
               val j = LabelModel.learnStructureSparseLowRank(pm, keyCol)
               if (LabelModel.structureAllConnected(j)) Seq.empty
               else LabelModel.structureTopDeps(j, k = 1, minAbs = 0.05)

@@ -186,12 +186,20 @@ object StreamingExtract {
       vecCol: String,
       books: Map[(Int, Int), Seq[Double]],
       m: Int = 8,
-      codeK: Int = 16)(sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+      codeK: Int = 16,
+      /** MUST match the dim the codebooks were fit at — a mismatch
+        * would slice subvectors against wrong-length codewords and
+        * append silently-wrong codes. */
+      dim: Int = 64)(sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    require(
+      books.values.headOption.forall(_.size == dim / m),
+      s"codebook codewords are ${books.values.head.size}-dim but dim=$dim / m=$m expects ${dim / m}")
     embeddings.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        sink(graft.textops.Similarity.pqEncode(batch, idCol, vecCol, books, m, codeK), batchId)
+        sink(graft.textops.Similarity.pqEncode(batch, idCol, vecCol, books, m, codeK, dim), batchId)
       }
+  }
 
   /** Streaming NEAR-dup suppression: MinHash-LSH band keys per doc,
     * keep only the first arrival per band bucket within the

@@ -194,25 +194,37 @@ object Dedup {
     * ("Deduplicating Training Data Makes Language Models Better",
     * §3 ExactSubstr, public method): a long token run that also
     * appears in another document is CUT from all but one copy,
-    * rather than dropping whole near-dup documents. Built on the
-    * same df-capped winnowing-island substrate as
-    * [[substringDedupPairs]]; keep-first policy — the run survives in
-    * the smaller doc id, every later id loses it (3+ copies resolve
-    * consistently: each later copy pairs with the first and cuts the
-    * same span).
+    * rather than dropping whole near-dup documents. Keep-first
+    * policy — the run survives in the smaller doc id, every later id
+    * loses it (3+ copies resolve consistently: each later copy pairs
+    * with the first and cuts the same span).
     *
-    * Removal is CONSERVATIVE: an island's [p0, p1] are selected
-    * fingerprint positions inside the shared region, so the cut is
-    * the certified core — up to w−1 grams at each edge of the true
-    * shared run survive (winnowing's window guarantee), and nothing
-    * outside a genuinely shared run is ever cut.
+    * The winnowing islands ([[sharedRuns]]) only NOMINATE candidate
+    * windows — their ±w-gram resolution can bridge two sub-threshold
+    * shared halves across a small edit (the one-token-edit near-dup
+    * would be emptied). Every candidate window is therefore
+    * TOKEN-VERIFIED: the two docs' token runs are compared
+    * position-by-position, and only maximal exactly-equal runs of
+    * ≥ `minTokens` within one alignment are cut — true ExactSubstr
+    * semantics. Edges stay conservative (a shared run extending past
+    * the nominated window keeps its uncovered tail).
     *
-    * Scale shape: the island machinery is the posting-bounded pair
-    * stage (maxDf² fan-out); the splice is ONE groupBy(doc) of
-    * span rows (collision-sized) + an equi-join back to the corpus +
-    * a per-row HOF filter over the token array — no non-equi join,
-    * no per-token shuffle. Docs without spans pass through the join
-    * as-is.
+    * maxDf bounds the pair stage like every posting emitter here —
+    * which means content duplicated in MORE than maxDf places is
+    * exempt from span removal BY DESIGN. That is the right division
+    * of labor, not a gap: ≥maxDf-fold boilerplate is exactly what
+    * the upstream whole-doc and paragraph passes
+    * ([[exactDedup]], `Curation.paragraphDedup`) eliminate wholesale
+    * and cheaply; this operator handles the long tail of pairwise
+    * shared runs those passes cannot see.
+    *
+    * Scale shape: posting-bounded candidates (maxDf² fan-out); the
+    * verification explodes candidate-window positions (rows bounded
+    * by total nominated duplicate content, never the corpus), one
+    * gaps-and-islands window keyed (doc, partner, alignment), one
+    * span groupBy(doc) + equi-join back to the corpus, and a per-row
+    * index-aware HOF filter over the token array. No non-equi join,
+    * no per-token shuffle.
     *
     * Output: (id, n_tok, n_removed, clean_text) for EVERY input doc.
     */
@@ -224,37 +236,58 @@ object Dedup {
       n: Int = 3,
       w: Int = 4,
       maxDf: Int = 20): DataFrame = {
-    val runs = sharedRuns(df, idCol, textCol, n, w, maxDf)
-    // spans to cut, on the LATER doc's token axis (id_a < id_b by
+    val tk = df.select(col(idCol), tokensCol(col(textCol)).as("tk"))
+    // candidate windows on both token axes (id_a < id_b by
     // construction): gram p covers tokens p..p+n−1
-    val spans = runs
+    val cand = sharedRuns(df, idCol, textCol, n, w, maxDf)
       .filter(col("p1") - col("p0") + n >= minTokens)
       .select(
-        col("id_b").as(idCol),
-        (col("p0") - col("diag")).as("s"),
-        (col("p1") - col("diag") + n - 1).as("e"))
-      .groupBy(col(idCol))
+        col("id_a"), col("id_b"), col("diag"),
+        col("p0").as("sa"),
+        (col("p0") - col("diag")).as("sb"),
+        (col("p1") - col("p0") + n).as("len"))
+    // token-verify each window: eq(i) ⟺ the i-th tokens agree
+    val verified = cand
+      .join(tk.select(col(idCol).as("id_a"), col("tk").as("tk_a")), Seq("id_a"))
+      .join(tk.select(col(idCol).as("id_b"), col("tk").as("tk_b")), Seq("id_b"))
+      .select(
+        col("id_b"), col("id_a"), col("diag"), col("sb"),
+        posexplode(
+          zip_with(
+            slice(col("tk_a"), col("sa"), col("len")),
+            slice(col("tk_b"), col("sb"), col("len")),
+            (x, y) => x === y)).as(Seq("off", "ok")))
+      .filter(col("ok"))
+      .select(col("id_b"), col("id_a"), col("diag"), (col("sb") + col("off")).as("p"))
+      .distinct() // overlapping windows of one alignment nominate a position twice
+    // maximal verified runs within ONE (partner, alignment) — two
+    // different partners' runs must not concatenate into a phantom
+    // long span
+    val wI = Window.partitionBy(col("id_b"), col("id_a"), col("diag")).orderBy(col("p"))
+    val spans = verified
+      .withColumn("grp", col("p") - row_number().over(wI))
+      .groupBy(col("id_b"), col("id_a"), col("diag"), col("grp"))
+      .agg(min(col("p")).cast("int").as("s"), max(col("p")).cast("int").as("e"))
+      .filter(col("e") - col("s") + 1 >= minTokens)
+      .groupBy(col("id_b"))
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
-    val withTk = df
-      .select(col(idCol), tokensCol(col(textCol)).as("tk"))
+      .select(col("id_b").as(idCol), col("spans"))
+    val withTk = tk
       .join(spans, Seq(idCol), "left")
       .withColumn("spans", coalesce(col("spans"), array().cast("array<struct<s:int,e:int>>")))
-    // keep token at 1-based position p unless SOME span covers it;
-    // spans per doc are few (island-sized), so the inner scan is flat
+    // keep the token at 0-based index i unless SOME span covers
+    // 1-based position i+1; spans per doc are few, the scan is flat
     val keptToks = filter(
-      zip_with(col("tk"), sequence(lit(1), greatest(size(col("tk")), lit(1))), (t, p) =>
-        struct(t.as("t"), p.as("p"))),
-      st =>
-        st.getField("t").isNotNull && !exists(
-          col("spans"),
-          r => st.getField("p") >= r.getField("s") && st.getField("p") <= r.getField("e")))
+      col("tk"),
+      (t, i) =>
+        !exists(col("spans"), r => i + 1 >= r.getField("s") && i + 1 <= r.getField("e")))
     withTk
       .withColumn("kept", keptToks)
       .select(
         col(idCol),
         size(col("tk")).as("n_tok"),
         (size(col("tk")) - size(col("kept"))).as("n_removed"),
-        concat_ws(" ", transform(col("kept"), st => st.getField("t"))).as("clean_text"))
+        concat_ws(" ", col("kept")).as("clean_text"))
   }
 
   /** Expression-form winnowing — the SQL-shaped reference the fast

@@ -447,6 +447,26 @@ class TextOpsSpec extends SparkSpec {
     assert(shared.count(cleanB) <= 2 * (4 + 3), "the run's core must be gone")
   }
 
+  test("removeDuplicateSpans one-token edit: two sub-threshold halves must NOT bridge into a cut") {
+    // docA and docB identical except one middle token — the classic
+    // near-dup that ExactSubstr must NOT empty: each exactly-shared
+    // half (~30 tokens) is below minTokens=50, and the winnowing
+    // island that nominates the whole window (±w resolution bridges
+    // the edit) must be token-verified down to nothing
+    val shared = (0 until 61).map(i => s"editcase_token_$i")
+    val edited = shared.updated(30, "EDITED_middle_token")
+    val df = Seq((1L, shared.mkString(" ")), (2L, edited.mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(df, "doc_id", "text", minTokens = 50)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("n_removed")).toMap
+    assert(got(1L) == 0 && got(2L) == 0,
+      s"sub-threshold halves bridged across the edit: $got")
+    // and with the edit absent, the full 61-token copy IS cut
+    val df2 = Seq((1L, shared.mkString(" ")), (2L, shared.mkString(" "))).toDF("doc_id", "text")
+    val got2 = Dedup.removeDuplicateSpans(df2, "doc_id", "text", minTokens = 50)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("n_removed")).toMap
+    assert(got2(1L) == 0 && got2(2L) >= 50, s"true copy not cut: $got2")
+  }
+
   test("property: charEntropy matches the direct per-doc computation on random strings") {
     val rnd = new scala.util.Random(11)
     val docs = (0 until 60).map { i =>
