@@ -464,14 +464,16 @@ object SparkEntry {
     * pretraining corpus actually takes, as ONE plan instead of six
     * unit queries. quality rules (per-row expressions, filter pushes
     * to the scan) → exact dedup (one hash agg + semi-join) →
+    * duplicate-SPAN removal (Lee et al. ExactSubstr — winnowing
+    * postings + token-verified splice; later copies lose shared
+    * ≥50-token runs, downstream consumes the cleaned text) →
     * Bloom-prefiltered decontamination vs a held-out eval slice
     * (broadcast ~bits/entry filter, exact confirm on the sliver) →
     * language-ID (per-row marker vote) → sequence packing (one
     * window shuffle keyed by predicted lang) → shard assignment.
-    * Shuffle census of the whole pipeline: ONE hash aggregation,
-    * ONE broadcast semi-join confirm, TWO window shuffles — nothing
-    * keyed by anything wider than (lang) or (shard). Output: one row
-    * per surviving doc with its pack and shard coordinates.
+    * Nothing shuffles on anything wider than a content key, (lang),
+    * or (shard). Output: one row per surviving doc with its pack and
+    * shard coordinates.
     */
   def curationOn(spark: SparkSession, dir: String): DataFrame = {
     import graft.textops.{Curation, Dedup, TextStats}
@@ -480,14 +482,26 @@ object SparkEntry {
     val quality = Curation.qualityRuleFlags(d, "doc_id", "text",
       minTokens = 20, maxTokens = 100000, minMeanLen = 2.0, maxMeanLen = 10.0)
     val kept = d.join(quality.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
-    // exact dedup — first copy per content hash survives
-    val deduped = Dedup.exactDedup(kept, "doc_id", "text")
+    // exact dedup — first copy per content hash survives. PERSISTED:
+    // the span machinery reads its input from several subplans
+    // (fingerprints, the two token-array join sides, the splice),
+    // each of which would otherwise re-run the scan → quality →
+    // semi-join lineage; doc-count-sized text, evictable
+    val deduped = Dedup.exactDedup(kept, "doc_id", "text").persist()
+    // duplicate-SPAN removal (Lee et al. ExactSubstr): ≥50-token runs
+    // shared with an earlier survivor are spliced out of later
+    // copies; downstream stages consume the CLEANED text. Persisted
+    // for the same reason: the decontam Bloom build is an EAGER
+    // count, then the corpus side and the final plan read it again
+    val despanned = Dedup.removeDuplicateSpans(deduped, "doc_id", "text", minTokens = 50)
+      .select(col("doc_id"), col("clean_text").as("text"))
+      .persist()
     // decontamination — every 89th doc plays the held-out eval suite
     val contaminated = Curation.decontaminateBloom(
-        deduped.filter(col("doc_id") % 89 =!= 0), d.filter(col("doc_id") % 89 === 0),
+        despanned.filter(col("doc_id") % 89 =!= 0), d.filter(col("doc_id") % 89 === 0),
         "doc_id", "text", n = 3)
       .select(col("doc_id")) // any surviving row has eval-gram overlap
-    val clean = deduped
+    val clean = despanned
       .filter(col("doc_id") % 89 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
     // language-ID → packing partitions on the PREDICTED language.
