@@ -114,7 +114,14 @@ object Bench {
     // of the stream the window keeps, an intact compact line is in it.
     val compact = s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","queries_n":${all.size}}"""
     println(compact)
-    println(s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}""")
+    // key_notes: operator-identity changes behind a stable key, so
+    // historical series stay interpretable (a swapped operator is
+    // not a perf delta) — retrieval_e2e timed the 8-branch per-query
+    // plan loop through round 8 and the batch ivfPqTopKBatch
+    // operator from round 9 on
+    val notes =
+      """{"retrieval_e2e":"batch ivfPqTopKBatch since r9; rounds<=8 timed the per-query plan loop (now retrievalLoopOn)"}"""
+    println(s"""{"metric":"queries","queries":$qs,"key_notes":$notes,"sf":"$sfDir"}""")
     // the cascade's token economics at this SF (single measured run,
     // not timed): per-stage LLM token cost of the ClosedIE cascade +
     // the whole-lake Direct baseline on the same lake/attributes —

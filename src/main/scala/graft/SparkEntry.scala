@@ -474,6 +474,16 @@ object SparkEntry {
     * Nothing shuffles on anything wider than a content key, (lang),
     * or (shard). Output: one row per surviving doc with its pack and
     * shard coordinates.
+    *
+    * Cache lifecycle: the two persisted intermediates (deduped /
+    * despanned text — doc-count-sized) are scoped to THIS call: the
+    * final coordinate relation is eagerly materialized
+    * (localCheckpoint cuts the lineage back to it), then both are
+    * unpersisted before returning. Repeated calls from tests or a
+    * long-lived session leave nothing behind in the cache manager;
+    * the returned handle holds only the small (doc_id, lang, pack,
+    * shard) rows and is reclaimed by the ContextCleaner when
+    * dropped.
     */
   def curationOn(spark: SparkSession, dir: String): DataFrame = {
     import graft.textops.{Curation, Dedup, TextStats}
@@ -523,9 +533,14 @@ object SparkEntry {
         "pos",
         row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))))
-    sharded.select(
+    val out = sharded.select(
       col("doc_id"), col("pred_lang"), col("n_tok"),
       col("pack_id"), col("pack_offset"), col("shard"), col("pos"))
+    try out.localCheckpoint(true)
+    finally {
+      deduped.unpersist(blocking = false)
+      despanned.unpersist(blocking = false)
+    }
   }
 
   def openieOn(spark: SparkSession, dir: String): DataFrame = {

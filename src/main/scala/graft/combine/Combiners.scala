@@ -127,6 +127,17 @@ object Combiners {
     * independent model, like `run_ws.py:256-257`. Off by default —
     * the oracle-gated paths stay byte-identical.
     *
+    * `maxLearnedDeps`: how many residual edges the heuristic learner
+    * may model. The default 1 is the historical (round ≤8) top-1
+    * behavior — one edge, pair-clique decode, predictions comparable
+    * across rounds. Values ≥2 opt IN to overlapping edges (a voter
+    * correlated with two others chains cliques through itself)
+    * routed through the general chordal clique-tree decode — a
+    * strictly richer model, but not output-identical to the top-1
+    * path, so it is a caller's explicit choice, never a silent
+    * upgrade. Ignored under `structureLearn` (the convex learner
+    * keeps the reference's k=1, `run_ws.py:239`).
+    *
     * `structureLearn`: use the reference's ACTUAL learner — the
     * sparse+low-rank split of the vote covariance
     * ([[LabelModel.learnStructureSparseLowRank]], `run_ws.py:228-239`:
@@ -142,7 +153,8 @@ object Combiners {
       keyCol: String,
       numElts: Int = 5,
       learnDeps: Boolean = false,
-      structureLearn: Boolean = false): DataFrame = {
+      structureLearn: Boolean = false,
+      maxLearnedDeps: Int = 1): DataFrame = {
     val spark = votes.sparkSession
     // empty/null votes are abstains (`run_ws.py:53-57` maps them to
     // 'abstain' and excludes them from the candidate labels); keys
@@ -178,20 +190,28 @@ object Combiners {
               // everything-connected guard vetoes degenerate fits,
               // and the top-1 |Ĵ| off-diagonal is the dependency.
               // pm feeds 4 driver-side statistics actions here on
-              // top of the moments pass — persist it so the
-              // voteMatrix shuffle behind it runs once, not five
-              // times (evictable cache, like the profiler's
-              // extraction relation)
-              pm.persist()
-              val j = LabelModel.learnStructureSparseLowRank(pm, keyCol)
-              if (LabelModel.structureAllConnected(j)) Seq.empty
-              else LabelModel.structureTopDeps(j, k = 1, minAbs = 0.05)
+              // top of the moments pass — persist it for exactly
+              // their duration (MEMORY_ONLY: pure recomputable
+              // shuffle output, eviction beats a disk tier) and
+              // unpersist in the finally, so repeated wsCombine
+              // calls in a long-lived session cannot accumulate
+              // cached blocks. The rare dep-aware decode below
+              // re-derives pm from lineage once — one voteMatrix
+              // shuffle, the pre-persist cost.
+              pm.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+              try {
+                val j = LabelModel.learnStructureSparseLowRank(pm, keyCol)
+                if (LabelModel.structureAllConnected(j)) Seq.empty
+                else LabelModel.structureTopDeps(j, k = 1, minAbs = 0.05)
+              } finally pm.unpersist(blocking = false)
             } else
-              // up to 2 edges, overlap allowed (a voter correlated
-              // with two others chains cliques through itself — the
-              // general clique-tree decode handles it); chordality is
+              // maxLearnedDeps edges, overlap allowed (k=1 selects
+              // the same single edge as the historical top-1 learner
+              // and takes the same pair-clique decode below; k≥2
+              // chains cliques through shared voters into the
+              // general clique-tree decode); chordality is
               // maintained by the learner, so the decode cannot raise
-              LabelModel.learnTopDependenciesOverlappingFromMap(mm, k = 2)
+              LabelModel.learnTopDependenciesOverlappingFromMap(mm, k = maxLearnedDeps)
           (LabelModel.flyingSquidFromMap(mm, learned.map(d => (d._1, d._2)).toSet), learned)
         } catch {
           // "Not modeling dependencies." (run_ws.py:256-257)

@@ -1093,6 +1093,20 @@ object LabelModel {
     * more than one of. Reference hyperparameters kept: λ = 1/√m,
     * γ = 1e-8; step = 1/‖O‖₂ (the Lipschitz constant of ∇f).
     *
+    * Known deviation — the reference's joint R = S − L ⪰ 0
+    * constraint is NOT enforced here: S and L are each projected
+    * PSD per iteration (the prox steps), but their DIFFERENCE is
+    * unconstrained, so on ill-conditioned vote covariances the
+    * fixed point can differ from the cvxpy/SCS solution of the
+    * fully-constrained program. Downstream this is mitigated twice:
+    * [[structureAllConnected]] vetoes degenerate fits where the
+    * conditioning went bad enough to connect everything, and
+    * `structureTopDeps(minAbs)` plus wsCombine's
+    * fall-back-on-failure keep a wrong Ĵ from silently steering the
+    * decode. Only the RANKING of |Ĵ| off-diagonals is consumed, not
+    * Ĵ's values — the planted-recovery specs (LabelModelSpec) pin
+    * that ranking against known structure.
+    *
     * Spark-first shape: the ONLY lake-scale work is one self-join
     * aggregation producing the m×m second-moment matrix plus one
     * per-voter mean aggregation (missing rows are zero votes, so

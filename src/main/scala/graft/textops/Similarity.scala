@@ -688,6 +688,44 @@ object Similarity {
         col("n_overlap"),
         round(col("n_overlap").cast("double") / k, 6).as("recall"))
 
+  /** Full ranking-quality report of an approximate retriever against
+    * the exact top-k (the IR-evaluation triple every ANN index ships
+    * with next to recall): precision@k (= recall here, both lists
+    * are length k), MRR (reciprocal rank of the FIRST exact-set
+    * member in the approximate list — the "how fast does a user see
+    * a true neighbor" number), and binary-relevance NDCG@k (DCG of
+    * exact-set members at their approximate ranks over the ideal
+    * DCG — position-weighted overlap, the metric that separates
+    * "right set, scrambled order" from "right order").
+    *
+    * `approx` must carry the `rank` column the top-k operators emit
+    * (1-based). Engine-exact: each DCG term 1/log2(rank+1) is ln of
+    * small integers quantized to DECIMAL(27,18) before the
+    * (order-free) sum; ideal DCG is a driver-side constant; one
+    * rounded double per metric at the end. Scale shape: both inputs
+    * are k-row relations — the semi-join and the single-row
+    * aggregate are broadcast-trivial next to the index scans that
+    * produced them.
+    */
+  def rankMetricsAtK(exact: DataFrame, approx: DataFrame, idCol: String, k: Int): DataFrame = {
+    val rel = approx
+      .limit(k)
+      .select(col(idCol), col("rank"))
+      .join(exact.limit(k).select(col(idCol)), Seq(idCol), "left_semi")
+    val idcg = (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0))).sum
+    rel
+      .agg(
+        count(lit(1)).cast("int").as("n_overlap"),
+        min(col("rank")).as("first_rel"),
+        sum((lit(1.0) / (log(col("rank").cast("double") + 1.0) / log(lit(2.0))))
+          .cast("decimal(27,18)")).as("dcg"))
+      .select(
+        col("n_overlap"),
+        round(col("n_overlap").cast("double") / k, 6).as("precision"),
+        round(when(col("first_rel").isNull, 0.0).otherwise(lit(1.0) / col("first_rel")), 6).as("mrr"),
+        round(coalesce(col("dcg").cast("double"), lit(0.0)) / idcg, 6).as("ndcg"))
+  }
+
   /** Deterministic random-hyperplane value: md5-derived uniform in
     * [-1, 1] (same hash60 construction the dedup signatures use —
     * engine-portable, no RNG). Plane b, dimension d (1-based d, to

@@ -340,6 +340,102 @@ object TextStats {
         round(-(sum(col("lp")).cast("double") / count(lit(1))), 6).as("xent"))
   }
 
+  /** Per-doc cross-entropy under a corpus TRIGRAM LM with two-level
+    * stupid backoff (Brants et al. 2007 §4, the full recipe the
+    * bigram variant above truncates): score(w3|w1,w2) =
+    * C(w1,w2,w3)/C(w1,w2) when the trigram is in the top-`trigramK`
+    * table AND its context bigram is in the top-`bigramK` table;
+    * else 0.4 × C(w2,w3)/C(w2) when that bigram and its context
+    * unigram are tabled; else 0.4² × p_uni(w3) with the same
+    * cnt/total top-`vocabK` unigram model and 0.5/total OOV floor.
+    * The backoff factor is Brants' fixed α=0.4 at every level — no
+    * discount estimation, which is what makes the model
+    * engine-replayable (the reference for quality filtering at
+    * pretraining scale: CCNet buckets on exactly this family).
+    *
+    * Scale shape identical to [[bigramXent]] one level up: trigram
+    * expansion is an in-row index map over the token array (NO
+    * window shuffle); all three LM tables are top-K truncations →
+    * broadcast joins (the bigram table joins TWICE — once as the
+    * (w1,w2) context, once as the (w2,w3) backoff target); corpus
+    * stats are three hash aggregations with map-side combine; the
+    * per-doc reduce is one keyed aggregation with decimal-exact
+    * sums, one rounded double at the end.
+    */
+  def trigramXent(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      trigramK: Int,
+      bigramK: Int,
+      vocabK: Int): DataFrame = {
+    val t = toks(col(textCol))
+    // (w1, w2, w3) triples: index map over the token array in-row
+    val events = df
+      .filter(size(t) >= 3)
+      .select(
+        col(idCol),
+        explode(
+          transform(
+            sequence(lit(3), size(t)),
+            i =>
+              struct(
+                element_at(t, i - 2).as("w1"),
+                element_at(t, i - 1).as("w2"),
+                element_at(t, i).as("w3")))).as("tg"))
+      .select(col(idCol), col("tg.w1").as("w1"), col("tg.w2").as("w2"), col("tg.w3").as("w3"))
+    val bigrams = df
+      .filter(size(t) >= 2)
+      .select(
+        explode(
+          zip_with(
+            slice(t, lit(1), size(t) - 1),
+            slice(t, lit(2), size(t) - 1),
+            (p, c) => struct(p.as("prev"), c.as("cur")))).as("bg"))
+      .select(col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+
+    val tokens = df.select(explode(toks(col(textCol))).as("token"))
+    val counts = tokens.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total  = counts.agg(sum(col("cnt")).as("total"))
+    val vocab  = counts.orderBy(desc("cnt"), col("token")).limit(vocabK)
+    val bgTop = bigrams
+      .groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("bg_cnt"))
+      .orderBy(desc("bg_cnt"), col("prev"), col("cur"))
+      .limit(bigramK)
+    val tgTop = events
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("tg_cnt"))
+      .orderBy(desc("tg_cnt"), col("w1"), col("w2"), col("w3"))
+      .limit(trigramK)
+
+    events
+      .join(broadcast(tgTop), Seq("w1", "w2", "w3"), "left")
+      .join(
+        broadcast(bgTop.select(col("prev").as("w1"), col("cur").as("w2"), col("bg_cnt").as("ctx_cnt"))),
+        Seq("w1", "w2"), "left")
+      .join(
+        broadcast(bgTop.select(col("prev").as("w2"), col("cur").as("w3"), col("bg_cnt").as("bg23_cnt"))),
+        Seq("w2", "w3"), "left")
+      .join(broadcast(vocab.select(col("token").as("w2"), col("cnt").as("w2_cnt"))), Seq("w2"), "left")
+      .join(broadcast(vocab.select(col("token").as("w3"), col("cnt").as("w3_cnt"))), Seq("w3"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn(
+        "lp",
+        when(
+          col("tg_cnt").isNotNull && col("ctx_cnt").isNotNull,
+          log(col("tg_cnt").cast("double") / col("ctx_cnt")))
+          .when(
+            col("bg23_cnt").isNotNull && col("w2_cnt").isNotNull,
+            log(lit(0.4) * col("bg23_cnt").cast("double") / col("w2_cnt")))
+          .otherwise(log(lit(0.16) * coalesce(col("w3_cnt").cast("double"), lit(0.5)) / col("total")))
+          .cast("decimal(27,18)"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_trigrams"),
+        round(-(sum(col("lp")).cast("double") / count(lit(1))), 6).as("xent"))
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch per group, with
     * the exact count attached as calibration (Bar-Yossef et al. 2002,
     * the bottom-k sketch Theta/KMV sketch libraries implement —

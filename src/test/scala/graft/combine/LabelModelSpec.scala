@@ -770,7 +770,9 @@ class LabelModelSpec extends SparkSpec {
     val (votes, gold) = plantedVotes(6000, planted, deps = Map(("a", "b") -> 0.7, ("b", "c") -> 0.7))
     val sv = votes.withColumn("value", when(c("vote") === 1, "yes").otherwise("no"))
       .select(c("doc_id"), c("extractor"), c("value"))
-    val pred = Combiners.wsCombine(sv, "doc_id", learnDeps = true)
+    // maxLearnedDeps = 2 opts IN to the overlapping-edge model;
+    // the default 1 keeps the historical top-1 pair-clique behavior
+    val pred = Combiners.wsCombine(sv, "doc_id", learnDeps = true, maxLearnedDeps = 2)
     val acc = pred
       .join(gold, "doc_id")
       .withColumn("py", when(c("value") === "yes", 1).otherwise(-1))
