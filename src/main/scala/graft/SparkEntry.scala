@@ -1001,6 +1001,27 @@ object SparkEntry {
         "vec_id", k = 20)
     }),
 
+    // ANN quality gauge #3: the full IR-eval triple (P@20 / MRR /
+    // NDCG@20) of the IVF probe path against the brute-force exact
+    // ranking — position-weighted quality, not just set overlap
+    "q_rank_metrics" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q   = queryVec(s, dir)
+      Similarity.rankMetricsAtK(
+        Similarity.cosineTopK(emb, "vec_id", "embedding", q, k = 20),
+        Similarity.ivfTopK(emb, "vec_id", "embedding", q, k = 20, nCentroids = 16, nProbe = 4),
+        "vec_id", k = 20)
+    }),
+
+    // embedding-curation: prototypicality pruning (SemDeDup-family,
+    // Sorscher et al. 2022) — keep the top-4/5 of each cluster by
+    // cosine-to-centroid, drop the outlier tail
+    "q_proto_prune" -> ((s, dir) =>
+      Similarity.prototypePrune(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        nCentroids = 16, keepNum = 4, keepDen = 5)
+        .orderBy(col("centroid_id"), col("rank_in_cluster"))),
+
     // contriever-style mean pooling lifted to groups (retrieval.py:5-36)
     "q_embed_mean_pool" -> ((s, dir) =>
       Similarity.meanPool(Tables.embeddings(s, dir), "label", "embedding")
@@ -1086,6 +1107,15 @@ object SparkEntry {
       Dedup
         .ngramJaccardPairsCapped(docs(s, dir), "lang", "doc_id", "text", n = 3, maxDf = 3)
         .orderBy(desc("jaccard"), col("id_a"), col("id_b"))
+        .limit(20)),
+
+    // training-data ops: shingle CONTAINMENT pairs (Broder 1997's
+    // asymmetric measure) — quote/subset detection Jaccard misses:
+    // a short doc embedded in a long host scores ≈1 here, ≈0 there
+    "q_dedup_containment" -> ((s, dir) =>
+      Dedup
+        .containmentPairs(docs(s, dir), "lang", "doc_id", "text", n = 3, maxDf = 3, minC = 0.3)
+        .orderBy(desc("containment"), col("id_a"), col("id_b"))
         .limit(20)),
 
     // training-data ops: near-dup clusters — connected components
@@ -1353,6 +1383,14 @@ object SparkEntry {
     // in-row bigram expansion (no window shuffle)
     "q_bigram_ppl" -> ((s, dir) =>
       TextStats.bigramXent(docs(s, dir), "doc_id", "text", bigramK = 50, vocabK = 25)
+        .orderBy(col("doc_id"))),
+
+    // training-data ops: trigram-LM cross-entropy with TWO-level
+    // stupid backoff (Brants et al. 2007 §4 — trigram → bigram →
+    // unigram, fixed α=0.4 per level) — the full recipe the bigram
+    // filter truncates
+    "q_trigram_ppl" -> ((s, dir) =>
+      TextStats.trigramXent(docs(s, dir), "doc_id", "text", trigramK = 50, bigramK = 50, vocabK = 25)
         .orderBy(col("doc_id"))),
 
     // training-data ops: temperature-scaled domain mixture weights
@@ -2281,6 +2319,43 @@ object SparkEntry {
                  FROM bf_k JOIN ivf_k USING (vec_id))
           SELECT n_overlap, round(CAST(n_overlap AS DOUBLE) / 20, 6) AS recall FROM ov""",
 
+    "q_rank_metrics" -> {
+      // ideal DCG is a driver-side constant — interpolated at full
+      // precision so both engines divide by the SAME double
+      val idcg = (1 to 20).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0))).sum
+      s"""WITH $ivfCtes,
+          ivf_k AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+                    FROM ivf_scored ORDER BY cos DESC, vec_id ASC LIMIT 20),
+          bf_k AS (SELECT vec_id FROM (
+                     SELECT e.vec_id, round(${cosNSql(dotSql("e.embedding", "q.qe"), "e.nrm", "q.qn")}, 6) AS cos
+                     FROM e2 e, q)
+                   ORDER BY cos DESC, vec_id ASC LIMIT 20),
+          rel AS (SELECT i.rank FROM ivf_k i JOIN bf_k USING (vec_id)),
+          m AS (SELECT CAST(count(*) AS INT) AS n_overlap, min(rank) AS first_rel,
+                       sum(CAST(1.0 / (ln(CAST(rank AS DOUBLE) + 1.0) / ln(2.0)) AS DECIMAL(27,18))) AS dcg
+                FROM rel)
+          SELECT n_overlap,
+                 round(CAST(n_overlap AS DOUBLE) / 20, 6) AS p_at_k,
+                 round(CASE WHEN first_rel IS NULL THEN 0.0 ELSE 1.0 / first_rel END, 6) AS mrr,
+                 round(coalesce(CAST(dcg AS DOUBLE), 0.0) / ${java.lang.Double.toString(idcg)}, 6) AS ndcg
+          FROM m"""
+    },
+
+    "q_proto_prune" ->
+      s"""WITH $ivfCtes,
+          pr AS (SELECT a.vec_id, a.centroid_id,
+                        round(${cosNSql(dotSql("a.embedding", "c.ce"), "a.nrm", "c.cn")}, 6) AS cos_centroid
+                 FROM asg a JOIN c ON a.centroid_id = c.cid),
+          rk AS (SELECT vec_id, centroid_id, cos_centroid,
+                        CAST(row_number() OVER (
+                          PARTITION BY centroid_id
+                          ORDER BY cos_centroid DESC, vec_id ASC) AS INT) AS rank_in_cluster,
+                        CAST(count(*) OVER (PARTITION BY centroid_id) AS INT) AS n_in_cluster
+                 FROM pr)
+          SELECT vec_id, centroid_id, cos_centroid, rank_in_cluster, n_in_cluster
+          FROM rk WHERE (rank_in_cluster - 1) * 5 < n_in_cluster * 4
+          ORDER BY centroid_id, rank_in_cluster""",
+
     "q_ann_pq" -> pqSql,
 
     "q_ann_ivfpq" -> ivfPqSql,
@@ -2506,6 +2581,24 @@ object SparkEntry {
           FROM capped a JOIN capped b ON a.lang = b.lang AND a.doc_id < b.doc_id
           WHERE len(list_intersect(a.sh, b.sh)) > 0
           ORDER BY jaccard DESC, id_a ASC, id_b ASC LIMIT 20""",
+
+    "q_dedup_containment" ->
+      s"""WITH $shinglesSql,
+          inv AS (SELECT lang, doc_id, unnest(sh) AS g FROM shing),
+          keep AS (SELECT lang, g FROM inv GROUP BY lang, g HAVING count(*) <= 3),
+          capped AS (SELECT i.lang, i.doc_id, CAST(count(*) AS INT) AS sz, list(i.g) AS sh
+                     FROM inv i JOIN keep k ON i.lang = k.lang AND i.g = k.g
+                     GROUP BY i.lang, i.doc_id),
+          pr AS (SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+                        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS ni,
+                        a.sz AS sz_a, b.sz AS sz_b
+                 FROM capped a JOIN capped b ON a.lang = b.lang AND a.doc_id < b.doc_id
+                 WHERE len(list_intersect(a.sh, b.sh)) > 0)
+          SELECT lang, id_a, id_b,
+                 round(ni / least(sz_a, sz_b), 6) AS containment,
+                 round(ni / (sz_a + sz_b - ni), 6) AS jaccard
+          FROM pr WHERE ni / least(sz_a, sz_b) >= 0.3
+          ORDER BY containment DESC, id_a ASC, id_b ASC LIMIT 20""",
 
     // components via recursive reachability: reach(id,r) = id can
     // reach label r; min over reachable labels = cluster id. UNION
@@ -3012,6 +3105,38 @@ object SparkEntry {
                              LEFT JOIN vocab vc ON ev.cur = vc.token
                              CROSS JOIN tot)
          SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+                round(-(CAST(sum(lp) AS DOUBLE) / count(*)), 6) AS xent
+         FROM scored GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_trigram_ppl" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t FROM documents),
+          tg AS (SELECT doc_id, t[i-2] AS w1, t[i-1] AS w2, t[i] AS w3
+                 FROM tk, unnest(range(3, len(t) + 1)) AS u(i) WHERE len(t) >= 3),
+          ev AS (SELECT t[i-1] AS prev, t[i] AS cur
+                 FROM tk, unnest(range(2, len(t) + 1)) AS u(i) WHERE len(t) >= 2),
+          toks AS (SELECT tok AS token FROM tk, unnest(t) AS u(tok)),
+          counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+          tot AS (SELECT sum(cnt) AS total FROM counts),
+          vocab AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT 25),
+          bgtop AS (SELECT prev, cur, count(*) AS bg_cnt FROM ev GROUP BY prev, cur
+                    ORDER BY bg_cnt DESC, prev, cur LIMIT 50),
+          tgtop AS (SELECT w1, w2, w3, count(*) AS tg_cnt FROM tg GROUP BY w1, w2, w3
+                    ORDER BY tg_cnt DESC, w1, w2, w3 LIMIT 50),
+          scored AS (SELECT tg.doc_id,
+                            CAST(CASE WHEN tgt.tg_cnt IS NOT NULL AND ctx.bg_cnt IS NOT NULL
+                                      THEN ln(CAST(tgt.tg_cnt AS DOUBLE) / ctx.bg_cnt)
+                                      WHEN bg23.bg_cnt IS NOT NULL AND v2.cnt IS NOT NULL
+                                      THEN ln(0.4 * CAST(bg23.bg_cnt AS DOUBLE) / v2.cnt)
+                                      ELSE ln(0.16 * (CASE WHEN v3.cnt IS NOT NULL
+                                                           THEN CAST(v3.cnt AS DOUBLE) ELSE 0.5 END) / total)
+                                 END AS DECIMAL(27,18)) AS lp
+                     FROM tg LEFT JOIN tgtop tgt USING (w1, w2, w3)
+                             LEFT JOIN bgtop ctx ON tg.w1 = ctx.prev AND tg.w2 = ctx.cur
+                             LEFT JOIN bgtop bg23 ON tg.w2 = bg23.prev AND tg.w3 = bg23.cur
+                             LEFT JOIN vocab v2 ON tg.w2 = v2.token
+                             LEFT JOIN vocab v3 ON tg.w3 = v3.token
+                             CROSS JOIN tot)
+         SELECT doc_id, CAST(count(*) AS INT) AS n_trigrams,
                 round(-(CAST(sum(lp) AS DOUBLE) / count(*)), 6) AS xent
          FROM scored GROUP BY doc_id ORDER BY doc_id""",
 

@@ -405,6 +405,72 @@ object Dedup {
     pairsFromInvertedIndex(kept.select(col(bucketCol), col(idCol), col("sz"), col("shingle")), bucketCol, idCol, maxDf)
   }
 
+  /** Shingle-containment near-dup pairs — the asymmetric cousin of
+    * [[ngramJaccardPairsCapped]] for QUOTE/SUBSET detection:
+    * containment C = |A∩B| / min(|A|,|B|) flags a short doc embedded
+    * verbatim in a long one, which Jaccard structurally cannot
+    * (|A∩B|/|A∪B| → 0 as the host grows — a 200-token article
+    * quoted inside a 20k-token page has Jaccard ≈ 0.01 but
+    * containment ≈ 1.0; Broder 1997 defines both measures for
+    * exactly this reason). Emits pairs with containment ≥ `minC`,
+    * with Jaccard attached for calibration.
+    *
+    * Scale shape identical to the capped Jaccard path: ONE inverted
+    * shingle index (never a doc×doc self-join), per-shingle postings
+    * df-capped at `maxDf` so a boilerplate shingle shared by a
+    * million docs emits zero pairs instead of 10¹² — pair volume is
+    * bounded by postings × maxDf; sizes ride the same aggregation
+    * chain. Output: (bucket, id_a, id_b, containment, jaccard),
+    * id_a < id_b.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      bucketCol: String,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      maxDf: Int = 1000,
+      minC: Double = 0.5): DataFrame = {
+    val inv = df
+      .select(col(bucketCol), col(idCol), explode(shingleHashes(col(textCol), n)).as("shingle"))
+    val wSh    = Window.partitionBy(col(bucketCol), col("shingle"))
+    val withDf = inv.withColumn("df", count(lit(1)).over(wSh))
+    val rare   = withDf.filter(col("df") <= maxDf)
+    val sizes = rare
+      .groupBy(col(bucketCol), col(idCol))
+      .agg(count(lit(1)).cast("int").as("sz"))
+    val kept = rare
+      .filter(col("df") > 1)
+      .join(sizes, Seq(bucketCol, idCol))
+    val grouped = kept
+      .groupBy(col(bucketCol), col("shingle"))
+      .agg(array_sort(collect_list(struct(col(idCol).as("id"), col("sz").as("s")))).as("ds"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxDf)
+    val pairs = grouped.select(
+      col(bucketCol),
+      explode(orderedPairs(col("ds"), (x, y) =>
+        struct(
+          x.getField("id").as("id_a"),
+          x.getField("s").as("sz_a"),
+          y.getField("id").as("id_b"),
+          y.getField("s").as("sz_b")))).as("p"))
+    pairs
+      .groupBy(
+        col(bucketCol),
+        col("p.id_a").as("id_a"),
+        col("p.id_b").as("id_b"),
+        col("p.sz_a").as("sz_a"),
+        col("p.sz_b").as("sz_b"))
+      .agg(count(lit(1)).cast("double").as("ni"))
+      .withColumn("containment", col("ni") / least(col("sz_a"), col("sz_b")))
+      .withColumn("jaccard", col("ni") / (col("sz_a") + col("sz_b") - col("ni")))
+      .filter(col("containment") >= minC)
+      .select(
+        col(bucketCol), col("id_a"), col("id_b"),
+        round(col("containment"), 6).as("containment"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** Ordered pairs (i < j) from a sorted array column, shaped by
     * `pair`. Shared by every posting-list pair emitter.
     */

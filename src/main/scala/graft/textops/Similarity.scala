@@ -721,9 +721,78 @@ object Similarity {
           .cast("decimal(27,18)")).as("dcg"))
       .select(
         col("n_overlap"),
-        round(col("n_overlap").cast("double") / k, 6).as("precision"),
+        round(col("n_overlap").cast("double") / k, 6).as("p_at_k"),
         round(when(col("first_rel").isNull, 0.0).otherwise(lit(1.0) / col("first_rel")), 6).as("mrr"),
         round(coalesce(col("dcg").cast("double"), lit(0.0)) / idcg, 6).as("ndcg"))
+  }
+
+  /** Prototypicality pruning (the SemDeDup-family curation step from
+    * the DataComp/SSL-prototypes line: Sorscher et al. 2022 "Beyond
+    * neural scaling laws" — keep examples by distance to their
+    * cluster prototype): assign every embedding to its nearest
+    * centroid, rank within the cluster by cosine-to-centroid, and
+    * KEEP the top ceil(keepNum/keepDen · |cluster|) rows — the
+    * most prototypical examples; the far tail (likely noise/outliers
+    * at pretraining scale) is dropped. The keep fraction is a
+    * RATIONAL (default 4/5) so the cut index is integer-exact and
+    * engine-replayable — no float-boundary flakes at cluster sizes
+    * where 0.8·n lands on an integer.
+    *
+    * Scale shape: assignment is a per-row argmax over broadcast
+    * centroids (bound-column double vector, one codegen'd dot per
+    * centroid — the ivfTopK pattern); the rank and cluster size come
+    * from ONE window shuffle keyed on centroid_id. At 100 TB
+    * nCentroids grows (√N, kmeans-learned via [[kmeansCentroids]])
+    * so clusters stay executor-sized; pass `learnedCentroids` for
+    * that path — the gate runs the deterministic first-k seeds.
+    */
+  def prototypePrune(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int = 16,
+      keepNum: Int = 4,
+      keepDen: Int = 5,
+      learnedCentroids: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
+    require(keepNum > 0 && keepDen >= keepNum, s"keep fraction $keepNum/$keepDen not in (0,1]")
+    val centroids: Seq[(Int, Seq[Double])] = learnedCentroids.getOrElse(
+      embeddings
+        .orderBy(col(idCol))
+        .limit(nCentroids)
+        .select(col(vecCol))
+        .collect()
+        .toSeq
+        .map(_.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue))
+        .zipWithIndex
+        .map { case (v, i) => (i, v) })
+    val withV = embeddings
+      .withColumn("v", transform(col(vecCol), x => x.cast("double")))
+      .withColumn("nrm", dot(col("v"), col("v")))
+    // argmax over (cos, -cid) structs: max cosine, ties → smaller id
+    // (identical assignment expression to ivfTopK — a row lands in
+    // the same cluster whether it is being indexed or pruned)
+    val cands = array(centroids.map { case (i, c) =>
+      val cn = c.map(x => x * x).sum
+      val cos = when(col("nrm") === 0.0 || lit(cn) === 0.0, 0.0)
+        .otherwise(dot(col("v"), typedLit(c)) / (sqrt(col("nrm")) * lit(math.sqrt(cn))))
+      struct(cos.as("cos"), lit(-i).as("ncid"))
+    }: _*)
+    val assigned = withV
+      .withColumn("best", array_max(cands))
+      .select(
+        col(idCol),
+        (-col("best.ncid")).as("centroid_id"),
+        round(col("best.cos"), 6).as("cos_centroid"))
+    val w = Window.partitionBy(col("centroid_id"))
+    assigned
+      .withColumn("rank_in_cluster",
+        row_number().over(w.orderBy(desc("cos_centroid"), col(idCol))))
+      .withColumn("n_in_cluster", count(lit(1)).over(w).cast("int"))
+      // rank ≤ ceil(keepNum·n/keepDen) via integer arithmetic:
+      // (rank−1)·keepDen < keepNum·n  ⟺  rank ≤ ceil(keepNum·n/keepDen)
+      .filter((col("rank_in_cluster") - 1) * keepDen < col("n_in_cluster") * keepNum)
+      .select(col(idCol), col("centroid_id"), col("cos_centroid"),
+        col("rank_in_cluster"), col("n_in_cluster"))
   }
 
   /** Deterministic random-hyperplane value: md5-derived uniform in

@@ -105,6 +105,71 @@ class SemDedupSpec extends SparkSpec {
     assert(math.abs(byId(2L) - d2) < 1e-6)
   }
 
+  test("trigramXent: seen trigrams score C(tg)/C(ctx); two-level backoff below") {
+    // corpus: tokens a×4,b×4,c×1,z×1 (total 10); bigrams ab×4, ba×2,
+    // bc×1; trigrams aba×2, bab×2, abc×1
+    val out = TextStats
+      .trigramXent(lmDocs, "doc_id", "text", trigramK = 10, bigramK = 10, vocabK = 10)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2)))
+      .toMap
+    // doc 1 events: aba, bab, aba, bab → 2·ln(2/4) + 2·ln(2/2)
+    val d1 = -(2 * math.log(2.0 / 4) + 2 * math.log(2.0 / 2)) / 4
+    assert(math.abs(out(1L)._2 - d1) < 1e-6 && out(1L)._1 == 4)
+    // doc 2: abc → ln(1/4)
+    val d2 = -math.log(1.0 / 4) / 1
+    assert(math.abs(out(2L)._2 - d2) < 1e-6 && out(2L)._1 == 1)
+    // single-token doc has no trigram events → absent
+    assert(!out.contains(3L))
+  }
+
+  test("trigramXent backoff: tg-miss → 0.4·C(w2w3)/C(w2); bg-miss → 0.16·p_uni") {
+    // trigramK=1 keeps only aba (ties break lexicographic); bigramK=1
+    // keeps only ab
+    val byId = TextStats
+      .trigramXent(lmDocs, "doc_id", "text", trigramK = 1, bigramK = 1, vocabK = 10)
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(2))
+      .toMap
+    // doc 1: aba hits (ctx ab kept) → ln(2/4); bab misses, its (a,b)
+    // backoff bigram IS kept, w2=a in vocab → ln(0.4·4/4); ×2 each
+    val d1 = -(2 * math.log(2.0 / 4) + 2 * math.log(0.4 * 4.0 / 4)) / 4
+    assert(math.abs(byId(1L) - d1) < 1e-6)
+    // doc 2: abc misses tgtop; (b,c) missing from bgtop → third level:
+    // ln(0.16 · cnt(c)/total) = ln(0.16 · 1/10)
+    val d2 = -math.log(0.16 * (1.0 / 10)) / 1
+    assert(math.abs(byId(2L) - d2) < 1e-6)
+  }
+
+  test("prototypePrune keeps ceil(4n/5) per cluster, dropping the far tail") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),     // cluster 0 prototype
+      (1L, Seq(0.99f, 0.14f)),   // close
+      (2L, Seq(0.9f, 0.43f)),    // mid
+      (3L, Seq(0.8f, 0.6f)),     // mid
+      (4L, Seq(0.71f, 0.7f)),    // cluster 0 far tail (cos .71 to c0, just under c1)
+      (5L, Seq(0.0f, 1.0f)),     // cluster 1 prototype
+      (6L, Seq(0.1f, 0.99f)))    // cluster 1
+      .toDF("vec_id", "embedding")
+    val cents = Some(Seq((0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0))))
+    val out = Similarity
+      .prototypePrune(emb, "vec_id", "embedding", learnedCentroids = cents)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(3), r.getInt(4)))
+      .toMap
+    // cluster 0 has 5 members (ids 0-4) → keep ceil(20/5)=4: id 4 (the
+    // lowest cosine-to-centroid) is pruned
+    assert(!out.contains(4L), s"far-tail row survived: $out")
+    assert(out(0L) == ((0, 1, 5)) && out.count(_._2._1 == 0) == 4)
+    // cluster 1 has 2 members → keep ceil(8/5)=2: nothing pruned
+    assert(out(5L)._1 == 1 && out(6L)._1 == 1)
+    // singleton clusters are never emptied: ceil(4/5) = 1
+    val solo = Similarity.prototypePrune(
+      Seq((9L, Seq(0.5f, 0.5f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", learnedCentroids = Some(Seq((0, Seq(1.0, 0.0)))))
+    assert(solo.count() == 1)
+  }
+
   test("kmvDistinct: exact below k, sane estimate above k") {
     val docs = Seq(
       (1L, "small", "a b c"),                       // 3 distinct < k

@@ -236,6 +236,46 @@ class TextOpsSpec extends SparkSpec {
     assert(got.getInt(0) == 2 && math.abs(got.getDouble(1) - 0.666667) < 1e-9)
   }
 
+  test("rankMetricsAtK: hand-computed P@k / MRR / NDCG on a fixed ranking") {
+    val exact  = Seq(1L, 2L, 3L).toDF("id")
+    val approx = Seq((2L, 1), (9L, 2), (3L, 3)).toDF("id", "rank")
+    val r = Similarity.rankMetricsAtK(exact, approx, "id", k = 3).collect()(0)
+    assert(r.getInt(0) == 2)                                     // {2,3} overlap
+    assert(math.abs(r.getDouble(1) - 0.666667) < 1e-9)           // p_at_k
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)                // first hit at rank 1
+    // dcg = 1/log2(2) + 1/log2(4) = 1.5; idcg = 1 + 1/log2(3) + 0.5
+    val idcg = (1 to 3).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0))).sum
+    assert(math.abs(r.getDouble(3) - BigDecimal(1.5 / idcg)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // zero overlap → all metrics 0, not null
+    val none = Similarity.rankMetricsAtK(Seq(7L).toDF("id"), approx, "id", k = 3).collect()(0)
+    assert(none.getInt(0) == 0 && none.getDouble(1) == 0.0
+      && none.getDouble(2) == 0.0 && none.getDouble(3) == 0.0)
+  }
+
+  test("containmentPairs flags a verbatim quote Jaccard misses") {
+    val quoteDocs = Seq(
+      (1L, "g", "w1 w2 w3 w4 w5 w6 w7 w8"), // host: 6 shingles
+      (2L, "g", "w3 w4 w5 w6"),             // quote of 1: 2 shingles, both in host
+      (3L, "g", "x1 x2 x3 x4 x5"))          // unrelated
+      .toDF("doc_id", "bucket", "text")
+    val got = Dedup.containmentPairs(quoteDocs, "bucket", "doc_id", "text", n = 3, maxDf = 5, minC = 0.5)
+      .collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) == ((1L, 2L)))
+    assert(r.getAs[Double]("containment") == 1.0)                // fully contained
+    assert(math.abs(r.getAs[Double]("jaccard") - 0.333333) < 1e-9) // 2/(6+2-2)
+  }
+
+  test("containmentPairs df-cap drops boilerplate shingles from index AND sizes") {
+    // the same 3-token boilerplate in 4 docs; maxDf=3 excludes its
+    // shingle everywhere → no pairs survive at any containment
+    val boiler = (1L to 4L).map(i => (i, "g", "same old footer")).toDF("doc_id", "bucket", "text")
+    assert(Dedup.containmentPairs(boiler, "bucket", "doc_id", "text", n = 3, maxDf = 3, minC = 0.0)
+      .count() == 0)
+  }
+
   test("lshTopK retrieves the query vector itself at rank 1") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val q = emb.filter(col("vec_id") === 0).head().getSeq[Float](1).map(_.toDouble).toSeq
