@@ -1593,6 +1593,41 @@ object SparkEntry {
         .orderBy(col("level"), col("source"), col("lang"))
     }),
 
+    // full CUBE + grouping_id over (source, lang) — the other half of
+    // the grouping-sets surface next to q_rollup_tokens (rollup emits
+    // the prefix lattice; cube adds the lang-only slice a mixture
+    // dashboard reads). gid bitmask: source = high bit, lang = low
+    "q_cube_quality" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        col("source"),
+        col("lang"),
+        size(filter(split(col("text"), " "), t => length(t) > 0)).as("n_tok"))
+      d.cube(col("source"), col("lang"))
+        .agg(
+          grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tok"))
+        .select(
+          col("gid"),
+          coalesce(col("source"), lit("ALL")).as("source"),
+          coalesce(col("lang"), lit("ALL")).as("lang"),
+          col("n_docs"),
+          col("total_tok"))
+        .orderBy(col("gid"), col("source"), col("lang"))
+    }),
+
+    // corpus diagnostics: OLS Zipf fit over the top-100 vocabulary —
+    // natural text sits near slope −1; flat/steep slopes flag
+    // templated or machine-generated corpora
+    "q_zipf_slope" -> ((s, dir) =>
+      TextStats.zipfFit(docs(s, dir), "text", topV = 100)),
+
+    // corpus diagnostics: exact Gini of the token-frequency
+    // distribution via the count-histogram block-rank identity (no
+    // per-token global sort — see TextStats.giniTokenConcentration)
+    "q_gini_tokens" -> ((s, dir) =>
+      TextStats.giniTokenConcentration(docs(s, dir), "text")),
+
     // as-of-style self window: each order with the customer's previous
     // order date (lag over (custkey, orderdate))
     "q_order_asof_prev" -> ((s, dir) => {
@@ -3455,6 +3490,55 @@ object SparkEntry {
                 COALESCE(lang, 'ALL') AS lang,
                 n_docs, total_tok
          FROM r ORDER BY level, source, lang""",
+
+    "q_cube_quality" ->
+      """WITH d AS (SELECT source, lang,
+                           len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS n_tok
+                    FROM documents)
+         SELECT CAST(GROUPING(source, lang) AS INT) AS gid,
+                COALESCE(source, 'ALL') AS source,
+                COALESCE(lang, 'ALL') AS lang,
+                count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tok
+         FROM d GROUP BY CUBE (source, lang)
+         ORDER BY gid, source, lang""",
+
+    "q_zipf_slope" ->
+      """WITH toks AS (SELECT t AS token
+                       FROM documents, unnest(string_split(text, ' ')) AS u(t) WHERE len(t) > 0),
+          counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+          top AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank
+                  FROM counts ORDER BY cnt DESC, token LIMIT 100),
+          t AS (SELECT CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(27,18)) AS x,
+                       CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(27,18)) AS y,
+                       CAST(ln(CAST(rank AS DOUBLE)) * ln(CAST(cnt AS DOUBLE)) AS DECIMAL(27,18)) AS xy,
+                       CAST(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)) AS DECIMAL(27,18)) AS xx
+                FROM top),
+          a AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(xy) AS sxy, sum(xx) AS sxx FROM t)
+         SELECT CAST(n AS INT) AS n_terms,
+                round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+                round((CAST(sy AS DOUBLE)
+                       - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                         * CAST(sx AS DOUBLE)) / n, 6) AS intercept
+         FROM a""",
+
+    "q_gini_tokens" ->
+      """WITH toks AS (SELECT t AS token
+                       FROM documents, unnest(string_split(text, ' ')) AS u(t) WHERE len(t) > 0),
+          counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+          hist AS (SELECT cnt, count(*) AS m FROM counts GROUP BY cnt),
+          blocks AS (SELECT cnt, m,
+                            sum(m) OVER (ORDER BY cnt
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_m
+                     FROM hist),
+          a AS (SELECT sum(m) AS n, sum(m * cnt) AS tot,
+                       sum(CAST(cnt AS HUGEINT) * (cum_m - m + 1 + cum_m) * m) AS s1x2
+                FROM blocks)
+         SELECT CAST(n AS INT) AS n_types, CAST(tot AS BIGINT) AS total_tok,
+                round((CAST(s1x2 AS DOUBLE) - (n + 1) * CAST(tot AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * tot), 6) AS gini
+         FROM a""",
 
     "q_cohort_retention" ->
       """WITH uw AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),

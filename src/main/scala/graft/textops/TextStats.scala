@@ -1,6 +1,7 @@
 package graft.textops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines: language-ID heuristic,
@@ -549,5 +550,102 @@ object TextStats {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= threshold)
+  }
+
+  /** Zipf-law fit over the top-`topV` vocabulary: OLS slope/intercept
+    * of ln(count) on ln(rank) — the corpus-health diagnostic (natural
+    * text sits near slope −1; templated/machine-generated corpora
+    * flatten or steepen it; Zipf 1949, public method). Returns one
+    * row (n_terms, slope, intercept).
+    *
+    * Engine-exact recipe: ranks come from the deterministic
+    * (cnt desc, token asc) top-V cut, so x = ln(rank), y = ln(cnt)
+    * are ln of small integers — identical doubles on both engines;
+    * each OLS term (x, y, x·y, x²) is quantized to DECIMAL(27,18)
+    * before the order-free sums; the closed form runs in doubles,
+    * rounded to 6dp. Scale shape: vocab count is one hash agg with
+    * map-side combine; the fit reads only topV rows (TakeOrdered →
+    * one-partition window over V rows, V bounded by the parameter).
+    */
+  def zipfFit(df: DataFrame, textCol: String, topV: Int = 100): DataFrame = {
+    val counts = df
+      .select(explode(toks(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = counts
+      .orderBy(desc("cnt"), col("token"))
+      .limit(topV)
+      .withColumn("rank", row_number().over(Window.orderBy(desc("cnt"), col("token"))))
+    val terms = top.select(
+      log(col("rank").cast("double")).cast("decimal(27,18)").as("x"),
+      log(col("cnt").cast("double")).cast("decimal(27,18)").as("y"),
+      (log(col("rank").cast("double")) * log(col("cnt").cast("double")))
+        .cast("decimal(27,18)").as("xy"),
+      (log(col("rank").cast("double")) * log(col("rank").cast("double")))
+        .cast("decimal(27,18)").as("xx"))
+    terms
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("xy")).as("sxy"), sum(col("xx")).as("sxx"))
+      .select(
+        col("n").cast("int").as("n_terms"),
+        round(
+          (col("n") * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")) /
+            (col("n") * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")),
+          6).as("slope"),
+        round(
+          (col("sy").cast("double") -
+            ((col("n") * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")) /
+              (col("n") * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")))
+              * col("sx").cast("double")) / col("n"),
+          6).as("intercept"))
+  }
+
+  /** Exact Gini coefficient of the token-frequency distribution —
+    * the corpus-concentration diagnostic next to [[zipfFit]] (G → 0:
+    * uniform vocabulary use; G → 1: a few tokens dominate — heavy
+    * boilerplate/templating). G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)
+    * over per-token counts x sorted ascending with 1-based rank i.
+    *
+    * Scale shape — NO per-token global window: tokens sharing a
+    * count value occupy a contiguous rank block, and Σ i·x over the
+    * block is cnt · (block-start + block-end) · m / 2 regardless of
+    * intra-block order, so the rank sum needs only a running total
+    * over DISTINCT count values (a window over the count histogram —
+    * thousands of rows where a naive rank would sort the full
+    * vocabulary on one partition). Integer/decimal arithmetic
+    * end-to-end (2·Σi·x carried un-halved as Σ cnt·(s+e)·m, always
+    * even), one double division at the end — engine-exact.
+    */
+  def giniTokenConcentration(df: DataFrame, textCol: String): DataFrame = {
+    val counts = df
+      .select(explode(toks(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val hist = counts
+      .groupBy(col("cnt"))
+      .agg(count(lit(1)).as("m"))
+    val w = Window.orderBy(col("cnt")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val blocks = hist
+      .withColumn("cum_m", sum(col("m")).over(w))
+      .withColumn("s", col("cum_m") - col("m") + 1)
+      // 2·Σ_{i∈block} i·cnt = cnt·(s+e)·m with e = cum_m
+      .withColumn(
+        "two_ranked",
+        col("cnt").cast("decimal(38,0)") *
+          (col("s") + col("cum_m")).cast("decimal(38,0)") * col("m").cast("decimal(38,0)"))
+    blocks
+      .agg(
+        sum(col("m")).as("n"),
+        sum(col("m") * col("cnt")).as("tot"),
+        sum(col("two_ranked")).as("s1x2"))
+      .select(
+        col("n").cast("int").as("n_types"),
+        col("tot").cast("bigint").as("total_tok"),
+        round(
+          (col("s1x2").cast("double") - (col("n") + 1).cast("double") * col("tot")) /
+            (col("n").cast("double") * col("tot")),
+          6).as("gini"))
   }
 }

@@ -236,6 +236,34 @@ class TextOpsSpec extends SparkSpec {
     assert(got.getInt(0) == 2 && math.abs(got.getDouble(1) - 0.666667) < 1e-9)
   }
 
+  test("giniTokenConcentration: block-rank identity matches the naive ranked formula") {
+    // counts: a×5, b×3, c×2, d×1, e×1 → asc ranks (d,e)=1,2 c=3 b=4 a=5
+    // Σi·x = 3 + 6 + 12 + 25 = 46; G = (2·46 − 6·12)/(5·12) = 1/3
+    val docs = Seq((1L, "a a a a b b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val r = TextStats.giniTokenConcentration(docs, "text").collect()(0)
+    assert(r.getInt(0) == 5 && r.getLong(1) == 12L)
+    assert(math.abs(r.getDouble(2) - 1.0 / 3) < 1e-6)
+    // uniform counts → G = 0 exactly (single histogram block)
+    val uni = TextStats.giniTokenConcentration(
+      Seq((1L, "p q r s")).toDF("doc_id", "text"), "text").collect()(0)
+    assert(uni.getDouble(2) == 0.0)
+  }
+
+  test("zipfFit recovers the OLS line over (ln rank, ln count)") {
+    val text = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c") ++ Seq("d")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val r  = TextStats.zipfFit(docs, "text", topV = 10).collect()(0)
+    val xs = Seq(1, 2, 3, 4).map(i => math.log(i.toDouble))
+    val ys = Seq(8, 4, 2, 1).map(c => math.log(c.toDouble))
+    val (n, sx, sy)  = (4.0, xs.sum, ys.sum)
+    val (sxy, sxx)   = (xs.zip(ys).map { case (a, b) => a * b }.sum, xs.map(a => a * a).sum)
+    val slope        = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val intercept    = (sy - slope * sx) / n
+    assert(r.getInt(0) == 4)
+    assert(math.abs(r.getDouble(1) - slope) < 1e-5, s"slope ${r.getDouble(1)} vs $slope")
+    assert(math.abs(r.getDouble(2) - intercept) < 1e-5)
+  }
+
   test("rankMetricsAtK: hand-computed P@k / MRR / NDCG on a fixed ranking") {
     val exact  = Seq(1L, 2L, 3L).toDF("id")
     val approx = Seq((2L, 1), (9L, 2), (3L, 3)).toDF("id", "rank")
