@@ -301,15 +301,19 @@ object TextStats {
     */
   def bigramXent(df: DataFrame, idCol: String, textCol: String, bigramK: Int, vocabK: Int): DataFrame = {
     val t = toks(col(textCol))
-    // (prev, cur) pairs: zip tokens[1..n-1] with tokens[2..n] in-row
+    // (prev, cur) pairs: zip tokens[1..n-1] with tokens[2..n] in-row.
+    // Token array bound once — the expression tree references it 5×
+    // (filter + 2 slices + 2 sizes) and each unbound reference would
+    // re-split the document
     val events = df
-      .filter(size(t) >= 2)
+      .select(col(idCol), t.as("tt"))
+      .filter(size(col("tt")) >= 2)
       .select(
         col(idCol),
         explode(
           zip_with(
-            slice(t, lit(1), size(t) - 1),
-            slice(t, lit(2), size(t) - 1),
+            slice(col("tt"), lit(1), size(col("tt")) - 1),
+            slice(col("tt"), lit(2), size(col("tt")) - 1),
             (p, c) => struct(p.as("prev"), c.as("cur")))).as("bg"))
       .select(col(idCol), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
 
@@ -371,27 +375,34 @@ object TextStats {
       bigramK: Int,
       vocabK: Int): DataFrame = {
     val t = toks(col(textCol))
-    // (w1, w2, w3) triples: index map over the token array in-row
+    // (w1, w2, w3) triples: index map over the token array in-row.
+    // The token array is BOUND to a column first — the transform
+    // lambda references it 4× (sequence bound + 3 element_at), and an
+    // unbound toks() subtree would re-split the document per
+    // reference per element (measured 13 s vs 2 s at sf0.1 — the
+    // same trap curationOn's langid stage documents)
     val events = df
-      .filter(size(t) >= 3)
+      .select(col(idCol), t.as("tt"))
+      .filter(size(col("tt")) >= 3)
       .select(
         col(idCol),
         explode(
           transform(
-            sequence(lit(3), size(t)),
+            sequence(lit(3), size(col("tt"))),
             i =>
               struct(
-                element_at(t, i - 2).as("w1"),
-                element_at(t, i - 1).as("w2"),
-                element_at(t, i).as("w3")))).as("tg"))
+                element_at(col("tt"), i - 2).as("w1"),
+                element_at(col("tt"), i - 1).as("w2"),
+                element_at(col("tt"), i).as("w3")))).as("tg"))
       .select(col(idCol), col("tg.w1").as("w1"), col("tg.w2").as("w2"), col("tg.w3").as("w3"))
     val bigrams = df
-      .filter(size(t) >= 2)
+      .select(t.as("tt"))
+      .filter(size(col("tt")) >= 2)
       .select(
         explode(
           zip_with(
-            slice(t, lit(1), size(t) - 1),
-            slice(t, lit(2), size(t) - 1),
+            slice(col("tt"), lit(1), size(col("tt")) - 1),
+            slice(col("tt"), lit(2), size(col("tt")) - 1),
             (p, c) => struct(p.as("prev"), c.as("cur")))).as("bg"))
       .select(col("bg.prev").as("prev"), col("bg.cur").as("cur"))
 
