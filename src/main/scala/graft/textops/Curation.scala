@@ -408,15 +408,20 @@ object Curation {
       maxTokens: Int = 100000,
       minMeanLen: Double = 3.0,
       maxMeanLen: Double = 10.0): DataFrame = {
-    val t      = toks(col(textCol))
-    val nTok   = size(t)
-    val sumLen = aggregate(t, lit(0L), (acc, x) => acc + length(x))
+    // token array bound once — nTok/sumLen/mean reference it four
+    // times, and each unbound toks() reference would re-split the
+    // document (the HOF-binding rule q_trigram_ppl's 7× regression
+    // established); size/aggregate on the bound column are array
+    // reads
+    val nTok   = size(col("tt"))
+    val sumLen = aggregate(col("tt"), lit(0L), (acc, x) => acc + length(x))
     val mean   = when(nTok > 0, round(sumLen.cast("double") / nTok, 6)).otherwise(0.0)
-    df.select(
+    df.select(col(idCol), toks(col(textCol)).as("tt"), lower(col(textCol)).as("lt"))
+      .select(
         col(idCol),
         nTok.as("n_tok"),
         mean.as("mean_tok_len"),
-        lower(col(textCol)).as("lt"))
+        col("lt"))
       .select(
         col(idCol),
         col("n_tok"),
