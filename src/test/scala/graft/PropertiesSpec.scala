@@ -123,4 +123,43 @@ class PropertiesSpec extends SparkSpec {
       .select(col("id"), graft.textops.Dedup.minhashFast(col("sh"), 8).as("sig2"))
     assert(df.join(again, "id").filter(col("sig") =!= col("sig2")).count() == 0)
   }
+
+  test("property: containment dominates Jaccard and both sit in (0,1] on random corpora") {
+    val longText = Gen.listOfN(20, word).map(_.filter(_.nonEmpty).mkString(" "))
+    val texts = Gen.listOfN(40, longText)
+      .apply(Gen.Parameters.default, Seed(11L)).get.filter(_.split(" ").length >= 3)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, "g", t) }.toDF("id", "b", "t")
+    val pairs = graft.textops.Dedup
+      .containmentPairs(df, "b", "id", "t", n = 3, maxDf = 1000, minC = 0.0)
+      .collect()
+    assert(pairs.nonEmpty, "generator produced no overlapping shingles — weaken the corpus")
+    pairs.foreach { r =>
+      val (c, j) = (r.getAs[Double]("containment"), r.getAs[Double]("jaccard"))
+      assert(c >= j - 1e-9, s"containment $c < jaccard $j")
+      assert(c > 0.0 && c <= 1.0 + 1e-9 && j > 0.0 && j <= 1.0 + 1e-9, s"out of range: c=$c j=$j")
+    }
+  }
+
+  test("property: prototypePrune keeps exactly ceil(4n/5) of every cluster, never empties one") {
+    // random 2-d embeddings over 3 fixed centroids; the kept count per
+    // cluster is a pure function of the cluster size
+    val vecGen = Gen.zip(Gen.choose(-1.0, 1.0), Gen.choose(-1.0, 1.0))
+      .suchThat { case (x, y) => math.abs(x) + math.abs(y) > 1e-3 }
+    val vs = Gen.listOfN(60, vecGen).apply(Gen.Parameters.default, Seed(23L)).get
+    val df = vs.zipWithIndex.map { case ((x, y), i) => (i.toLong, Seq(x.toFloat, y.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val cents = Some(Seq((0, Seq(1.0, 0.0)), (1, Seq(-0.5, 0.9)), (2, Seq(-0.5, -0.9))))
+    val out = graft.textops.Similarity
+      .prototypePrune(df, "vec_id", "embedding", learnedCentroids = cents)
+      .collect()
+    val byCluster = out.groupBy(_.getAs[Int]("centroid_id"))
+    assert(byCluster.nonEmpty)
+    byCluster.foreach { case (cid, rows) =>
+      val n    = rows.head.getAs[Int]("n_in_cluster")
+      val want = math.ceil(4.0 * n / 5.0).toInt
+      assert(rows.length == want, s"cluster $cid kept ${rows.length} of $n, want $want")
+      assert(rows.map(_.getAs[Int]("rank_in_cluster")).sorted.toSeq == (1 to want),
+        s"cluster $cid ranks not the 1..$want prefix")
+    }
+  }
 }
