@@ -1385,6 +1385,18 @@ object SparkEntry {
       TextStats.bigramXent(docs(s, dir), "doc_id", "text", bigramK = 50, vocabK = 25)
         .orderBy(col("doc_id"))),
 
+    // training-data ops: TRANSFER perplexity (the CCNet deployment
+    // shape, Wenzek et al. 2020) — the bigram LM is fit on the
+    // English reference slice only and scores the WHOLE corpus;
+    // distance from the reference model is the quality/language
+    // signal self-fit perplexity cannot see
+    "q_ppl_transfer" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextStats.bigramXentTransfer(
+        d.filter(col("lang") === "en"), d, "doc_id", "text", bigramK = 50, vocabK = 25)
+        .orderBy(col("doc_id"))
+    }),
+
     // training-data ops: trigram-LM cross-entropy with TWO-level
     // stupid backoff (Brants et al. 2007 §4 — trigram → bigram →
     // unigram, fixed α=0.4 per level) — the full recipe the bigram
@@ -3128,6 +3140,34 @@ object SparkEntry {
           tot AS (SELECT sum(cnt) AS total FROM counts),
           vocab AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT 25),
           bgtop AS (SELECT prev, cur, count(*) AS bg_cnt FROM ev GROUP BY prev, cur
+                    ORDER BY bg_cnt DESC, prev, cur LIMIT 50),
+          scored AS (SELECT ev.doc_id,
+                            CAST(CASE WHEN bg.bg_cnt IS NOT NULL AND vp.cnt IS NOT NULL
+                                      THEN ln(CAST(bg.bg_cnt AS DOUBLE) / vp.cnt)
+                                      ELSE ln(0.4 * (CASE WHEN vc.cnt IS NOT NULL
+                                                          THEN CAST(vc.cnt AS DOUBLE) ELSE 0.5 END) / total)
+                                 END AS DECIMAL(27,18)) AS lp
+                     FROM ev LEFT JOIN bgtop bg USING (prev, cur)
+                             LEFT JOIN vocab vp ON ev.prev = vp.token
+                             LEFT JOIN vocab vc ON ev.cur = vc.token
+                             CROSS JOIN tot)
+         SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+                round(-(CAST(sum(lp) AS DOUBLE) / count(*)), 6) AS xent
+         FROM scored GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_ppl_transfer" ->
+      """WITH tkall AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t FROM documents),
+          tkref AS (SELECT list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+                    FROM documents WHERE lang = 'en'),
+          ev AS (SELECT doc_id, t[i-1] AS prev, t[i] AS cur
+                 FROM tkall, unnest(range(2, len(t) + 1)) AS u(i) WHERE len(t) >= 2),
+          evref AS (SELECT t[i-1] AS prev, t[i] AS cur
+                    FROM tkref, unnest(range(2, len(t) + 1)) AS u(i) WHERE len(t) >= 2),
+          toks AS (SELECT tok AS token FROM tkref, unnest(t) AS u(tok)),
+          counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+          tot AS (SELECT sum(cnt) AS total FROM counts),
+          vocab AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT 25),
+          bgtop AS (SELECT prev, cur, count(*) AS bg_cnt FROM evref GROUP BY prev, cur
                     ORDER BY bg_cnt DESC, prev, cur LIMIT 50),
           scored AS (SELECT ev.doc_id,
                             CAST(CASE WHEN bg.bg_cnt IS NOT NULL AND vp.cnt IS NOT NULL

@@ -299,29 +299,49 @@ object TextStats {
     * with decimal-exact sums. Corpus stats are two hash aggregations
     * with map-side partial combine.
     */
-  def bigramXent(df: DataFrame, idCol: String, textCol: String, bigramK: Int, vocabK: Int): DataFrame = {
-    val t = toks(col(textCol))
+  def bigramXent(df: DataFrame, idCol: String, textCol: String, bigramK: Int, vocabK: Int): DataFrame =
+    bigramXentTransfer(df, df, idCol, textCol, bigramK, vocabK)
+
+  /** [[bigramXent]] with the LM fit and the scoring corpus SPLIT —
+    * the CCNet deployment shape (Wenzek et al. 2020, public method):
+    * the n-gram model is fit on a REFERENCE corpus (there: Wikipedia
+    * per language) and scores a DIFFERENT corpus (the crawl); "far
+    * from the reference LM" is the quality/language signal. Fitting
+    * on the corpus being scored (the single-argument form) can't
+    * flag systematic drift — the drift is in the model.
+    *
+    * `ref` supplies the vocab/bigram/total tables; `df` is scored.
+    * Same broadcast-table plan — the fit side adds one aggregation
+    * chain over `ref`, the score side is unchanged.
+    */
+  def bigramXentTransfer(
+      ref: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bigramK: Int,
+      vocabK: Int): DataFrame = {
     // (prev, cur) pairs: zip tokens[1..n-1] with tokens[2..n] in-row.
     // Token array bound once — the expression tree references it 5×
     // (filter + 2 slices + 2 sizes) and each unbound reference would
     // re-split the document
-    val events = df
-      .select(col(idCol), t.as("tt"))
+    def eventsOf(d: DataFrame, cols: Seq[Column]): DataFrame = d
+      .select(cols :+ toks(col(textCol)).as("tt"): _*)
       .filter(size(col("tt")) >= 2)
       .select(
-        col(idCol),
-        explode(
+        cols :+ explode(
           zip_with(
             slice(col("tt"), lit(1), size(col("tt")) - 1),
             slice(col("tt"), lit(2), size(col("tt")) - 1),
-            (p, c) => struct(p.as("prev"), c.as("cur")))).as("bg"))
-      .select(col(idCol), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+            (p, c) => struct(p.as("prev"), c.as("cur")))).as("bg"): _*)
+      .select(cols ++ Seq(col("bg.prev").as("prev"), col("bg.cur").as("cur")): _*)
+    val events = eventsOf(df, Seq(col(idCol)))
 
-    val tokens = df.select(explode(toks(col(textCol))).as("token"))
+    val tokens = ref.select(explode(toks(col(textCol))).as("token"))
     val counts = tokens.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val total  = counts.agg(sum(col("cnt")).as("total"))
     val vocab  = counts.orderBy(desc("cnt"), col("token")).limit(vocabK)
-    val bgTop = events
+    val bgTop = eventsOf(ref, Seq.empty)
       .groupBy(col("prev"), col("cur"))
       .agg(count(lit(1)).as("bg_cnt"))
       .orderBy(desc("bg_cnt"), col("prev"), col("cur"))

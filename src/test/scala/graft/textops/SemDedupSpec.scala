@@ -105,6 +105,30 @@ class SemDedupSpec extends SparkSpec {
     assert(math.abs(byId(2L) - d2) < 1e-6)
   }
 
+  test("bigramXentTransfer scores against the REFERENCE model, not the scored corpus") {
+    // ref corpus = doc 1 only ("a b a b a b"): tokens a×3,b×3
+    // (total 6); bigrams ab×3, ba×2. c is OOV to the reference even
+    // though the SCORED corpus contains it — the CCNet property.
+    val ref = lmDocs.filter(col("doc_id") === 1L)
+    val out = TextStats
+      .bigramXentTransfer(ref, lmDocs, "doc_id", "text", bigramK = 10, vocabK = 10)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2)))
+      .toMap
+    // doc 1: ab,ba,ab,ba,ab → 3·ln(3/3) + 2·ln(2/3)
+    val d1 = -(3 * math.log(3.0 / 3) + 2 * math.log(2.0 / 3)) / 5
+    assert(math.abs(out(1L)._2 - d1) < 1e-6 && out(1L)._1 == 5)
+    // doc 2: ab seen in ref → ln(3/3); bc unseen, c OOV in ref →
+    // ln(0.4 · 0.5/6)
+    val d2 = -(math.log(3.0 / 3) + math.log(0.4 * 0.5 / 6)) / 2
+    assert(math.abs(out(2L)._2 - d2) < 1e-6 && out(2L)._1 == 2)
+    // self-fit would use corpus-wide counts (a×4, ab×4) — different
+    // numbers; the single-arg form still does
+    val self = TextStats.bigramXent(lmDocs, "doc_id", "text", bigramK = 10, vocabK = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(self(2L) - out(2L)._2) > 1e-3)
+  }
+
   test("trigramXent: seen trigrams score C(tg)/C(ctx); two-level backoff below") {
     // corpus: tokens a×4,b×4,c×1,z×1 (total 10); bigrams ab×4, ba×2,
     // bc×1; trigrams aba×2, bab×2, abc×1
