@@ -479,11 +479,13 @@ object SparkEntry {
     * despanned text — doc-count-sized) are scoped to THIS call: the
     * final coordinate relation is eagerly materialized
     * (localCheckpoint cuts the lineage back to it), then both are
-    * unpersisted before returning. Repeated calls from tests or a
-    * long-lived session leave nothing behind in the cache manager;
-    * the returned handle holds only the small (doc_id, lang, pack,
-    * shard) rows and is reclaimed by the ContextCleaner when
-    * dropped.
+    * unpersisted before returning — nothing of THEIRS outlives the
+    * call in the SQL cache manager. What DOES outlive it is the
+    * checkpoint's own block set (coordinate rows only, orders of
+    * magnitude smaller than the text it replaces), which lives on
+    * the RDD storage path — `spark.catalog.clearCache()` does not
+    * touch it; it is reclaimed by the ContextCleaner once the
+    * returned handle is dropped.
     */
   def curationOn(spark: SparkSession, dir: String): DataFrame = {
     import graft.textops.{Curation, Dedup, TextStats}
@@ -2366,27 +2368,26 @@ object SparkEntry {
                  FROM bf_k JOIN ivf_k USING (vec_id))
           SELECT n_overlap, round(CAST(n_overlap AS DOUBLE) / 20, 6) AS recall FROM ov""",
 
-    "q_rank_metrics" -> {
-      // ideal DCG is a driver-side constant — interpolated at full
-      // precision so both engines divide by the SAME double
-      val idcg = (1 to 20).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0))).sum
+    "q_rank_metrics" ->
       s"""WITH $ivfCtes,
           ivf_k AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
                     FROM ivf_scored ORDER BY cos DESC, vec_id ASC LIMIT 20),
-          bf_k AS (SELECT vec_id FROM (
-                     SELECT e.vec_id, round(${cosNSql(dotSql("e.embedding", "q.qe"), "e.nrm", "q.qn")}, 6) AS cos
-                     FROM e2 e, q)
+          bf_k AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+                   FROM (SELECT e.vec_id, round(${cosNSql(dotSql("e.embedding", "q.qe"), "e.nrm", "q.qn")}, 6) AS cos
+                         FROM e2 e, q)
                    ORDER BY cos DESC, vec_id ASC LIMIT 20),
-          rel AS (SELECT i.rank FROM ivf_k i JOIN bf_k USING (vec_id)),
+          rel AS (SELECT i.rank FROM ivf_k i JOIN bf_k b USING (vec_id)),
           m AS (SELECT CAST(count(*) AS INT) AS n_overlap, min(rank) AS first_rel,
                        sum(CAST(1.0 / (ln(CAST(rank AS DOUBLE) + 1.0) / ln(2.0)) AS DECIMAL(27,18))) AS dcg
-                FROM rel)
+                FROM rel),
+          i AS (SELECT sum(CAST(1.0 / (ln(CAST(rank AS DOUBLE) + 1.0) / ln(2.0)) AS DECIMAL(27,18))) AS idcg
+                FROM bf_k)
           SELECT n_overlap,
                  round(CAST(n_overlap AS DOUBLE) / 20, 6) AS p_at_k,
                  round(CASE WHEN first_rel IS NULL THEN 0.0 ELSE 1.0 / first_rel END, 6) AS mrr,
-                 round(coalesce(CAST(dcg AS DOUBLE), 0.0) / ${java.lang.Double.toString(idcg)}, 6) AS ndcg
-          FROM m"""
-    },
+                 round(CASE WHEN idcg IS NULL OR idcg = 0 THEN 0.0
+                            ELSE coalesce(CAST(dcg AS DOUBLE), 0.0) / CAST(idcg AS DOUBLE) END, 6) AS ndcg
+          FROM m, i""",
 
     "q_proto_prune" ->
       s"""WITH $ivfCtes,

@@ -442,26 +442,8 @@ object Dedup {
     val kept = rare
       .filter(col("df") > 1)
       .join(sizes, Seq(bucketCol, idCol))
-    val grouped = kept
-      .groupBy(col(bucketCol), col("shingle"))
-      .agg(array_sort(collect_list(struct(col(idCol).as("id"), col("sz").as("s")))).as("ds"))
-      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxDf)
-    val pairs = grouped.select(
-      col(bucketCol),
-      explode(orderedPairs(col("ds"), (x, y) =>
-        struct(
-          x.getField("id").as("id_a"),
-          x.getField("s").as("sz_a"),
-          y.getField("id").as("id_b"),
-          y.getField("s").as("sz_b")))).as("p"))
-    pairs
-      .groupBy(
-        col(bucketCol),
-        col("p.id_a").as("id_a"),
-        col("p.id_b").as("id_b"),
-        col("p.sz_a").as("sz_a"),
-        col("p.sz_b").as("sz_b"))
-      .agg(count(lit(1)).cast("double").as("ni"))
+    pairCountsFromInvertedIndex(
+      kept.select(col(bucketCol), col(idCol), col("sz"), col("shingle")), bucketCol, idCol, maxDf)
       .withColumn("containment", col("ni") / least(col("sz_a"), col("sz_b")))
       .withColumn("jaccard", col("ni") / (col("sz_a") + col("sz_b") - col("ni")))
       .filter(col("containment") >= minC)
@@ -488,7 +470,13 @@ object Dedup {
     * computed ONCE (a self-join would re-evaluate the whole shingle
     * pipeline per side). Input: (bucket, id, sz, shingle) rows.
     */
-  private def pairsFromInvertedIndex(
+  /** Shared pair-count core: (bucket, id_a, id_b, sz_a, sz_b, ni)
+    * from a (bucket, id, sz, shingle) inverted index — every
+    * set-overlap measure (Jaccard, containment) derives from these
+    * five numbers, so the posting-group/pair-emission/count chain
+    * lives ONCE.
+    */
+  private def pairCountsFromInvertedIndex(
       inv: DataFrame,
       bucketCol: String,
       idCol: String,
@@ -513,9 +501,16 @@ object Dedup {
         col("p.sz_a").as("sz_a"),
         col("p.sz_b").as("sz_b"))
       .agg(count(lit(1)).cast("double").as("ni"))
+  }
+
+  private def pairsFromInvertedIndex(
+      inv: DataFrame,
+      bucketCol: String,
+      idCol: String,
+      maxDf: Int): DataFrame =
+    pairCountsFromInvertedIndex(inv, bucketCol, idCol, maxDf)
       .withColumn("jaccard", col("ni") / (col("sz_a") + col("sz_b") - col("ni")))
       .select(col(bucketCol), col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-  }
 
   /** MinHash signature from a PRE-PROJECTED shingles column: for each
     * of `numHashes` seeded hash functions, the minimum hash over the

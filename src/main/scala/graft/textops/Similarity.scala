@@ -111,6 +111,49 @@ object Similarity {
     cosineTopK(embedded, idCol, "emb_vec", q, k)
   }
 
+  /** First-nCentroids deterministic seed centroids (id asc) unless
+    * learned ones are passed — THE shared fit seam: index (ivf/
+    * ivf-pq), prune ([[prototypePrune]]) and dedup ([[semDedup]])
+    * consumers all draw centroids here, so a row lands in the same
+    * cluster in every path and the oracle's `c` CTE replays one
+    * definition.
+    */
+  private def seedOrLearned(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      learned: Option[Seq[(Int, Seq[Double])]]): Seq[(Int, Seq[Double])] =
+    learned.getOrElse(
+      embeddings
+        .orderBy(col(idCol))
+        .limit(nCentroids)
+        .select(col(vecCol))
+        .collect()
+        .toSeq
+        .map(_.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue))
+        .zipWithIndex
+        .map { case (v, i) => (i, v) })
+
+  /** THE nearest-centroid assignment expression, shared by every
+    * centroid consumer: a (cos, -cid) struct per centroid over the
+    * BOUND `v`/`nrm` columns (callers must bind
+    * v = cast-to-double vector, nrm = dot(v,v) — HOF lambdas
+    * re-evaluate captured subtrees per reference, so the vector is
+    * hoisted once); `array_max` of the result is the assignment —
+    * max cosine, ties to the smallest centroid id. Each value is the
+    * exact cosineToQuery expression shape, so assignments are
+    * bit-identical across index/prune/dedup paths and the oracle's
+    * `asg` CTE.
+    */
+  private def centroidCands(centroids: Seq[(Int, Seq[Double])]): Column =
+    array(centroids.map { case (i, c) =>
+      val cn = c.map(x => x * x).sum
+      val cos = when(col("nrm") === 0.0 || lit(cn) === 0.0, 0.0)
+        .otherwise(dot(col("v"), typedLit(c)) / (sqrt(col("nrm")) * lit(math.sqrt(cn))))
+      struct(cos.as("cos"), lit(-i).as("ncid"))
+    }: _*)
+
   /** IVF-style approximate top-k: partition vectors by nearest of
     * `nCentroids` deterministic seed centroids (the first vectors by
     * id — a real deployment plugs in k-means centroids), then search
@@ -130,37 +173,12 @@ object Similarity {
       nCentroids: Int = 16,
       nProbe: Int = 4,
       learnedCentroids: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
-    val centroids: Seq[(Int, Seq[Double])] = learnedCentroids.getOrElse(
-      embeddings
-        .orderBy(col(idCol))
-        .limit(nCentroids)
-        .select(col(vecCol))
-        .collect()
-        .toSeq
-        .map(_.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue))
-        .zipWithIndex
-        .map { case (v, i) => (i, v) })
-
-    // nearest centroid per row: argmax over the (small) centroid set.
-    // The row's double vector + self-norm are hoisted into bound
-    // columns ONCE (HOF lambdas re-evaluate captured subtrees per
-    // reference — inlining cosineToQuery here costs 16×3 norm folds
-    // per row); centroid norms are driver constants. Each value is
-    // still the exact cosineToQuery expression shape, so results are
-    // bit-identical to the brute-force path and the oracle replay.
-    // argmax = array_max over (cos, -cid) structs: max cosine, ties
-    // to the smallest centroid id.
+    val centroids = seedOrLearned(embeddings, idCol, vecCol, nCentroids, learnedCentroids)
     val withV = embeddings
       .withColumn("v", transform(col(vecCol), x => x.cast("double")))
       .withColumn("nrm", dot(col("v"), col("v")))
-    val cands = array(centroids.map { case (i, c) =>
-      val cn = c.map(x => x * x).sum
-      val cos = when(col("nrm") === 0.0 || lit(cn) === 0.0, 0.0)
-        .otherwise(dot(col("v"), typedLit(c)) / (sqrt(col("nrm")) * lit(math.sqrt(cn))))
-      struct(cos.as("cos"), lit(-i).as("ncid"))
-    }: _*)
     val assigned = withV
-      .withColumn("centroid_id", -array_max(cands).getField("ncid"))
+      .withColumn("centroid_id", -array_max(centroidCands(centroids)).getField("ncid"))
       .drop("v", "nrm")
 
     // probe list: centroids nearest to the query (driver-side, tiny)
@@ -432,12 +450,7 @@ object Similarity {
       .sortBy { case (i, c) => (-c, i) }.take(nProbe).map(_._1)
     val withV = embeddings.withColumn("v", transform(col(vecCol), x => x.cast("double")))
       .withColumn("nrm", dot(col("v"), col("v")))
-    val coarse = array(centroids.map { case (i, c) =>
-      val cn = c.map(x => x * x).sum
-      val cos = when(col("nrm") === 0.0 || lit(cn) === 0.0, 0.0)
-        .otherwise(dot(col("v"), typedLit(c)) / (sqrt(col("nrm")) * lit(math.sqrt(cn))))
-      struct(cos.as("cos"), lit(-i).as("ncid"))
-    }: _*)
+    val coarse = centroidCands(centroids)
     val est = (0 until m).foldLeft(lit(0.0)) { (acc, s) =>
       val sub = slice(col("v"), s * subDim + 1, subDim)
       val cands = array((0 until codeK).map { c =>
@@ -523,14 +536,12 @@ object Similarity {
       .toDF("qid", "centroid_id")
     val qVecs = queries.map { case (qid, q) => (qid, q) }.toDF("qid", "qvec")
 
+    // v AND its self-norm bound once — the previous inline form
+    // recomputed dot(v,v) per centroid candidate (nCentroids x per
+    // row); the shared helper reads the bound nrm column
     val withV = embeddings.withColumn("v", transform(col(vecCol), x => x.cast("double")))
-    val coarse = array(centroids.map { case (i, c) =>
-      val cn  = c.map(x => x * x).sum
-      val nrm = dot(col("v"), col("v"))
-      val cos = when(nrm === 0.0 || lit(cn) === 0.0, 0.0)
-        .otherwise(dot(col("v"), typedLit(c)) / (sqrt(nrm) * lit(math.sqrt(cn))))
-      struct(cos.as("cos"), lit(-i).as("ncid"))
-    }: _*)
+      .withColumn("nrm", dot(col("v"), col("v")))
+    val coarse = centroidCands(centroids)
     val codes = array((0 until m).map { s =>
       val sub = slice(col("v"), s * subDim + 1, subDim)
       val cands = array((0 until codeK).map { c =>
@@ -698,32 +709,42 @@ object Similarity {
     * DCG — position-weighted overlap, the metric that separates
     * "right set, scrambled order" from "right order").
     *
-    * `approx` must carry the `rank` column the top-k operators emit
-    * (1-based). Engine-exact: each DCG term 1/log2(rank+1) is ln of
-    * small integers quantized to DECIMAL(27,18) before the
-    * (order-free) sum; ideal DCG is a driver-side constant; one
-    * rounded double per metric at the end. Scale shape: both inputs
-    * are k-row relations — the semi-join and the single-row
-    * aggregate are broadcast-trivial next to the index scans that
-    * produced them.
+    * BOTH inputs must carry the 1-based `rank` column the top-k
+    * operators emit — rows are taken by `rank <= k`, never by a bare
+    * limit (an unordered Limit keeps an ARBITRARY subset of a longer
+    * ranked list). Ideal DCG is computed from the exact side's own
+    * ranks, so an exact list shorter than k yields the correctly
+    * smaller denominator instead of a silently deflated NDCG.
+    * Engine-exact: each DCG term 1/log2(rank+1) is ln of small
+    * integers quantized to DECIMAL(27,18) before the (order-free)
+    * sums on both sides of the division; one rounded double per
+    * metric at the end. Scale shape: both inputs are ≤k-row
+    * relations — the semi-join and the single-row aggregates are
+    * broadcast-trivial next to the index scans that produced them.
     */
   def rankMetricsAtK(exact: DataFrame, approx: DataFrame, idCol: String, k: Int): DataFrame = {
+    def dcgTerm(rank: Column): Column =
+      (lit(1.0) / (log(rank.cast("double") + 1.0) / log(lit(2.0)))).cast("decimal(27,18)")
+    val ex = exact.filter(col("rank") <= k)
     val rel = approx
-      .limit(k)
+      .filter(col("rank") <= k)
       .select(col(idCol), col("rank"))
-      .join(exact.limit(k).select(col(idCol)), Seq(idCol), "left_semi")
-    val idcg = (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0))).sum
+      .join(ex.select(col(idCol)), Seq(idCol), "left_semi")
+    val ideal = ex.agg(sum(dcgTerm(col("rank"))).as("idcg"))
     rel
       .agg(
         count(lit(1)).cast("int").as("n_overlap"),
         min(col("rank")).as("first_rel"),
-        sum((lit(1.0) / (log(col("rank").cast("double") + 1.0) / log(lit(2.0))))
-          .cast("decimal(27,18)")).as("dcg"))
+        sum(dcgTerm(col("rank"))).as("dcg"))
+      .crossJoin(broadcast(ideal))
       .select(
         col("n_overlap"),
         round(col("n_overlap").cast("double") / k, 6).as("p_at_k"),
         round(when(col("first_rel").isNull, 0.0).otherwise(lit(1.0) / col("first_rel")), 6).as("mrr"),
-        round(coalesce(col("dcg").cast("double"), lit(0.0)) / idcg, 6).as("ndcg"))
+        round(
+          when(col("idcg").isNull || col("idcg") === 0, 0.0)
+            .otherwise(coalesce(col("dcg").cast("double"), lit(0.0)) / col("idcg").cast("double")),
+          6).as("ndcg"))
   }
 
   /** Prototypicality pruning (the SemDeDup-family curation step from
@@ -755,30 +776,14 @@ object Similarity {
       keepDen: Int = 5,
       learnedCentroids: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
     require(keepNum > 0 && keepDen >= keepNum, s"keep fraction $keepNum/$keepDen not in (0,1]")
-    val centroids: Seq[(Int, Seq[Double])] = learnedCentroids.getOrElse(
-      embeddings
-        .orderBy(col(idCol))
-        .limit(nCentroids)
-        .select(col(vecCol))
-        .collect()
-        .toSeq
-        .map(_.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue))
-        .zipWithIndex
-        .map { case (v, i) => (i, v) })
+    val centroids = seedOrLearned(embeddings, idCol, vecCol, nCentroids, learnedCentroids)
     val withV = embeddings
       .withColumn("v", transform(col(vecCol), x => x.cast("double")))
       .withColumn("nrm", dot(col("v"), col("v")))
-    // argmax over (cos, -cid) structs: max cosine, ties → smaller id
-    // (identical assignment expression to ivfTopK — a row lands in
-    // the same cluster whether it is being indexed or pruned)
-    val cands = array(centroids.map { case (i, c) =>
-      val cn = c.map(x => x * x).sum
-      val cos = when(col("nrm") === 0.0 || lit(cn) === 0.0, 0.0)
-        .otherwise(dot(col("v"), typedLit(c)) / (sqrt(col("nrm")) * lit(math.sqrt(cn))))
-      struct(cos.as("cos"), lit(-i).as("ncid"))
-    }: _*)
+    // shared [[centroidCands]] argmax — a row lands in the same
+    // cluster whether it is being indexed, pruned, or deduped
     val assigned = withV
-      .withColumn("best", array_max(cands))
+      .withColumn("best", array_max(centroidCands(centroids)))
       .select(
         col(idCol),
         (-col("best.ncid")).as("centroid_id"),
@@ -950,27 +955,12 @@ object Similarity {
       tau: Double,
       nCentroids: Int = 16,
       learnedCentroids: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
-    val centroids: Seq[(Int, Seq[Double])] = learnedCentroids.getOrElse(
-      embeddings
-        .orderBy(col(idCol))
-        .limit(nCentroids)
-        .select(col(vecCol))
-        .collect()
-        .toSeq
-        .map(_.getSeq[Any](0).map(_.asInstanceOf[Number].doubleValue))
-        .zipWithIndex
-        .map { case (v, i) => (i, v) })
+    val centroids = seedOrLearned(embeddings, idCol, vecCol, nCentroids, learnedCentroids)
     val withV = embeddings
       .withColumn("v", transform(col(vecCol), x => x.cast("double")))
       .withColumn("nrm", dot(col("v"), col("v")))
-    val cands = array(centroids.map { case (i, c) =>
-      val cn = c.map(x => x * x).sum
-      val cos = when(col("nrm") === 0.0 || lit(cn) === 0.0, 0.0)
-        .otherwise(dot(col("v"), typedLit(c)) / (sqrt(col("nrm")) * lit(math.sqrt(cn))))
-      struct(cos.as("cos"), lit(-i).as("ncid"))
-    }: _*)
     val asg = withV
-      .withColumn("best", array_max(cands))
+      .withColumn("best", array_max(centroidCands(centroids)))
       .select(
         col(idCol),
         (-col("best").getField("ncid")).as("cluster_id"),

@@ -265,7 +265,7 @@ class TextOpsSpec extends SparkSpec {
   }
 
   test("rankMetricsAtK: hand-computed P@k / MRR / NDCG on a fixed ranking") {
-    val exact  = Seq(1L, 2L, 3L).toDF("id")
+    val exact  = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
     val approx = Seq((2L, 1), (9L, 2), (3L, 3)).toDF("id", "rank")
     val r = Similarity.rankMetricsAtK(exact, approx, "id", k = 3).collect()(0)
     assert(r.getInt(0) == 2)                                     // {2,3} overlap
@@ -274,9 +274,21 @@ class TextOpsSpec extends SparkSpec {
     // dcg = 1/log2(2) + 1/log2(4) = 1.5; idcg = 1 + 1/log2(3) + 0.5
     val idcg = (1 to 3).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0))).sum
     assert(math.abs(r.getDouble(3) - BigDecimal(1.5 / idcg)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-6)
+    // rows beyond rank k are ignored, not arbitrarily limited: a
+    // full ranked list (rank 1..10) scores identically to its top-3
+    val longApprox = (approx.collect().map(r2 => (r2.getLong(0), r2.getInt(1))).toSeq ++
+      (4 to 10).map(i => (100L + i, i))).toDF("id", "rank")
+    val r2 = Similarity.rankMetricsAtK(exact, longApprox, "id", k = 3).collect()(0)
+    assert(r2.getInt(0) == 2 && math.abs(r2.getDouble(3) - r.getDouble(3)) < 1e-12)
+    // exact list SHORTER than k → ideal DCG shrinks to its length
+    // (a fixed k-term idcg would deflate a perfect score below 1)
+    val ex1 = Seq((2L, 1)).toDF("id", "rank")
+    val perfect = Similarity.rankMetricsAtK(ex1, approx, "id", k = 3).collect()(0)
+    assert(math.abs(perfect.getDouble(3) - 1.0) < 1e-9, s"ndcg ${perfect.getDouble(3)}")
     // zero overlap → all metrics 0, not null
-    val none = Similarity.rankMetricsAtK(Seq(7L).toDF("id"), approx, "id", k = 3).collect()(0)
+    val none = Similarity.rankMetricsAtK(Seq((7L, 1)).toDF("id", "rank"), approx, "id", k = 3)
+      .collect()(0)
     assert(none.getInt(0) == 0 && none.getDouble(1) == 0.0
       && none.getDouble(2) == 0.0 && none.getDouble(3) == 0.0)
   }
