@@ -1407,6 +1407,27 @@ object SparkEntry {
       TextStats.trigramXent(docs(s, dir), "doc_id", "text", trigramK = 50, bigramK = 50, vocabK = 25)
         .orderBy(col("doc_id"))),
 
+    // training-data ops: interpolated Kneser–Ney bigram LM (fixed
+    // D=0.75, the KenLM family) — the FULL-table model that scores
+    // via one shuffle join instead of a broadcast truncation
+    "q_kn_bigram_ppl" -> ((s, dir) =>
+      TextStats.knBigramXent(docs(s, dir), "doc_id", "text", discount = 0.75)
+        .orderBy(col("doc_id"))),
+
+    // training-data ops: Gopher within-doc repetition signals —
+    // top-n-gram char fraction (n=2..4) + duplicate-n-gram fraction
+    // (n=5..10), the Rae et al. Table A1 rule family
+    "q_gopher_repetition" -> ((s, dir) =>
+      TextStats.gopherRepetition(docs(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // training-data ops: pairwise dataset-overlap card (exact
+    // n-gram-set Jaccard/containment per source pair via an inverted
+    // gram-hash self-join) — the train/train overlap audit
+    "q_source_overlap" -> ((s, dir) =>
+      Curation.sourceOverlap(docs(s, dir), "source", "text", n = 3)
+        .orderBy(col("src_a"), col("src_b"))),
+
     // training-data ops: temperature-scaled domain mixture weights
     // (alpha-sampling over per-source token shares)
     "q_domain_mix" -> ((s, dir) =>
@@ -1641,6 +1662,15 @@ object SparkEntry {
     // per-token global sort — see TextStats.giniTokenConcentration)
     "q_gini_tokens" -> ((s, dir) =>
       TextStats.giniTokenConcentration(docs(s, dir), "text")),
+
+    // corpus diagnostics: EXACT per-language length quantiles from
+    // the value histogram + CDF rank — no per-group value buffering
+    // (the scale-safe `percentile` replacement; see
+    // relops.Stats.histogramQuantiles)
+    "q_quantile_disc" -> ((s, dir) =>
+      graft.relops.Stats.histogramQuantiles(
+          docs(s, dir), "lang", "n_chars", Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+        .orderBy(col("lang"), col("prob"))),
 
     // as-of-style self window: each order with the customer's previous
     // order date (lag over (custkey, orderdate))
@@ -3216,6 +3246,84 @@ object SparkEntry {
                 round(-(CAST(sum(lp) AS DOUBLE) / count(*)), 6) AS xent
          FROM scored GROUP BY doc_id ORDER BY doc_id""",
 
+    "q_kn_bigram_ppl" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t FROM documents),
+          ev AS (SELECT doc_id, t[i-1] AS prev, t[i] AS cur
+                 FROM tk, unnest(range(2, len(t) + 1)) AS u(i) WHERE len(t) >= 2),
+          bg AS (SELECT prev, cur, count(*) AS c FROM ev GROUP BY prev, cur),
+          ctx AS (SELECT prev, sum(c) AS cw1, count(*) AS n1p_fwd FROM bg GROUP BY prev),
+          cont AS (SELECT cur, count(*) AS n1p_bwd FROM bg GROUP BY cur),
+          tot AS (SELECT count(*) AS types FROM bg),
+          scored AS (SELECT ev.doc_id,
+                            CAST(ln(greatest(CAST(bg.c AS DOUBLE) - 0.75, 0.0) / ctx.cw1
+                                    + ((0.75 * ctx.n1p_fwd) / ctx.cw1)
+                                      * (CAST(cont.n1p_bwd AS DOUBLE) / tot.types))
+                                 AS DECIMAL(27,18)) AS lp
+                     FROM ev JOIN bg USING (prev, cur)
+                             JOIN ctx USING (prev)
+                             JOIN cont USING (cur)
+                             CROSS JOIN tot)
+         SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+                round(-(CAST(sum(lp) AS DOUBLE) / count(*)), 6) AS xent
+         FROM scored GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_gopher_repetition" ->
+      """WITH tk AS (SELECT doc_id, length(text) AS n_chars,
+                            list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+                     FROM documents),
+          tg AS (SELECT doc_id, n_chars, n, array_to_string(t[i:i+n-1], ' ') AS gram
+                 FROM tk, unnest([2, 3, 4]) AS nn(n),
+                      unnest(range(1, greatest(len(t) - n + 1, 0) + 1)) AS u(i)
+                 WHERE len(t) >= n),
+          c AS (SELECT doc_id, n, gram, max(n_chars) AS n_chars, count(*) AS cnt
+                FROM tg GROUP BY doc_id, n, gram),
+          r AS (SELECT doc_id, n,
+                       round(CAST(cnt * length(gram) AS DOUBLE) / n_chars, 6) AS frac,
+                       row_number() OVER (PARTITION BY doc_id, n ORDER BY cnt DESC, gram) AS rn
+                FROM c),
+          tp AS (SELECT doc_id,
+                        max(CASE WHEN n = 2 THEN frac END) AS top2_frac,
+                        max(CASE WHEN n = 3 THEN frac END) AS top3_frac,
+                        max(CASE WHEN n = 4 THEN frac END) AS top4_frac
+                 FROM r WHERE rn = 1 GROUP BY doc_id),
+          g AS (SELECT doc_id,
+                       list_transform(range(1, greatest(len(t) - 4, 0) + 1), i -> array_to_string(t[i:i+4], ' ')) AS g5,
+                       list_transform(range(1, greatest(len(t) - 5, 0) + 1), i -> array_to_string(t[i:i+5], ' ')) AS g6,
+                       list_transform(range(1, greatest(len(t) - 6, 0) + 1), i -> array_to_string(t[i:i+6], ' ')) AS g7,
+                       list_transform(range(1, greatest(len(t) - 7, 0) + 1), i -> array_to_string(t[i:i+7], ' ')) AS g8,
+                       list_transform(range(1, greatest(len(t) - 8, 0) + 1), i -> array_to_string(t[i:i+8], ' ')) AS g9,
+                       list_transform(range(1, greatest(len(t) - 9, 0) + 1), i -> array_to_string(t[i:i+9], ' ')) AS g10
+                FROM tk),
+          d AS (SELECT doc_id,
+                       CASE WHEN len(g5) = 0 THEN 0.0 ELSE round(CAST(len(g5) - len(list_distinct(g5)) AS DOUBLE) / len(g5), 6) END AS dup5_frac,
+                       CASE WHEN len(g6) = 0 THEN 0.0 ELSE round(CAST(len(g6) - len(list_distinct(g6)) AS DOUBLE) / len(g6), 6) END AS dup6_frac,
+                       CASE WHEN len(g7) = 0 THEN 0.0 ELSE round(CAST(len(g7) - len(list_distinct(g7)) AS DOUBLE) / len(g7), 6) END AS dup7_frac,
+                       CASE WHEN len(g8) = 0 THEN 0.0 ELSE round(CAST(len(g8) - len(list_distinct(g8)) AS DOUBLE) / len(g8), 6) END AS dup8_frac,
+                       CASE WHEN len(g9) = 0 THEN 0.0 ELSE round(CAST(len(g9) - len(list_distinct(g9)) AS DOUBLE) / len(g9), 6) END AS dup9_frac,
+                       CASE WHEN len(g10) = 0 THEN 0.0 ELSE round(CAST(len(g10) - len(list_distinct(g10)) AS DOUBLE) / len(g10), 6) END AS dup10_frac
+                FROM g)
+         SELECT d.doc_id,
+                COALESCE(tp.top2_frac, 0.0) AS top2_frac,
+                COALESCE(tp.top3_frac, 0.0) AS top3_frac,
+                COALESCE(tp.top4_frac, 0.0) AS top4_frac,
+                d.dup5_frac, d.dup6_frac, d.dup7_frac, d.dup8_frac, d.dup9_frac, d.dup10_frac
+         FROM d LEFT JOIN tp ON d.doc_id = tp.doc_id ORDER BY d.doc_id""",
+
+    "q_source_overlap" ->
+      """WITH tk AS (SELECT source AS src, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t FROM documents),
+          g AS (SELECT DISTINCT src, array_to_string(t[i:i+2], ' ') AS gram
+                FROM tk, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
+                WHERE len(t) >= 3),
+          s AS (SELECT src, count(*) AS n_set FROM g GROUP BY src),
+          p AS (SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_common
+                FROM g a JOIN g b ON a.gram = b.gram AND a.src < b.src
+                GROUP BY 1, 2)
+         SELECT src_a, src_b, sa.n_set AS n_a, sb.n_set AS n_b, n_common,
+                round(CAST(n_common AS DOUBLE) / (sa.n_set + sb.n_set - n_common), 6) AS jaccard,
+                round(CAST(n_common AS DOUBLE) / least(sa.n_set, sb.n_set), 6) AS containment
+         FROM p JOIN s sa ON p.src_a = sa.src JOIN s sb ON p.src_b = sb.src
+         ORDER BY src_a, src_b""",
+
     "q_domain_mix" ->
       """WITH d AS (SELECT source, CAST(sum(len(list_filter(string_split(text, ' '), x -> len(x) > 0))) AS BIGINT) AS domain_tok
                     FROM documents GROUP BY source),
@@ -3580,6 +3688,18 @@ object SparkEntry {
                 round((CAST(s1x2 AS DOUBLE) - (n + 1) * CAST(tot AS DOUBLE))
                       / (CAST(n AS DOUBLE) * tot), 6) AS gini
          FROM a""",
+
+    "q_quantile_disc" ->
+      """SELECT lang, CAST(0.25 AS DOUBLE) AS prob, CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS q_value FROM documents GROUP BY lang
+         UNION ALL
+         SELECT lang, CAST(0.5 AS DOUBLE), CAST(quantile_disc(n_chars, 0.5) AS BIGINT) FROM documents GROUP BY lang
+         UNION ALL
+         SELECT lang, CAST(0.75 AS DOUBLE), CAST(quantile_disc(n_chars, 0.75) AS BIGINT) FROM documents GROUP BY lang
+         UNION ALL
+         SELECT lang, CAST(0.9 AS DOUBLE), CAST(quantile_disc(n_chars, 0.9) AS BIGINT) FROM documents GROUP BY lang
+         UNION ALL
+         SELECT lang, CAST(0.99 AS DOUBLE), CAST(quantile_disc(n_chars, 0.99) AS BIGINT) FROM documents GROUP BY lang
+         ORDER BY lang, prob""",
 
     "q_cohort_retention" ->
       """WITH uw AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),

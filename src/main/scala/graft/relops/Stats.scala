@@ -41,4 +41,53 @@ object Stats {
         round(col("lo") + (col("bucket") + 1) * (col("hi") - col("lo")) / nBuckets, 6).as("bucket_hi"),
         col("n"))
   }
+
+  /** EXACT per-group discrete quantiles WITHOUT per-group value
+    * buffering — the scale-safe alternative to `percentile`, whose
+    * TypedImperativeAggregate materializes every value of a group in
+    * one executor's heap (fatal when one group holds 10^10 rows at
+    * 100 TB). Here the only state is the VALUE HISTOGRAM:
+    * groupBy(group, value) with map-side partial combine collapses
+    * the corpus to distinct (group, value) cells, a per-group window
+    * over the histogram accumulates the CDF, and quantile q is the
+    * smallest value whose cumulative count reaches rank ceil(q·n) —
+    * DuckDB `quantile_disc`'s rank rule (verified empirically across
+    * group sizes; the rank multiply runs in doubles on both
+    * engines). Shuffle volume is bounded by distinct values per
+    * group (an integer metric's cardinality, not its row count);
+    * the window task per group holds histogram cells only.
+    *
+    * Output: (group, prob, q_value) — one row per group × prob,
+    * integer-exact values (no interpolation, so no float parity
+    * surface at all beyond the rank rule).
+    */
+  def histogramQuantiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0), "probs must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val hist = df
+      .groupBy(col(groupCol), col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("m"))
+    val w = Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("m")).over(w))
+    val totals = hist.groupBy(col(groupCol)).agg(sum(col("m")).as("n"))
+    val session = df.sparkSession
+    import session.implicits._
+    val probsDf = probs.toDF("prob")
+    // ranks = groups × probs: driver-bounded (group count × |probs|)
+    val ranks = totals
+      .crossJoin(broadcast(probsDf))
+      .select(col(groupCol), col("prob"), ceil(col("prob") * col("n")).as("rank"))
+    cum
+      .join(broadcast(ranks), Seq(groupCol))
+      .filter(col("cum") >= col("rank"))
+      .groupBy(col(groupCol), col("prob"))
+      .agg(min(col("v")).as("q_value"))
+  }
 }

@@ -280,6 +280,53 @@ object Curation {
           .otherwise(round(col("n_dup").cast("double") / col("n_grams"), 6)))
   }
 
+  /** Pairwise dataset-overlap card: for every pair of sources, the
+    * exact word-n-gram set intersection, Jaccard, and containment
+    * (∩/min) — the "how much of dataset B is already in dataset A"
+    * audit a corpus mixer runs before choosing mixture weights
+    * (train/train overlap, the corpus-level sibling of the
+    * train/eval decontamination ops above).
+    *
+    * Scale shape: per-doc DISTINCT grams (one JVM call per row)
+    * collapse to distinct (source, gram-hash) pairs via one hash
+    * aggregation — set size per source is bounded by the corpus
+    * vocabulary, not its row count. The pair counts come from an
+    * inverted self-join on the 8-byte gram hash: rows per gram =
+    * sources containing it ≤ |sources|, so the join output is
+    * bounded by grams × |S|²/2 with |S| small by construction
+    * (datasets, not documents). Set sizes broadcast back. Counts
+    * are hash-collision-exact in practice (xxhash64 over ≤ 10^9
+    * grams) and integer-exact otherwise.
+    *
+    * Output: (src_a, src_b, n_a, n_b, n_common, jaccard,
+    * containment), one row per unordered pair with src_a < src_b.
+    */
+  def sourceOverlap(df: DataFrame, sourceCol: String, textCol: String, n: Int): DataFrame = {
+    val grams = df
+      .select(col(sourceCol).as("src"), explode(wordNgramsFastDistinct(col(textCol), n)).as("gram"))
+      .select(col("src"), xxhash64(col("gram")).as("g"))
+      .distinct()
+    val sizes = grams.groupBy(col("src")).agg(count(lit(1)).as("n_set"))
+    val pairs = grams
+      .as("a")
+      .join(grams.as("b"), col("a.g") === col("b.g") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(sizes.select(col("src").as("src_a"), col("n_set").as("n_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("src").as("src_b"), col("n_set").as("n_b"))), Seq("src_b"))
+      .select(
+        col("src_a"),
+        col("src_b"),
+        col("n_a"),
+        col("n_b"),
+        col("n_common"),
+        round(col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")), 6)
+          .as("jaccard"),
+        round(col("n_common").cast("double") / least(col("n_a"), col("n_b")), 6)
+          .as("containment"))
+  }
+
   /** Per-source data card: the summary table a curated corpus ships
     * with (and the first thing a training run's data audit asks for)
     * — doc count, total whitespace tokens, mean quality score, and

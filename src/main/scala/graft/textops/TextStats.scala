@@ -106,6 +106,73 @@ object TextStats {
         round(count(lit(1)).cast("double") / sum(col("n")), 6).as("distinct_ratio"),
         round(max(col("n")).cast("double") / sum(col("n")), 6).as("top_ratio"))
 
+  /** Gopher within-doc repetition signals (Rae et al. 2021, Table
+    * A1 — the rule family quality filters gate on): the fraction of
+    * document CHARACTERS claimed by the single most frequent word
+    * n-gram for n = 2..4 (count·len(gram)/len(doc), tie-break count
+    * desc then gram asc), and the fraction of n-gram OCCURRENCES that
+    * are repeats of an earlier occurrence for n = 5..10
+    * (1 − distinct/total, stated token-weighted rather than as
+    * Gopher's overlapping char sweep — the deterministic form both
+    * engines replay). Distinct from [[graft.textops.Curation.dupNgramFraction]],
+    * which measures CROSS-corpus sharing; these are within-doc.
+    *
+    * Scale shape: the dup fractions are pure per-row HOFs over a
+    * once-bound token array (zero shuffle); the top-gram path is one
+    * (doc, n, gram) hash aggregation with map-side combine plus a
+    * per-(doc, n) window — both keyed by doc, so the lake partitions
+    * the work and no key exceeds a single document's gram inventory.
+    *
+    * Output: (id, top2_frac, top3_frac, top4_frac, dup5..10_frac).
+    */
+  def gopherRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val topNs = Seq(2, 3, 4)
+    val dupNs = 5 to 10
+    val bound = df.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars"),
+      toks(col(textCol)).as("tt"))
+    // gram arrays bound before the fraction expressions reference
+    // them 3× each (the HOF-binding rule)
+    val withGrams = bound.select(
+      col(idCol) +: dupNs.map(n => Curation.wordNgrams(col("tt"), n).as(s"g$n")): _*)
+    val dupCols = dupNs.map { n =>
+      val g = col(s"g$n")
+      when(size(g) === 0, 0.0)
+        .otherwise(round((size(g) - size(array_distinct(g))).cast("double") / size(g), 6))
+        .as(s"dup${n}_frac")
+    }
+    val perRow = withGrams.select(col(idCol) +: dupCols: _*)
+    val tagged = bound
+      .select(
+        col(idCol),
+        col("n_chars"),
+        explode(flatten(array(topNs.map(n =>
+          transform(
+            Curation.wordNgrams(col("tt"), n),
+            g => struct(lit(n).as("n"), g.as("gram")))): _*))).as("ng"))
+      .select(col(idCol), col("n_chars"), col("ng.n").as("n"), col("ng.gram").as("gram"))
+    val cnt = tagged
+      .groupBy(col(idCol), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"), max(col("n_chars")).as("n_chars"))
+    val w = Window.partitionBy(col(idCol), col("n")).orderBy(desc("cnt"), col("gram"))
+    val top = cnt
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col(idCol),
+        col("n"),
+        round((col("cnt") * length(col("gram"))).cast("double") / col("n_chars"), 6).as("frac"))
+    val topAggs = topNs.map(n => max(when(col("n") === n, col("frac"))).as(s"top${n}_frac"))
+    val topWide = top.groupBy(col(idCol)).agg(topAggs.head, topAggs.tail: _*)
+    perRow
+      .join(topWide, Seq(idCol), "left")
+      .select(
+        col(idCol) +:
+          (topNs.map(n => coalesce(col(s"top${n}_frac"), lit(0.0)).as(s"top${n}_frac")) ++
+            dupNs.map(n => col(s"dup${n}_frac"))): _*)
+  }
+
   /** Per-stratum document length statistics: count, mean, exact
     * median and p90 of character lengths. One hash aggregation;
     * exact percentiles match DuckDB's quantile_cont interpolation
@@ -282,6 +349,22 @@ object TextStats {
           6).as("entropy"))
   }
 
+  /** (prev, cur) bigram events: zip tokens[1..n-1] with tokens[2..n]
+    * in-row — NO window shuffle. Token array bound once; the
+    * expression tree references it 5× (filter + 2 slices + 2 sizes)
+    * and each unbound reference would re-split the document.
+    */
+  private def bigramEvents(d: DataFrame, textCol: String, cols: Seq[Column]): DataFrame = d
+    .select(cols :+ toks(col(textCol)).as("tt"): _*)
+    .filter(size(col("tt")) >= 2)
+    .select(
+      cols :+ explode(
+        zip_with(
+          slice(col("tt"), lit(1), size(col("tt")) - 1),
+          slice(col("tt"), lit(2), size(col("tt")) - 1),
+          (p, c) => struct(p.as("prev"), c.as("cur")))).as("bg"): _*)
+    .select(cols ++ Seq(col("bg.prev").as("prev"), col("bg.cur").as("cur")): _*)
+
   /** Per-doc cross-entropy under a corpus bigram LM with stupid
     * backoff (Brants et al. 2007, "Large Language Models in Machine
     * Translation" — public method): score(cur|prev) =
@@ -321,20 +404,7 @@ object TextStats {
       textCol: String,
       bigramK: Int,
       vocabK: Int): DataFrame = {
-    // (prev, cur) pairs: zip tokens[1..n-1] with tokens[2..n] in-row.
-    // Token array bound once — the expression tree references it 5×
-    // (filter + 2 slices + 2 sizes) and each unbound reference would
-    // re-split the document
-    def eventsOf(d: DataFrame, cols: Seq[Column]): DataFrame = d
-      .select(cols :+ toks(col(textCol)).as("tt"): _*)
-      .filter(size(col("tt")) >= 2)
-      .select(
-        cols :+ explode(
-          zip_with(
-            slice(col("tt"), lit(1), size(col("tt")) - 1),
-            slice(col("tt"), lit(2), size(col("tt")) - 1),
-            (p, c) => struct(p.as("prev"), c.as("cur")))).as("bg"): _*)
-      .select(cols ++ Seq(col("bg.prev").as("prev"), col("bg.cur").as("cur")): _*)
+    def eventsOf(d: DataFrame, cols: Seq[Column]): DataFrame = bigramEvents(d, textCol, cols)
     val events = eventsOf(df, Seq(col(idCol)))
 
     val tokens = ref.select(explode(toks(col(textCol))).as("token"))
@@ -465,6 +535,60 @@ object TextStats {
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).cast("int").as("n_trigrams"),
+        round(-(sum(col("lp")).cast("double") / count(lit(1))), 6).as("xent"))
+  }
+
+  /** Per-doc cross-entropy under an interpolated Kneser–Ney bigram
+    * LM (Kneser & Ney 1995; Chen & Goodman 1999's interpolated form
+    * with fixed absolute discount D — KenLM's model family, what
+    * CCNet-style quality pipelines actually deploy):
+    *
+    *   P(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+    *            + (D·N1+(w1·)/c(w1·)) · N1+(·w2)/N1+(··)
+    *
+    * Self-fit on the corpus, so every scored event has c(w1·) > 0
+    * and N1+(·w2) > 0 — the estimate is total with no unigram floor.
+    *
+    * Unlike the stupid-backoff family above (top-K truncations that
+    * broadcast), the KN model is the FULL bigram relation — the
+    * realistic shape at pretraining scale, where the LM outgrows any
+    * broadcast. Scale shape: one (prev,cur) hash aggregation builds
+    * the bigram counts; the context table (c(w1·), N1+(w1·)) and
+    * continuation table (N1+(·w2)) derive from IT — bigram-TYPE-sized
+    * inputs, not corpus events — and the three model relations
+    * pre-join into one (prev,cur)-keyed model at type scale, so the
+    * corpus-scale events shuffle exactly ONCE (the (prev,cur) join).
+    * The model never broadcasts and never reaches the driver.
+    * Parity: both engines evaluate the identical double expression
+    * tree over integer counts; each ln quantizes to DECIMAL(27,18)
+    * before the order-free per-doc sum.
+    */
+  def knBigramXent(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    val events = bigramEvents(df, textCol, Seq(col(idCol)))
+    val bg = bigramEvents(df, textCol, Seq.empty)
+      .groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("c"))
+    val ctx   = bg.groupBy(col("prev")).agg(sum(col("c")).as("cw1"), count(lit(1)).as("n1p_fwd"))
+    val cont  = bg.groupBy(col("cur")).agg(count(lit(1)).as("n1p_bwd"))
+    val types = bg.agg(count(lit(1)).as("types"))
+    val model = bg.join(ctx, Seq("prev")).join(cont, Seq("cur"))
+    events
+      .join(model, Seq("prev", "cur"))
+      .crossJoin(broadcast(types))
+      .withColumn(
+        "lp",
+        log(
+          greatest(col("c") - lit(discount), lit(0.0)) / col("cw1") +
+            ((lit(discount) * col("n1p_fwd")) / col("cw1")) *
+            (col("n1p_bwd").cast("double") / col("types")))
+          .cast("decimal(27,18)"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_bigrams"),
         round(-(sum(col("lp")).cast("double") / count(lit(1))), 6).as("xent"))
   }
 

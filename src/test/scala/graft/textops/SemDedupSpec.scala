@@ -129,6 +129,36 @@ class SemDedupSpec extends SparkSpec {
     assert(math.abs(self(2L) - out(2L)._2) > 1e-3)
   }
 
+  test("knBigramXent: interpolated Kneser–Ney probabilities, hand-computed") {
+    // corpus: "a b", "a b", "a c" → events (a,b)×2, (a,c)×1.
+    // bg: ab:2, ac:1; ctx a: cw1=3, N1+(a·)=2; cont: N1+(·b)=1,
+    // N1+(·c)=1; types=2. D=0.75:
+    //   P(b|a) = (2−.75)/3 + (.75·2/3)·(1/2) = 0.41666. + 0.25
+    //   P(c|a) = (1−.75)/3 + (.75·2/3)·(1/2) = 0.08333. + 0.25
+    val kn = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val out = TextStats.knBigramXent(kn, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    val pb = (2.0 - 0.75) / 3 + (0.75 * 2 / 3) * 0.5
+    val pc = (1.0 - 0.75) / 3 + (0.75 * 2 / 3) * 0.5
+    assert(math.abs(pb + pc - 1.0) < 1e-12) // KN sums to 1 per context
+    assert(out(1L)._1 == 1 && math.abs(out(1L)._2 - -math.log(pb)) < 1e-6)
+    assert(out(3L)._1 == 1 && math.abs(out(3L)._2 - -math.log(pc)) < 1e-6)
+  }
+
+  test("knBigramXent: discounted mass reallocates by continuation count, not raw frequency") {
+    // "x b" repeated: b is frequent as a CONTINUATION of only one
+    // context; "y c" ×1 and "z c" ×1: c continues two contexts.
+    // Under KN, P(c|·) gets the larger continuation share even
+    // though b has more raw occurrences — the burstiness correction
+    // that distinguishes KN from stupid backoff.
+    val kn = Seq((1L, "x b x b x b"), (2L, "y c"), (3L, "z c")).toDF("doc_id", "text")
+    // bg: xb:3, bx:2, yc:1, zc:1 → types=4; N1+(·b)=1, N1+(·c)=2
+    val out = TextStats.knBigramXent(kn, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // P(c|y) = (1−.75)/1 + (.75·1/1)·(2/4) = 0.625
+    assert(math.abs(out(2L) - -math.log((1 - 0.75) / 1.0 + 0.75 * 1 * (2.0 / 4))) < 1e-6)
+  }
+
   test("trigramXent: seen trigrams score C(tg)/C(ctx); two-level backoff below") {
     // corpus: tokens a×4,b×4,c×1,z×1 (total 10); bigrams ab×4, ba×2,
     // bc×1; trigrams aba×2, bab×2, abc×1

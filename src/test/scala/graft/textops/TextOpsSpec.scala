@@ -577,6 +577,61 @@ class TextOpsSpec extends SparkSpec {
     assert(g2.length == 1 && g2.head.getInt(0) == 0 && g2.head.getLong(3) == 2L)
   }
 
+  test("histogramQuantiles matches rank-rule quantiles without value buffering") {
+    import graft.relops.Stats
+    val df = (
+      (1 to 10).map(v => ("g", v.toLong)) ++ Seq(("h", 5L), ("h", 5L), ("h", 5L), ("h", 7L))
+    ).toDF("grp", "v")
+    val got = Stats.histogramQuantiles(df, "grp", "v", Seq(0.25, 0.5, 0.75, 0.9))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    // g (n=10): ranks ceil(q·10) = 3,5,8,9 → values 3,5,8,9
+    assert(got(("g", 0.25)) == 3L && got(("g", 0.5)) == 5L)
+    assert(got(("g", 0.75)) == 8L && got(("g", 0.9)) == 9L)
+    // h (n=4, ties): ranks 1,2,3,4 over sorted [5,5,5,7]
+    assert(got(("h", 0.5)) == 5L && got(("h", 0.75)) == 5L && got(("h", 0.9)) == 7L)
+    // scale-shape audit: the plan must not contain `percentile`'s
+    // value-buffering aggregate — only histogram counts
+    val plan = Stats.histogramQuantiles(df, "grp", "v", Seq(0.5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("percentile"), plan)
+  }
+
+  test("gopherRepetition: top-n-gram char fractions and within-doc dup fractions") {
+    // "a b a b a b c" (13 chars): top 2-gram "a b"×3 (len 3) →
+    // 9/13; top 3-gram tie ("a b a"×2, "b a b"×2) → lexicographic
+    // "a b a", 10/13; top 4-gram "a b a b"×2 (len 7) → 14/13 (>1 is
+    // legal with overlaps). 5..7-grams all distinct → dup 0.
+    val df = Seq(
+      (1L, "a b a b a b c"),
+      (2L, "x y x y x y x y x y"), // alternating: 6 5-grams, 2 distinct
+      (3L, "q")) // sub-gram-length doc: all signals 0
+      .toDF("doc_id", "text")
+    val got = TextStats.gopherRepetition(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail.map(_.asInstanceOf[Double])).toMap
+    val d1 = got(1L)
+    assert(d1(0) == math.rint(9.0 / 13 * 1e6) / 1e6)
+    assert(d1(1) == math.rint(10.0 / 13 * 1e6) / 1e6)
+    assert(d1(2) == math.rint(14.0 / 13 * 1e6) / 1e6)
+    assert(d1.drop(3).forall(_ == 0.0), d1.toString)
+    val d2 = got(2L)
+    assert(d2(3) == 0.666667, d2.toString) // dup5: (6-2)/6
+    assert(got(3L).forall(_ == 0.0))
+  }
+
+  test("sourceOverlap: exact pairwise n-gram set Jaccard and containment") {
+    val df = Seq(
+      ("A", "a b c d"), ("B", "a b c e"), ("C", "p q r"))
+      .toDF("source", "text")
+    val got = Curation.sourceOverlap(df, "source", "text", n = 2).collect()
+    // A grams {ab,bc,cd}, B {ab,bc,ce}: ∩=2, jaccard 2/4, cont 2/3;
+    // C shares nothing → no (A,C)/(B,C) rows
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getString(0) == "A" && r.getString(1) == "B")
+    assert(r.getLong(2) == 3L && r.getLong(3) == 3L && r.getLong(4) == 2L)
+    assert(r.getDouble(5) == 0.5 && r.getDouble(6) == 0.666667)
+  }
+
   test("tfidfTopTerms ranks by tf*idf, breaks ties lexicographically, zeroes ubiquitous terms") {
     val df = Seq(
       (1L, "a a b z"),
