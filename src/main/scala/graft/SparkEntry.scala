@@ -311,6 +311,35 @@ object SparkEntry {
                               list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
                        FROM documents))"""
 
+  /** DuckDB CTEs for the CCNet transfer-LM score (fit on the English
+    * slice, score all docs) — shared by q_ppl_transfer and
+    * q_ppl_buckets. Starts after WITH; ends with the `scored` CTE.
+    */
+  private val pplTransferCtes =
+    """tkall AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t FROM documents),
+          tkref AS (SELECT list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+                    FROM documents WHERE lang = 'en'),
+          ev AS (SELECT doc_id, t[i-1] AS prev, t[i] AS cur
+                 FROM tkall, unnest(range(2, len(t) + 1)) AS u(i) WHERE len(t) >= 2),
+          evref AS (SELECT t[i-1] AS prev, t[i] AS cur
+                    FROM tkref, unnest(range(2, len(t) + 1)) AS u(i) WHERE len(t) >= 2),
+          toks AS (SELECT tok AS token FROM tkref, unnest(t) AS u(tok)),
+          counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+          tot AS (SELECT sum(cnt) AS total FROM counts),
+          vocab AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT 25),
+          bgtop AS (SELECT prev, cur, count(*) AS bg_cnt FROM evref GROUP BY prev, cur
+                    ORDER BY bg_cnt DESC, prev, cur LIMIT 50),
+          scored AS (SELECT ev.doc_id,
+                            CAST(CASE WHEN bg.bg_cnt IS NOT NULL AND vp.cnt IS NOT NULL
+                                      THEN ln(CAST(bg.bg_cnt AS DOUBLE) / vp.cnt)
+                                      ELSE ln(0.4 * (CASE WHEN vc.cnt IS NOT NULL
+                                                          THEN CAST(vc.cnt AS DOUBLE) ELSE 0.5 END) / total)
+                                 END AS DECIMAL(27,18)) AS lp
+                     FROM ev LEFT JOIN bgtop bg USING (prev, cur)
+                             LEFT JOIN vocab vp ON ev.prev = vp.token
+                             LEFT JOIN vocab vc ON ev.cur = vc.token
+                             CROSS JOIN tot)"""
+
   /** DuckDB CTEs mirroring binaryVotes/binaryGold. */
   private val votesCtes: String =
     """votes AS (
@@ -1398,6 +1427,20 @@ object SparkEntry {
         d.filter(col("lang") === "en"), d, "doc_id", "text", bigramK = 50, vocabK = 25)
         .orderBy(col("doc_id"))
     }),
+
+    // training-data ops: CCNet head/middle/tail corpus split —
+    // per-language perplexity terciles under the transfer LM (the
+    // bucket label real mixing recipes consume)
+    "q_ppl_buckets" -> ((s, dir) =>
+      TextStats.pplBuckets(docs(s, dir), "doc_id", "lang", "text",
+          refLang = "en", bigramK = 50, vocabK = 25)
+        .orderBy(col("doc_id"))),
+
+    // training-data ops: per-language tokenizer-fertility card
+    // (BPE-ish vs whitespace token cost — the budget planner's view)
+    "q_token_fertility" -> ((s, dir) =>
+      TextStats.tokenFertility(docs(s, dir), "lang", "text")
+        .orderBy(col("lang"))),
 
     // training-data ops: trigram-LM cross-entropy with TWO-level
     // stupid backoff (Brants et al. 2007 §4 — trigram → bigram →
@@ -3187,32 +3230,34 @@ object SparkEntry {
          FROM scored GROUP BY doc_id ORDER BY doc_id""",
 
     "q_ppl_transfer" ->
-      """WITH tkall AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t FROM documents),
-          tkref AS (SELECT list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
-                    FROM documents WHERE lang = 'en'),
-          ev AS (SELECT doc_id, t[i-1] AS prev, t[i] AS cur
-                 FROM tkall, unnest(range(2, len(t) + 1)) AS u(i) WHERE len(t) >= 2),
-          evref AS (SELECT t[i-1] AS prev, t[i] AS cur
-                    FROM tkref, unnest(range(2, len(t) + 1)) AS u(i) WHERE len(t) >= 2),
-          toks AS (SELECT tok AS token FROM tkref, unnest(t) AS u(tok)),
-          counts AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
-          tot AS (SELECT sum(cnt) AS total FROM counts),
-          vocab AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT 25),
-          bgtop AS (SELECT prev, cur, count(*) AS bg_cnt FROM evref GROUP BY prev, cur
-                    ORDER BY bg_cnt DESC, prev, cur LIMIT 50),
-          scored AS (SELECT ev.doc_id,
-                            CAST(CASE WHEN bg.bg_cnt IS NOT NULL AND vp.cnt IS NOT NULL
-                                      THEN ln(CAST(bg.bg_cnt AS DOUBLE) / vp.cnt)
-                                      ELSE ln(0.4 * (CASE WHEN vc.cnt IS NOT NULL
-                                                          THEN CAST(vc.cnt AS DOUBLE) ELSE 0.5 END) / total)
-                                 END AS DECIMAL(27,18)) AS lp
-                     FROM ev LEFT JOIN bgtop bg USING (prev, cur)
-                             LEFT JOIN vocab vp ON ev.prev = vp.token
-                             LEFT JOIN vocab vc ON ev.cur = vc.token
-                             CROSS JOIN tot)
+      s"""WITH $pplTransferCtes
          SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
                 round(-(CAST(sum(lp) AS DOUBLE) / count(*)), 6) AS xent
          FROM scored GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_ppl_buckets" ->
+      s"""WITH $pplTransferCtes,
+          perdoc AS (SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+                            round(-(CAST(sum(lp) AS DOUBLE) / count(*)), 6) AS xent
+                     FROM scored GROUP BY doc_id)
+         SELECT p.doc_id, d.lang, p.n_bigrams, p.xent,
+                CASE ntile(3) OVER (PARTITION BY d.lang ORDER BY p.xent, p.doc_id)
+                     WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+         FROM perdoc p JOIN documents d USING (doc_id) ORDER BY p.doc_id""",
+
+    "q_token_fertility" ->
+      """WITH m AS (SELECT lang,
+                           len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS ws,
+                           len(regexp_extract_all(text, '\w+|[^\w\s]', 0)) AS bpe,
+                           length(text) AS chars
+                    FROM documents)
+         SELECT lang, CAST(count(*) AS INT) AS n_docs,
+                CAST(sum(ws) AS BIGINT) AS ws_tokens,
+                CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+                CAST(sum(chars) AS BIGINT) AS n_chars,
+                round(CAST(sum(bpe) AS DOUBLE) / sum(ws), 6) AS fertility,
+                round(CAST(sum(chars) AS DOUBLE) / sum(bpe), 6) AS chars_per_tok
+         FROM m GROUP BY lang ORDER BY lang""",
 
     "q_trigram_ppl" ->
       """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t FROM documents),

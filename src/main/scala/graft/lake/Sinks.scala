@@ -114,6 +114,69 @@ object Sinks {
   def writePartitioned(df: DataFrame, outDir: String, partitionCol: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(outDir)
 
+  /** Z-ORDER (Morton-curve) clustered sink — the multi-dimensional
+    * third of the layout story next to writePartitioned (1-D
+    * directory pruning) and writeBucketed (join co-location). Rows
+    * are laid out along a space-filling curve over `zCols`, so every
+    * output file covers a small RECTANGLE of the value space and
+    * parquet row-group min/max stats become selective on EVERY z
+    * column at once — a lexicographic sort gives file skipping on
+    * the leading column only. At 100 TB this is the difference
+    * between a 2-D predicate (user × time, lang × length, …)
+    * touching a handful of files and touching all of them.
+    *
+    * Mechanics (public recipe — the Delta/Databricks OPTIMIZE ZORDER
+    * shape): each column is RANK-quantized to `bits` bits via
+    * approx-quantile cut points (rank, not min/max width, so skewed
+    * distributions still split evenly — one sketch aggregation, k
+    * cut points collected driver-side, broadcast back as a literal
+    * array); per-row bucket index = #cuts below the value (a bounded
+    * in-row fold); the Morton code interleaves the columns' bits
+    * (pure integer shift/mask expressions, codegen'd); one
+    * repartitionByRange + in-partition sort on the code places rows.
+    * Exactly one shuffle, same cost as any global sort layout.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      outDir: String,
+      zCols: Seq[String],
+      bits: Int = 8,
+      nFiles: Int = 16): Unit = {
+    require(zCols.nonEmpty && bits >= 1 && bits <= 20, "need 1..20 bits and >=1 z column")
+    val nCuts = (1 << bits) - 1
+    val probs = (1 to nCuts).map(_.toDouble / (nCuts + 1)).toArray
+    // one pass: approx-quantile sketches for all z columns together
+    val cutRow = df
+      .agg(
+        percentile_approx(col(zCols.head).cast("double"), typedLit(probs), lit(10000))
+          .as(zCols.head),
+        zCols.tail.map(c =>
+          percentile_approx(col(c).cast("double"), typedLit(probs), lit(10000)).as(c)): _*)
+      .head()
+    val quantized = zCols.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
+      val cuts = cutRow.getSeq[Double](cutRow.fieldIndex(c))
+      acc.withColumn(
+        s"__q$i",
+        aggregate(
+          typedLit(cuts),
+          lit(0L),
+          (n, cut) => n + when(col(c).cast("double") > cut, 1L).otherwise(0L)))
+    }
+    val morton = (0 until bits)
+      .flatMap(b =>
+        zCols.indices.map(i =>
+          shiftleft(shiftright(col(s"__q$i"), b).bitwiseAND(lit(1L)), b * zCols.length + i)))
+      .reduce(_ + _)
+    quantized
+      .withColumn("__z", morton)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop(zCols.indices.map(i => s"__q$i") :+ "__z": _*)
+      .write
+      .mode("overwrite")
+      .parquet(outDir)
+  }
+
   /** Directory hierarchy profile (`get_directory_hierarchy`,
     * `utils.py:82-100`): file counts per directory prefix depth.
     */

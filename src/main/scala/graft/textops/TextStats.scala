@@ -117,60 +117,80 @@ object TextStats {
     * engines replay). Distinct from [[graft.textops.Curation.dupNgramFraction]],
     * which measures CROSS-corpus sharing; these are within-doc.
     *
-    * Scale shape: the dup fractions are pure per-row HOFs over a
-    * once-bound token array (zero shuffle); the top-gram path is one
-    * (doc, n, gram) hash aggregation with map-side combine plus a
-    * per-(doc, n) window — both keyed by doc, so the lake partitions
-    * the work and no key exceeds a single document's gram inventory.
+    * Scale shape: every signal is WITHIN-doc, so the whole operator
+    * is ONE projection — a single JVM call per row computes all nine
+    * counters over one tokenize (the HOF-chain alternative ran the
+    * interpreted gram builders 9× per row and benched 3.5× slower;
+    * same lesson as q_trigram_ppl), and the fractions divide + round
+    * as column expressions for engine parity. Zero shuffles; scales
+    * with input splits. Top-gram ties break (count desc, gram asc)
+    * by UTF-8 byte order — the same collation both engines sort
+    * strings with.
     *
     * Output: (id, top2_frac, top3_frac, top4_frac, dup5..10_frac).
     */
   def gopherRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val topNs = Seq(2, 3, 4)
-    val dupNs = 5 to 10
+    val dupNs = (5 to 10).toSeq
+    // per-row counters: topN → chars claimed by the most frequent
+    // n-gram (count·len); dupN → (repeat occurrences, total grams)
+    val stats = udf((text: String) => {
+      val t = if (text == null) Array.empty[String] else text.split(" ").filter(_.nonEmpty)
+      def utf8Lt(a: String, b: String): Boolean =
+        java.util.Arrays.compare(
+          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+      val out = new Array[Long](topNs.length + 2 * dupNs.length)
+      var oi = 0
+      topNs.foreach { n =>
+        if (t.length >= n) {
+          val m = new java.util.HashMap[String, Int]()
+          var i = 0
+          while (i <= t.length - n) {
+            m.merge(t.slice(i, i + n).mkString(" "), 1, (a, b) => a + b); i += 1
+          }
+          var bestG: String = null
+          var bestC = 0
+          m.forEach { (g, c) =>
+            if (c > bestC || (c == bestC && (bestG == null || utf8Lt(g, bestG)))) {
+              bestG = g; bestC = c
+            }
+          }
+          out(oi) = bestC.toLong * bestG.length
+        }
+        oi += 1
+      }
+      dupNs.foreach { n =>
+        if (t.length >= n) {
+          val seen  = new java.util.HashSet[String]()
+          val total = t.length - n + 1
+          var i     = 0
+          while (i <= t.length - n) { seen.add(t.slice(i, i + n).mkString(" ")); i += 1 }
+          out(oi) = (total - seen.size).toLong
+          out(oi + 1) = total.toLong
+        }
+        oi += 2
+      }
+      out.toSeq
+    })
     val bound = df.select(
       col(idCol),
       length(col(textCol)).as("n_chars"),
-      toks(col(textCol)).as("tt"))
-    // gram arrays bound before the fraction expressions reference
-    // them 3× each (the HOF-binding rule)
-    val withGrams = bound.select(
-      col(idCol) +: dupNs.map(n => Curation.wordNgrams(col("tt"), n).as(s"g$n")): _*)
-    val dupCols = dupNs.map { n =>
-      val g = col(s"g$n")
-      when(size(g) === 0, 0.0)
-        .otherwise(round((size(g) - size(array_distinct(g))).cast("double") / size(g), 6))
-        .as(s"dup${n}_frac")
-    }
-    val perRow = withGrams.select(col(idCol) +: dupCols: _*)
-    val tagged = bound
-      .select(
-        col(idCol),
-        col("n_chars"),
-        explode(flatten(array(topNs.map(n =>
-          transform(
-            Curation.wordNgrams(col("tt"), n),
-            g => struct(lit(n).as("n"), g.as("gram")))): _*))).as("ng"))
-      .select(col(idCol), col("n_chars"), col("ng.n").as("n"), col("ng.gram").as("gram"))
-    val cnt = tagged
-      .groupBy(col(idCol), col("n"), col("gram"))
-      .agg(count(lit(1)).as("cnt"), max(col("n_chars")).as("n_chars"))
-    val w = Window.partitionBy(col(idCol), col("n")).orderBy(desc("cnt"), col("gram"))
-    val top = cnt
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(
-        col(idCol),
-        col("n"),
-        round((col("cnt") * length(col("gram"))).cast("double") / col("n_chars"), 6).as("frac"))
-    val topAggs = topNs.map(n => max(when(col("n") === n, col("frac"))).as(s"top${n}_frac"))
-    val topWide = top.groupBy(col(idCol)).agg(topAggs.head, topAggs.tail: _*)
-    perRow
-      .join(topWide, Seq(idCol), "left")
-      .select(
-        col(idCol) +:
-          (topNs.map(n => coalesce(col(s"top${n}_frac"), lit(0.0)).as(s"top${n}_frac")) ++
-            dupNs.map(n => col(s"dup${n}_frac"))): _*)
+      stats(col(textCol)).as("st"))
+    bound.select(
+      col(idCol) +:
+        (topNs.zipWithIndex.map { case (n, i) =>
+          when(col("n_chars") === 0, 0.0)
+            .otherwise(round(element_at(col("st"), i + 1).cast("double") / col("n_chars"), 6))
+            .as(s"top${n}_frac")
+        } ++
+          dupNs.zipWithIndex.map { case (n, j) =>
+            val num = element_at(col("st"), topNs.length + 2 * j + 1)
+            val den = element_at(col("st"), topNs.length + 2 * j + 2)
+            when(den === 0, 0.0)
+              .otherwise(round(num.cast("double") / den, 6))
+              .as(s"dup${n}_frac")
+          }): _*)
   }
 
   /** Per-stratum document length statistics: count, mean, exact
@@ -434,6 +454,65 @@ object TextStats {
         count(lit(1)).cast("int").as("n_bigrams"),
         round(-(sum(col("lp")).cast("double") / count(lit(1))), 6).as("xent"))
   }
+
+  /** CCNet's head/middle/tail corpus split (Wenzek et al. 2020 §4.3,
+    * public method): score every doc with the TRANSFER LM
+    * ([[bigramXentTransfer]] — fit on the reference-language slice),
+    * then cut each language into perplexity terciles. "head" is the
+    * closest-to-reference third — what CCNet feeds to pretraining
+    * first; the bucket label is the unit real mixing recipes
+    * consume (e.g. sample head:middle:tail at 70:20:10).
+    *
+    * Scale shape: the scoring plan is bigramXentTransfer's
+    * (broadcast LM tables, one doc-keyed reduce); bucketing adds ONE
+    * window shuffle keyed by language — partitions by a bounded key
+    * set, orders by (xent, id) so rounded-score ties split
+    * deterministically on both engines.
+    */
+  def pplBuckets(
+      df: DataFrame,
+      idCol: String,
+      langCol: String,
+      textCol: String,
+      refLang: String,
+      bigramK: Int,
+      vocabK: Int): DataFrame = {
+    val scored =
+      bigramXentTransfer(df.filter(col(langCol) === refLang), df, idCol, textCol, bigramK, vocabK)
+    val w = Window.partitionBy(col(langCol)).orderBy(col("xent"), col(idCol))
+    df.select(col(idCol), col(langCol))
+      .join(scored, Seq(idCol))
+      .withColumn("tercile", ntile(3).over(w))
+      .withColumn(
+        "bucket",
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle")
+          .otherwise("tail"))
+      .drop("tercile")
+  }
+
+  /** Per-stratum tokenizer-fertility card: whitespace vs BPE-ish
+    * token counts, characters, fertility (BPE tokens per whitespace
+    * word) and chars-per-token — the per-language cost model a
+    * pretraining budget is planned with (token budgets are
+    * tokenizer-relative; CJK text can cost 3–5× per word). One hash
+    * aggregation over pure per-row counts; group count = strata
+    * count, trivially driver-sized at any corpus scale.
+    */
+  def tokenFertility(df: DataFrame, strataCol: String, textCol: String): DataFrame =
+    df.select(
+        col(strataCol),
+        tokenCountWs(col(textCol)).as("ws"),
+        tokenCountBpe(col(textCol)).as("bpe"),
+        length(col(textCol)).as("chars"))
+      .groupBy(col(strataCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_docs"),
+        sum(col("ws")).cast("bigint").as("ws_tokens"),
+        sum(col("bpe")).cast("bigint").as("bpe_tokens"),
+        sum(col("chars")).cast("bigint").as("n_chars"))
+      .withColumn("fertility", round(col("bpe_tokens").cast("double") / col("ws_tokens"), 6))
+      .withColumn("chars_per_tok", round(col("n_chars").cast("double") / col("bpe_tokens"), 6))
 
   /** Per-doc cross-entropy under a corpus TRIGRAM LM with two-level
     * stupid backoff (Brants et al. 2007 §4, the full recipe the

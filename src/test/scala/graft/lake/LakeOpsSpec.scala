@@ -145,6 +145,36 @@ class LakeOpsSpec extends SparkSpec {
     assert(spark.read.parquet(out2).count() == 2000)
   }
 
+  test("writeZOrdered: every output file covers a small rectangle in BOTH dimensions") {
+    val zout = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val xout = java.nio.file.Files.createTempDirectory("graft_xsort").toString
+    // 64×64 grid: x and y each uniform on 0..63
+    val grid = (0 until 4096).map(i => (i.toLong, (i / 64).toLong, (i % 64).toLong))
+      .toDF("id", "x", "y")
+    Sinks.writeZOrdered(grid, zout, Seq("x", "y"), bits = 6, nFiles = 16)
+    // baseline: lexicographic sort on x only, same file count
+    grid.repartitionByRange(16, col("x"), col("y"))
+      .sortWithinPartitions(col("x"), col("y"))
+      .write.mode("overwrite").parquet(xout)
+    def fileRanges(dir: String): Seq[(Long, Long)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg((max(col("x")) - min(col("x"))).as("rx"), (max(col("y")) - min(col("y"))).as("ry"))
+        .collect().toSeq.map(r => (r.getAs[Long]("rx"), r.getAs[Long]("ry")))
+    val z = fileRanges(zout)
+    val lex = fileRanges(xout)
+    // all 4096 rows survive, layout only
+    assert(spark.read.parquet(zout).count() == 4096)
+    val zAvgX = z.map(_._1).sum.toDouble / z.size
+    val zAvgY = z.map(_._2).sum.toDouble / z.size
+    val lexAvgY = lex.map(_._2).sum.toDouble / lex.size
+    // z-order: both dims tight (files are ~16×16 rectangles of the
+    // 64×64 space); x-sort: y stays full-range in every file
+    assert(zAvgX < 32 && zAvgY < 32, s"z layout not rectangular: x=$zAvgX y=$zAvgY")
+    assert(lexAvgY > 44, s"baseline unexpectedly tight on y: $lexAvgY")
+    assert(zAvgY < lexAvgY / 2, s"z layout ($zAvgY) should beat x-sort ($lexAvgY) on y")
+  }
+
   test("writeBucketed joins two co-bucketed tables without a shuffle exchange") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bucket").toString
     spark.sql(s"CREATE DATABASE IF NOT EXISTS bktdb LOCATION '$dir'")
