@@ -1442,6 +1442,13 @@ object SparkEntry {
       TextStats.tokenFertility(docs(s, dir), "lang", "text")
         .orderBy(col("lang"))),
 
+    // training-data ops: BPE tokenizer training, iteration-0 face —
+    // top weighted symbol pairs of the word-frequency table (the
+    // vocab-sized relation the merge loop iterates on; see
+    // textops.Bpe.learnMerges for the full learner, spec-gated)
+    "q_bpe_pair_stats" -> ((s, dir) =>
+      graft.textops.Bpe.pairStats(docs(s, dir), "text", topK = 20)),
+
     // training-data ops: trigram-LM cross-entropy with TWO-level
     // stupid backoff (Brants et al. 2007 §4 — trigram → bigram →
     // unigram, fixed α=0.4 per level) — the full recipe the bigram
@@ -3258,6 +3265,16 @@ object SparkEntry {
                 round(CAST(sum(bpe) AS DOUBLE) / sum(ws), 6) AS fertility,
                 round(CAST(sum(chars) AS DOUBLE) / sum(bpe), 6) AS chars_per_tok
          FROM m GROUP BY lang ORDER BY lang""",
+
+    "q_bpe_pair_stats" ->
+      """WITH words AS (SELECT t AS w, count(*) AS c
+                        FROM documents, unnest(string_split(text, ' ')) AS u(t)
+                        WHERE len(t) > 0 GROUP BY t),
+          sym AS (SELECT c, list_filter(string_split(w, ''), s -> len(s) > 0) AS s FROM words),
+          p AS (SELECT s[i] AS lhs, s[i+1] AS rhs, c
+                FROM sym, unnest(range(1, len(s))) AS u(i) WHERE len(s) >= 2)
+         SELECT lhs, rhs, CAST(sum(c) AS BIGINT) AS freq
+         FROM p GROUP BY lhs, rhs ORDER BY freq DESC, lhs, rhs LIMIT 20""",
 
     "q_trigram_ppl" ->
       """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t FROM documents),

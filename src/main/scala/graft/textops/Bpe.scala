@@ -1,0 +1,131 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING as dataflow (Sennrich et
+  * al. 2016, "Neural Machine Translation of Rare Words with Subword
+  * Units" — the public BPE recipe every modern tokenizer descends
+  * from). The part that touches the corpus is ONE aggregation: BPE
+  * learns from the word-frequency TABLE, whose size is the
+  * vocabulary (bounded), not the corpus. Every merge iteration then
+  * runs over that vocab-sized relation: explode weighted symbol
+  * pairs → one keyed aggregation → TakeOrdered(1) → rewrite the
+  * symbol arrays with the chosen pair. At 100 TB the corpus is read
+  * once; the k iterations never re-touch it.
+  *
+  * Word-internal pairs only (no end-of-word marker — documented
+  * simplification; the marker is one extra symbol appended in
+  * `symbols` if a deployment wants it).
+  */
+object Bpe {
+
+  private def toks(text: Column): Column =
+    filter(split(text, " "), t => length(t) > 0)
+
+  /** Per-character symbol array of a word (split("") emits a
+    * trailing empty under Spark's -1 limit — filtered).
+    */
+  private def symbols(w: Column): Column =
+    filter(split(w, ""), s => length(s) > 0)
+
+  /** Corpus word-frequency table → (c, sym) relation the learner
+    * iterates on. The ONLY corpus-scale aggregation in BPE training.
+    */
+  private def wordTable(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(toks(col(textCol))).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("c"), symbols(col("w")).as("sym"))
+
+  /** Weighted adjacent-symbol-pair counts of a (c, sym) word table.
+    * Pairs come from an in-row zip of the array against itself —
+    * no window, one keyed aggregation with map-side combine.
+    */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      .filter(size(col("sym")) >= 2)
+      .select(
+        col("c"),
+        explode(
+          zip_with(
+            slice(col("sym"), lit(1), size(col("sym")) - 1),
+            slice(col("sym"), lit(2), size(col("sym")) - 1),
+            (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum(col("c")).as("freq"))
+
+  /** Initial (iteration-0) pair statistics — the oracle-checkable
+    * face of the learner: top-`topK` weighted character pairs,
+    * ties broken lexicographically.
+    */
+  def pairStats(df: DataFrame, textCol: String, topK: Int): DataFrame =
+    pairCounts(wordTable(df, textCol))
+      .select(col("lhs"), col("rhs"), col("freq").cast("bigint").as("freq"))
+      .orderBy(desc("freq"), col("lhs"), col("rhs"))
+      .limit(topK)
+
+  /** Greedy left-to-right rewrite of one symbol array under a single
+    * merge rule (a, b) → a+b ("a a a" under (a,a) → ["aa", "a"]).
+    */
+  private def mergeOnce(sym: Seq[String], a: String, b: String): Seq[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    var i   = 0
+    while (i < sym.length) {
+      if (i + 1 < sym.length && sym(i) == a && sym(i + 1) == b) { buf += (a + b); i += 2 }
+      else { buf += sym(i); i += 1 }
+    }
+    buf.toSeq
+  }
+
+  /** Learn `k` BPE merges. Returns (rank, lhs, rhs, freq) — freq is
+    * the weighted pair count at the time of the merge. Deterministic:
+    * the argmax orders (freq desc, lhs, rhs). Each iteration is one
+    * vocab-sized aggregation + a 1-row TakeOrdered + a per-word
+    * rewrite; `localCheckpoint` truncates the k-deep iterative
+    * lineage so the plan stays flat.
+    */
+  def learnMerges(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words  = wordTable(df, textCol).localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var rank   = 1
+    var done   = false
+    while (rank <= k && !done) {
+      val top = pairCounts(words)
+        .orderBy(desc("freq"), col("lhs"), col("rhs"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, f) =
+          (top(0).getAs[String]("lhs"), top(0).getAs[String]("rhs"), top(0).getAs[Long]("freq"))
+        merges += ((rank, a, b, f))
+        val rewrite = udf((sym: Seq[String]) => mergeOnce(sym, a, b))
+        words = words
+          .select(col("c"), rewrite(col("sym")).as("sym"))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "lhs", "rhs", "freq")
+  }
+
+  /** Encode text with a learned merge list: each word's characters
+    * are rewritten by every merge in rank order (the standard greedy
+    * inference). A pure projection — merges ship in the closure
+    * (k·bytes, broadcast with the task), the corpus never shuffles.
+    */
+  def encode(textCol: Column, merges: Seq[(String, String)]): Column = {
+    val enc = udf((text: String) => {
+      val ws = if (text == null) Array.empty[String] else text.split(" ").filter(_.nonEmpty)
+      ws.toSeq.flatMap { w =>
+        var sym: Seq[String] = w.split("").filter(_.nonEmpty).toSeq
+        merges.foreach { case (a, b) => sym = mergeOnce(sym, a, b) }
+        sym
+      }
+    })
+    enc(textCol)
+  }
+}
