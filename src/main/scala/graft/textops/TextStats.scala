@@ -317,6 +317,36 @@ object TextStats {
         round(-(sum(col("lp")).cast("double") / count(lit(1))), 6).as("xent"))
   }
 
+  /** Per-doc deflate compression ratio (compressed/raw bytes) — the
+    * model-free redundancy detector quality pipelines run next to
+    * the Gopher repetition rules (very low ratio = templated/
+    * boilerplate text, near 1 = high-entropy noise; natural prose
+    * sits in a calibratable band). zlib level 6, the universal
+    * default, so the number is reproducible anywhere. A pure
+    * projection — one JVM call per row, zero shuffles; no SQL oracle
+    * (DuckDB has no deflate), gated by hand-computed spec bounds.
+    */
+  def compressionRatio(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ratio = udf((text: String) => {
+      val raw = if (text == null) Array.empty[Byte]
+                else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (raw.isEmpty) 1.0
+      else {
+        val d = new java.util.zip.Deflater(6)
+        d.setInput(raw); d.finish()
+        val buf = new Array[Byte](raw.length + 64)
+        var n = 0
+        while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
+        d.end()
+        math.rint(n.toDouble / raw.length * 1e6) / 1e6
+      }
+    })
+    df.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars"),
+      ratio(col(textCol)).as("compress_ratio"))
+  }
+
   /** Type-token ratio per doc — the lexical-diversity staple of
     * quality filtering (low TTR = templated/repetitive text, a
     * signal the Gopher repetition rules approximate from the other

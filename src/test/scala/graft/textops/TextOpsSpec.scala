@@ -618,6 +618,23 @@ class TextOpsSpec extends SparkSpec {
     assert(got(3L).forall(_ == 0.0))
   }
 
+  test("compressionRatio separates templated text from high-entropy text") {
+    val df = Seq(
+      (1L, "spam " * 200),                       // pure repetition → tiny ratio
+      (2L, (1 to 200).map(i => (i * 2654435761L).toHexString).mkString(" ")), // hash soup
+      (3L, "")) // empty: defined as 1.0
+      .toDF("doc_id", "text")
+    val got = TextStats.compressionRatio(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) < 0.05, s"templated text should crush: ${got(1L)}")
+    assert(got(2L) > 0.5, s"hash soup should not: ${got(2L)}")
+    assert(got(3L) == 1.0)
+    // deterministic across runs (fixed deflate level)
+    val again = TextStats.compressionRatio(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again == got)
+  }
+
   test("sourceOverlap: exact pairwise n-gram set Jaccard and containment") {
     val df = Seq(
       ("A", "a b c d"), ("B", "a b c e"), ("C", "p q r"))
