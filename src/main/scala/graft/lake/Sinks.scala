@@ -143,6 +143,12 @@ object Sinks {
       bits: Int = 8,
       nFiles: Int = 16): Unit = {
     require(zCols.nonEmpty && bits >= 1 && bits <= 20, "need 1..20 bits and >=1 z column")
+    // Morton code lives in one long; a shift amount >= 64 would wrap
+    // mod 64 in Java's long shift and silently interleave columns
+    // into each other's bit positions
+    require(
+      bits * zCols.length <= 63,
+      s"bits*columns = ${bits * zCols.length} exceeds the 63-bit Morton budget")
     val nCuts = (1 << bits) - 1
     val probs = (1 to nCuts).map(_.toDouble / (nCuts + 1)).toArray
     // one pass: approx-quantile sketches for all z columns together
@@ -155,6 +161,9 @@ object Sinks {
       .head()
     val quantized = zCols.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
       val cuts = cutRow.getSeq[Double](cutRow.fieldIndex(c))
+      // all-NULL column (or empty input) → null sketch → every Morton
+      // code NULL → one degenerate output file; fail fast instead
+      require(cuts != null, s"z column '$c' has no non-null values — cannot rank-quantize")
       acc.withColumn(
         s"__q$i",
         aggregate(

@@ -68,8 +68,13 @@ object Stats {
       probs: Seq[Double]): DataFrame = {
     require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0), "probs must be in (0, 1]")
     import org.apache.spark.sql.expressions.Window
+    // NULLs drop before the histogram — every standard quantile
+    // aggregate (incl. the DuckDB quantile_disc oracle) ignores
+    // them; counting them would shift every rank
     val hist = df
-      .groupBy(col(groupCol), col(valueCol).cast("long").as("v"))
+      .select(col(groupCol), col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col(groupCol), col("v"))
       .agg(count(lit(1)).as("m"))
     val w = Window
       .partitionBy(col(groupCol))

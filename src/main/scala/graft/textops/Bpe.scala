@@ -20,8 +20,7 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  private def toks(text: Column): Column =
-    filter(split(text, " "), t => length(t) > 0)
+  private def toks(text: Column): Column = Curation.toks(text)
 
   /** Per-character symbol array of a word (split("") emits a
     * trailing empty under Spark's -1 limit — filtered).

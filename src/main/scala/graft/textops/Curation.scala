@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  private def toks(text: Column): Column =
+  private[textops] def toks(text: Column): Column =
     filter(split(text, " "), t => length(t) > 0)
 
   // ---------------------------------------------------------------

@@ -156,7 +156,11 @@ object TextStats {
               bestG = g; bestC = c
             }
           }
-          out(oi) = bestC.toLong * bestG.length
+          // code POINTS, not UTF-16 units — the denominator (Spark
+          // length()) and the oracle (DuckDB length()) both count
+          // code points; String.length would over-count
+          // supplementary-plane chars
+          out(oi) = bestC.toLong * bestG.codePointCount(0, bestG.length)
         }
         oi += 1
       }
@@ -334,9 +338,14 @@ object TextStats {
       else {
         val d = new java.util.zip.Deflater(6)
         d.setInput(raw); d.finish()
-        val buf = new Array[Byte](raw.length + 64)
-        var n = 0
-        while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
+        // scratch buffer, overwritten per call — only the byte COUNT
+        // matters, and a fixed window can't under-size against the
+        // stored-block expansion bound (len + 5·len/65535 + 6) the
+        // way a len+64 output buffer would (incompressible input
+        // would stall deflate at a full buffer, looping forever)
+        val buf = new Array[Byte](65536)
+        var n = 0L
+        while (!d.finished()) n += d.deflate(buf)
         d.end()
         math.rint(n.toDouble / raw.length * 1e6) / 1e6
       }

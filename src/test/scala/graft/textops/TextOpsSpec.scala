@@ -589,6 +589,12 @@ class TextOpsSpec extends SparkSpec {
     assert(got(("g", 0.75)) == 8L && got(("g", 0.9)) == 9L)
     // h (n=4, ties): ranks 1,2,3,4 over sorted [5,5,5,7]
     assert(got(("h", 0.5)) == 5L && got(("h", 0.75)) == 5L && got(("h", 0.9)) == 7L)
+    // NULL values drop from histogram AND totals (quantile-aggregate
+    // semantics): [null,1,2,3] has median 2, not 1
+    val withNull = Seq(("n", Some(1L)), ("n", Some(2L)), ("n", Some(3L)), ("n", None))
+      .toDF("grp", "v")
+    val m = Stats.histogramQuantiles(withNull, "grp", "v", Seq(0.5)).collect().head.getLong(2)
+    assert(m == 2L, s"median over non-nulls should be 2, got $m")
     // scale-shape audit: the plan must not contain `percentile`'s
     // value-buffering aggregate — only histogram counts
     val plan = Stats.histogramQuantiles(df, "grp", "v", Seq(0.5))
