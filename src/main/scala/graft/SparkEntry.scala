@@ -1722,6 +1722,14 @@ object SparkEntry {
           docs(s, dir), "lang", "n_chars", Seq(0.25, 0.5, 0.75, 0.9, 0.99))
         .orderBy(col("lang"), col("prob"))),
 
+    // corpus diagnostics: per-language winsorization of doc lengths
+    // to the [p10, p90] band — outlier-robust normalization before
+    // score mixing, composed from the histogram-quantile machinery
+    "q_winsorize" -> ((s, dir) =>
+      graft.relops.Stats.winsorize(docs(s, dir), "lang", "n_chars", loProb = 0.1, hiProb = 0.9)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("clamped"), col("is_clipped"))
+        .orderBy(col("doc_id"))),
+
     // as-of-style self window: each order with the customer's previous
     // order date (lag over (custkey, orderdate))
     "q_order_asof_prev" -> ((s, dir) => {
@@ -3762,6 +3770,16 @@ object SparkEntry {
          UNION ALL
          SELECT lang, CAST(0.99 AS DOUBLE), CAST(quantile_disc(n_chars, 0.99) AS BIGINT) FROM documents GROUP BY lang
          ORDER BY lang, prob""",
+
+    "q_winsorize" ->
+      """WITH b AS (SELECT lang,
+                           CAST(quantile_disc(n_chars, 0.1) AS BIGINT) AS lo_v,
+                           CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS hi_v
+                    FROM documents GROUP BY lang)
+         SELECT d.doc_id, d.lang, d.n_chars,
+                least(greatest(d.n_chars, b.lo_v), b.hi_v) AS clamped,
+                least(greatest(d.n_chars, b.lo_v), b.hi_v) <> d.n_chars AS is_clipped
+         FROM documents d JOIN b USING (lang) ORDER BY d.doc_id""",
 
     "q_cohort_retention" ->
       """WITH uw AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),

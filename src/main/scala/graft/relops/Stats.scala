@@ -95,4 +95,33 @@ object Stats {
       .groupBy(col(groupCol), col("prob"))
       .agg(min(col("v")).as("q_value"))
   }
+
+  /** Per-group winsorization: clamp `valueCol` to its group's
+    * [loProb, hiProb] quantiles — the outlier-robust normalization a
+    * scoring pipeline applies before mixing heterogeneous signals
+    * (one 10^6-char doc would otherwise dominate any mean/z-score).
+    * Bounds come from [[histogramQuantiles]] (histogram-sized state,
+    * never value buffering) and broadcast back as a group-count-sized
+    * relation; the clamp itself is a pure projection. Integer-exact
+    * end to end — no float boundary.
+    *
+    * Output: input columns + `clamped` + `is_clipped`.
+    */
+  def winsorize(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      loProb: Double,
+      hiProb: Double): DataFrame = {
+    require(loProb < hiProb, "loProb must be below hiProb")
+    val bounds = histogramQuantiles(df, groupCol, valueCol, Seq(loProb, hiProb))
+      .groupBy(col(groupCol))
+      .agg(
+        max(when(col("prob") === loProb, col("q_value"))).as("lo_v"),
+        max(when(col("prob") === hiProb, col("q_value"))).as("hi_v"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("clamped", least(greatest(col(valueCol).cast("long"), col("lo_v")), col("hi_v")))
+      .withColumn("is_clipped", col("clamped") =!= col(valueCol).cast("long"))
+      .drop("lo_v", "hi_v")
+  }
 }
