@@ -137,6 +137,13 @@ object Combiners {
     * path, so it is a caller's explicit choice, never a silent
     * upgrade. Ignored under `structureLearn` (the convex learner
     * keeps the reference's k=1, `run_ws.py:239`).
+    * COMPATIBILITY NOTE (round 10): when this parameter was
+    * introduced, the briefly-shipped round-9 behavior (k=2
+    * overlapping edges under `learnDeps=true`) was rolled back to
+    * the k=1 default above — callers relying on `learnDeps=true`
+    * between those rounds see different (pair-clique, top-1)
+    * predictions than the k=2 interregnum produced; pass
+    * `maxLearnedDeps = 2` to restore that behavior exactly.
     *
     * `structureLearn`: use the reference's ACTUAL learner — the
     * sparse+low-rank split of the vote covariance

@@ -6,6 +6,23 @@ import org.apache.spark.sql.functions._
 /** Generic relational statistics operators (engine-exact forms). */
 object Stats {
 
+  /** Quantile/winsorize run in the integer domain (the histogram cells
+    * are exact longs); a fractional column would be silently truncated
+    * by the long cast, so refuse it loudly — callers quantize doubles
+    * explicitly (e.g. `round(v * 1e6).cast("long")`) when they mean it.
+    */
+  private def requireIntegral(df: DataFrame, valueCol: String, op: String): Unit = {
+    import org.apache.spark.sql.types._
+    df.schema(valueCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case d: DecimalType if d.scale == 0                => ()
+      case other =>
+        throw new IllegalArgumentException(
+          s"$op requires an integral value column (got $valueCol: ${other.simpleString}); " +
+            "quantize fractional values explicitly, e.g. round(v * 1e6).cast(\"long\")")
+    }
+  }
+
   /** Equi-width histogram of a numeric column: the corpus [min, max]
     * split into `nBuckets` buckets, per-bucket counts + bounds — the
     * profiling primitive behind data cards and skew diagnosis.
@@ -67,6 +84,7 @@ object Stats {
       valueCol: String,
       probs: Seq[Double]): DataFrame = {
     require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0), "probs must be in (0, 1]")
+    requireIntegral(df, valueCol, "histogramQuantiles")
     import org.apache.spark.sql.expressions.Window
     // NULLs drop before the histogram — every standard quantile
     // aggregate (incl. the DuckDB quantile_disc oracle) ignores
@@ -105,6 +123,12 @@ object Stats {
     * relation; the clamp itself is a pure projection. Integer-exact
     * end to end — no float boundary.
     *
+    * NULL semantics: a NULL value stays NULL (`clamped` NULL,
+    * `is_clipped` false) — `least`/`greatest` skip NULLs, so without
+    * the guard a NULL row would be fabricated to `lo_v`. The bounds
+    * join is LEFT so a group whose values are ALL NULL keeps its rows
+    * (quantiles drop NULLs, so such a group has no bounds row).
+    *
     * Output: input columns + `clamped` + `is_clipped`.
     */
   def winsorize(
@@ -114,14 +138,22 @@ object Stats {
       loProb: Double,
       hiProb: Double): DataFrame = {
     require(loProb < hiProb, "loProb must be below hiProb")
+    requireIntegral(df, valueCol, "winsorize")
     val bounds = histogramQuantiles(df, groupCol, valueCol, Seq(loProb, hiProb))
       .groupBy(col(groupCol))
       .agg(
         max(when(col("prob") === loProb, col("q_value"))).as("lo_v"),
         max(when(col("prob") === hiProb, col("q_value"))).as("hi_v"))
-    df.join(broadcast(bounds), Seq(groupCol))
-      .withColumn("clamped", least(greatest(col(valueCol).cast("long"), col("lo_v")), col("hi_v")))
-      .withColumn("is_clipped", col("clamped") =!= col(valueCol).cast("long"))
+    df.join(broadcast(bounds), Seq(groupCol), "left")
+      .withColumn(
+        "clamped",
+        when(
+          col(valueCol).isNotNull,
+          least(greatest(col(valueCol).cast("long"), col("lo_v")), col("hi_v"))))
+      .withColumn(
+        "is_clipped",
+        when(col(valueCol).isNotNull, col("clamped") =!= col(valueCol).cast("long"))
+          .otherwise(lit(false)))
       .drop("lo_v", "hi_v")
   }
 }

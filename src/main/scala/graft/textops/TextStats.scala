@@ -863,16 +863,23 @@ object TextStats {
         sum(col("xy")).as("sxy"), sum(col("xx")).as("sxx"))
       .select(
         col("n").cast("int").as("n_terms"),
-        round(
-          (col("n") * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")) /
-            (col("n") * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")),
-          6).as("slope"),
-        round(
-          (col("sy").cast("double") -
-            ((col("n") * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")) /
-              (col("n") * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")))
-              * col("sx").cast("double")) / col("n"),
-          6).as("intercept"))
+        // degenerate vocabulary guard: with < 2 distinct tokens the
+        // OLS denominator n·Σx² − (Σx)² is 0 — emit NULL, not NaN,
+        // so the single-type corpus edge fails loudly downstream
+        when(
+          col("n") > 1,
+          round(
+            (col("n") * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")) /
+              (col("n") * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")),
+            6)).as("slope"),
+        when(
+          col("n") > 1,
+          round(
+            (col("sy").cast("double") -
+              ((col("n") * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")) /
+                (col("n") * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")))
+                * col("sx").cast("double")) / col("n"),
+            6)).as("intercept"))
   }
 
   /** Exact Gini coefficient of the token-frequency distribution —

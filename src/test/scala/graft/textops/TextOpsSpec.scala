@@ -602,6 +602,39 @@ class TextOpsSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("percentile"), plan)
   }
 
+  test("winsorize: NULL values stay NULL, all-NULL groups survive, doubles refused") {
+    import graft.relops.Stats
+    // group g: 1..10 clamps to [1,9] at (0.1, 0.9); one NULL row must
+    // NOT be fabricated to lo_v (least/greatest skip NULLs)
+    val df = (
+      (1 to 10).map(v => ("g", Some(v.toLong))) ++ Seq(("g", None), ("z", None), ("z", None))
+    ).toDF("grp", "v")
+    val out = Stats.winsorize(df, "grp", "v", loProb = 0.1, hiProb = 0.9).collect()
+    assert(out.length == 13, "left join must keep every input row incl. the all-NULL group")
+    val gNull = out.filter(r => r.getString(0) == "g" && r.isNullAt(1))
+    assert(gNull.length == 1 && gNull.head.isNullAt(2) && !gNull.head.getBoolean(3),
+      "NULL value → clamped NULL, is_clipped false")
+    val zRows = out.filter(_.getString(0) == "z")
+    assert(zRows.length == 2 && zRows.forall(r => r.isNullAt(2) && !r.getBoolean(3)),
+      "all-NULL group has no bounds row but keeps its rows")
+    val clamped = out.filter(r => r.getString(0) == "g" && !r.isNullAt(1))
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(clamped(1L) == 1L && clamped(10L) == 9L && clamped(5L) == 5L)
+    // fractional domains are refused loudly, not silently truncated
+    val dbl = Seq(("g", 1.5), ("g", 2.5)).toDF("grp", "v")
+    val e1 = intercept[IllegalArgumentException](Stats.winsorize(dbl, "grp", "v", 0.1, 0.9))
+    assert(e1.getMessage.contains("integral"))
+    val e2 = intercept[IllegalArgumentException](Stats.histogramQuantiles(dbl, "grp", "v", Seq(0.5)))
+    assert(e2.getMessage.contains("integral"))
+  }
+
+  test("zipfFit: degenerate single-type vocabulary yields NULL slope, not NaN") {
+    val one = Seq((1L, "spam spam spam spam")).toDF("doc_id", "text")
+    val r   = TextStats.zipfFit(one, "text", topV = 10).collect()(0)
+    assert(r.getInt(0) == 1)
+    assert(r.isNullAt(1) && r.isNullAt(2), s"expected NULL slope/intercept, got $r")
+  }
+
   test("gopherRepetition: top-n-gram char fractions and within-doc dup fractions") {
     // "a b a b a b c" (13 chars): top 2-gram "a b"×3 (len 3) →
     // 9/13; top 3-gram tie ("a b a"×2, "b a b"×2) → lexicographic
