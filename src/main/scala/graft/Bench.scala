@@ -101,7 +101,8 @@ object Bench {
       // the batch operator IS retrieval_e2e since round 9 (the
       // per-query plan loop it replaced lives on as
       // SparkEntry.retrievalLoopOn for the A/B equality specs)
-      timeE2e("retrieval_e2e", () => SparkEntry.retrievalOn(spark, sfDir))
+      timeE2e("retrieval_e2e", () => SparkEntry.retrievalOn(spark, sfDir)) ++
+      timeE2e("direct_retrieval_e2e", () => SparkEntry.directRetrievalOn(spark, sfDir))
     // Locale.ROOT: the f-interpolator is locale-sensitive and would
     // emit comma decimals (invalid JSON) under e.g. a German default
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -120,7 +121,8 @@ object Bench {
     // plan loop through round 8 and the batch ivfPqTopKBatch
     // operator from round 9 on
     val notes =
-      """{"retrieval_e2e":"batch ivfPqTopKBatch since r9; rounds<=8 timed the per-query plan loop (now retrievalLoopOn)"}"""
+      """{"retrieval_e2e":"batch ivfPqTopKBatch since r9; rounds<=8 timed the per-query plan loop (now retrievalLoopOn)",""" +
+        """"direct_retrieval_e2e":"new in r11 - retrieval-augmented Evaporate-Direct (embed chunks once, top-1 chunk per (file,attr) by cosine, prompt only that chunk)"}"""
     println(s"""{"metric":"queries","queries":$qs,"key_notes":$notes,"sf":"$sfDir"}""")
     // the cascade's token economics at this SF (single measured run,
     // not timed): per-stage LLM token cost of the ClosedIE cascade +
@@ -134,11 +136,16 @@ object Bench {
       val stages = rows
         .map(r => "\"" + r.getString(0) + "\":" + r.getLong(4))
         .mkString("{", ",", "}")
+      // cascade_total keeps its r<=10 meaning (cascade-only stages):
+      // both Direct baselines are excluded, so the series stays
+      // comparable; the retrieval-direct middle point gets its own key
+      val directStages = Set("direct_whole_lake", "direct_retrieval")
       val direct  = rows.filter(_.getString(0) == "direct_whole_lake").map(_.getLong(4)).sum
-      val cascade = rows.filter(_.getString(0) != "direct_whole_lake").map(_.getLong(4)).sum
+      val retr    = rows.filter(_.getString(0) == "direct_retrieval").map(_.getLong(4)).sum
+      val cascade = rows.filter(r => !directStages.contains(r.getString(0))).map(_.getLong(4)).sum
       val ratio   = if (cascade > 0) direct.toDouble / cascade else 0.0
       println(
-        s"""{"metric":"llm_tokens","stages":$stages,"cascade_total":$cascade,"direct_total":$direct,"direct_over_cascade":${num(
+        s"""{"metric":"llm_tokens","stages":$stages,"cascade_total":$cascade,"direct_total":$direct,"direct_retrieval_total":$retr,"direct_over_cascade":${num(
             ratio)},"sf":"$sfDir"}""")
     } catch { case e: Throwable => System.err.println(s"[bench] llm_tokens: ${e.getMessage}") }
     println(compact)

@@ -413,6 +413,21 @@ object SparkEntry {
       kept.select(col("path"), col("attribute"), col("chunk")),
       ledger.wrap(MockLlmClient(), "direct_whole_lake"),
       "path").count()
+    // the middle cost point: retrieval-augmented Direct prompts ONE
+    // chunk per (file, attribute) — lake-proportional like Direct, but
+    // divided by chunks-per-doc (main.py:52-99 use_retrieval_model)
+    val retrProf = new graft.api.Profiler(
+      spark,
+      MockLlmClient(),
+      graft.api.ProfilerConfig(chunkSize = 1000, trainSize = 10),
+      Some(ledger))
+    val first = docs(spark, dir).orderBy(col("doc_id")).limit(1)
+      .select(element_at(split(col("text"), " "), 1).as("topic"), col("source"))
+      .head()
+    retrProf.directExtractRetrieval(
+      chunks,
+      Seq("topic" -> first.getString(0), "source" -> first.getString(1)),
+      graft.extract.MockEncoderClient()).count()
     ledger.report(spark)
   }
 
@@ -605,6 +620,29 @@ object SparkEntry {
     val cleaned = valued.withColumn("value", Clean.cleanPrediction(col("value"), col("attribute")))
     val voted   = Combiners.majorityVote(cleaned, Seq("doc_id", "attribute"), "value")
     StructuredView.pivotView(voted, "doc_id", "attribute", "value", KeywordAttrs)
+  }
+
+  /** Retrieval-augmented Evaporate-Direct at an arbitrary scale
+    * factor — Bench times this as `direct_retrieval_e2e`
+    * (`main.py:52-99` use_retrieval_model=True + `retrieval.py:31-36`
+    * as ONE plan): embed every chunk once, retrieve the top-1 chunk
+    * per (file, attribute) by cosine to the attribute's baseline
+    * sentence, prompt ONLY that chunk. The attribute seeds play the
+    * reference's `gold[attribute]` — one representative gold value
+    * per attribute, drawn deterministically from the first document.
+    */
+  def directRetrievalOn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.extract.MockEncoderClient
+    val lake = fieldLineLake(spark, dir)
+    val prof = new graft.api.Profiler(
+      spark,
+      MockLlmClient(),
+      graft.api.ProfilerConfig(chunkSize = 1000, trainSize = 10))
+    val first = docs(spark, dir).orderBy(col("doc_id")).limit(1)
+      .select(element_at(split(col("text"), " "), 1).as("topic"), col("source"))
+      .head()
+    val seeds = Seq("topic" -> first.getString(0), "source" -> first.getString(1))
+    prof.directExtractRetrieval(prof.prepare(lake), seeds, MockEncoderClient())
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

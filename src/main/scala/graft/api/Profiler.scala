@@ -63,7 +63,14 @@ final case class ProfilerConfig(
     /** Consecutive LLM-error bail per attribute
       * (`profiler.py:474-477`: >10 consecutive errors abandon the
       * attribute, remaining prompts unasked). */
-    maxConsecutiveLlmErrors: Int = 10
+    maxConsecutiveLlmErrors: Int = 10,
+    /** Direct-extraction prompt template (`prompts.py:33-127`): one of
+      * "zero_shot" (default — the bare slot shape, byte-identical to
+      * pre-variant behavior), "few_shot", "extra", "context"
+      * ([[graft.extract.Prompts.DirectVariant]]). Applies wherever the
+      * profiler prompts direct extraction: gold-on-sample and the
+      * retrieval-augmented Direct path. */
+    directPromptVariant: String = "zero_shot"
 )
 
 object Profiler {
@@ -227,10 +234,83 @@ class Profiler(
     */
   def goldOnSample(attribute: String, sampleChunks: DataFrame, cl: LlmClient = client): DataFrame = {
     val filtered = keywordFiltered(sampleChunks, attribute)
-    DirectExtract(filtered.select(col("path"), col("attribute"), col("chunk")), cl, "path", "gold_llm")
+    DirectExtract(
+      filtered.select(col("path"), col("attribute"), col("chunk")),
+      cl, "path", "gold_llm", directVariant)
       .withColumn("value", Clean.cleanPrediction(col("value"), col("attribute")))
       .groupBy(col("path"))
       .agg(max(col("value")).as("gold"))
+  }
+
+  private def directVariant: Prompts.DirectVariant =
+    Prompts.DirectVariant.fromName(cfg.directPromptVariant)
+
+  /** Retrieval-augmented Evaporate-Direct — the reference's demo-path
+    * composition (`main.py:52-99` with `use_retrieval_model=True` +
+    * `get_most_similarity`, `retrieval.py:31-36`): per attribute, a
+    * baseline sentence "attribute: seed-gold-value" is embedded, the
+    * MOST SIMILAR chunk of each file is retrieved by embedding cosine,
+    * and ONLY that chunk is prompted — one LLM call per (file,
+    * attribute) instead of one per (chunk, attribute).
+    *
+    * Scale shape (where this departs from the reference's loop, which
+    * re-runs the contriever forward pass over every file's chunks once
+    * PER attribute): the corpus embeds ONCE ([[Encode.embed]],
+    * shuffle-free mapPartitions); each attribute contributes one
+    * per-row cosine expression against its broadcast query literal
+    * (the chunk vector and its self-dot are bound columns, so k
+    * attributes cost k fused dot products per row, not k re-embeds);
+    * the per-(file, attribute) argmax is ONE hash aggregation via
+    * `max_by` over (cos, −chunk_id) — no window sort, deterministic
+    * tie-break (highest cosine, then lowest chunk_id, matching
+    * argmax-first-wins); the LLM stage then reads the doc-count-sized
+    * winners relation. Embedding-side text is lowercased (query too) —
+    * pure normalization for the encoder; the PROMPT always receives
+    * the raw chunk.
+    *
+    * chunks: (path, chunk_id, chunk); attrSeeds: (attribute, seed gold
+    * value) — the reference's `gold[attribute]`. Returns the long
+    * relation (path, attribute, value), '' = abstain; pivot with
+    * [[graft.combine.StructuredView.pivotView]] for the wide table.
+    */
+  def directExtractRetrieval(
+      chunks: DataFrame,
+      attrSeeds: Seq[(String, String)],
+      encoder: EncoderClient): DataFrame = {
+    require(attrSeeds.nonEmpty, "directExtractRetrieval needs (attribute, seed) pairs")
+    import graft.expressions.DotProduct.dotD
+    val embedded = Encode
+      .embed(chunks.withColumn("emb_text", lower(col("chunk"))), "emb_text", encoder, "emb_vec")
+      .withColumn("v", transform(col("emb_vec"), x => x.cast("double")))
+      .withColumn("vv", dotD(col("v"), col("v")))
+    val queries = attrSeeds.map { case (a, seed) =>
+      val q  = encoder.encode(Iterator.single(s"$a: $seed".toLowerCase)).next().map(_.toDouble).toSeq
+      val qn = math.sqrt(q.map(x => x * x).sum)
+      (a, q, qn)
+    }
+    val scored = embedded.select(
+      col("path"), col("chunk_id"), col("chunk"),
+      explode(array(queries.map { case (a, q, qn) =>
+        val cos =
+          if (qn == 0.0) lit(0.0)
+          else
+            when(col("vv") === 0.0, 0.0)
+              .otherwise(dotD(col("v"), typedLit(q)) / (sqrt(col("vv")) * qn))
+        struct(lit(a).as("attribute"), round(cos, 6).as("cos"))
+      }: _*)).as("aq"))
+      .select(
+        col("path"), col("chunk_id"), col("chunk"),
+        col("aq.attribute").as("attribute"), col("aq.cos").as("cos"))
+    val best = scored
+      .groupBy(col("path"), col("attribute"))
+      .agg(max_by(col("chunk"), struct(col("cos"), (-col("chunk_id")).as("ord"))).as("chunk"))
+    DirectExtract(
+      best.select(col("path"), col("attribute"), col("chunk")),
+      stageClient("direct_retrieval"),
+      "path", "direct_retrieval", directVariant)
+      .select(
+        col("path"), col("attribute"),
+        Clean.cleanPrediction(col("value"), col("attribute")).as("value"))
   }
 
   private def keywordFiltered(chunks: DataFrame, attribute: String): DataFrame = {

@@ -174,14 +174,25 @@ object DirectExtract {
     * inside a STREAMING plan — extraction on ingest. Prompts flow in
     * fixed-size batches (graft.api.Profiler.LlmBatchSize) so per-task
     * memory is bounded by batch size, not partition size.
+    *
+    * `variant` selects the prompt template
+    * ([[Prompts.DirectVariant]], `prompts.py:33-127`); the zero-shot
+    * default renders the bare slot shape this operator has always
+    * sent, so existing callers bill and behave identically.
     */
-  def apply(chunks: DataFrame, client: LlmClient, idCol: String, extractorName: String = "llm"): DataFrame = {
+  def apply(
+      chunks: DataFrame,
+      client: LlmClient,
+      idCol: String,
+      extractorName: String = "llm",
+      variant: Prompts.DirectVariant = Prompts.DirectVariant.ZeroShot): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType(
       chunks.schema.fields :+ org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType))
+    val v = variant
     val out = chunks.mapPartitions { rows =>
       rows.grouped(graft.api.Profiler.LlmBatchSize).flatMap { batch =>
         val prompts = batch.iterator.map { r =>
-          s"attribute: ${r.getAs[String]("attribute")}\ntext: ${r.getAs[String]("chunk")}"
+          Prompts.directExtract(r.getAs[String]("attribute"), r.getAs[String]("chunk"), v)
         }
         val answers = client.complete(prompts)
         batch.iterator.zip(answers).map { case (r, a) => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ a) }

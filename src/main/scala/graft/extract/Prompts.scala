@@ -21,12 +21,83 @@ object Prompts {
        |Answer with one "field: value" line per pair and nothing else.
        |text: $chunk""".stripMargin
 
-  /** Evaporate-Direct extraction: one attribute from one chunk. */
-  def directExtract(attribute: String, chunk: String): String =
-    s"""Task: extract the value of one attribute from the text.
-       |Answer with the value only, or an empty line if absent.
-       |attribute: $attribute
-       |text: $chunk""".stripMargin
+  /** Direct-extraction template variant — the reference ships FOUR
+    * distinct prompt families for the same (attribute, chunk) slot
+    * (`prompts.py:33-127`) and run-quality/token-cost A/Bs between
+    * them are part of its experiment surface, so they are separate
+    * selectable shapes here, not one collapsed template:
+    *
+    *  - `zero_shot`  `METADATA_EXTRACTION_WITH_LM_ZERO_SHOT`
+    *    (`prompts.py:73-80`): no examples — the minimal slot-only
+    *    shape. THE default: byte-identical to the engine's historical
+    *    single template, so gated outputs and token ledgers are
+    *    unchanged unless a caller opts into a variant.
+    *  - `few_shot`   `METADATA_EXTRACTION_WITH_LM` (`prompts.py:33-71`):
+    *    worked span-extraction examples before the slot.
+    *  - `extra`      `EXTRA_PROMPT` (`prompts.py:82-98`): the
+    *    markup-attribute worked example (value inside an href).
+    *  - `context`    `METADATA_EXTRACTION_WITH_LM_CONTEXT`
+    *    (`prompts.py:104-127`): asks for the value PLUS the span of
+    *    text around it, with examples answering in that shape.
+    *
+    * Every variant keeps the live `attribute:` / `text:` lines as the
+    * FIRST occurrence of those markers (worked examples are phrased
+    * without them) — the structural contract extraction clients parse.
+    */
+  sealed abstract class DirectVariant(val name: String)
+  object DirectVariant {
+    case object ZeroShot extends DirectVariant("zero_shot")
+    case object FewShot  extends DirectVariant("few_shot")
+    case object Extra    extends DirectVariant("extra")
+    case object Context  extends DirectVariant("context")
+    val all: Seq[DirectVariant] = Seq(ZeroShot, FewShot, Extra, Context)
+    def fromName(n: String): DirectVariant =
+      all.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"unknown direct prompt variant '$n' (one of ${all.map(_.name).mkString(", ")})"))
+  }
+
+  /** Evaporate-Direct extraction: one attribute from one chunk, in
+    * the chosen template variant. The zero-shot default renders the
+    * bare slot shape every engine path has always used.
+    */
+  def directExtract(
+      attribute: String,
+      chunk: String,
+      variant: DirectVariant = DirectVariant.ZeroShot): String = variant match {
+    case DirectVariant.ZeroShot =>
+      s"attribute: $attribute\ntext: $chunk"
+    case DirectVariant.FewShot =>
+      s"""Task: return the full span of the named attribute from the sample,
+         |or an empty line if absent.
+         |Worked example - sample:
+         |  Apple Inc. is headquartered in Cupertino, California Since 1987.
+         |Worked example - span of "location": Cupertino, California Since 1987
+         |----
+         |attribute: $attribute
+         |text: $chunk""".stripMargin
+    case DirectVariant.Extra =>
+      s"""Task: return the full value of the named attribute from the sample,
+         |or an empty line if absent.
+         |Worked example - sample:
+         |  <a href="/year/2012;price=$$550;url=http%www.myname.com;?" target="_blank"></a>
+         |Worked example - "price": $$550
+         |----
+         |attribute: $attribute
+         |text: $chunk""".stripMargin
+    case DirectVariant.Context =>
+      // NB: the example wording must not contain the live markers —
+      // "with conTEXT: " would embed a literal "text: " substring and
+      // hijack a first-marker parser's text slot
+      s"""Task: return the full value of the named attribute from the sample
+         |and the surrounding words around it, or an empty line if absent.
+         |Worked example - sample:
+         |  The iphone price increases a lot this year. Each iphone's price is as high as 1000$$.
+         |Worked example - "price" in its surrounding words: [Each iphone's price is as high as 1000$$]
+         |----
+         |attribute: $attribute
+         |text: $chunk""".stripMargin
+  }
 
   /** Schema rerank vote (`rerank`/`rerank_metadata`,
     * `schema_identification.py:131-230`): which of the candidate

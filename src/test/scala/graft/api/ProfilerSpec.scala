@@ -296,6 +296,48 @@ class ProfilerSpec extends SparkSpec {
     assert(winner.getAs[String]("path") == "doc3.txt")
   }
 
+  test("retrieval-augmented Direct reproduces gold from one chunk per (file, attr), cheaper than whole-chunk Direct") {
+    import graft.extract.{DirectExtract, MockEncoderClient, TokenLedger}
+    // chunkSize 64 splits every ~190-char doc into several chunks, so
+    // retrieval must actually FIND the gold-bearing chunk (at 3000
+    // every doc is one chunk and the path would be vacuous)
+    val ledger = new TokenLedger(spark.sparkContext)
+    val p      = new Profiler(spark, MockLlmClient(), ProfilerConfig(chunkSize = 64), Some(ledger))
+    val chunks = p.prepare(lake).persist()
+    try {
+      assert(
+        chunks.groupBy("path").count().filter(col("count") > 1).count() > 0,
+        "fixture regression: docs must split into multiple chunks for this test to bite")
+      // seeds = the reference's gold[attribute]: one known gold value
+      // per attribute (main.py:66 builds "attr:gold[attr]")
+      val seeds = attrs.map(a => a -> goldTable("doc1.txt")(a))
+      val got = p.directExtractRetrieval(chunks, seeds, MockEncoderClient())
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getString(2))
+        .toMap
+      goldTable.foreach { case (path, fields) =>
+        fields.foreach { case (attr, want) =>
+          assert(got((path, attr)) == want, s"$path/$attr: got ${got.get((path, attr))}, want $want")
+        }
+      }
+      // the noise doc abstains on every attribute
+      attrs.foreach(a => assert(got((("doc9.txt"), a)).isEmpty, s"doc9/$a hallucinated: ${got(("doc9.txt", a))}"))
+      // exactly ONE prompt per (file, attribute) — the retrieval economics
+      val files = lake.count()
+      val (_, calls, retrP, _) = ledger.snapshot().filter(_._1 == "direct_retrieval").head
+      assert(calls == files * attrs.size, s"expected ${files * attrs.size} prompts, got $calls")
+      // whole-chunk Direct on the SAME chunks bills strictly more
+      val attrsDf = spark.createDataFrame(attrs.map(Tuple1(_))).toDF("attribute")
+      val allPairs = chunks.crossJoin(attrsDf)
+      DirectExtract(
+        allPairs.select(col("path"), col("attribute"), col("chunk")),
+        ledger.wrap(MockLlmClient(), "direct_all_chunks"), "path").count()
+      val (_, allCalls, allP, _) = ledger.snapshot().filter(_._1 == "direct_all_chunks").head
+      assert(allCalls > calls && allP > retrP,
+        s"retrieval must undercut whole-chunk Direct: $calls/$retrP vs $allCalls/$allP")
+    } finally chunks.unpersist(false)
+  }
+
   test("OpenIE survives an erroring client in rerank and validity prompts") {
     // rerank + attr-validity calls fail hard; schema id and
     // extraction work — the run must degrade (frequency ranking,
