@@ -83,6 +83,66 @@ object Profiler {
     * any provider's request-size ceiling at ~3 KB/prompt.
     */
   val LlmBatchSize: Int = 64
+
+  /** Train-size ablation — the reference's main experiment loop
+    * (`run_profiler.py:441-490`: sweep `profiler_args.train_sizes`,
+    * re-run the cascade per size, score vs gold, pickle
+    * `results_by_train_size` with per-size token totals and file
+    * counts). One ClosedIE cascade per requested trainSize over the
+    * SAME lake/attributes, each with its own token ledger; the wide
+    * view melts back to (path, attribute, pred) and scores against
+    * the gold relation by token-F1 (`evaluate_synthetic.py:196-225`).
+    *
+    * Scale shape: the sweep multiplies only the SAMPLE-side work —
+    * each run's LLM cost is ∝ its trainSize (the quality-vs-cost
+    * trade the experiment exists to measure) — while each whole-lake
+    * APPLY stays one token-free scan; the scoring join broadcasts the
+    * human-labeled gold table.
+    *
+    * lake: (path, content); gold: (path, attribute, gold). Returns
+    * one row per size: (train_size, avg_f1, med_f1, n_sample_files,
+    * n_total_files, total_tokens, llm_calls) — the
+    * `results_by_train_size` relation, ready for any sink.
+    */
+  def trainSizeAblation(
+      spark: SparkSession,
+      client: LlmClient,
+      baseCfg: ProfilerConfig,
+      lake: DataFrame,
+      attributes: Seq[String],
+      gold: DataFrame,
+      trainSizes: Seq[Int]): DataFrame = {
+    require(trainSizes.nonEmpty && trainSizes.forall(_ > 0), "trainSizes must be positive")
+    require(attributes.nonEmpty, "trainSizeAblation needs an attribute list (ClosedIE eval)")
+    val nTotal = lake.select(col("path")).distinct().count()
+    val stackExpr = attributes
+      .map(a => s"'${a.replace("'", "''")}', `${a.replace("`", "``")}`")
+      .mkString(", ")
+    val rows = trainSizes.map { ts =>
+      val ledger = new TokenLedger(spark.sparkContext)
+      val prof   = new Profiler(spark, client, baseCfg.copy(trainSize = ts), Some(ledger))
+      val view   = prof.run(lake, attributes)
+      val long = view.selectExpr(
+        "path",
+        s"stack(${attributes.size}, $stackExpr) as (attribute, pred)")
+      val scored = long
+        .join(broadcast(gold), Seq("path", "attribute"))
+        .select(
+          lit(1).as("grp"),
+          coalesce(col("pred"), lit("")).as("pred"),
+          coalesce(col("gold"), lit("")).as("gold"))
+      val m = graft.score.Score
+        .f1Metrics(scored, Seq("grp"))
+        .select(col("avg_f1"), col("med_f1"))
+        .head()
+      (ts, m.getDouble(0), m.getDouble(1), math.min(ts.toLong, nTotal), nTotal,
+        ledger.totalTokens, ledger.totalCalls)
+    }
+    import spark.implicits._
+    rows.toDF(
+      "train_size", "avg_f1", "med_f1", "n_sample_files", "n_total_files",
+      "total_tokens", "llm_calls")
+  }
 }
 
 class Profiler(

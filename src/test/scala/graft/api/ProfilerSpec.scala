@@ -338,6 +338,36 @@ class ProfilerSpec extends SparkSpec {
     } finally chunks.unpersist(false)
   }
 
+  test("train-size ablation: quality-vs-sample-size relation with sample-proportional token cost") {
+    import spark.implicits._
+    val gold = goldTable.toSeq
+      .flatMap { case (p, fields) => fields.map { case (a, v) => (p, a, v) } }
+      .toDF("path", "attribute", "gold")
+    val sizes = Seq(1, 3, 6, 9)
+    val rel = Profiler.trainSizeAblation(
+      spark, MockLlmClient(), ProfilerConfig(chunkSize = 3000), lake, attrs, gold, sizes)
+    val got = rel.orderBy("train_size").collect()
+    assert(got.map(_.getInt(0)).toSeq == sizes)
+    // monotone-ish quality (run_profiler.py's curve): more supervision
+    // never ends up WORSE, and scores are proper F1s
+    val f1s = got.map(_.getDouble(1)).toSeq
+    assert(f1s.forall(f => f >= 0.0 && f <= 1.0), f1s.toString)
+    assert(f1s.last >= f1s.head - 1e-9, s"quality fell with more supervision: $f1s")
+    assert(f1s.last > 0.9, s"full-sample cascade should be near-gold on this lake: $f1s")
+    // the cost axis: LLM tokens grow with the sample at every step —
+    // the quality-vs-cost trade the sweep exists to measure
+    val toks = got.map(_.getLong(5)).toSeq
+    assert(toks.zip(toks.tail).forall { case (a, b) => a < b }, s"tokens not ∝ trainSize: $toks")
+    assert(got.map(_.getLong(3)).toSeq == sizes.map(s => math.min(s, 9).toLong))
+    assert(got.forall(_.getLong(4) == 9L))
+    // the sink artifact (the reference pickles results_by_train_size
+    // to results_dumps/): round-trips through the results sink
+    val out = java.nio.file.Files.createTempDirectory("graft-ablation").toString
+    rel.coalesce(1).write.mode("overwrite").parquet(s"$out/results_by_train_size")
+    val back = spark.read.parquet(s"$out/results_by_train_size")
+    assert(back.count() == sizes.size && back.columns.contains("avg_f1"))
+  }
+
   test("OpenIE survives an erroring client in rerank and validity prompts") {
     // rerank + attr-validity calls fail hard; schema id and
     // extraction work — the run must degrade (frequency ranking,
