@@ -92,6 +92,31 @@ object Bench {
         System.gc()
         if (ok) Some(name -> sec) else None
       } else None
+    // sink-shaped entries: the run WRITES (returns a row count), so
+    // each rep gets a fresh temp dir, removed afterwards — timing
+    // covers the write path itself, not a scan proxy
+    def timeSink(name: String, run: String => Long): Option[(String, Double)] =
+      if (only.forall(_.contains(name))) {
+        def deleteRec(p: java.nio.file.Path): Unit = {
+          import scala.jdk.CollectionConverters._
+          if (java.nio.file.Files.exists(p)) {
+            java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+              .foreach(f => java.nio.file.Files.deleteIfExists(f))
+          }
+        }
+        def once(): Unit = {
+          val out = java.nio.file.Files.createTempDirectory("graft-bench-sink")
+          try { run(out.toString); () }
+          finally deleteRec(out)
+        }
+        val ok =
+          try { once(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); false }
+        val sec = if (ok) medianOf3(() => once()) else 0.0
+        spark.catalog.clearCache()
+        System.gc()
+        if (ok) Some(name -> sec) else None
+      } else None
     val all = results ++
       timeE2e("entry_e2e", () => SparkEntry.entryOn(spark, sfDir)) ++
       timeE2e("cascade_e2e", () => SparkEntry.cascadeOn(spark, sfDir)) ++
@@ -102,7 +127,11 @@ object Bench {
       // per-query plan loop it replaced lives on as
       // SparkEntry.retrievalLoopOn for the A/B equality specs)
       timeE2e("retrieval_e2e", () => SparkEntry.retrievalOn(spark, sfDir)) ++
-      timeE2e("direct_retrieval_e2e", () => SparkEntry.directRetrievalOn(spark, sfDir))
+      timeE2e("direct_retrieval_e2e", () => SparkEntry.directRetrievalOn(spark, sfDir)) ++
+      // spec-gated ops with no oracle — visible to the perf record as
+      // timing + row count (VERDICT r10 #8)
+      timeE2e("compression_ratio", () => SparkEntry.compressionRatioOn(spark, sfDir)) ++
+      timeSink("zorder_sink", out => SparkEntry.zOrderWriteOn(spark, sfDir, out))
     // Locale.ROOT: the f-interpolator is locale-sensitive and would
     // emit comma decimals (invalid JSON) under e.g. a German default
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -122,7 +151,9 @@ object Bench {
     // operator from round 9 on
     val notes =
       """{"retrieval_e2e":"batch ivfPqTopKBatch since r9; rounds<=8 timed the per-query plan loop (now retrievalLoopOn)",""" +
-        """"direct_retrieval_e2e":"new in r11 - retrieval-augmented Evaporate-Direct (embed chunks once, top-1 chunk per (file,attr) by cosine, prompt only that chunk)"}"""
+        """"direct_retrieval_e2e":"new in r11 - retrieval-augmented Evaporate-Direct (embed chunks once, top-1 chunk per (file,attr) by cosine, prompt only that chunk)",""" +
+        """"compression_ratio":"new in r11 - spec-gated deflate quality signal, timing+rows only (no DuckDB oracle: no deflate there)",""" +
+        """"zorder_sink":"new in r11 - Morton-layout write of documents on (n_chars,doc_id) to a temp dir; times the WRITE path"}"""
     println(s"""{"metric":"queries","queries":$qs,"key_notes":$notes,"sf":"$sfDir"}""")
     // the cascade's token economics at this SF (single measured run,
     // not timed): per-stage LLM token cost of the ClosedIE cascade +

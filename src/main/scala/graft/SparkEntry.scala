@@ -645,6 +645,25 @@ object SparkEntry {
     prof.directExtractRetrieval(prof.prepare(lake), seeds, MockEncoderClient())
   }
 
+  /** Spec-gated compression-ratio quality signal surfaced to Bench
+    * (no DuckDB oracle is possible — the oracle has no deflate):
+    * timing + row count only, as `compression_ratio`.
+    */
+  def compressionRatioOn(spark: SparkSession, dir: String): DataFrame =
+    graft.textops.TextStats.compressionRatio(docs(spark, dir), "doc_id", "text")
+
+  /** Spec-gated Z-order layout sink surfaced to Bench (`zorder_sink`):
+    * writes the documents relation Morton-ordered on (n_chars, doc_id)
+    * — quantize to rank cuts + interleave + ONE range shuffle — and
+    * returns the rows written, so the write path itself (not a scan
+    * proxy) owns the timing.
+    */
+  def zOrderWriteOn(spark: SparkSession, dir: String, outDir: String): Long = {
+    val d = docs(spark, dir).select(col("doc_id"), col("n_chars"), col("lang"))
+    graft.lake.Sinks.writeZOrdered(d, outDir, Seq("n_chars", "doc_id"), bits = 8, nFiles = 16)
+    spark.read.parquet(outDir).count()
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
     // §2.1 dir-scan / file-read over the lake table

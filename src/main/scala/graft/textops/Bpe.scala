@@ -79,12 +79,101 @@ object Bpe {
 
   /** Learn `k` BPE merges. Returns (rank, lhs, rhs, freq) — freq is
     * the weighted pair count at the time of the merge. Deterministic:
-    * the argmax orders (freq desc, lhs, rhs). Each iteration is one
-    * vocab-sized aggregation + a 1-row TakeOrdered + a per-word
-    * rewrite; `localCheckpoint` truncates the k-deep iterative
-    * lineage so the plan stays flat.
+    * the argmax orders (freq desc, lhs, rhs).
+    *
+    * Execution shape: the corpus contributes ONE aggregation (the
+    * word-frequency table, vocabulary-bounded — NOT corpus-sized);
+    * that table is collected ONCE and the k-iteration merge loop runs
+    * driver-side with incremental pair-count maintenance (Sennrich's
+    * published algorithm). A real vocabulary run (k = 32k–50k merges)
+    * is therefore one Spark job plus in-memory math, instead of the
+    * tens of thousands of scheduler round-trips the per-merge-job
+    * shape costs ([[learnMergesIterative]], kept as the A/B
+    * comparator and the escape hatch for a pathological word table
+    * too large to collect). The driver-side tie-break compares Java
+    * strings (UTF-16 code units), which coincides with Spark's UTF-8
+    * binary order for all BMP text — supplementary-plane symbols
+    * could order differently between the two paths.
     */
   def learnMerges(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val table = wordTable(df, textCol).collect()
+    val counts = table.map(_.getLong(0))
+    val words  = table.map(_.getSeq[String](1).toArray)
+    learnFromTable(counts, words, k).toDF("rank", "lhs", "rhs", "freq")
+  }
+
+  /** The driver-side merge loop over a collected (count, symbols)
+    * word table. Incremental: an inverted pair → word-ids index
+    * confines each merge's work to the words that actually contain
+    * the pair; their pair multisets are subtracted, the arrays
+    * rewritten, and the new multisets re-added — exact deltas, so
+    * the running counts equal a full recount at every step. Stale
+    * index entries (a word that no longer holds a pair it once did)
+    * cost a no-op delta when that pair is eventually merged.
+    */
+  private[textops] def learnFromTable(
+      counts: Array[Long],
+      words: Array[Array[String]],
+      k: Int): Seq[(Int, String, String, Long)] = {
+    import scala.collection.mutable
+    val syms      = words.map(w => mutable.ArrayBuffer.from(w))
+    val pairFreq  = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    def applyPairs(i: Int, sign: Long): Unit = {
+      val s = syms(i)
+      var j = 0
+      while (j + 1 < s.length) {
+        val p  = (s(j), s(j + 1))
+        val nf = pairFreq.getOrElse(p, 0L) + sign * counts(i)
+        if (nf == 0L) pairFreq.remove(p) else pairFreq.update(p, nf)
+        if (sign > 0) pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += i
+        j += 1
+      }
+    }
+    var i = 0
+    while (i < syms.length) { applyPairs(i, 1L); i += 1 }
+    val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank   = 1
+    while (rank <= k && pairFreq.nonEmpty) {
+      // argmax (freq desc, lhs asc, rhs asc) — one scan of the live
+      // pair map (pair-count-sized, not corpus-sized)
+      var best: (String, String) = null
+      var bf                     = Long.MinValue
+      pairFreq.foreachEntry { (p, f) =>
+        if (f > bf ||
+          (f == bf && (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+          best = p; bf = f
+        }
+      }
+      merges += ((rank, best._1, best._2, bf))
+      val affected = pairWords.getOrElse(best, mutable.HashSet.empty).toArray
+      var a = 0
+      while (a < affected.length) {
+        val wid = affected(a)
+        applyPairs(wid, -1L)
+        val merged = mergeOnce(syms(wid).toSeq, best._1, best._2)
+        syms(wid).clear()
+        syms(wid) ++= merged
+        applyPairs(wid, 1L)
+        a += 1
+      }
+      pairWords.remove(best)
+      rank += 1
+    }
+    merges.toSeq
+  }
+
+  /** The all-Spark per-merge-iteration learner `learnMerges` replaced
+    * (kept for A/B parity specs and as the fallback when the word
+    * table itself must stay distributed): each iteration is one
+    * vocab-sized aggregation + a 1-row TakeOrdered + a per-word
+    * rewrite; `localCheckpoint` truncates the k-deep iterative
+    * lineage so the plan stays flat. Cost: one Spark job PER MERGE —
+    * correct but scheduler-bound at realistic k.
+    */
+  def learnMergesIterative(df: DataFrame, textCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     var words  = wordTable(df, textCol).localCheckpoint()

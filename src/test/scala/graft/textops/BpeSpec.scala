@@ -49,4 +49,39 @@ class BpeSpec extends SparkSpec {
     val single = Seq((1L, "a a a")).toDF("doc_id", "text")
     assert(Bpe.learnMerges(single, "text", k = 3).count() == 0)
   }
+
+  /** Pseudo-word corpus with a big enough pair space for ≥1000
+    * merges: hex-string "words" over 16 symbols, ~40k adjacent slots.
+    */
+  private def hexCorpus(nDocs: Int, wordsPerDoc: Int) =
+    spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until wordsPerDoc).map(j =>
+        hex(xxhash64(col("id") * wordsPerDoc + j))): _*).as("text"))
+
+  test("driver-side learner reproduces the per-merge-job path's sequence exactly") {
+    // the Sennrich fixture, past exhaustion (both paths stop at the
+    // same merge count), and a wider random corpus deep enough that
+    // incremental-delta bugs would surface as a diverged sequence
+    for ((df, k) <- Seq((corpus, 12), (hexCorpus(40, 5), 30))) {
+      val fast = Bpe.learnMerges(df, "text", k).orderBy("rank").collect().map(_.toSeq).toSeq
+      val slow = Bpe.learnMergesIterative(df, "text", k).orderBy("rank").collect().map(_.toSeq).toSeq
+      assert(fast == slow, s"merge sequences diverged at k=$k:\nfast=$fast\nslow=$slow")
+    }
+  }
+
+  test("realistic vocabulary: 1000 merges complete in one corpus job within the time bound") {
+    val df = hexCorpus(500, 10) // ~5000 words, ~16 chars each
+    val t0 = System.nanoTime()
+    val merges = Bpe.learnMerges(df, "text", k = 1000).collect()
+    val sec    = (System.nanoTime() - t0) / 1e9
+    assert(merges.length == 1000, s"expected 1000 merges, got ${merges.length}")
+    // ranks dense 1..1000, freqs positive
+    assert(merges.map(_.getInt(0)).sorted.toSeq == (1 to 1000))
+    assert(merges.forall(_.getLong(3) > 0))
+    // the whole run is ONE Spark aggregation + driver math: far under
+    // a minute even on a loaded CI box (the per-merge-job shape costs
+    // 1000 scheduler round-trips here)
+    assert(sec < 60.0, s"1000 merges took $sec s")
+  }
 }
