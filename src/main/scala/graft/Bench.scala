@@ -153,7 +153,8 @@ object Bench {
       """{"retrieval_e2e":"batch ivfPqTopKBatch since r9; rounds<=8 timed the per-query plan loop (now retrievalLoopOn)",""" +
         """"direct_retrieval_e2e":"new in r11 - retrieval-augmented Evaporate-Direct (embed chunks once, top-1 chunk per (file,attr) by cosine, prompt only that chunk)",""" +
         """"compression_ratio":"new in r11 - spec-gated deflate quality signal, timing+rows only (no DuckDB oracle: no deflate there)",""" +
-        """"zorder_sink":"new in r11 - Morton-layout write of documents on (n_chars,doc_id) to a temp dir; times the WRITE path"}"""
+        """"zorder_sink":"new in r11 - Morton-layout write of documents on (n_chars,doc_id) to a temp dir; times the WRITE path",""" +
+        """"direct_retrieval_total":"llm_tokens key, new in r11; EQUALS direct_total on this corpus (docs are single-chunk at chunkSize 1000, so top-1-chunk == all-chunks) - the savings factor is chunks-per-doc, proven on multi-chunk docs in ProfilerSpec"}"""
     println(s"""{"metric":"queries","queries":$qs,"key_notes":$notes,"sf":"$sfDir"}""")
     // the cascade's token economics at this SF (single measured run,
     // not timed): per-stage LLM token cost of the ClosedIE cascade +
@@ -179,6 +180,48 @@ object Bench {
         s"""{"metric":"llm_tokens","stages":$stages,"cascade_total":$cascade,"direct_total":$direct,"direct_retrieval_total":$retr,"direct_over_cascade":${num(
             ratio)},"sf":"$sfDir"}""")
     } catch { case e: Throwable => System.err.println(s"[bench] llm_tokens: ${e.getMessage}") }
+    // cross-SF scaling line (VERDICT r10 #4): time every query ONCE
+    // (after one untimed codegen warm-up) at each sibling SF dir,
+    // aggregate per operator family, fit the log-log slope, flag
+    // superlinear families. Disable with SPARK_GRAFT_SCALING=0.
+    if (only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0") try {
+      val m = java.util.regex.Pattern.compile("(.*sf)([0-9.]+)/?$").matcher(sfDir)
+      if (m.matches()) {
+        val base = m.group(1)
+        val cur  = m.group(2).toDouble
+        val siblings = Seq("0.001", "0.01", "0.1")
+          .map(s => (base + s, s.toDouble))
+          .filter { case (d, sf) => sf != cur && new java.io.File(d).isDirectory }
+        val times = scala.collection.mutable.Map.empty[(String, Double), Double]
+        results.foreach { case (name, sec) => times((name, cur)) = sec }
+        siblings.foreach { case (dir, sf) =>
+          SparkEntry.queries.foreach { case (name, fn) =>
+            try {
+              evalAll(fn(spark, dir)) // codegen/JIT warm-up, untimed
+              val t0 = System.nanoTime()
+              evalAll(fn(spark, dir))
+              times((name, sf)) = (System.nanoTime() - t0) / 1e9
+            } catch { case e: Throwable => System.err.println(s"[bench] scaling $name@$sf: ${e.getMessage}") }
+          }
+          spark.catalog.clearCache()
+          System.gc()
+        }
+        val sfs = (siblings.map(_._2) :+ cur).sorted
+        val famTimes: Map[String, Seq[(Double, Double)]] = times.toSeq
+          .groupBy { case ((n, _), _) => Scaling.familyOf(n) }
+          .map { case (f, xs) =>
+            f -> sfs.map(s => (s, xs.collect { case ((_, s2), t) if s2 == s => t }.sum))
+          }
+        val flagged = Scaling.flagged(famTimes)
+        val famJson = famTimes.toSeq.sortBy(_._1).map { case (f, pts) =>
+          val ts = pts.map(p => num(p._2)).mkString("[", ",", "]")
+          s""""$f":{"t":$ts,"slope":${num(Scaling.fitSlope(pts))}}"""
+        }.mkString("{", ",", "}")
+        val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+        println(
+          s"""{"metric":"scaling","sfs":${sfs.map(num).mkString("[", ",", "]")},"families":$famJson,"flagged":$flaggedJson,"sf":"$sfDir"}""")
+      }
+    } catch { case e: Throwable => System.err.println(s"[bench] scaling: ${e.getMessage}") }
     println(compact)
     spark.stop()
   }

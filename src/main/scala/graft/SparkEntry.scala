@@ -1409,6 +1409,22 @@ object SparkEntry {
       Curation.dupNgramFraction(docs(s, dir), "doc_id", "text", n = 3)
         .orderBy(col("doc_id"))),
 
+    // training-data ops: per-doc n-gram novelty in ingestion order —
+    // the freshness curve (first-appearance fraction per doc)
+    "q_ngram_novelty" -> ((s, dir) =>
+      Curation.ngramNovelty(docs(s, dir), "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))),
+
+    // corpus-drift card: pairwise Jensen–Shannon divergence between
+    // per-source unigram distributions over the shared top-200 vocab
+    "q_js_divergence" -> ((s, dir) =>
+      TextStats.jsDivergence(docs(s, dir), "source", "text", topV = 200)
+        .orderBy(col("src_a"), col("src_b"))),
+
+    // domain-indicative vocabulary: χ² of token × source, top 20
+    "q_chi2_tokens" -> ((s, dir) =>
+      TextStats.chi2Tokens(docs(s, dir), "source", "text", topV = 200, topK = 20)),
+
     // training-data ops: winnowing (MOSS) fingerprints — local-copy
     // detection sketch; every ≥(w+n−1)-token exact overlap between
     // two docs is guaranteed to share a selected fingerprint
@@ -3088,6 +3104,66 @@ object SparkEntry {
                 CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0.0
                      ELSE round(CAST(COALESCE(n_dup, 0) AS DOUBLE) / n_grams, 6) END AS dup_frac
          FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id""",
+
+    "q_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+                    FROM documents),
+          g AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+2], ' ') AS gram
+                FROM t, unnest(range(1, len(tk) - 1)) AS u(i)
+                WHERE len(tk) >= 3),
+          f AS (SELECT gram, min(doc_id) AS first_id FROM g GROUP BY gram),
+          p AS (SELECT doc_id, CAST(count(*) AS INT) AS n_grams,
+                       CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) AS INT) AS n_novel
+                FROM g JOIN f USING (gram) GROUP BY doc_id)
+         SELECT d.doc_id, COALESCE(n_grams, 0) AS n_grams, COALESCE(n_novel, 0) AS n_novel,
+                CASE WHEN COALESCE(n_grams, 0) = 0 THEN 0.0
+                     ELSE round(CAST(COALESCE(n_novel, 0) AS DOUBLE) / n_grams, 6) END AS novel_frac
+         FROM documents d LEFT JOIN p USING (doc_id) ORDER BY doc_id""",
+
+    "q_js_divergence" ->
+      """WITH t AS (SELECT source, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS token
+                    FROM documents),
+          cnt AS (SELECT source, token, count(*) AS c FROM t GROUP BY source, token),
+          vocab AS (SELECT token FROM (SELECT token, sum(c) AS tc FROM cnt
+                                       GROUP BY token ORDER BY tc DESC, token LIMIT 200)),
+          r AS (SELECT cnt.source, cnt.token, c FROM cnt JOIN vocab USING (token)),
+          tot AS (SELECT source, sum(c) AS n FROM r GROUP BY source),
+          pairs AS (SELECT a.source AS src_a, a.n AS na, b.source AS src_b, b.n AS nb
+                    FROM tot a JOIN tot b ON a.source < b.source),
+          pq AS (SELECT p.src_a, p.src_b, v.token,
+                        CAST(COALESCE(ra.c, 0) AS DOUBLE) / p.na AS p,
+                        CAST(COALESCE(rb.c, 0) AS DOUBLE) / p.nb AS q
+                 FROM pairs p CROSS JOIN vocab v
+                 LEFT JOIN r ra ON ra.source = p.src_a AND ra.token = v.token
+                 LEFT JOIN r rb ON rb.source = p.src_b AND rb.token = v.token),
+          terms AS (SELECT src_a, src_b,
+                           CAST(CASE WHEN p > 0 THEN 0.5 * p * ln(2.0 * p / (p + q)) ELSE 0.0 END
+                                AS DECIMAL(27,18)) AS tp,
+                           CAST(CASE WHEN q > 0 THEN 0.5 * q * ln(2.0 * q / (p + q)) ELSE 0.0 END
+                                AS DECIMAL(27,18)) AS tq
+                    FROM pq)
+         SELECT src_a, src_b, round(CAST(sum(tp) + sum(tq) AS DOUBLE), 6) AS jsd
+         FROM terms GROUP BY src_a, src_b ORDER BY src_a, src_b""",
+
+    "q_chi2_tokens" ->
+      """WITH t AS (SELECT source, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS token
+                    FROM documents),
+          cnt AS (SELECT source, token, count(*) AS c FROM t GROUP BY source, token),
+          vocab AS (SELECT token FROM (SELECT token, sum(c) AS tc FROM cnt
+                                       GROUP BY token ORDER BY tc DESC, token LIMIT 200)),
+          r AS (SELECT cnt.source, cnt.token, c FROM cnt JOIN vocab USING (token)),
+          rowt AS (SELECT token, sum(c) AS rtot FROM r GROUP BY token),
+          colt AS (SELECT source, sum(c) AS ctot FROM r GROUP BY source),
+          gn AS (SELECT CAST(sum(c) AS DOUBLE) AS nn FROM r),
+          cells AS (SELECT v.token,
+                           CAST(COALESCE(r2.c, 0) AS DOUBLE) AS o,
+                           CAST(rowt.rtot AS DOUBLE) * colt.ctot / gn.nn AS e
+                    FROM vocab v CROSS JOIN colt
+                    LEFT JOIN r r2 ON r2.token = v.token AND r2.source = colt.source
+                    JOIN rowt ON rowt.token = v.token
+                    CROSS JOIN gn)
+         SELECT token, round(CAST(sum(CAST((o - e) * (o - e) / e AS DECIMAL(27,18))) AS DOUBLE), 6) AS chi2
+         FROM cells GROUP BY token ORDER BY chi2 DESC, token LIMIT 20""",
 
     "q_winnow_fingerprint" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk

@@ -280,6 +280,51 @@ object Curation {
           .otherwise(round(col("n_dup").cast("double") / col("n_grams"), 6)))
   }
 
+  /** Per-document n-gram NOVELTY in ingestion order (id asc): the
+    * fraction of a doc's distinct word n-grams whose FIRST corpus
+    * appearance is this doc — the freshness curve a streaming
+    * curation pipeline watches to decide when a source is mined out
+    * (novelty decays toward 0 as later docs re-tread earlier grams;
+    * the complement of [[dupNgramFraction]]'s any-other-doc view).
+    *
+    * Scale shape — same two aggregations as dupNgramFraction, no
+    * per-doc ordered window: distinct grams per doc (one JVM call per
+    * row) → `min(id)` per gram hash is ONE hash aggregation (the
+    * "first appearance" of every gram regardless of corpus order),
+    * then one gram-keyed join back and a per-doc fold. Shuffle volume
+    * is bounded by distinct grams, not corpus size.
+    *
+    * Output: (id, n_grams, n_novel, novel_frac) — gramless docs get
+    * (0, 0, 0.0), mirroring dupNgramFraction's degenerate row.
+    */
+  def ngramNovelty(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    val grams = corpus
+      .select(col(idCol), explode(wordNgramsFastDistinct(col(textCol), n)).as("gram"))
+      .select(col(idCol), xxhash64(col("gram")).as("gram_h"))
+    val first = grams.groupBy(col("gram_h")).agg(min(col(idCol)).as("first_id"))
+    val perDoc = grams
+      .join(first, Seq("gram_h"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_grams"),
+        sum(when(col("first_id") === col(idCol), 1L).otherwise(0L)).cast("int").as("n_novel"))
+    corpus
+      .select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_grams"), lit(0)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0)).as("n_novel"))
+      .withColumn(
+        "novel_frac",
+        when(col("n_grams") === 0, 0.0)
+          .otherwise(round(col("n_novel").cast("double") / col("n_grams"), 6)))
+  }
+
   /** Pairwise dataset-overlap card: for every pair of sources, the
     * exact word-n-gram set intersection, Jaccard, and containment
     * (∩/min) — the "how much of dataset B is already in dataset A"

@@ -840,6 +840,110 @@ object TextStats {
     * map-side combine; the fit reads only topV rows (TakeOrdered →
     * one-partition window over V rows, V bounded by the parameter).
     */
+  /** Pairwise Jensen–Shannon divergence between per-group unigram
+    * distributions over the corpus-wide top-`topV` vocabulary — the
+    * corpus-drift card a mixer reads next to [[sourceOverlap]]'s
+    * set view: JSD is symmetric, bounded by ln 2, and 0 iff two
+    * sources use the shared vocabulary identically (Lin 1991, public
+    * measure). Nats, not bits.
+    *
+    * Scale shape: ONE corpus-scale aggregation (token counts per
+    * group); the vocabulary cut (cnt desc, token asc — deterministic)
+    * and everything after it live at groups × topV size, with the
+    * per-pair term grid at pairs × topV. Engine-exact: probabilities
+    * are integer-count ratios, each pointwise term
+    * 0.5·p·ln(2p/(p+q)) quantizes to DECIMAL(27,18) before the
+    * order-free sum, rounded to 6dp at the end — the zipfFit recipe.
+    *
+    * Output: (src_a, src_b, jsd), one row per unordered group pair.
+    */
+  def jsDivergence(df: DataFrame, groupCol: String, textCol: String, topV: Int = 200): DataFrame = {
+    val cnt = df
+      .select(col(groupCol), explode(toks(col(textCol))).as("token"))
+      .groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val vocab = cnt
+      .groupBy(col("token"))
+      .agg(sum(col("c")).as("tc"))
+      .orderBy(desc("tc"), col("token"))
+      .limit(topV)
+      .select(col("token"))
+    val r   = cnt.join(broadcast(vocab), Seq("token"))
+    val tot = r.groupBy(col(groupCol)).agg(sum(col("c")).as("n"))
+    val pairs = tot
+      .select(col(groupCol).as("src_a"), col("n").as("na"))
+      .crossJoin(tot.select(col(groupCol).as("src_b"), col("n").as("nb")))
+      .filter(col("src_a") < col("src_b"))
+    val grid = pairs.crossJoin(broadcast(vocab))
+    val pq = grid
+      .join(r.select(col("token"), col(groupCol).as("src_a"), col("c").as("ca")), Seq("token", "src_a"), "left")
+      .join(r.select(col("token"), col(groupCol).as("src_b"), col("c").as("cb")), Seq("token", "src_b"), "left")
+      .select(
+        col("src_a"), col("src_b"),
+        (coalesce(col("ca"), lit(0L)).cast("double") / col("na")).as("p"),
+        (coalesce(col("cb"), lit(0L)).cast("double") / col("nb")).as("q"))
+    pq
+      .select(
+        col("src_a"), col("src_b"),
+        when(col("p") > 0, lit(0.5) * col("p") * log(lit(2.0) * col("p") / (col("p") + col("q"))))
+          .otherwise(0.0).cast("decimal(27,18)").as("tp"),
+        when(col("q") > 0, lit(0.5) * col("q") * log(lit(2.0) * col("q") / (col("p") + col("q"))))
+          .otherwise(0.0).cast("decimal(27,18)").as("tq"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(round((sum(col("tp")) + sum(col("tq"))).cast("double"), 6).as("jsd"))
+  }
+
+  /** Domain-indicative vocabulary: χ² statistic of token × group over
+    * the corpus-wide top-`topV` vocabulary, top-`topK` tokens — the
+    * tokens whose usage departs most from group-independence (the
+    * classic feature-selection statistic; a mixer reads it as "what
+    * words make source X source X"). Contingency is closed over the
+    * restricted vocabulary (row/column/grand totals all from the
+    * same topV table), so E > 0 for every cell.
+    *
+    * Scale: one corpus aggregation, then groups × topV cells.
+    * Engine-exact: O and E derive from integer counts; each cell term
+    * (O−E)·(O−E)/E (explicit product, no pow-vs-power seam) quantizes
+    * to DECIMAL(27,18) before the sum; the final (chi2 desc, token)
+    * cut compares 6dp-rounded values on both engines.
+    *
+    * Output: (token, chi2), topK rows.
+    */
+  def chi2Tokens(df: DataFrame, groupCol: String, textCol: String, topV: Int = 200, topK: Int = 20): DataFrame = {
+    val cnt = df
+      .select(col(groupCol), explode(toks(col(textCol))).as("token"))
+      .groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val vocab = cnt
+      .groupBy(col("token"))
+      .agg(sum(col("c")).as("tc"))
+      .orderBy(desc("tc"), col("token"))
+      .limit(topV)
+      .select(col("token"))
+    val r      = cnt.join(broadcast(vocab), Seq("token"))
+    val rowTot = r.groupBy(col("token")).agg(sum(col("c")).as("rt"))
+    val colTot = r.groupBy(col(groupCol)).agg(sum(col("c")).as("ct"))
+    val grand  = r.agg(sum(col("c")).cast("double").as("nn"))
+    val cells = vocab
+      .crossJoin(colTot)
+      .join(r, Seq("token", groupCol), "left")
+      .join(broadcast(rowTot), Seq("token"))
+      .crossJoin(broadcast(grand))
+      .select(
+        col("token"),
+        coalesce(col("c"), lit(0L)).cast("double").as("o"),
+        (col("rt").cast("double") * col("ct") / col("nn")).as("e"))
+    cells
+      .select(
+        col("token"),
+        ((col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+          .cast("decimal(27,18)").as("term"))
+      .groupBy(col("token"))
+      .agg(round(sum(col("term")).cast("double"), 6).as("chi2"))
+      .orderBy(desc("chi2"), col("token"))
+      .limit(topK)
+  }
+
   def zipfFit(df: DataFrame, textCol: String, topV: Int = 100): DataFrame = {
     val counts = df
       .select(explode(toks(col(textCol))).as("token"))

@@ -602,6 +602,48 @@ class TextOpsSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("percentile"), plan)
   }
 
+  test("ngramNovelty: first-appearance fraction per doc in id order") {
+    // doc1 all-novel (first), doc2 shares 6/7 grams with doc1, doc3
+    // unrelated (all novel), doc4 identical to doc1 (nothing novel)
+    val got = Curation.ngramNovelty(docsDf, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((7, 7, 1.0)))
+    assert(got(2L) == ((7, 1, math.rint(1.0 / 7 * 1e6) / 1e6)))
+    assert(got(3L)._3 == 1.0)
+    assert(got(4L) == ((7, 0, 0.0)))
+    // a gramless doc keeps its row with the degenerate (0, 0, 0.0)
+    val short = Seq((1L, "a b"), (2L, "x y z")).toDF("doc_id", "text")
+    val s     = Curation.ngramNovelty(short, "doc_id", "text", n = 3).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(s(1L) == ((0, 0, 0.0)) && s(2L) == ((1, 1, 1.0)))
+  }
+
+  test("jsDivergence: hand-computed two-token case; identical sources diverge by 0") {
+    val df = Seq(("g1", "a a b"), ("g2", "a b b"), ("g3", "a a b")).toDF("src", "text")
+    val got = TextStats.jsDivergence(df, "src", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // p=(2/3,1/3) vs q=(1/3,2/3): JSD = (2/3)ln(4/3) + (1/3)ln(2/3)
+    val want = math.rint((2.0 / 3 * math.log(4.0 / 3) + 1.0 / 3 * math.log(2.0 / 3)) * 1e6) / 1e6
+    assert(got(("g1", "g2")) == want, s"got ${got(("g1", "g2"))}, want $want")
+    assert(got(("g2", "g3")) == want)
+    assert(got(("g1", "g3")) == 0.0) // identical distributions
+    assert(got.size == 3)            // unordered pairs only
+    assert(got.values.forall(j => j >= 0.0 && j <= math.log(2) + 1e-9), "JSD must sit in [0, ln 2]")
+  }
+
+  test("chi2Tokens: independence gives 0, skewed usage ranks highest") {
+    // x and y used identically across g1/g2 -> chi2 0; z is g2-only
+    val df = Seq(("g1", "x y x y"), ("g2", "x y z z")).toDF("src", "text")
+    val got = TextStats.chi2Tokens(df, "src", "text", topV = 10, topK = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    assert(got.head._1 == "z", s"most domain-indicative token should rank first: ${got.toSeq}")
+    assert(got.head._2 > 0.0)
+    val byTok = got.toMap
+    // x: counts (2,1), totals row=3 col=(4,4) N=8 -> E=(1.5,1.5) ->
+    // chi2 = 0.25/1.5 * 2 = 1/3; y identical
+    assert(byTok("x") == math.rint(1.0 / 3 * 1e6) / 1e6 && byTok("x") == byTok("y"))
+  }
+
   test("winsorize: NULL values stay NULL, all-NULL groups survive, doubles refused") {
     import graft.relops.Stats
     // group g: 1..10 clamps to [1,9] at (0.1, 0.9); one NULL row must
