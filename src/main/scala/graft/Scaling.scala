@@ -49,7 +49,7 @@ object Scaling {
       "q_shard_assign", "q_mix_realize", "q_stratified_sample", "q_curriculum",
       "q_seq_pack", "q_domain_mix", "q_dsir_weight", "q_winsorize", "q_quantile_disc",
       "q_value_histogram", "q_skew_salted_count", "q_data_card", "q_cube_quality",
-      "q_rollup_tokens")
+      "q_rollup_tokens", "q_ks_length")
     val relational = Set(
       "q_lineitem_pricing", "q_order_asof_prev", "q_order_revenue_join",
       "q_shipping_priority", "q_asof_attribution", "q_range_join_binned", "q_sessionize",

@@ -1786,6 +1786,18 @@ object SparkEntry {
     "q_gini_tokens" -> ((s, dir) =>
       TextStats.giniTokenConcentration(docs(s, dir), "text")),
 
+    // corpus diagnostics: Heaps'-law vocabulary-growth fit at 16
+    // id-order checkpoints — conditional sums + the first-appearance
+    // aggregation, no global prefix window
+    "q_heaps_fit" -> ((s, dir) =>
+      TextStats.heapsFit(docs(s, dir), "doc_id", "text", checkpoints = 16)),
+
+    // corpus diagnostics: exact pairwise two-sample KS between
+    // per-source doc-length distributions, from value histograms
+    "q_ks_length" -> ((s, dir) =>
+      graft.relops.Stats.ksStatistic(docs(s, dir), "source", "n_chars")
+        .orderBy(col("src_a"), col("src_b"))),
+
     // corpus diagnostics: EXACT per-language length quantiles from
     // the value histogram + CDF rank — no per-group value buffering
     // (the scale-safe `percentile` replacement; see
@@ -3891,6 +3903,62 @@ object SparkEntry {
                 round((CAST(s1x2 AS DOUBLE) - (n + 1) * CAST(tot AS DOUBLE))
                       / (CAST(n AS DOUBLE) * tot), 6) AS gini
          FROM a""",
+
+    "q_heaps_fit" ->
+      """WITH mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS max_id FROM documents),
+          cuts AS (SELECT g, CAST(floor(max_id * g / 16) AS BIGINT) AS cut
+                   FROM mx, unnest(range(1, 17)) AS u(g)),
+          pd AS (SELECT doc_id, len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS nt
+                 FROM documents),
+          ntok AS (SELECT g, sum(nt) AS n_tokens FROM pd JOIN cuts ON pd.doc_id <= cuts.cut GROUP BY g),
+          fs AS (SELECT token, min(doc_id) AS first_id
+                 FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS token
+                       FROM documents)
+                 GROUP BY token),
+          ntyp AS (SELECT g, count(*) AS n_types FROM fs JOIN cuts ON fs.first_id <= cuts.cut GROUP BY g),
+          pts AS (SELECT CAST(ln(CAST(n_tokens AS DOUBLE)) AS DECIMAL(27,18)) AS x,
+                         CAST(ln(CAST(n_types AS DOUBLE)) AS DECIMAL(27,18)) AS y,
+                         CAST(ln(CAST(n_tokens AS DOUBLE)) * ln(CAST(n_types AS DOUBLE)) AS DECIMAL(27,18)) AS xy,
+                         CAST(ln(CAST(n_tokens AS DOUBLE)) * ln(CAST(n_tokens AS DOUBLE)) AS DECIMAL(27,18)) AS xx
+                  FROM ntok JOIN ntyp USING (g)
+                  WHERE n_tokens > 0 AND n_types > 0),
+          a AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(xy) AS sxy, sum(xx) AS sxx,
+                       count(DISTINCT x) AS nx
+                FROM pts)
+         SELECT CAST(n AS INT) AS n_checkpoints,
+                CASE WHEN nx > 1 THEN
+                  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                END AS beta,
+                CASE WHEN nx > 1 THEN
+                  round((CAST(sy AS DOUBLE)
+                         - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                            / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                           * CAST(sx AS DOUBLE)) / n, 6)
+                END AS intercept
+         FROM a""",
+
+    "q_ks_length" ->
+      """WITH h AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v, count(*) AS c
+                    FROM documents GROUP BY g, v),
+          tot AS (SELECT g, sum(c) AS n FROM h GROUP BY g),
+          pairs AS (SELECT a.g AS src_a, a.n AS na, b.g AS src_b, b.n AS nb
+                    FROM tot a JOIN tot b ON a.g < b.g),
+          grid AS (SELECT DISTINCT src_a, src_b, na, nb, v FROM (
+                     SELECT p.src_a, p.src_b, p.na, p.nb, h.v FROM pairs p JOIN h ON h.g = p.src_a
+                     UNION ALL
+                     SELECT p.src_a, p.src_b, p.na, p.nb, h.v FROM pairs p JOIN h ON h.g = p.src_b)),
+          cdf AS (SELECT src_a, src_b, na, nb, grid.v,
+                         sum(COALESCE(ha.c, 0)) OVER (PARTITION BY src_a, src_b ORDER BY grid.v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+                         sum(COALESCE(hb.c, 0)) OVER (PARTITION BY src_a, src_b ORDER BY grid.v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+                  FROM grid
+                  LEFT JOIN h ha ON ha.g = grid.src_a AND ha.v = grid.v
+                  LEFT JOIN h hb ON hb.g = grid.src_b AND hb.v = grid.v)
+         SELECT src_a, src_b,
+                round(max(abs(CAST(cum_a AS DOUBLE) / na - CAST(cum_b AS DOUBLE) / nb)), 6) AS ks
+         FROM cdf GROUP BY src_a, src_b ORDER BY src_a, src_b""",
 
     "q_quantile_disc" ->
       """SELECT lang, CAST(0.25 AS DOUBLE) AS prob, CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS q_value FROM documents GROUP BY lang

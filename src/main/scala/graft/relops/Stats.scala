@@ -114,6 +114,65 @@ object Stats {
       .agg(min(col("v")).as("q_value"))
   }
 
+  /** Pairwise two-sample Kolmogorov–Smirnov statistic between the
+    * per-group distributions of an integral column: for every group
+    * pair (a < b), KS = max over observed values v of
+    * |CDF_a(v) − CDF_b(v)| — the distribution-drift card for numeric
+    * signals (doc length, quality score) complementing the unigram
+    * JSD view. Exact, not sampled.
+    *
+    * Scale shape: the corpus collapses to the VALUE HISTOGRAM per
+    * group (one hash aggregation, cardinality = distinct values —
+    * an integer metric's range, not the row count); the pair grid is
+    * (pairs × observed values of either side); CDFs are one window
+    * per pair ordered by value over histogram cells only; the max is
+    * a plain aggregation. No per-row sort anywhere.
+    *
+    * Output: (src_a, src_b, ks), one row per unordered group pair.
+    */
+  def ksStatistic(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    requireIntegral(df, valueCol, "ksStatistic")
+    import org.apache.spark.sql.expressions.Window
+    val h = df
+      .select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val tot = h.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val pairs = tot
+      .select(col("g").as("src_a"), col("n").as("na"))
+      .crossJoin(tot.select(col("g").as("src_b"), col("n").as("nb")))
+      .filter(col("src_a") < col("src_b"))
+    // observed-value grid per pair: union of either side's values
+    val va = h.select(col("g").as("src_a"), col("v"))
+    val vb = h.select(col("g").as("src_b"), col("v"))
+    val grid = pairs
+      .join(va, Seq("src_a"))
+      .select(col("src_a"), col("src_b"), col("na"), col("nb"), col("v"))
+      .unionByName(
+        pairs.join(vb, Seq("src_b"))
+          .select(col("src_a"), col("src_b"), col("na"), col("nb"), col("v")))
+      .distinct()
+    val joined = grid
+      .join(h.select(col("g").as("src_a"), col("v"), col("c").as("ca")), Seq("src_a", "v"), "left")
+      .join(h.select(col("g").as("src_b"), col("v"), col("c").as("cb")), Seq("src_b", "v"), "left")
+    val w = Window
+      .partitionBy(col("src_a"), col("src_b"))
+      .orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined
+      .select(
+        col("src_a"), col("src_b"), col("na"), col("nb"), col("v"),
+        sum(coalesce(col("ca"), lit(0L))).over(w).as("cum_a"),
+        sum(coalesce(col("cb"), lit(0L))).over(w).as("cum_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(
+        round(
+          max(abs(
+            col("cum_a").cast("double") / col("na") - col("cum_b").cast("double") / col("nb"))),
+          6).as("ks"))
+  }
+
   /** Per-group winsorization: clamp `valueCol` to its group's
     * [loProb, hiProb] quantiles — the outlier-robust normalization a
     * scoring pipeline applies before mixing heterogeneous signals

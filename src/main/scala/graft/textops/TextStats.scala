@@ -840,6 +840,84 @@ object TextStats {
     * map-side combine; the fit reads only topV rows (TakeOrdered →
     * one-partition window over V rows, V bounded by the parameter).
     */
+  /** Heaps'-law vocabulary-growth fit (Heaps 1978, public law):
+    * V(N) ≈ K·N^β — distinct types V vs running token count N as the
+    * corpus grows in id order; natural text sits near β ≈ 0.5, and a
+    * flattening curve is the "source is mined out" signal next to
+    * [[graft.textops.Curation.ngramNovelty]]'s per-doc view. Returns
+    * one row (n_checkpoints, beta, intercept) — ln V on ln N OLS over
+    * `checkpoints` id-order cut points.
+    *
+    * Scale shape — NO global prefix window (a cumulative sum ordered
+    * over 10^9 docs would funnel through one partition): growth is
+    * evaluated at G = `checkpoints` FIXED id cuts (fractions of
+    * max id). Token totals per cut are one conditional-sum
+    * aggregation (each doc row fans out to the ≤ G cuts it belongs
+    * under, collapsed by map-side combine to G keys); type counts per
+    * cut reuse the first-appearance trick — `min(id)` per token hash
+    * is one hash aggregation, and a type counts toward every cut ≥
+    * its first id. Everything after the two corpus-scale
+    * aggregations is G-sized. OLS terms quantize to DECIMAL(27,18)
+    * (the zipfFit recipe); degenerate fits (< 2 distinct N) yield
+    * NULL, not NaN.
+    */
+  def heapsFit(df: DataFrame, idCol: String, textCol: String, checkpoints: Int = 16): DataFrame = {
+    require(checkpoints >= 2, "need at least 2 checkpoints")
+    val session = df.sparkSession
+    import session.implicits._
+    val maxId = df.agg(max(col(idCol)).cast("long").as("max_id"))
+    val cuts = (1 to checkpoints).toDF("g")
+      .crossJoin(broadcast(maxId))
+      .select(col("g"), floor(col("max_id") * col("g") / checkpoints).as("cut"))
+    val perDoc = df.select(col(idCol).cast("long").as("id"), size(toks(col(textCol))).as("nt"))
+    val nTok = perDoc
+      .crossJoin(broadcast(cuts))
+      .filter(col("id") <= col("cut"))
+      .groupBy(col("g"))
+      .agg(sum(col("nt")).as("n_tokens"))
+    val firstSeen = df
+      .select(col(idCol).cast("long").as("id"), explode(toks(col(textCol))).as("token"))
+      .groupBy(xxhash64(col("token")).as("tok_h"))
+      .agg(min(col("id")).as("first_id"))
+    val nTypes = firstSeen
+      .crossJoin(broadcast(cuts))
+      .filter(col("first_id") <= col("cut"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_types"))
+    val pts = nTok
+      .join(nTypes, Seq("g"))
+      .filter(col("n_tokens") > 0 && col("n_types") > 0)
+      .select(
+        log(col("n_tokens").cast("double")).cast("decimal(27,18)").as("x"),
+        log(col("n_types").cast("double")).cast("decimal(27,18)").as("y"),
+        (log(col("n_tokens").cast("double")) * log(col("n_types").cast("double")))
+          .cast("decimal(27,18)").as("xy"),
+        (log(col("n_tokens").cast("double")) * log(col("n_tokens").cast("double")))
+          .cast("decimal(27,18)").as("xx"))
+    pts
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("xy")).as("sxy"), sum(col("xx")).as("sxx"),
+        countDistinct(col("x")).as("nx"))
+      .select(
+        col("n").cast("int").as("n_checkpoints"),
+        when(
+          col("nx") > 1,
+          round(
+            (col("n") * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")) /
+              (col("n") * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")),
+            6)).as("beta"),
+        when(
+          col("nx") > 1,
+          round(
+            (col("sy").cast("double") -
+              ((col("n") * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")) /
+                (col("n") * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")))
+                * col("sx").cast("double")) / col("n"),
+            6)).as("intercept"))
+  }
+
   /** Pairwise Jensen–Shannon divergence between per-group unigram
     * distributions over the corpus-wide top-`topV` vocabulary — the
     * corpus-drift card a mixer reads next to [[sourceOverlap]]'s

@@ -162,4 +162,28 @@ class PropertiesSpec extends SparkSpec {
         s"cluster $cid ranks not the 1..$want prefix")
     }
   }
+
+  test("property: novelty and duplication views agree — novel_frac ≥ 1 − dup_frac, bounds hold") {
+    import graft.textops.Curation
+    // random corpora with heavy gram re-use so both views are non-trivial
+    val doc   = Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "ee", "ff")).map(_.mkString(" "))
+    val texts = Gen.listOfN(60, doc).apply(Gen.Parameters.default, Seed(11L)).get
+    val df    = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val nov = Curation.ngramNovelty(df, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    val dup = Curation.dupNgramFraction(df, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    nov.foreach { case (id, (ng, nn, nf)) =>
+      val (dg, _, dfr) = dup(id)
+      assert(ng == dg, s"doc $id gram universes differ: $ng vs $dg")
+      assert(nn >= 0 && nn <= ng && nf >= 0.0 && nf <= 1.0)
+      // a gram that is NOT novel in doc d appeared in an earlier doc,
+      // so it is duplicated across docs by definition: the non-novel
+      // count is a subset of the dup count, hence novel ≥ 1 − dup
+      // (up to the shared 6dp rounding of both fractions)
+      if (ng > 0) assert(nf >= 1.0 - dfr - 1e-6, s"doc $id: novel $nf < 1 - dup $dfr")
+    }
+    // the earliest doc is all-novel by construction
+    assert(nov(0L)._1 == 0 || nov(0L)._3 == 1.0)
+  }
 }

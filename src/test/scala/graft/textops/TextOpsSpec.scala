@@ -644,6 +644,42 @@ class TextOpsSpec extends SparkSpec {
     assert(byTok("x") == math.rint(1.0 / 3 * 1e6) / 1e6 && byTok("x") == byTok("y"))
   }
 
+  test("heapsFit: exact exponents on all-distinct and constant vocabularies") {
+    // every token unique -> V = N at every checkpoint -> beta 1, int 0
+    val uniq = (0L until 8L).map(i => (i, s"t${i}a t${i}b t${i}c")).toDF("doc_id", "text")
+    val r1 = TextStats.heapsFit(uniq, "doc_id", "text", checkpoints = 4).collect()(0)
+    assert(r1.getDouble(1) == 1.0 && r1.getDouble(2) == 0.0, r1.toString)
+    // one type ever -> ln V = 0 everywhere -> beta 0, intercept 0
+    val const = (0L until 8L).map(i => (i, "x x x x")).toDF("doc_id", "text")
+    val r2 = TextStats.heapsFit(const, "doc_id", "text", checkpoints = 4).collect()(0)
+    assert(r2.getDouble(1) == 0.0 && r2.getDouble(2) == 0.0, r2.toString)
+    // degenerate: a single doc puts every checkpoint at the same N ->
+    // no fit, NULL loudly (not NaN)
+    val one = Seq((0L, "a b c")).toDF("doc_id", "text")
+    val r3 = TextStats.heapsFit(one, "doc_id", "text", checkpoints = 4).collect()(0)
+    assert(r3.isNullAt(1) && r3.isNullAt(2), r3.toString)
+  }
+
+  test("ksStatistic: hand-computed CDF gaps; identical groups at 0, disjoint at 1") {
+    import graft.relops.Stats
+    val df = (
+      Seq(1L, 2L, 3L, 4L).map(v => ("g1", v)) ++
+      Seq(3L, 4L, 5L, 6L).map(v => ("g2", v)) ++
+      Seq(1L, 2L, 3L, 4L).map(v => ("g3", v)) ++  // identical to g1
+      Seq(10L, 11L).map(v => ("g4", v))           // disjoint from all
+    ).toDF("src", "v")
+    val got = Stats.ksStatistic(df, "src", "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 6)
+    assert(got(("g1", "g2")) == 0.5) // CDF gap peaks at v in {2, 4}
+    assert(got(("g1", "g3")) == 0.0) // identical distributions
+    assert(got(("g1", "g4")) == 1.0) // fully separated supports
+    assert(got(("g2", "g4")) == 1.0)
+    val dbl = Seq(("g", 1.5)).toDF("src", "v")
+    val e = intercept[IllegalArgumentException](Stats.ksStatistic(dbl, "src", "v"))
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("winsorize: NULL values stay NULL, all-NULL groups survive, doubles refused") {
     import graft.relops.Stats
     // group g: 1..10 clamps to [1,9] at (0.1, 0.9); one NULL row must
