@@ -340,6 +340,106 @@ object StreamingExtract {
       }
   }
 
+  /** Per-window key for the drift monitor (event-time bucket start,
+    * epoch millis).
+    */
+  final case class DriftKey(window_start: Long)
+
+  /** Bounded per-window token tally — at most the reference
+    * vocabulary's size (off-vocabulary tokens are dropped before the
+    * stateful operator, the same closed-vocabulary world as
+    * [[graft.textops.TextStats.jsDivergence]]).
+    */
+  final case class DriftTally(counts: Map[String, Long])
+
+  /** Running drift reading for one event-time window. */
+  final case class DriftSnapshot(
+      window_start: java.sql.Timestamp,
+      n_tokens: Long,
+      jsd: Double,
+      finalized: Boolean)
+
+  /** Jensen–Shannon divergence of a token-count tally against a fixed
+    * reference distribution over the same vocabulary (nats; absent
+    * tokens are probability 0, 0·ln0 = 0).
+    */
+  private[streaming] def jsdOf(counts: Map[String, Long], reference: Map[String, Double]): Double = {
+    val n = counts.values.sum.toDouble
+    if (n == 0) return 0.0
+    var acc = 0.0
+    reference.foreach { case (tok, q) =>
+      val p = counts.getOrElse(tok, 0L) / n
+      if (p > 0) acc += 0.5 * p * math.log(2.0 * p / (p + q))
+      if (q > 0) acc += 0.5 * q * math.log(2.0 * q / (p + q))
+    }
+    acc
+  }
+
+  /** Streaming distribution-drift monitor — the ingest-time alarm
+    * behind the batch drift cards (q_js_divergence): per event-time
+    * window, the running JSD of the window's token distribution
+    * against a FIXED reference distribution (e.g. the training
+    * corpus's unigram profile, computed once in batch and shipped in
+    * the closure — vocabulary-sized, a broadcast-class object).
+    *
+    * One stateful operator, `mapGroupsWithState` keyed by window
+    * start: state is the window's token tally, BOUNDED by the
+    * reference vocabulary regardless of stream volume (off-vocab
+    * tokens drop in the stateless prefix). Each trigger emits an
+    * updated [[DriftSnapshot]] per touched window (update mode), so
+    * a quality gate can trip MID-window instead of waiting for the
+    * watermark; `idleTimeoutMs` finalizes and evicts windows the
+    * stream has moved past — the state-lifecycle discipline
+    * [[runningMajority]] established.
+    *
+    * docs: (tsCol timestamp, textCol string).
+    */
+  def driftMonitorStream(
+      docs: DataFrame,
+      tsCol: String,
+      textCol: String,
+      reference: Map[String, Double],
+      windowMs: Long,
+      idleTimeoutMs: Long = 0L): Dataset[DriftSnapshot] = {
+    require(reference.nonEmpty, "driftMonitorStream needs a reference distribution")
+    require(windowMs > 0, "windowMs must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = reference.keySet
+    val ref   = reference
+    val wMs   = windowMs
+    val timeoutConf =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    docs
+      .select(
+        (floor(col(tsCol).cast("double") * 1000 / wMs) * wMs).cast("long").as("w"),
+        explode(filter(split(col(textCol), " "), t => length(t) > 0)).as("token"))
+      .filter(col("token").isInCollection(vocab))
+      .as[(Long, String)]
+      .groupByKey { case (w, _) => DriftKey(w) }
+      .mapGroupsWithState[DriftTally, DriftSnapshot](timeoutConf) {
+        (key: DriftKey, events: Iterator[(Long, String)], state: GroupState[DriftTally]) =>
+          if (state.hasTimedOut) {
+            val tally = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+            state.remove()
+            DriftSnapshot(
+              new java.sql.Timestamp(key.window_start), tally.values.sum, jsdOf(tally, ref),
+              finalized = true)
+          } else {
+            val prev = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+            val tally = events.foldLeft(prev) { case (m, (_, t)) =>
+              m.updated(t, m.getOrElse(t, 0L) + 1L)
+            }
+            state.update(DriftTally(tally))
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            DriftSnapshot(
+              new java.sql.Timestamp(key.window_start), tally.values.sum, jsdOf(tally, ref),
+              finalized = false)
+          }
+      }
+  }
+
   /** Streaming-native windowed aggregation over an event stream:
     * watermark + sliding window counts (the shape `events` exercises).
     */

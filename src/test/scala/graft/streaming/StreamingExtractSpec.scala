@@ -351,4 +351,38 @@ class StreamingExtractSpec extends SparkSpec {
     val got = spark.table("win_out").filter(col("event_type") === "click")
     assert(got.agg(max("n")).head.getLong(0) == 2L)
   }
+
+  test("driftMonitorStream: running per-window JSD vs a fixed reference, off-vocab dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val in  = MemoryStream[(java.sql.Timestamp, String)]
+    val ref = Map("a" -> 0.5, "b" -> 0.5)
+    val mon = StreamingExtract.driftMonitorStream(
+      in.toDF().toDF("ts", "text"), "ts", "text", ref, windowMs = 60000L)
+    val q = mon.writeStream.outputMode("update").format("memory").queryName("drift_out").start()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:10")
+    // trigger 1: the window's mix matches the reference exactly —
+    // JSD is exactly 0; the off-vocab token must not count
+    in.addData((t0, "a b a b zzz"), (t0, "b a"))
+    q.processAllAvailable()
+    val s1 = spark.table("drift_out").collect().map(r => (r.getLong(1), r.getDouble(2))).last
+    assert(s1 == ((6L, 0.0)), s"matching window should read zero drift: $s1")
+    // trigger 2, SAME window: a flood of 'a' skews the running mix —
+    // the alarm can trip mid-window, before any watermark closes it
+    in.addData((t0, "a a a a a a"))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("drift_out").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getBoolean(3))).last
+    assert(last._1 == 12L && !last._3)
+    assert(last._2 > 0.02, s"skewed window should read real drift: $last") // JSD(75/25 vs 50/50) ≈ 0.0338
+    // parity with the batch drift card: the same tallies through
+    // jsDivergence (g2 plays the reference empirically) agree to 6dp
+    val batch = graft.textops.TextStats
+      .jsDivergence(
+        Seq(("g1", (Seq.fill(9)("a") ++ Seq.fill(3)("b")).mkString(" ")), ("g2", "a b"))
+          .toDF("src", "text"),
+        "src", "text")
+      .collect().head.getDouble(2)
+    assert(math.abs(last._2 - batch) < 5e-7, s"streaming ${last._2} vs batch $batch")
+  }
 }
