@@ -1798,6 +1798,17 @@ object SparkEntry {
       graft.relops.Stats.ksStatistic(docs(s, dir), "source", "n_chars")
         .orderBy(col("src_a"), col("src_b"))),
 
+    // data card: per-source exact-duplication rate (min-id first-copy
+    // rule, the exactDedup survivor convention)
+    "q_dedup_rate_by_source" -> ((s, dir) =>
+      Dedup.dedupRateBySource(docs(s, dir), "doc_id", "text", "source")
+        .orderBy(col("source"))),
+
+    // collocation card: within-doc co-occurrence PMI over the top-50
+    // vocabulary — pair fan-out bounded by topV² per doc by design
+    "q_pmi_pairs" -> ((s, dir) =>
+      TextStats.pmiPairs(docs(s, dir), "doc_id", "text", topV = 50, minDocs = 2L, topK = 20)),
+
     // corpus diagnostics: EXACT per-language length quantiles from
     // the value histogram + CDF rank — no per-group value buffering
     // (the scale-safe `percentile` replacement; see
@@ -3959,6 +3970,35 @@ object SparkEntry {
          SELECT src_a, src_b,
                 round(max(abs(CAST(cum_a AS DOUBLE) / na - CAST(cum_b AS DOUBLE) / nb)), 6) AS ks
          FROM cdf GROUP BY src_a, src_b ORDER BY src_a, src_b""",
+
+    "q_dedup_rate_by_source" ->
+      """WITH fc AS (SELECT md5(text) AS h, min(doc_id) AS keep_id FROM documents GROUP BY md5(text)),
+          j AS (SELECT d.source, d.doc_id, fc.keep_id
+                FROM documents d JOIN fc ON md5(d.text) = fc.h)
+         SELECT source, CAST(count(*) AS INT) AS n_docs,
+                CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS INT) AS n_dup,
+                round(CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_rate
+         FROM j GROUP BY source ORDER BY source""",
+
+    "q_pmi_pairs" ->
+      """WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS token
+                    FROM documents),
+          cnt AS (SELECT token, count(*) AS tc FROM t GROUP BY token),
+          vocab AS (SELECT token FROM (SELECT token, tc FROM cnt ORDER BY tc DESC, token LIMIT 50)),
+          pres AS (SELECT DISTINCT doc_id, t.token FROM t JOIN vocab USING (token)),
+          c1 AS (SELECT token, count(*) AS cd FROM pres GROUP BY token),
+          nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+          pairs AS (SELECT a.token AS t1, b.token AS t2, count(*) AS c12
+                    FROM pres a JOIN pres b ON a.doc_id = b.doc_id AND a.token < b.token
+                    GROUP BY a.token, b.token),
+          scored AS (SELECT t1, t2, c12,
+                            round(ln(CAST(n AS DOUBLE) * c12 / (CAST(ca.cd AS DOUBLE) * cb.cd)), 6) AS pmi
+                     FROM pairs CROSS JOIN nd
+                     JOIN c1 ca ON ca.token = t1
+                     JOIN c1 cb ON cb.token = t2
+                     WHERE c12 >= 2)
+         SELECT t1, t2, CAST(c12 AS BIGINT) AS n_docs_both, pmi
+         FROM scored ORDER BY pmi DESC, t1, t2 LIMIT 20""",
 
     "q_quantile_disc" ->
       """SELECT lang, CAST(0.25 AS DOUBLE) AS prob, CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS q_value FROM documents GROUP BY lang

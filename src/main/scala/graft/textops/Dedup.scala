@@ -34,6 +34,34 @@ object Dedup {
       Seq(idCol),
       "left_semi")
 
+  /** Per-source exact-duplication card: how much of each source is a
+    * byte-identical copy of an EARLIER doc (corpus-wide, min-id
+    * first-copy rule — the same survivor convention as
+    * [[exactDedup]]): (group, n_docs, n_dup, dup_rate). The
+    * which-source-is-redundant reading a mixer takes before paying
+    * for a source's full ingest.
+    *
+    * Scale shape: one hash aggregation on the content hash (the
+    * exact-dedup shuffle) + one content-hash join back + one
+    * group-keyed fold — no pair space at all.
+    */
+  def dedupRateBySource(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String): DataFrame = {
+    val firstCopy = df
+      .groupBy(md5(col(textCol).cast("binary")).as("h"))
+      .agg(min(col(idCol)).as("keep_id"))
+    df.select(col(idCol), col(groupCol), md5(col(textCol).cast("binary")).as("h"))
+      .join(firstCopy, Seq("h"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_docs"),
+        sum(when(col(idCol) =!= col("keep_id"), 1L).otherwise(0L)).cast("int").as("n_dup"))
+      .withColumn("dup_rate", round(col("n_dup").cast("double") / col("n_docs"), 6))
+  }
+
   /** Whitespace tokens, empties dropped. */
   def tokensCol(text: Column): Column =
     filter(split(text, " "), t => length(t) > 0)

@@ -840,6 +840,65 @@ object TextStats {
     * map-side combine; the fit reads only topV rows (TakeOrdered →
     * one-partition window over V rows, V bounded by the parameter).
     */
+  /** Within-document co-occurrence PMI over the corpus top-`topV`
+    * vocabulary (Church & Hanks 1990, the classic collocation
+    * statistic): for token pairs t1 < t2,
+    * PMI = ln(N·c12 / (c1·c2)) with c = document frequencies — the
+    * "what words travel together" card that surfaces templated
+    * phrase structure a unigram view cannot see. Pairs below
+    * `minDocs` joint support drop (PMI is noise at tiny counts);
+    * top-`topK` by (6dp PMI desc, t1, t2).
+    *
+    * Scale shape: THE deliberate bound is the vocabulary cut — the
+    * per-doc pair fan-out of the presence self-join is ≤ topV²/2
+    * REGARDLESS of document length or corpus size (off-vocab tokens
+    * never enter), and map-side combine collapses each partition's
+    * pairs to ≤ topV²/2 cells before the shuffle. Keep topV modest
+    * (50 ⇒ ≤ 1 225 pairs/doc); the knob is the fan-out contract, not
+    * a tuning detail.
+    *
+    * Output: (t1, t2, n_docs_both, pmi).
+    */
+  def pmiPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      topV: Int = 50,
+      minDocs: Long = 2L,
+      topK: Int = 20): DataFrame = {
+    val cnt = df
+      .select(explode(toks(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tc"))
+    val vocab = cnt
+      .orderBy(desc("tc"), col("token"))
+      .limit(topV)
+      .select(col("token"))
+    val pres = df
+      .select(col(idCol).as("id"), explode(toks(col(textCol))).as("token"))
+      .join(broadcast(vocab), Seq("token"))
+      .distinct()
+    val docFreq = pres.groupBy(col("token")).agg(count(lit(1)).as("cd"))
+    val nDocs   = df.select(col(idCol)).distinct().agg(count(lit(1)).as("n"))
+    val pairs = pres.select(col("id"), col("token").as("t1"))
+      .join(pres.select(col("id"), col("token").as("t2")), Seq("id"))
+      .filter(col("t1") < col("t2"))
+      .groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minDocs)
+    pairs
+      .crossJoin(broadcast(nDocs))
+      .join(broadcast(docFreq.select(col("token").as("t1"), col("cd").as("c1"))), Seq("t1"))
+      .join(broadcast(docFreq.select(col("token").as("t2"), col("cd").as("c2"))), Seq("t2"))
+      .select(
+        col("t1"), col("t2"), col("c12").as("n_docs_both"),
+        round(
+          log(col("n").cast("double") * col("c12") / (col("c1").cast("double") * col("c2"))),
+          6).as("pmi"))
+      .orderBy(desc("pmi"), col("t1"), col("t2"))
+      .limit(topK)
+  }
+
   /** Heaps'-law vocabulary-growth fit (Heaps 1978, public law):
     * V(N) ≈ K·N^β — distinct types V vs running token count N as the
     * corpus grows in id order; natural text sits near β ≈ 0.5, and a

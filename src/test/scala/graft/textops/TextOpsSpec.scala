@@ -644,6 +644,30 @@ class TextOpsSpec extends SparkSpec {
     assert(byTok("x") == math.rint(1.0 / 3 * 1e6) / 1e6 && byTok("x") == byTok("y"))
   }
 
+  test("dedupRateBySource: corpus-wide first-copy rule, per-source rates") {
+    val df = Seq(
+      (1L, "s1", "unique text one"),
+      (2L, "s1", "unique text two"),
+      (3L, "s2", "unique text three"),
+      (4L, "s2", "unique text one")) // exact copy of doc 1 (s1)
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.dedupRateBySource(df, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(got("s1") == ((2, 0, 0.0)))
+    assert(got("s2") == ((2, 1, 0.5)), "cross-source copy bills the LATER source")
+  }
+
+  test("pmiPairs: co-traveling tokens score ln(N·c12/(c1·c2)), singleton pairs drop") {
+    val df = Seq(
+      (1L, "p q a"), (2L, "p q b"), (3L, "a r"), (4L, "b r"))
+      .toDF("doc_id", "text")
+    val got = TextStats.pmiPairs(df, "doc_id", "text", topV = 50, minDocs = 2L, topK = 20)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+    // only (p, q) has joint support >= 2; PMI = ln(4*2/(2*2)) = ln 2
+    assert(got.map(_._1).toSeq == Seq(("p", "q")), got.toSeq.toString)
+    assert(got.head._2 == ((2L, math.rint(math.log(2.0) * 1e6) / 1e6)))
+  }
+
   test("heapsFit: exact exponents on all-distinct and constant vocabularies") {
     // every token unique -> V = N at every checkpoint -> beta 1, int 0
     val uniq = (0L until 8L).map(i => (i, s"t${i}a t${i}b t${i}c")).toDF("doc_id", "text")
