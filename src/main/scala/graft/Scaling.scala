@@ -25,11 +25,11 @@ object Scaling {
     val ann = Set(
       "q_cosine_topk", "q_embed_mean_pool", "q_retrieval_top1", "q_rrf_fusion",
       "q_hard_negatives", "q_rank_metrics", "q_semdedup", "q_semdedup_scaled",
-      "q_proto_prune", "q_dedup_embed_cosine")
+      "q_proto_prune", "q_dedup_embed_cosine", "q_cluster_purity")
     val dedup = Set(
       "q_lsh_pairs", "q_minhash_est", "q_fingerprint", "q_winnow_fingerprint",
       "q_substring_dedup", "q_decontaminate", "q_decontam_bloom", "q_decontam_fuzzy",
-      "q_source_overlap", "q_ngram_novelty")
+      "q_source_overlap", "q_ngram_novelty", "q_dup_cluster_hist")
     val ws = Set(
       "q_confusion_matrix", "q_nb_posterior", "q_pairwise_moments", "q_flying_squid",
       "q_dp_patterns", "q_lr_features", "q_cond_entropy", "q_cond_entropy_mv",

@@ -1809,6 +1809,30 @@ object SparkEntry {
     "q_pmi_pairs" -> ((s, dir) =>
       TextStats.pmiPairs(docs(s, dir), "doc_id", "text", topV = 50, minDocs = 2L, topK = 20)),
 
+    // burstiness card: variance-to-mean ratio of per-doc counts for
+    // the top-20 tokens (zero-doc mass folded in analytically)
+    "q_token_dispersion" -> ((s, dir) =>
+      TextStats.tokenDispersion(docs(s, dir), "doc_id", "text", topK = 20)),
+
+    // vocabulary-freshness card: per-source hapax legomena rate
+    "q_hapax_rate" -> ((s, dir) =>
+      TextStats.hapaxRate(docs(s, dir), "source", "text").orderBy(col("source"))),
+
+    // tokenizer-design curve: corpus token mass covered by the
+    // top-k types at k ∈ {5,10,20,30}
+    "q_head_coverage" -> ((s, dir) =>
+      TextStats.headCoverage(docs(s, dir), "text", Seq(5, 10, 20, 30))),
+
+    // duplication-shape card: exact-dup cluster-size histogram
+    "q_dup_cluster_hist" -> ((s, dir) =>
+      Dedup.dupClusterHist(docs(s, dir), "text")),
+
+    // embedding-quality card: majority-label purity per IVF seed
+    // cluster (shared centroid assignment with the ANN family)
+    "q_cluster_purity" -> ((s, dir) =>
+      Similarity.clusterLabelPurity(
+        Tables.embeddings(s, dir), "vec_id", "embedding", "label", nCentroids = 16)),
+
     // corpus diagnostics: EXACT per-language length quantiles from
     // the value histogram + CDF rank — no per-group value buffering
     // (the scale-safe `percentile` replacement; see
@@ -3999,6 +4023,57 @@ object SparkEntry {
                      WHERE c12 >= 2)
          SELECT t1, t2, CAST(c12 AS BIGINT) AS n_docs_both, pmi
          FROM scored ORDER BY pmi DESC, t1, t2 LIMIT 20""",
+
+    "q_token_dispersion" ->
+      """WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS token
+                    FROM documents),
+          pd AS (SELECT token, doc_id, count(*) AS c FROM t GROUP BY token, doc_id),
+          ag AS (SELECT token, sum(c) AS tc, count(*) AS n_docs, sum(c * c) AS s2 FROM pd GROUP BY token),
+          nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+         SELECT token, CAST(tc AS BIGINT) AS tc, CAST(n_docs AS BIGINT) AS n_docs,
+                round((CAST(s2 AS DOUBLE) / n - (CAST(tc AS DOUBLE) / n) * (CAST(tc AS DOUBLE) / n))
+                      / (CAST(tc AS DOUBLE) / n), 6) AS vmr
+         FROM ag CROSS JOIN nd ORDER BY tc DESC, token LIMIT 20""",
+
+    "q_hapax_rate" ->
+      """WITH t AS (SELECT source, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS token
+                    FROM documents),
+          pd AS (SELECT source, token, count(*) AS c FROM t GROUP BY source, token)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_types, CAST(sum(c) AS BIGINT) AS n_tokens,
+                CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+                round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS hapax_rate
+         FROM pd GROUP BY source ORDER BY source""",
+
+    "q_head_coverage" ->
+      """WITH t AS (SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS token
+                    FROM documents),
+          cnt AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+          tot AS (SELECT sum(cnt) AS total FROM cnt),
+          top AS (SELECT token, cnt FROM cnt ORDER BY cnt DESC, token LIMIT 30),
+          ranked AS (SELECT cnt, CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS k,
+                            sum(cnt) OVER (ORDER BY cnt DESC, token ROWS UNBOUNDED PRECEDING) AS cum
+                     FROM top)
+         SELECT k, CAST(cum AS BIGINT) AS top_mass, CAST(total AS BIGINT) AS total_mass,
+                round(CAST(cum AS DOUBLE) / total, 6) AS coverage
+         FROM ranked CROSS JOIN tot WHERE k IN (5, 10, 20, 30) ORDER BY k""",
+
+    "q_dup_cluster_hist" ->
+      """WITH cl AS (SELECT md5(text) AS h, count(*) AS s FROM documents GROUP BY md5(text))
+         SELECT CAST(s AS INT) AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+                CAST(s * count(*) AS BIGINT) AS n_docs
+         FROM cl GROUP BY s ORDER BY cluster_size""",
+
+    "q_cluster_purity" ->
+      s"""WITH $ivfCtes,
+          lab AS (SELECT a.centroid_id, e.label FROM asg a JOIN embeddings e ON a.vec_id = e.vec_id),
+          cl AS (SELECT centroid_id, label, count(*) AS c FROM lab GROUP BY centroid_id, label),
+          tp AS (SELECT centroid_id, label, c,
+                        row_number() OVER (PARTITION BY centroid_id ORDER BY c DESC, label ASC) AS rn,
+                        sum(c) OVER (PARTITION BY centroid_id) AS n_vecs
+                 FROM cl)
+          SELECT centroid_id, CAST(n_vecs AS BIGINT) AS n_vecs, label AS top_label,
+                 CAST(c AS BIGINT) AS n_top, round(CAST(c AS DOUBLE) / n_vecs, 6) AS purity
+          FROM tp WHERE rn = 1 ORDER BY centroid_id""",
 
     "q_quantile_disc" ->
       """SELECT lang, CAST(0.25 AS DOUBLE) AS prob, CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS q_value FROM documents GROUP BY lang

@@ -62,6 +62,30 @@ object Dedup {
       .withColumn("dup_rate", round(col("n_dup").cast("double") / col("n_docs"), 6))
   }
 
+  /** Exact-duplicate cluster-size histogram: group byte-identical
+    * texts, then histogram the cluster sizes — the shape-of-
+    * duplication card (many size-2 clusters = scattered reposts; a
+    * few huge clusters = a template or a crawler loop) that decides
+    * whether exact dedup alone recovers most of the waste.
+    *
+    * Scale shape: two hash aggregations (content hash → size,
+    * size → cluster count), both with map-side combine; the second
+    * input is one row per DISTINCT text. No pair space.
+    *
+    * Output: (cluster_size, n_clusters, n_docs) ordered by size.
+    */
+  def dupClusterHist(df: DataFrame, textCol: String): DataFrame =
+    df
+      .groupBy(md5(col(textCol).cast("binary")).as("h"))
+      .agg(count(lit(1)).as("s"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(
+        col("s").cast("int").as("cluster_size"),
+        col("n_clusters").cast("bigint").as("n_clusters"),
+        (col("s") * col("n_clusters")).cast("bigint").as("n_docs"))
+      .orderBy(col("cluster_size"))
+
   /** Whitespace tokens, empties dropped. */
   def tokensCol(text: Column): Column =
     filter(split(text, " "), t => length(t) > 0)

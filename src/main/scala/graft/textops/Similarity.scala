@@ -633,6 +633,50 @@ object Similarity {
     centroids
   }
 
+  /** Cluster label purity (embedding-quality / label-noise card):
+    * assign every vector to its nearest centroid (the shared
+    * [[centroidCands]] assignment, so clusters agree bit-for-bit
+    * with the IVF/semdedup/prune paths), then per cluster report the
+    * majority label and its share — low purity flags clusters where
+    * the embedding geometry disagrees with the labels (noisy labels
+    * or an embedder blind to the class boundary). Majority ties
+    * break to the smallest label.
+    *
+    * Scale shape: one scan with the broadcast k×d candidate
+    * expression (shuffle-free assignment), a (cluster, label) hash
+    * aggregation, then a cluster-keyed fold over the ≤ k×|labels|
+    * result — nothing downstream of the first agg scales with rows.
+    *
+    * Output: (centroid_id, n_vecs, top_label, n_top, purity).
+    */
+  def clusterLabelPurity(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      nCentroids: Int,
+      learnedCentroids: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
+    val cents = seedOrLearned(embeddings, idCol, vecCol, nCentroids, learnedCentroids)
+    val assigned = embeddings
+      .withColumn("v", transform(col(vecCol), x => x.cast("double")))
+      .withColumn("nrm", dot(col("v"), col("v")))
+      .withColumn("centroid_id", -array_max(centroidCands(cents)).getField("ncid"))
+    assigned
+      .groupBy(col("centroid_id"), col(labelCol).as("label"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("centroid_id"))
+      .agg(
+        sum(col("c")).as("n_vecs"),
+        max(struct(col("c").as("c"), (-col("label")).as("nl"))).as("m"))
+      .select(
+        col("centroid_id"),
+        col("n_vecs").cast("bigint").as("n_vecs"),
+        (-col("m.nl")).as("top_label"),
+        col("m.c").cast("bigint").as("n_top"),
+        round(col("m.c").cast("double") / col("n_vecs"), 6).as("purity"))
+      .orderBy(col("centroid_id"))
+  }
+
   /** Bucketed near-duplicate pairs by embedding cosine: candidate
     * pairs only within the same bucket (IVF/LSH-style blocking), so
     * the join is an equi-join on the bucket key — shuffle scales with

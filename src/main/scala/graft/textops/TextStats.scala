@@ -1169,4 +1169,105 @@ object TextStats {
             (col("n").cast("double") * col("tot")),
           6).as("gini"))
   }
+
+  /** Token burstiness (index of dispersion, Church & Gale 1995's
+    * observation that content words are bursty): variance-to-mean
+    * ratio of the per-document count of each top-`topK` token,
+    * counting zero-occurrence documents — VMR ≈ 1 is Poisson
+    * (function-word-like scatter), VMR ≫ 1 means the token clumps
+    * into few documents (topical/templated). The moments need no
+    * zero rows: with N docs and per-doc counts c, μ = Σc/N and
+    * Var = Σc²/N − μ² (the Σ over absent docs contributes 0).
+    *
+    * Scale shape: explode → (token, doc) hash agg (map-side combine)
+    * → token-level moment agg — vocabulary-sized — → k-row
+    * TakeOrdered. The only scan-sized shuffle is the (token, doc)
+    * aggregation, the same shape every per-doc-count op here pays.
+    *
+    * Output: (token, tc, n_docs, vmr), top-`topK` by corpus count.
+    */
+  def tokenDispersion(df: DataFrame, idCol: String, textCol: String, topK: Int = 20): DataFrame = {
+    val perDoc = df
+      .select(col(idCol).as("id"), explode(toks(col(textCol))).as("token"))
+      .groupBy(col("token"), col("id"))
+      .agg(count(lit(1)).as("c"))
+    val nDocs = df.agg(count(lit(1)).cast("double").as("n"))
+    val mu    = col("tc").cast("double") / col("n")
+    perDoc
+      .groupBy(col("token"))
+      .agg(
+        sum(col("c")).as("tc"),
+        count(lit(1)).as("n_docs"),
+        sum(col("c") * col("c")).as("s2"))
+      .crossJoin(broadcast(nDocs))
+      .select(
+        col("token"),
+        col("tc").cast("bigint").as("tc"),
+        col("n_docs").cast("bigint").as("n_docs"),
+        round((col("s2").cast("double") / col("n") - mu * mu) / mu, 6).as("vmr"))
+      .orderBy(desc("tc"), col("token"))
+      .limit(topK)
+  }
+
+  /** Per-group hapax legomena card (vocabulary freshness: what
+    * fraction of a source's vocabulary occurs exactly once — high
+    * hapax rate ⇒ open vocabulary / noisy tail, low ⇒ templated
+    * text): (group, n_types, n_tokens, n_hapax, hapax_rate).
+    *
+    * Scale shape: one (group, token) hash aggregation (map-side
+    * combine) then a group-keyed fold over the vocabulary-sized
+    * result — the intermediate is bounded by Σ per-group vocabulary,
+    * never by corpus token count.
+    */
+  def hapaxRate(df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    df
+      .select(col(groupCol), explode(toks(col(textCol))).as("token"))
+      .groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_types"),
+        sum(col("c")).cast("bigint").as("n_tokens"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).cast("bigint").as("n_hapax"))
+      .withColumn(
+        "hapax_rate",
+        round(col("n_hapax").cast("double") / col("n_types"), 6))
+
+  /** Vocabulary head coverage (the tokenizer/vocab-size design
+    * curve): for each checkpoint k, the fraction of ALL token
+    * occurrences covered by the k most frequent types. Checkpoints
+    * beyond the vocabulary size emit nothing (there is no rank-k
+    * type to stop at).
+    *
+    * Scale shape: one token-count aggregation, the corpus mass from
+    * a vocabulary-sized agg, and the cumulative sum over ONLY the
+    * top max(checkpoints) rows via TakeOrdered — the single-partition
+    * window sees ≤ max-k rows by construction, never the vocabulary.
+    *
+    * Output: (k, top_mass, total_mass, coverage) ordered by k.
+    */
+  def headCoverage(
+      df: DataFrame,
+      textCol: String,
+      checkpoints: Seq[Int] = Seq(5, 10, 20, 30)): DataFrame = {
+    require(checkpoints.nonEmpty && checkpoints.forall(_ > 0), "checkpoints must be positive")
+    val counts = df
+      .select(explode(toks(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val top   = counts.orderBy(desc("cnt"), col("token")).limit(checkpoints.max)
+    val w     = Window.orderBy(desc("cnt"), col("token")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top
+      .withColumn("k", row_number().over(Window.orderBy(desc("cnt"), col("token"))))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .filter(col("k").isin(checkpoints.map(Integer.valueOf): _*))
+      .crossJoin(broadcast(total))
+      .select(
+        col("k"),
+        col("cum").cast("bigint").as("top_mass"),
+        col("total").cast("bigint").as("total_mass"),
+        round(col("cum").cast("double") / col("total"), 6).as("coverage"))
+      .orderBy(col("k"))
+  }
 }

@@ -668,6 +668,63 @@ class TextOpsSpec extends SparkSpec {
     assert(got.head._2 == ((2L, math.rint(math.log(2.0) * 1e6) / 1e6)))
   }
 
+  test("tokenDispersion: clumped token VMR > scattered token VMR, zero-docs counted") {
+    val df = Seq((1L, "x x x"), (2L, "y"), (3L, "y z")).toDF("doc_id", "text")
+    val got = TextStats.tokenDispersion(df, "doc_id", "text", topK = 20)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+    // ordered by corpus count desc then token
+    assert(got.map(_._1).toSeq == Seq("x", "y", "z"))
+    val m = got.toMap
+    // x: all 3 copies in one of 3 docs -> mu=1, var=(9/3)-1=2, vmr=2
+    assert(m("x") == ((3L, 1L, 2.0)))
+    // y: 1 copy in 2 of 3 docs -> mu=2/3, var=2/9, vmr=1/3
+    assert(m("y") == ((2L, 2L, math.rint(1.0 / 3 * 1e6) / 1e6)))
+    // z: singleton -> mu=1/3, var=2/9, vmr=2/3
+    assert(m("z") == ((1L, 1L, math.rint(2.0 / 3 * 1e6) / 1e6)))
+  }
+
+  test("hapaxRate: per-group once-only vocabulary fraction") {
+    val df = Seq(("a", "p p q"), ("b", "r")).toDF("source", "text")
+    val got = TextStats.hapaxRate(df, "source", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got("a") == ((2L, 3L, 1L, 0.5)))
+    assert(got("b") == ((1L, 1L, 1L, 1.0)))
+  }
+
+  test("headCoverage: cumulative top-k mass; checkpoints past the vocabulary drop") {
+    val df = Seq((1L, "a a a b b c")).toDF("doc_id", "text")
+    val got = TextStats.headCoverage(df, "text", Seq(1, 2, 3))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq(
+      (1, 3L, 6L, 0.5),
+      (2, 5L, 6L, math.rint(5.0 / 6 * 1e6) / 1e6),
+      (3, 6L, 6L, 1.0)))
+    val sparse = TextStats.headCoverage(df, "text", Seq(2, 10)).collect().map(_.getInt(0)).toSeq
+    assert(sparse == Seq(2), "no rank-10 type exists in a 3-type corpus")
+  }
+
+  test("dupClusterHist: cluster sizes histogrammed with doc mass") {
+    val df = Seq("t1", "t1", "t1", "t2", "t2", "t3").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Dedup.dupClusterHist(df, "text")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1, 1L, 1L), (2, 1L, 2L), (3, 1L, 3L)))
+  }
+
+  test("clusterLabelPurity: majority share per centroid, ties to the smaller label") {
+    val df = Seq(
+      (0L, Seq(1f, 0f), 0),
+      (1L, Seq(0f, 1f), 1),
+      (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0.8f, 0.2f), 1),
+      (4L, Seq(0.1f, 0.95f), 0)) // ties cluster 1 at {0:1, 1:1}
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.clusterLabelPurity(df, "vec_id", "embedding", "label", nCentroids = 2)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(0) == ((3L, 0, 2L, math.rint(2.0 / 3 * 1e6) / 1e6)))
+    assert(got(1) == ((2L, 0, 1L, 0.5)), "equal counts must break to label 0")
+  }
+
   test("heapsFit: exact exponents on all-distinct and constant vocabularies") {
     // every token unique -> V = N at every checkpoint -> beta 1, int 0
     val uniq = (0L until 8L).map(i => (i, s"t${i}a t${i}b t${i}c")).toDF("doc_id", "text")
