@@ -131,6 +131,8 @@ object Bench {
       // spec-gated ops with no oracle — visible to the perf record as
       // timing + row count (VERDICT r10 #8)
       timeE2e("compression_ratio", () => SparkEntry.compressionRatioOn(spark, sfDir)) ++
+      timeE2e("mmr_rerank", () => SparkEntry.mmrRerankOn(spark, sfDir)) ++
+      timeE2e("pca_whiten", () => SparkEntry.pcaWhitenOn(spark, sfDir)) ++
       timeSink("zorder_sink", out => SparkEntry.zOrderWriteOn(spark, sfDir, out))
     // Locale.ROOT: the f-interpolator is locale-sensitive and would
     // emit comma decimals (invalid JSON) under e.g. a German default
@@ -154,6 +156,8 @@ object Bench {
         """"direct_retrieval_e2e":"new in r11 - retrieval-augmented Evaporate-Direct (embed chunks once, top-1 chunk per (file,attr) by cosine, prompt only that chunk)",""" +
         """"compression_ratio":"new in r11 - spec-gated deflate quality signal, timing+rows only (no DuckDB oracle: no deflate there)",""" +
         """"zorder_sink":"new in r11 - Morton-layout write of documents on (n_chars,doc_id) to a temp dir; times the WRITE path",""" +
+        """"mmr_rerank":"new in r11 - spec-gated MMR diversified top-20 over 100 candidates (greedy loop is sequential, no SQL oracle)",""" +
+        """"pca_whiten":"new in r11 - spec-gated PCA whitening of all embeddings (treeAggregate moments + Jacobi eigen, no SQL oracle)",""" +
         """"direct_retrieval_total":"llm_tokens key, new in r11; EQUALS direct_total on this corpus (docs are single-chunk at chunkSize 1000, so top-1-chunk == all-chunks) - the savings factor is chunks-per-doc, proven on multi-chunk docs in ProfilerSpec"}"""
     println(s"""{"metric":"queries","queries":$qs,"key_notes":$notes,"sf":"$sfDir"}""")
     // the cascade's token economics at this SF (single measured run,

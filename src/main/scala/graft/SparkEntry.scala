@@ -652,6 +652,25 @@ object SparkEntry {
   def compressionRatioOn(spark: SparkSession, dir: String): DataFrame =
     graft.textops.TextStats.compressionRatio(docs(spark, dir), "doc_id", "text")
 
+  /** Spec-gated MMR diversified serving surfaced to Bench
+    * (`mmr_rerank`; the greedy loop is sequential-by-definition, so
+    * no SQL oracle): distributed relevance scan + TakeOrdered 100
+    * candidates, driver-side greedy top-20.
+    */
+  def mmrRerankOn(spark: SparkSession, dir: String): DataFrame =
+    Similarity.mmrRerank(
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      queryVec(spark, dir), k = 20, candN = 100)
+
+  /** Spec-gated PCA whitening surfaced to Bench (`pca_whiten`; no
+    * DuckDB oracle — the eigendecomposition has no SQL counterpart):
+    * one treeAggregate moment pass + shuffle-free whitening apply,
+    * evaluated over all vectors.
+    */
+  def pcaWhitenOn(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pcaWhiten(Tables.embeddings(spark, dir), "embedding", "white", dim = 64)
+      .select(col("vec_id"), col("white"))
+
   /** Spec-gated Z-order layout sink surfaced to Bench (`zorder_sink`):
     * writes the documents relation Morton-ordered on (n_chars, doc_id)
     * — quantize to rank cuts + interleave + ONE range shuffle — and

@@ -677,6 +677,195 @@ object Similarity {
       .orderBy(col("centroid_id"))
   }
 
+  /** MMR diversified top-k (Carbonell & Goldstein 1998): greedily
+    * pick the document maximizing
+    * λ·cos(q, d) − (1−λ)·max_{s∈selected} cos(d, s), so near-copies
+    * of an already-picked hit are pushed down — the de-duplicated
+    * serving answer brute-force/IVF top-k cannot give.
+    *
+    * Scale split: relevance scoring is the distributed part — one
+    * scan + a `candN`-row TakeOrdered (the same plan as
+    * [[cosineTopK]], candN ≈ 5–10× k). The greedy loop is inherently
+    * sequential (selection i depends on 1..i−1), so it runs on the
+    * DRIVER over only the candN collected candidates — k·candN
+    * cosines of driver math, invariant in corpus size (the same
+    * bounded-driver split as [[kmeansCentroids]]). Cosines round to
+    * 6 dp before comparison, ties to the smaller id — deterministic
+    * across partitionings.
+    *
+    * Output: (id, cos, mmr, rank) in selection order.
+    */
+  def mmrRerank(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      candN: Int = 100,
+      lambda: Double = 0.5): DataFrame = {
+    require(k >= 1 && candN >= k, s"need candN >= k >= 1, got k=$k candN=$candN")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+
+    val cands = embeddings
+      .select(
+        col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"),
+        round(cosineToQuery(col(vecCol), query), 6).as("cos"))
+      .orderBy(desc("cos"), col("id"))
+      .limit(candN)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+
+    def cosD(a: Array[Double], b: Array[Double]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < a.length) { ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1 }
+      if (aa == 0.0 || bb == 0.0) 0.0 else ab / (math.sqrt(aa) * math.sqrt(bb))
+    }
+    def r6(x: Double): Double = math.rint(x * 1e6) / 1e6
+
+    // incremental greedy: maxSim to the selected set needs only an
+    // update against the LAST pick — k·candN cosines total
+    val selected  = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double, Int)]
+    val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
+    val maxSim    = scala.collection.mutable.Map(cands.map(c => c._1 -> 0.0): _*)
+    while (selected.size < math.min(k, cands.length)) {
+      val best = remaining
+        .map { case (id, _, cosQ) => (id, cosQ, r6(lambda * cosQ - (1 - lambda) * maxSim(id))) }
+        .maxBy { case (id, _, mmr) => (mmr, -id) }
+      selected += ((best._1, best._2, best._3, selected.size + 1))
+      val bestVec = remaining.find(_._1 == best._1).get._2
+      remaining.filterInPlace(_._1 != best._1)
+      remaining.foreach { case (id, v, _) =>
+        maxSim(id) = math.max(maxSim(id), r6(cosD(v, bestVec)))
+      }
+    }
+    selected.toSeq.toDF("id", "cos", "mmr", "rank")
+      .select(col("id").as(idCol), col("cos"), col("mmr"), col("rank"))
+  }
+
+  /** PCA whitening of an embedding column (the retrieval-quality
+    * fix for anisotropic encoders — Su et al. 2021 "Whitening
+    * Sentence Representations"): x ↦ Λ^(−1/2)·Vᵀ·(x − μ) with
+    * (V, Λ) the eigensystem of the corpus covariance, so whitened
+    * coordinates have identity covariance.
+    *
+    * Scale split: the covariance needs only Σx and Σxxᵀ — ONE
+    * distributed treeAggregate with dim+dim² doubles of state per
+    * partition (the classic bounded-moment accumulation; a dim²
+    * column aggregation would bloat codegen at dim=64). The
+    * eigendecomposition is cyclic Jacobi on the driver's dim×dim
+    * matrix — corpus-size invariant, the same driver-side split as
+    * [[kmeansCentroids]]. The whitening APPLY is shuffle-free:
+    * dim codegen'd [[dot]] expressions against broadcast rows of the
+    * whitening matrix.
+    *
+    * Output: input columns with `outCol` = whitened ARRAY<DOUBLE>.
+    */
+  def pcaWhiten(
+      embeddings: DataFrame,
+      vecCol: String,
+      outCol: String,
+      dim: Int,
+      eps: Double = 1e-9): DataFrame = {
+    val (n, sums, gram) = embeddings
+      .select(transform(col(vecCol), x => x.cast("double")).as("v"))
+      .rdd
+      .map(_.getSeq[Double](0).toArray)
+      .treeAggregate((0L, new Array[Double](dim), new Array[Double](dim * dim)))(
+        seqOp = { case ((cnt, s, g), v) =>
+          var i = 0
+          while (i < dim) {
+            s(i) += v(i)
+            var j = 0
+            while (j < dim) { g(i * dim + j) += v(i) * v(j); j += 1 }
+            i += 1
+          }
+          (cnt + 1, s, g)
+        },
+        combOp = { case ((c1, s1, g1), (c2, s2, g2)) =>
+          var i = 0
+          while (i < dim) { s1(i) += s2(i); i += 1 }
+          i = 0
+          while (i < dim * dim) { g1(i) += g2(i); i += 1 }
+          (c1 + c2, s1, g1)
+        })
+    require(n > 1, s"pcaWhiten needs at least 2 vectors, got $n")
+    val mean = sums.map(_ / n)
+    val cov = Array.tabulate(dim, dim)((i, j) => gram(i * dim + j) / n - mean(i) * mean(j))
+    val (eigVals, eigVecs) = jacobiEigen(cov, dim)
+    // rows of W: scaled eigenvectors λ^(-1/2)·vᵀ, eigenvalue floor eps
+    val w = Array.tabulate(dim) { d =>
+      val s = 1.0 / math.sqrt(math.max(eigVals(d), eps))
+      (0 until dim).map(i => eigVecs(i)(d) * s).toArray
+    }
+    val vSub = zip_with(
+      transform(col(vecCol), x => x.cast("double")),
+      typedLit(mean.toSeq),
+      (a, b) => a - b)
+    val whitened = array(w.map(row => dot(col("__centered"), typedLit(row.toSeq))).toIndexedSeq: _*)
+    embeddings
+      .withColumn("__centered", vSub)
+      .withColumn(outCol, whitened)
+      .drop("__centered")
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix:
+    * deterministic sweep order, converges quadratically; returns
+    * (eigenvalues desc-sorted, column-eigenvector matrix in the same
+    * order). Driver-side dim×dim math only.
+    */
+  private def jacobiEigen(m: Array[Array[Double]], dim: Int): (Array[Double], Array[Array[Double]]) = {
+    val a = Array.tabulate(dim, dim)((i, j) => m(i)(j))
+    val v = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 100 && off > 1e-14) {
+      off = 0.0
+      var p = 0
+      while (p < dim - 1) {
+        var q = p + 1
+        while (q < dim) {
+          val apq = a(p)(q)
+          off = math.max(off, math.abs(apq))
+          if (math.abs(apq) > 1e-18) {
+            val theta = (a(q)(q) - a(p)(p)) / (2 * apq)
+            val t =
+              if (theta == 0.0) 1.0
+              else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1))
+            val c = 1.0 / math.sqrt(t * t + 1)
+            val s = t * c
+            var i = 0
+            while (i < dim) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < dim) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until dim).sortBy(d => -a(d)(d))
+    val vals  = order.map(d => a(d)(d)).toArray
+    val vecs  = Array.tabulate(dim, dim)((i, d) => v(i)(order(d)))
+    (vals, vecs)
+  }
+
   /** Bucketed near-duplicate pairs by embedding cosine: candidate
     * pairs only within the same bucket (IVF/LSH-style blocking), so
     * the join is an equi-join on the bucket key — shuffle scales with

@@ -725,6 +725,50 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1) == ((2L, 0, 1L, 0.5)), "equal counts must break to label 0")
   }
 
+  test("mmrRerank: pushes a duplicate of the first pick below a diverse candidate") {
+    // ids 1 and 2 share an embedding (a near-dup pair); id 3 is
+    // equally relevant but diverse. Plain top-2 returns (1,2);
+    // MMR at lambda=0.5 must return (1,3).
+    val v  = Seq(0.9f, 0.435889894354f)
+    val v3 = Seq(0.9f, -0.435889894354f)
+    val df = Seq((1L, v), (2L, v), (3L, v3)).toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(df, "vec_id", "embedding", query = Seq(1.0, 0.0), k = 2)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getInt(3)))
+    assert(got.map(_._1).toSeq == Seq(1L, 3L), got.toSeq.toString)
+    assert(math.abs(got(0)._3 - 0.45) < 1e-9) // 0.5*0.9, empty-set penalty 0
+    assert(math.abs(got(1)._3 - 0.14) < 1e-9) // 0.5*0.9 - 0.5*0.62
+    val plain = Similarity.cosineTopK(df, "vec_id", "embedding", Seq(1.0, 0.0), k = 2)
+      .orderBy(col("rank")).collect().map(_.getLong(0)).toSeq
+    assert(plain == Seq(1L, 2L), "sanity: relevance-only top-2 keeps the duplicate")
+  }
+
+  test("pcaWhiten: whitened sample covariance is the identity, mean is zero") {
+    val rnd = new scala.util.Random(42)
+    val dim = 4
+    // anisotropic full-rank data: mixed uniforms with very different scales
+    val rows = (0 until 200).map { i =>
+      val z = Array.fill(dim)(rnd.nextDouble() - 0.5)
+      val x = Array(
+        10.0 * z(0) + 2.0 * z(1) + 3.0,
+        2.0 * z(0) + 1.0 * z(1) - 1.0,
+        0.5 * z(2) + 0.1 * z(3),
+        0.1 * z(2) + 0.7 * z(3) + 5.0)
+      (i.toLong, x.map(_.toFloat).toSeq)
+    }
+    val df  = rows.toDF("vec_id", "embedding")
+    val out = Similarity.pcaWhiten(df, "embedding", "white", dim)
+    val w   = out.select(col("white")).collect().map(_.getSeq[Double](0).toArray)
+    val n   = w.length.toDouble
+    val mean = (0 until dim).map(d => w.map(_(d)).sum / n)
+    mean.foreach(m => assert(math.abs(m) < 1e-9, s"whitened mean $mean"))
+    for (i <- 0 until dim; j <- 0 until dim) {
+      val cij = w.map(r => (r(i) - mean(i)) * (r(j) - mean(j))).sum / n
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(cij - want) < 1e-7, s"cov($i,$j)=$cij")
+    }
+  }
+
   test("heapsFit: exact exponents on all-distinct and constant vocabularies") {
     // every token unique -> V = N at every checkpoint -> beta 1, int 0
     val uniq = (0L until 8L).map(i => (i, s"t${i}a t${i}b t${i}c")).toDF("doc_id", "text")
