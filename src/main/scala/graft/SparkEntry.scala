@@ -1852,6 +1852,25 @@ object SparkEntry {
       Similarity.clusterLabelPurity(
         Tables.embeddings(s, dir), "vec_id", "embedding", "label", nCentroids = 16)),
 
+    // diversity card: effective vocabulary size (inverse Simpson)
+    // per source
+    "q_simpson_diversity" -> ((s, dir) =>
+      TextStats.simpsonDiversity(docs(s, dir), "source", "text").orderBy(col("source"))),
+
+    // filter-governance card: 2x2 keep agreement between the hashed
+    // linear classifier and the rule bank
+    "q_filter_agreement" -> ((s, dir) =>
+      Curation.filterAgreement(docs(s, dir), "doc_id", "text",
+          nBuckets = 64, minTokens = 20, maxTokens = 100000, minMeanLen = 2.0, maxMeanLen = 10.0)
+        .orderBy(col("clf_keep"), col("rules_keep"))),
+
+    // no-encoder embeddings: hashing-trick bag-of-words, sparse long
+    // form (the dense/L2 assembly is the hashedBowDense API, fed to
+    // Similarity in CurationSpec)
+    "q_hashed_bow" -> ((s, dir) =>
+      Curation.hashedBowSparse(docs(s, dir), "doc_id", "text", nBuckets = 64)
+        .orderBy(col("doc_id"), col("bkt"))),
+
     // corpus diagnostics: EXACT per-language length quantiles from
     // the value histogram + CDF rank — no per-group value buffering
     // (the scale-safe `percentile` replacement; see
@@ -4093,6 +4112,51 @@ object SparkEntry {
           SELECT centroid_id, CAST(n_vecs AS BIGINT) AS n_vecs, label AS top_label,
                  CAST(c AS BIGINT) AS n_top, round(CAST(c AS DOUBLE) / n_vecs, 6) AS purity
           FROM tp WHERE rn = 1 ORDER BY centroid_id""",
+
+    "q_simpson_diversity" ->
+      """WITH t AS (SELECT source, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS token
+                    FROM documents),
+          pd AS (SELECT source, token, count(*) AS c FROM t GROUP BY source, token)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_types, CAST(sum(c) AS BIGINT) AS n_tokens,
+                round(CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) * CAST(sum(c) AS BIGINT) / sum(c * c), 6) AS inv_simpson
+         FROM pd GROUP BY source ORDER BY source""",
+
+    "q_filter_agreement" ->
+      """WITH toks AS (SELECT doc_id, t AS token
+                       FROM documents, unnest(string_split(text, ' ')) AS u(t) WHERE len(t) > 0),
+          b AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT % 64 AS bkt FROM toks),
+          wt AS (SELECT doc_id,
+                        CAST((('0x' || substr(md5('qcw:' || CAST(bkt AS VARCHAR)), 1, 15))::BIGINT
+                              / 1152921504606846976.0) * 2 - 1 AS DECIMAL(27,18)) AS w
+                 FROM b),
+          clf AS (SELECT doc_id, (round(CAST(sum(w) AS DOUBLE) / count(*), 6) >= 0.0) AS clf_keep
+                  FROM wt GROUP BY doc_id),
+          t2 AS (SELECT doc_id, lower(text) AS lt,
+                        list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+                 FROM documents),
+          f AS (SELECT doc_id, lt, CAST(len(tk) AS INT) AS n_tok,
+                       CASE WHEN len(tk) > 0
+                            THEN round(CAST(list_aggregate(list_transform(tk, x -> len(x)), 'sum') AS DOUBLE) / len(tk), 6)
+                            ELSE 0.0 END AS mean_tok_len
+                FROM t2),
+          rules AS (SELECT doc_id,
+                           ((n_tok >= 20 AND n_tok <= 100000) AND (mean_tok_len >= 2.0 AND mean_tok_len <= 10.0)
+                            AND strpos(lt, 'lorem ipsum') = 0 AND strpos(lt, '{') = 0) AS rules_keep
+                    FROM f)
+         SELECT c.clf_keep, r.rules_keep, CAST(count(*) AS BIGINT) AS n
+         FROM clf c JOIN rules r ON c.doc_id = r.doc_id
+         GROUP BY c.clf_keep, r.rules_keep ORDER BY clf_keep, rules_keep""",
+
+    "q_hashed_bow" ->
+      """WITH toks AS (SELECT doc_id, t AS token
+                       FROM documents, unnest(string_split(text, ' ')) AS u(t) WHERE len(t) > 0),
+          e AS (SELECT doc_id,
+                       CAST(('0x' || substr(md5(token), 1, 15))::BIGINT % 64 AS INT) AS bkt,
+                       CASE WHEN ('0x' || substr(md5('sgn:' || token), 1, 15))::BIGINT % 2 = 0
+                            THEN 1.0 ELSE -1.0 END AS sgn
+                FROM toks)
+         SELECT doc_id, bkt, CAST(sum(sgn) AS DOUBLE) AS v
+         FROM e GROUP BY doc_id, bkt ORDER BY doc_id, bkt""",
 
     "q_quantile_disc" ->
       """SELECT lang, CAST(0.25 AS DOUBLE) AS prob, CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS q_value FROM documents GROUP BY lang

@@ -526,6 +526,82 @@ object Curation {
         col("ok_word_count") && col("ok_mean_len") && col("no_lorem") && col("no_brace"))
   }
 
+  /** Agreement card between the two cheap quality filters — the
+    * hashed linear classifier ([[hashedLinearScore]]) and the rule
+    * bank ([[qualityRuleFlags]]): the 2×2 keep/keep contingency. A
+    * mixer reads this before swapping one filter for the other (high
+    * off-diagonal mass = the swap changes the corpus). Token-less
+    * docs have no classifier verdict and drop (inner join).
+    *
+    * Scale shape: both inputs are per-row projections + one doc-key
+    * aggregation each; the join is doc-keyed; the output is 4 rows.
+    */
+  def filterAgreement(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      nBuckets: Int = 64,
+      minTokens: Int = 50,
+      maxTokens: Int = 100000,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0): DataFrame = {
+    val clf = hashedLinearScore(df, idCol, textCol, nBuckets)
+      .select(col(idCol), col("keep").as("clf_keep"))
+    val rules = qualityRuleFlags(df, idCol, textCol, minTokens, maxTokens, minMeanLen, maxMeanLen)
+      .select(col(idCol), col("keep").as("rules_keep"))
+    clf.join(rules, Seq(idCol))
+      .groupBy(col("clf_keep"), col("rules_keep"))
+      .agg(count(lit(1)).cast("bigint").as("n"))
+  }
+
+  /** Hashing-trick bag-of-words document vectors (Weinberger et al.
+    * 2009's feature hashing; the no-encoder embedding for cheap
+    * near-dup and classification when no model is available): each
+    * token hashes to one of `nBuckets` slots with a ±1 sign hash
+    * (sign cancellation keeps the inner product unbiased). Sparse
+    * long form (id, bkt, v) — v sums ±1 per occurrence, exact in
+    * doubles.
+    *
+    * Scale shape: per-row expressions + ONE (id, bucket) hash
+    * aggregation with map-side combine — the same single-shuffle
+    * class as token counting; no vocabulary state, no model.
+    */
+  def hashedBowSparse(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      nBuckets: Int = 64): DataFrame =
+    df.select(col(idCol), explode(toks(col(textCol))).as("token"))
+      .withColumn("bkt", (Dedup.hash60(col("token")) % nBuckets).cast("int"))
+      .withColumn(
+        "sgn",
+        when(Dedup.hash60(concat(lit("sgn:"), col("token"))) % 2 === 0, 1.0).otherwise(-1.0))
+      .groupBy(col(idCol), col("bkt"))
+      .agg(sum(col("sgn")).as("v"))
+
+  /** Dense L2-normalized hashed-BoW vector per document — the
+    * [[hashedBowSparse]] entries assembled into an ARRAY<DOUBLE> of
+    * length `nBuckets` (zero-filled, unit norm; all-cancelled docs
+    * keep the zero vector). Feeds the Similarity operators directly.
+    */
+  def hashedBowDense(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      nBuckets: Int = 64,
+      outCol: String = "bow_vec"): DataFrame = {
+    val dense = hashedBowSparse(df, idCol, textCol, nBuckets)
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("bkt"), col("v")))).as("m"))
+      .withColumn(
+        "raw",
+        transform(sequence(lit(0), lit(nBuckets - 1)), b => coalesce(element_at(col("m"), b), lit(0.0))))
+      .withColumn("nrm", sqrt(graft.expressions.DotProduct.dotD(col("raw"), col("raw"))))
+      .withColumn(outCol, when(col("nrm") === 0.0, col("raw")).otherwise(transform(col("raw"), x => x / col("nrm"))))
+      .select(col(idCol), col(outCol))
+    dense
+  }
+
   // ---------------------------------------------------------------
   // Paragraph-level exact dedup (C4-style)
   // ---------------------------------------------------------------

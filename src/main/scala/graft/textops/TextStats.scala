@@ -1233,6 +1233,34 @@ object TextStats {
         "hapax_rate",
         round(col("n_hapax").cast("double") / col("n_types"), 6))
 
+  /** Inverse Simpson diversity per group (effective vocabulary size
+    * — Simpson 1949, Jost 2006's "true diversity" of order 2):
+    * N²/Σc² over the group's token counts, the number of
+    * equally-common types that would give the same repeat
+    * probability. Complements TTR (sensitive to N) and entropy
+    * (order 1) in the quality/diversity filter bank.
+    *
+    * Scale shape: one (group, token) hash aggregation, then a
+    * group-keyed fold over the vocabulary-sized result.
+    *
+    * Output: (group, n_types, n_tokens, inv_simpson).
+    */
+  def simpsonDiversity(df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    df
+      .select(col(groupCol), explode(toks(col(textCol))).as("token"))
+      .groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_types"),
+        sum(col("c")).cast("bigint").as("n_tokens"),
+        sum(col("c") * col("c")).as("s2"))
+      .select(
+        col(groupCol),
+        col("n_types"),
+        col("n_tokens"),
+        round(col("n_tokens").cast("double") * col("n_tokens") / col("s2"), 6).as("inv_simpson"))
+
   /** Vocabulary head coverage (the tokenizer/vocab-size design
     * curve): for each checkpoint k, the fraction of ALL token
     * occurrences covered by the k most frequent types. Checkpoints

@@ -115,6 +115,47 @@ class CurationSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 3L), (3L, 1L, 2L), (4L, 0L, 0L)))
   }
 
+  test("filterAgreement: 2x2 contingency over shared docs, token-less docs drop") {
+    val df = Seq(
+      (1L, Seq.fill(25)("word").mkString(" ")), // rules keep (25 toks, mean 4)
+      (2L, "short doc"),                        // rules drop (2 toks)
+      (3L, "")).toDF("doc_id", "text")          // no tokens -> no clf verdict
+    val got = Curation.filterAgreement(df, "doc_id", "text",
+        nBuckets = 64, minTokens = 20, maxTokens = 100000, minMeanLen = 2.0, maxMeanLen = 10.0)
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
+    assert(got.values.sum == 2L, "doc 3 must drop from the contingency")
+    // rules verdicts are fixed by construction; each doc lands in a
+    // rules_keep column matching its band
+    assert(got.filter(_._1._2).values.sum == 1L)  // doc 1
+    assert(got.filter(!_._1._2).values.sum == 1L) // doc 2
+  }
+
+  test("hashedBow: sparse entries sum signed occurrences; dense is unit-norm and cosine-ready") {
+    val df = Seq(
+      (1L, "alpha alpha beta"),
+      (2L, "alpha alpha beta"), // exact dup of 1
+      (3L, "gamma delta")).toDF("doc_id", "text")
+    val sparse = Curation.hashedBowSparse(df, "doc_id", "text", nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // every |v| is a signed multiple of occurrences; doc1 == doc2 cell-for-cell
+    val d1 = sparse.collect { case ((1L, b), v) => b -> v }.toMap
+    val d2 = sparse.collect { case ((2L, b), v) => b -> v }.toMap
+    assert(d1 == d2 && d1.nonEmpty)
+    assert(d1.values.map(math.abs).sum == 3.0 || d1.values.map(math.abs).sum == 1.0,
+      s"alpha(2) and beta(1) either split buckets (sum 3) or collide with cancellation ($d1)")
+    val dense = Curation.hashedBowDense(df, "doc_id", "text", nBuckets = 16)
+    val cos = Similarity.cosine(col("a"), col("b"))
+    val pair = dense.select(col("doc_id"), col("bow_vec").as("a"))
+      .join(dense.select(col("doc_id").as("id2"), col("bow_vec").as("b")), col("doc_id") < col("id2"))
+      .select(col("doc_id"), col("id2"), round(cos, 6).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pair((1L, 2L)) == 1.0, "identical docs must embed identically")
+    assert(math.abs(pair((1L, 3L))) < 1.0)
+    // unit norm on a non-cancelled doc
+    val n1 = dense.filter(col("doc_id") === 1L).select(col("bow_vec")).head().getSeq[Double](0)
+    assert(math.abs(n1.map(x => x * x).sum - 1.0) < 1e-9)
+  }
+
   test("qualityRuleFlags bands and content rules drive keep") {
     val df = Seq(
       (1L, "one two three four five six"),           // 6 toks, ok with min=5

@@ -725,6 +725,17 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1) == ((2L, 0, 1L, 0.5)), "equal counts must break to label 0")
   }
 
+  test("simpsonDiversity: uniform vocabulary hits n_types, skew shrinks it") {
+    val df = Seq(
+      ("u", "a b c d"),        // uniform: invSimpson = 16/4 = 4 = n_types
+      ("s", "a a a a a b c")). // skewed: 49/(25+1+1) = 49/27
+      toDF("source", "text")
+    val got = TextStats.simpsonDiversity(df, "source", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("u") == ((4L, 4L, 4.0)))
+    assert(got("s") == ((3L, 7L, math.rint(49.0 / 27 * 1e6) / 1e6)))
+  }
+
   test("mmrRerank: pushes a duplicate of the first pick below a diverse candidate") {
     // ids 1 and 2 share an embedding (a near-dup pair); id 3 is
     // equally relevant but diverse. Plain top-2 returns (1,2);
