@@ -1283,7 +1283,11 @@ object TextStats {
       .select(explode(toks(col(textCol))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(sum(col("cnt")).as("total"))
+    // total mass = Σ per-doc token counts: a shuffle-free scan-level
+    // sum, NOT a second pass over the token aggregation (DataFrame
+    // branches re-execute their subtree — deriving total from
+    // `counts` would run the corpus-scale explode+agg twice)
+    val total = df.select(sum(size(toks(col(textCol)))).cast("bigint").as("total"))
     val top   = counts.orderBy(desc("cnt"), col("token")).limit(checkpoints.max)
     val w     = Window.orderBy(desc("cnt"), col("token")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     top

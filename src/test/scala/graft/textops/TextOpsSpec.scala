@@ -725,6 +725,28 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1) == ((2L, 0, 1L, 0.5)), "equal counts must break to label 0")
   }
 
+  test("plan shapes: r11 diagnostics hold their documented shuffle budgets") {
+    val docs = Seq((1L, "a b c", "s1"), (2L, "b c d", "s2")).toDF("doc_id", "text", "source")
+    def hashEx(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.toString.linesIterator
+        .count(_.contains("Exchange hashpartitioning"))
+    // one (id, bucket) aggregation, nothing else corpus-scale
+    assert(hashEx(Curation.hashedBowSparse(docs, "doc_id", "text", 16)) == 1)
+    // (group, token) agg + group fold
+    assert(hashEx(TextStats.simpsonDiversity(docs, "source", "text")) == 2)
+    assert(hashEx(TextStats.hapaxRate(docs, "source", "text")) == 2)
+    // content-hash agg + size histogram agg
+    assert(hashEx(Dedup.dupClusterHist(docs, "text")) == 2)
+    // token-count agg only; cum window runs on the TakeOrdered rows
+    val hc = TextStats.headCoverage(docs, "text", Seq(1, 2))
+    assert(hashEx(hc) == 1, hc.queryExecution.executedPlan.toString)
+    // (token, doc) agg + token moments; top-k is TakeOrdered, no sort shuffle
+    val disp  = TextStats.tokenDispersion(docs, "doc_id", "text", 5)
+    val dPlan = disp.queryExecution.executedPlan.toString
+    assert(dPlan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2, dPlan)
+    assert(dPlan.contains("TakeOrdered"), dPlan)
+  }
+
   test("simpsonDiversity: uniform vocabulary hits n_types, skew shrinks it") {
     val df = Seq(
       ("u", "a b c d"),        // uniform: invSimpson = 16/4 = 4 = n_types
