@@ -440,6 +440,43 @@ object StreamingExtract {
       }
   }
 
+  /** Streaming curation observability: per event-time window, the
+    * rule-bank keep rate and mean document stats — the ingest-time
+    * alarm for "the crawler started feeding garbage" that the batch
+    * q_quality_rules card can only see after the fact.
+    *
+    * The rule evaluation is [[graft.textops.Curation.qualityRuleFlags]]
+    * applied STATELESSLY per row (the timestamp rides through the id
+    * slot), so the only streaming state is the watermarked tumbling
+    * window's aggregates — no per-doc state, vocabulary-free,
+    * append-mode emission once the watermark passes.
+    *
+    * Output per window: (window, n_docs, n_keep, keep_rate,
+    * mean_tok).
+    */
+  def keepRateStream(
+      docs: DataFrame,
+      tsCol: String,
+      textCol: String,
+      windowDur: String,
+      watermark: String,
+      minTokens: Int = 50,
+      maxTokens: Int = 100000,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0): DataFrame = {
+    val flagged = graft.textops.Curation.qualityRuleFlags(
+      docs.withWatermark(tsCol, watermark),
+      tsCol, textCol, minTokens, maxTokens, minMeanLen, maxMeanLen)
+    flagged
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        round(avg(col("n_tok")), 6).as("mean_tok"))
+      .withColumn("keep_rate", round(col("n_keep").cast("double") / col("n_docs"), 6))
+      .select(col("window"), col("n_docs"), col("n_keep"), col("keep_rate"), col("mean_tok"))
+  }
+
   /** Streaming-native windowed aggregation over an event stream:
     * watermark + sliding window counts (the shape `events` exercises).
     */

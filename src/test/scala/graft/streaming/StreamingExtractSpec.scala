@@ -71,6 +71,32 @@ class StreamingExtractSpec extends SparkSpec {
     assert(spark.table("dedup_out").count() == 2)
   }
 
+  test("keepRateStream: per-window rule-bank keep rate on an event-time stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val mon = StreamingExtract.keepRateStream(
+      in.toDF().toDF("ts", "text"), "ts", "text",
+      windowDur = "10 minutes", watermark = "0 seconds",
+      minTokens = 5, maxTokens = 100, minMeanLen = 1.0, maxMeanLen = 10.0)
+    val q = mon.writeStream.outputMode("append").format("memory").queryName("keep_rate").start()
+    val w1 = java.sql.Timestamp.valueOf("2026-01-01 00:01:00")
+    val w2 = java.sql.Timestamp.valueOf("2026-01-01 00:11:00")
+    in.addData(
+      (w1, "one two three four five six"), // keep
+      (w1, "too short"),                   // drop (2 < 5 tokens)
+      (w2, "alpha beta gamma delta epsilon zeta"))
+    q.processAllAvailable()
+    // advance the watermark past both windows so append mode emits
+    in.addData((java.sql.Timestamp.valueOf("2026-01-01 01:00:00"), "flush flush flush flush flush"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("keep_rate").collect()
+      .map(r => r.getStruct(0).getTimestamp(0).toString -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got("2026-01-01 00:00:00.0") == ((2L, 1L, 0.5)), got.toString)
+    assert(got("2026-01-01 00:10:00.0") == ((1L, 1L, 1.0)), got.toString)
+  }
+
   test("historyGateStream drops arrivals near-duplicating the persisted index") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_histidx").toString
