@@ -133,6 +133,7 @@ object Bench {
       timeE2e("compression_ratio", () => SparkEntry.compressionRatioOn(spark, sfDir)) ++
       timeE2e("mmr_rerank", () => SparkEntry.mmrRerankOn(spark, sfDir)) ++
       timeE2e("pca_whiten", () => SparkEntry.pcaWhitenOn(spark, sfDir)) ++
+      timeE2e("unigram_train", () => SparkEntry.unigramTrainOn(spark, sfDir)) ++
       timeSink("zorder_sink", out => SparkEntry.zOrderWriteOn(spark, sfDir, out))
     // Locale.ROOT: the f-interpolator is locale-sensitive and would
     // emit comma decimals (invalid JSON) under e.g. a German default
@@ -158,6 +159,7 @@ object Bench {
         """"zorder_sink":"new in r11 - Morton-layout write of documents on (n_chars,doc_id) to a temp dir; times the WRITE path",""" +
         """"mmr_rerank":"new in r11 - spec-gated MMR diversified top-20 over 100 candidates (greedy loop is sequential, no SQL oracle)",""" +
         """"pca_whiten":"new in r11 - spec-gated PCA whitening of all embeddings (treeAggregate moments + Jacobi eigen, no SQL oracle)",""" +
+        """"unigram_train":"new in r11 - spec-gated unigram-LM tokenizer training, vocab 64 (one word-table job + driver Viterbi-EM; q_sp_seed_vocab gates the distributed stage)",""" +
         """"direct_retrieval_total":"llm_tokens key, new in r11; EQUALS direct_total on this corpus (docs are single-chunk at chunkSize 1000, so top-1-chunk == all-chunks) - the savings factor is chunks-per-doc, proven on multi-chunk docs in ProfilerSpec"}"""
     println(s"""{"metric":"queries","queries":$qs,"key_notes":$notes,"sf":"$sfDir"}""")
     // the cascade's token economics at this SF (single measured run,

@@ -662,6 +662,18 @@ object SparkEntry {
       Tables.embeddings(spark, dir), "vec_id", "embedding",
       queryVec(spark, dir), k = 20, candN = 100)
 
+  /** Spec-gated unigram-LM tokenizer training surfaced to Bench
+    * (`unigram_train`; the Viterbi-EM loop is driver-side by design,
+    * no SQL oracle): one corpus word-table job + in-JVM EM/prune,
+    * returned as a (piece, logp) frame so evalAll times the whole
+    * train.
+    */
+  def unigramTrainOn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.textops.Unigram.train(docs(spark, dir), "text", vocabSize = 64, maxLen = 6)
+      .toDF("piece", "logp")
+  }
+
   /** Spec-gated PCA whitening surfaced to Bench (`pca_whiten`; no
     * DuckDB oracle — the eigendecomposition has no SQL counterpart):
     * one treeAggregate moment pass + shuffle-free whitening apply,
@@ -1870,6 +1882,12 @@ object SparkEntry {
     "q_hashed_bow" -> ((s, dir) =>
       Curation.hashedBowSparse(docs(s, dir), "doc_id", "text", nBuckets = 64)
         .orderBy(col("doc_id"), col("bkt"))),
+
+    // unigram-LM tokenizer: seed-piece candidate statistics — the
+    // oracle-gated distributed stage of Unigram.train (the EM loop is
+    // driver-side over the bounded word table, spec-gated)
+    "q_sp_seed_vocab" -> ((s, dir) =>
+      graft.textops.Unigram.seedPieceStats(docs(s, dir), "text", maxLen = 4, topK = 50)),
 
     // corpus diagnostics: EXACT per-language length quantiles from
     // the value histogram + CDF rank — no per-group value buffering
@@ -4157,6 +4175,17 @@ object SparkEntry {
                 FROM toks)
          SELECT doc_id, bkt, CAST(sum(sgn) AS DOUBLE) AS v
          FROM e GROUP BY doc_id, bkt ORDER BY doc_id, bkt""",
+
+    "q_sp_seed_vocab" ->
+      """WITH w AS (SELECT t AS word, count(*) AS c
+                    FROM documents, unnest(string_split(text, ' ')) AS u(t) WHERE len(t) > 0
+                    GROUP BY t),
+          subs AS (SELECT substr(word, CAST(s.i AS INT) + 1, CAST(l.j AS INT)) AS piece, c
+                   FROM w,
+                        unnest(range(0, len(word))) AS s(i),
+                        unnest(range(1, 1 + least(4, len(word) - CAST(s.i AS INT)))) AS l(j))
+         SELECT piece, CAST(sum(c) AS BIGINT) AS freq
+         FROM subs GROUP BY piece ORDER BY freq DESC, piece LIMIT 50""",
 
     "q_quantile_disc" ->
       """SELECT lang, CAST(0.25 AS DOUBLE) AS prob, CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS q_value FROM documents GROUP BY lang
