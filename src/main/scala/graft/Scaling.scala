@@ -25,7 +25,8 @@ object Scaling {
     val ann = Set(
       "q_cosine_topk", "q_embed_mean_pool", "q_retrieval_top1", "q_rrf_fusion",
       "q_hard_negatives", "q_rank_metrics", "q_semdedup", "q_semdedup_scaled",
-      "q_proto_prune", "q_dedup_embed_cosine", "q_cluster_purity")
+      "q_proto_prune", "q_dedup_embed_cosine", "q_cluster_purity",
+      "q_label_centroid_sim", "q_embed_norms")
     val dedup = Set(
       "q_lsh_pairs", "q_minhash_est", "q_fingerprint", "q_winnow_fingerprint",
       "q_substring_dedup", "q_decontaminate", "q_decontam_bloom", "q_decontam_fuzzy",

@@ -1889,6 +1889,17 @@ object SparkEntry {
     "q_sp_seed_vocab" -> ((s, dir) =>
       graft.textops.Unigram.seedPieceStats(docs(s, dir), "text", maxLen = 4, topK = 50)),
 
+    // class-separability card: pairwise cosine between per-label
+    // mean embeddings (decimal-exact means, driver pairwise)
+    "q_label_centroid_sim" -> ((s, dir) =>
+      Similarity.labelCentroidSim(Tables.embeddings(s, dir), "label", "embedding", dim = 64)
+        .orderBy(col("label_a"), col("label_b"))),
+
+    // quantization-calibration card: per-label embedding norm stats
+    "q_embed_norms" -> ((s, dir) =>
+      Similarity.normStats(Tables.embeddings(s, dir), "label", "embedding")
+        .orderBy(col("label"))),
+
     // corpus diagnostics: EXACT per-language length quantiles from
     // the value histogram + CDF rank — no per-group value buffering
     // (the scale-safe `percentile` replacement; see
@@ -4186,6 +4197,25 @@ object SparkEntry {
                         unnest(range(1, 1 + least(4, len(word) - CAST(s.i AS INT)))) AS l(j))
          SELECT piece, CAST(sum(c) AS BIGINT) AS freq
          FROM subs GROUP BY piece ORDER BY freq DESC, piece LIMIT 50""",
+
+    "q_label_centroid_sim" ->
+      s"""WITH m AS (SELECT label, $kmeansMeanSql FROM embeddings GROUP BY label),
+          v AS (SELECT label, list_value(${(1 to 64).map("m" + _).mkString(", ")}) AS mv FROM m),
+          p AS (SELECT a.label AS label_a, b.label AS label_b,
+                       ${dotSql("a.mv", "b.mv")} AS ab,
+                       ${dotSql("a.mv", "a.mv")} AS na,
+                       ${dotSql("b.mv", "b.mv")} AS nb
+                FROM v a JOIN v b ON a.label < b.label)
+          SELECT label_a, label_b, round(${cosNSql("ab", "na", "nb")}, 6) AS cos
+          FROM p ORDER BY label_a, label_b""",
+
+    "q_embed_norms" ->
+      s"""WITH nrms AS (SELECT label, sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings)
+          SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+                 round(min(nrm), 6) AS min_norm,
+                 round(CAST(sum(CAST(nrm AS DECIMAL(27,18))) AS DOUBLE) / count(*), 6) AS mean_norm,
+                 round(max(nrm), 6) AS max_norm
+          FROM nrms GROUP BY label ORDER BY label""",
 
     "q_quantile_disc" ->
       """SELECT lang, CAST(0.25 AS DOUBLE) AS prob, CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS q_value FROM documents GROUP BY lang

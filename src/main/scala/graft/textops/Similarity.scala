@@ -917,6 +917,73 @@ object Similarity {
           sum(col("x").cast("double").cast("decimal(27,18)")).cast("double") / count(lit(1)),
           6).as("mean"))
 
+  /** Pairwise cosine between per-label MEAN embeddings — the
+    * class-separability / source-drift card (two labels whose
+    * centroids cosine ≈ 1 are indistinguishable to the embedder;
+    * a mixer reads this before trusting label-blocked semdedup).
+    * Means use the [[kmeansCentroids]] decimal-sum recipe, so they
+    * are bit-stable across partitionings and an SQL oracle replays
+    * them exactly.
+    *
+    * Scale split: ONE grouped aggregation carrying dim decimal sums
+    * per label (the corpus-scale part); the |labels|×dim means
+    * collect to the driver (the kmeansCentroids k×dim split) and the
+    * ≤ |labels|² pairwise cosines are driver math.
+    *
+    * Output: (label_a, label_b, cos) for label_a < label_b.
+    */
+  def labelCentroidSim(
+      embeddings: DataFrame,
+      groupCol: String,
+      vecCol: String,
+      dim: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val rows = embeddings
+      .withColumn("v", transform(col(vecCol), x => x.cast("double")))
+      .groupBy(col(groupCol).as("g"))
+      .agg(
+        count(lit(1)).as("n"),
+        (0 until dim).map(d =>
+          (sum(element_at(col("v"), d + 1).cast("decimal(27,18)")).cast("double") / count(lit(1)))
+            .as(s"m$d")): _*)
+      .collect()
+    val means = rows
+      .map(r => r.getAs[Int]("g") -> (0 until dim).map(d => r.getAs[Double](s"m$d")).toArray)
+      .sortBy(_._1)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = for {
+      (ga, va) <- means
+      (gb, vb) <- means
+      if ga < gb
+    } yield {
+      var ab = 0.0; var na = 0.0; var nb = 0.0; var d = 0
+      while (d < dim) { ab += va(d) * vb(d); na += va(d) * va(d); nb += vb(d) * vb(d); d += 1 }
+      val c = if (na == 0.0 || nb == 0.0) 0.0 else ab / (math.sqrt(na) * math.sqrt(nb))
+      (ga, gb, r6(c))
+    }
+    out.toSeq.toDF("label_a", "label_b", "cos")
+  }
+
+  /** Per-label embedding L2-norm statistics — the calibration card
+    * for int8/PQ quantization (a label whose norms spread wide needs
+    * per-row scales; see [[int8TopK]]). Mean uses the decimal-sum
+    * recipe (order-free, oracle-replayable); min/max are exact.
+    * One scan, one grouped aggregation.
+    */
+  def normStats(embeddings: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), x => x.cast("double"))
+    embeddings
+      .select(col(groupCol), sqrt(dot(v, v)).as("nrm"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_vecs"),
+        round(min(col("nrm")), 6).as("min_norm"),
+        round(sum(col("nrm").cast("decimal(27,18)")).cast("double") / count(lit(1)), 6).as("mean_norm"),
+        round(max(col("nrm")), 6).as("max_norm"))
+  }
+
   /** Recall@k of an approximate top-k against the exact top-k — the
     * quality gauge every production ANN deployment tracks next to its
     * latency. Inputs are the two ranked frames (only the first k rows

@@ -758,6 +758,29 @@ class TextOpsSpec extends SparkSpec {
     assert(got("s") == ((3L, 7L, math.rint(49.0 / 27 * 1e6) / 1e6)))
   }
 
+  test("labelCentroidSim: hand-computed means and pairwise cosines") {
+    val df = Seq(
+      (0L, Seq(2f, 0f), 0), (1L, Seq(4f, 0f), 0),   // mean [3, 0]
+      (2L, Seq(0f, 1f), 1), (3L, Seq(0f, 3f), 1),   // mean [0, 2]
+      (4L, Seq(1f, 1f), 2), (5L, Seq(3f, 3f), 2))   // mean [2, 2]
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroidSim(df, "label", "embedding", dim = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got((0, 1)) == 0.0)
+    assert(got((0, 2)) == 0.707107) // cos 45 degrees
+    assert(got((1, 2)) == 0.707107)
+  }
+
+  test("normStats: exact min/max, decimal-exact mean per label") {
+    val df = Seq(
+      (0L, Seq(3f, 4f), 0), (1L, Seq(0f, 0f), 0),
+      (2L, Seq(0f, 2f), 1)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.normStats(df, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(0) == ((2L, 0.0, 2.5, 5.0)))
+    assert(got(1) == ((1L, 2.0, 2.0, 2.0)))
+  }
+
   test("mmrRerank: pushes a duplicate of the first pick below a diverse candidate") {
     // ids 1 and 2 share an embedding (a near-dup pair); id 3 is
     // equally relevant but diverse. Plain top-2 returns (1,2);
