@@ -1856,7 +1856,7 @@ object SparkEntry {
 
     // duplication-shape card: exact-dup cluster-size histogram
     "q_dup_cluster_hist" -> ((s, dir) =>
-      Dedup.dupClusterHist(docs(s, dir), "text")),
+      Dedup.dupClusterHist(docs(s, dir), "doc_id", "text")),
 
     // embedding-quality card: majority-label purity per IVF seed
     // cluster (shared centroid assignment with the ANN family)

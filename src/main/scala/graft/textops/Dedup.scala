@@ -50,9 +50,11 @@ object Dedup {
       idCol: String,
       textCol: String,
       groupCol: String): DataFrame = {
-    val firstCopy = df
-      .groupBy(md5(col(textCol).cast("binary")).as("h"))
-      .agg(min(col(idCol)).as("keep_id"))
+    // the survivor convention comes from exactDedupGroups — ONE
+    // definition of (content hash, keep id) for every exact-dedup
+    // consumer in this file
+    val firstCopy = exactDedupGroups(df, idCol, textCol)
+      .select(col("content_hash").as("h"), col("keep_id"))
     df.select(col(idCol), col(groupCol), md5(col(textCol).cast("binary")).as("h"))
       .join(firstCopy, Seq("h"))
       .groupBy(col(groupCol))
@@ -74,11 +76,9 @@ object Dedup {
     *
     * Output: (cluster_size, n_clusters, n_docs) ordered by size.
     */
-  def dupClusterHist(df: DataFrame, textCol: String): DataFrame =
-    df
-      .groupBy(md5(col(textCol).cast("binary")).as("h"))
-      .agg(count(lit(1)).as("s"))
-      .groupBy(col("s"))
+  def dupClusterHist(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    exactDedupGroups(df, idCol, textCol)
+      .groupBy(col("n_dups").as("s"))
       .agg(count(lit(1)).as("n_clusters"))
       .select(
         col("s").cast("int").as("cluster_size"),

@@ -717,6 +717,10 @@ object Similarity {
       .limit(candN)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      // duplicate ids would desync the loop bound from the remaining
+      // set (each pick removes ALL rows of its id) and alias one
+      // maxSim slot — keep the best-ranked row per id
+      .distinctBy(_._1)
 
     def cosD(a: Array[Double], b: Array[Double]): Double = {
       var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
@@ -929,6 +933,10 @@ object Similarity {
     * per label (the corpus-scale part); the |labels|×dim means
     * collect to the driver (the kmeansCentroids k×dim split) and the
     * ≤ |labels|² pairwise cosines are driver math.
+    *
+    * `groupCol` must be an INTEGER label column (it is read as Int
+    * at the driver and ordered numerically for the a < b pairing);
+    * string groups belong to the per-group text cards, not this one.
     *
     * Output: (label_a, label_b, cos) for label_a < label_b.
     */

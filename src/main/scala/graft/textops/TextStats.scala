@@ -825,21 +825,6 @@ object TextStats {
       .filter(col("cnt") >= threshold)
   }
 
-  /** Zipf-law fit over the top-`topV` vocabulary: OLS slope/intercept
-    * of ln(count) on ln(rank) — the corpus-health diagnostic (natural
-    * text sits near slope −1; templated/machine-generated corpora
-    * flatten or steepen it; Zipf 1949, public method). Returns one
-    * row (n_terms, slope, intercept).
-    *
-    * Engine-exact recipe: ranks come from the deterministic
-    * (cnt desc, token asc) top-V cut, so x = ln(rank), y = ln(cnt)
-    * are ln of small integers — identical doubles on both engines;
-    * each OLS term (x, y, x·y, x²) is quantized to DECIMAL(27,18)
-    * before the order-free sums; the closed form runs in doubles,
-    * rounded to 6dp. Scale shape: vocab count is one hash agg with
-    * map-side combine; the fit reads only topV rows (TakeOrdered →
-    * one-partition window over V rows, V bounded by the parameter).
-    */
   /** Within-document co-occurrence PMI over the corpus top-`topV`
     * vocabulary (Church & Hanks 1990, the classic collocation
     * statistic): for token pairs t1 < t2,
@@ -1081,6 +1066,21 @@ object TextStats {
       .limit(topK)
   }
 
+  /** Zipf-law fit over the top-`topV` vocabulary: OLS slope/intercept
+    * of ln(count) on ln(rank) — the corpus-health diagnostic (natural
+    * text sits near slope −1; templated/machine-generated corpora
+    * flatten or steepen it; Zipf 1949, public method). Returns one
+    * row (n_terms, slope, intercept).
+    *
+    * Engine-exact recipe: ranks come from the deterministic
+    * (cnt desc, token asc) top-V cut, so x = ln(rank), y = ln(cnt)
+    * are ln of small integers — identical doubles on both engines;
+    * each OLS term (x, y, x·y, x²) is quantized to DECIMAL(27,18)
+    * before the order-free sums; the closed form runs in doubles,
+    * rounded to 6dp. Scale shape: vocab count is one hash agg with
+    * map-side combine; the fit reads only topV rows (TakeOrdered →
+    * one-partition window over V rows, V bounded by the parameter).
+    */
   def zipfFit(df: DataFrame, textCol: String, topV: Int = 100): DataFrame = {
     val counts = df
       .select(explode(toks(col(textCol))).as("token"))

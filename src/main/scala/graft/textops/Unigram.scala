@@ -110,11 +110,13 @@ object Unigram {
   private def maxPieceLen(logp: Map[String, Double]): Int =
     if (logp.isEmpty) 1 else math.max(1, logp.keysIterator.map(_.length).max)
 
-  /** Train a unigram-LM piece vocabulary of (at most) `vocabSize`
-    * entries. Returns (piece, logp) sorted by (logp desc, piece) —
-    * single-character pieces are always retained (full coverage),
-    * multi-character pieces are EM-reestimated and pruned
-    * probability-ranked until the target size.
+  /** Train a unigram-LM piece vocabulary toward `vocabSize` entries.
+    * Returns (piece, logp) sorted by (logp desc, piece) —
+    * single-character pieces are always retained (full coverage:
+    * if the corpus has more distinct characters than `vocabSize`,
+    * the result holds all of them and exceeds the target rather
+    * than losing coverage), multi-character pieces are
+    * EM-reestimated and pruned probability-ranked to the target.
     *
     * The corpus is touched exactly once (the word table); everything
     * after `collect()` of that bounded table is driver math, the same
@@ -177,19 +179,20 @@ object Unigram {
     }
 
     (0 until emIters).foreach(_ => emPass())
-    while (vocab.size > vocabSize) {
+    // prune multi-char pieces only: single characters are the
+    // coverage floor and are NEVER dropped, so when vocabSize is
+    // below the corpus character count the result keeps all
+    // characters (size = #chars > vocabSize) rather than losing
+    // coverage silently
+    var prunable = true
+    while (vocab.size > vocabSize && prunable) {
       val multiNow = vocab.toSeq.filter(_._1.length > 1)
-      val excess   = vocab.size - vocabSize
-      val nDrop = math.max(1, math.min(excess, math.ceil(multiNow.size * pruneFrac).toInt))
-      if (multiNow.isEmpty) {
-        // only single chars remain: keep the most probable vocabSize
-        // (renormalized in probability space — normalize takes
-        // POSITIVE weights, so exp the log-probs back first)
-        vocab = normalize(
-          vocab.toSeq.sortBy { case (p, lp) => (-lp, p) }.take(vocabSize)
-            .map { case (p, lp) => p -> math.exp(lp) }.toMap)
-      } else {
-        val drop = multiNow.sortBy { case (p, lp) => (lp, p) }.take(nDrop).map(_._1).toSet
+      if (multiNow.isEmpty) prunable = false
+      else {
+        val excess = vocab.size - vocabSize
+        val nDrop  = math.max(1, math.min(excess, math.ceil(multiNow.size * pruneFrac).toInt))
+        val drop   = multiNow.sortBy { case (p, lp) => (lp, p) }.take(nDrop).map(_._1).toSet
+        // normalize takes POSITIVE weights — exp the log-probs back
         vocab = normalize(
           vocab.collect { case (p, lp) if !drop(p) => p -> math.exp(lp) })
         emPass()
@@ -214,10 +217,14 @@ object Unigram {
     */
   def encode(textCol: Column, pieces: Seq[(String, Double)]): Column = {
     val logp = pieces.toMap
+    // vocabulary max piece length hoisted OUT of the per-row path —
+    // segment() would re-scan every vocab key per word
+    val maxL = maxPieceLen(logp)
     val seg = udf { (text: String) =>
       if (text == null) Seq.empty[String]
       else
-        text.split(" ").iterator.filter(_.nonEmpty).flatMap(w => segment(w, logp)).toSeq
+        text.split(" ").iterator.filter(_.nonEmpty)
+          .flatMap(w => segmentBounded(w, logp, -100.0, maxL)).toSeq
     }
     seg(textCol)
   }

@@ -706,7 +706,7 @@ class TextOpsSpec extends SparkSpec {
   test("dupClusterHist: cluster sizes histogrammed with doc mass") {
     val df = Seq("t1", "t1", "t1", "t2", "t2", "t3").zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
-    val got = Dedup.dupClusterHist(df, "text")
+    val got = Dedup.dupClusterHist(df, "doc_id", "text")
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq((1, 1L, 1L), (2, 1L, 2L), (3, 1L, 3L)))
   }
@@ -736,7 +736,7 @@ class TextOpsSpec extends SparkSpec {
     assert(hashEx(TextStats.simpsonDiversity(docs, "source", "text")) == 2)
     assert(hashEx(TextStats.hapaxRate(docs, "source", "text")) == 2)
     // content-hash agg + size histogram agg
-    assert(hashEx(Dedup.dupClusterHist(docs, "text")) == 2)
+    assert(hashEx(Dedup.dupClusterHist(docs, "doc_id", "text")) == 2)
     // token-count agg only; cum window runs on the TakeOrdered rows
     val hc = TextStats.headCoverage(docs, "text", Seq(1, 2))
     assert(hashEx(hc) == 1, hc.queryExecution.executedPlan.toString)
@@ -797,6 +797,12 @@ class TextOpsSpec extends SparkSpec {
     val plain = Similarity.cosineTopK(df, "vec_id", "embedding", Seq(1.0, 0.0), k = 2)
       .orderBy(col("rank")).collect().map(_.getLong(0)).toSeq
     assert(plain == Seq(1L, 2L), "sanity: relevance-only top-2 keeps the duplicate")
+    // duplicate IDS (not just duplicate vectors) must not desync the
+    // greedy loop: one candidate slot per id, no crash
+    val dupIds = Seq((1L, v), (1L, v), (3L, v3)).toDF("vec_id", "embedding")
+    val dd = Similarity.mmrRerank(dupIds, "vec_id", "embedding", Seq(1.0, 0.0), k = 3)
+      .orderBy(col("rank")).collect().map(_.getLong(0)).toSeq
+    assert(dd == Seq(1L, 3L), dd.toString)
   }
 
   test("pcaWhiten: whitened sample covariance is the identity, mean is zero") {
