@@ -1900,6 +1900,15 @@ object SparkEntry {
       Similarity.normStats(Tables.embeddings(s, dir), "label", "embedding")
         .orderBy(col("label"))),
 
+    // signal-redundancy card: exact tie-averaged Spearman between
+    // two quality signals (char length vs token count)
+    "q_signal_rank_corr" -> ((s, dir) =>
+      graft.relops.Stats.spearmanCorr(
+        docs(s, dir).select(
+          col("n_chars"),
+          size(filter(split(col("text"), " "), t => length(t) > 0)).as("n_tok")),
+        "n_chars", "n_tok")),
+
     // corpus diagnostics: EXACT per-language length quantiles from
     // the value histogram + CDF rank — no per-group value buffering
     // (the scale-safe `percentile` replacement; see
@@ -4216,6 +4225,30 @@ object SparkEntry {
                  round(CAST(sum(CAST(nrm AS DECIMAL(27,18))) AS DOUBLE) / count(*), 6) AS mean_norm,
                  round(max(nrm), 6) AS max_norm
           FROM nrms GROUP BY label ORDER BY label""",
+
+    "q_signal_rank_corr" ->
+      """WITH d AS (SELECT CAST(n_chars AS BIGINT) AS av,
+                           CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS bv
+                    FROM documents),
+          ha AS (SELECT av AS v, count(*) AS m FROM d GROUP BY av),
+          ra AS (SELECT v, CAST(CAST(sum(m) OVER (ORDER BY v) - m AS DOUBLE)
+                                + CAST(m + 1 AS DOUBLE) / 2 AS DECIMAL(12,1)) AS x FROM ha),
+          hb AS (SELECT bv AS v, count(*) AS m FROM d GROUP BY bv),
+          rb AS (SELECT v, CAST(CAST(sum(m) OVER (ORDER BY v) - m AS DOUBLE)
+                                + CAST(m + 1 AS DOUBLE) / 2 AS DECIMAL(12,1)) AS y FROM hb),
+          j AS (SELECT ra.x, rb.y FROM d JOIN ra ON d.av = ra.v JOIN rb ON d.bv = rb.v),
+          s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                       CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                       CAST(sum(x * y) AS DOUBLE) AS sxy,
+                       CAST(sum(x * x) AS DOUBLE) AS sxx,
+                       CAST(sum(y * y) AS DOUBLE) AS syy
+                FROM j)
+         SELECT CAST(n AS BIGINT) AS n,
+                CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0.0 THEN NULL
+                     ELSE round((n * sxy - sx * sy)
+                                / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                END AS rho
+         FROM s""",
 
     "q_quantile_disc" ->
       """SELECT lang, CAST(0.25 AS DOUBLE) AS prob, CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS q_value FROM documents GROUP BY lang

@@ -190,6 +190,60 @@ object Stats {
     *
     * Output: input columns + `clamped` + `is_clipped`.
     */
+  /** Exact tie-averaged Spearman rank correlation between two
+    * integral columns (Spearman 1904) — the signal-redundancy card a
+    * filter-bank designer reads before stacking two quality signals
+    * (rho ≈ 1 means the second filter adds nothing).
+    *
+    * Ranks come from the COUNT-HISTOGRAM identity, not a global row
+    * sort: the tie-averaged rank of value v is
+    * (#rows below v) + (m_v + 1)/2, a function of the value alone —
+    * so ranks are one hash aggregation per column plus a prefix sum
+    * over the DISTINCT-value histogram (the [[equiWidthHistogram]]/
+    * gini window-over-histogram pattern; integral domain enforced so
+    * the histogram stays bounded), joined back by value. Rank
+    * products accumulate in decimals (halves are exact at scale 1),
+    * so the Pearson-of-ranks closed form is partitioning-independent
+    * and oracle-replayable.
+    *
+    * Output: one row (n, rho) — rho NULL when either column is
+    * constant (zero rank variance).
+    */
+  def spearmanCorr(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    requireIntegral(df, aCol, "spearmanCorr")
+    requireIntegral(df, bCol, "spearmanCorr")
+    import org.apache.spark.sql.expressions.Window
+    def ranks(c: String): DataFrame = {
+      val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.groupBy(col(c).cast("long").as("v"))
+        .agg(count(lit(1)).as("m"))
+        .withColumn("cum", sum(col("m")).over(w))
+        .select(
+          col("v"),
+          ((col("cum") - col("m")).cast("double") + (col("m") + 1).cast("double") / 2)
+            .cast("decimal(12,1)").as("r"))
+    }
+    val joined = df
+      .select(col(aCol).cast("long").as("av"), col(bCol).cast("long").as("bv"))
+      .join(ranks(aCol).select(col("v").as("av"), col("r").as("x")), Seq("av"))
+      .join(ranks(bCol).select(col("v").as("bv"), col("r").as("y")), Seq("bv"))
+    val s = joined.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x") * col("y")).cast("double").as("sxy"),
+      sum(col("x") * col("x")).cast("double").as("sxx"),
+      sum(col("y") * col("y")).cast("double").as("syy"))
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")) *
+      (col("n") * col("syy") - col("sy") * col("sy"))
+    s.select(
+      col("n").cast("bigint").as("n"),
+      when(den === 0.0, lit(null).cast("double"))
+        .otherwise(
+          round((col("n") * col("sxy") - col("sx") * col("sy")) / sqrt(den), 6))
+        .as("rho"))
+  }
+
   def winsorize(
       df: DataFrame,
       groupCol: String,

@@ -747,6 +747,28 @@ class TextOpsSpec extends SparkSpec {
     assert(dPlan.contains("TakeOrdered"), dPlan)
   }
 
+  test("spearmanCorr: hand-computed tie-averaged rho; constant column yields NULL; floats refused") {
+    // a: 1,2,3,4 ; b: 10,20,20,40 -> ranks a: 1,2,3,4 ; b: 1,2.5,2.5,4
+    // rho = Pearson(ranks) = 0.9486832980505138... -> 6dp 0.948683
+    val df = Seq((1L, 1L, 10L), (2L, 2L, 20L), (3L, 3L, 20L), (4L, 4L, 40L))
+      .toDF("id", "a", "b")
+    val got = graft.relops.Stats.spearmanCorr(df, "a", "b").head()
+    assert(got.getLong(0) == 4L)
+    assert(got.getDouble(1) == 0.948683, got.toString)
+    // perfectly monotone -> 1.0
+    val mono = graft.relops.Stats.spearmanCorr(
+      Seq((1L, 5L), (2L, 7L), (3L, 9L)).toDF("a", "b"), "a", "b").head()
+    assert(mono.getDouble(1) == 1.0)
+    // constant column -> zero rank variance -> NULL
+    val const = graft.relops.Stats.spearmanCorr(
+      Seq((1L, 5L), (2L, 5L), (3L, 5L)).toDF("a", "b"), "a", "b").head()
+    assert(const.isNullAt(1))
+    intercept[IllegalArgumentException] {
+      graft.relops.Stats.spearmanCorr(
+        Seq((1.5, 2L), (2.5, 3L)).toDF("a", "b"), "a", "b")
+    }
+  }
+
   test("simpsonDiversity: uniform vocabulary hits n_types, skew shrinks it") {
     val df = Seq(
       ("u", "a b c d"),        // uniform: invSimpson = 16/4 = 4 = n_types
