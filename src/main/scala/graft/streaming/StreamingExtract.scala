@@ -201,6 +201,46 @@ object StreamingExtract {
       }
   }
 
+  /** Streaming ANN serving: a query-vector stream answered per
+    * micro-batch against a STATIC PQ index (codes from
+    * [[graft.textops.Similarity.pqEncode]], codebooks fit once in
+    * batch — the index is NOT refit per trigger; serving reads m
+    * bytes/vector like the batch path). Each micro-batch's queries
+    * collect to the driver (bounded by the trigger interval — the
+    * documented bounded-driver split), build their ADC plans, and
+    * run as ONE union job over the cached codes; `sink` receives
+    * (qid, id, cos, rank) rows.
+    */
+  def annServeStream(
+      queries: DataFrame,
+      codes: DataFrame,
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      books: Map[(Int, Int), Seq[Double]],
+      k: Int,
+      m: Int = 4,
+      codeK: Int = 16,
+      rerank: Int = 40,
+      dim: Int = 64)(sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val qs = batch.collect().map { r =>
+          (r.getLong(0), r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue).toSeq)
+        }
+        if (qs.nonEmpty) {
+          val per = qs.map { case (qid, q) =>
+            graft.textops.Similarity
+              .pqTopKFromCodes(codes, embeddings, idCol, vecCol, q, books, k, m, codeK, rerank, dim)
+              .withColumn("qid", lit(qid))
+          }
+          sink(
+            per.reduce(_ unionByName _).select(col("qid"), col(idCol), col("cos"), col("rank")),
+            batchId)
+        }
+      }
+
   /** Streaming NEAR-dup suppression: MinHash-LSH band keys per doc,
     * keep only the first arrival per band bucket within the
     * watermark horizon. A doc survives iff ALL of its band keys are

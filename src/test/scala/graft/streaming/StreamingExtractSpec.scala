@@ -71,6 +71,45 @@ class StreamingExtractSpec extends SparkSpec {
     assert(spark.table("dedup_out").count() == 2)
   }
 
+  test("annServeStream: streamed queries answered from a static PQ index match the batch path") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.textops.Similarity
+    // planted corpus: two direction clusters in 4-d
+    val vecs = (0L until 20L).map { i =>
+      val base = if (i % 2 == 0) Seq(1f, 0.05f, 0f, 0f) else Seq(0f, 0.05f, 1f, 0f)
+      (i, base.updated(3, (i % 5).toFloat / 100f))
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val books  = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 2, k = 4, iters = 1, dim = 4)
+    val codes  = Similarity.pqEncode(corpus, "vec_id", "embedding", books, m = 2, codeK = 4, dim = 4).cache()
+
+    val in  = MemoryStream[(Long, Seq[Double])]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val writer = StreamingExtract.annServeStream(
+      in.toDF().toDF("qid", "qvec"), codes, corpus, "vec_id", "embedding",
+      books, k = 3, m = 2, codeK = 4, rerank = 10, dim = 4) { (res, _) =>
+      got ++= res.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    }
+    val q0 = vecs(0)._2.map(_.toDouble)
+    val q1 = vecs(1)._2.map(_.toDouble)
+    in.addData((100L, q0), (101L, q1))
+    val q = writer
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("annserve").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // every query's own vector ranks first, and the streamed answers
+    // equal the direct batch operator row-for-row
+    val byQid = got.groupBy(_._1)
+    assert(byQid(100L).find(_._3 == 1).get._2 == 0L)
+    assert(byQid(101L).find(_._3 == 1).get._2 == 1L)
+    val batch0 = Similarity
+      .pqTopKFromCodes(codes, corpus, "vec_id", "embedding", q0, books, k = 3, m = 2, codeK = 4, rerank = 10, dim = 4)
+      .collect().map(r => (100L, r.getLong(0), r.getInt(2))).toSet
+    assert(byQid(100L).toSet == batch0)
+  }
+
   test("keepRateStream: per-window rule-bank keep rate on an event-time stream") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String)]
