@@ -1858,6 +1858,16 @@ object SparkEntry {
     "q_dup_cluster_hist" -> ((s, dir) =>
       Dedup.dupClusterHist(docs(s, dir), "doc_id", "text")),
 
+    // provenance card: who copies whom — near-dup pairs billed to
+    // (source of lower id = original, source of higher = copy); the
+    // exact-dup variant (crossSourceDupMatrix) is API+spec-gated —
+    // this testdata has no byte-identical cross-source copies below
+    // sf0.1, so the gated card uses the near-dup pair space
+    "q_dup_source_matrix" -> ((s, dir) =>
+      Dedup.crossSourceNearDupMatrix(
+          docs(s, dir), "lang", "doc_id", "text", "source", n = 3, maxDf = 3, minJaccard = 0.5)
+        .orderBy(col("src_original"), col("src_copy"))),
+
     // embedding-quality card: majority-label purity per IVF seed
     // cluster (shared centroid assignment with the ANN family)
     "q_cluster_purity" -> ((s, dir) =>
@@ -4138,6 +4148,24 @@ object SparkEntry {
          SELECT CAST(s AS INT) AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
                 CAST(s * count(*) AS BIGINT) AS n_docs
          FROM cl GROUP BY s ORDER BY cluster_size""",
+
+    "q_dup_source_matrix" ->
+      s"""WITH $shinglesSql,
+          inv AS (SELECT lang, doc_id, unnest(sh) AS g FROM shing),
+          keep AS (SELECT lang, g FROM inv GROUP BY lang, g HAVING count(*) <= 3),
+          capped AS (SELECT i.lang, i.doc_id, CAST(count(*) AS INT) AS sz, list(i.g) AS sh
+                     FROM inv i JOIN keep k ON i.lang = k.lang AND i.g = k.g
+                     GROUP BY i.lang, i.doc_id),
+          pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                              / (a.sz + b.sz - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 6) AS j
+                 FROM capped a JOIN capped b ON a.lang = b.lang AND a.doc_id < b.doc_id
+                 WHERE len(list_intersect(a.sh, b.sh)) > 0),
+          d AS (SELECT doc_id, source FROM documents)
+         SELECT da.source AS src_original, db.source AS src_copy, CAST(count(*) AS BIGINT) AS n_pairs
+         FROM pr JOIN d da ON pr.id_a = da.doc_id JOIN d db ON pr.id_b = db.doc_id
+         WHERE j >= 0.5
+         GROUP BY 1, 2 ORDER BY src_original, src_copy""",
 
     "q_cluster_purity" ->
       s"""WITH $ivfCtes,

@@ -64,6 +64,80 @@ object Dedup {
       .withColumn("dup_rate", round(col("n_dup").cast("double") / col("n_docs"), 6))
   }
 
+  /** Cross-source duplication matrix: for every exact-duplicate doc
+    * (not the first copy), which source it was copied FROM — the
+    * provenance card behind [[dedupRateBySource]]'s totals (a high
+    * (b→a) cell means source b re-hosts source a's content; the
+    * mixer drops b, not a). First-copy rule shared with
+    * [[exactDedup]] via [[exactDedupGroups]].
+    *
+    * Scale shape: the exact-dedup hash aggregation + ONE join of the
+    * doc (id, source, hash) projection against the distinct-text
+    * groups to find survivors, a self-join keyed by the content hash
+    * to pair copies with their originals, and a 2-key fold — every
+    * join is an equi-join on the content hash.
+    *
+    * Output: (src_original, src_copy, n_copies).
+    */
+  def crossSourceDupMatrix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String): DataFrame = {
+    val withH = df.select(
+      col(idCol),
+      col(groupCol),
+      md5(col(textCol).cast("binary")).as("h"))
+    val groups = exactDedupGroups(df, idCol, textCol)
+      .select(col("content_hash").as("h"), col("keep_id"))
+    val originals = withH
+      .join(groups, Seq("h"))
+      .filter(col(idCol) === col("keep_id"))
+      .select(col("h"), col(groupCol).as("src_original"))
+    withH
+      .join(groups, Seq("h"))
+      .filter(col(idCol) =!= col("keep_id"))
+      .select(col("h"), col(groupCol).as("src_copy"))
+      .join(originals, Seq("h"))
+      .groupBy(col("src_original"), col("src_copy"))
+      .agg(count(lit(1)).cast("bigint").as("n_copies"))
+  }
+
+  /** NEAR-dup cross-source matrix — [[crossSourceDupMatrix]] for
+    * corpora whose duplication is paraphrase/re-host rather than
+    * byte-identical (the common case: exact-dup matrices come out
+    * empty while the near-dup pair space is busy). Pairs come from
+    * [[ngramJaccardPairsCapped]] at `minJaccard`; within a pair the
+    * LOWER id is billed as the original (the same first-copy
+    * convention every dedup card here uses), so a (a→b) cell reads
+    * "source b near-copies source a".
+    *
+    * Scale shape: the pair emitter is the df-capped inverted shingle
+    * index (never a doc×doc self-join); the two provenance lookups
+    * are equi-joins of the SMALL pair table against the (id, source)
+    * projection — at lake scale pairs ≪ docs, and Spark's planner
+    * sees that after the pair aggregation. Output:
+    * (src_original, src_copy, n_pairs).
+    */
+  def crossSourceNearDupMatrix(
+      df: DataFrame,
+      bucketCol: String,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      n: Int = 3,
+      maxDf: Int = 1000,
+      minJaccard: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccardPairsCapped(df, bucketCol, idCol, textCol, n, maxDf)
+      .filter(col("jaccard") >= minJaccard)
+    val src = df.select(col(idCol), col(sourceCol))
+    pairs
+      .join(src.select(col(idCol).as("id_a"), col(sourceCol).as("src_original")), Seq("id_a"))
+      .join(src.select(col(idCol).as("id_b"), col(sourceCol).as("src_copy")), Seq("id_b"))
+      .groupBy(col("src_original"), col("src_copy"))
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"))
+  }
+
   /** Exact-duplicate cluster-size histogram: group byte-identical
     * texts, then histogram the cluster sizes — the shape-of-
     * duplication card (many size-2 clusters = scattered reposts; a

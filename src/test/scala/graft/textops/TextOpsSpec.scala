@@ -703,6 +703,33 @@ class TextOpsSpec extends SparkSpec {
     assert(sparse == Seq(2), "no rank-10 type exists in a 3-type corpus")
   }
 
+  test("crossSourceDupMatrix: copies billed to (source of original, source of copy)") {
+    val df = Seq(
+      (1L, "a", "shared text"),   // original (min id)
+      (2L, "b", "shared text"),   // b copies a
+      (3L, "b", "shared text"),   // b copies a again
+      (4L, "a", "other text"),    // original
+      (5L, "a", "other text"),    // a copies itself
+      (6L, "c", "unique text")).toDF("doc_id", "source", "text")
+    val got = Dedup.crossSourceDupMatrix(df, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("a", "b") -> 2L, ("a", "a") -> 1L))
+  }
+
+  test("crossSourceNearDupMatrix: near-dup pairs billed lower-id source as original") {
+    val near1 = "alpha beta gamma delta epsilon zeta"
+    val near2 = "alpha beta gamma delta epsilon eta" // high 3-shingle Jaccard with near1
+    val df = Seq(
+      (1L, "en", "a", near1),
+      (2L, "en", "b", near2),
+      (3L, "en", "c", "totally different words here entirely unrelated"))
+      .toDF("doc_id", "lang", "source", "text")
+    val got = Dedup
+      .crossSourceNearDupMatrix(df, "lang", "doc_id", "text", "source", n = 3, maxDf = 10, minJaccard = 0.3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("a", "b") -> 1L))
+  }
+
   test("dupClusterHist: cluster sizes histogrammed with doc mass") {
     val df = Seq("t1", "t1", "t1", "t2", "t2", "t3").zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
