@@ -1237,6 +1237,16 @@ object SparkEntry {
         .orderBy(desc("containment"), col("id_a"), col("id_b"))
         .limit(20)),
 
+    // training-data ops: edit-distance VERIFICATION of sketch
+    // candidates — the nominate→confirm pipeline shape: Levenshtein
+    // runs ONLY on the df-capped candidate set, never all pairs
+    "q_dedup_edit_verify" -> ((s, dir) =>
+      Dedup.editVerifiedPairs(
+          docs(s, dir), "lang", "doc_id", "text", n = 3, maxDf = 3,
+          candJaccard = 0.2, minEditSim = 0.3)
+        .orderBy(desc("edit_sim"), col("id_a"), col("id_b"))
+        .limit(20)),
+
     // training-data ops: near-dup clusters — connected components
     // over high-Jaccard pairs (the keep/drop resolution step after
     // pair generation; min-label propagation, O(diameter) rounds)
@@ -1622,6 +1632,14 @@ object SparkEntry {
       Curation.boilerplateProfile(docs(s, dir), "doc_id", "text", maxDf = 2, sepRegex = " the ")
         .orderBy(col("doc_id"))),
 
+    // training-data ops: boilerplate REMOVAL — rebuild each doc with
+    // its corpus-frequent segments spliced out (the CCNet repeated-
+    // paragraph filter as a mutation, not just a profile)
+    "q_remove_boilerplate" -> ((s, dir) =>
+      Curation.removeBoilerplate(
+          docs(s, dir), "doc_id", "text", maxDf = 2, sepRegex = " the ", joinSep = " the ")
+        .orderBy(col("doc_id"))),
+
     // training-data ops: whitespace + BPE-ish token counts
     "q_token_count" -> ((s, dir) =>
       docs(s, dir)
@@ -1868,6 +1886,12 @@ object SparkEntry {
           docs(s, dir), "lang", "doc_id", "text", "source", n = 3, maxDf = 3, minJaccard = 0.5)
         .orderBy(col("src_original"), col("src_copy"))),
 
+    // metadata-redundancy card: MI(lang, source) — does source
+    // determine language (stratify on one) or do they slice
+    // independently (stratify on both)?
+    "q_mi_lang_source" -> ((s, dir) =>
+      TextStats.mutualInformation(docs(s, dir), "lang", "source")),
+
     // embedding-quality card: majority-label purity per IVF seed
     // cluster (shared centroid assignment with the ANN family)
     "q_cluster_purity" -> ((s, dir) =>
@@ -1991,6 +2015,24 @@ object SparkEntry {
           col("n_events"),
           col("sum_value"))
         .orderBy(col("window_start"), col("event_type"))),
+
+    // volume event op: per-user event-type pivot — an explicit value
+    // list keeps pivot a single hash aggregation (no extra distinct
+    // job to discover columns); the wide shape feeds per-user
+    // feature vectors
+    "q_event_pivot" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .select(
+          col("user_id"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("error"), lit(0L)).as("n_error"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"),
+          coalesce(col("view"), lit(0L)).as("n_view"))
+        .orderBy(col("user_id"))),
 
     // volume event op: equi-width value histogram — broadcast bounds,
     // per-row bucket index, one tiny shuffle on <= 20 keys
@@ -2942,6 +2984,29 @@ object SparkEntry {
           FROM pr WHERE ni / least(sz_a, sz_b) >= 0.3
           ORDER BY containment DESC, id_a ASC, id_b ASC LIMIT 20""",
 
+    "q_dedup_edit_verify" ->
+      s"""WITH $shinglesSql,
+          inv AS (SELECT lang, doc_id, unnest(sh) AS g FROM shing),
+          keep AS (SELECT lang, g FROM inv GROUP BY lang, g HAVING count(*) <= 3),
+          capped AS (SELECT i.lang, i.doc_id, CAST(count(*) AS INT) AS sz, list(i.g) AS sh
+                     FROM inv i JOIN keep k ON i.lang = k.lang AND i.g = k.g
+                     GROUP BY i.lang, i.doc_id),
+          pr AS (SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+                        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                              / (a.sz + b.sz - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 6) AS jaccard
+                 FROM capped a JOIN capped b ON a.lang = b.lang AND a.doc_id < b.doc_id
+                 WHERE len(list_intersect(a.sh, b.sh)) > 0),
+          v AS (SELECT c.lang, c.id_a, c.id_b, c.jaccard,
+                       levenshtein(da.text, db.text) AS edit_dist,
+                       round(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+                             / greatest(len(da.text), len(db.text)), 6) AS edit_sim
+                FROM (SELECT * FROM pr WHERE jaccard >= 0.2) c
+                JOIN documents da ON c.id_a = da.doc_id
+                JOIN documents db ON c.id_b = db.doc_id)
+         SELECT lang, id_a, id_b, jaccard, edit_dist, edit_sim
+         FROM v WHERE edit_sim >= 0.3
+         ORDER BY edit_sim DESC, id_a, id_b LIMIT 20""",
+
     // components via recursive reachability: reach(id,r) = id can
     // reach label r; min over reachable labels = cluster id. UNION
     // (not ALL) dedups rows so the recursion terminates.
@@ -3731,6 +3796,19 @@ object SparkEntry {
                 round(CAST(sum(CASE WHEN sent_df > 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS boiler_ratio
          FROM s JOIN sd USING (sent) GROUP BY s.doc_id ORDER BY s.doc_id""",
 
+    "q_remove_boilerplate" ->
+      """WITH parts AS (SELECT doc_id, string_split(text, ' the ') AS ps FROM documents),
+          segs AS (SELECT doc_id, ps[i+1] AS seg, i AS pos
+                   FROM parts, unnest(range(0, len(ps))) AS t(i)
+                   WHERE len(ps[i+1]) > 0),
+          sd AS (SELECT seg, count(DISTINCT doc_id) AS seg_df FROM segs GROUP BY seg),
+          j AS (SELECT s.doc_id, s.pos, s.seg, d.seg_df FROM segs s JOIN sd d USING (seg))
+         SELECT doc_id,
+                array_to_string(list(seg ORDER BY pos) FILTER (WHERE seg_df <= 2), ' the ') AS clean_text,
+                CAST(count(*) AS INT) AS n_seg,
+                CAST(sum(CASE WHEN seg_df > 2 THEN 1 ELSE 0 END) AS INT) AS n_removed
+         FROM j GROUP BY doc_id ORDER BY doc_id""",
+
     "q_event_windows" ->
       """WITH b AS (SELECT epoch_us(ts) // 86400000000 AS bucket, event_type,
                            CAST(value AS DECIMAL(27,6)) AS v
@@ -3740,6 +3818,15 @@ object SparkEntry {
                 event_type, count(*) AS n_events,
                 round(CAST(sum(v) AS DOUBLE), 6) AS sum_value
          FROM b GROUP BY bucket, event_type ORDER BY window_start, event_type""",
+
+    "q_event_pivot" ->
+      """SELECT user_id,
+                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+         FROM events GROUP BY user_id ORDER BY user_id""",
 
     "q_tfidf_top_terms" ->
       """WITH tc AS (SELECT doc_id, t AS term, count(*) AS tf
@@ -4166,6 +4253,23 @@ object SparkEntry {
          FROM pr JOIN d da ON pr.id_a = da.doc_id JOIN d db ON pr.id_b = db.doc_id
          WHERE j >= 0.5
          GROUP BY 1, 2 ORDER BY src_original, src_copy""",
+
+    "q_mi_lang_source" ->
+      """WITH joint AS (SELECT coalesce(CAST(lang AS VARCHAR), '(null)') AS x,
+                              coalesce(CAST(source AS VARCHAR), '(null)') AS y, count(*) AS n
+                       FROM documents GROUP BY 1, 2),
+          m AS (SELECT x, y, n,
+                       sum(n) OVER () AS total,
+                       sum(n) OVER (PARTITION BY x) AS nx,
+                       sum(n) OVER (PARTITION BY y) AS ny
+                FROM joint),
+          a AS (SELECT sum(CAST(n AS DOUBLE) / total * ln(CAST(n AS DOUBLE) * total / (nx * ny))) AS mi_raw,
+                       -sum(CAST(n AS DOUBLE) / total * ln(CAST(nx AS DOUBLE) / total)) AS hx_raw,
+                       -sum(CAST(n AS DOUBLE) / total * ln(CAST(ny AS DOUBLE) / total)) AS hy_raw
+                FROM m)
+         SELECT round(mi_raw, 6) AS mi, round(hx_raw, 6) AS h_x, round(hy_raw, 6) AS h_y,
+                round(CASE WHEN hx_raw * hy_raw > 0 THEN mi_raw / sqrt(hx_raw * hy_raw) ELSE 0.0 END, 6) AS nmi
+         FROM a""",
 
     "q_cluster_purity" ->
       s"""WITH $ivfCtes,

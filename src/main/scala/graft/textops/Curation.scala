@@ -451,6 +451,53 @@ object Curation {
       .withColumn("boiler_ratio", round(col("n_boiler").cast("double") / col("n_sent"), 6))
   }
 
+  /** Cross-document boilerplate REMOVAL — the mutation
+    * [[boilerplateProfile]] only measures: rebuild each doc's text
+    * with its boilerplate segments (corpus df > `maxDf`) spliced out,
+    * preserving segment order (the CCNet repeated-paragraph filter,
+    * applied at whatever granularity `sepRegex` cuts). Separator runs
+    * normalize to `joinSep` in the rebuilt text; docs whose every
+    * segment is boilerplate come back with empty clean_text; docs
+    * with NO non-empty segment drop (same convention as chunking).
+    *
+    * Scale shape: segment df is one hash-keyed aggregation (only
+    * 64-bit xxhash64 keys shuffle); the rebuild is the exploded
+    * (id, pos, segment) relation joined to the df relation on the
+    * hash and re-folded per doc — segment text shuffles ONCE, the
+    * same cost class as chunking, and hot segments arrive at the
+    * join pre-aggregated as one (hash, df) row so it cannot skew.
+    *
+    * Output: (id, clean_text, n_seg, n_removed).
+    */
+  def removeBoilerplate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDf: Int,
+      sepRegex: String = "\\. |\\n",
+      joinSep: String = ". "): DataFrame = {
+    val segs = df
+      .select(
+        col(idCol),
+        posexplode(filter(split(col(textCol), sepRegex), s => length(s) > 0)).as(Seq("pos", "seg")))
+      .withColumn("seg_h", xxhash64(col("seg")))
+    val sdf = segs
+      .groupBy(col("seg_h"))
+      .agg(countDistinct(col(idCol)).as("seg_df"))
+    segs
+      .join(sdf, Seq("seg_h"))
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws(
+          joinSep,
+          transform(
+            array_sort(collect_list(
+              when(col("seg_df") <= maxDf, struct(col("pos"), col("seg"))))),
+            s => s.getField("seg"))).as("clean_text"),
+        count(lit(1)).cast("int").as("n_seg"),
+        sum(when(col("seg_df") > maxDf, 1).otherwise(0)).cast("int").as("n_removed"))
+  }
+
   // ---------------------------------------------------------------
   // Sequence packing
   // ---------------------------------------------------------------

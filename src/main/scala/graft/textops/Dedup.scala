@@ -138,6 +138,49 @@ object Dedup {
       .agg(count(lit(1)).cast("bigint").as("n_pairs"))
   }
 
+  /** Edit-distance VERIFICATION of near-dup candidates — the
+    * second stage of the real dedup pipeline (sketches nominate,
+    * an exact measure confirms): take the candidate pairs from the
+    * df-capped shingle index at a permissive `candJaccard`, compute
+    * true Levenshtein distance on the pair texts, and keep pairs
+    * whose normalized edit similarity 1 − d/max(|a|,|b|) clears
+    * `minEditSim`. Shingle Jaccard is order-blind and can false-
+    * positive on token permutations; edit distance is the
+    * order-sensitive confirmation.
+    *
+    * Scale shape: Levenshtein is O(|a|·|b|) per pair — the whole
+    * point of this operator is that it runs ONLY on the candidate
+    * set (bounded by the df-cap, ≪ N²), never the corpus cross
+    * product. Texts reach the verify stage through two equi-joins of
+    * the small pair table against the (id, text) projection; the
+    * distance itself is Spark's codegen'd `levenshtein`.
+    *
+    * Output: (bucket, id_a, id_b, jaccard, edit_dist, edit_sim).
+    */
+  def editVerifiedPairs(
+      df: DataFrame,
+      bucketCol: String,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      maxDf: Int = 1000,
+      candJaccard: Double = 0.2,
+      minEditSim: Double = 0.5): DataFrame = {
+    val cands = ngramJaccardPairsCapped(df, bucketCol, idCol, textCol, n, maxDf)
+      .filter(col("jaccard") >= candJaccard)
+    val txt = df.select(col(idCol), col(textCol))
+    cands
+      .join(txt.select(col(idCol).as("id_a"), col(textCol).as("text_a")), Seq("id_a"))
+      .join(txt.select(col(idCol).as("id_b"), col(textCol).as("text_b")), Seq("id_b"))
+      .withColumn("edit_dist", levenshtein(col("text_a"), col("text_b")))
+      .withColumn(
+        "edit_sim",
+        round(lit(1.0) - col("edit_dist").cast("double") /
+          greatest(length(col("text_a")), length(col("text_b"))), 6))
+      .filter(col("edit_sim") >= minEditSim)
+      .select(col(bucketCol), col("id_a"), col("id_b"), col("jaccard"), col("edit_dist"), col("edit_sim"))
+  }
+
   /** Exact-duplicate cluster-size histogram: group byte-identical
     * texts, then histogram the cluster sizes — the shape-of-
     * duplication card (many size-2 clusters = scattered reposts; a

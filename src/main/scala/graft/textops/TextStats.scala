@@ -1302,4 +1302,49 @@ object TextStats {
         round(col("cum").cast("double") / col("total"), 6).as("coverage"))
       .orderBy(col("k"))
   }
+
+  /** Mutual information between two categorical columns (nats), with
+    * marginal entropies and the sqrt-normalized NMI — the
+    * metadata-redundancy card: MI(lang, source) ≈ H(lang) means
+    * source determines language (stratify on one, not both);
+    * MI ≈ 0 means the two slice independently.
+    *
+    * Scale shape: ONE keyed aggregation over the lake builds the
+    * (x, y, n) contingency table; marginals and entropies are folds
+    * over the |X|·|Y| cells — everything after the first shuffle is
+    * cell-sized. NULL category values are kept as their own level
+    * (coalesced to a sentinel) so the table always sums to N.
+    *
+    * Output (single row): (mi, h_x, h_y, nmi).
+    */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val joint = df
+      .groupBy(
+        coalesce(col(xCol).cast("string"), lit("(null)")).as("x"),
+        coalesce(col(yCol).cast("string"), lit("(null)")).as("y"))
+      .agg(count(lit(1)).as("n"))
+    // marginals via windows over the CELL table, ONE lineage — a
+    // px/py/total branch split would re-execute the lake-scale
+    // groupBy once per branch (DataFrame branches re-run their
+    // subtree). Unpartitioned window is fine: the frame is |X|·|Y|
+    // cells, not rows. Entropies fold from the cells directly,
+    // Σ_cells (n/N)·ln(nx/N) = Σ_x (nx/N)·ln(nx/N).
+    joint
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .withColumn("nx", sum(col("n")).over(Window.partitionBy(col("x"))))
+      .withColumn("ny", sum(col("n")).over(Window.partitionBy(col("y"))))
+      .agg(
+        sum(col("n") / col("total") *
+          log(col("n") * col("total") / (col("nx") * col("ny")))).as("mi_raw"),
+        (-sum(col("n") / col("total") * log(col("nx") / col("total")))).as("hx_raw"),
+        (-sum(col("n") / col("total") * log(col("ny") / col("total")))).as("hy_raw"))
+      .select(
+        round(col("mi_raw"), 6).as("mi"),
+        round(col("hx_raw"), 6).as("h_x"),
+        round(col("hy_raw"), 6).as("h_y"),
+        round(
+          when(col("hx_raw") * col("hy_raw") > 0,
+            col("mi_raw") / sqrt(col("hx_raw") * col("hy_raw"))).otherwise(lit(0.0)),
+          6).as("nmi"))
+  }
 }

@@ -253,4 +253,21 @@ class CurationSpec extends SparkSpec {
     val q = got(1).getAs[Double]("mean_quality")
     assert(q > 0.0 && q <= 1.0)
   }
+
+  test("removeBoilerplate splices corpus-frequent segments, preserves order") {
+    // segment separator ". "; "NAV BAR" appears in 3 docs (df=3 > maxDf=2)
+    val df = Seq(
+      (1L, "NAV BAR. real content one. unique tail"),
+      (2L, "NAV BAR. real content two"),
+      (3L, "intro. NAV BAR"),
+      (4L, "NAV BAR")) // all segments boilerplate -> empty clean text
+      .toDF("doc_id", "text")
+    val got = Curation
+      .removeBoilerplate(df, "doc_id", "text", maxDf = 2, sepRegex = "\\. ", joinSep = ". ")
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getAs[String]("clean_text")).toSeq == Seq(
+      "real content one. unique tail", "real content two", "intro", ""))
+    assert(got.map(_.getAs[Int]("n_removed")).toSeq == Seq(1, 1, 1, 1))
+    assert(got.map(_.getAs[Int]("n_seg")).toSeq == Seq(3, 2, 2, 1))
+  }
 }

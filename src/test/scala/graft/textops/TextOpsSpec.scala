@@ -730,6 +730,49 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Map(("a", "b") -> 1L))
   }
 
+  test("editVerifiedPairs: order-sensitive confirm kills a token-permutation false positive") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val edit = "alpha beta gamma delta epsilon zeta eta thetb" // 1 char edit
+    // same token multiset as base but heavily reordered: shares many
+    // shingles? no — 3-shingles are order-sensitive, so to build a
+    // Jaccard false positive use a doc sharing shingle SET but with
+    // large edit distance: repeat the base twice (same distinct
+    // 3-shingle set is a superset; jaccard still high)
+    val doubled = base + " " + base
+    val df = Seq(
+      (1L, "en", base),
+      (2L, "en", edit),
+      (3L, "en", doubled),
+      (4L, "en", "completely different content with other words entirely"))
+      .toDF("doc_id", "lang", "text")
+    val got = Dedup
+      .editVerifiedPairs(df, "lang", "doc_id", "text", n = 3, maxDf = 10,
+        candJaccard = 0.3, minEditSim = 0.9)
+      .collect()
+    val pairs = got.map(r => (r.getLong(1), r.getLong(2))).toSet
+    // (1,2): jaccard-high AND edit-high -> kept
+    assert(pairs.contains((1L, 2L)))
+    // (1,3): shingle-set jaccard high (subset) but edit distance is
+    // half the doubled text -> edit_sim ~0.5, killed by the verify
+    assert(!pairs.contains((1L, 3L)))
+    val r12 = got.find(r => r.getLong(1) == 1L && r.getLong(2) == 2L).get
+    assert(r12.getAs[Int]("edit_dist") == 1)
+  }
+
+  test("mutualInformation: independent columns ~0, determined columns = H(x)") {
+    // y determines x: x = parity of y
+    val det = (0 until 40).map(i => (if (i % 2 == 0) "even" else "odd", s"g${i % 4}"))
+      .toDF("x", "y")
+    val d = TextStats.mutualInformation(det, "x", "y").collect()(0)
+    assert(math.abs(d.getAs[Double]("mi") - d.getAs[Double]("h_x")) < 1e-6)
+    // independent: every (x, y) cell equal count
+    val ind = (for (x <- Seq("a", "b"); y <- Seq("p", "q", "r"); _ <- 1 to 5) yield (x, y))
+      .toDF("x", "y")
+    val i = TextStats.mutualInformation(ind, "x", "y").collect()(0)
+    assert(math.abs(i.getAs[Double]("mi")) < 1e-6)
+    assert(math.abs(i.getAs[Double]("h_y") - math.log(3)) < 1e-6)
+  }
+
   test("dupClusterHist: cluster sizes histogrammed with doc mass") {
     val df = Seq("t1", "t1", "t1", "t2", "t2", "t3").zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
