@@ -1342,6 +1342,13 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // training-data ops: weighted sampling without replacement
+    // (Efraimidis–Spirakis log-key form) — sample long docs
+    // proportionally to n_chars, deterministic, one projection +
+    // TakeOrdered
+    "q_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(docs(s, dir), "doc_id", "n_chars", k = 50)),
+
     // scale lever under the hash gate: two-phase salted count must be
     // RESULT-identical to the plain groupBy count it replaces (the
     // oracle runs the plain form)
@@ -1562,6 +1569,14 @@ object SparkEntry {
     // textops.Bpe.learnMerges for the full learner, spec-gated)
     "q_bpe_pair_stats" -> ((s, dir) =>
       graft.textops.Bpe.pairStats(docs(s, dir), "text", topK = 20)),
+
+    // training-data ops: WordPiece training, iteration-0 face —
+    // likelihood-gain pair scores (count(ab)/(count(a)·count(b)),
+    // emitted as ln) over the ##-prefixed word table; the full
+    // driver-side learner + greedy longest-match encode are
+    // spec-gated (textops.WordPiece)
+    "q_wp_pair_scores" -> ((s, dir) =>
+      graft.textops.WordPiece.pairScores(docs(s, dir), "text", topK = 20)),
 
     // training-data ops: trigram-LM cross-entropy with TWO-level
     // stupid backoff (Brants et al. 2007 §4 — trigram → bigram →
@@ -1891,6 +1906,12 @@ object SparkEntry {
     // independently (stratify on both)?
     "q_mi_lang_source" -> ((s, dir) =>
       TextStats.mutualInformation(docs(s, dir), "lang", "source")),
+
+    // embedding-quality card: simplified (centroid) silhouette per
+    // cluster — geometry companion to purity; O(N·k), never O(N²)
+    "q_silhouette" -> ((s, dir) =>
+      Similarity.clusterSilhouette(
+        Tables.embeddings(s, dir), "vec_id", "embedding", nCentroids = 16)),
 
     // embedding-quality card: majority-label purity per IVF seed
     // cluster (shared centroid assignment with the ANN family)
@@ -3615,6 +3636,24 @@ object SparkEntry {
          SELECT lhs, rhs, CAST(sum(c) AS BIGINT) AS freq
          FROM p GROUP BY lhs, rhs ORDER BY freq DESC, lhs, rhs LIMIT 20""",
 
+    "q_wp_pair_scores" ->
+      """WITH words AS (SELECT t AS w, count(*) AS c
+                        FROM documents, unnest(string_split(text, ' ')) AS u(t)
+                        WHERE len(t) > 0 GROUP BY t),
+          sym AS (SELECT c, list_transform(
+                            list_filter(string_split(w, ''), s -> len(s) > 0),
+                            (s, i) -> CASE WHEN i = 1 THEN s ELSE '##' || s END) AS s
+                  FROM words),
+          pf AS (SELECT s[i] AS lhs, s[i+1] AS rhs, sum(c) AS pf
+                 FROM sym, unnest(range(1, len(s))) AS u(i) WHERE len(s) >= 2
+                 GROUP BY 1, 2),
+          sf AS (SELECT sm AS s, sum(c) AS sf
+                 FROM sym, unnest(s) AS u(sm) GROUP BY sm)
+         SELECT p.lhs, p.rhs, CAST(p.pf AS BIGINT) AS pair_freq,
+                round(ln(CAST(p.pf AS DOUBLE)) - ln(CAST(l.sf AS DOUBLE)) - ln(CAST(r.sf AS DOUBLE)), 6) AS llg
+         FROM pf p JOIN sf l ON p.lhs = l.s JOIN sf r ON p.rhs = r.s
+         ORDER BY llg DESC, lhs, rhs LIMIT 20""",
+
     "q_trigram_ppl" ->
       """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t FROM documents),
           tg AS (SELECT doc_id, t[i-2] AS w1, t[i-1] AS w2, t[i] AS w3
@@ -4270,6 +4309,32 @@ object SparkEntry {
          SELECT round(mi_raw, 6) AS mi, round(hx_raw, 6) AS h_x, round(hy_raw, 6) AS h_y,
                 round(CASE WHEN hx_raw * hy_raw > 0 THEN mi_raw / sqrt(hx_raw * hy_raw) ELSE 0.0 END, 6) AS nmi
          FROM a""",
+
+    "q_silhouette" ->
+      s"""WITH e2 AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nrm FROM embeddings),
+          c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, embedding AS ce, nrm AS cn
+                FROM (SELECT vec_id, embedding, nrm FROM e2 ORDER BY vec_id LIMIT 16)),
+          rnk AS (SELECT e.vec_id, c.cid,
+                         ${cosNSql(dotSql("e.embedding", "c.ce"), "e.nrm", "c.cn")} AS cos,
+                         row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY ${cosNSql(dotSql("e.embedding", "c.ce"), "e.nrm", "c.cn")} DESC, c.cid ASC) AS rn
+                  FROM e2 e CROSS JOIN c),
+          own AS (SELECT vec_id, cid AS centroid_id, 1.0 - cos AS a FROM rnk WHERE rn = 1),
+          sec AS (SELECT vec_id, 1.0 - cos AS b FROM rnk WHERE rn = 2),
+          s AS (SELECT own.centroid_id,
+                       round(CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b) ELSE 0.0 END, 6) AS sil
+                FROM own JOIN sec USING (vec_id))
+         SELECT centroid_id, CAST(count(*) AS BIGINT) AS n_vecs,
+                round(CAST(sum(CAST(sil AS DECIMAL(27,18))) AS DOUBLE) / count(*), 6) AS mean_sil
+         FROM s GROUP BY centroid_id ORDER BY centroid_id""",
+
+    "q_weighted_sample" ->
+      """SELECT doc_id, n_chars,
+                round(ln((('0x' || substr(md5('wsample#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+                         / 1152921504606846976.0) / CAST(n_chars AS DOUBLE), 6) AS skey
+         FROM documents WHERE n_chars > 0
+         ORDER BY skey DESC, doc_id LIMIT 50""",
 
     "q_cluster_purity" ->
       s"""WITH $ivfCtes,

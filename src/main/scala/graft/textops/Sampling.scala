@@ -166,4 +166,41 @@ object Sampling {
     df.select(col(strataCol), col(idCol), col(orderCol))
       .withColumn("bucket", ntile(nBuckets).over(w))
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement
+    * (Efraimidis & Spirakis 2006): each row gets key = u^(1/w) with
+    * u a hash-derived uniform in (0, 1]; the k largest keys are a
+    * weighted sample without replacement — exactly the distribution
+    * of sequential draws proportional to w, but computed as one
+    * stateless projection + top-k. Ranked via the monotone-equivalent
+    * log form skey = ln(u)/w (u^(1/w) compresses against 1.0 for
+    * large weights — the log key keeps 6-decimal spread). No RNG: u
+    * replays from md5(salt#id) on any engine, so the sample is
+    * stable across cluster sizes and re-runs (and the DuckDB
+    * oracle).
+    *
+    * Scale shape: per-row key is a pure projection; the top-k is a
+    * TakeOrdered (per-partition heaps, no global sort). Non-positive
+    * weights are excluded (their draw probability is 0).
+    *
+    * Output: the k sampled rows as (id, weight, skey), best first.
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      salt: String = "wsample"): DataFrame = {
+    // u in (0, 1]: (hash60 + 1) / 2^60 — open at zero so ln(u) and
+    // u^(1/w) stay finite
+    val u = (Dedup.hash60(concat(lit(salt + "#"), col(idCol).cast("string"))) + 1) /
+      lit(1152921504606846976.0)
+    df.filter(col(weightCol) > 0)
+      .select(
+        col(idCol),
+        col(weightCol),
+        round(log(u) / col(weightCol).cast("double"), 6).as("skey"))
+      .orderBy(desc("skey"), col(idCol))
+      .limit(k)
+  }
 }

@@ -677,6 +677,56 @@ object Similarity {
       .orderBy(col("centroid_id"))
   }
 
+  /** Simplified silhouette per cluster (Rousseeuw 1987, centroid
+    * approximation): with cosine distance d(x, c) = 1 − cos(x, c),
+    * a = distance to the OWN centroid, b = distance to the nearest
+    * OTHER centroid, s = (b − a)/max(a, b) — the geometry-quality
+    * companion to [[clusterLabelPurity]]'s label purity (s near 1 =
+    * tight well-separated cluster, near 0 = boundary mush). The
+    * centroid form is the one that scales: true silhouette is
+    * O(N²) pairwise, this is O(N·k) against the same broadcast
+    * centroid list every other centroid consumer uses, bit-identical
+    * assignments included.
+    *
+    * Per-row silhouettes round to 6dp, then average through exact
+    * decimal sums (order-independent — a float fold would expose
+    * partition order). Output: (centroid_id, n_vecs, mean_sil).
+    */
+  def clusterSilhouette(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCentroids: Int,
+      learnedCentroids: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
+    val cents = seedOrLearned(embeddings, idCol, vecCol, nCentroids, learnedCentroids)
+    val scored = embeddings
+      .withColumn("v", transform(col(vecCol), x => x.cast("double")))
+      .withColumn("nrm", dot(col("v"), col("v")))
+      .withColumn("cands", centroidCands(cents))
+      .withColumn("best", array_max(col("cands")))
+      .withColumn(
+        "second",
+        array_max(filter(col("cands"), c => c.getField("ncid") =!= col("best").getField("ncid"))))
+      .select(
+        (-col("best").getField("ncid")).as("centroid_id"),
+        (lit(1.0) - col("best").getField("cos")).as("a"),
+        (lit(1.0) - col("second").getField("cos")).as("b"))
+      .withColumn(
+        "sil",
+        round(
+          when(greatest(col("a"), col("b")) > 0,
+            (col("b") - col("a")) / greatest(col("a"), col("b"))).otherwise(lit(0.0)),
+          6))
+    scored
+      .groupBy(col("centroid_id"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_vecs"),
+        round(
+          sum(col("sil").cast("decimal(27,18)")).cast("double") / count(lit(1)),
+          6).as("mean_sil"))
+      .orderBy(col("centroid_id"))
+  }
+
   /** MMR diversified top-k (Carbonell & Goldstein 1998): greedily
     * pick the document maximizing
     * λ·cos(q, d) − (1−λ)·max_{s∈selected} cos(d, s), so near-copies

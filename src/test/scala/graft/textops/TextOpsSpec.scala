@@ -795,6 +795,42 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1) == ((2L, 0, 1L, 0.5)), "equal counts must break to label 0")
   }
 
+  test("clusterSilhouette: tight planted clusters score near 1, boundary point drags its cluster down") {
+    // two orthogonal tight clusters; seeds are vecs 0 and 1
+    val df = Seq(
+      (0L, Seq(1f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 0f)),
+      (2L, Seq(0.99f, 0.01f, 0f)),
+      (3L, Seq(0.01f, 0.99f, 0f)),
+      (4L, Seq(0.98f, 0.02f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.clusterSilhouette(df, "vec_id", "embedding", nCentroids = 2)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(0, 1))
+    assert(got(0)._1 == 3L && got(1)._1 == 2L)
+    assert(got(0)._2 > 0.9 && got(1)._2 > 0.9, s"tight clusters must be near 1: $got")
+    // add a boundary vector between the two centroids: its own
+    // cluster's mean silhouette must drop below the clean cluster's
+    val df2 = df.union(Seq((5L, Seq(0.72f, 0.69f, 0f))).toDF("vec_id", "embedding"))
+    val got2 = Similarity.clusterSilhouette(df2, "vec_id", "embedding", nCentroids = 2)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(got2(0) < got(0)._2, "boundary point must reduce its cluster's mean silhouette")
+  }
+
+  test("weightedSample: no-RNG Efraimidis-Spirakis — exclusion, determinism, weight dominance") {
+    val rows = (1L to 20L).map(i => (i, 1.0)) ++ Seq((21L, 1e9), (22L, 0.0), (23L, -5.0))
+    val df   = rows.toDF("doc_id", "w")
+    val got  = Sampling.weightedSample(df, "doc_id", "w", k = 10).collect()
+    assert(got.length == 10)
+    val ids = got.map(_.getLong(0)).toSet
+    assert(!ids.contains(22L) && !ids.contains(23L), "non-positive weights are excluded")
+    assert(got.head.getLong(0) == 21L, "the 1e9-weight row must rank first")
+    val keys = got.map(_.getDouble(2))
+    assert(keys.sameElements(keys.sorted.reverse), "skey descending")
+    val again = Sampling.weightedSample(df, "doc_id", "w", k = 10).collect().map(_.getLong(0)).toSeq
+    assert(again == got.map(_.getLong(0)).toSeq, "deterministic across runs")
+  }
+
   test("plan shapes: r11 diagnostics hold their documented shuffle budgets") {
     val docs = Seq((1L, "a b c", "s1"), (2L, "b c d", "s2")).toDF("doc_id", "text", "source")
     def hashEx(df: org.apache.spark.sql.DataFrame): Int =
