@@ -853,6 +853,35 @@ class TextOpsSpec extends SparkSpec {
     assert(dPlan.contains("TakeOrdered"), dPlan)
   }
 
+  test("plan shapes: r11 second-wave ops hold their shuffle budgets") {
+    val docs = Seq((1L, "a b c", "s1", "en", 5L), (2L, "b c d", "s2", "de", 5L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    def hashEx(df: org.apache.spark.sql.DataFrame): Int =
+      plan(df).linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // weightedSample: pure projection + TakeOrdered — ZERO shuffles
+    // (k below the fixture row count: EliminateLimits strips a limit
+    // that exceeds maxRows and leaves a bare global sort)
+    val ws = Sampling.weightedSample(docs, "doc_id", "n_chars", 1)
+    assert(hashEx(ws) == 0, plan(ws))
+    assert(plan(ws).contains("TakeOrdered"), plan(ws))
+    // mutualInformation: ONE corpus-scale agg (x,y); the two marginal
+    // windows + final fold are cell-sized (their exchanges hash on
+    // cell keys, total 3 hash exchanges, no extra scan of the input)
+    val mi = TextStats.mutualInformation(docs, "lang", "source")
+    assert(plan(mi).linesIterator.count(_.contains("Scan")) <= 1, plan(mi))
+    // removeBoilerplate and editVerifiedPairs: every join equi — no
+    // cartesian / nested-loop anywhere
+    val rb = Curation.removeBoilerplate(docs, "doc_id", "text", maxDf = 1)
+    val ev = Dedup.editVerifiedPairs(docs, "source", "doc_id", "text", n = 2, maxDf = 5)
+    val wp = WordPiece.pairScores(docs, "text", 5)
+    Seq(plan(rb), plan(ev), plan(wp), plan(mi)).foreach { p =>
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    }
+    assert(plan(wp).contains("TakeOrdered"), plan(wp))
+  }
+
   test("spearmanCorr: hand-computed tie-averaged rho; constant column yields NULL; floats refused") {
     // a: 1,2,3,4 ; b: 10,20,20,40 -> ranks a: 1,2,3,4 ; b: 1,2.5,2.5,4
     // rho = Pearson(ranks) = 0.9486832980505138... -> 6dp 0.948683
