@@ -1275,6 +1275,16 @@ object SparkEntry {
         .minhashLshPairs(docs(s, dir), "doc_id", "text", shingleN = 3, numHashes = 8, bands = 2, maxDf = 3)
         .orderBy(col("id_a"), col("id_b"), col("band_idx"))),
 
+    // training-data ops: SimHash banded blocking + exact Hamming
+    // verify (Manku et al. WWW'07) — the pigeonhole nominate→confirm
+    // pipeline; 16-bit width saturates on this tiny synthetic
+    // vocabulary, so the gated card bounds output to the 50 closest
+    // pairs (production width is 64-bit, same operator shape)
+    "q_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashHammingPairs(docs(s, dir), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("hamming"), col("id_a"), col("id_b"))
+        .limit(50)),
+
     // training-data ops: 16-bit SimHash fingerprints
     "q_dedup_simhash" -> ((s, dir) =>
       docs(s, dir)
@@ -1509,6 +1519,14 @@ object SparkEntry {
     "q_kmv_distinct" -> ((s, dir) =>
       TextStats.kmvDistinct(docs(s, dir), "lang", "text", k = 16)
         .orderBy(col("lang"))),
+
+    // training-data ops: KMV sketch set algebra — union/intersection
+    // /Jaccard ESTIMATES per source pair from mergeable bottom-k
+    // sketches (the sketch twin of exact q_source_overlap; pair
+    // stage runs on the |groups|-row sketch table, never the corpus)
+    "q_kmv_overlap" -> ((s, dir) =>
+      TextStats.kmvOverlap(docs(s, dir), "source", "text", k = 16)
+        .orderBy(col("g_a"), col("g_b"))),
 
     // training-data ops: fastText-style hashed linear quality scorer
     // (hashing-trick buckets + broadcast weight table; md5-derived
@@ -3074,6 +3092,45 @@ object SparkEntry {
           JOIN bk b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
           JOIN keep k ON a.band_idx = k.band_idx AND a.band_key = k.band_key
           ORDER BY id_a, id_b, band_idx""",
+
+    // blocking is recall-lossless for hamming <= 3 (pigeonhole over
+    // 4 bands) and the df cap never triggers at gate SF, so the
+    // oracle verifies against the direct all-pairs filter
+    "q_simhash_pairs" ->
+      """WITH tok AS (SELECT doc_id, t
+                      FROM documents, unnest(string_split(text, ' ')) AS u(t) WHERE len(t) > 0),
+          th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 4))::BIGINT AS h FROM tok),
+          bitsum AS (SELECT doc_id, i, sum(((h // CAST(power(2, i) AS BIGINT)) % 2) * 2 - 1) AS s
+                     FROM th, unnest(range(0, 16)) AS b(i) GROUP BY doc_id, i),
+          sh AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, i) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+                 FROM bitsum GROUP BY doc_id)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         ORDER BY hamming, id_a, id_b LIMIT 50""",
+
+    "q_kmv_overlap" ->
+      """WITH tok AS (SELECT source AS g, t
+                      FROM documents, unnest(string_split(text, ' ')) AS u(t) WHERE len(t) > 0),
+          hs AS (SELECT g, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+          sk AS (SELECT g, list_sort(list_distinct(list(h)))[1:16] AS sk FROM hs GROUP BY g),
+          pr AS (SELECT a.g AS g_a, b.g AS g_b, a.sk AS sk_a, b.sk AS sk_b,
+                        list_sort(list_distinct(a.sk || b.sk))[1:16] AS sk_u
+                 FROM sk a JOIN sk b ON a.g < b.g),
+          e AS (SELECT g_a, g_b,
+                       CASE WHEN len(sk_a) < 16 THEN CAST(len(sk_a) AS DOUBLE)
+                            ELSE 15.0 * 1152921504606846976.0 / sk_a[16] END AS ea,
+                       CASE WHEN len(sk_b) < 16 THEN CAST(len(sk_b) AS DOUBLE)
+                            ELSE 15.0 * 1152921504606846976.0 / sk_b[16] END AS eb,
+                       CASE WHEN len(sk_u) < 16 THEN CAST(len(sk_u) AS DOUBLE)
+                            ELSE 15.0 * 1152921504606846976.0 / sk_u[16] END AS eu
+                FROM pr)
+         SELECT g_a, g_b, round(ea, 6) AS est_a, round(eb, 6) AS est_b,
+                round(eu, 6) AS est_union,
+                round(greatest(ea + eb - eu, 0.0), 6) AS est_intersect,
+                round(greatest(ea + eb - eu, 0.0) / eu, 6) AS jaccard_est
+         FROM e ORDER BY g_a, g_b""",
 
     "q_dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, t

@@ -757,6 +757,60 @@ object TextStats {
         round(abs(col("kmv_est") - col("n_exact")) / col("n_exact"), 6).as("rel_err"))
   }
 
+  /** KMV sketch SET ALGEBRA across group pairs — the sketch twin of
+    * the exact q_source_overlap card: per-group bottom-k vocabulary
+    * sketches compose under union (k smallest of the merged minima
+    * IS the union's sketch — the closure property that makes KMV a
+    * mergeable sketch), intersection estimates by inclusion-
+    * exclusion, and Jaccard as their ratio. At 100 TB the exact
+    * pairwise overlap needs the full inverted vocabulary per pair;
+    * this needs k longs per group, and the pair stage runs on the
+    * |groups|-row sketch table (broadcast), never the corpus.
+    *
+    * Deterministic end-to-end: md5-derived hashes, order + one
+    * division — the ESTIMATES sit under the DuckDB hash gate, not
+    * just the exact counts.
+    *
+    * Output per unordered group pair: (g_a, g_b, est_a, est_b,
+    * est_union, est_intersect, jaccard_est), estimates ≥ 0, exact
+    * when a side's distinct vocabulary fits in k.
+    */
+  def kmvOverlap(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      k: Int = 64): DataFrame = {
+    import graft.expressions.KmvSketch.kmvSketch
+    val two60 = 1152921504606846976.0
+    def est(sk: Column): Column =
+      when(size(sk) < k, size(sk).cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(two60) / element_at(sk, k))
+    val sketches = df
+      .select(col(groupCol).as("g"), explode(toks(col(textCol))).as("token"))
+      .select(col("g"), Dedup.hash60(col("token")).as("h"))
+      .groupBy(col("g"))
+      .agg(kmvSketch(col("h"), k).as("sk"))
+    val pairs = sketches
+      .select(col("g").as("g_a"), col("sk").as("sk_a"))
+      .join(
+        broadcast(sketches.select(col("g").as("g_b"), col("sk").as("sk_b"))),
+        col("g_a") < col("g_b"))
+      .withColumn("sk_u", slice(array_sort(array_distinct(concat(col("sk_a"), col("sk_b")))), 1, k))
+    pairs
+      .select(
+        col("g_a"),
+        col("g_b"),
+        round(est(col("sk_a")), 6).as("est_a"),
+        round(est(col("sk_b")), 6).as("est_b"),
+        round(est(col("sk_u")), 6).as("est_union"),
+        round(greatest(est(col("sk_a")) + est(col("sk_b")) - est(col("sk_u")), lit(0.0)), 6)
+          .as("est_intersect"),
+        round(
+          greatest(est(col("sk_a")) + est(col("sk_b")) - est(col("sk_u")), lit(0.0)) /
+            est(col("sk_u")),
+          6).as("jaccard_est"))
+  }
+
   /** Corpus vocabulary: top-k tokens by frequency (vocabulary /
     * BPE-seed construction over a lake). One explode + one hash
     * aggregation (partial map-side combine collapses each partition's

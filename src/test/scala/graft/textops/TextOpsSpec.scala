@@ -853,6 +853,49 @@ class TextOpsSpec extends SparkSpec {
     assert(dPlan.contains("TakeOrdered"), dPlan)
   }
 
+  test("simhashHammingPairs: banded blocking equals brute force, df cap bounds hot buckets") {
+    // overlapping vocab so some pairs land within hamming 3
+    val texts = Seq(
+      "spark table join query data",
+      "spark table join query data",      // identical -> hamming 0
+      "spark table join query value",
+      "spark table join row value",
+      "merge filter sort window batch",
+      "merge filter sort window stream",
+      "completely other words here now")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Dedup.simhashHammingPairs(df, "doc_id", "text", maxHamming = 3, maxDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // brute force from the fingerprints themselves
+    val sh = df.select(col("doc_id"), Dedup.simhash16Fast(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      h = java.lang.Long.bitCount(sh(a) ^ sh(b)) if h <= 3
+    } yield (a, b) -> h).toMap
+    assert(got == brute, s"blocking must be recall-lossless for hamming<=3: got $got vs $brute")
+    assert(got((0L, 1L)) == 0, "identical docs share the fingerprint")
+    // df cap: 10 identical docs in a bucket over the cap emit nothing
+    val hot = (0 until 10).map(i => (i.toLong, "same text here")).toDF("doc_id", "text")
+    assert(Dedup.simhashHammingPairs(hot, "doc_id", "text", maxHamming = 3, maxDf = 3).count() == 0)
+  }
+
+  test("kmvOverlap: sketch algebra — identical groups estimate Jaccard 1, disjoint small groups exact 0") {
+    // identical vocabularies LARGER than k: estimator branch, sketches equal
+    val big = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val ident = Seq(("a", big), ("b", big)).toDF("g", "text")
+    val gi = TextStats.kmvOverlap(ident, "g", "text", k = 16).collect()(0)
+    assert(gi.getAs[Double]("jaccard_est") == 1.0)
+    assert(gi.getAs[Double]("est_a") == gi.getAs[Double]("est_union"))
+    assert(gi.getAs[Double]("est_intersect") == gi.getAs[Double]("est_a"))
+    // disjoint small vocabularies (< k): everything exact
+    val disj = Seq(("a", "x1 x2 x3"), ("b", "y1 y2 y3 y4")).toDF("g", "text")
+    val gd = TextStats.kmvOverlap(disj, "g", "text", k = 16).collect()(0)
+    assert(gd.getAs[Double]("est_a") == 3.0 && gd.getAs[Double]("est_b") == 4.0)
+    assert(gd.getAs[Double]("est_union") == 7.0)
+    assert(gd.getAs[Double]("est_intersect") == 0.0 && gd.getAs[Double]("jaccard_est") == 0.0)
+  }
+
   test("plan shapes: r11 second-wave ops hold their shuffle budgets") {
     val docs = Seq((1L, "a b c", "s1", "en", 5L), (2L, "b c d", "s2", "de", 5L))
       .toDF("doc_id", "text", "source", "lang", "n_chars")
