@@ -1153,6 +1153,13 @@ object SparkEntry {
       Similarity.int8TopK(
         Tables.embeddings(s, dir), "vec_id", "embedding", queryVec(s, dir), k = 20)),
 
+    // ANN memory path: binary (1-bit sign) quantization — 8 bytes a
+    // vector, Hamming-distance candidates, exact-cosine rerank; the
+    // cheapest serving tier after int8 and PQ
+    "q_ann_binary" -> ((s, dir) =>
+      Similarity.binaryTopK(
+        Tables.embeddings(s, dir), "vec_id", "embedding", queryVec(s, dir), k = 20, rerank = 40)),
+
     // SemDeDup: cluster-bounded semantic dedup — the embedding-space
     // dedup that scales (pairs only within clusters). τ=0.35 sits at
     // the 99th pct of this synthetic corpus's within-cluster cosine
@@ -2055,6 +2062,12 @@ object SparkEntry {
           col("sum_value"))
         .orderBy(col("window_start"), col("event_type"))),
 
+    // volume event op: first-order Markov transition matrix of event
+    // types — one user-keyed window + a |types|²-cell fold
+    "q_event_transitions" -> ((s, dir) =>
+      EventWindows.eventTransitions(events(s, dir), "user_id", "ts", "event_id", "event_type")
+        .orderBy(col("prev_type"), col("next_type"))),
+
     // volume event op: per-user event-type pivot — an explicit value
     // list keeps pivot a single hash aggregation (no extra distinct
     // job to discover columns); the wide shape feeds per-user
@@ -2826,6 +2839,34 @@ object SparkEntry {
           SELECT vec_id, score_q8, cos,
                  CAST(row_number() OVER (ORDER BY score_q8 DESC, vec_id ASC) AS INT) AS rank
           FROM (SELECT * FROM sc ORDER BY score_q8 DESC, vec_id ASC LIMIT 20) ORDER BY rank""",
+
+    "q_ann_binary" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+                            CAST(list_sum(list_transform(range(1, 33),
+                              i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0 THEN power(2, i - 1) ELSE 0 END)) AS BIGINT) AS w0,
+                            CAST(list_sum(list_transform(range(33, 65),
+                              i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0 THEN power(2, i - 33) ELSE 0 END)) AS BIGINT) AS w1
+                     FROM embeddings),
+          q AS (SELECT w0 AS q0, w1 AS q1, embedding AS qe FROM e WHERE vec_id = 0),
+          cand AS (SELECT e.vec_id, e.embedding,
+                          CAST(bit_count(xor(e.w0, q.q0)) + bit_count(xor(e.w1, q.q1)) AS INT) AS hamming
+                   FROM e, q
+                   ORDER BY hamming, e.vec_id LIMIT 40),
+          rr AS (SELECT c.vec_id, c.hamming, round(${cosSql("c.embedding", "q.qe")}, 6) AS cos
+                 FROM cand c, q)
+         SELECT vec_id, hamming, cos,
+                CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+         FROM (SELECT * FROM rr ORDER BY cos DESC, vec_id ASC LIMIT 20) ORDER BY rank""",
+
+    "q_event_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type,
+                             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+                      FROM events),
+          cells AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+                    FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+                round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+         FROM cells ORDER BY prev_type, next_type""",
 
     "q_rrf_fusion" ->
       s"""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fixed (tumbling) event-time window aggregation over an event
@@ -338,5 +339,41 @@ object EventWindows {
       .withColumn("day_start", timestamp_micros(col("day") * lit(86400000000L)))
       .withColumn("burst", col("n_events").cast("double") > lit(factor) * col("median_daily"))
       .select(col(typeCol), col("day_start"), col("n_events"), col("median_daily"), col("burst"))
+  }
+
+  /** First-order Markov transition matrix of event types: within
+    * each user's time-ordered stream, count (previous type → type)
+    * transitions and normalize per source state — the behavioral
+    * fingerprint card (which action follows which) and the input to
+    * next-event prediction baselines.
+    *
+    * Scale shape: ONE window shuffle keyed by user (the same key
+    * sessionization uses — at 1000 executors each user's stream
+    * sorts locally within its partition), then a |types|²-sized
+    * aggregation and a per-source-state window over those cells.
+    * Deterministic tie order inside a timestamp via the id column.
+    *
+    * Output: (prev_type, next_type, n, p) — p = n / Σ_next n.
+    */
+  def eventTransitions(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val cells = events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      .withColumn("prev_type", lag(col(typeCol), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+      .select(
+        col("prev_type"),
+        col("next_type"),
+        col("n").cast("bigint").as("n"),
+        round(col("n").cast("double") / col("tot"), 6).as("p"))
   }
 }

@@ -1283,6 +1283,62 @@ object Similarity {
       .withColumn("rank", row_number().over(Window.orderBy(desc("score_q8"), col(idCol))))
   }
 
+  /** Binary (1-bit) quantization ANN — the most compressed serving
+    * tier after int8 ([[int8TopK]]) and PQ: each vector collapses to
+    * its sign pattern (bit i set iff v[i] > 0 — hyperplane LSH with
+    * axis-aligned planes), packed into two 32-bit words per 64 dims,
+    * candidate ranking by Hamming distance to the query's pattern
+    * (monotone in angular distance in expectation), exact cosine
+    * rerank of the `rerank` closest patterns. 8 bytes/vector: at
+    * 100 TB of fp32 embeddings the sign index is ~3% of the corpus
+    * and the Hamming scan is two xor+popcount per row — the
+    * cheapest first-stage filter there is.
+    *
+    * Packing is two 32-bit words (not one 64-bit) so the bit sums
+    * stay in exact-integer DOUBLE range on any engine — the whole
+    * pipeline (pack, xor, popcount, rerank) replays bit-for-bit in
+    * the oracle. Ranking: (hamming asc, id) for candidates, then
+    * (cos desc, id) for the final k.
+    */
+  def binaryTopK(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      rerank: Int = 40,
+      dim: Int = 64): DataFrame = {
+    require(dim == 64, "binaryTopK packs exactly 64 dims into two 32-bit words")
+    def packWord(vec: Column, lo: Int): Column =
+      aggregate(
+        sequence(lit(lo), lit(lo + 31)),
+        lit(0L),
+        (acc, i) =>
+          acc + when(
+            element_at(vec, (i + 1).cast("int")) > 0.0,
+            pow(lit(2.0), (i - lit(lo)).cast("double")).cast("long")).otherwise(lit(0L)))
+    def packQ(lo: Int): Long =
+      (0 until 32).map(j => if (query(lo + j) > 0.0) 1L << j else 0L).sum
+    val (q0, q1) = (packQ(0), packQ(32))
+    val cand = embeddings
+      .withColumn("v", transform(col(vecCol), x => x.cast("double")))
+      .select(
+        col(idCol),
+        col(vecCol),
+        (bit_count(packWord(col("v"), 0).bitwiseXOR(lit(q0))) +
+          bit_count(packWord(col("v"), 32).bitwiseXOR(lit(q1)))).cast("int").as("hamming"))
+      .orderBy(col("hamming"), col(idCol))
+      .limit(rerank)
+    cand
+      .select(
+        col(idCol),
+        col("hamming"),
+        round(cosineToQuery(col(vecCol), query), 6).as("cos"))
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+      .withColumn("rank", row_number().over(rankWindow(idCol)))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540 — public method, reimplemented from the paper's
     * formulation): cluster the embeddings, then prune within each

@@ -126,4 +126,23 @@ class EventWindowsSpec extends SparkSpec {
     assert(got(1).getLong(0) == 6L && got(1).getAs[Int]("n_nearby") == 0)
     assert(got(1).getAs[Double]("sum_nearby_value") == 0.0)
   }
+
+  test("eventTransitions: per-user ordered lag, per-source-state normalization") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1: a -> b -> a       user 2: a -> c
+      (1L, 1L, ts("2026-01-01 00:00:01"), "a"),
+      (2L, 1L, ts("2026-01-01 00:00:02"), "b"),
+      (3L, 1L, ts("2026-01-01 00:00:03"), "a"),
+      (4L, 2L, ts("2026-01-01 00:00:01"), "a"),
+      (5L, 2L, ts("2026-01-01 00:00:02"), "c"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventWindows.eventTransitions(events, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((1L, 0.5)),
+      ("a", "c") -> ((1L, 0.5)),
+      ("b", "a") -> ((1L, 1.0))))
+  }
 }

@@ -880,6 +880,26 @@ class TextOpsSpec extends SparkSpec {
     assert(Dedup.simhashHammingPairs(hot, "doc_id", "text", maxHamming = 3, maxDf = 3).count() == 0)
   }
 
+  test("binaryTopK: sign-pattern Hamming candidates find the query itself, rerank is exact cosine") {
+    val dim = 64
+    // i+1 keeps sin() away from exactly 0 (a 0.0 element's sign bit
+    // would not flip under negation and break the 64-bit assertion)
+    def vec(seed: Int): Seq[Float] =
+      (0 until dim).map(i => (math.sin(seed * 31 + i + 1) * 2).toFloat)
+    val df = (0 until 30).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val q  = vec(0).map(_.toDouble)
+    val got = Similarity.binaryTopK(df, "vec_id", "embedding", q, k = 5, rerank = 10).collect()
+    assert(got.head.getLong(0) == 0L, "the query's own vector ranks first")
+    assert(got.head.getAs[Int]("hamming") == 0 && got.head.getAs[Double]("cos") == 1.0)
+    val cos = got.map(_.getAs[Double]("cos"))
+    assert(cos.sameElements(cos.sorted.reverse), "rerank orders by exact cosine")
+    // a flipped vector is the farthest sign pattern
+    val withNeg = df.union(Seq((99L, vec(0).map(x => -x))).toDF("vec_id", "embedding"))
+    val ham = Similarity.binaryTopK(withNeg, "vec_id", "embedding", q, k = 31, rerank = 31)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("hamming")).toMap
+    assert(ham(99L) == 64, "opposite signs differ in all 64 bits")
+  }
+
   test("kmvOverlap: sketch algebra — identical groups estimate Jaccard 1, disjoint small groups exact 0") {
     // identical vocabularies LARGER than k: estimator branch, sketches equal
     val big = (1 to 40).map(i => s"tok$i").mkString(" ")
