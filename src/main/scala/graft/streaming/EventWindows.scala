@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Fixed (tumbling) event-time window aggregation over an event
   * stream or table — the other standard event-analytics primitive
@@ -339,6 +340,56 @@ object EventWindows {
       .withColumn("day_start", timestamp_micros(col("day") * lit(86400000000L)))
       .withColumn("burst", col("n_events").cast("double") > lit(factor) * col("median_daily"))
       .select(col(typeCol), col("day_start"), col("n_events"), col("median_daily"), col("burst"))
+  }
+
+  /** Carried state for [[transitionsStream]]: the last event seen per
+    * user (event-time micros, id tiebreak, type).
+    */
+  final case class LastEvent(ts_us: Long, event_id: Long, event_type: String)
+
+  /** One emitted transition edge. */
+  final case class TransitionEdge(user_id: Long, prev_type: String, next_type: String)
+
+  /** Streaming twin of [[eventTransitions]]: emit (prev → next)
+    * transition edges as events arrive, INCLUDING the edge that spans
+    * a trigger boundary — the one a per-batch lag window structurally
+    * cannot see. State per user is exactly one event (the last seen),
+    * so state size is |active users|, not history; downstream the
+    * edges feed the same |types|² aggregation as the batch card.
+    *
+    * In-batch ordering: events inside a trigger sort by (event time,
+    * id) before folding, so a batch replay equals the batch operator
+    * on the same data arriving in one trigger.
+    */
+  def transitionsStream(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String): Dataset[TransitionEdge] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(
+        col(userCol).cast("long"),
+        unix_micros(col(tsCol)),
+        col(idCol).cast("long"),
+        col(typeCol).cast("string"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LastEvent, TransitionEdge](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Long, String)], state: GroupState[LastEvent]) =>
+          val sorted = it.toSeq.sortBy(e => (e._2, e._3))
+          val out    = scala.collection.mutable.ArrayBuffer.empty[TransitionEdge]
+          var prev   = state.getOption
+          sorted.foreach { e =>
+            prev.foreach(p => out += TransitionEdge(user, p.event_type, e._4))
+            prev = Some(LastEvent(e._2, e._3, e._4))
+          }
+          prev.foreach(state.update)
+          out.iterator
+      }
   }
 
   /** First-order Markov transition matrix of event types: within

@@ -145,4 +145,27 @@ class EventWindowsSpec extends SparkSpec {
       ("a", "c") -> ((1L, 0.5)),
       ("b", "a") -> ((1L, 1.0))))
   }
+
+  test("transitionsStream emits the trigger-spanning edge a per-batch lag cannot see") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val edges = EventWindows.transitionsStream(
+      in.toDF().toDF("user_id", "ts", "event_id", "event_type"),
+      "user_id", "ts", "event_id", "event_type")
+    val q = edges.writeStream.outputMode("append").format("memory").queryName("trans_out").start()
+    // trigger 1: user 1 does a then b (out of arrival order — event
+    // time must win inside the batch)
+    in.addData((1L, ts("2026-01-01 00:00:02"), 2L, "b"), (1L, ts("2026-01-01 00:00:01"), 1L, "a"))
+    q.processAllAvailable()
+    // trigger 2: user 1 does c — the b->c edge spans the trigger
+    in.addData((1L, ts("2026-01-01 00:00:03"), 3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("trans_out").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("a", "b"), ("b", "c")), s"got $got")
+  }
 }
