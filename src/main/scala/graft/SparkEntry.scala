@@ -1762,6 +1762,46 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
+    // TPC-H Q5 shape: 6-table local-supplier-volume join — the
+    // classic join-order/broadcast showcase: region+nation+supplier
+    // are broadcast dims, orders is date-pruned at the scan, the one
+    // real shuffle is lineitem ⋈ orders; the c_nationkey=s_nationkey
+    // equi-predicate rides the customer join
+    "q_local_supplier_volume" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      Tables.lineitem(s, dir)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(
+          broadcast(Tables.table(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.table(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(
+          broadcast(Tables.table(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+            .cast("double").as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    }),
+
+    // TPC-H Q13 shape: customer order-count distribution — the
+    // LEFT OUTER idiom (customers with zero orders keep a 0 row) +
+    // double aggregation histogram
+    "q_cust_order_dist" -> ((s, dir) =>
+      Tables.table(s, dir, "customer")
+        .join(
+          Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))),
+
     // lineitem ⋈ orders revenue by priority (join at volume; date
     // filters push into both parquet scans)
     // the date filter prunes the AGGREGATE'S INPUT, not just the
@@ -4068,6 +4108,26 @@ object SparkEntry {
          WHERE l_shipdate < TIMESTAMP '1998-09-01'
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+
+    "q_local_supplier_volume" ->
+      """SELECT n_name,
+                CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation   ON s_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
+
+    "q_cust_order_dist" ->
+      """SELECT c_count, count(*) AS custdist
+         FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+               FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+               GROUP BY c_custkey)
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
 
     "q_order_revenue_join" ->
       """SELECT o_orderpriority,
