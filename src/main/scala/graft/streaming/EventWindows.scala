@@ -353,22 +353,31 @@ object EventWindows {
   /** Streaming twin of [[eventTransitions]]: emit (prev → next)
     * transition edges as events arrive, INCLUDING the edge that spans
     * a trigger boundary — the one a per-batch lag window structurally
-    * cannot see. State per user is exactly one event (the last seen),
-    * so state size is |active users|, not history; downstream the
-    * edges feed the same |types|² aggregation as the batch card.
+    * cannot see. State per user is exactly one event (the last seen);
+    * with `idleTimeoutMs > 0` idle users evict on the processing-time
+    * clock (same opt-in pattern as runningMajority), otherwise state
+    * is one entry per user ever seen.
     *
-    * In-batch ordering: events inside a trigger sort by (event time,
-    * id) before folding, so a batch replay equals the batch operator
-    * on the same data arriving in one trigger.
+    * Ordering: events inside a trigger sort by (event time, id), so
+    * a single-trigger replay equals the batch operator; an event that
+    * arrives in a LATER trigger but is event-time OLDER than the
+    * stored last event is DROPPED (emitting from it would fabricate a
+    * time-reversed edge and corrupt the matrix) — the standard
+    * late-data trade, since the already-emitted edge cannot be
+    * retracted in append mode.
     */
   def transitionsStream(
       events: DataFrame,
       userCol: String,
       tsCol: String,
       idCol: String,
-      typeCol: String): Dataset[TransitionEdge] = {
+      typeCol: String,
+      idleTimeoutMs: Long = 0L): Dataset[TransitionEdge] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .select(
         col(userCol).cast("long"),
@@ -378,17 +387,27 @@ object EventWindows {
       .as[(Long, Long, Long, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[LastEvent, TransitionEdge](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (user: Long, it: Iterator[(Long, Long, Long, String)], state: GroupState[LastEvent]) =>
-          val sorted = it.toSeq.sortBy(e => (e._2, e._3))
-          val out    = scala.collection.mutable.ArrayBuffer.empty[TransitionEdge]
-          var prev   = state.getOption
-          sorted.foreach { e =>
-            prev.foreach(p => out += TransitionEdge(user, p.event_type, e._4))
-            prev = Some(LastEvent(e._2, e._3, e._4))
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e._2, e._3))
+            val out    = scala.collection.mutable.ArrayBuffer.empty[TransitionEdge]
+            var prev   = state.getOption
+            sorted.foreach { e =>
+              val isLate =
+                prev.exists(p => p.ts_us > e._2 || (p.ts_us == e._2 && p.event_id >= e._3))
+              if (!isLate) {
+                prev.foreach(p => out += TransitionEdge(user, p.event_type, e._4))
+                prev = Some(LastEvent(e._2, e._3, e._4))
+              }
+            }
+            prev.foreach(state.update)
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            out.iterator
           }
-          prev.foreach(state.update)
-          out.iterator
       }
   }
 

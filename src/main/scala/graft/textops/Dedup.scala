@@ -68,14 +68,14 @@ object Dedup {
     * (not the first copy), which source it was copied FROM — the
     * provenance card behind [[dedupRateBySource]]'s totals (a high
     * (b→a) cell means source b re-hosts source a's content; the
-    * mixer drops b, not a). First-copy rule shared with
-    * [[exactDedup]] via [[exactDedupGroups]].
+    * mixer drops b, not a). Same first-copy (min id per content
+    * hash) rule as [[exactDedup]].
     *
-    * Scale shape: the exact-dedup hash aggregation + ONE join of the
-    * doc (id, source, hash) projection against the distinct-text
-    * groups to find survivors, a self-join keyed by the content hash
-    * to pair copies with their originals, and a 2-key fold — every
-    * join is an equi-join on the content hash.
+    * Scale shape: ONE pass — a single window over the content hash
+    * derives the survivor (min id, [[exactDedup]]'s rule) and its
+    * source in the same lineage (two joined branches would re-execute
+    * the corpus scan + hash aggregation per branch), then the copies
+    * fold on 2 keys.
     *
     * Output: (src_original, src_copy, n_copies).
     */
@@ -84,22 +84,17 @@ object Dedup {
       idCol: String,
       textCol: String,
       groupCol: String): DataFrame = {
-    val withH = df.select(
-      col(idCol),
-      col(groupCol),
-      md5(col(textCol).cast("binary")).as("h"))
-    val groups = exactDedupGroups(df, idCol, textCol)
-      .select(col("content_hash").as("h"), col("keep_id"))
-    val originals = withH
-      .join(groups, Seq("h"))
-      .filter(col(idCol) === col("keep_id"))
-      .select(col("h"), col(groupCol).as("src_original"))
-    withH
-      .join(groups, Seq("h"))
+    val wH = Window.partitionBy(col("h"))
+    df.select(
+        col(idCol),
+        col(groupCol),
+        md5(col(textCol).cast("binary")).as("h"))
+      .withColumn("keep_id", min(col(idCol)).over(wH))
+      .withColumn(
+        "src_original",
+        max(when(col(idCol) === col("keep_id"), col(groupCol))).over(wH))
       .filter(col(idCol) =!= col("keep_id"))
-      .select(col("h"), col(groupCol).as("src_copy"))
-      .join(originals, Seq("h"))
-      .groupBy(col("src_original"), col("src_copy"))
+      .groupBy(col("src_original"), col(groupCol).as("src_copy"))
       .agg(count(lit(1)).cast("bigint").as("n_copies"))
   }
 

@@ -699,6 +699,10 @@ object Similarity {
       nCentroids: Int,
       learnedCentroids: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
     val cents = seedOrLearned(embeddings, idCol, vecCol, nCentroids, learnedCentroids)
+    // with one centroid there is no "nearest other": the filtered
+    // candidate array is empty, array_max yields NULL and every
+    // silhouette silently comes back NULL — fail fast instead
+    require(cents.length >= 2, s"clusterSilhouette needs >= 2 centroids, got ${cents.length}")
     val scored = embeddings
       .withColumn("v", transform(col(vecCol), x => x.cast("double")))
       .withColumn("nrm", dot(col("v"), col("v")))
@@ -1309,6 +1313,11 @@ object Similarity {
       rerank: Int = 40,
       dim: Int = 64): DataFrame = {
     require(dim == 64, "binaryTopK packs exactly 64 dims into two 32-bit words")
+    // runtime guard: a shorter vector would silently pack missing
+    // dims as 0-bits (element_at past the end is NULL → non-positive)
+    val lenOk = assert_true(
+      size(col(vecCol)) === dim,
+      lit(s"binaryTopK: embedding length != $dim"))
     def packWord(vec: Column, lo: Int): Column =
       aggregate(
         sequence(lit(lo), lit(lo + 31)),
@@ -1321,7 +1330,7 @@ object Similarity {
       (0 until 32).map(j => if (query(lo + j) > 0.0) 1L << j else 0L).sum
     val (q0, q1) = (packQ(0), packQ(32))
     val cand = embeddings
-      .withColumn("v", transform(col(vecCol), x => x.cast("double")))
+      .withColumn("v", when(lenOk.isNull, transform(col(vecCol), x => x.cast("double"))))
       .select(
         col(idCol),
         col(vecCol),

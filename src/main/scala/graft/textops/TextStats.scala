@@ -1388,8 +1388,14 @@ object TextStats {
       .withColumn("nx", sum(col("n")).over(Window.partitionBy(col("x"))))
       .withColumn("ny", sum(col("n")).over(Window.partitionBy(col("y"))))
       .agg(
+        // cast BEFORE multiplying: n·total and nx·ny as LongType
+        // products overflow at lake scale (4e9 rows wraps negative →
+        // log NULL → term silently drops); the oracle multiplies
+        // doubles, so the long form would break the gate exactly at
+        // the scale the card is for
         sum(col("n") / col("total") *
-          log(col("n") * col("total") / (col("nx") * col("ny")))).as("mi_raw"),
+          log(col("n").cast("double") * col("total") /
+            (col("nx").cast("double") * col("ny")))).as("mi_raw"),
         (-sum(col("n") / col("total") * log(col("nx") / col("total")))).as("hx_raw"),
         (-sum(col("n") / col("total") * log(col("ny") / col("total")))).as("hy_raw"))
       .select(

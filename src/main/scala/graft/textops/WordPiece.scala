@@ -134,6 +134,15 @@ object WordPiece {
           val pf = pairFreq.getOrElse(p, 0L) + sign * counts(i)
           if (pf == 0L) pairFreq.remove(p) else pairFreq.update(p, pf)
           if (sign > 0) pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += i
+          else
+            // prune the inverted index on unregister: without this,
+            // every merge's "affected" set includes every word that
+            // EVER held the pair (a guaranteed-no-op rewrite cycle
+            // each), and the index grows with history, not state
+            pairWords.get(p).foreach { s0 =>
+              s0 -= i
+              if (s0.isEmpty) pairWords.remove(p)
+            }
         }
         j += 1
       }
@@ -182,7 +191,6 @@ object WordPiece {
     * symbols lexicographic, then merges in rank order).
     */
   def vocabulary(df: DataFrame, textCol: String, k: Int): Seq[String] = {
-    val spark = df.sparkSession
     val table  = wordTable(df, textCol).collect()
     val chars  = table.flatMap(_.getSeq[String](1)).distinct.sorted
     val merges = learnFromTable(table.map(_.getLong(0)), table.map(_.getSeq[String](1).toArray), k)

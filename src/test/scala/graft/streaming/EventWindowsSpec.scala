@@ -163,9 +163,17 @@ class EventWindowsSpec extends SparkSpec {
     // trigger 2: user 1 does c — the b->c edge spans the trigger
     in.addData((1L, ts("2026-01-01 00:00:03"), 3L, "c"))
     q.processAllAvailable()
+    // trigger 3: a LATE event (event-time before the stored last)
+    // must be DROPPED — emitting would fabricate a time-reversed
+    // c->z edge and regress the state
+    in.addData((1L, ts("2026-01-01 00:00:00"), 0L, "z"))
+    q.processAllAvailable()
+    // trigger 4: state must still be c, not z
+    in.addData((1L, ts("2026-01-01 00:00:04"), 4L, "d"))
+    q.processAllAvailable()
     q.stop()
     val got = spark.table("trans_out").collect()
       .map(r => (r.getString(1), r.getString(2))).toSet
-    assert(got == Set(("a", "b"), ("b", "c")), s"got $got")
+    assert(got == Set(("a", "b"), ("b", "c"), ("c", "d")), s"got $got")
   }
 }
