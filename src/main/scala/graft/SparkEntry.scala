@@ -1254,6 +1254,18 @@ object SparkEntry {
         .orderBy(desc("edit_sim"), col("id_a"), col("id_b"))
         .limit(20)),
 
+    // graph op: fixed-iteration PageRank over the near-dup graph —
+    // centrality as the canonical-doc signal (who gets copied FROM);
+    // per-node sums decimal-quantized so 3 power iterations replay
+    // bit-for-bit in the oracle
+    "q_pagerank_neardup" -> ((s, dir) => {
+      val pairs = Dedup
+        .ngramJaccardPairsCapped(docs(s, dir), "lang", "doc_id", "text", n = 3, maxDf = 3)
+        .filter(col("jaccard") >= 0.2)
+      Dedup.pageRankFixed(docs(s, dir).select(col("doc_id")), "doc_id", pairs, iters = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     // training-data ops: near-dup clusters — connected components
     // over high-Jaccard pairs (the keep/drop resolution step after
     // pair generation; min-label propagation, O(diameter) rounds)
@@ -2125,6 +2137,11 @@ object SparkEntry {
           coalesce(col("signup"), lit(0L)).as("n_signup"),
           coalesce(col("view"), lit(0L)).as("n_view"))
         .orderBy(col("user_id"))),
+
+    // relational op: column data profile (the ANALYZE primitive) —
+    // per-column NULL + exact distinct counts in ONE aggregation pass
+    "q_table_profile" -> ((s, dir) =>
+      graft.relops.Stats.tableProfile(Tables.orders(s, dir)).orderBy(col("ordinal"))),
 
     // volume event op: equi-width value histogram — broadcast bounds,
     // per-row bucket index, one tiny shuffle on <= 20 keys
@@ -3127,6 +3144,47 @@ object SparkEntry {
          FROM v WHERE edit_sim >= 0.3
          ORDER BY edit_sim DESC, id_a, id_b LIMIT 20""",
 
+    // 3 power iterations unrolled; decimal(27,18) quantization before
+    // every sum mirrors pageRankFixed exactly
+    "q_pagerank_neardup" ->
+      s"""WITH $shinglesSql,
+          inv AS (SELECT lang, doc_id, unnest(sh) AS g FROM shing),
+          keep AS (SELECT lang, g FROM inv GROUP BY lang, g HAVING count(*) <= 3),
+          capped AS (SELECT i.lang, i.doc_id, CAST(count(*) AS INT) AS sz, list(i.g) AS sh
+                     FROM inv i JOIN keep k ON i.lang = k.lang AND i.g = k.g
+                     GROUP BY i.lang, i.doc_id),
+          jp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM capped a JOIN capped b ON a.lang = b.lang AND a.doc_id < b.doc_id
+                 WHERE len(list_intersect(a.sh, b.sh)) > 0
+                   AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                             / (a.sz + b.sz - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 6) >= 0.2),
+          e AS (SELECT id_a AS src, id_b AS dst FROM jp UNION SELECT id_b, id_a FROM jp),
+          deg AS (SELECT src, count(*) AS dg FROM e GROUP BY src),
+          nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+          p0 AS (SELECT doc_id AS id, 1.0 / nn.n AS pr FROM documents, nn),
+          d0 AS (SELECT coalesce(sum(CAST(pr AS DECIMAL(27,18))), 0) AS dm
+                 FROM p0 LEFT JOIN deg ON p0.id = deg.src WHERE deg.src IS NULL),
+          c0 AS (SELECT e.dst AS id, CAST(sum(CAST(p.pr / dg.dg AS DECIMAL(27,18))) AS DOUBLE) AS cs
+                 FROM e JOIN p0 p ON e.src = p.id JOIN deg dg ON e.src = dg.src GROUP BY e.dst),
+          p1 AS (SELECT p0.id,
+                        (1.0 - 0.85) / nn.n + 0.85 * (coalesce(c0.cs, 0.0) + CAST(d0.dm AS DOUBLE) / nn.n) AS pr
+                 FROM p0 LEFT JOIN c0 ON p0.id = c0.id, nn, d0),
+          d1 AS (SELECT coalesce(sum(CAST(pr AS DECIMAL(27,18))), 0) AS dm
+                 FROM p1 LEFT JOIN deg ON p1.id = deg.src WHERE deg.src IS NULL),
+          c1 AS (SELECT e.dst AS id, CAST(sum(CAST(p.pr / dg.dg AS DECIMAL(27,18))) AS DOUBLE) AS cs
+                 FROM e JOIN p1 p ON e.src = p.id JOIN deg dg ON e.src = dg.src GROUP BY e.dst),
+          p2 AS (SELECT p1.id,
+                        (1.0 - 0.85) / nn.n + 0.85 * (coalesce(c1.cs, 0.0) + CAST(d1.dm AS DOUBLE) / nn.n) AS pr
+                 FROM p1 LEFT JOIN c1 ON p1.id = c1.id, nn, d1),
+          d2 AS (SELECT coalesce(sum(CAST(pr AS DECIMAL(27,18))), 0) AS dm
+                 FROM p2 LEFT JOIN deg ON p2.id = deg.src WHERE deg.src IS NULL),
+          c2 AS (SELECT e.dst AS id, CAST(sum(CAST(p.pr / dg.dg AS DECIMAL(27,18))) AS DOUBLE) AS cs
+                 FROM e JOIN p2 p ON e.src = p.id JOIN deg dg ON e.src = dg.src GROUP BY e.dst),
+          p3 AS (SELECT p2.id,
+                        (1.0 - 0.85) / nn.n + 0.85 * (coalesce(c2.cs, 0.0) + CAST(d2.dm AS DOUBLE) / nn.n) AS pr
+                 FROM p2 LEFT JOIN c2 ON p2.id = c2.id, nn, d2)
+         SELECT id AS doc_id, round(pr, 6) AS pr FROM p3 ORDER BY doc_id""",
+
     // components via recursive reachability: reach(id,r) = id can
     // reach label r; min over reachable labels = cluster id. UNION
     // (not ALL) dedups rows so the recursion terminates.
@@ -3995,6 +4053,33 @@ object SparkEntry {
                 event_type, count(*) AS n_events,
                 round(CAST(sum(v) AS DOUBLE), 6) AS sum_value
          FROM b GROUP BY bucket, event_type ORDER BY window_start, event_type""",
+
+    "q_table_profile" ->
+      """SELECT 1 AS ordinal, 'o_orderkey' AS col_name,
+                CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+                count(*) AS n_rows FROM orders
+         UNION ALL
+         SELECT 2, 'o_custkey',
+                CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(count(DISTINCT o_custkey) AS BIGINT), count(*) FROM orders
+         UNION ALL
+         SELECT 3, 'o_orderstatus',
+                CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(count(DISTINCT o_orderstatus) AS BIGINT), count(*) FROM orders
+         UNION ALL
+         SELECT 4, 'o_totalprice',
+                CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(count(DISTINCT o_totalprice) AS BIGINT), count(*) FROM orders
+         UNION ALL
+         SELECT 5, 'o_orderdate',
+                CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(count(DISTINCT o_orderdate) AS BIGINT), count(*) FROM orders
+         UNION ALL
+         SELECT 6, 'o_orderpriority',
+                CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(count(DISTINCT o_orderpriority) AS BIGINT), count(*) FROM orders
+         ORDER BY ordinal""",
 
     "q_event_pivot" ->
       """SELECT user_id,

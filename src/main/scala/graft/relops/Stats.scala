@@ -269,4 +269,37 @@ object Stats {
           .otherwise(lit(false)))
       .drop("lo_v", "hi_v")
   }
+
+  /** Column-level data profile — the ANALYZE/profiling primitive every
+    * engine ships: per column, NULL count and exact distinct count,
+    * plus the table row count. One aggregation pass (Spark expands the
+    * multi-distinct plan internally); at true lake scale swap
+    * countDistinct for approx_count_distinct — exact is kept here
+    * because the card is oracle-gated.
+    *
+    * Output: one row per column (col_name, n_null, n_distinct,
+    * n_rows), in schema order via the ordinal column.
+    */
+  def tableProfile(df: DataFrame): DataFrame = {
+    val fields = df.schema.fieldNames.toSeq
+    val aggs = fields.flatMap(f =>
+      Seq(
+        sum(when(col(f).isNull, 1L).otherwise(0L)).as(s"${f}__nulls"),
+        countDistinct(col(f)).as(s"${f}__distinct"))) :+ count(lit(1)).as("__rows")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(fields.zipWithIndex.map { case (f, i) =>
+        struct(
+          lit(i + 1).as("ordinal"),
+          lit(f).as("col_name"),
+          col(s"${f}__nulls").cast("bigint").as("n_null"),
+          col(s"${f}__distinct").cast("bigint").as("n_distinct"),
+          col("__rows").cast("bigint").as("n_rows"))
+      }: _*)).as("p"))
+      .select(
+        col("p.ordinal").cast("int").as("ordinal"),
+        col("p.col_name"),
+        col("p.n_null"),
+        col("p.n_distinct"),
+        col("p.n_rows"))
+  }
 }

@@ -954,6 +954,73 @@ object Dedup {
     labels.withColumnRenamed("cc_id", idCol)
   }
 
+  /** Fixed-iteration PageRank over an undirected pair graph (Brin &
+    * Page 1998) — graph centrality as a CANONICAL-DOC signal: inside
+    * a near-dup cluster the highest-PR node is the one most copied
+    * from, a principled alternative to min-id/keep-best when
+    * provenance matters. Fixed `iters` power iterations (not
+    * convergence-tested) keep the computation engine-replayable.
+    *
+    * Determinism at every step: per-edge contributions pr/deg are
+    * scalar IEEE ops (identical on any engine); per-node contribution
+    * sums and the dangling mass quantize to decimal(27,18) BEFORE
+    * summing (exact, order-independent — a float fold would expose
+    * partition order); the recombination is scalar again.
+    *
+    * Scale shape: degree table once; each iteration is one edges⋈pr
+    * equi-join + one keyed sum + one tiny dangling aggregate (a
+    * 1-row driver action per round, same job-per-round budget as
+    * [[connectedComponents]]). State per round is the (id, pr)
+    * relation — corpus-sized, never edges². Output: (id, pr) with
+    * pr rounded to 6dp.
+    */
+  def pageRankFixed(
+      nodes: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      iters: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).as("pr_src"), col(bCol).as("pr_dst")),
+        struct(col(bCol).as("pr_src"), col(aCol).as("pr_dst")))).as("e"))
+      .select(col("e.pr_src").as("pr_src"), col("e.pr_dst").as("pr_dst"))
+      .distinct()
+      .persist()
+    val deg = edges.groupBy(col("pr_src")).agg(count(lit(1)).as("pr_deg")).persist()
+    val n   = nodes.count()
+    require(n > 0, "pageRankFixed needs a non-empty node set")
+    val base = (lit(1.0) - lit(damping)) / lit(n.toDouble)
+    var pr = nodes.select(col(idCol).as("pr_id")).withColumn("pr", lit(1.0) / lit(n.toDouble))
+    var i  = 0
+    while (i < iters) {
+      // dangling mass: total pr of degree-0 nodes (exact decimal sum)
+      val dm = pr
+        .join(deg, pr("pr_id") === deg("pr_src"), "left_anti")
+        .agg(coalesce(sum(col("pr").cast("decimal(27,18)")), lit(0).cast("decimal(27,18)")))
+        .first().getDecimal(0).doubleValue()
+      val contribs = edges
+        .join(pr, edges("pr_src") === pr("pr_id"))
+        .join(deg, Seq("pr_src"))
+        .select(col("pr_dst"), (col("pr") / col("pr_deg")).cast("decimal(27,18)").as("c"))
+        .groupBy(col("pr_dst"))
+        .agg(sum(col("c")).cast("double").as("cs"))
+      pr = pr
+        .join(contribs, pr("pr_id") === contribs("pr_dst"), "left")
+        .select(
+          col("pr_id"),
+          (base + lit(damping) * (coalesce(col("cs"), lit(0.0)) + lit(dm) / lit(n.toDouble)))
+            .as("pr"))
+        .localCheckpoint()
+      i += 1
+    }
+    edges.unpersist()
+    deg.unpersist()
+    pr.select(col("pr_id").as(idCol), round(col("pr"), 6).as("pr"))
+  }
+
   /** Near-duplicate clusters: high-Jaccard pairs (≥ minJaccard,
     * compared on the 6-decimal rounded value so oracle replays agree
     * bit-for-bit) grouped into components; every doc gets a

@@ -853,6 +853,34 @@ class TextOpsSpec extends SparkSpec {
     assert(dPlan.contains("TakeOrdered"), dPlan)
   }
 
+  test("pageRankFixed: hand-replicated power iterations, mass conserved, centrality orders") {
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    // star: 1 -- {2,3}; 4 dangling. Node 1 must out-rank leaves.
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.pageRankFixed(nodes, "id", pairs, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // replicate the exact recursion (contrib sums are single-term, so
+    // decimal quantization is invisible at 6dp)
+    val n = 4.0; val d = 0.85
+    var pr = Map(1L -> 1 / n, 2L -> 1 / n, 3L -> 1 / n, 4L -> 1 / n)
+    val deg = Map(1L -> 2.0, 2L -> 1.0, 3L -> 1.0)
+    for (_ <- 1 to 3) {
+      val dm = pr(4L)
+      def c(v: Long): Double = v match {
+        case 1L => pr(2L) / deg(2L) + pr(3L) / deg(3L)
+        case 2L => pr(1L) / deg(1L)
+        case 3L => pr(1L) / deg(1L)
+        case _  => 0.0
+      }
+      pr = pr.map { case (v, _) => v -> ((1.0 - d) / n + d * (c(v) + dm / n)) }
+    }
+    pr.foreach { case (v, expect) =>
+      assert(math.abs(got(v) - expect) < 2e-6, s"node $v: ${got(v)} vs $expect")
+    }
+    assert(got(1L) > got(2L) && got(2L) == got(3L), "hub out-ranks symmetric leaves")
+    assert(math.abs(got.values.sum - 1.0) < 1e-4, "PageRank mass conserved")
+  }
+
   test("simhashHammingPairs: banded blocking equals brute force, df cap bounds hot buckets") {
     // overlapping vocab so some pairs land within hamming 3
     val texts = Seq(
@@ -1085,6 +1113,18 @@ class TextOpsSpec extends SparkSpec {
     val dbl = Seq(("g", 1.5)).toDF("src", "v")
     val e = intercept[IllegalArgumentException](Stats.ksStatistic(dbl, "src", "v"))
     assert(e.getMessage.contains("integral"))
+  }
+
+  test("tableProfile: per-column null and distinct counts in schema order") {
+    val df = Seq(
+      (Some(1L), Some("a")),
+      (Some(1L), None),
+      (Some(2L), Some("b")),
+      (None, Some("b")))
+      .toDF("k", "v")
+    val got = graft.relops.Stats.tableProfile(df).orderBy("ordinal").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((1, "k", 1L, 2L, 4L), (2, "v", 1L, 2L, 4L)))
   }
 
   test("winsorize: NULL values stay NULL, all-NULL groups survive, doubles refused") {
