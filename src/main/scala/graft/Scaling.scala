@@ -26,11 +26,13 @@ object Scaling {
       "q_cosine_topk", "q_embed_mean_pool", "q_retrieval_top1", "q_rrf_fusion",
       "q_hard_negatives", "q_rank_metrics", "q_semdedup", "q_semdedup_scaled",
       "q_proto_prune", "q_dedup_embed_cosine", "q_cluster_purity",
-      "q_label_centroid_sim", "q_embed_norms")
+      "q_label_centroid_sim", "q_embed_norms", "q_silhouette")
     val dedup = Set(
       "q_lsh_pairs", "q_minhash_est", "q_fingerprint", "q_winnow_fingerprint",
       "q_substring_dedup", "q_decontaminate", "q_decontam_bloom", "q_decontam_fuzzy",
-      "q_source_overlap", "q_ngram_novelty", "q_dup_cluster_hist")
+      "q_source_overlap", "q_ngram_novelty", "q_dup_cluster_hist",
+      "q_dup_source_matrix", "q_simhash_pairs", "q_pagerank_neardup",
+      "q_remove_boilerplate")
     val ws = Set(
       "q_confusion_matrix", "q_nb_posterior", "q_pairwise_moments", "q_flying_squid",
       "q_dp_patterns", "q_lr_features", "q_cond_entropy", "q_cond_entropy_mv",
@@ -48,6 +50,7 @@ object Scaling {
       "q_unpivot")
     val layout = Set(
       "q_shard_assign", "q_mix_realize", "q_stratified_sample", "q_curriculum",
+      "q_weighted_sample",
       "q_seq_pack", "q_domain_mix", "q_dsir_weight", "q_winsorize", "q_quantile_disc",
       "q_value_histogram", "q_skew_salted_count", "q_data_card", "q_cube_quality",
       "q_rollup_tokens", "q_ks_length")
@@ -55,7 +58,9 @@ object Scaling {
       "q_lineitem_pricing", "q_order_asof_prev", "q_order_revenue_join",
       "q_shipping_priority", "q_asof_attribution", "q_range_join_binned", "q_sessionize",
       "q_event_windows", "q_funnel", "q_moving_avg", "q_rolling_wau", "q_burst_days",
-      "q_cohort_retention", "q_rfm_segments", "q_window_rank", "q_set_intersect")
+      "q_cohort_retention", "q_rfm_segments", "q_window_rank", "q_set_intersect",
+      "q_event_pivot", "q_event_transitions", "q_table_profile",
+      "q_local_supplier_volume", "q_cust_order_dist")
     if (q.startsWith("q_ann_") || ann(q)) "ann"
     else if (q.startsWith("q_dedup_") || dedup(q)) "dedup"
     else if (ws(q)) "weak_supervision"
