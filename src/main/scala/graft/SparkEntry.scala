@@ -1160,6 +1160,15 @@ object SparkEntry {
       Similarity.binaryTopK(
         Tables.embeddings(s, dir), "vec_id", "embedding", queryVec(s, dir), k = 20, rerank = 40)),
 
+    // density clustering: DBSCAN roles + clusters in embedding space
+    // with the SemDeDup bucket bound (eps-pairs only within a coarse
+    // centroid bucket); eps=0.3/minPts=3 splits this corpus 45 core /
+    // border / noise non-trivially
+    "q_dbscan" -> ((s, dir) =>
+      Similarity.dbscanClusters(
+          Tables.embeddings(s, dir), "vec_id", "embedding", eps = 0.3, minPts = 3)
+        .orderBy(col("vec_id"))),
+
     // SemDeDup: cluster-bounded semantic dedup — the embedding-space
     // dedup that scales (pairs only within clusters). τ=0.35 sits at
     // the 99th pct of this synthetic corpus's within-cluster cosine
@@ -2896,6 +2905,53 @@ object SparkEntry {
           SELECT vec_id, score_q8, cos,
                  CAST(row_number() OVER (ORDER BY score_q8 DESC, vec_id ASC) AS INT) AS rank
           FROM (SELECT * FROM sc ORDER BY score_q8 DESC, vec_id ASC LIMIT 20) ORDER BY rank""",
+
+    // roles + clusters replayed: bucket-bounded eps-pairs, degree
+    // threshold, recursive min-label reachability over core-core
+    // edges (the q_dedup_clusters pattern), min-cluster border attach
+    "q_dbscan" ->
+      s"""WITH RECURSIVE
+          e2 AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nrm FROM embeddings),
+          c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, embedding AS ce, nrm AS cn
+                FROM (SELECT vec_id, embedding, nrm FROM e2 ORDER BY vec_id LIMIT 16)),
+          asg AS (SELECT vec_id, embedding, nrm, cid AS bucket FROM (
+                    SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+                           row_number() OVER (
+                             PARTITION BY e.vec_id
+                             ORDER BY ${cosNSql(dotSql("e.embedding", "c.ce"), "e.nrm", "c.cn")} DESC, c.cid ASC) AS rn
+                    FROM e2 e CROSS JOIN c) WHERE rn = 1),
+          pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM asg a JOIN asg b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+                 WHERE round(${cosNSql(dotSql("a.embedding", "b.embedding"), "a.nrm", "b.nrm")}, 6) >= 0.3),
+          deg AS (SELECT id, CAST(count(*) AS INT) AS n_neighbors
+                  FROM (SELECT id_a AS id FROM pr UNION ALL SELECT id_b FROM pr) GROUP BY id),
+          allv AS (SELECT e2.vec_id, coalesce(deg.n_neighbors, 0) AS n_neighbors
+                   FROM e2 LEFT JOIN deg ON e2.vec_id = deg.id),
+          core AS (SELECT vec_id FROM allv WHERE n_neighbors >= 3),
+          ce_ AS (SELECT p.id_a, p.id_b FROM pr p
+                  JOIN core ka ON p.id_a = ka.vec_id JOIN core kb ON p.id_b = kb.vec_id),
+          ed AS (SELECT id_a AS u, id_b AS v FROM ce_ UNION ALL SELECT id_b, id_a FROM ce_),
+          reach(id, r) AS (
+            SELECT vec_id, vec_id FROM core
+            UNION
+            SELECT ed.u, reach.r FROM ed JOIN reach ON reach.id = ed.v),
+          cl AS (SELECT id AS vec_id, min(r) AS core_cluster FROM reach GROUP BY id),
+          nbr AS (SELECT s.nb_self, min(cl.core_cluster) AS nbr_cluster
+                  FROM (SELECT id_a AS nb_self, id_b AS nb_other FROM pr
+                        UNION ALL SELECT id_b, id_a FROM pr) s
+                  JOIN cl ON s.nb_other = cl.vec_id
+                  GROUP BY s.nb_self)
+         SELECT a.vec_id, a.n_neighbors,
+                CASE WHEN a.n_neighbors >= 3 THEN 'core'
+                     WHEN nbr.nbr_cluster IS NOT NULL THEN 'border'
+                     ELSE 'noise' END AS role,
+                CASE WHEN a.n_neighbors >= 3 THEN cl.core_cluster
+                     WHEN nbr.nbr_cluster IS NOT NULL THEN nbr.nbr_cluster
+                     ELSE NULL END AS cluster_id
+         FROM allv a
+         LEFT JOIN cl ON a.vec_id = cl.vec_id
+         LEFT JOIN nbr ON a.vec_id = nbr.nb_self
+         ORDER BY a.vec_id""",
 
     "q_ann_binary" ->
       s"""WITH e AS (SELECT vec_id, embedding,

@@ -881,13 +881,13 @@ object Dedup {
       .distinct()
       .repartition(col("cc_v"))
       .persist()
-    // `cached` is the handle .persist() was called on (unpersist must
-    // see that exact plan); `labels` is the (cc_id, cluster_id) view
-    // of it that each round consumes
-    var cached = nodes
+    // round-0 labels: checkpointed like every later round, so the
+    // node frame's own lineage (which can be arbitrarily heavy —
+    // DBSCAN hands in a filtered role relation) never re-enters a
+    // round's plan
+    var labels = nodes
       .select(col(idCol).as("cc_id"), col(idCol).as("cluster_id"))
-      .persist()
-    var labels    = cached
+      .localCheckpoint()
     var converged = false
     var iter      = 0
     while (!converged && iter < maxIter) {
@@ -923,33 +923,34 @@ object Dedup {
               least(col("cc_mid"), coalesce(col("cc_hop_lbl"), col("cc_mid"))).as("cc_next"),
               col("cc_prev"))
         }
-      val next = halved.persist()
-      // full aggregation, not limit(1): the count scans every
-      // partition, so `next` is completely materialized into the
-      // cache here — a short-circuiting probe would leave partitions
-      // uncached and each later round would recompute them through
-      // the whole unpersisted lineage (pair generation included)
+      // localCheckpoint (eager), not persist: `halved` references
+      // `labels` TWICE (propagation + the halving hop), so the
+      // LOGICAL plan doubles every round — persist caches row data
+      // but analysis still walks the full uncached tree, and with a
+      // heavy pair-generation lineage at the leaves (e.g. DBSCAN's
+      // bucket-bounded cosine pairs) round k's analysis cost is
+      // 2^k × that subtree: driver OOM by round ~5 on exactly the
+      // long-diameter graphs that need many rounds. Checkpointing
+      // truncates the lineage, making every round's plan constant
+      // size; blocks free when the frame is GC'd.
+      val next = halved.localCheckpoint()
       val t0      = System.nanoTime()
       val changed = next.filter(col("cc_next") =!= col("cc_prev")).count()
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(f"[cc] round $iter changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      cached.unpersist()
-      cached = next
       labels = next.select(col("cc_id"), col("cc_next").as("cluster_id"))
       converged = changed == 0
       iter += 1
     }
     if (!converged) {
       edges.unpersist()
-      cached.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — component diameter exceeds " +
           s"maxIter; raise maxIter (or use alternating large-star/small-star for high-diameter graphs)")
     }
-    // `labels` is fully materialized (the convergence count scanned
-    // it), so dropping the edge cache is safe. The returned frame
-    // stays persisted — one small (id, cluster_id) cache entry per
-    // invocation, evictable; callers may unpersist after consuming.
+    // `labels` is a view of the final round's checkpointed blocks
+    // (the convergence count materialized them), so dropping the edge
+    // cache is safe; checkpoint blocks free when the frame is GC'd.
     edges.unpersist()
     labels.withColumnRenamed("cc_id", idCol)
   }

@@ -1415,6 +1415,97 @@ object Similarity {
       .orderBy(col(idCol))
   }
 
+  /** DBSCAN-style density clustering in embedding space (Ester et
+    * al. 1996), with the SemDeDup pair-space bound: eps-neighbors
+    * (cosine ≥ `eps`, rounded 6dp so both engines agree) are sought
+    * only WITHIN a vector's coarse centroid bucket, so the pair
+    * space is Σ|bucket|², never N². Roles follow the published
+    * definitions — core: ≥ `minPts` eps-neighbors; border: non-core
+    * with ≥ 1 CORE eps-neighbor; noise: the rest. Clusters are
+    * connected components over core–core edges (min-core-id label,
+    * [[graft.textops.Dedup.connectedComponents]]); border points
+    * attach to the smallest cluster id among their core neighbors
+    * (deterministic, engine-replayable).
+    *
+    * The bucket bound makes this approximate exactly the way
+    * SemDeDup is: eps-pairs straddling a bucket boundary are missed.
+    * That is the documented trade that keeps density clustering
+    * feasible at lake scale.
+    *
+    * Output: (id, n_neighbors, role, cluster_id — NULL for noise).
+    */
+  def dbscanClusters(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      eps: Double,
+      minPts: Int,
+      nCentroids: Int = 16,
+      learnedCentroids: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
+    val centroids = seedOrLearned(embeddings, idCol, vecCol, nCentroids, learnedCentroids)
+    val asg = embeddings
+      .withColumn("v", transform(col(vecCol), x => x.cast("double")))
+      .withColumn("nrm", dot(col("v"), col("v")))
+      .withColumn("bucket", -array_max(centroidCands(centroids)).getField("ncid"))
+      .select(col(idCol), col("bucket"), col("v"), col("nrm"))
+    val a = asg.select(
+      col("bucket"), col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = asg.select(
+      col("bucket"), col(idCol).as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = a
+      .join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(
+        round(
+          when(col("na") === 0.0 || col("nb") === 0.0, 0.0)
+            .otherwise(dot(col("va"), col("vb")) / (sqrt(col("na")) * sqrt(col("nb")))),
+          6) >= eps)
+      .select(col("id_a"), col("id_b"))
+      .persist()
+    val deg = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("nb_id"))
+      .groupBy(col("nb_id"))
+      .agg(count(lit(1)).cast("int").as("n_neighbors"))
+    val roles = asg
+      .select(col(idCol))
+      .join(deg, col(idCol) === col("nb_id"), "left")
+      .select(col(idCol), coalesce(col("n_neighbors"), lit(0)).as("n_neighbors"))
+      .withColumn("is_core", col("n_neighbors") >= minPts)
+      .persist()
+    val coreIds = roles.filter(col("is_core")).select(col(idCol))
+    val coreEdges = pairs
+      .join(coreIds.select(col(idCol).as("id_a")), Seq("id_a"), "left_semi")
+      .join(coreIds.select(col(idCol).as("id_b")), Seq("id_b"), "left_semi")
+    val coreClusters = Dedup
+      .connectedComponents(coreIds, idCol, coreEdges)
+      .withColumnRenamed("cluster_id", "core_cluster")
+    // border attachment: smallest cluster id among CORE neighbors
+    val coreNbr = pairs
+      .select(explode(array(
+        struct(col("id_a").as("nb_self"), col("id_b").as("nb_other")),
+        struct(col("id_b").as("nb_self"), col("id_a").as("nb_other")))).as("e"))
+      .select(col("e.nb_self"), col("e.nb_other"))
+      .join(coreClusters.select(col(idCol).as("nb_other"), col("core_cluster")), Seq("nb_other"))
+      .groupBy(col("nb_self"))
+      .agg(min(col("core_cluster")).as("nbr_cluster"))
+    val out = roles
+      .join(coreClusters.select(col(idCol), col("core_cluster")), Seq(idCol), "left")
+      .join(coreNbr.select(col("nb_self").as(idCol), col("nbr_cluster")), Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_neighbors"),
+        when(col("is_core"), "core")
+          .when(col("nbr_cluster").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        when(col("is_core"), col("core_cluster"))
+          .when(col("nbr_cluster").isNotNull, col("nbr_cluster"))
+          .otherwise(lit(null).cast("long")).as("cluster_id"))
+    // pairs/roles stay persisted while `out` is unconsumed (same
+    // convention as connectedComponents' returned labels — small
+    // relative to the corpus, evictable, callers may unpersist)
+    out
+  }
+
   /** Hard-negative mining for contrastive training: for every class,
     * the k out-of-class vectors nearest to the class centroid (the
     * negatives a trainer wants in the batch). Centroids are the

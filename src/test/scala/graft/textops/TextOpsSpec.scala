@@ -928,6 +928,31 @@ class TextOpsSpec extends SparkSpec {
     assert(ham(99L) == 64, "opposite signs differ in all 64 bits")
   }
 
+  test("dbscanClusters: planted core/border/noise roles and min-core-id clusters") {
+    // bucket seeds are vecs 0 and 1. Angular chain in the x-z plane
+    // with eps = 0.9 (a 25.8 deg radius): 0 at 0deg, 2 at 10deg, 3 at
+    // 20deg are mutually within eps (cores at minPts=2); 5 at 40deg
+    // reaches ONLY node 3 (20deg gap; 30deg to 2, 40deg to 0) ->
+    // border; 1 and 6 are orthogonal -> noise
+    val df = Seq(
+      (0L, Seq(1f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 0f)),
+      (2L, Seq(0.985f, 0f, 0.174f)),
+      (3L, Seq(0.940f, 0f, 0.342f)),
+      (5L, Seq(0.766f, 0f, 0.643f)),
+      (6L, Seq(0f, 0f, -1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.dbscanClusters(df, "vec_id", "embedding", eps = 0.9, minPts = 2, nCentroids = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2), if (r.isNullAt(3)) -1L else r.getLong(3))))
+      .toMap
+    assert(got(0L) == ((2, "core", 0L)), s"got ${got(0L)}")
+    assert(got(2L) == ((2, "core", 0L)), s"got ${got(2L)}")
+    assert(got(3L) == ((3, "core", 0L)), s"got ${got(3L)}")
+    assert(got(5L) == ((1, "border", 0L)), s"got ${got(5L)}")
+    assert(got(1L) == ((0, "noise", -1L)) && got(6L) == ((0, "noise", -1L)))
+  }
+
   test("kmvOverlap: sketch algebra — identical groups estimate Jaccard 1, disjoint small groups exact 0") {
     // identical vocabularies LARGER than k: estimator branch, sketches equal
     val big = (1 to 40).map(i => s"tok$i").mkString(" ")
