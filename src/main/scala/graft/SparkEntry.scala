@@ -1169,6 +1169,15 @@ object SparkEntry {
           Tables.embeddings(s, dir), "vec_id", "embedding", eps = 0.3, minPts = 3)
         .orderBy(col("vec_id"))),
 
+    // semi-supervised: label propagation over the same eps-graph —
+    // 10% deterministic seeds (vec_id % 10 == 0), 3 clamped rounds
+    "q_label_prop" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val seeds = e.filter(col("vec_id") % 10 === 0).select(col("vec_id"), col("label"))
+      Similarity.labelPropagation(e, "vec_id", "embedding", seeds, eps = 0.3, iters = 3)
+        .orderBy(col("vec_id"))
+    }),
+
     // SemDeDup: cluster-bounded semantic dedup — the embedding-space
     // dedup that scales (pairs only within clusters). τ=0.35 sits at
     // the 99th pct of this synthetic corpus's within-cluster cosine
@@ -2952,6 +2961,46 @@ object SparkEntry {
          LEFT JOIN cl ON a.vec_id = cl.vec_id
          LEFT JOIN nbr ON a.vec_id = nbr.nb_self
          ORDER BY a.vec_id""",
+
+    // 3 clamped propagation rounds unrolled; same decimal-sum recipe
+    // and the same bucket-bounded eps-pair CTEs as q_dbscan
+    "q_label_prop" ->
+      s"""WITH e2 AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nrm FROM embeddings),
+          c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, embedding AS ce, nrm AS cn
+                FROM (SELECT vec_id, embedding, nrm FROM e2 ORDER BY vec_id LIMIT 16)),
+          asg AS (SELECT vec_id, embedding, nrm, cid AS bucket FROM (
+                    SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+                           row_number() OVER (
+                             PARTITION BY e.vec_id
+                             ORDER BY ${cosNSql(dotSql("e.embedding", "c.ce"), "e.nrm", "c.cn")} DESC, c.cid ASC) AS rn
+                    FROM e2 e CROSS JOIN c) WHERE rn = 1),
+          pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM asg a JOIN asg b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+                 WHERE round(${cosNSql(dotSql("a.embedding", "b.embedding"), "a.nrm", "b.nrm")}, 6) >= 0.3),
+          ed AS (SELECT id_a AS src, id_b AS dst FROM pr UNION ALL SELECT id_b, id_a FROM pr),
+          deg AS (SELECT src, count(*) AS dg FROM ed GROUP BY src),
+          seeds AS (SELECT vec_id AS id, CAST(label AS INT) AS lab, 1.0 AS mass
+                    FROM embeddings WHERE vec_id % 10 = 0),
+          s1 AS (SELECT ed.dst AS id, m.lab, CAST(sum(CAST(m.mass / dg.dg AS DECIMAL(27,18))) AS DOUBLE) AS mass
+                 FROM ed JOIN seeds m ON ed.src = m.id JOIN deg dg ON ed.src = dg.src GROUP BY ed.dst, m.lab),
+          m1 AS (SELECT id, lab, mass FROM s1 WHERE id NOT IN (SELECT id FROM seeds)
+                 UNION ALL SELECT id, lab, mass FROM seeds),
+          s2 AS (SELECT ed.dst AS id, m.lab, CAST(sum(CAST(m.mass / dg.dg AS DECIMAL(27,18))) AS DOUBLE) AS mass
+                 FROM ed JOIN m1 m ON ed.src = m.id JOIN deg dg ON ed.src = dg.src GROUP BY ed.dst, m.lab),
+          m2 AS (SELECT id, lab, mass FROM s2 WHERE id NOT IN (SELECT id FROM seeds)
+                 UNION ALL SELECT id, lab, mass FROM seeds),
+          s3 AS (SELECT ed.dst AS id, m.lab, CAST(sum(CAST(m.mass / dg.dg AS DECIMAL(27,18))) AS DOUBLE) AS mass
+                 FROM ed JOIN m2 m ON ed.src = m.id JOIN deg dg ON ed.src = dg.src GROUP BY ed.dst, m.lab),
+          m3 AS (SELECT id, lab, mass FROM s3 WHERE id NOT IN (SELECT id FROM seeds)
+                 UNION ALL SELECT id, lab, mass FROM seeds),
+          best AS (SELECT id, lab, mass,
+                          row_number() OVER (PARTITION BY id ORDER BY mass DESC, lab ASC) AS rn
+                   FROM m3)
+         SELECT e2.vec_id, s.lab AS seed_label, b.lab AS pred_label, round(b.mass, 6) AS pred_mass
+         FROM e2
+         LEFT JOIN seeds s ON e2.vec_id = s.id
+         LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON e2.vec_id = b.id
+         ORDER BY e2.vec_id""",
 
     "q_ann_binary" ->
       s"""WITH e AS (SELECT vec_id, embedding,

@@ -1434,20 +1434,30 @@ object Similarity {
     *
     * Output: (id, n_neighbors, role, cluster_id — NULL for noise).
     */
-  def dbscanClusters(
+  /** Bucket-bounded eps-neighbor pairs — the shared graph builder
+    * under [[dbscanClusters]] and [[labelPropagation]]: cosine ≥
+    * `eps` (rounded 6dp) pairs sought only WITHIN a coarse centroid
+    * bucket, so the pair space is Σ|bucket|², never N² (the SemDeDup
+    * bound; boundary-straddling pairs are the documented miss). The
+    * assignment scan is persisted — it feeds both self-join sides
+    * (unpersisted: 2 corpus scans; a production pipeline writes the
+    * bucket column once and bucket-partitions on it). Returns the
+    * persisted (id_a, id_b) pair frame, id_a < id_b.
+    */
+  private def bucketEpsPairs(
       embeddings: DataFrame,
       idCol: String,
       vecCol: String,
       eps: Double,
-      minPts: Int,
-      nCentroids: Int = 16,
-      learnedCentroids: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
+      nCentroids: Int,
+      learnedCentroids: Option[Seq[(Int, Seq[Double])]]): DataFrame = {
     val centroids = seedOrLearned(embeddings, idCol, vecCol, nCentroids, learnedCentroids)
     val asg = embeddings
       .withColumn("v", transform(col(vecCol), x => x.cast("double")))
       .withColumn("nrm", dot(col("v"), col("v")))
       .withColumn("bucket", -array_max(centroidCands(centroids)).getField("ncid"))
       .select(col(idCol), col("bucket"), col("v"), col("nrm"))
+      .persist()
     val a = asg.select(
       col("bucket"), col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = asg.select(
@@ -1462,11 +1472,25 @@ object Similarity {
           6) >= eps)
       .select(col("id_a"), col("id_b"))
       .persist()
+    pairs.count() // materialize so the asg cache can drop now
+    asg.unpersist()
+    pairs
+  }
+
+  def dbscanClusters(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      eps: Double,
+      minPts: Int,
+      nCentroids: Int = 16,
+      learnedCentroids: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
+    val pairs = bucketEpsPairs(embeddings, idCol, vecCol, eps, nCentroids, learnedCentroids)
     val deg = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as("nb_id"))
       .groupBy(col("nb_id"))
       .agg(count(lit(1)).cast("int").as("n_neighbors"))
-    val roles = asg
+    val roles = embeddings
       .select(col(idCol))
       .join(deg, col(idCol) === col("nb_id"), "left")
       .select(col(idCol), coalesce(col("n_neighbors"), lit(0)).as("n_neighbors"))
@@ -1503,6 +1527,81 @@ object Similarity {
     // pairs/roles stay persisted while `out` is unconsumed (same
     // convention as connectedComponents' returned labels — small
     // relative to the corpus, evictable, callers may unpersist)
+    out
+  }
+
+  /** Semi-supervised label propagation (Zhu & Ghahramani 2002) over
+    * the bucket-bounded eps-graph: seed vectors carry a one-hot
+    * class mass; each of `iters` rounds every node absorbs its
+    * neighbors' transition-normalized mass (f(v) ← Σ_{u∈N(v)}
+    * f(u)/deg(u)) and the SEEDS are clamped back to their one-hot —
+    * the standard fixed-point recipe, truncated at `iters` so the
+    * computation is engine-replayable. Prediction = argmax class
+    * mass (ties to the smaller label); nodes no mass reaches stay
+    * NULL.
+    *
+    * Determinism: mass/deg is scalar IEEE; per-(node, class) sums
+    * quantize to decimal(27,18) before summing (the PageRank
+    * recipe). Scale shape: state per round is the (node, class,
+    * mass) relation — nodes × reachable classes, never edges²; each
+    * round is one edges⋈mass equi-join + one keyed sum, lineage
+    * truncated per round.
+    *
+    * Output: (id, seed_label, pred_label, pred_mass) for every node.
+    */
+  def labelPropagation(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      seeds: DataFrame, // (idCol, label: int)
+      eps: Double,
+      iters: Int = 3,
+      nCentroids: Int = 16,
+      learnedCentroids: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
+    val pairs = bucketEpsPairs(embeddings, idCol, vecCol, eps, nCentroids, learnedCentroids)
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id_a").as("lp_src"), col("id_b").as("lp_dst")),
+        struct(col("id_b").as("lp_src"), col("id_a").as("lp_dst")))).as("e"))
+      .select(col("e.lp_src"), col("e.lp_dst"))
+      .persist()
+    val deg = edges.groupBy(col("lp_src")).agg(count(lit(1)).as("lp_deg")).persist()
+    val seedMass = seeds
+      .select(col(idCol).as("lp_id"), col("label").cast("int").as("lp_label"))
+      .withColumn("mass", lit(1.0))
+      .persist()
+    var mass = seedMass
+    var i    = 0
+    while (i < iters) {
+      val spread = edges
+        .join(mass, edges("lp_src") === mass("lp_id"))
+        .join(deg, Seq("lp_src"))
+        .select(
+          col("lp_dst").as("lp_id"),
+          col("lp_label"),
+          (col("mass") / col("lp_deg")).cast("decimal(27,18)").as("m"))
+        .groupBy(col("lp_id"), col("lp_label"))
+        .agg(sum(col("m")).cast("double").as("mass"))
+      // clamp: seeds override whatever mass arrived at them
+      mass = spread
+        .join(seedMass.select(col("lp_id")), Seq("lp_id"), "left_anti")
+        .unionByName(seedMass)
+        .localCheckpoint()
+      i += 1
+    }
+    val best = mass
+      .groupBy(col("lp_id"))
+      .agg(max(struct(col("mass"), (-col("lp_label")).as("nl"))).as("b"))
+      .select(
+        col("lp_id"),
+        (-col("b.nl")).as("pred_label"),
+        round(col("b.mass"), 6).as("pred_mass"))
+    val out = embeddings
+      .select(col(idCol))
+      .join(seedMass.select(col("lp_id").as(idCol), col("lp_label").as("seed_label")), Seq(idCol), "left")
+      .join(best.select(col("lp_id").as(idCol), col("pred_label"), col("pred_mass")), Seq(idCol), "left")
+    edges.unpersist()
+    deg.unpersist()
     out
   }
 

@@ -953,6 +953,31 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1L) == ((0, "noise", -1L)) && got(6L) == ((0, "noise", -1L)))
   }
 
+  test("labelPropagation: mass flows from clamped seeds, symmetric tie breaks to smaller label") {
+    // angular chain 0..40 deg, eps=0.9 (25.8 deg reach => +-2 hops);
+    // seeds: node 0 -> label 0, node 4 -> label 1; graph symmetric
+    // under 0<->4, so node 2's masses tie exactly -> label 0
+    def v(deg: Double) = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, 0f, math.sin(r).toFloat)
+    }
+    val df = Seq(
+      (0L, v(0)), (1L, v(10)), (2L, v(20)), (3L, v(30)), (4L, v(40)))
+      .toDF("vec_id", "embedding")
+    val seeds = Seq((0L, 0), (4L, 1)).toDF("vec_id", "label")
+    val got = Similarity
+      .labelPropagation(df, "vec_id", "embedding", seeds, eps = 0.9, iters = 3, nCentroids = 1)
+      .collect()
+      .map(r => r.getLong(0) -> ((
+        if (r.isNullAt(1)) -1 else r.getInt(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3)))).toMap
+    assert(got(0L)._1 == 0 && got(0L)._2 == 0 && got(0L)._3 == 1.0, s"seed 0: ${got(0L)}")
+    assert(got(4L)._1 == 1 && got(4L)._2 == 1 && got(4L)._3 == 1.0)
+    assert(got(1L)._2 == 0 && got(3L)._2 == 1, s"inner nodes adopt the nearer seed: $got")
+    assert(got(2L)._2 == 0, s"exact symmetric tie must break to the smaller label: ${got(2L)}")
+  }
+
   test("kmvOverlap: sketch algebra — identical groups estimate Jaccard 1, disjoint small groups exact 0") {
     // identical vocabularies LARGER than k: estimator branch, sketches equal
     val big = (1 to 40).map(i => s"tok$i").mkString(" ")
