@@ -1169,6 +1169,12 @@ object SparkEntry {
           Tables.embeddings(s, dir), "vec_id", "embedding", eps = 0.3, minPts = 3)
         .orderBy(col("vec_id"))),
 
+    // substrate op: bucket-bounded kNN graph (top-3 in-bucket
+    // neighbors per vector) — WindowGroupLimit bounds the rank sort
+    "q_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(Tables.embeddings(s, dir), "vec_id", "embedding", k = 3)
+        .orderBy(col("vec_id"), col("nbr_rank"))),
+
     // semi-supervised: label propagation over the same eps-graph —
     // 10% deterministic seeds (vec_id % 10 == 0), 3 clamped rounds
     "q_label_prop" -> ((s, dir) => {
@@ -2961,6 +2967,25 @@ object SparkEntry {
          LEFT JOIN cl ON a.vec_id = cl.vec_id
          LEFT JOIN nbr ON a.vec_id = nbr.nb_self
          ORDER BY a.vec_id""",
+
+    "q_knn_graph" ->
+      s"""WITH e2 AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nrm FROM embeddings),
+          c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, embedding AS ce, nrm AS cn
+                FROM (SELECT vec_id, embedding, nrm FROM e2 ORDER BY vec_id LIMIT 16)),
+          asg AS (SELECT vec_id, embedding, nrm, cid AS bucket FROM (
+                    SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+                           row_number() OVER (
+                             PARTITION BY e.vec_id
+                             ORDER BY ${cosNSql(dotSql("e.embedding", "c.ce"), "e.nrm", "c.cn")} DESC, c.cid ASC) AS rn
+                    FROM e2 e CROSS JOIN c) WHERE rn = 1),
+          pr AS (SELECT a.vec_id AS id, b.vec_id AS nbr_id,
+                        round(${cosNSql(dotSql("a.embedding", "b.embedding"), "a.nrm", "b.nrm")}, 6) AS cos
+                 FROM asg a JOIN asg b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+          r AS (SELECT id, nbr_id, cos,
+                       CAST(row_number() OVER (PARTITION BY id ORDER BY cos DESC, nbr_id ASC) AS INT) AS nbr_rank
+                FROM pr)
+         SELECT id AS vec_id, nbr_rank, nbr_id, cos FROM r WHERE nbr_rank <= 3
+         ORDER BY vec_id, nbr_rank""",
 
     // 3 clamped propagation rounds unrolled; same decimal-sum recipe
     // and the same bucket-bounded eps-pair CTEs as q_dbscan

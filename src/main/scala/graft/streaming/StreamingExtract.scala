@@ -517,6 +517,62 @@ object StreamingExtract {
       .select(col("window"), col("n_docs"), col("n_keep"), col("keep_rate"), col("mean_tok"))
   }
 
+  /** State for [[weightedSampleStream]]: the current top-k
+    * (skey, id, weight) triples, best first.
+    */
+  final case class ReservoirState(items: Seq[(Double, Long, Double)])
+
+  /** One reservoir snapshot row (emitted per trigger). */
+  final case class ReservoirItem(rank: Int, id: Long, weight: Double, skey: Double)
+
+  /** Streaming weighted sampling WITHOUT replacement — the streaming
+    * twin of [[graft.textops.Sampling.weightedSample]]: maintain the
+    * k largest Efraimidis–Spirakis log-keys (skey = ln(u)/w, u
+    * md5-derived — no RNG) ACROSS triggers, so at any moment the
+    * state holds exactly the weighted sample of everything seen so
+    * far, and a late heavy item displaces an earlier light one. This
+    * is the property per-batch sampling cannot give: a batch-local
+    * top-k forgets earlier candidates.
+    *
+    * State is ONE k-sized list (a single group key): the reduction
+    * funnels every row through one task per trigger — correct for
+    * dashboard-scale k; for lake-scale ingest pre-aggregate each
+    * trigger's local top-k per partition first (same composition the
+    * batch op gets free from TakeOrdered).
+    */
+  def weightedSampleStream(
+      rows: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      salt: String = "wsample"): Dataset[ReservoirItem] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val keyed = rows
+      .filter(col(weightCol) > 0)
+      .select(
+        col(idCol).cast("long"),
+        col(weightCol).cast("double"),
+        (log((graft.textops.Dedup.hash60(concat(lit(salt + "#"), col(idCol).cast("string"))) + 1) /
+          lit(1152921504606846976.0)) / col(weightCol).cast("double")).as("skey"))
+      .as[(Long, Double, Double)]
+    keyed
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[ReservoirState, ReservoirItem](
+        org.apache.spark.sql.streaming.OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, it: Iterator[(Long, Double, Double)], state: GroupState[ReservoirState]) =>
+          val prev = state.getOption.map(_.items).getOrElse(Seq.empty)
+          val merged = (prev ++ it.map { case (id, w, s) => (s, id, w) })
+            .distinct
+            .sortBy { case (s, id, _) => (-s, id) }
+            .take(k)
+          state.update(ReservoirState(merged))
+          merged.zipWithIndex.iterator.map { case ((s, id, w), i) =>
+            ReservoirItem(i + 1, id, w, math.rint(s * 1e6) / 1e6)
+          }
+      }
+  }
+
   /** Streaming-native windowed aggregation over an event stream:
     * watermark + sliding window counts (the shape `events` exercises).
     */

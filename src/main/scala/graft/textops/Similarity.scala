@@ -1530,6 +1530,51 @@ object Similarity {
     out
   }
 
+  /** Bucket-bounded kNN graph — the substrate op under modern
+    * clustering/agglomeration (and the HNSW/UMAP neighbor lists):
+    * for every vector, its `k` highest-cosine neighbors WITHIN its
+    * coarse centroid bucket. Within-bucket brute force is the
+    * standard IVF-style graph build: pair space Σ|bucket|², never
+    * N², and the per-node top-k is a rank window Spark executes as
+    * WindowGroupLimit (per-partition heaps bound the sort).
+    * Boundary-straddling true neighbors are the same documented
+    * miss every bucket-bounded op here accepts.
+    *
+    * Output: (id, nbr_rank, nbr_id, cos), rank 1..k by
+    * (cos desc, nbr_id asc).
+    */
+  def knnGraph(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCentroids: Int = 16,
+      learnedCentroids: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
+    val centroids = seedOrLearned(embeddings, idCol, vecCol, nCentroids, learnedCentroids)
+    val asg = embeddings
+      .withColumn("v", transform(col(vecCol), x => x.cast("double")))
+      .withColumn("nrm", dot(col("v"), col("v")))
+      .withColumn("bucket", -array_max(centroidCands(centroids)).getField("ncid"))
+      .select(col(idCol), col("bucket"), col("v"), col("nrm"))
+    val a = asg.select(
+      col("bucket"), col(idCol).as("knn_id"), col("v").as("va"), col("nrm").as("na"))
+    val b = asg.select(
+      col("bucket"), col(idCol).as("nbr_id"), col("v").as("vb"), col("nrm").as("nb"))
+    val w = Window.partitionBy(col("knn_id")).orderBy(desc("cos"), col("nbr_id"))
+    a.join(b, Seq("bucket"))
+      .filter(col("knn_id") =!= col("nbr_id"))
+      .select(
+        col("knn_id"),
+        col("nbr_id"),
+        round(
+          when(col("na") === 0.0 || col("nb") === 0.0, 0.0)
+            .otherwise(dot(col("va"), col("vb")) / (sqrt(col("na")) * sqrt(col("nb")))),
+          6).as("cos"))
+      .withColumn("nbr_rank", row_number().over(w))
+      .filter(col("nbr_rank") <= k)
+      .select(col("knn_id").as(idCol), col("nbr_rank"), col("nbr_id"), col("cos"))
+  }
+
   /** Semi-supervised label propagation (Zhu & Ghahramani 2002) over
     * the bucket-bounded eps-graph: seed vectors carry a one-hot
     * class mass; each of `iters` rounds every node absorbs its

@@ -450,4 +450,31 @@ class StreamingExtractSpec extends SparkSpec {
       .collect().head.getDouble(2)
     assert(math.abs(last._2 - batch) < 5e-7, s"streaming ${last._2} vs batch $batch")
   }
+
+  test("weightedSampleStream: cross-trigger reservoir equals batch sample of the union") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, Double)]
+    val res = StreamingExtract.weightedSampleStream(
+      in.toDF().toDF("doc_id", "w"), "doc_id", "w", k = 3)
+    val q = res.writeStream.outputMode("append").format("memory").queryName("res_out").start()
+    val batch1 = (1L to 5L).map(i => (i, 1.0))
+    in.addData(batch1: _*)
+    q.processAllAvailable()
+    val snap1 = spark.table("res_out").collect()
+    assert(snap1.length == 3, "trigger-1 snapshot is the current top-3")
+    // trigger 2: a heavy item and a zero-weight item arrive — the
+    // heavy one must displace a trigger-1 member, the zero drop
+    in.addData((21L, 1e9), (22L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val all    = spark.table("res_out").collect()
+    val snap2  = all.drop(snap1.length).map(r => r.getLong(1)).toSeq
+    val batchIds = graft.textops.Sampling
+      .weightedSample((batch1 :+ ((21L, 1e9)) :+ ((22L, 0.0))).toDF("doc_id", "w"), "doc_id", "w", k = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(snap2 == batchIds, s"streaming $snap2 vs batch $batchIds")
+    assert(snap2.head == 21L, "heavy item leads the reservoir")
+  }
 }

@@ -953,6 +953,24 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1L) == ((0, "noise", -1L)) && got(6L) == ((0, "noise", -1L)))
   }
 
+  test("knnGraph: per-vector in-bucket top-k by cosine, WindowGroupLimit plan") {
+    def v(deg: Double) = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, 0f, math.sin(r).toFloat)
+    }
+    val df = Seq((0L, v(0)), (1L, v(10)), (2L, v(20)), (3L, v(30)), (4L, v(80)))
+      .toDF("vec_id", "embedding")
+    val g = Similarity.knnGraph(df, "vec_id", "embedding", k = 2, nCentroids = 1)
+    val got = g.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // node 0's nearest by cosine: 1 (10 deg) then 2 (20 deg)
+    assert(got((0L, 1)) == 1L && got((0L, 2)) == 2L)
+    // node 2 is between 1 and 3 (both 10 deg away): tie -> smaller id
+    assert(got((2L, 1)) == 1L && got((2L, 2)) == 3L)
+    assert(g.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      g.queryExecution.executedPlan.toString)
+  }
+
   test("labelPropagation: mass flows from clamped seeds, symmetric tie breaks to smaller label") {
     // angular chain 0..40 deg, eps=0.9 (25.8 deg reach => +-2 hops);
     // seeds: node 0 -> label 0, node 4 -> label 1; graph symmetric
