@@ -1015,6 +1015,14 @@ object SparkEntry {
       a.intersect(b).orderBy(col("lang"))
     }),
 
+    // §2.7 set difference — sources hosting English but no Chinese
+    // (EXCEPT completes the union/intersect/distinct family)
+    "q_set_except" -> ((s, dir) => {
+      val a = docs(s, dir).filter(col("lang") === "en").select(col("source")).distinct()
+      val b = docs(s, dir).filter(col("lang") === "zh").select(col("source")).distinct()
+      a.except(b).orderBy(col("source"))
+    }),
+
     // §2.4 attribute alias theta-join (evaluate_synthetic.py:349-382)
     "q_attr_alias_join" -> ((s, dir) => {
       val left  = events(s, dir).select(col("event_type").as("attr_a")).distinct()
@@ -2765,6 +2773,12 @@ object SparkEntry {
          INTERSECT
          SELECT DISTINCT lang FROM documents WHERE n_chars % 2 = 0
          ORDER BY lang""",
+
+    "q_set_except" ->
+      """SELECT DISTINCT source FROM documents WHERE lang = 'en'
+         EXCEPT
+         SELECT DISTINCT source FROM documents WHERE lang = 'zh'
+         ORDER BY source""",
 
     "q_attr_alias_join" ->
       """WITH l AS (SELECT DISTINCT event_type AS attr_a FROM events),

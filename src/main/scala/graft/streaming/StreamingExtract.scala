@@ -517,6 +517,55 @@ object StreamingExtract {
       .select(col("window"), col("n_docs"), col("n_keep"), col("keep_rate"), col("mean_tok"))
   }
 
+  /** State for [[heavyHittersStream]]: the running Misra–Gries
+    * summary (token → residual count), ≤ capacity entries.
+    */
+  final case class MgState(counts: Map[String, Long])
+
+  /** One heavy-hitter candidate row (emitted per trigger). */
+  final case class MgCandidate(token: String, residual: Long)
+
+  /** Streaming Misra–Gries heavy hitters — the streaming twin of the
+    * batch q_heavy_hitters card (same summary the
+    * graft.expressions.MisraGriesAgg aggregate maintains, here as
+    * cross-trigger stream state): fold each trigger's tokens into a
+    * capacity-bounded residual map, decrement-all when the map
+    * overflows. The MG guarantee carries across triggers — any token
+    * with true count > N/(capacity+1) over the WHOLE stream survives
+    * in state, which per-trigger batch summaries cannot promise
+    * (a token heavy only in aggregate gets evicted trigger-locally).
+    * Emits the current candidate set each trigger, residual-desc.
+    *
+    * Single-group state like [[weightedSampleStream]]: the summary is
+    * ≤ capacity entries; for lake-scale ingest pre-combine per
+    * partition with the MG aggregate first (summaries merge).
+    */
+  def heavyHittersStream(
+      docs: DataFrame,
+      textCol: String,
+      capacity: Int): Dataset[MgCandidate] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .select(explode(filter(split(col(textCol), " "), t => length(t) > 0)).as("token"))
+      .as[String]
+    toks
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[MgState, MgCandidate](
+        org.apache.spark.sql.streaming.OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, it: Iterator[String], state: GroupState[MgState]) =>
+          var m = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+          it.foreach { t =>
+            if (m.contains(t)) m = m.updated(t, m(t) + 1L)
+            else if (m.size < capacity) m = m.updated(t, 1L)
+            else m = m.flatMap { case (k, v) => if (v > 1L) Some(k -> (v - 1L)) else None }
+          }
+          state.update(MgState(m))
+          m.toSeq.sortBy { case (t, c) => (-c, t) }.iterator
+            .map { case (t, c) => MgCandidate(t, c) }
+      }
+  }
+
   /** State for [[weightedSampleStream]]: the current top-k
     * (skey, id, weight) triples, best first.
     */

@@ -477,4 +477,27 @@ class StreamingExtractSpec extends SparkSpec {
     assert(snap2 == batchIds, s"streaming $snap2 vs batch $batchIds")
     assert(snap2.head == 21L, "heavy item leads the reservoir")
   }
+
+  test("heavyHittersStream: a token heavy only ACROSS triggers survives in state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[String]
+    val hh = StreamingExtract.heavyHittersStream(in.toDF().toDF("text"), "text", capacity = 2)
+    val q = hh.writeStream.outputMode("append").format("memory").queryName("hh_out").start()
+    // trigger 1: hot appears 3x among distractors; capacity 2 keeps it
+    in.addData("hot a hot b hot")
+    q.processAllAvailable()
+    val snap1 = spark.table("hh_out").collect()
+    // trigger 2: more hot + fresh distractors — residual must GROW
+    // from trigger-1 state (a per-trigger summary would restart at 0)
+    in.addData("hot c hot d")
+    q.processAllAvailable()
+    q.stop()
+    val all   = spark.table("hh_out").collect()
+    val snap2 = all.drop(snap1.length).map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(snap2.contains("hot"), s"got $snap2")
+    val t1hot = snap1.map(r => (r.getString(0), r.getLong(1))).toMap.getOrElse("hot", 0L)
+    assert(snap2("hot") > t1hot, s"cross-trigger residual must grow: t1=$t1hot t2=${snap2("hot")}")
+  }
 }
