@@ -1688,6 +1688,11 @@ object SparkEntry {
       Sampling.shardAssign(docs(s, dir), "doc_id", nShards = 16)
         .orderBy(col("doc_id"))),
 
+    // layout audit: per-shard doc/token load + relative imbalance
+    "q_shard_balance" -> ((s, dir) =>
+      Sampling.shardBalance(docs(s, dir), "doc_id", "text", nShards = 16)
+        .orderBy(col("shard"))),
+
     // training-data ops: realize the alpha=0.3 mixture under a token
     // budget — per-domain quota, deterministic doc take, data-card row
     "q_mix_realize" -> ((s, dir) =>
@@ -4124,6 +4129,15 @@ object SparkEntry {
          SELECT doc_id, CAST(h % 16 AS INT) AS shard,
                 CAST(row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS INT) AS pos
          FROM h ORDER BY doc_id""",
+
+    "q_shard_balance" ->
+      """WITH a AS (SELECT CAST(('0x' || substr(md5('shard#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS INT) AS shard,
+                           CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tok
+                    FROM documents),
+          g AS (SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM a GROUP BY shard)
+         SELECT shard, n_docs, n_tokens,
+                round(n_tokens / (CAST(sum(n_tokens) OVER () AS DOUBLE) / count(*) OVER ()), 6) AS rel_load
+         FROM g ORDER BY shard""",
 
     "q_mix_realize" ->
       """WITH d AS (SELECT source, CAST(sum(len(list_filter(string_split(text, ' '), x -> len(x) > 0))) AS BIGINT) AS domain_tok

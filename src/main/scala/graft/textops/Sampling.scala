@@ -103,6 +103,36 @@ object Sampling {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Shard balance audit — the writer-side health card for
+    * [[shardAssign]]: per shard, doc and token load plus the load
+    * relative to the mean (rel_load 1.0 = perfectly balanced; the
+    * number an operator alerts on before a skewed shard slows every
+    * downstream epoch). One hash aggregation to nShards rows; the
+    * mean is a window over those nShards rows, not the corpus.
+    *
+    * Output: (shard, n_docs, n_tokens, rel_load).
+    */
+  def shardBalance(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      nShards: Int,
+      salt: String = "shard"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Dedup.hash60(concat(lit(salt + "#"), col(idCol).cast("string")))
+    df.select(
+        (h % nShards).cast("int").as("shard"),
+        size(filter(split(col(textCol), " "), t => length(t) > 0)).cast("long").as("n_tok"))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("n_tok")).cast("bigint").as("n_tokens"))
+      .withColumn(
+        "rel_load",
+        round(col("n_tokens") / (sum(col("n_tokens")).over(Window.partitionBy()) /
+          count(lit(1)).over(Window.partitionBy())), 6))
+  }
+
   /** Materialize a temperature-scaled domain mixture under a token
     * budget: each domain gets quota_i = round(weight_i × budget)
     * tokens (weights from [[domainMixWeights]]), then docs are taken
