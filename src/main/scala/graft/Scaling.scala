@@ -26,7 +26,8 @@ object Scaling {
       "q_cosine_topk", "q_embed_mean_pool", "q_retrieval_top1", "q_rrf_fusion",
       "q_hard_negatives", "q_rank_metrics", "q_semdedup", "q_semdedup_scaled",
       "q_proto_prune", "q_dedup_embed_cosine", "q_cluster_purity",
-      "q_label_centroid_sim", "q_embed_norms", "q_silhouette")
+      "q_label_centroid_sim", "q_embed_norms", "q_silhouette", "q_dbscan",
+      "q_knn_graph", "q_label_prop")
     val dedup = Set(
       "q_lsh_pairs", "q_minhash_est", "q_fingerprint", "q_winnow_fingerprint",
       "q_substring_dedup", "q_decontaminate", "q_decontam_bloom", "q_decontam_fuzzy",
@@ -50,7 +51,7 @@ object Scaling {
       "q_unpivot")
     val layout = Set(
       "q_shard_assign", "q_mix_realize", "q_stratified_sample", "q_curriculum",
-      "q_weighted_sample",
+      "q_weighted_sample", "q_shard_balance",
       "q_seq_pack", "q_domain_mix", "q_dsir_weight", "q_winsorize", "q_quantile_disc",
       "q_value_histogram", "q_skew_salted_count", "q_data_card", "q_cube_quality",
       "q_rollup_tokens", "q_ks_length")
@@ -60,7 +61,7 @@ object Scaling {
       "q_event_windows", "q_funnel", "q_moving_avg", "q_rolling_wau", "q_burst_days",
       "q_cohort_retention", "q_rfm_segments", "q_window_rank", "q_set_intersect",
       "q_event_pivot", "q_event_transitions", "q_table_profile",
-      "q_local_supplier_volume", "q_cust_order_dist")
+      "q_local_supplier_volume", "q_cust_order_dist", "q_set_except")
     if (q.startsWith("q_ann_") || ann(q)) "ann"
     else if (q.startsWith("q_dedup_") || dedup(q)) "dedup"
     else if (ws(q)) "weak_supervision"

@@ -4134,10 +4134,14 @@ object SparkEntry {
       """WITH a AS (SELECT CAST(('0x' || substr(md5('shard#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS INT) AS shard,
                            CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n_tok
                     FROM documents),
-          g AS (SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM a GROUP BY shard)
+          g AS (SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM a GROUP BY shard),
+          spine AS (SELECT CAST(i AS INT) AS shard FROM unnest(range(0, 16)) AS t(i)),
+          f AS (SELECT s.shard, coalesce(g.n_docs, 0) AS n_docs,
+                       CAST(coalesce(g.n_tokens, 0) AS BIGINT) AS n_tokens
+                FROM spine s LEFT JOIN g ON s.shard = g.shard)
          SELECT shard, n_docs, n_tokens,
                 round(n_tokens / (CAST(sum(n_tokens) OVER () AS DOUBLE) / count(*) OVER ()), 6) AS rel_load
-         FROM g ORDER BY shard""",
+         FROM f ORDER BY shard""",
 
     "q_mix_realize" ->
       """WITH d AS (SELECT source, CAST(sum(len(list_filter(string_split(text, ' '), x -> len(x) > 0))) AS BIGINT) AS domain_tok

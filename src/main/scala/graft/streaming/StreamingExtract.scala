@@ -597,13 +597,20 @@ object StreamingExtract {
       salt: String = "wsample"): Dataset[ReservoirItem] = {
     val spark = rows.sparkSession
     import spark.implicits._
+    // skey rounded to 6dp HERE (Spark round = HALF_UP), exactly as
+    // the batch op does before ITS ranking — reservoir membership at
+    // a 6-decimal collision must tie-break by id the same way on
+    // both paths, or the equals-batch invariant breaks at the
+    // boundary
     val keyed = rows
       .filter(col(weightCol) > 0)
       .select(
         col(idCol).cast("long"),
         col(weightCol).cast("double"),
-        (log((graft.textops.Dedup.hash60(concat(lit(salt + "#"), col(idCol).cast("string"))) + 1) /
-          lit(1152921504606846976.0)) / col(weightCol).cast("double")).as("skey"))
+        round(
+          log((graft.textops.Dedup.hash60(concat(lit(salt + "#"), col(idCol).cast("string"))) + 1) /
+            lit(1152921504606846976.0)) / col(weightCol).cast("double"),
+          6).as("skey"))
       .as[(Long, Double, Double)]
     keyed
       .groupByKey(_ => 0)
@@ -617,7 +624,7 @@ object StreamingExtract {
             .take(k)
           state.update(ReservoirState(merged))
           merged.zipWithIndex.iterator.map { case ((s, id, w), i) =>
-            ReservoirItem(i + 1, id, w, math.rint(s * 1e6) / 1e6)
+            ReservoirItem(i + 1, id, w, s)
           }
       }
   }

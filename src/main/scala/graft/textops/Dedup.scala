@@ -932,7 +932,16 @@ object Dedup {
       // 2^k × that subtree: driver OOM by round ~5 on exactly the
       // long-diameter graphs that need many rounds. Checkpointing
       // truncates the lineage, making every round's plan constant
-      // size; blocks free when the frame is GC'd.
+      // size. Superseded rounds' blocks free on driver GC rather
+      // than eagerly — a DELIBERATE trade: the eager-release
+      // alternative (persist + createDataFrame(df.rdd, schema)
+      // re-wrap, which keeps an unpersist handle) pays an
+      // InternalRow→Row→InternalRow conversion of the whole label
+      // relation EVERY round (measured +30% on q_dbscan; at 10B rows
+      // it dominates), while deferred blocks are bounded by
+      // convergence rounds (≤ ~6 with halving) × 24 B/row of
+      // MEMORY_AND_DISK — GBs per 1000-node-cluster executor worst
+      // case, reclaimed by periodic driver GC.
       val next = halved.localCheckpoint()
       val t0      = System.nanoTime()
       val changed = next.filter(col("cc_next") =!= col("cc_prev")).count()

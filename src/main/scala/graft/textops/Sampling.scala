@@ -120,13 +120,25 @@ object Sampling {
       salt: String = "shard"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = Dedup.hash60(concat(lit(salt + "#"), col(idCol).cast("string")))
-    df.select(
+    val loads = df
+      .select(
         (h % nShards).cast("int").as("shard"),
         size(filter(split(col(textCol), " "), t => length(t) > 0)).cast("long").as("n_tok"))
       .groupBy(col("shard"))
       .agg(
         count(lit(1)).cast("bigint").as("n_docs"),
         sum(col("n_tok")).cast("bigint").as("n_tokens"))
+    // outer-join against the full 0..nShards-1 spine: a shard with
+    // ZERO load is the worst imbalance this card exists to surface,
+    // and groupBy alone would silently omit it (and shrink the mean's
+    // denominator)
+    df.sparkSession.range(nShards)
+      .select(col("id").cast("int").as("shard"))
+      .join(loads, Seq("shard"), "left")
+      .select(
+        col("shard"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
       .withColumn(
         "rel_load",
         round(col("n_tokens") / (sum(col("n_tokens")).over(Window.partitionBy()) /

@@ -1415,25 +1415,6 @@ object Similarity {
       .orderBy(col(idCol))
   }
 
-  /** DBSCAN-style density clustering in embedding space (Ester et
-    * al. 1996), with the SemDeDup pair-space bound: eps-neighbors
-    * (cosine ≥ `eps`, rounded 6dp so both engines agree) are sought
-    * only WITHIN a vector's coarse centroid bucket, so the pair
-    * space is Σ|bucket|², never N². Roles follow the published
-    * definitions — core: ≥ `minPts` eps-neighbors; border: non-core
-    * with ≥ 1 CORE eps-neighbor; noise: the rest. Clusters are
-    * connected components over core–core edges (min-core-id label,
-    * [[graft.textops.Dedup.connectedComponents]]); border points
-    * attach to the smallest cluster id among their core neighbors
-    * (deterministic, engine-replayable).
-    *
-    * The bucket bound makes this approximate exactly the way
-    * SemDeDup is: eps-pairs straddling a bucket boundary are missed.
-    * That is the documented trade that keeps density clustering
-    * feasible at lake scale.
-    *
-    * Output: (id, n_neighbors, role, cluster_id — NULL for noise).
-    */
   /** Bucket-bounded eps-neighbor pairs — the shared graph builder
     * under [[dbscanClusters]] and [[labelPropagation]]: cosine ≥
     * `eps` (rounded 6dp) pairs sought only WITHIN a coarse centroid
@@ -1477,6 +1458,25 @@ object Similarity {
     pairs
   }
 
+  /** DBSCAN-style density clustering in embedding space (Ester et
+    * al. 1996), with the SemDeDup pair-space bound: eps-neighbors
+    * (cosine ≥ `eps`, rounded 6dp so both engines agree) are sought
+    * only WITHIN a vector's coarse centroid bucket, so the pair
+    * space is Σ|bucket|², never N². Roles follow the published
+    * definitions — core: ≥ `minPts` eps-neighbors; border: non-core
+    * with ≥ 1 CORE eps-neighbor; noise: the rest. Clusters are
+    * connected components over core–core edges (min-core-id label,
+    * [[graft.textops.Dedup.connectedComponents]]); border points
+    * attach to the smallest cluster id among their core neighbors
+    * (deterministic, engine-replayable).
+    *
+    * The bucket bound makes this approximate exactly the way
+    * SemDeDup is: eps-pairs straddling a bucket boundary are missed.
+    * That is the documented trade that keeps density clustering
+    * feasible at lake scale.
+    *
+    * Output: (id, n_neighbors, role, cluster_id — NULL for noise).
+    */
   def dbscanClusters(
       embeddings: DataFrame,
       idCol: String,
@@ -1551,11 +1551,16 @@ object Similarity {
       nCentroids: Int = 16,
       learnedCentroids: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
     val centroids = seedOrLearned(embeddings, idCol, vecCol, nCentroids, learnedCentroids)
+    // persisted: feeds BOTH self-join sides (unpersisted: two corpus
+    // scans each re-running the O(rows × nCentroids) assignment);
+    // same caller-may-unpersist convention as the other centroid
+    // consumers — the returned plan reads through this cache
     val asg = embeddings
       .withColumn("v", transform(col(vecCol), x => x.cast("double")))
       .withColumn("nrm", dot(col("v"), col("v")))
       .withColumn("bucket", -array_max(centroidCands(centroids)).getField("ncid"))
       .select(col(idCol), col("bucket"), col("v"), col("nrm"))
+      .persist()
     val a = asg.select(
       col("bucket"), col(idCol).as("knn_id"), col("v").as("va"), col("nrm").as("na"))
     val b = asg.select(
@@ -1645,8 +1650,12 @@ object Similarity {
       .select(col(idCol))
       .join(seedMass.select(col("lp_id").as(idCol), col("lp_label").as("seed_label")), Seq(idCol), "left")
       .join(best.select(col("lp_id").as(idCol), col("pred_label"), col("pred_mass")), Seq(idCol), "left")
+    // the final mass is checkpointed, so EVERYTHING upstream of the
+    // loop can release now — including bucketEpsPairs' pair cache
+    // (unlike dbscanClusters, nothing in `out` references it)
     edges.unpersist()
     deg.unpersist()
+    pairs.unpersist()
     out
   }
 
