@@ -1128,6 +1128,17 @@ object SparkEntry {
         "vec_id", k = 20)
     }),
 
+    // ANN quality gauge for the 1-bit tier: binary top-20 overlap
+    // with the exact brute-force top-20 (sign patterns + rerank-40)
+    "q_ann_binary_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q   = queryVec(s, dir)
+      Similarity.recallAtK(
+        Similarity.cosineTopK(emb, "vec_id", "embedding", q, k = 20),
+        Similarity.binaryTopK(emb, "vec_id", "embedding", q, k = 20, rerank = 40),
+        "vec_id", k = 20)
+    }),
+
     // ANN quality gauge #3: the full IR-eval triple (P@20 / MRR /
     // NDCG@20) of the IVF probe path against the brute-force exact
     // ranking — position-weighted quality, not just set overlap
@@ -2855,6 +2866,29 @@ object SparkEntry {
           ov AS (SELECT CAST(count(*) AS INT) AS n_overlap
                  FROM bf_k JOIN ivf_k USING (vec_id))
           SELECT n_overlap, round(CAST(n_overlap AS DOUBLE) / 20, 6) AS recall FROM ov""",
+
+    "q_ann_binary_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nrm,
+                            CAST(list_sum(list_transform(range(1, 33),
+                              i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0 THEN power(2, i - 1) ELSE 0 END)) AS BIGINT) AS w0,
+                            CAST(list_sum(list_transform(range(33, 65),
+                              i -> CASE WHEN CAST(embedding[i] AS DOUBLE) > 0 THEN power(2, i - 33) ELSE 0 END)) AS BIGINT) AS w1
+                     FROM embeddings),
+          q AS (SELECT w0 AS q0, w1 AS q1, embedding AS qe, nrm AS qn FROM e WHERE vec_id = 0),
+          cand AS (SELECT e.vec_id, e.embedding, e.nrm,
+                          bit_count(xor(e.w0, q.q0)) + bit_count(xor(e.w1, q.q1)) AS hamming
+                   FROM e, q ORDER BY hamming, e.vec_id LIMIT 40),
+          bin_k AS (SELECT vec_id FROM (
+                      SELECT c.vec_id, round(${cosNSql(dotSql("c.embedding", "q.qe"), "c.nrm", "q.qn")}, 6) AS cos
+                      FROM cand c, q)
+                    ORDER BY cos DESC, vec_id ASC LIMIT 20),
+          bf_k AS (SELECT vec_id FROM (
+                     SELECT e.vec_id, round(${cosNSql(dotSql("e.embedding", "q.qe"), "e.nrm", "q.qn")}, 6) AS cos
+                     FROM e e, q)
+                   ORDER BY cos DESC, vec_id ASC LIMIT 20),
+          ov AS (SELECT CAST(count(*) AS INT) AS n_overlap
+                 FROM bf_k JOIN bin_k USING (vec_id))
+         SELECT n_overlap, round(CAST(n_overlap AS DOUBLE) / 20, 6) AS recall FROM ov""",
 
     "q_rank_metrics" ->
       s"""WITH $ivfCtes,
