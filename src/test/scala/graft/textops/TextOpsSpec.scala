@@ -971,6 +971,20 @@ class TextOpsSpec extends SparkSpec {
       g.queryExecution.executedPlan.toString)
   }
 
+  test("shardBalance: zero-load shards appear with rel_load 0, mean over ALL shards") {
+    // 2 docs cannot populate 8 shards — the empty ones must still
+    // show (the worst imbalance the audit exists to catch)
+    val df = Seq((1L, "a b c"), (2L, "d e")).toDF("doc_id", "text")
+    val got = Sampling.shardBalance(df, "doc_id", "text", nShards = 8)
+      .orderBy("shard").collect()
+    assert(got.length == 8, "every shard gets a row")
+    assert(got.map(_.getLong(2)).sum == 5L, "token mass conserved")
+    val empties = got.filter(_.getLong(1) == 0L)
+    assert(empties.nonEmpty && empties.forall(_.getDouble(3) == 0.0))
+    // rel_load averages over ALL 8 shards: sum(rel_load) == nShards
+    assert(math.abs(got.map(_.getDouble(3)).sum - 8.0) < 1e-4)
+  }
+
   test("labelPropagation: mass flows from clamped seeds, symmetric tie breaks to smaller label") {
     // angular chain 0..40 deg, eps=0.9 (25.8 deg reach => +-2 hops);
     // seeds: node 0 -> label 0, node 4 -> label 1; graph symmetric
