@@ -1617,6 +1617,12 @@ object SparkEntry {
       TextStats.bigramXent(docs(s, dir), "doc_id", "text", bigramK = 50, vocabK = 25)
         .orderBy(col("doc_id"))),
 
+    // LM generation face: top-3 next tokens per hot context (the
+    // completion table a bigram LM serves)
+    "q_bigram_topk_next" -> ((s, dir) =>
+      TextStats.bigramTopNext(docs(s, dir), "text", topV = 10, k = 3)
+        .orderBy(col("ctx"), col("next_rank"))),
+
     // training-data ops: TRANSFER perplexity (the CCNet deployment
     // shape, Wenzek et al. 2020) — the bigram LM is fit on the
     // English reference slice only and scores the WHOLE corpus;
@@ -3950,6 +3956,20 @@ object SparkEntry {
          SELECT doc_id, CAST(count(*) AS INT) AS n_tok,
                 round(-(CAST(sum(lp) AS DOUBLE) / count(*)), 6) AS xent
          FROM scored GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_bigram_topk_next" ->
+      """WITH t AS (SELECT list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk FROM documents),
+          bi AS (SELECT tk[i] AS ctx, tk[i+1] AS next_token, count(*) AS n
+                 FROM t, unnest(range(1, len(tk))) AS u(i) WHERE len(tk) >= 2
+                 GROUP BY 1, 2),
+          hot AS (SELECT ctx, sum(n) AS ctx_n FROM bi GROUP BY ctx
+                  ORDER BY ctx_n DESC, ctx LIMIT 10),
+          r AS (SELECT b.ctx, b.next_token, b.n, h.ctx_n,
+                       CAST(row_number() OVER (PARTITION BY b.ctx ORDER BY b.n DESC, b.next_token) AS INT) AS next_rank
+                FROM bi b JOIN hot h ON b.ctx = h.ctx)
+         SELECT ctx, next_rank, next_token, CAST(n AS BIGINT) AS n,
+                round(CAST(n AS DOUBLE) / ctx_n, 6) AS p
+         FROM r WHERE next_rank <= 3 ORDER BY ctx, next_rank""",
 
     "q_bigram_ppl" ->
       """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t FROM documents),

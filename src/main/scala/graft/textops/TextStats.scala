@@ -441,6 +441,46 @@ object TextStats {
     * with decimal-exact sums. Corpus stats are two hash aggregations
     * with map-side partial combine.
     */
+  /** The GENERATION face of the bigram LM: for each of the `topV`
+    * most frequent context tokens, the `k` most likely next tokens
+    * with conditional probability P(next | ctx) = c(ctx,next)/c(ctx·)
+    * — the completion/suggestion table a bigram LM serves (and a
+    * human-readable corpus-idiom card). One bigram aggregation +
+    * per-context rank windows (WindowGroupLimit); the probability
+    * denominator is the context's OUTGOING bigram mass, so rows sum
+    * to 1 per context.
+    *
+    * Output: (ctx, next_rank, next_token, n, p), ties to the
+    * lexicographically smaller token.
+    */
+  def bigramTopNext(df: DataFrame, textCol: String, topV: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bi = df
+      .select(toks(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("ctx"), b.as("nxt")))).as("p"))
+      .groupBy(col("p.ctx").as("ctx"), col("p.nxt").as("next_token"))
+      .agg(count(lit(1)).as("n"))
+    val hotCtx = bi
+      .groupBy(col("ctx"))
+      .agg(sum(col("n")).as("ctx_n"))
+      .orderBy(desc("ctx_n"), col("ctx"))
+      .limit(topV)
+    val w = Window.partitionBy(col("ctx")).orderBy(desc("n"), col("next_token"))
+    bi.join(broadcast(hotCtx), Seq("ctx"))
+      .withColumn("next_rank", row_number().over(w))
+      .filter(col("next_rank") <= k)
+      .select(
+        col("ctx"),
+        col("next_rank"),
+        col("next_token"),
+        col("n").cast("bigint").as("n"),
+        round(col("n").cast("double") / col("ctx_n"), 6).as("p"))
+  }
+
   def bigramXent(df: DataFrame, idCol: String, textCol: String, bigramK: Int, vocabK: Int): DataFrame =
     bigramXentTransfer(df, df, idCol, textCol, bigramK, vocabK)
 
