@@ -30,11 +30,17 @@ object Bpe {
 
   /** Corpus word-frequency table → (c, sym) relation the learner
     * iterates on. The ONLY corpus-scale aggregation in BPE training.
+    * `minFreq`/`maxWords` cut the table BEFORE any collect (see
+    * [[WordTables.bounded]] for why the uncut table is unsafe at
+    * web scale); defaults reproduce the uncut table exactly.
     */
-  private def wordTable(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(toks(col(textCol))).as("w"))
-      .groupBy(col("w"))
-      .agg(count(lit(1)).as("c"))
+  private def wordTable(
+      df: DataFrame,
+      textCol: String,
+      minFreq: Long = 1L,
+      maxWords: Int = Int.MaxValue): DataFrame =
+    WordTables
+      .bounded(WordTables.counts(df, textCol, toks), minFreq, maxWords)
       .select(col("c"), symbols(col("w")).as("sym"))
 
   /** Weighted adjacent-symbol-pair counts of a (c, sym) word table.
@@ -94,11 +100,22 @@ object Bpe {
     * strings (UTF-16 code units), which coincides with Spark's UTF-8
     * binary order for all BMP text — supplementary-plane symbols
     * could order differently between the two paths.
+    *
+    * `minFreq`/`maxWords` bound the collected word table (frequency
+    * floor + top-N cap — the HF-tokenizers `min_frequency` knob);
+    * at web scale the UNCUT distinct-word table is driver-fatal, so
+    * real runs must set at least one of them. Defaults keep the
+    * historical uncut behavior for small corpora.
     */
-  def learnMerges(df: DataFrame, textCol: String, k: Int): DataFrame = {
+  def learnMerges(
+      df: DataFrame,
+      textCol: String,
+      k: Int,
+      minFreq: Long = 1L,
+      maxWords: Int = Int.MaxValue): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val table = wordTable(df, textCol).collect()
+    val table = wordTable(df, textCol, minFreq, maxWords).collect()
     val counts = table.map(_.getLong(0))
     val words  = table.map(_.getSeq[String](1).toArray)
     learnFromTable(counts, words, k).toDF("rank", "lhs", "rhs", "freq")
@@ -109,9 +126,11 @@ object Bpe {
     * confines each merge's work to the words that actually contain
     * the pair; their pair multisets are subtracted, the arrays
     * rewritten, and the new multisets re-added — exact deltas, so
-    * the running counts equal a full recount at every step. Stale
-    * index entries (a word that no longer holds a pair it once did)
-    * cost a no-op delta when that pair is eventually merged.
+    * the running counts equal a full recount at every step. The
+    * inverted index is pruned on unregister (like [[WordPiece]]'s),
+    * so it tracks live state, not history — at realistic k (32k–50k
+    * merges) an add-only index degrades every merge with no-op
+    * rewrites of words that long since lost the pair.
     */
   private[textops] def learnFromTable(
       counts: Array[Long],
@@ -129,6 +148,11 @@ object Bpe {
         val nf = pairFreq.getOrElse(p, 0L) + sign * counts(i)
         if (nf == 0L) pairFreq.remove(p) else pairFreq.update(p, nf)
         if (sign > 0) pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += i
+        else
+          pairWords.get(p).foreach { s0 =>
+            s0 -= i
+            if (s0.isEmpty) pairWords.remove(p)
+          }
         j += 1
       }
     }
@@ -173,10 +197,15 @@ object Bpe {
     * lineage so the plan stays flat. Cost: one Spark job PER MERGE —
     * correct but scheduler-bound at realistic k.
     */
-  def learnMergesIterative(df: DataFrame, textCol: String, k: Int): DataFrame = {
+  def learnMergesIterative(
+      df: DataFrame,
+      textCol: String,
+      k: Int,
+      minFreq: Long = 1L,
+      maxWords: Int = Int.MaxValue): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    var words  = wordTable(df, textCol).localCheckpoint()
+    var words  = wordTable(df, textCol, minFreq, maxWords).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var rank   = 1
     var done   = false

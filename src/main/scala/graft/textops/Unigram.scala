@@ -25,12 +25,17 @@ object Unigram {
   private def toks(text: Column): Column = Curation.toks(text)
 
   /** Corpus word-frequency table — the single corpus-scale
-    * aggregation of unigram training.
+    * aggregation of unigram training. `minFreq`/`maxWords` cut the
+    * table BEFORE any collect ([[WordTables.bounded]] — the
+    * SentencePiece seed-pruning analogue); defaults reproduce the
+    * uncut table exactly.
     */
-  private def wordTable(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(toks(col(textCol))).as("w"))
-      .groupBy(col("w"))
-      .agg(count(lit(1)).as("c"))
+  private def wordTable(
+      df: DataFrame,
+      textCol: String,
+      minFreq: Long = 1L,
+      maxWords: Int = Int.MaxValue): DataFrame =
+    WordTables.bounded(WordTables.counts(df, textCol, toks), minFreq, maxWords)
 
   /** Seed-piece candidate statistics — every substring of every word
     * up to `maxLen` characters, weighted by word frequency (each
@@ -120,7 +125,10 @@ object Unigram {
     *
     * The corpus is touched exactly once (the word table); everything
     * after `collect()` of that bounded table is driver math, the same
-    * split [[Bpe.learnMerges]] uses.
+    * split [[Bpe.learnMerges]] uses. `minFreq`/`maxWords` bound the
+    * collect — at web scale the uncut distinct-word table is
+    * driver-fatal, so real runs must set at least one of them
+    * (SentencePiece equivalently prunes its seed before training).
     */
   def train(
       df: DataFrame,
@@ -129,10 +137,12 @@ object Unigram {
       maxLen: Int = 8,
       seedSize: Int = 1000,
       emIters: Int = 2,
-      pruneFrac: Double = 0.2): Seq[(String, Double)] = {
+      pruneFrac: Double = 0.2,
+      minFreq: Long = 1L,
+      maxWords: Int = Int.MaxValue): Seq[(String, Double)] = {
     require(vocabSize >= 1, "vocabSize must be >= 1")
     require(pruneFrac > 0 && pruneFrac < 1, "pruneFrac must be in (0,1)")
-    val words: Seq[(String, Long)] = wordTable(df, textCol)
+    val words: Seq[(String, Long)] = wordTable(df, textCol, minFreq, maxWords)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
       .toSeq

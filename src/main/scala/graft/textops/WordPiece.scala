@@ -33,12 +33,17 @@ object WordPiece {
       (s, i) => when(i === 0, s).otherwise(concat(lit("##"), s)))
 
   /** Corpus word-frequency table → (c, sym). The ONLY corpus-scale
-    * aggregation in WordPiece training.
+    * aggregation in WordPiece training. `minFreq`/`maxWords` cut the
+    * table BEFORE any collect ([[WordTables.bounded]]); defaults
+    * reproduce the uncut table exactly.
     */
-  private def wordTable(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(toks(col(textCol))).as("w"))
-      .groupBy(col("w"))
-      .agg(count(lit(1)).as("c"))
+  private def wordTable(
+      df: DataFrame,
+      textCol: String,
+      minFreq: Long = 1L,
+      maxWords: Int = Int.MaxValue): DataFrame =
+    WordTables
+      .bounded(WordTables.counts(df, textCol, toks), minFreq, maxWords)
       .select(col("c"), wpSymbols(col("w")).as("sym"))
 
   /** Iteration-0 pair scores — the oracle-checkable face of the
@@ -100,15 +105,22 @@ object WordPiece {
     * rational compare p1·s2l·s2r vs p2·s1l·s1r over BigInt — no
     * float rounding in the training path), then (lhs, rhs) asc.
     *
-    * Same split as [[Bpe.learnMerges]]: the vocab-bounded word table
-    * is collected once, the merge loop maintains pair counts AND
-    * symbol counts incrementally on the driver — exact deltas, a
-    * recount at any step would match.
+    * Same split as [[Bpe.learnMerges]]: the word table is collected
+    * once, the merge loop maintains pair counts AND symbol counts
+    * incrementally on the driver — exact deltas, a recount at any
+    * step would match. `minFreq`/`maxWords` bound the collect (the
+    * frequency floor every production trainer applies; the uncut
+    * distinct-word table of a web-scale corpus is driver-fatal).
     */
-  def learnMerges(df: DataFrame, textCol: String, k: Int): DataFrame = {
+  def learnMerges(
+      df: DataFrame,
+      textCol: String,
+      k: Int,
+      minFreq: Long = 1L,
+      maxWords: Int = Int.MaxValue): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val table  = wordTable(df, textCol).collect()
+    val table  = wordTable(df, textCol, minFreq, maxWords).collect()
     val counts = table.map(_.getLong(0))
     val words  = table.map(_.getSeq[String](1).toArray)
     learnFromTable(counts, words, k).toDF("rank", "lhs", "rhs", "merged", "pair_freq")
@@ -190,8 +202,13 @@ object WordPiece {
     * symbol plus every merged piece, deterministic order (initial
     * symbols lexicographic, then merges in rank order).
     */
-  def vocabulary(df: DataFrame, textCol: String, k: Int): Seq[String] = {
-    val table  = wordTable(df, textCol).collect()
+  def vocabulary(
+      df: DataFrame,
+      textCol: String,
+      k: Int,
+      minFreq: Long = 1L,
+      maxWords: Int = Int.MaxValue): Seq[String] = {
+    val table  = wordTable(df, textCol, minFreq, maxWords).collect()
     val chars  = table.flatMap(_.getSeq[String](1)).distinct.sorted
     val merges = learnFromTable(table.map(_.getLong(0)), table.map(_.getSeq[String](1).toArray), k)
     (chars ++ merges.map(_._4)).distinct.toSeq
