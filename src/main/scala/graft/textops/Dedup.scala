@@ -977,12 +977,14 @@ object Dedup {
     * summing (exact, order-independent — a float fold would expose
     * partition order); the recombination is scalar again.
     *
-    * Scale shape: degree table once; each iteration is one edges⋈pr
-    * equi-join + one keyed sum + one tiny dangling aggregate (a
-    * 1-row driver action per round, same job-per-round budget as
-    * [[connectedComponents]]). State per round is the (id, pr)
-    * relation — corpus-sized, never edges². Output: (id, pr) with
-    * pr rounded to 6dp.
+    * Scale shape: degree table once; each iteration is ONE action
+    * (the localCheckpoint materialization): edges⋈pr equi-join + one
+    * keyed sum, with the dangling mass folded into the same plan as
+    * a 1-row broadcast subquery (left-anti + agg, BroadcastNestedLoop
+    * fan-out of one row) instead of a blocking per-round driver
+    * `first()` — no driver sync point between rounds beyond the
+    * checkpoint itself. State per round is the (id, pr) relation —
+    * corpus-sized, never edges². Output: (id, pr) rounded to 6dp.
     */
   def pageRankFixed(
       nodes: DataFrame,
@@ -1006,11 +1008,15 @@ object Dedup {
     var pr = nodes.select(col(idCol).as("pr_id")).withColumn("pr", lit(1.0) / lit(n.toDouble))
     var i  = 0
     while (i < iters) {
-      // dangling mass: total pr of degree-0 nodes (exact decimal sum)
-      val dm = pr
+      // dangling mass: total pr of degree-0 nodes (exact decimal
+      // sum) — kept IN the plan as a 1-row relation and broadcast,
+      // not collected; decimal→double cast is the same
+      // BigDecimal.doubleValue the old driver-side read performed,
+      // so results are bit-identical
+      val dangling = pr
         .join(deg, pr("pr_id") === deg("pr_src"), "left_anti")
-        .agg(coalesce(sum(col("pr").cast("decimal(27,18)")), lit(0).cast("decimal(27,18)")))
-        .first().getDecimal(0).doubleValue()
+        .agg(coalesce(sum(col("pr").cast("decimal(27,18)")), lit(0).cast("decimal(27,18)"))
+          .cast("double").as("pr_dm"))
       val contribs = edges
         .join(pr, edges("pr_src") === pr("pr_id"))
         .join(deg, Seq("pr_src"))
@@ -1019,9 +1025,10 @@ object Dedup {
         .agg(sum(col("c")).cast("double").as("cs"))
       pr = pr
         .join(contribs, pr("pr_id") === contribs("pr_dst"), "left")
+        .crossJoin(broadcast(dangling))
         .select(
           col("pr_id"),
-          (base + lit(damping) * (coalesce(col("cs"), lit(0.0)) + lit(dm) / lit(n.toDouble)))
+          (base + lit(damping) * (coalesce(col("cs"), lit(0.0)) + col("pr_dm") / lit(n.toDouble)))
             .as("pr"))
         .localCheckpoint()
       i += 1

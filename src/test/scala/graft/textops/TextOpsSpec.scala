@@ -881,6 +881,45 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-4, "PageRank mass conserved")
   }
 
+  test("pageRankFixed: dangling mass is in-plan (constant per-round job budget)") {
+    // the dangling aggregate rides the round's ONE action as a 1-row
+    // broadcast subquery instead of a blocking driver first().
+    // Under AQE every shuffle stage of that action surfaces as its
+    // own job (~9/round here), so the pinned property is that the
+    // per-round count is CONSTANT and bounded — lineage growth or a
+    // reintroduced per-round driver action would break linearity /
+    // raise the constant
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    def jobsFor(iters: Int): Int = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        counter.set(0)
+        Dedup.pageRankFixed(nodes, "id", pairs, iters = iters).collect()
+        // listener events post asynchronously: wait until stable
+        var last = -1
+        var spins = 0
+        while (counter.get() != last && spins < 40) {
+          last = counter.get(); Thread.sleep(100); spins += 1
+        }
+        counter.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val c2 = jobsFor(2)
+    val c5 = jobsFor(5)
+    val c8 = jobsFor(8)
+    val perRound = (c8 - c2) / 6.0
+    assert(perRound <= 10.0, s"per-round job budget blew up: $perRound (c2=$c2, c8=$c8)")
+    assert(c8 - c5 == c5 - c2,
+      s"per-round job count is not constant: c2=$c2, c5=$c5, c8=$c8")
+  }
+
   test("simhashHammingPairs: banded blocking equals brute force, df cap bounds hot buckets") {
     // overlapping vocab so some pairs land within hamming 3
     val texts = Seq(
