@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""Round-over-round bench comparison.
+
+Usage: bench_diff.py OLD NEW [--bar RATIO ABS]
+
+OLD/NEW are bench artifacts: either a bench_results.json array (the
+file graft.Bench writes) or a BENCH_r{N}.json driver capture that
+still contains a {"metric":"queries",...} line. Prints per-query
+deltas for common keys, new/removed keys, and flags regressions above
+the bar (default: >1.5x AND >+0.5s, the SCALE.md regression bar).
+Exit code 1 if any query is flagged.
+"""
+import json
+import re
+import sys
+
+
+def load_queries(path):
+    text = open(path).read()
+    # try a JSON array of metric lines first (bench_results.json)
+    try:
+        arr = json.loads(text)
+        if isinstance(arr, list):
+            for obj in arr:
+                if isinstance(obj, dict) and obj.get("metric") == "queries":
+                    return obj["queries"]
+        if isinstance(arr, dict) and arr.get("metric") == "queries":
+            return arr["queries"]
+    except json.JSONDecodeError:
+        pass
+    # fall back: scan for a queries line inside arbitrary captured text
+    for m in re.finditer(r'\{"metric":"queries".*?\}\}', text):
+        try:
+            return json.loads(m.group(0))["queries"]
+        except json.JSONDecodeError:
+            continue
+    # last resort: harvest key:seconds pairs from a TRUNCATED driver
+    # capture (BENCH_r{N}.json keeps only a tail of stdout) — partial,
+    # but enough for a common-key comparison
+    pairs = {m.group(1): float(m.group(2)) for m in re.finditer(
+        r'\\?"((?:q_\w+|\w+_e2e|compression_ratio|mmr_rerank|pca_whiten|'
+        r'unigram_train|zorder_sink))\\?":(\d+\.\d+)', text)}
+    if pairs:
+        print(f"note: {path} had no intact queries line; "
+              f"harvested {len(pairs)} partial entries from the tail", file=sys.stderr)
+        return pairs
+    raise SystemExit(f"{path}: no queries metric found")
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if len(args) != 2:
+        raise SystemExit(__doc__)
+    ratio_bar, abs_bar = 1.5, 0.5
+    if "--bar" in sys.argv:
+        i = sys.argv.index("--bar")
+        ratio_bar, abs_bar = float(sys.argv[i + 1]), float(sys.argv[i + 2])
+    old, new = load_queries(args[0]), load_queries(args[1])
+    common = sorted(set(old) & set(new))
+    added = sorted(set(new) - set(old))
+    removed = sorted(set(old) - set(new))
+    flagged = []
+    rows = []
+    for q in common:
+        o, n = old[q], new[q]
+        ratio = (n / o) if o > 0 else float("inf") if n > 0 else 1.0
+        flag = n > o * ratio_bar and n - o > abs_bar
+        if flag:
+            flagged.append(q)
+        rows.append((ratio, q, o, n, flag))
+    rows.sort(reverse=True)
+    print(f"common={len(common)} added={len(added)} removed={len(removed)}")
+    print(f"sum(common): {sum(old[q] for q in common):.1f}s -> "
+          f"{sum(new[q] for q in common):.1f}s")
+    print(f"\n{'ratio':>7} {'old':>8} {'new':>8}  query")
+    for ratio, q, o, n, flag in rows[:25]:
+        mark = "  <-- REGRESSION" if flag else ""
+        print(f"{ratio:7.2f} {o:8.3f} {n:8.3f}  {q}{mark}")
+    if added:
+        print(f"\nnew keys: {', '.join(added)}")
+    if removed:
+        print(f"\nremoved keys: {', '.join(removed)}")
+    if flagged:
+        print(f"\nFLAGGED (> {ratio_bar}x and > +{abs_bar}s): {', '.join(flagged)}")
+        sys.exit(1)
+    print(f"\nno regression above the {ratio_bar}x/+{abs_bar}s bar")
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,10 @@ object Bench {
     }
     // optional comma-separated query filter for local profiling runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // queries that threw at ANY scale factor (current or sibling):
+    // excluded from EVERY point of the scaling fit so family sums
+    // always compare the same query composition across SFs
+    val failed = scala.collection.mutable.Set.empty[String]
     val results = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -63,7 +67,7 @@ object Bench {
         try { evalAll(fn(spark, sfDir)); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); false }
       val sec = if (ok) medianOf3(() => evalAll(fn(spark, sfDir))) else 0.0
-      if (!ok) System.err.println(s"[bench] $name FAILED")
+      if (!ok) { failed += name; System.err.println(s"[bench] $name FAILED") }
       // drop persisted frames a query leaves behind (e.g. the CC
       // label cache): queries are independent, so any surviving cache
       // entry is pure storage-memory pressure on every later query —
@@ -138,6 +142,13 @@ object Bench {
     // Locale.ROOT: the f-interpolator is locale-sensitive and would
     // emit comma decimals (invalid JSON) under e.g. a German default
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // every printed metric line is ALSO persisted to a file artifact:
+    // the driver keeps only a ~2,000-char tail of stdout, which
+    // truncated r11's per-query map out of BENCH_r11.json and nearly
+    // cost the round its per-query regression check. The file is the
+    // durable record; the stdout lines remain the driver's contract.
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[String]
+    def emit(line: String): Unit = { println(line); emitted += line }
     val qs    = all.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val total = all.map(_._2).sum
     // emit protocol: the driver's capture window can clip the head of
@@ -146,7 +157,7 @@ object Bench {
     // own second line, and the total line again LAST — whichever end
     // of the stream the window keeps, an intact compact line is in it.
     val compact = s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","queries_n":${all.size}}"""
-    println(compact)
+    emit(compact)
     // key_notes: operator-identity changes behind a stable key, so
     // historical series stay interpretable (a swapped operator is
     // not a perf delta) — retrieval_e2e timed the 8-branch per-query
@@ -160,8 +171,9 @@ object Bench {
         """"mmr_rerank":"new in r11 - spec-gated MMR diversified top-20 over 100 candidates (greedy loop is sequential, no SQL oracle)",""" +
         """"pca_whiten":"new in r11 - spec-gated PCA whitening of all embeddings (treeAggregate moments + Jacobi eigen, no SQL oracle)",""" +
         """"unigram_train":"new in r11 - spec-gated unigram-LM tokenizer training, vocab 64 (one word-table job + driver Viterbi-EM; q_sp_seed_vocab gates the distributed stage)",""" +
-        """"direct_retrieval_total":"llm_tokens key, new in r11; EQUALS direct_total on this corpus (docs are single-chunk at chunkSize 1000, so top-1-chunk == all-chunks) - the savings factor is chunks-per-doc, proven on multi-chunk docs in ProfilerSpec"}"""
-    println(s"""{"metric":"queries","queries":$qs,"key_notes":$notes,"sf":"$sfDir"}""")
+        """"direct_whole_lake":"since r12 the reference-exact Direct baseline: EVERY (chunk, attribute) pair, NO keyword filter (main.py:71 passes file2chunks unfiltered), chunkSize 128 so bench docs split into ~3 chunks; r11 and earlier measured keyword-filtered single-chunk pairs at chunkSize 1000 - totals not comparable across that boundary",""" +
+        """"direct_retrieval_total":"llm_tokens key; since r12 measured at chunkSize 128 on the SAME chunk table as direct_whole_lake, so the top-1-chunk saving (factor = chunks-per-doc) is visible at bench SF; r11 measured both legs single-chunk (equal totals)"}"""
+    emit(s"""{"metric":"queries","queries":$qs,"key_notes":$notes,"sf":"$sfDir"}""")
     // the cascade's token economics at this SF (single measured run,
     // not timed): per-stage LLM token cost of the ClosedIE cascade +
     // the whole-lake Direct baseline on the same lake/attributes —
@@ -182,14 +194,19 @@ object Bench {
       val retr    = rows.filter(_.getString(0) == "direct_retrieval").map(_.getLong(4)).sum
       val cascade = rows.filter(r => !directStages.contains(r.getString(0))).map(_.getLong(4)).sum
       val ratio   = if (cascade > 0) direct.toDouble / cascade else 0.0
-      println(
+      emit(
         s"""{"metric":"llm_tokens","stages":$stages,"cascade_total":$cascade,"direct_total":$direct,"direct_retrieval_total":$retr,"direct_over_cascade":${num(
             ratio)},"sf":"$sfDir"}""")
     } catch { case e: Throwable => System.err.println(s"[bench] llm_tokens: ${e.getMessage}") }
-    // cross-SF scaling line (VERDICT r10 #4): time every query ONCE
-    // (after one untimed codegen warm-up) at each sibling SF dir,
-    // aggregate per operator family, fit the log-log slope, flag
-    // superlinear families. Disable with SPARK_GRAFT_SCALING=0.
+    // cross-SF scaling line (VERDICT r10 #4): time every query at
+    // each sibling SF dir with the SAME medianOf3 steady-state
+    // protocol the current SF uses (one untimed codegen warm-up, then
+    // median of timed reps — mixed methodologies skewed fitted slopes,
+    // ADVICE r11), aggregate per operator family, fit the log-log
+    // slope, flag superlinear families. A query that failed at ANY SF
+    // is excluded from EVERY point (including the current SF's) so
+    // family sums stay composition-consistent. Disable with
+    // SPARK_GRAFT_SCALING=0.
     if (only.isEmpty && sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0") try {
       val m = java.util.regex.Pattern.compile("(.*sf)([0-9.]+)/?$").matcher(sfDir)
       if (m.matches()) {
@@ -204,16 +221,18 @@ object Bench {
           SparkEntry.queries.foreach { case (name, fn) =>
             try {
               evalAll(fn(spark, dir)) // codegen/JIT warm-up, untimed
-              val t0 = System.nanoTime()
-              evalAll(fn(spark, dir))
-              times((name, sf)) = (System.nanoTime() - t0) / 1e9
-            } catch { case e: Throwable => System.err.println(s"[bench] scaling $name@$sf: ${e.getMessage}") }
+              times((name, sf)) = medianOf3(() => evalAll(fn(spark, dir)))
+            } catch { case e: Throwable =>
+              failed += name
+              System.err.println(s"[bench] scaling $name@$sf: ${e.getMessage}")
+            }
           }
           spark.catalog.clearCache()
           System.gc()
         }
         val sfs = (siblings.map(_._2) :+ cur).sorted
         val famTimes: Map[String, Seq[(Double, Double)]] = times.toSeq
+          .filter { case ((n, _), _) => !failed.contains(n) }
           .groupBy { case ((n, _), _) => Scaling.familyOf(n) }
           .map { case (f, xs) =>
             f -> sfs.map(s => (s, xs.collect { case ((_, s2), t) if s2 == s => t }.sum))
@@ -224,11 +243,21 @@ object Bench {
           s""""$f":{"t":$ts,"slope":${num(Scaling.fitSlope(pts))}}"""
         }.mkString("{", ",", "}")
         val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
-        println(
-          s"""{"metric":"scaling","sfs":${sfs.map(num).mkString("[", ",", "]")},"families":$famJson,"flagged":$flaggedJson,"sf":"$sfDir"}""")
+        val excluded = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+        emit(
+          s"""{"metric":"scaling","sfs":${sfs.map(num).mkString("[", ",", "]")},"families":$famJson,"flagged":$flaggedJson,"excluded":$excluded,"sf":"$sfDir"}""")
       }
     } catch { case e: Throwable => System.err.println(s"[bench] scaling: ${e.getMessage}") }
     println(compact)
+    // durable artifact: a JSON array of every metric line this run
+    // emitted, written where the driver (and the round-over-round
+    // diff script, scripts/bench_diff.py) can always read it
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+    try
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outPath),
+        emitted.mkString("[\n", ",\n", "\n]\n"))
+    catch { case e: Throwable => System.err.println(s"[bench] artifact write: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -162,6 +162,53 @@ object SparkEntry {
   private def cosNSql(ab: String, na: String, nb: String) =
     s"CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0 ELSE $ab / (sqrt($na) * sqrt($nb)) END"
 
+  /** DuckDB CTE chain for the graph-ANN beam search (q_ann_graph /
+    * q_ann_graph_recall): the same seed-centroid assignment CTEs as
+    * q_knn_graph, one entry per bucket (max cosine-to-own-centroid,
+    * ties to smaller id), knnK=8 neighbor lists, then the two
+    * expansion hops unrolled — each candidate set = beam ∪ beam's
+    * neighbors, rescored by exact cosine to the query and cut to the
+    * best ef=32 by (cos desc, id).
+    */
+  private lazy val graphAnnCtes: String =
+    s"""e2 AS (SELECT vec_id, embedding, ${dotSql("embedding", "embedding")} AS nrm FROM embeddings),
+        c AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cid, embedding AS ce, nrm AS cn
+              FROM (SELECT vec_id, embedding, nrm FROM e2 ORDER BY vec_id LIMIT 16)),
+        asg0 AS (SELECT e.vec_id, e.embedding, e.nrm, c.cid,
+                        ${cosNSql(dotSql("e.embedding", "c.ce"), "e.nrm", "c.cn")} AS cc
+                 FROM e2 e CROSS JOIN c),
+        asg AS (SELECT vec_id, embedding, nrm, cid AS bucket, cc AS ccos FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid ASC) AS rn
+                  FROM asg0) WHERE rn = 1),
+        en AS (SELECT vec_id FROM (
+                 SELECT vec_id, row_number() OVER (PARTITION BY bucket ORDER BY ccos DESC, vec_id ASC) AS ern
+                 FROM asg) WHERE ern = 1),
+        gp AS (SELECT a.vec_id AS src, b.vec_id AS nbr,
+                      round(${cosNSql(dotSql("a.embedding", "b.embedding"), "a.nrm", "b.nrm")}, 6) AS gcos
+               FROM asg a JOIN asg b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        gr AS (SELECT src, nbr FROM (
+                 SELECT src, nbr, row_number() OVER (PARTITION BY src ORDER BY gcos DESC, nbr ASC) AS grn
+                 FROM gp) WHERE grn <= 8),
+        q AS (SELECT embedding AS qe, nrm AS qn FROM e2 WHERE vec_id = 0),
+        b0 AS (SELECT vec_id, cos FROM (
+                 SELECT en.vec_id, round(${cosNSql(dotSql("e.embedding", "q.qe"), "e.nrm", "q.qn")}, 6) AS cos
+                 FROM en JOIN e2 e USING (vec_id), q)
+               ORDER BY cos DESC, vec_id ASC LIMIT 32),
+        n1 AS (SELECT DISTINCT vec_id FROM (
+                 SELECT vec_id FROM b0
+                 UNION ALL SELECT gr.nbr FROM b0 JOIN gr ON b0.vec_id = gr.src)),
+        b1 AS (SELECT vec_id, cos FROM (
+                 SELECT n1.vec_id, round(${cosNSql(dotSql("e.embedding", "q.qe"), "e.nrm", "q.qn")}, 6) AS cos
+                 FROM n1 JOIN e2 e USING (vec_id), q)
+               ORDER BY cos DESC, vec_id ASC LIMIT 32),
+        n2 AS (SELECT DISTINCT vec_id FROM (
+                 SELECT vec_id FROM b1
+                 UNION ALL SELECT gr.nbr FROM b1 JOIN gr ON b1.vec_id = gr.src)),
+        b2 AS (SELECT vec_id, cos FROM (
+                 SELECT n2.vec_id, round(${cosNSql(dotSql("e.embedding", "q.qe"), "e.nrm", "q.qn")}, 6) AS cos
+                 FROM n2 JOIN e2 e USING (vec_id), q)
+               ORDER BY cos DESC, vec_id ASC LIMIT 32)"""
+
   /** DuckDB CTE chain for the IVF probe path (seed centroids = first
     * 16 vecs by id, nProbe 4): shared by q_ann_ivf and q_ann_recall.
     */
@@ -389,9 +436,10 @@ object SparkEntry {
     * `total_tokens_prompted` through every stage because the 110×
     * Code+-vs-Direct token reduction is its headline claim). Runs the
     * ClosedIE cascade with a [[graft.extract.TokenLedger]], then the
-    * Direct baseline (LLM on every surviving (chunk, attribute) pair
-    * of the WHOLE lake, `main.py:52-99`) on the same lake and
-    * attributes, and returns the per-stage cost relation. The shape
+    * Direct baseline (LLM on EVERY (chunk, attribute) pair of the
+    * WHOLE lake — `main.py:71` passes file2chunks unfiltered when
+    * use_retrieval_model=False) on the same lake and attributes, and
+    * returns the per-stage cost relation. The shape
     * that must hold at 100 TB: every cascade stage's tokens are
     * sample-bounded (∝ trainSize docs), `apply_lake` is ZERO, and
     * `direct_whole_lake` grows with the lake — so the ratio
@@ -406,11 +454,20 @@ object SparkEntry {
       graft.api.ProfilerConfig(chunkSize = 1000, trainSize = 10),
       Some(ledger))
     prof.run(lake, Seq("topic", "source")).count() // materialize: accumulators fill on execution
-    val chunks = Chunker.chunkAuto(lake, "path", "path", "content", 1000)
-    val attrs  = spark.createDataFrame(Seq("topic", "source").map(Tuple1(_))).toDF("attribute")
-    val kept   = ChunkFilter.keywordChunkFilter(chunks, attrs, "path")
+    // Both Direct legs run on the SAME chunk table at chunkSize 128
+    // (bench docs are ~300 chars, so ~3 chunks/doc) and mirror the
+    // reference exactly: Direct with use_retrieval_model=False prompts
+    // EVERY (chunk, attribute) pair — `new_file_chunk_dict =
+    // file2chunks`, main.py:71 — with NO keyword filter, while the
+    // retrieval leg prompts exactly ONE chunk per (file, attribute).
+    // The measured saving is therefore chunks-per-doc AT BENCH SF
+    // (r11 ran both legs single-chunk-filtered at chunkSize 1000,
+    // which collapsed the two totals to equality — key_note'd).
+    val directChunks = Chunker.chunkAuto(lake, "path", "path", "content", 128)
+    val attrs        = spark.createDataFrame(Seq("topic", "source").map(Tuple1(_))).toDF("attribute")
     DirectExtract(
-      kept.select(col("path"), col("attribute"), col("chunk")),
+      directChunks.crossJoin(broadcast(attrs))
+        .select(col("path"), col("attribute"), col("chunk")),
       ledger.wrap(MockLlmClient(), "direct_whole_lake"),
       "path").count()
     // the middle cost point: retrieval-augmented Direct prompts ONE
@@ -419,13 +476,13 @@ object SparkEntry {
     val retrProf = new graft.api.Profiler(
       spark,
       MockLlmClient(),
-      graft.api.ProfilerConfig(chunkSize = 1000, trainSize = 10),
+      graft.api.ProfilerConfig(chunkSize = 128, trainSize = 10),
       Some(ledger))
     val first = docs(spark, dir).orderBy(col("doc_id")).limit(1)
       .select(element_at(split(col("text"), " "), 1).as("topic"), col("source"))
       .head()
     retrProf.directExtractRetrieval(
-      chunks,
+      directChunks,
       Seq("topic" -> first.getString(0), "source" -> first.getString(1)),
       graft.extract.MockEncoderClient()).count()
     ledger.report(spark)
@@ -1136,6 +1193,27 @@ object SparkEntry {
       Similarity.recallAtK(
         Similarity.cosineTopK(emb, "vec_id", "embedding", q, k = 20),
         Similarity.binaryTopK(emb, "vec_id", "embedding", q, k = 20, rerank = 40),
+        "vec_id", k = 20)
+    }),
+
+    // ANN serving tier #6: graph search over the bucket-bounded kNN
+    // graph (HNSW layer 0 with one deterministic entry per coarse
+    // bucket) — beam ef=32, 2 fixed expansion hops, exact-cosine
+    // rescoring; completes the ladder binary → int8 → PQ → IVF-PQ →
+    // graph
+    "q_ann_graph" -> ((s, dir) =>
+      Similarity.graphTopK(
+        Tables.embeddings(s, dir), "vec_id", "embedding", queryVec(s, dir),
+        k = 20, ef = 32, hops = 2, knnK = 8)),
+
+    // ANN quality gauge for the graph tier: top-20 overlap with the
+    // exact brute-force top-20
+    "q_ann_graph_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q   = queryVec(s, dir)
+      Similarity.recallAtK(
+        Similarity.cosineTopK(emb, "vec_id", "embedding", q, k = 20),
+        Similarity.graphTopK(emb, "vec_id", "embedding", q, k = 20, ef = 32, hops = 2, knnK = 8),
         "vec_id", k = 20)
     }),
 
@@ -2871,6 +2949,22 @@ object SparkEntry {
                    ORDER BY cos DESC, vec_id ASC LIMIT 20),
           ov AS (SELECT CAST(count(*) AS INT) AS n_overlap
                  FROM bf_k JOIN ivf_k USING (vec_id))
+          SELECT n_overlap, round(CAST(n_overlap AS DOUBLE) / 20, 6) AS recall FROM ov""",
+
+    "q_ann_graph" ->
+      s"""WITH $graphAnnCtes
+          SELECT vec_id, cos, CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+          FROM b2 ORDER BY cos DESC, vec_id ASC LIMIT 20""",
+
+    "q_ann_graph_recall" ->
+      s"""WITH $graphAnnCtes,
+          g_k AS (SELECT vec_id FROM b2 ORDER BY cos DESC, vec_id ASC LIMIT 20),
+          bf_k AS (SELECT vec_id FROM (
+                     SELECT e.vec_id, round(${cosNSql(dotSql("e.embedding", "q.qe"), "e.nrm", "q.qn")}, 6) AS cos
+                     FROM e2 e, q)
+                   ORDER BY cos DESC, vec_id ASC LIMIT 20),
+          ov AS (SELECT CAST(count(*) AS INT) AS n_overlap
+                 FROM bf_k JOIN g_k USING (vec_id))
           SELECT n_overlap, round(CAST(n_overlap AS DOUBLE) / 20, 6) AS recall FROM ov""",
 
     "q_ann_binary_recall" ->

@@ -208,14 +208,22 @@ object Stats {
     *
     * Output: one row (n, rho) — rho NULL when either column is
     * constant (zero rank variance).
+    *
+    * Complete-case semantics: rows where EITHER column is NULL are
+    * dropped up front, and both rank histograms build from the same
+    * surviving rows — ranking over all rows would let a NULL group
+    * (NULLs sort first) and join-dropped rows inflate the other
+    * column's prefix-sum ranks, silently diverging from complete-case
+    * Spearman whenever NULLs are asymmetric between the columns.
     */
   def spearmanCorr(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     requireIntegral(df, aCol, "spearmanCorr")
     requireIntegral(df, bCol, "spearmanCorr")
     import org.apache.spark.sql.expressions.Window
+    val clean = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
     def ranks(c: String): DataFrame = {
       val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      df.groupBy(col(c).cast("long").as("v"))
+      clean.groupBy(col(c).cast("long").as("v"))
         .agg(count(lit(1)).as("m"))
         .withColumn("cum", sum(col("m")).over(w))
         .select(
@@ -223,7 +231,7 @@ object Stats {
           ((col("cum") - col("m")).cast("double") + (col("m") + 1).cast("double") / 2)
             .cast("decimal(12,1)").as("r"))
     }
-    val joined = df
+    val joined = clean
       .select(col(aCol).cast("long").as("av"), col(bCol).cast("long").as("bv"))
       .join(ranks(aCol).select(col("v").as("av"), col("r").as("x")), Seq("av"))
       .join(ranks(bCol).select(col("v").as("bv"), col("r").as("y")), Seq("bv"))

@@ -1580,6 +1580,83 @@ object Similarity {
       .select(col("knn_id").as(idCol), col("nbr_rank"), col("nbr_id"), col("cos"))
   }
 
+  /** Graph-ANN serving tier over the bucket-bounded [[knnGraph]] —
+    * the HNSW-layer-0 shape (Malkov & Yashunin 2016, restricted to
+    * the base layer with fixed deterministic entries) completing the
+    * serving ladder binary → int8 → PQ → IVF-PQ → graph: beam search
+    * from one ENTRY POINT per coarse bucket (the node most central
+    * to its bucket — max cosine to its own centroid, ties to the
+    * smaller id; per-bucket entries are REQUIRED because the
+    * bucket-bounded build yields no cross-bucket edges), `hops`
+    * fixed expansion rounds — each joins the frontier to the
+    * neighbor lists, rescores candidates by EXACT cosine to the
+    * query (rounded 6dp), and keeps the best `ef` by (cos desc, id)
+    * — then the top-`k` of the final beam.
+    *
+    * Scale shape: after the one-time graph build, a query touches
+    * frontier-sized relations only — each hop joins ≤ ef·knnK
+    * candidate ids against the id-partitioned graph and vector
+    * tables (the tiny side broadcasts; AQE pushes it as a runtime
+    * filter into the big-side scan, and an id-bucketed layout makes
+    * the lookup partition-pruned). Fixed hops + fixed entries keep
+    * the search engine-replayable: the oracle unrolls the same
+    * rounds. Recall inherits the bucket-bounded build's boundary
+    * misses — [[recallAtK]] vs brute force is the honesty gauge.
+    *
+    * Output matches [[cosineTopK]]: (id, cos, rank).
+    */
+  def graphTopK(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      ef: Int = 32,
+      hops: Int = 2,
+      knnK: Int = 8,
+      nCentroids: Int = 16,
+      learnedCentroids: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
+    require(ef >= k, s"beam width ef=$ef must be >= k=$k")
+    val centroids = seedOrLearned(embeddings, idCol, vecCol, nCentroids, learnedCentroids)
+    val graph = knnGraph(embeddings, idCol, vecCol, knnK, nCentroids, Some(centroids))
+      .select(col(idCol).as("gs_src"), col("nbr_id").as("gs_nbr"))
+      .persist()
+    // one entry per bucket: same assignment expression every centroid
+    // consumer shares, then a per-bucket rank window
+    val asg = embeddings
+      .withColumn("v", transform(col(vecCol), x => x.cast("double")))
+      .withColumn("nrm", dot(col("v"), col("v")))
+      .withColumn("best", array_max(centroidCands(centroids)))
+      .select(
+        col(idCol),
+        (-col("best").getField("ncid")).as("bucket"),
+        col("best").getField("cos").as("ccos"))
+    val we = Window.partitionBy(col("bucket")).orderBy(desc("ccos"), col(idCol))
+    val entries = asg
+      .withColumn("rn", row_number().over(we))
+      .filter(col("rn") === 1)
+      .select(col(idCol))
+    def rescored(ids: DataFrame): DataFrame =
+      ids
+        .join(embeddings.select(col(idCol), col(vecCol)), Seq(idCol))
+        .select(col(idCol), round(cosineToQuery(col(vecCol), query), 6).as("cos"))
+    var beam = rescored(entries).orderBy(desc("cos"), col(idCol)).limit(ef)
+    var h = 0
+    while (h < hops) {
+      val expanded = beam
+        .select(col(idCol).as("gs_src"))
+        .join(graph, Seq("gs_src"))
+        .select(col("gs_nbr").as(idCol))
+      val candIds = beam.select(col(idCol)).union(expanded).distinct()
+      beam = rescored(candIds).orderBy(desc("cos"), col(idCol)).limit(ef)
+      h += 1
+    }
+    beam
+      .orderBy(desc("cos"), col(idCol))
+      .limit(k)
+      .withColumn("rank", row_number().over(rankWindow(idCol)))
+  }
+
   /** Semi-supervised label propagation (Zhu & Ghahramani 2002) over
     * the bucket-bounded eps-graph: seed vectors carry a one-hot
     * class mass; each of `iters` rounds every node absorbs its

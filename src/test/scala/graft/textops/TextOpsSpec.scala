@@ -1010,6 +1010,52 @@ class TextOpsSpec extends SparkSpec {
       g.queryExecution.executedPlan.toString)
   }
 
+  test("graphTopK: beam search over the kNN graph recovers the exact top-k it can reach") {
+    def v(deg: Double) = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, 0f, math.sin(r).toFloat)
+    }
+    // angular chain, one bucket: entry = node 0 (max cos to the seed
+    // centroid, which is its own vector); knnK=2 edges form the
+    // chain, so 2 hops from node 0 reach nodes 0..4 — the true top-3
+    // for a 25-degree query (nodes 2, 3, 1) are all inside that ball
+    val df = (0 to 8).map(i => (i.toLong, v(i * 10.0))).toDF("vec_id", "embedding")
+    val q25 = Seq(math.cos(math.toRadians(25)), 0.0, math.sin(math.toRadians(25)))
+    val got = Similarity.graphTopK(df, "vec_id", "embedding", q25,
+      k = 3, ef = 8, hops = 2, knnK = 2, nCentroids = 1)
+      .orderBy("rank").collect().map(r => (r.getInt(2), r.getLong(0))).toSeq
+    val exact = Similarity.cosineTopK(df, "vec_id", "embedding", q25, k = 3)
+      .orderBy("rank").collect().map(r => (r.getInt(2), r.getLong(0))).toSeq
+    assert(got == exact, s"got $got, exact $exact")
+    // the search plan is all equi-joins over frontier-sized relations
+    val plan = Similarity.graphTopK(df, "vec_id", "embedding", q25,
+      k = 3, ef = 8, hops = 2, knnK = 2, nCentroids = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("graphTopK: per-bucket entries reach clusters the query's own bucket misses") {
+    def v(deg: Double) = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, 0f, math.sin(r).toFloat)
+    }
+    // two tight clusters (0-ish and 90-ish degrees); seed centroids =
+    // vecs of ids 0 and 1, one per cluster, so the bucket-bounded
+    // graph has NO cross-cluster edges. A query at 85 degrees must
+    // still find cluster B's best — only the per-bucket entry can
+    // carry the search there.
+    val df = Seq(
+      (0L, v(0)), (1L, v(90)), (2L, v(5)), (3L, v(10)),
+      (4L, v(85)), (5L, v(80)), (6L, v(15))).toDF("vec_id", "embedding")
+    val q85 = Seq(math.cos(math.toRadians(85)), 0.0, math.sin(math.toRadians(85)))
+    val got = Similarity.graphTopK(df, "vec_id", "embedding", q85,
+      k = 3, ef = 4, hops = 2, knnK = 2, nCentroids = 2)
+      .orderBy("rank").collect().map(_.getLong(0)).toSeq
+    val exact = Similarity.cosineTopK(df, "vec_id", "embedding", q85, k = 3)
+      .orderBy("rank").collect().map(_.getLong(0)).toSeq
+    assert(got == exact, s"got $got, exact $exact")
+  }
+
   test("shardBalance: zero-load shards appear with rel_load 0, mean over ALL shards") {
     // 2 docs cannot populate 8 shards — the empty ones must still
     // show (the worst imbalance the audit exists to catch)
@@ -1114,6 +1160,24 @@ class TextOpsSpec extends SparkSpec {
       graft.relops.Stats.spearmanCorr(
         Seq((1.5, 2L), (2.5, 3L)).toDF("a", "b"), "a", "b")
     }
+  }
+
+  test("spearmanCorr: complete-case — asymmetric NULLs equal dropping those rows up front") {
+    // NULLs in ONE column only (the asymmetric case where rank-mass
+    // leakage from all-rows histograms would NOT cancel): result must
+    // equal Spearman over the complete rows alone
+    val withNulls = Seq(
+      (Some(1L), Some(10L)),
+      (Some(2L), Some(20L)),
+      (None: Option[Long], Some(99L)),
+      (None: Option[Long], Some(1L)),
+      (Some(3L), Some(20L)),
+      (Some(4L), Some(40L))).toDF("a", "b")
+    val complete = Seq((1L, 10L), (2L, 20L), (3L, 20L), (4L, 40L)).toDF("a", "b")
+    val got  = graft.relops.Stats.spearmanCorr(withNulls, "a", "b").head()
+    val want = graft.relops.Stats.spearmanCorr(complete, "a", "b").head()
+    assert(got.getLong(0) == 4L, "n counts complete rows only")
+    assert(got.getDouble(1) == want.getDouble(1), s"got $got want $want")
   }
 
   test("simpsonDiversity: uniform vocabulary hits n_types, skew shrinks it") {
