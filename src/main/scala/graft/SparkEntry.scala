@@ -1217,6 +1217,37 @@ object SparkEntry {
         "vec_id", k = 20)
     }),
 
+    // composed eval runner (evaluate_synthetic.main): schema-id@k +
+    // ClosedIE token-F1 + OpenIE set-PRF with lenient aliasing and
+    // gold-derived slices, over a synthetic run artifact built from
+    // the documents table — pred 'topics' aliases onto gold 'topic'
+    // (coverage gap on doc_id%3=0), snippet corrupted on %5=0,
+    // 'lang_code' gold covered only on %4=0 (the tail slice), and a
+    // hallucinated 'junk' attribute on %7=0 penalizing every slice
+    "q_eval_e2e" -> ((s, dir) => {
+      import s.implicits._
+      val d    = docs(s, dir)
+      val path = col("doc_id").cast("string").as("path")
+      val w1   = element_at(split(col("text"), " "), 1)
+      val snip = substring(col("text"), 1, 40)
+      val gold = d
+        .filter(length(w1) > 0)
+        .select(path, lit("topic").as("attribute"), w1.as("value"))
+        .unionByName(d.select(path, lit("snippet").as("attribute"), snip.as("value")))
+        .unionByName(d.filter(col("doc_id") % 4 === 0)
+          .select(path, lit("lang_code").as("attribute"), col("lang").as("value")))
+      val pred = d
+        .filter(col("doc_id") % 3 =!= 0 && length(w1) > 0)
+        .select(path, lit("topics").as("attribute"), w1.as("value"))
+        .unionByName(d.select(
+          path, lit("snippet").as("attribute"),
+          when(col("doc_id") % 5 === 0, lit("zzqx")).otherwise(snip).as("value")))
+        .unionByName(d.filter(col("doc_id") % 7 === 0)
+          .select(path, lit("junk").as("attribute"), lit("noise").as("value")))
+      val ranked = Seq(("topic", 1), ("junk", 2), ("snippet", 3)).toDF("field", "rank")
+      graft.api.Profiler.evaluateEndToEnd(ranked, pred, gold, ks = Seq(1, 3))
+    }),
+
     // ANN quality gauge #3: the full IR-eval triple (P@20 / MRR /
     // NDCG@20) of the IVF probe path against the brute-force exact
     // ranking — position-weighted quality, not just set overlap
@@ -2950,6 +2981,96 @@ object SparkEntry {
           ov AS (SELECT CAST(count(*) AS INT) AS n_overlap
                  FROM bf_k JOIN ivf_k USING (vec_id))
           SELECT n_overlap, round(CAST(n_overlap AS DOUBLE) / 20, 6) AS recall FROM ov""",
+
+    // generic replication of evaluateEndToEnd over the same synthetic
+    // run artifact: alias theta-join, gold-derived slices, per-slice
+    // set-PRF (hallucinated attrs stay in pred for EVERY slice), and
+    // CLOSED-FORM per-cell token-F1 derived independently from the
+    // construction (pred==gold -> 1, abstain/corrupted -> 0)
+    "q_eval_e2e" ->
+      s"""WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS path, doc_id, text, lang FROM documents),
+          g AS (SELECT path, 'topic' AS attribute, split_part(text, ' ', 1) AS value FROM d
+                WHERE length(split_part(text, ' ', 1)) > 0
+                UNION ALL SELECT path, 'snippet', substr(text, 1, 40) FROM d
+                UNION ALL SELECT path, 'lang_code', lang FROM d WHERE doc_id % 4 = 0),
+          p AS (SELECT path, 'topics' AS attribute, split_part(text, ' ', 1) AS value FROM d
+                WHERE doc_id % 3 <> 0 AND length(split_part(text, ' ', 1)) > 0
+                UNION ALL SELECT path, 'snippet',
+                  CASE WHEN doc_id % 5 = 0 THEN 'zzqx' ELSE substr(text, 1, 40) END FROM d
+                UNION ALL SELECT path, 'junk', 'noise' FROM d WHERE doc_id % 7 = 0),
+          ranked(field, rank) AS (VALUES ('topic', 1), ('junk', 2), ('snippet', 3)),
+          ks(k) AS (VALUES (1), (3)),
+          gattrs AS (SELECT DISTINCT attribute FROM g),
+          sch AS (SELECT k,
+                         (SELECT count(*) FROM ranked r
+                          WHERE r.rank <= ks.k AND r.field IN (SELECT attribute FROM gattrs)) AS n_hit,
+                         (SELECT count(*) FROM gattrs) AS n_gold
+                  FROM ks),
+          schv AS (SELECT k, CAST(n_hit AS DOUBLE) / k AS precision,
+                          CAST(n_hit AS DOUBLE) / n_gold AS recall FROM sch),
+          sch_m AS (SELECT 'schema_id' AS stage, 'k=' || CAST(k AS VARCHAR) AS slice, 'precision' AS metric, precision AS value FROM schv
+                    UNION ALL SELECT 'schema_id', 'k=' || CAST(k AS VARCHAR), 'recall', recall FROM schv
+                    UNION ALL SELECT 'schema_id', 'k=' || CAST(k AS VARCHAR), 'f1',
+                      CASE WHEN precision + recall > 0 THEN 2 * precision * recall / (precision + recall) ELSE 0.0 END FROM schv),
+          amap AS (SELECT pa.attribute AS attr_a, min(ga.attribute) AS gold_attr
+                   FROM (SELECT DISTINCT attribute FROM p) pa
+                   JOIN gattrs ga
+                     ON lower(pa.attribute) = lower(ga.attribute)
+                     OR lower(pa.attribute) || 's' = lower(ga.attribute)
+                     OR lower(ga.attribute) || 's' = lower(pa.attribute)
+                     OR replace(lower(pa.attribute), ' ', '') = replace(lower(ga.attribute), ' ', '')
+                   GROUP BY pa.attribute),
+          mapped AS (SELECT p.path, coalesce(m.gold_attr, p.attribute) AS attribute, p.value
+                     FROM p LEFT JOIN amap m ON p.attribute = m.attr_a),
+          cells AS (SELECT g.value AS gold, coalesce(mp.value, '') AS pred
+                    FROM g LEFT JOIN mapped mp ON g.path = mp.path AND g.attribute = mp.attribute),
+          ext AS (SELECT avg(CASE WHEN pred = gold THEN 1.0 ELSE 0.0 END) AS avg_f1,
+                         quantile_cont(CASE WHEN pred = gold THEN 1.0 ELSE 0.0 END, 0.5) AS med_f1,
+                         avg(CASE WHEN trim(gold) <> '' AND lower(trim(gold)) <> 'none' THEN 1.0 ELSE 0.0 END) AS extraction_fraction
+                  FROM cells),
+          ext_m AS (SELECT 'extraction' AS stage, 'all' AS slice, 'avg_f1' AS metric, avg_f1 AS value FROM ext
+                    UNION ALL SELECT 'extraction', 'all', 'med_f1', med_f1 FROM ext
+                    UNION ALL SELECT 'extraction', 'all', 'extraction_fraction', extraction_fraction FROM ext),
+          tot AS (SELECT count(DISTINCT path) AS n FROM g),
+          sl AS (SELECT attribute, count(*) AS n_docs, avg(length(value)) AS avg_len
+                 FROM g WHERE value IS NOT NULL AND length(value) > 0 GROUP BY attribute),
+          smem AS (SELECT 'all' AS sname, attribute FROM sl
+                   UNION ALL SELECT 'head', attribute FROM sl, tot WHERE CAST(n_docs AS DOUBLE) / tot.n >= 0.5
+                   UNION ALL SELECT 'tail', attribute FROM sl, tot WHERE CAST(n_docs AS DOUBLE) / tot.n < 0.5
+                   UNION ALL SELECT 'structured', attribute FROM sl WHERE avg_len < 20.0
+                   UNION ALL SELECT 'unstructured', attribute FROM sl WHERE avg_len >= 20.0),
+          snames(sname) AS (VALUES ('all'), ('head'), ('tail'), ('structured'), ('unstructured')),
+          ptrip AS (SELECT DISTINCT path, attribute, lower(trim(value)) AS value FROM mapped
+                    WHERE value IS NOT NULL AND length(lower(trim(value))) > 0),
+          gtrip AS (SELECT DISTINCT path, attribute, lower(trim(value)) AS value FROM g
+                    WHERE value IS NOT NULL AND length(lower(trim(value))) > 0),
+          pslice AS (SELECT DISTINCT sn.sname, t.path, t.attribute, t.value
+                     FROM snames sn CROSS JOIN ptrip t
+                     WHERE t.attribute IN (SELECT attribute FROM smem m WHERE m.sname = sn.sname)
+                        OR t.attribute NOT IN (SELECT attribute FROM gattrs)),
+          gslice AS (SELECT DISTINCT sn.sname, t.path, t.attribute, t.value
+                     FROM snames sn CROSS JOIN gtrip t
+                     WHERE t.attribute IN (SELECT attribute FROM smem m WHERE m.sname = sn.sname)),
+          np AS (SELECT sname, count(*) AS n FROM pslice GROUP BY sname),
+          ng AS (SELECT sname, count(*) AS n FROM gslice GROUP BY sname),
+          ni AS (SELECT px.sname, count(*) AS n FROM pslice px
+                 JOIN gslice gx ON px.sname = gx.sname AND px.path = gx.path
+                  AND px.attribute = gx.attribute AND px.value = gx.value
+                 GROUP BY px.sname),
+          prf AS (SELECT sn.sname,
+                         CASE WHEN coalesce(np.n, 0) > 0 THEN CAST(coalesce(ni.n, 0) AS DOUBLE) / np.n ELSE 0.0 END AS precision,
+                         CASE WHEN coalesce(ng.n, 0) > 0 THEN CAST(coalesce(ni.n, 0) AS DOUBLE) / ng.n ELSE 0.0 END AS recall
+                  FROM snames sn
+                  LEFT JOIN np ON sn.sname = np.sname
+                  LEFT JOIN ng ON sn.sname = ng.sname
+                  LEFT JOIN ni ON sn.sname = ni.sname),
+          op_m AS (SELECT 'openie' AS stage, sname AS slice, 'precision' AS metric, precision AS value FROM prf
+                   UNION ALL SELECT 'openie', sname, 'recall', recall FROM prf
+                   UNION ALL SELECT 'openie', sname, 'f1',
+                     CASE WHEN precision + recall > 0 THEN 2 * precision * recall / (precision + recall) ELSE 0.0 END FROM prf)
+         SELECT stage, slice, metric, round(value, 6) AS value
+         FROM (SELECT * FROM sch_m UNION ALL SELECT * FROM ext_m UNION ALL SELECT * FROM op_m)
+         ORDER BY stage, slice, metric""",
 
     "q_ann_graph" ->
       s"""WITH $graphAnnCtes

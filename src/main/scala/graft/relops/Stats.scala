@@ -1,6 +1,6 @@
 package graft.relops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Generic relational statistics operators (engine-exact forms). */
@@ -281,19 +281,39 @@ object Stats {
   /** Column-level data profile — the ANALYZE/profiling primitive every
     * engine ships: per column, NULL count and exact distinct count,
     * plus the table row count. One aggregation pass (Spark expands the
-    * multi-distinct plan internally); at true lake scale swap
-    * countDistinct for approx_count_distinct — exact is kept here
-    * because the card is oracle-gated.
+    * multi-distinct plan internally); at true lake scale use
+    * [[tableProfileApprox]] — exact is kept here because the card is
+    * oracle-gated.
     *
     * Output: one row per column (col_name, n_null, n_distinct,
     * n_rows), in schema order via the ordinal column.
     */
-  def tableProfile(df: DataFrame): DataFrame = {
+  def tableProfile(df: DataFrame): DataFrame =
+    profileWith(df, f => countDistinct(col(f)))
+
+  /** The 100 TB tier of [[tableProfile]]: HyperLogLog++
+    * `approx_count_distinct` per column instead of exact distinct.
+    * The exact plan expands k distinct aggregates into k shuffles of
+    * the (distinct-value)-sized relations — at billions of distinct
+    * values per column that is k corpus-wide shuffles; the HLL sketch
+    * is ONE pass, constant memory per column (~1.5 KB at rsd 0.05),
+    * and mergeable across partitions with map-side combine. Same
+    * output shape; `rsd` is the target relative standard deviation
+    * (Spark default 0.05). Swap threshold: profile exactly while the
+    * widest column's distinct count fits a per-executor hash table
+    * (~10M values); above that, sketch. Test-gated
+    * (TableProfileApproxSpec measures the error against exact); the
+    * oracle-gated exact card stays [[tableProfile]].
+    */
+  def tableProfileApprox(df: DataFrame, rsd: Double = 0.05): DataFrame =
+    profileWith(df, f => approx_count_distinct(col(f), rsd))
+
+  private def profileWith(df: DataFrame, distinctAgg: String => Column): DataFrame = {
     val fields = df.schema.fieldNames.toSeq
     val aggs = fields.flatMap(f =>
       Seq(
         sum(when(col(f).isNull, 1L).otherwise(0L)).as(s"${f}__nulls"),
-        countDistinct(col(f)).as(s"${f}__distinct"))) :+ count(lit(1)).as("__rows")
+        distinctAgg(f).as(s"${f}__distinct"))) :+ count(lit(1)).as("__rows")
     df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(fields.zipWithIndex.map { case (f, i) =>
         struct(
