@@ -8,13 +8,17 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, processed by batched per-partition
   * stages (the Scala equivalent of `mapInPandas` batch UDFs).
   *
-  * The actual media decode is STUBBED — the container ships no
-  * image/audio codecs — behind [[MediaCodec]]: a deterministic fake
-  * that derives "features" from the bytes. Everything Spark-side is
-  * real and tested: the schema contract, binary column handling,
-  * batched iteration shape, partition-parallel execution, and the
-  * downstream feature pipeline (these features feed the same
-  * similarity/dedup operators as text embeddings).
+  * The IMAGE path is real: a pure-JVM header parse
+  * ([[MediaCodec.imageHeader]] — PNG/JPEG/GIF/BMP width, height,
+  * channels without decoding a pixel) and a JDK `javax.imageio`
+  * pixel decode feeding a luminance-grid feature vector
+  * ([[MediaCodec.decodeFeatures]]). Payloads that are NOT decodable
+  * images (and the audio/video kinds, whose codecs the JVM does not
+  * ship) fall back to the deterministic byte-stat featurizer, so the
+  * operators stay total. Everything Spark-side — schema contract,
+  * binary handling, batched iteration, partition-parallel execution,
+  * the downstream similarity/dedup consumers — is the same for both
+  * paths.
   */
 object Multimodal {
 
@@ -26,15 +30,130 @@ object Multimodal {
     StructField("height", IntegerType, nullable = true),
     StructField("duration_ms", LongType, nullable = true)))
 
-  /** STUB codec: replace with a real decoder (JavaCV/javax.imageio)
-    * in a codec-equipped deployment. Deterministic on input bytes.
+  /** The codec. Image decode is REAL (JDK ImageIO + a pure-JVM
+    * header parse); the audio/video "decode" remains a deterministic
+    * byte-stat stand-in (no JVM-native codecs in this deployment).
     */
   object MediaCodec {
-    /** "Decode" + featurize: dim-length float vector from byte stats.
-      * NULL-in → NULL-out, like every column function here.
+
+    private def be32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    private def be16(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+    /** Pure-JVM image header parse — (format, width, height,
+      * channels) for PNG / JPEG / GIF / BMP WITHOUT decoding a pixel:
+      * the scale path for metadata extraction over binary columns (a
+      * few header bytes per row, no pixel buffers). None for null,
+      * truncated, or non-image payloads.
+      */
+    def imageHeader(bytes: Array[Byte]): Option[(String, Int, Int, Int)] = {
+      if (bytes == null || bytes.length < 10) return None
+      // PNG: 8-byte signature, then IHDR (width/height BE at 16/20,
+      // color type at 25 -> channel count)
+      if (bytes.length >= 26 &&
+        (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G') {
+        val ch = bytes(25) match {
+          case 0 => 1; case 2 => 3; case 3 => 3; case 4 => 2; case 6 => 4; case _ => 3
+        }
+        return Some(("png", be32(bytes, 16), be32(bytes, 20), ch))
+      }
+      // GIF: 6-byte version, logical screen descriptor (LE dims)
+      if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
+        return Some(("gif", le16(bytes, 6), le16(bytes, 8), 3))
+      // BMP: 'BM', dims LE at 18/22 (height may be negative =
+      // top-down), channels from bits-per-pixel at 28
+      if (bytes(0) == 'B' && bytes(1) == 'M' && bytes.length >= 30) {
+        val bpp = le16(bytes, 28)
+        return Some(("bmp", le32(bytes, 18), math.abs(le32(bytes, 22)), math.max(1, bpp / 8)))
+      }
+      // JPEG: walk the marker segments to the first SOFn frame header
+      // (precision, height BE, width BE, component count)
+      if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
+        var p = 2
+        while (p + 9 < bytes.length) {
+          if ((bytes(p) & 0xff) != 0xff) return None // lost sync
+          val marker = bytes(p + 1) & 0xff
+          if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) p += 2
+          else {
+            val segLen = be16(bytes, p + 2)
+            val isSof = marker >= 0xc0 && marker <= 0xcf &&
+              marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+            if (isSof)
+              return Some(("jpeg", be16(bytes, p + 7), be16(bytes, p + 5), bytes(p + 9) & 0xff))
+            p += 2 + segLen
+          }
+        }
+        return None
+      }
+      None
+    }
+
+    /** Full pixel decode via JDK ImageIO (PNG/JPEG/GIF/BMP readers
+      * ship with the JVM). None for undecodable payloads — ImageIO
+      * returns null rather than throwing on most garbage; the Try
+      * absorbs the rest.
+      */
+    def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (bytes == null) None
+      else
+        scala.util.Try(
+          Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))).toOption.flatten
+
+    /** Rec.601 luminance grid over the decoded raster: the row-major
+      * pixel sequence is split into `dim` contiguous cells and each
+      * cell averages its pixels' luminance in [0,1] — a real (if
+      * simple) image feature with the same vector contract as the
+      * text-embedding consumers downstream.
+      */
+    private[multimodal] def luminanceGrid(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+      val w = img.getWidth
+      val h = img.getHeight
+      val n = w.toLong * h
+      val sums = new Array[Double](dim)
+      val cnts = new Array[Long](dim)
+      var idx = 0L
+      var y   = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb  = img.getRGB(x, y)
+          val r    = (rgb >> 16) & 0xff
+          val g    = (rgb >> 8) & 0xff
+          val b    = rgb & 0xff
+          val cell = ((idx * dim) / n).toInt
+          sums(cell) += (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+          cnts(cell) += 1L
+          idx += 1L
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(dim)(i => if (cnts(i) == 0) 0.0f else (sums(i) / cnts(i)).toFloat)
+    }
+
+    /** Decode + featurize: a REAL image yields its luminance-grid
+      * vector; anything else (audio/video payloads, synthetic bytes)
+      * falls back to the deterministic byte-stat featurizer so the
+      * operator stays total. NULL-in → NULL-out, like every column
+      * function here.
       */
     def decodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
       if (bytes == null) return null
+      imageHeader(bytes).flatMap(_ => decodeImage(bytes)) match {
+        case Some(img) => luminanceGrid(img, dim)
+        case None      => byteStatFeatures(bytes, dim)
+      }
+    }
+
+    /** The non-image fallback featurizer: dim-length float vector
+      * from byte statistics, deterministic on input bytes.
+      */
+    private[multimodal] def byteStatFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
       val out = new Array[Float](dim)
       var i   = 0
       while (i < bytes.length) {
@@ -115,6 +234,31 @@ object Multimodal {
         MediaCodec.frameSample(r.getAs[Array[Byte]]("bytes"), framesPerVideo).zipWithIndex.map {
           case (fb, i) => Row(id, i, fb)
         }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Image metadata decode as a batched partition stage: the
+    * pure-JVM header parse ([[MediaCodec.imageHeader]]) adds
+    * (img_format, img_width, img_height, img_channels) — a few
+    * header bytes read per row, NO pixel decode, so the stage costs
+    * a projection even over multi-MB payloads. Non-image / null
+    * payloads yield NULLs (NULL-in → NULL-out). Works identically
+    * over a streaming plan (mapPartitions, no shuffle).
+    */
+  def decodeImageMeta(media: DataFrame): DataFrame = {
+    val schema = StructType(media.schema.fields ++ Seq(
+      StructField("img_format", StringType, nullable = true),
+      StructField("img_width", IntegerType, nullable = true),
+      StructField("img_height", IntegerType, nullable = true),
+      StructField("img_channels", IntegerType, nullable = true)))
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val hdr = MediaCodec.imageHeader(r.getAs[Array[Byte]]("bytes"))
+        Row.fromSeq(r.toSeq ++ (hdr match {
+          case Some((f, w, h, c)) => Seq(f, w, h, c)
+          case None               => Seq(null, null, null, null)
+        }))
       }
     }(org.apache.spark.sql.Encoders.row(schema))
   }

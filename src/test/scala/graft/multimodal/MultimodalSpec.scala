@@ -73,4 +73,87 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.MediaCodec.resize(b, 2).length == (b.length + 1) / 2)
     assert(Multimodal.MediaCodec.frameSample(b, 3).size == 3)
   }
+
+  // ---- real image bytes (encoded in-test via JDK ImageIO: the same
+  // pure-JVM seam the codec decodes through) ----
+
+  /** w×h image; pixel (x,y) gray level = levels(y*w+x). */
+  private def encodeImage(fmt: String, w: Int, h: Int, levels: Seq[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = levels(y * w + x)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no JDK writer for $fmt")
+    bos.toByteArray
+  }
+
+  test("imageHeader parses real PNG/JPEG/GIF/BMP headers without decoding") {
+    val png = Multimodal.MediaCodec.imageHeader(encodeImage("png", 7, 5, Seq.fill(35)(128)))
+    assert(png.contains(("png", 7, 5, 3)), s"png: $png")
+    val jpg = Multimodal.MediaCodec.imageHeader(encodeImage("jpg", 9, 4, Seq.fill(36)(200)))
+    assert(jpg.contains(("jpeg", 9, 4, 3)), s"jpg: $jpg")
+    val gif = Multimodal.MediaCodec.imageHeader(encodeImage("gif", 6, 3, Seq.fill(18)(50)))
+    assert(gif.contains(("gif", 6, 3, 3)), s"gif: $gif")
+    val bmp = Multimodal.MediaCodec.imageHeader(encodeImage("bmp", 8, 2, Seq.fill(16)(10)))
+    assert(bmp.exists { case (f, w, h, _) => f == "bmp" && w == 8 && h == 2 }, s"bmp: $bmp")
+    // non-images and nulls refuse cleanly
+    assert(Multimodal.MediaCodec.imageHeader("fake-image-bytes-aaaa".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.MediaCodec.imageHeader(null).isEmpty)
+    assert(Multimodal.MediaCodec.imageHeader(Array[Byte](0x42)).isEmpty)
+  }
+
+  test("decodeFeatures on a real PNG: hand-computed luminance grid") {
+    // 4x4 gray PNG, quarters at levels 0 / 51 / 102 / 255, row-major:
+    // rows [0,0,51,51] [0,0,51,51] [102,102,255,255] [102,102,255,255]
+    val levels = Seq(0, 0, 51, 51, 0, 0, 51, 51, 102, 102, 255, 255, 102, 102, 255, 255)
+    val png    = encodeImage("png", 4, 4, levels)
+    // dim=4 splits the 16-pixel raster into 4 cells of 4 consecutive
+    // row-major pixels: [0,0,51,51] [0,0,51,51] [102,102,255,255] x2
+    val got  = Multimodal.MediaCodec.decodeFeatures(png, 4).toSeq
+    val want = Seq((0 + 0 + 51 + 51) / 4.0 / 255.0, (0 + 0 + 51 + 51) / 4.0 / 255.0,
+      (102 + 102 + 255 + 255) / 4.0 / 255.0, (102 + 102 + 255 + 255) / 4.0 / 255.0)
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-6, s"got $got want $want")
+    }
+    // PNG is lossless: identical pixels re-encoded give identical features
+    assert(Multimodal.MediaCodec.decodeFeatures(encodeImage("png", 4, 4, levels), 4).toSeq == got)
+  }
+
+  test("decodeImageMeta: batch stage decodes real bytes, non-images yield NULLs") {
+    val rows = Seq(
+      Row(1L, "image", encodeImage("png", 12, 7, Seq.fill(84)(90)), null, null, null),
+      Row(2L, "image", encodeImage("jpg", 5, 5, Seq.fill(25)(10)), null, null, null),
+      Row(3L, "image", "not an image at all".getBytes("UTF-8"), null, null, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), Multimodal.mediaSchema)
+    val got = Multimodal.decodeImageMeta(df).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[String]("img_format"), r.getAs[Integer]("img_width"), r.getAs[Integer]("img_height"))))
+      .toMap
+    assert(got(1L) == (("png", 12, 7)))
+    assert(got(2L) == (("jpeg", 5, 5)))
+    assert(got(3L) == ((null, null, null)))
+  }
+
+  test("decodeImageMeta + real-decode features run inside a streaming micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val png = encodeImage("png", 3, 3, Seq.fill(9)(255))
+    val in  = MemoryStream[(Long, Array[Byte])]
+    val media = in.toDF().toDF("media_id", "bytes")
+    val out   = Multimodal.decodeImageMeta(media)
+    assert(out.isStreaming)
+    val q = out.writeStream.outputMode("append").format("memory").queryName("mm_codec_stream").start()
+    in.addData((1L, png), (2L, "junk".getBytes("UTF-8")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("mm_codec_stream").orderBy("media_id").collect()
+    assert(got(0).getAs[String]("img_format") == "png" && got(0).getAs[Int]("img_width") == 3)
+    assert(got(1).getAs[String]("img_format") == null)
+    // the feature path decodes the same real bytes: all-white 3x3 -> 1.0 cells
+    val f = Multimodal.MediaCodec.decodeFeatures(png, 2).toSeq
+    assert(f.forall(v => math.abs(v - 1.0) < 1e-6), s"white image luminance $f")
+  }
 }
