@@ -48,10 +48,10 @@ object Scaling {
       "q_topk_scripts", "q_rank_attributes", "q_gold_attr_rank", "q_attr_alias_join",
       "q_attr_dedup", "q_attr_slices", "q_attr_validity_agg", "q_field_count",
       "q_schema_eval_at_k", "q_rerank_merge", "q_missing_files_anti", "q_join_pred_gold",
-      "q_unpivot")
+      "q_unpivot", "q_eval_e2e")
     val layout = Set(
       "q_shard_assign", "q_mix_realize", "q_stratified_sample", "q_curriculum",
-      "q_weighted_sample", "q_shard_balance",
+      "q_weighted_sample", "q_shard_balance", "q_class_balance_sample",
       "q_seq_pack", "q_domain_mix", "q_dsir_weight", "q_winsorize", "q_quantile_disc",
       "q_value_histogram", "q_skew_salted_count", "q_data_card", "q_cube_quality",
       "q_rollup_tokens", "q_ks_length")
@@ -61,7 +61,8 @@ object Scaling {
       "q_event_windows", "q_funnel", "q_moving_avg", "q_rolling_wau", "q_burst_days",
       "q_cohort_retention", "q_rfm_segments", "q_window_rank", "q_set_intersect",
       "q_event_pivot", "q_event_transitions", "q_table_profile",
-      "q_local_supplier_volume", "q_cust_order_dist", "q_set_except")
+      "q_local_supplier_volume", "q_cust_order_dist", "q_set_except",
+      "q_late_ship_exists", "q_priority_mix")
     if (q.startsWith("q_ann_") || ann(q)) "ann"
     else if (q.startsWith("q_dedup_") || dedup(q)) "dedup"
     else if (ws(q)) "weak_supervision"

@@ -2034,6 +2034,55 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // EXISTS semi-join volume shape (TPC-H Q4's plan): orders with at
+    // least one lineitem shipped > 30 days after the order date,
+    // counted by priority — a LeftSemi the optimizer must NOT expand
+    // to a join+distinct (one shuffle on the key, no row duplication)
+    "q_late_ship_exists" -> ((s, dir) => {
+      val late = Tables.lineitem(s, dir)
+        .join(
+          Tables.orders(s, dir),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+        .select(col("o_orderkey"))
+      Tables.orders(s, dir)
+        .join(late, Seq("o_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // conditional-aggregation mix (TPC-H Q12's shape on this schema):
+    // per lineitem status, how many line items belong to high- vs
+    // low-priority orders — ONE join + ONE hash agg, the CASE fold
+    // happens map-side
+    "q_priority_mix" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .as("high_priority_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+            .as("low_priority_count"))
+        .orderBy(col("l_linestatus"))),
+
+    // class-balanced cap — the training-mix primitive that prevents a
+    // dominant class from swamping a fine-tune set: per lang keep at
+    // most 50 docs, chosen by content-hash order (deterministic, no
+    // RNG; the train-sample recipe applied per class). ONE rank
+    // window keyed by the class column.
+    "q_class_balance_sample" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 50)
+        .select(col("lang"), col("doc_id"), col("rn").cast("int").as("rn"))
+        .orderBy(col("lang"), col("rn"))
+    }),
+
     // OLAP rollup: token totals per (source, lang) with subtotal and
     // grand-total levels — the GROUPING SETS surface; level derived
     // from rollup nulls pre-coalesce (engine-identical, no
@@ -4762,6 +4811,33 @@ object SparkEntry {
          JOIN customer c ON o.o_custkey = c.c_custkey
          WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-01-01'
          ORDER BY revenue DESC, order_date, r.l_orderkey LIMIT 10""",
+
+    "q_late_ship_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey
+                         AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+         GROUP BY o_orderpriority
+         ORDER BY o_orderpriority""",
+
+    "q_priority_mix" ->
+      """SELECT l.l_linestatus,
+                CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_count,
+                CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_count
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         GROUP BY l.l_linestatus
+         ORDER BY l.l_linestatus""",
+
+    "q_class_balance_sample" ->
+      """SELECT lang, doc_id, rn FROM (
+           SELECT lang, doc_id,
+                  CAST(row_number() OVER (
+                    PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rn
+           FROM documents)
+         WHERE rn <= 50
+         ORDER BY lang, rn""",
 
     "q_rollup_tokens" ->
       """WITH d AS (SELECT source, lang,
