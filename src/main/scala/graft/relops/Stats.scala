@@ -278,6 +278,37 @@ object Stats {
       .drop("lo_v", "hi_v")
   }
 
+  /** The continuous-domain / 100 TB tier of [[histogramQuantiles]]:
+    * Greenwald-Khanna `approx_percentile` per group — one pass,
+    * bounded sketch memory per (group, accuracy), mergeable across
+    * partitions. The exact histogram path shuffles one cell per
+    * DISTINCT value, which is scale-safe for integer metrics but
+    * degenerates to row count on continuous doubles — exactly the
+    * domain [[requireIntegral]] refuses. This tier accepts any
+    * numeric column; rank error is bounded by 1/accuracy of the
+    * group's row count. Same output shape: (group, prob, q_value).
+    * Test-gated (QuantilesApproxSpec measures error vs an exact
+    * driver-side sort); the integer-exact card stays oracle-gated.
+    */
+  def quantilesApprox(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      probs: Seq[Double],
+      accuracy: Int = 10000): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"probs must be within [0,1], got $probs")
+    df.groupBy(col(groupCol))
+      .agg(approx_percentile(col(valueCol), typedLit(probs), lit(accuracy)).as("qs"))
+      .select(
+        col(groupCol),
+        explode(arrays_zip(typedLit(probs).as("prob"), col("qs").as("q_value"))).as("pq"))
+      .select(
+        col(groupCol),
+        col("pq.prob").as("prob"),
+        col("pq.q_value").cast("double").as("q_value"))
+  }
+
   /** Column-level data profile — the ANALYZE/profiling primitive every
     * engine ships: per column, NULL count and exact distinct count,
     * plus the table row count. One aggregation pass (Spark expands the

@@ -1617,25 +1617,8 @@ object Similarity {
       nCentroids: Int = 16,
       learnedCentroids: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
     require(ef >= k, s"beam width ef=$ef must be >= k=$k")
-    val centroids = seedOrLearned(embeddings, idCol, vecCol, nCentroids, learnedCentroids)
-    val graph = knnGraph(embeddings, idCol, vecCol, knnK, nCentroids, Some(centroids))
-      .select(col(idCol).as("gs_src"), col("nbr_id").as("gs_nbr"))
-      .persist()
-    // one entry per bucket: same assignment expression every centroid
-    // consumer shares, then a per-bucket rank window
-    val asg = embeddings
-      .withColumn("v", transform(col(vecCol), x => x.cast("double")))
-      .withColumn("nrm", dot(col("v"), col("v")))
-      .withColumn("best", array_max(centroidCands(centroids)))
-      .select(
-        col(idCol),
-        (-col("best").getField("ncid")).as("bucket"),
-        col("best").getField("cos").as("ccos"))
-    val we = Window.partitionBy(col("bucket")).orderBy(desc("ccos"), col(idCol))
-    val entries = asg
-      .withColumn("rn", row_number().over(we))
-      .filter(col("rn") === 1)
-      .select(col(idCol))
+    val (graph, entries) =
+      graphAndEntries(embeddings, idCol, vecCol, knnK, nCentroids, learnedCentroids)
     def rescored(ids: DataFrame): DataFrame =
       ids
         .join(embeddings.select(col(idCol), col(vecCol)), Seq(idCol))
@@ -1655,6 +1638,93 @@ object Similarity {
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
       .withColumn("rank", row_number().over(rankWindow(idCol)))
+  }
+
+  /** Shared build for the graph-ANN tier: the persisted (src, nbr)
+    * neighbor-list relation and the one-entry-per-bucket relation
+    * (max cosine-to-own-centroid, ties to the smaller id — the same
+    * assignment expression every centroid consumer shares).
+    */
+  private def graphAndEntries(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      knnK: Int,
+      nCentroids: Int,
+      learnedCentroids: Option[Seq[(Int, Seq[Double])]]): (DataFrame, DataFrame) = {
+    val centroids = seedOrLearned(embeddings, idCol, vecCol, nCentroids, learnedCentroids)
+    val graph = knnGraph(embeddings, idCol, vecCol, knnK, nCentroids, Some(centroids))
+      .select(col(idCol).as("gs_src"), col("nbr_id").as("gs_nbr"))
+      .persist()
+    val asg = embeddings
+      .withColumn("v", transform(col(vecCol), x => x.cast("double")))
+      .withColumn("nrm", dot(col("v"), col("v")))
+      .withColumn("best", array_max(centroidCands(centroids)))
+      .select(
+        col(idCol),
+        (-col("best").getField("ncid")).as("bucket"),
+        col("best").getField("cos").as("ccos"))
+    val we = Window.partitionBy(col("bucket")).orderBy(desc("ccos"), col(idCol))
+    val entries = asg
+      .withColumn("rn", row_number().over(we))
+      .filter(col("rn") === 1)
+      .select(col(idCol))
+    (graph, entries)
+  }
+
+  /** Batch serving face of [[graphTopK]] — a query TABLE beam-searched
+    * in ONE composed plan (the [[ivfPqTopKBatch]] shape): the beam is
+    * a (qid, id, cos) relation over ALL queries at once, so each hop
+    * is one frontier⋈graph join + one rescore join for the whole
+    * batch instead of a plan branch per query. Per-query rank windows
+    * cut to `ef` (and finally `k`) — WindowGroupLimit bounds the
+    * sorts. Selection and cosine arithmetic are bit-identical to the
+    * single-query path (A/B spec-asserted).
+    *
+    * Output: (qid, id, cos, rank), rank 1..k per qid.
+    */
+  def graphTopKBatch(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: Seq[(Long, Seq[Double])],
+      k: Int,
+      ef: Int = 32,
+      hops: Int = 2,
+      knnK: Int = 8,
+      nCentroids: Int = 16,
+      learnedCentroids: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
+    require(ef >= k, s"beam width ef=$ef must be >= k=$k")
+    require(queries.nonEmpty, "graphTopKBatch needs at least one query")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (graph, entries) =
+      graphAndEntries(embeddings, idCol, vecCol, knnK, nCentroids, learnedCentroids)
+    val qdf  = queries.toDF("qid", "qvec")
+    val vecs = embeddings.select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("gs_v"))
+    val w    = Window.partitionBy(col("qid")).orderBy(desc("cos"), col(idCol))
+    def rescored(ids: DataFrame): DataFrame =
+      ids
+        .join(vecs, Seq(idCol))
+        .join(broadcast(qdf), Seq("qid"))
+        .select(col("qid"), col(idCol), round(cosine(col("gs_v"), col("qvec")), 6).as("cos"))
+    def cut(scored: DataFrame, n: Int): DataFrame =
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= n).drop("rn")
+    var beam = cut(rescored(entries.crossJoin(broadcast(qdf.select(col("qid"))))), ef)
+    var h = 0
+    while (h < hops) {
+      val expanded = beam
+        .select(col("qid"), col(idCol).as("gs_src"))
+        .join(graph, Seq("gs_src"))
+        .select(col("qid"), col("gs_nbr").as(idCol))
+      val candIds = beam.select(col("qid"), col(idCol)).union(expanded).distinct()
+      beam = cut(rescored(candIds), ef)
+      h += 1
+    }
+    beam
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col(idCol), col("cos"), col("rank"))
   }
 
   /** Semi-supervised label propagation (Zhu & Ghahramani 2002) over

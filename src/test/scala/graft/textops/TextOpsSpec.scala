@@ -1056,6 +1056,30 @@ class TextOpsSpec extends SparkSpec {
     assert(got == exact, s"got $got, exact $exact")
   }
 
+  test("graphTopKBatch: one composed plan equals the per-query loop bit-for-bit") {
+    def v(deg: Double) = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, 0f, math.sin(r).toFloat)
+    }
+    val df = (0 to 10).map(i => (i.toLong, v(i * 9.0))).toDF("vec_id", "embedding")
+    val queries = Seq(
+      100L -> Seq(math.cos(math.toRadians(13)), 0.0, math.sin(math.toRadians(13))),
+      200L -> Seq(math.cos(math.toRadians(71)), 0.0, math.sin(math.toRadians(71))),
+      300L -> Seq(0.0, 1.0, 0.0)) // orthogonal to the plane: all cos 0, id ties
+    val batch = Similarity.graphTopKBatch(df, "vec_id", "embedding", queries,
+      k = 4, ef = 6, hops = 2, knnK = 2, nCentroids = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    queries.foreach { case (qid, q) =>
+      val single = Similarity.graphTopK(df, "vec_id", "embedding", q,
+        k = 4, ef = 6, hops = 2, knnK = 2, nCentroids = 2)
+        .collect().map(r => r.getInt(2) -> ((r.getLong(0), r.getDouble(1)))).toMap
+      single.foreach { case (rank, want) =>
+        assert(batch((qid, rank)) == want, s"qid $qid rank $rank: ${batch((qid, rank))} vs $want")
+      }
+    }
+    assert(batch.size == 3 * 4)
+  }
+
   test("shardBalance: zero-load shards appear with rel_load 0, mean over ALL shards") {
     // 2 docs cannot populate 8 shards — the empty ones must still
     // show (the worst imbalance the audit exists to catch)
