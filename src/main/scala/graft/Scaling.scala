@@ -52,6 +52,7 @@ object Scaling {
     val layout = Set(
       "q_shard_assign", "q_mix_realize", "q_stratified_sample", "q_curriculum",
       "q_weighted_sample", "q_shard_balance", "q_class_balance_sample",
+      "q_mix_temperature",
       "q_seq_pack", "q_domain_mix", "q_dsir_weight", "q_winsorize", "q_quantile_disc",
       "q_value_histogram", "q_skew_salted_count", "q_data_card", "q_cube_quality",
       "q_rollup_tokens", "q_ks_length")
@@ -62,7 +63,8 @@ object Scaling {
       "q_cohort_retention", "q_rfm_segments", "q_window_rank", "q_set_intersect",
       "q_event_pivot", "q_event_transitions", "q_table_profile",
       "q_local_supplier_volume", "q_cust_order_dist", "q_set_except",
-      "q_late_ship_exists", "q_priority_mix")
+      "q_late_ship_exists", "q_priority_mix", "q_forecast_revenue",
+      "q_returned_revenue")
     if (q.startsWith("q_ann_") || ann(q)) "ann"
     else if (q.startsWith("q_dedup_") || dedup(q)) "dedup"
     else if (ws(q)) "weak_supervision"

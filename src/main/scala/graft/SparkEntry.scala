@@ -2034,6 +2034,59 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // selective-scan aggregate (TPC-H Q6's shape): revenue from a
+    // quantity/discount/date band — ONE filter that must reach the
+    // parquet scan as PushedFilters + one agg, no join, no shuffle
+    // beyond the final 1-row combine
+    "q_forecast_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+            col("l_discount") >= 0.02 && col("l_discount") <= 0.04 &&
+            col("l_quantity") < 24)
+        .agg(
+          round(sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)"))
+            .cast("double"), 6).as("revenue"),
+          count(lit(1)).as("n_items"))),
+
+    // returned-item revenue by customer (TPC-H Q10's shape): 3-table
+    // join, returnflag filter pushed to the lineitem scan, one keyed
+    // agg, TakeOrdered 20 — no global sort materializes
+    "q_returned_revenue" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).as("rev"))
+      rev.join(Tables.table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(
+          col("c_custkey"), col("c_name"),
+          round(col("rev").cast("double"), 6).as("revenue"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(20)
+    }),
+
+    // temperature-scaled mixture weights (the multilingual-corpus
+    // sampling recipe: p_i ∝ c_i^α flattens head sources, α=0.5) —
+    // one tiny source-count agg + scalar math, the card a data-mix
+    // designer reads before q_mix_realize
+    "q_mix_temperature" -> ((s, dir) => {
+      val counts = docs(s, dir).groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val wAll   = Window.partitionBy()
+      counts
+        .withColumn("w", sqrt(col("n_docs").cast("double")))
+        .withColumn("p_raw", col("n_docs").cast("double") / sum(col("n_docs")).over(wAll))
+        .withColumn("p_temp", col("w") / sum(col("w")).over(wAll))
+        .select(
+          col("source"), col("n_docs"),
+          round(col("p_raw"), 6).as("p_raw"),
+          round(col("p_temp"), 6).as("p_temp"),
+          round(col("p_temp") / col("p_raw"), 6).as("upweight"))
+        .orderBy(col("source"))
+    }),
+
     // EXISTS semi-join volume shape (TPC-H Q4's plan): orders with at
     // least one lineitem shipped > 30 days after the order date,
     // counted by priority — a LeftSemi the optimizer must NOT expand
@@ -4811,6 +4864,32 @@ object SparkEntry {
          JOIN customer c ON o.o_custkey = c.c_custkey
          WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-01-01'
          ORDER BY revenue DESC, order_date, r.l_orderkey LIMIT 10""",
+
+    "q_forecast_revenue" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE), 6) AS revenue,
+                count(*) AS n_items
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND l_discount >= 0.02 AND l_discount <= 0.04 AND l_quantity < 24""",
+
+    "q_returned_revenue" ->
+      """WITH rev AS (SELECT o.o_custkey,
+                             sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS rev
+                      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                      WHERE l.l_returnflag = 'R'
+                      GROUP BY o.o_custkey)
+         SELECT c.c_custkey, c.c_name, round(CAST(r.rev AS DOUBLE), 6) AS revenue
+         FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
+         ORDER BY revenue DESC, c.c_custkey LIMIT 20""",
+
+    "q_mix_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+          t AS (SELECT sum(CAST(n_docs AS DOUBLE)) AS tot, sum(sqrt(CAST(n_docs AS DOUBLE))) AS wtot FROM c)
+         SELECT c.source, c.n_docs,
+                round(CAST(c.n_docs AS DOUBLE) / t.tot, 6) AS p_raw,
+                round(sqrt(CAST(c.n_docs AS DOUBLE)) / t.wtot, 6) AS p_temp,
+                round((sqrt(CAST(c.n_docs AS DOUBLE)) / t.wtot) / (CAST(c.n_docs AS DOUBLE) / t.tot), 6) AS upweight
+         FROM c, t ORDER BY c.source""",
 
     "q_late_ship_exists" ->
       """SELECT o_orderpriority, count(*) AS order_count

@@ -629,6 +629,52 @@ object StreamingExtract {
       }
   }
 
+  /** State for [[classQuotaStream]]: the class's kept (mkey, id)
+    * pairs, smallest content-hash keys first.
+    */
+  final case class QuotaState(items: Seq[(String, Long)])
+
+  /** One kept row per (class, rank) — a snapshot per trigger. */
+  final case class QuotaItem(cls: String, rn: Int, id: Long, mkey: String)
+
+  /** Streaming twin of the class-balanced cap
+    * (q_class_balance_sample): per class, keep the `k` rows with the
+    * SMALLEST md5(id) keys ACROSS triggers — at any moment the state
+    * equals the batch cap over everything seen so far, so a
+    * small-key arrival in a late trigger displaces an earlier kept
+    * row (the property a per-batch window cannot give). Content-hash
+    * keys, no RNG: replayable and checkpoint-stable.
+    *
+    * State scales by class count × k (tiny); groups are REAL here
+    * (one per class), so the reduction parallelizes across classes,
+    * unlike the single-group reservoir.
+    */
+  def classQuotaStream(
+      rows: DataFrame,
+      classCol: String,
+      idCol: String,
+      k: Int): Dataset[QuotaItem] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val keyed = rows
+      .select(
+        col(classCol).cast("string"),
+        col(idCol).cast("long"),
+        md5(col(idCol).cast("string").cast("binary")).as("mkey"))
+      .as[(String, Long, String)]
+    keyed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[QuotaState, QuotaItem](
+        org.apache.spark.sql.streaming.OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (cls: String, it: Iterator[(String, Long, String)], state: GroupState[QuotaState]) =>
+          val prev = state.getOption.map(_.items).getOrElse(Seq.empty)
+          // (mkey asc, id asc) — the exact batch window order
+          val merged = (prev ++ it.map(t => (t._3, t._2))).distinct.sorted.take(k)
+          state.update(QuotaState(merged))
+          merged.zipWithIndex.iterator.map { case ((mk, id), i) => QuotaItem(cls, i + 1, id, mk) }
+      }
+  }
+
   /** Streaming-native windowed aggregation over an event stream:
     * watermark + sliding window counts (the shape `events` exercises).
     */

@@ -478,6 +478,40 @@ class StreamingExtractSpec extends SparkSpec {
     assert(snap2.head == 21L, "heavy item leads the reservoir")
   }
 
+  test("classQuotaStream: cross-trigger per-class cap equals the batch cap on the union") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(String, Long)]
+    val res = StreamingExtract.classQuotaStream(
+      in.toDF().toDF("lang", "doc_id"), "lang", "doc_id", k = 2)
+    val q = res.writeStream.outputMode("append").format("memory").queryName("quota_out").start()
+    val t1 = Seq(("en", 1L), ("en", 2L), ("en", 3L), ("fr", 10L))
+    in.addData(t1: _*)
+    q.processAllAvailable()
+    val snap1 = spark.table("quota_out").collect()
+    assert(snap1.count(_.getString(0) == "en") == 2 && snap1.count(_.getString(0) == "fr") == 1)
+    // trigger 2: more ids — whichever carry smaller md5 keys must
+    // DISPLACE trigger-1 members (a per-batch window cannot do this)
+    val t2 = Seq(("en", 4L), ("en", 5L), ("fr", 11L), ("fr", 12L))
+    in.addData(t2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val all   = spark.table("quota_out").collect()
+    val snap2 = all.drop(snap1.length)
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // batch reference: per class, the 2 smallest md5(id) keys of the UNION
+    val batch = (t1 ++ t2).toDF("lang", "doc_id")
+      .select(col("lang"), col("doc_id"),
+        md5(col("doc_id").cast("string").cast("binary")).as("mkey"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).toSeq.flatMap { case (cls, xs) =>
+        xs.sortBy(x => (x._3, x._2)).take(2).zipWithIndex
+          .map { case (x, i) => (cls, i + 1) -> x._2 }.toSeq
+      }.toMap
+    assert(snap2 == batch, s"streaming $snap2 vs batch $batch")
+  }
+
   test("heavyHittersStream: a token heavy only ACROSS triggers survives in state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
