@@ -169,9 +169,11 @@ object Profiler {
     *
     * Scale shape: gold is human-labeled (broadcast everywhere); the
     * only corpus-proportional relation is pred (extraction-sized),
-    * persisted once and scanned per slice; every output is
-    * metrics-sized. Output: (stage, slice, metric, value) rounded
-    * 6dp, ordered — ready for the results-sink.
+    * persisted once; all five OpenIE slices are scored by ONE
+    * slice-tagged full-outer aggregation (not an action per slice),
+    * and every output is metrics-sized. Output: (stage, slice,
+    * metric, value) rounded 6dp, ordered — ready for the
+    * results-sink.
     */
   def evaluateEndToEnd(
       rankedAttrs: DataFrame,
@@ -213,45 +215,64 @@ object Profiler {
       .selectExpr(
         "stack(3, 'avg_f1', avg_f1, 'med_f1', med_f1, 'extraction_fraction', extraction_fraction) as (metric, value)")
       .select(lit("extraction").as("stage"), lit("all").as("slice"), col("metric"), col("value"))
-    // stage 3: OpenIE set-P/R/F1 per gold-derived attribute slice
+    // stage 3: OpenIE set-P/R/F1 per gold-derived attribute slice —
+    // ONE relational aggregation for all five slices (the per-slice
+    // setPrf-action form re-scanned the inputs 5×; this is also the
+    // exact shape the DuckDB oracle replays). Reference skip rule
+    // (evaluate_synthetic.py:395-398): a pred attribute belonging to
+    // a DIFFERENT slice is skipped, but an attribute outside the
+    // gold schema entirely stays in pred_set for EVERY slice —
+    // hallucinated attributes hurt precision everywhere (an empty
+    // slice then reads P = 0/np = 0, R = 0, F1 = 0, identical to a
+    // short-circuit).
     val totalDocs = gold.select(col("path")).distinct().count()
-    val sliceInfo = graft.eval.Harness
+    val sl = graft.eval.Harness
       .attrSlices(gold, totalDocs)
       .select(col("attribute"), col("head_attr"), col("structured"))
-      .collect()
-    val sliceSets: Seq[(String, Set[String])] = Seq(
-      "all"          -> sliceInfo.map(_.getString(0)).toSet,
-      "head"         -> sliceInfo.filter(_.getBoolean(1)).map(_.getString(0)).toSet,
-      "tail"         -> sliceInfo.filter(!_.getBoolean(1)).map(_.getString(0)).toSet,
-      "structured"   -> sliceInfo.filter(_.getBoolean(2)).map(_.getString(0)).toSet,
-      "unstructured" -> sliceInfo.filter(!_.getBoolean(2)).map(_.getString(0)).toSet)
+    val smem = sl.select(lit("all").as("sname"), col("attribute"))
+      .unionByName(sl.filter(col("head_attr")).select(lit("head").as("sname"), col("attribute")))
+      .unionByName(sl.filter(!col("head_attr")).select(lit("tail").as("sname"), col("attribute")))
+      .unionByName(sl.filter(col("structured")).select(lit("structured").as("sname"), col("attribute")))
+      .unionByName(sl.filter(!col("structured")).select(lit("unstructured").as("sname"), col("attribute")))
+    val snames = Seq("all", "head", "tail", "structured", "unstructured").toDF("sname")
     def cleanTriples(df: DataFrame): DataFrame =
       df.select(col("path"), col("attribute"), lower(trim(col("value"))).as("value"))
         .filter(col("value").isNotNull && length(col("value")) > 0)
-    val pTrip   = cleanTriples(mapped)
-    val gTrip   = cleanTriples(gold)
-    val allGold = sliceSets.head._2
-    val prfRows = sliceSets.map { case (name, attrs) =>
-      if (attrs.isEmpty) (name, 0.0, 0.0, 0.0)
-      else {
-        // reference skip rule (evaluate_synthetic.py:395-398): a pred
-        // attribute belonging to a DIFFERENT slice is skipped, but an
-        // attribute outside the gold schema entirely stays in
-        // pred_set — hallucinated attributes hurt precision in every
-        // slice
-        val r = graft.eval.Harness
-          .setPrf(
-            pTrip.filter(
-              col("attribute").isin(attrs.toSeq: _*) ||
-                !col("attribute").isin(allGold.toSeq: _*)),
-            gTrip.filter(col("attribute").isin(attrs.toSeq: _*)),
-            Seq("path", "attribute", "value"))
-          .head()
-        (name, r.getDouble(0), r.getDouble(1), r.getDouble(2))
-      }
-    }
-    val openieRows = prfRows
-      .toDF("slice", "precision", "recall", "f1")
+    val pTrip = cleanTriples(mapped)
+    val gTrip = cleanTriples(gold)
+    val pTagged = pTrip
+      .join(broadcast(smem), Seq("attribute"))
+      .unionByName(
+        pTrip
+          .join(broadcast(goldAttrs), Seq("attribute"), "left_anti")
+          .crossJoin(broadcast(snames)))
+      .select(col("sname"), col("path"), col("attribute"), col("value"))
+      .distinct()
+      .withColumn("in_p", lit(1))
+    val gTagged = gTrip
+      .join(broadcast(smem), Seq("attribute"))
+      .select(col("sname"), col("path"), col("attribute"), col("value"))
+      .distinct()
+      .withColumn("in_g", lit(1))
+    val prf = pTagged
+      .join(gTagged, Seq("sname", "path", "attribute", "value"), "full_outer")
+      .groupBy(col("sname"))
+      .agg(
+        sum(coalesce(col("in_p"), lit(0))).cast("double").as("np"),
+        sum(coalesce(col("in_g"), lit(0))).cast("double").as("ng"),
+        sum(coalesce(col("in_p"), lit(0)) * coalesce(col("in_g"), lit(0))).cast("double").as("ni"))
+    val prfFull = broadcast(snames)
+      .join(prf, Seq("sname"), "left")
+      .select(
+        col("sname").as("slice"),
+        when(coalesce(col("np"), lit(0.0)) > 0.0, col("ni") / col("np")).otherwise(0.0).as("precision"),
+        when(coalesce(col("ng"), lit(0.0)) > 0.0, col("ni") / col("ng")).otherwise(0.0).as("recall"))
+      .withColumn(
+        "f1",
+        when(col("precision") + col("recall") > 0.0,
+          lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall")))
+          .otherwise(0.0))
+    val openieRows = prfFull
       .selectExpr("slice", "stack(3, 'precision', precision, 'recall', recall, 'f1', f1) as (metric, value)")
       .select(lit("openie").as("stage"), col("slice"), col("metric"), col("value"))
     // `mapped` stays persisted while the returned relation is
