@@ -64,7 +64,7 @@ object Scaling {
       "q_event_pivot", "q_event_transitions", "q_table_profile",
       "q_local_supplier_volume", "q_cust_order_dist", "q_set_except",
       "q_late_ship_exists", "q_priority_mix", "q_forecast_revenue",
-      "q_returned_revenue")
+      "q_returned_revenue", "q_nation_trade", "q_inter_event_gap")
     if (q.startsWith("q_ann_") || ann(q)) "ann"
     else if (q.startsWith("q_dedup_") || dedup(q)) "dedup"
     else if (ws(q)) "weak_supervision"

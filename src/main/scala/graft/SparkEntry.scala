@@ -1624,6 +1624,26 @@ object SparkEntry {
       Curation.paragraphDedup(docs(s, dir), "doc_id", "text", sepRegex = " the ")
         .orderBy(col("doc_id"))),
 
+    // shared-prefix clusters — the crawl-boilerplate signature the
+    // exact/paragraph/shingle dedups all miss: docs opening with the
+    // SAME first-8-token header (think injected site banners) group
+    // on the prefix hash; one hash agg, emitted only where a cluster
+    // forms. Output: (prefix_hash, n_docs, min_doc_id, prefix)
+    "q_dedup_prefix" -> ((s, dir) => {
+      val toks   = filter(split(col("text"), " "), t => length(t) > 0)
+      val prefix = array_join(slice(toks, 1, 8), " ")
+      docs(s, dir)
+        .select(col("doc_id"), prefix.as("prefix"))
+        .filter(size(filter(split(col("prefix"), " "), t => length(t) > 0)) >= 8)
+        .groupBy(md5(col("prefix").cast("binary")).as("prefix_hash"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc_id"),
+          min(col("prefix")).as("prefix"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("prefix_hash"))
+    }),
+
     // training-data ops: DSIR importance weights — log-likelihood
     // ratio of target (lang='en') vs background unigram LMs, the
     // cheap "more data like this slice" selection filter
@@ -2032,6 +2052,33 @@ object SparkEntry {
           col("o_orderpriority"))
         .orderBy(desc("revenue"), col("order_date"), col("l_orderkey"))
         .limit(10)
+    }),
+
+    // two-sided nation-pair trade volume (TPC-H Q7's shape): the
+    // 6-table join where lineitem shuffles ONCE on orderkey and once
+    // on suppkey while customer/supplier/nation broadcast; the
+    // nation filter lands on both broadcast sides before the fact
+    // join, so pair pruning happens at the build
+    "q_nation_trade" -> ((s, dir) => {
+      val nations = Seq("NATION_18", "NATION_19", "NATION_20", "NATION_21")
+      val n = Tables.table(s, dir, "nation").filter(col("n_name").isin(nations: _*))
+      val su = Tables.table(s, dir, "supplier")
+        .join(broadcast(n.select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cu = Tables.table(s, dir, "customer")
+        .join(broadcast(n.select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("cn_key"))
+        .select(col("c_custkey"), col("cust_nation"))
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cu), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("ship_year"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double"), 6).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
     }),
 
     // selective-scan aggregate (TPC-H Q6's shape): revenue from a
@@ -2448,6 +2495,21 @@ object SparkEntry {
           date_format(col("end_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("end_ts"),
           col("duration_sec"))
         .orderBy(col("user_id"), col("session_idx"))),
+
+    // inter-arrival distribution — the ops-analytics gauge next to
+    // sessionize: per event type, median/p90 seconds since the same
+    // user's previous event (gap attributed to the LATER event's
+    // type). One user-keyed lag window, then the histogram-quantile
+    // path (state = distinct gap values, never row buffers)
+    "q_inter_event_gap" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gaps = events(s, dir)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("prev_us").isNotNull)
+        .select(col("event_type"), expr("(unix_micros(ts) - prev_us) div 1000000").as("gap_sec"))
+      graft.relops.Stats.histogramQuantiles(gaps, "event_type", "gap_sec", Seq(0.5, 0.9))
+        .orderBy(col("event_type"), col("prob"))
+    }),
 
     // north-star event op: ordered conversion funnel — stage k must
     // complete STRICTLY after stage k−1's first qualifying event;
@@ -4828,6 +4890,27 @@ object SparkEntry {
                  (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_sec
           FROM a GROUP BY user_id, session_idx ORDER BY user_id, session_idx""",
 
+    "q_dedup_prefix" ->
+      """WITH p AS (SELECT doc_id,
+                           array_to_string((list_filter(string_split(text, ' '), x -> len(x) > 0))[1:8], ' ') AS prefix
+                    FROM documents),
+          f AS (SELECT doc_id, prefix FROM p
+                WHERE len(list_filter(string_split(prefix, ' '), x -> len(x) > 0)) >= 8)
+         SELECT md5(prefix) AS prefix_hash, count(*) AS n_docs,
+                min(doc_id) AS min_doc_id, min(prefix) AS prefix
+         FROM f GROUP BY md5(prefix) HAVING count(*) >= 2
+         ORDER BY prefix_hash""",
+
+    "q_inter_event_gap" ->
+      """WITH g AS (SELECT event_type,
+                           (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS gap_sec
+                    FROM events),
+          f AS (SELECT event_type, gap_sec FROM g WHERE gap_sec IS NOT NULL)
+         SELECT event_type, CAST(0.5 AS DOUBLE) AS prob, CAST(quantile_disc(gap_sec, 0.5) AS BIGINT) AS q_value FROM f GROUP BY event_type
+         UNION ALL
+         SELECT event_type, CAST(0.9 AS DOUBLE), CAST(quantile_disc(gap_sec, 0.9) AS BIGINT) FROM f GROUP BY event_type
+         ORDER BY event_type, prob""",
+
     "q_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'signup' GROUP BY user_id),
           s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id
@@ -4864,6 +4947,22 @@ object SparkEntry {
          JOIN customer c ON o.o_custkey = c.c_custkey
          WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1998-01-01'
          ORDER BY revenue DESC, order_date, r.l_orderkey LIMIT 10""",
+
+    "q_nation_trade" ->
+      """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                CAST(year(l.l_shipdate) AS INT) AS ship_year,
+                round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE), 6) AS revenue
+         FROM lineitem l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+         JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+         WHERE ns.n_name IN ('NATION_18', 'NATION_19', 'NATION_20', 'NATION_21')
+           AND nc.n_name IN ('NATION_18', 'NATION_19', 'NATION_20', 'NATION_21')
+           AND ns.n_name <> nc.n_name
+         GROUP BY 1, 2, 3
+         ORDER BY 1, 2, 3""",
 
     "q_forecast_revenue" ->
       """SELECT round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE), 6) AS revenue,
