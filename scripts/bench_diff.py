@@ -60,10 +60,17 @@ def main():
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
     flagged = []
+    fixed = []
     rows = []
     for q in common:
         o, n = old[q], new[q]
-        ratio = (n / o) if o > 0 else float("inf") if n > 0 else 1.0
+        # Bench records 0.0 for a query that FAILED that round — a
+        # nonzero new reading is a fix, not a regression
+        if o == 0.0:
+            if n > 0.0:
+                fixed.append(q)
+            continue
+        ratio = n / o
         flag = n > o * ratio_bar and n - o > abs_bar
         if flag:
             flagged.append(q)
@@ -76,6 +83,8 @@ def main():
     for ratio, q, o, n, flag in rows[:25]:
         mark = "  <-- REGRESSION" if flag else ""
         print(f"{ratio:7.2f} {o:8.3f} {n:8.3f}  {q}{mark}")
+    if fixed:
+        print(f"\nfixed (failed in old round, running now): {', '.join(fixed)}")
     if added:
         print(f"\nnew keys: {', '.join(added)}")
     if removed:

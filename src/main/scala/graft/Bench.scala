@@ -226,9 +226,14 @@ object Bench {
               failed += name
               System.err.println(s"[bench] scaling $name@$sf: ${e.getMessage}")
             }
+            // the FULL current-SF protocol, per query: leftover
+            // persisted frames and GC debt otherwise contaminate the
+            // next query's sibling reading exactly as they did the
+            // main loop's (the r2 q_dedup_clusters 13.4s-vs-4.2s
+            // lesson), skewing fitted slopes
+            spark.catalog.clearCache()
+            System.gc()
           }
-          spark.catalog.clearCache()
-          System.gc()
         }
         val sfs = (siblings.map(_._2) :+ cur).sorted
         val famTimes: Map[String, Seq[(Double, Double)]] = times.toSeq

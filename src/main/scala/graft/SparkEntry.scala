@@ -3186,8 +3186,10 @@ object SparkEntry {
                    GROUP BY pa.attribute),
           mapped AS (SELECT p.path, coalesce(m.gold_attr, p.attribute) AS attribute, p.value
                      FROM p LEFT JOIN amap m ON p.attribute = m.attr_a),
-          cells AS (SELECT g.value AS gold, coalesce(mp.value, '') AS pred
-                    FROM g LEFT JOIN mapped mp ON g.path = mp.path AND g.attribute = mp.attribute),
+          onep AS (SELECT path, attribute, min(value) AS pred
+                   FROM mapped GROUP BY path, attribute),
+          cells AS (SELECT g.value AS gold, coalesce(op.pred, '') AS pred
+                    FROM g LEFT JOIN onep op ON g.path = op.path AND g.attribute = op.attribute),
           ext AS (SELECT avg(CASE WHEN pred = gold THEN 1.0 ELSE 0.0 END) AS avg_f1,
                          quantile_cont(CASE WHEN pred = gold THEN 1.0 ELSE 0.0 END, 0.5) AS med_f1,
                          avg(CASE WHEN trim(gold) <> '' AND lower(trim(gold)) <> 'none' THEN 1.0 ELSE 0.0 END) AS extraction_fraction
@@ -3211,7 +3213,7 @@ object SparkEntry {
           pslice AS (SELECT DISTINCT sn.sname, t.path, t.attribute, t.value
                      FROM snames sn CROSS JOIN ptrip t
                      WHERE t.attribute IN (SELECT attribute FROM smem m WHERE m.sname = sn.sname)
-                        OR t.attribute NOT IN (SELECT attribute FROM gattrs)),
+                        OR t.attribute NOT IN (SELECT attribute FROM sl)),
           gslice AS (SELECT DISTINCT sn.sname, t.path, t.attribute, t.value
                      FROM snames sn CROSS JOIN gtrip t
                      WHERE t.attribute IN (SELECT attribute FROM smem m WHERE m.sname = sn.sname)),

@@ -203,12 +203,19 @@ object Profiler {
       .join(broadcast(aliasMap), pred("attribute") === aliasMap("attr_a"), "left")
       .select(col("path"), coalesce(col("gold_attr"), pred("attribute")).as("attribute"), col("value"))
       .persist()
-    // stage 2: ClosedIE token-F1 over every gold cell (missing pred = abstain)
+    // stage 2: ClosedIE token-F1 over every gold cell (missing pred =
+    // abstain). EXACTLY ONE pred scores per gold cell — aliasing can
+    // legitimately land several pred rows on one (path, attribute)
+    // (e.g. 'topic' and 'topics' both mapping to gold 'topic'), and
+    // an un-deduped left join would fan the gold cell out N×,
+    // multiply-weighting it in avg/median F1. Deterministic pick:
+    // lexicographically smallest value.
+    val onePred = mapped
+      .groupBy(col("path"), col("attribute"))
+      .agg(min(col("value")).as("pred"))
     val cells = gold
       .select(col("path"), col("attribute"), col("value").as("gold"))
-      .join(
-        mapped.select(col("path"), col("attribute"), col("value").as("pred")),
-        Seq("path", "attribute"), "left")
+      .join(onePred, Seq("path", "attribute"), "left")
       .select(lit(1).as("grp"), coalesce(col("pred"), lit("")).as("pred"), col("gold"))
     val extractionRows = Score
       .f1Metrics(cells, Seq("grp"))
@@ -240,11 +247,16 @@ object Profiler {
         .filter(col("value").isNotNull && length(col("value")) > 0)
     val pTrip = cleanTriples(mapped)
     val gTrip = cleanTriples(gold)
+    // "outside the gold schema" means: not in any SLICE — a gold
+    // attribute whose values are ALL empty never enters attrSlices,
+    // and preds against it must still penalize precision everywhere
+    // rather than silently vanish from the comparison
+    val slicedAttrs = sl.select(col("attribute"))
     val pTagged = pTrip
       .join(broadcast(smem), Seq("attribute"))
       .unionByName(
         pTrip
-          .join(broadcast(goldAttrs), Seq("attribute"), "left_anti")
+          .join(broadcast(slicedAttrs), Seq("attribute"), "left_anti")
           .crossJoin(broadcast(snames)))
       .select(col("sname"), col("path"), col("attribute"), col("value"))
       .distinct()

@@ -62,30 +62,44 @@ object Multimodal {
         }
         return Some(("png", be32(bytes, 16), be32(bytes, 20), ch))
       }
-      // GIF: 6-byte version, logical screen descriptor (LE dims)
-      if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F')
+      // GIF: FULL 6-byte magic (a bare 'GIF' prefix would claim any
+      // text starting "GIFT..."), then the logical screen descriptor
+      if (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8' &&
+        (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a')
         return Some(("gif", le16(bytes, 6), le16(bytes, 8), 3))
-      // BMP: 'BM', dims LE at 18/22 (height may be negative =
-      // top-down), channels from bits-per-pixel at 28
+      // BMP: 'BM' alone is weak — also require a known DIB header
+      // size at offset 14 before trusting the dims (LE at 18/22;
+      // height may be negative = top-down), channels from bpp at 28
       if (bytes(0) == 'B' && bytes(1) == 'M' && bytes.length >= 30) {
-        val bpp = le16(bytes, 28)
-        return Some(("bmp", le32(bytes, 18), math.abs(le32(bytes, 22)), math.max(1, bpp / 8)))
+        val dib = le32(bytes, 14)
+        if (Set(12, 40, 52, 56, 64, 108, 124).contains(dib)) {
+          val bpp = le16(bytes, 28)
+          return Some(("bmp", le32(bytes, 18), math.abs(le32(bytes, 22)), math.max(1, bpp / 8)))
+        }
+        return None
       }
       // JPEG: walk the marker segments to the first SOFn frame header
-      // (precision, height BE, width BE, component count)
+      // (precision, height BE, width BE, component count). 0xFF fill
+      // bytes before a marker are spec-legal — skip them; standalone
+      // markers (SOI/EOI/RSTn/TEM) carry no length segment.
       if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
         var p = 2
         while (p + 9 < bytes.length) {
           if ((bytes(p) & 0xff) != 0xff) return None // lost sync
-          val marker = bytes(p + 1) & 0xff
-          if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) p += 2
+          if ((bytes(p + 1) & 0xff) == 0xff) p += 1  // fill byte
           else {
-            val segLen = be16(bytes, p + 2)
-            val isSof = marker >= 0xc0 && marker <= 0xcf &&
-              marker != 0xc4 && marker != 0xc8 && marker != 0xcc
-            if (isSof)
-              return Some(("jpeg", be16(bytes, p + 7), be16(bytes, p + 5), bytes(p + 9) & 0xff))
-            p += 2 + segLen
+            val marker = bytes(p + 1) & 0xff
+            if (marker == 0xd8 || marker == 0xd9 ||
+              (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) p += 2
+            else {
+              val segLen = be16(bytes, p + 2)
+              if (segLen < 2) return None // corrupt length
+              val isSof = marker >= 0xc0 && marker <= 0xcf &&
+                marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+              if (isSof)
+                return Some(("jpeg", be16(bytes, p + 7), be16(bytes, p + 5), bytes(p + 9) & 0xff))
+              p += 2 + segLen
+            }
           }
         }
         return None

@@ -1644,6 +1644,16 @@ object Similarity {
     * neighbor-list relation and the one-entry-per-bucket relation
     * (max cosine-to-own-centroid, ties to the smaller id — the same
     * assignment expression every centroid consumer shares).
+    *
+    * The corpus is assignment-scanned ONCE: the (id, bucket, ccos,
+    * v, nrm) relation is persisted, BOTH the knnK neighbor lists
+    * (identical rank rule to [[knnGraph]], rounded cos desc then
+    * nbr id) and the entries derive from it, the graph is
+    * materialized, the tiny entry set is locally checkpointed, and
+    * the assignment cache is released — ONE resident artifact
+    * remains (the graph: the index a serving session deliberately
+    * keeps; repeated single-query callers should batch via
+    * [[graphTopKBatch]] or clear it when done).
     */
   private def graphAndEntries(
       embeddings: DataFrame,
@@ -1653,9 +1663,6 @@ object Similarity {
       nCentroids: Int,
       learnedCentroids: Option[Seq[(Int, Seq[Double])]]): (DataFrame, DataFrame) = {
     val centroids = seedOrLearned(embeddings, idCol, vecCol, nCentroids, learnedCentroids)
-    val graph = knnGraph(embeddings, idCol, vecCol, knnK, nCentroids, Some(centroids))
-      .select(col(idCol).as("gs_src"), col("nbr_id").as("gs_nbr"))
-      .persist()
     val asg = embeddings
       .withColumn("v", transform(col(vecCol), x => x.cast("double")))
       .withColumn("nrm", dot(col("v"), col("v")))
@@ -1663,12 +1670,34 @@ object Similarity {
       .select(
         col(idCol),
         (-col("best").getField("ncid")).as("bucket"),
-        col("best").getField("cos").as("ccos"))
+        col("best").getField("cos").as("ccos"),
+        col("v"), col("nrm"))
+      .persist()
+    val a = asg.select(col("bucket"), col(idCol).as("gs_src"), col("v").as("va"), col("nrm").as("na"))
+    val b = asg.select(col("bucket"), col(idCol).as("gs_nbr"), col("v").as("vb"), col("nrm").as("nb"))
+    val wg = Window.partitionBy(col("gs_src")).orderBy(desc("gcos"), col("gs_nbr"))
+    val graph = a
+      .join(b, Seq("bucket"))
+      .filter(col("gs_src") =!= col("gs_nbr"))
+      .select(
+        col("gs_src"),
+        col("gs_nbr"),
+        round(
+          when(col("na") === 0.0 || col("nb") === 0.0, 0.0)
+            .otherwise(dot(col("va"), col("vb")) / (sqrt(col("na")) * sqrt(col("nb")))),
+          6).as("gcos"))
+      .withColumn("rn", row_number().over(wg))
+      .filter(col("rn") <= knnK)
+      .select(col("gs_src"), col("gs_nbr"))
+      .persist()
+    graph.count() // materialize so the assignment cache can drop now
     val we = Window.partitionBy(col("bucket")).orderBy(desc("ccos"), col(idCol))
     val entries = asg
       .withColumn("rn", row_number().over(we))
       .filter(col("rn") === 1)
       .select(col(idCol))
+      .localCheckpoint() // nCentroids rows, eager — frees asg below
+    asg.unpersist()
     (graph, entries)
   }
 

@@ -90,6 +90,38 @@ class EvaluateEndToEndSpec extends SparkSpec {
     assert(got(("openie", "unstructured", "f1")) == 0.888889)
   }
 
+  test("edge cases: duplicate aliased preds score once; all-empty gold attrs still penalize") {
+    // gold: 'topic' on two docs, plus 'notes' whose gold values are
+    // ALL empty (so it enters no slice)
+    val gold = Seq(
+      ("d1", "topic", "t"), ("d2", "topic", "t"),
+      ("d1", "notes", ""), ("d2", "notes", "")).toDF("path", "attribute", "value")
+    // pred: BOTH 'topic' and 'topics' rows land on d1's gold cell via
+    // aliasing — the cell must score ONCE (min value = 'a' → F1 0,
+    // not the average of two fan-out rows); d2 correct; pred 'notes'
+    // values exist and must hurt precision in EVERY slice
+    val pred = Seq(
+      ("d1", "topic", "t"), ("d1", "topics", "a"),
+      ("d2", "topic", "t"),
+      ("d1", "notes", "x"), ("d2", "notes", "y")).toDF("path", "attribute", "value")
+    val ranked = Seq(("topic", 1)).toDF("field", "rank")
+    val got = metricMap(Profiler.evaluateEndToEnd(ranked, pred, gold, ks = Seq(1)))
+    // dedup pick = min("a","t") = "a" on d1 → F1 0; d2 → 1; notes
+    // cells have empty gold+pred... gold '' rows: F1(pred vs '') —
+    // d1 notes pred 'x' vs gold '' → 0; d2 'y' vs '' → 0.
+    // avg over 4 gold cells = (0 + 1 + 0 + 0) / 4
+    assert(got(("extraction", "all", "avg_f1")) == 0.25)
+    // extraction_fraction counts non-empty golds only: 2/4
+    assert(got(("extraction", "all", "extraction_fraction")) == 0.5)
+    // openie 'all': gold triples = 2 (notes empties filtered); pred
+    // triples after aliasing/cleaning = d1:{topic a, topic t, notes x},
+    // d2:{topic t, notes y} = 5; overlap = {d1 topic t, d2 topic t} =
+    // 2 → P 2/5, R 1 (notes is NOT in any slice, so its preds count
+    // against precision but define no recall mass)
+    assert(got(("openie", "all", "precision")) == 0.4)
+    assert(got(("openie", "all", "recall")) == 1.0)
+  }
+
   test("txt golden lake: one call reproduces the reference's eval tables") {
     val lakeDir = new java.io.File("src/test/resources/goldlake").getAbsolutePath
     val attrs   = Seq("510(k) number", "applicant", "device name", "decision date")

@@ -102,6 +102,20 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.MediaCodec.imageHeader("fake-image-bytes-aaaa".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.MediaCodec.imageHeader(null).isEmpty)
     assert(Multimodal.MediaCodec.imageHeader(Array[Byte](0x42)).isEmpty)
+    // weak-magic traps: text that merely STARTS like a magic number
+    // must not be claimed with garbage dimensions
+    assert(Multimodal.MediaCodec.imageHeader(
+      "GIFT CARD OFFER inside this very long payload".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.MediaCodec.imageHeader(
+      "BMW motorcycles are fast and this is long enough".getBytes("UTF-8")).isEmpty)
+    // JPEG with a spec-legal 0xFF fill byte before the SOF marker
+    val plainJpg = encodeImage("jpg", 9, 4, Seq.fill(36)(200))
+    val sofIdx = plainJpg.indices.drop(2).find(i =>
+      (plainJpg(i) & 0xff) == 0xff && (plainJpg(i + 1) & 0xff) >= 0xc0 &&
+        (plainJpg(i + 1) & 0xff) <= 0xc3).get
+    val padded = plainJpg.take(sofIdx) ++ Array(0xff.toByte) ++ plainJpg.drop(sofIdx)
+    assert(Multimodal.MediaCodec.imageHeader(padded).contains(("jpeg", 9, 4, 3)),
+      s"fill-byte jpeg: ${Multimodal.MediaCodec.imageHeader(padded)}")
   }
 
   test("decodeFeatures on a real PNG: hand-computed luminance grid") {
