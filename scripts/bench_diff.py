@@ -28,8 +28,11 @@ def load_queries(path):
             return arr["queries"]
     except json.JSONDecodeError:
         pass
-    # fall back: scan for a queries line inside arbitrary captured text
-    for m in re.finditer(r'\{"metric":"queries".*?\}\}', text):
+    # fall back: scan for a queries line inside arbitrary captured
+    # text. The emitted line ends `...,"sf":"<dir>"}` (the queries map
+    # closes with `},"key_notes"`), so match that full shape rather
+    # than a `}}` substring the line never contains.
+    for m in re.finditer(r'\{"metric":"queries".*?"sf":"[^"]*"\}', text):
         try:
             return json.loads(m.group(0))["queries"]
         except json.JSONDecodeError:

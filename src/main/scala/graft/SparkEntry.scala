@@ -3176,9 +3176,13 @@ object SparkEntry {
                     UNION ALL SELECT 'schema_id', 'k=' || CAST(k AS VARCHAR), 'recall', recall FROM schv
                     UNION ALL SELECT 'schema_id', 'k=' || CAST(k AS VARCHAR), 'f1',
                       CASE WHEN precision + recall > 0 THEN 2 * precision * recall / (precision + recall) ELSE 0.0 END FROM schv),
+          pexact AS (SELECT DISTINCT p.attribute FROM p
+                     WHERE p.attribute IN (SELECT attribute FROM gattrs)),
           amap AS (SELECT pa.attribute AS attr_a, min(ga.attribute) AS gold_attr
-                   FROM (SELECT DISTINCT attribute FROM p) pa
-                   JOIN gattrs ga
+                   FROM (SELECT DISTINCT attribute FROM p
+                         WHERE attribute NOT IN (SELECT attribute FROM pexact)) pa
+                   JOIN (SELECT attribute FROM gattrs
+                         WHERE attribute NOT IN (SELECT attribute FROM pexact)) ga
                      ON lower(pa.attribute) = lower(ga.attribute)
                      OR lower(pa.attribute) || 's' = lower(ga.attribute)
                      OR lower(ga.attribute) || 's' = lower(pa.attribute)

@@ -191,12 +191,26 @@ object Profiler {
         lit("schema_id").as("stage"),
         concat(lit("k="), col("k")).as("slice"),
         col("metric"), col("value"))
-    // lenient attribute aliasing: unmatched pred attributes keep
-    // their own name (and then simply miss gold on the join)
+    // lenient attribute aliasing with the reference's exact-name-wins
+    // resolution (evaluate_synthetic.py resolves each gold attribute
+    // to a SINGLE pred name): a pred attribute whose name IS a gold
+    // attribute claims it outright, and claimed names leave the alias
+    // pool on BOTH sides — so when pred holds both 'topic' and
+    // 'topics' against gold 'topic', the alias keeps its own name and
+    // its triples score as precision-only misses instead of inflating
+    // OpenIE overlap. Unmatched pred attributes likewise keep their
+    // own name (and then simply miss gold on the join). Two surviving
+    // aliases may still land on one gold name (distinct-triple union;
+    // the ClosedIE cell is deduped below) — documented divergence,
+    // the reference never produces that shape.
+    val predAttrs = pred.select(col("attribute").as("attr_a")).distinct()
+    val exactA    = predAttrs.join(
+      goldAttrs.select(col("attribute").as("attr_a")), Seq("attr_a"), "left_semi")
     val aliasMap = SchemaId
       .attrAliasJoin(
-        pred.select(col("attribute").as("attr_a")).distinct(),
-        goldAttrs.select(col("attribute").as("attr_b")))
+        predAttrs.join(exactA, Seq("attr_a"), "left_anti"),
+        goldAttrs.select(col("attribute").as("attr_b"))
+          .join(exactA.select(col("attr_a").as("attr_b")), Seq("attr_b"), "left_anti"))
       .groupBy(col("attr_a"))
       .agg(min(col("attr_b")).as("gold_attr")) // deterministic when several gold names alias
     val mapped = pred

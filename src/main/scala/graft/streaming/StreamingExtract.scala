@@ -630,12 +630,20 @@ object StreamingExtract {
   }
 
   /** State for [[classQuotaStream]]: the class's kept (mkey, id)
-    * pairs, smallest content-hash keys first.
+    * pairs, smallest content-hash keys first, plus the class's
+    * snapshot epoch (number of triggers that delivered it data).
     */
-  final case class QuotaState(items: Seq[(String, Long)])
+  final case class QuotaState(items: Seq[(String, Long)], epoch: Long)
 
-  /** One kept row per (class, rank) — a snapshot per trigger. */
-  final case class QuotaItem(cls: String, rn: Int, id: Long, mkey: String)
+  /** One kept row per (class, rank) — a snapshot per trigger.
+    * `epoch` marks which per-class snapshot the row belongs to: under
+    * OutputMode.Append an append-only sink accumulates EVERY
+    * trigger's snapshot, and without the marker a superseded
+    * (cls, rn) row is indistinguishable from the current one (a
+    * displaced member is never retracted). Consumers keep, per cls,
+    * only the rows with that class's max epoch.
+    */
+  final case class QuotaItem(cls: String, rn: Int, id: Long, mkey: String, epoch: Long)
 
   /** Streaming twin of the class-balanced cap
     * (q_class_balance_sample): per class, keep the `k` rows with the
@@ -667,11 +675,14 @@ object StreamingExtract {
       .flatMapGroupsWithState[QuotaState, QuotaItem](
         org.apache.spark.sql.streaming.OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (cls: String, it: Iterator[(String, Long, String)], state: GroupState[QuotaState]) =>
-          val prev = state.getOption.map(_.items).getOrElse(Seq.empty)
+          val prev  = state.getOption.map(_.items).getOrElse(Seq.empty)
+          val epoch = state.getOption.map(_.epoch).getOrElse(0L) + 1
           // (mkey asc, id asc) — the exact batch window order
           val merged = (prev ++ it.map(t => (t._3, t._2))).distinct.sorted.take(k)
-          state.update(QuotaState(merged))
-          merged.zipWithIndex.iterator.map { case ((mk, id), i) => QuotaItem(cls, i + 1, id, mk) }
+          state.update(QuotaState(merged, epoch))
+          merged.zipWithIndex.iterator.map { case ((mk, id), i) =>
+            QuotaItem(cls, i + 1, id, mk, epoch)
+          }
       }
   }
 

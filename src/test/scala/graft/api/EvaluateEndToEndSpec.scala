@@ -96,13 +96,15 @@ class EvaluateEndToEndSpec extends SparkSpec {
     val gold = Seq(
       ("d1", "topic", "t"), ("d2", "topic", "t"),
       ("d1", "notes", ""), ("d2", "notes", "")).toDF("path", "attribute", "value")
-    // pred: BOTH 'topic' and 'topics' rows land on d1's gold cell via
-    // aliasing — the cell must score ONCE (min value = 'a' → F1 0,
-    // not the average of two fan-out rows); d2 correct; pred 'notes'
-    // values exist and must hurt precision in EVERY slice
+    // pred: BOTH 'Topic' and 'topics' (two NON-exact aliases — pred
+    // has no exact 'topic', so both survive exact-name-wins) land on
+    // d1's gold cell via aliasing — the cell must score ONCE (min
+    // value = 'a' → F1 0, not the average of two fan-out rows); d2
+    // correct; pred 'notes' values exist and must hurt precision in
+    // EVERY slice
     val pred = Seq(
-      ("d1", "topic", "t"), ("d1", "topics", "a"),
-      ("d2", "topic", "t"),
+      ("d1", "Topic", "t"), ("d1", "topics", "a"),
+      ("d2", "Topic", "t"),
       ("d1", "notes", "x"), ("d2", "notes", "y")).toDF("path", "attribute", "value")
     val ranked = Seq(("topic", 1)).toDF("field", "rank")
     val got = metricMap(Profiler.evaluateEndToEnd(ranked, pred, gold, ks = Seq(1)))
@@ -120,6 +122,30 @@ class EvaluateEndToEndSpec extends SparkSpec {
     // against precision but define no recall mass)
     assert(got(("openie", "all", "precision")) == 0.4)
     assert(got(("openie", "all", "recall")) == 1.0)
+  }
+
+  test("exact-name-wins: an alias never shadows a pred attribute that matches gold exactly") {
+    // reference resolution (evaluate_synthetic.py): each gold
+    // attribute resolves to ONE pred name, exact match first — when
+    // pred holds both 'topic' (exact, correct) and 'topics' (alias,
+    // wrong value 'a'), the alias must keep its own name and score as
+    // precision-only misses, NOT land on the gold cell
+    val gold = Seq(("d1", "topic", "t"), ("d2", "topic", "t")).toDF("path", "attribute", "value")
+    val pred = Seq(
+      ("d1", "topic", "t"), ("d2", "topic", "t"),
+      ("d1", "topics", "a"), ("d2", "topics", "a")).toDF("path", "attribute", "value")
+    val ranked = Seq(("topic", 1)).toDF("field", "rank")
+    val got = metricMap(Profiler.evaluateEndToEnd(ranked, pred, gold, ks = Seq(1)))
+    // ClosedIE: the gold cells see ONLY the exact 'topic' preds (both
+    // correct). Under the old rename-everything map, 'topics' would
+    // fold in and the min-pick ('a' < 't') would zero d1 and d2.
+    assert(got(("extraction", "all", "avg_f1")) == 1.0)
+    assert(got(("extraction", "all", "med_f1")) == 1.0)
+    // OpenIE: 'topics' stays a hallucinated attribute in every slice
+    // — pred 4 triples, gold 2, overlap 2
+    assert(got(("openie", "all", "precision")) == 0.5)
+    assert(got(("openie", "all", "recall")) == 1.0)
+    assert(got(("openie", "all", "f1")) == 0.666667)
   }
 
   test("txt golden lake: one call reproduces the reference's eval tables") {

@@ -497,8 +497,13 @@ class StreamingExtractSpec extends SparkSpec {
     in.addData(t2: _*)
     q.processAllAvailable()
     q.stop()
-    val all   = spark.table("quota_out").collect()
-    val snap2 = all.drop(snap1.length)
+    // the documented consumer pattern: per class, keep only the rows
+    // carrying that class's max epoch — the append-only sink holds
+    // BOTH triggers' snapshots and the marker is what tells them apart
+    val all      = spark.table("quota_out").collect()
+    val maxEpoch = all.groupBy(_.getString(0)).map { case (c, rs) => c -> rs.map(_.getLong(4)).max }
+    assert(maxEpoch.values.toSet == Set(2L), "both classes saw two triggers")
+    val snap2 = all.filter(r => r.getLong(4) == maxEpoch(r.getString(0)))
       .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
     // batch reference: per class, the 2 smallest md5(id) keys of the UNION
     val batch = (t1 ++ t2).toDF("lang", "doc_id")
