@@ -2617,7 +2617,270 @@ object SparkEntry {
     // corpus ships with
     "q_data_card" -> ((s, dir) =>
       Curation.dataCard(docs(s, dir), "source", "lang", "text", Stopwords)
-        .orderBy(col("source")))
+        .orderBy(col("source"))),
+
+    // argmin-per-group (TPC-H Q2's shape): cheapest regional supplier
+    // per part — the (part, supplier) unit-price agg shuffles ONCE on
+    // its compound key, the region filter prunes suppliers at the
+    // broadcast build, and the per-part argmin is a rank-1 window
+    // (WindowGroupLimit: no full sort of the priced relation)
+    "q_min_cost_supplier" -> ((s, dir) => {
+      val eu = Tables.table(s, dir, "supplier")
+        .join(broadcast(Tables.table(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.table(s, dir, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      val priced = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,4)")).as("s_ext"),
+          sum(col("l_quantity").cast("decimal(18,4)")).as("s_qty"))
+        .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+        .withColumn("unit_price", col("s_ext").cast("double") / col("s_qty").cast("double"))
+      val w = Window.partitionBy(col("l_partkey")).orderBy(col("unit_price"), col("l_suppkey"))
+      priced
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .join(broadcast(Tables.table(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .select(
+          col("l_partkey").as("p_partkey"), col("p_name"), col("s_name"),
+          round(col("unit_price"), 6).as("unit_price"))
+        .orderBy(col("unit_price"), col("p_partkey"))
+        .limit(100)
+    }),
+
+    // national market share inside a region (TPC-H Q8's shape): one
+    // fact shuffle on orderkey, customer-region and supplier-nation
+    // both prune at broadcast builds, numerator/denominator fold into
+    // ONE conditional aggregation — no second pass, no self-join
+    "q_market_share" -> ((s, dir) => {
+      val asiaCust = Tables.table(s, dir, "customer")
+        .join(broadcast(Tables.table(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.table(s, dir, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val supp = Tables.table(s, dir, "supplier")
+        .join(broadcast(Tables.table(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val zero = lit(0).cast("decimal(18,4)")
+      val v    = (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("order_year"))
+        .agg(
+          round(
+            sum(when(col("supp_nation") === "NATION_7", v).otherwise(zero)).cast("double") /
+              sum(v).cast("double"), 6).as("mkt_share"),
+          round(sum(v).cast("double"), 6).as("total_revenue"))
+        .orderBy(col("order_year"))
+    }),
+
+    // product-line profit by supplier nation × ship year (TPC-H Q9's
+    // shape, supply-cost term proxied from p_retailprice — the
+    // testdata has no partsupp): part-name filter prunes the
+    // broadcast part build BEFORE the fact join, one keyed agg
+    "q_nation_profit" -> ((s, dir) => {
+      val redParts = Tables.table(s, dir, "part")
+        .filter(col("p_name").like("%red%"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val supp = Tables.table(s, dir, "supplier")
+        .join(broadcast(Tables.table(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      val profit = (col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        lit(0.1) * col("p_retailprice") * col("l_quantity")).cast("decimal(18,4)")
+      Tables.lineitem(s, dir)
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("nation"), year(col("l_shipdate")).as("o_year"))
+        .agg(round(sum(profit).cast("double"), 6).as("profit"))
+        .orderBy(col("nation"), col("o_year"))
+    }),
+
+    // revenue concentration (TPC-H Q11's HAVING-scalar-subquery
+    // shape): parts holding more than 1.25× the mean revenue share —
+    // one keyed agg + a 1-row broadcast total, the threshold scales
+    // with the part count so the card is SF-stable
+    "q_revenue_concentration" -> ((s, dir) => {
+      val pr = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).as("rev"))
+      val tot = pr.agg(sum(col("rev")).as("total"), count(lit(1)).as("n_parts"))
+      pr.crossJoin(broadcast(tot))
+        .withColumn("share_raw", col("rev").cast("double") / col("total").cast("double"))
+        .filter(col("share_raw") > lit(1.25) / col("n_parts"))
+        .select(
+          col("l_partkey").as("p_partkey"),
+          round(col("rev").cast("double"), 6).as("revenue"),
+          round(col("share_raw"), 6).as("share"),
+          col("share_raw"))
+        .orderBy(desc("share_raw"), col("p_partkey"))
+        .drop("share_raw")
+    }),
+
+    // promotion revenue share (TPC-H Q14's shape): date band pushed
+    // to the lineitem scan, part type via broadcast, numerator and
+    // denominator in ONE aggregation — the conditional-agg fold
+    "q_promo_revenue" -> ((s, dir) => {
+      val zero = lit(0).cast("decimal(18,4)")
+      val v    = (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")
+      Tables.lineitem(s, dir)
+        .filter(
+          col("l_shipdate") >= lit("1997-06-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-09-01").cast("timestamp"))
+        .join(broadcast(Tables.table(s, dir, "part").select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(sum(when(col("p_type") === "PROMO", v).otherwise(zero)).cast("double"), 6)
+            .as("promo_revenue"),
+          round(sum(v).cast("double"), 6).as("total_revenue"),
+          round(
+            lit(100.0) * sum(when(col("p_type") === "PROMO", v).otherwise(zero)).cast("double") /
+              sum(v).cast("double"), 6).as("promo_pct"))
+    }),
+
+    // top supplier by quarter revenue (TPC-H Q15's scalar-subquery-
+    // max shape): the per-supplier agg is computed ONCE, its max
+    // rides back as a 1-row broadcast — no re-aggregation, exact
+    // decimal equality so ties (if any) all surface
+    "q_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).as("total_rev"))
+      rev.crossJoin(broadcast(rev.agg(max(col("total_rev")).as("mx"))))
+        .filter(col("total_rev") === col("mx"))
+        .join(broadcast(Tables.table(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(
+          col("l_suppkey").as("s_suppkey"), col("s_name"),
+          round(col("total_rev").cast("double"), 6).as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // supplier diversity per product segment (TPC-H Q16's shape):
+    // NOT-IN deny list as a broadcast LeftAnti on the fact side, then
+    // count(DISTINCT supplier) per (type, size band) — the distinct
+    // rides the same shuffle as the group keys, no second exchange
+    "q_parts_supplier_cnt" -> ((s, dir) => {
+      val bad = Tables.table(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(Tables.table(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type"), (col("p_size") - col("p_size") % 10).cast("int").as("size_band"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), col("p_type"), col("size_band"))
+    }),
+
+    // small-quantity revenue forfeit (TPC-H Q17's correlated-avg
+    // shape, decorrelated): the per-part mean quantity is ONE keyed
+    // agg over the brand-pruned fact slice, joined back broadcast
+    // (brand-parts-sized) — never a per-row subquery
+    "q_small_qty_revenue" -> ((s, dir) => {
+      val brandLines = Tables.lineitem(s, dir)
+        .join(
+          broadcast(Tables.table(s, dir, "part")
+            .filter(col("p_brand") === "Brand#1").select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+      val pa = brandLines
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("sq"), count(lit(1)).as("nq"))
+      brandLines
+        .join(broadcast(pa), col("l_partkey") === col("pk"))
+        .filter(col("l_quantity").cast("double") <
+          lit(0.2) * (col("sq").cast("double") / col("nq")))
+        .agg(
+          round(sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double") / lit(7.0), 6)
+            .as("avg_yearly"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // large-volume orders (TPC-H Q18's HAVING-join-back shape): the
+    // quantity HAVING prunes on the FIRST shuffle (15k→tail), and
+    // only survivors join orders/customer; TakeOrdered 100, no
+    // global sort
+    "q_large_orders" -> ((s, dir) => {
+      val oq = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("tq"))
+        .filter(col("tq") > 150)
+      oq.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.table(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .select(
+          col("c_custkey"), col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_totalprice"),
+          round(col("tq").cast("double"), 6).as("total_qty"))
+        .orderBy(desc("total_qty"), col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // disjunctive predicate bands (TPC-H Q19's shape): the OR of
+    // three (brand, size, quantity) conjunctions — brand IN prunes
+    // the broadcast part build, the residual disjunction evaluates
+    // inside one codegen stage, one 1-row combine
+    "q_disjunctive_filter" -> ((s, dir) => {
+      val p = Tables.table(s, dir, "part")
+        .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#3"))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(16, 30) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(31, 50) &&
+              col("l_quantity").between(20, 30)))
+        .agg(
+          round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double"), 6).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // dormant high-balance customers (TPC-H Q22's shape): the global
+    // positive-balance mean is a 1-row broadcast (exact decimal sum,
+    // ONE double division — cross-engine safe), recent buyers leave
+    // via a LeftAnti, one tiny segment agg
+    "q_dormant_customers" -> ((s, dir) => {
+      val cust = Tables.table(s, dir, "customer")
+      val avgBal = cust
+        .filter(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("ab"))
+      val recent = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("ab"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_custs"),
+          round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 6).as("total_acctbal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // exact triangle census of the part co-purchase graph: pair
+    // emission bounded by basket size (Σ|order|², never |parts|²),
+    // degree-ordered orientation bounds the wedge join by O(m^1.5) on
+    // ANY degree distribution — the node-iterator a 100 TB graph needs
+    "q_triangle_count" -> ((s, dir) =>
+      graft.relops.GraphOps.triangleStats(
+        graft.relops.GraphOps.coOccurrenceEdges(
+          Tables.lineitem(s, dir), "l_orderkey", "l_partkey"))),
+
+    // association rules over the same baskets: support/confidence/
+    // lift with a min-support floor (the fan-out cap) — integer
+    // counts, one correctly-rounded division, top-20 by lift
+    "q_basket_lift" -> ((s, dir) =>
+      graft.relops.GraphOps.basketLift(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", minSupport = 3, k = 20))
   )
 
   /** DuckDB fragment: first n words of documents.text. */
@@ -5508,6 +5771,172 @@ object SparkEntry {
                 CAST(sum(tok) AS BIGINT) AS n_tokens,
                 round(CAST(sum(CAST(q AS DECIMAL(27,18))) AS DOUBLE) / count(*), 6) AS mean_quality,
                 round(CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS en_share
-         FROM f GROUP BY source ORDER BY source"""
+         FROM f GROUP BY source ORDER BY source""",
+
+    "q_min_cost_supplier" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+                            sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS s_ext,
+                            sum(CAST(l_quantity AS DECIMAL(18,4))) AS s_qty
+                     FROM lineitem GROUP BY l_partkey, l_suppkey),
+          eu AS (SELECT s.s_suppkey, s.s_name FROM supplier s
+                 JOIN nation n ON s.s_nationkey = n.n_nationkey
+                 JOIN region r ON n.n_regionkey = r.r_regionkey
+                 WHERE r.r_name = 'EUROPE'),
+          priced AS (SELECT ps.l_partkey, ps.l_suppkey, eu.s_name,
+                            CAST(ps.s_ext AS DOUBLE) / CAST(ps.s_qty AS DOUBLE) AS unit_price
+                     FROM ps JOIN eu ON ps.l_suppkey = eu.s_suppkey),
+          best AS (SELECT l_partkey, s_name, unit_price,
+                          row_number() OVER (PARTITION BY l_partkey ORDER BY unit_price, l_suppkey) AS rn
+                   FROM priced)
+         SELECT b.l_partkey AS p_partkey, p.p_name, b.s_name, round(b.unit_price, 6) AS unit_price
+         FROM best b JOIN part p ON b.l_partkey = p.p_partkey
+         WHERE b.rn = 1
+         ORDER BY b.unit_price, p_partkey LIMIT 100""",
+
+    "q_market_share" ->
+      """WITH rev AS (SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+                             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)) AS v,
+                             n2.n_name AS supp_nation
+                      FROM lineitem l
+                      JOIN orders o ON l.l_orderkey = o.o_orderkey
+                      JOIN customer c ON o.o_custkey = c.c_custkey
+                      JOIN nation n ON c.c_nationkey = n.n_nationkey
+                      JOIN region r ON n.n_regionkey = r.r_regionkey
+                      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+                      WHERE r.r_name = 'ASIA')
+         SELECT order_year,
+                round(CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN v ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                      / CAST(sum(v) AS DOUBLE), 6) AS mkt_share,
+                round(CAST(sum(v) AS DOUBLE), 6) AS total_revenue
+         FROM rev GROUP BY order_year ORDER BY order_year""",
+
+    "q_nation_profit" ->
+      """SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS INT) AS o_year,
+                round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) - 0.1 * p.p_retailprice * l.l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6) AS profit
+         FROM lineitem l
+         JOIN part p ON l.l_partkey = p.p_partkey
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         WHERE p.p_name LIKE '%red%'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_revenue_concentration" ->
+      """WITH pr AS (SELECT l_partkey,
+                            sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+                     FROM lineitem GROUP BY l_partkey),
+          tot AS (SELECT sum(rev) AS total, count(*) AS n_parts FROM pr)
+         SELECT pr.l_partkey AS p_partkey,
+                round(CAST(pr.rev AS DOUBLE), 6) AS revenue,
+                round(CAST(pr.rev AS DOUBLE) / CAST(tot.total AS DOUBLE), 6) AS share
+         FROM pr, tot
+         WHERE CAST(pr.rev AS DOUBLE) / CAST(tot.total AS DOUBLE) > 1.25 / tot.n_parts
+         ORDER BY CAST(pr.rev AS DOUBLE) / CAST(tot.total AS DOUBLE) DESC, p_partkey""",
+
+    "q_promo_revenue" ->
+      """SELECT round(CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                             THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE), 6) AS promo_revenue,
+                round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE), 6) AS total_revenue,
+                round(100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                             THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+                             ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                      / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE), 6) AS promo_pct
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE l.l_shipdate >= TIMESTAMP '1997-06-01' AND l.l_shipdate < TIMESTAMP '1997-09-01'""",
+
+    "q_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+                             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_rev
+                      FROM lineitem
+                      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+                      GROUP BY l_suppkey),
+          m AS (SELECT max(total_rev) AS mx FROM rev)
+         SELECT r.l_suppkey AS s_suppkey, s.s_name, round(CAST(r.total_rev AS DOUBLE), 6) AS total_revenue
+         FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey, m
+         WHERE r.total_rev = m.mx
+         ORDER BY s_suppkey""",
+
+    "q_parts_supplier_cnt" ->
+      """SELECT p.p_type, CAST(p.p_size - p.p_size % 10 AS INT) AS size_band,
+                CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+         FROM lineitem l
+         JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_type, size_band""",
+
+    "q_small_qty_revenue" ->
+      """WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+          pa AS (SELECT l.l_partkey, sum(CAST(l.l_quantity AS DECIMAL(18,4))) AS sq, count(*) AS nq
+                 FROM lineitem l JOIN bp ON l.l_partkey = bp.p_partkey
+                 GROUP BY l.l_partkey)
+         SELECT round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 6) AS avg_yearly,
+                count(*) AS n_items
+         FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+         WHERE CAST(l.l_quantity AS DOUBLE) < 0.2 * (CAST(pa.sq AS DOUBLE) / pa.nq)""",
+
+    "q_large_orders" ->
+      """WITH oq AS (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS total_qty
+                     FROM lineitem GROUP BY l_orderkey
+                     HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 150)
+         SELECT c.c_custkey, c.c_name, o.o_orderkey,
+                strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+                o.o_totalprice, round(CAST(oq.total_qty AS DOUBLE), 6) AS total_qty
+         FROM oq JOIN orders o ON oq.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         ORDER BY total_qty DESC, o.o_orderkey LIMIT 100""",
+
+    "q_disjunctive_filter" ->
+      """SELECT round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE), 6) AS revenue,
+                count(*) AS n_items
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+            OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 16 AND 30 AND l.l_quantity BETWEEN 10 AND 20)
+            OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 31 AND 50 AND l.l_quantity BETWEEN 20 AND 30)""",
+
+    "q_dormant_customers" ->
+      """WITH avg_bal AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS ab
+                          FROM customer WHERE c_acctbal > 0),
+          recent AS (SELECT DISTINCT o_custkey FROM orders
+                     WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+         SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_custs,
+                round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 6) AS total_acctbal
+         FROM customer c, avg_bal
+         WHERE c.c_acctbal > avg_bal.ab
+           AND c.c_custkey NOT IN (SELECT o_custkey FROM recent)
+         GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
+
+    "q_triangle_count" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          edges AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+                    FROM items a JOIN items b
+                      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+          nodes AS (SELECT pa AS v FROM edges UNION SELECT pb FROM edges),
+          deg AS (SELECT v, count(*) AS d
+                  FROM (SELECT pa AS v FROM edges UNION ALL SELECT pb FROM edges) GROUP BY v),
+          tri AS (SELECT count(*) AS t FROM edges e1
+                  JOIN edges e2 ON e1.pb = e2.pa
+                  JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+          wed AS (SELECT sum(d * (d - 1) / 2) AS w FROM deg)
+         SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+                (SELECT count(*) FROM edges) AS n_edges,
+                CAST(tri.t AS BIGINT) AS n_triangles,
+                CAST(wed.w AS BIGINT) AS n_wedges,
+                round(3.0 * tri.t / wed.w, 6) AS global_clustering
+         FROM tri, wed""",
+
+    "q_basket_lift" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM items),
+          ic AS (SELECT l_partkey, count(*) AS cnt FROM items GROUP BY l_partkey),
+          pc AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS pair_cnt
+                 FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+                 GROUP BY 1, 2 HAVING count(*) >= 3)
+         SELECT pc.pa, pc.pb, pc.pair_cnt,
+                round((CAST(pc.pair_cnt AS DOUBLE) * CAST(n.n_orders AS DOUBLE))
+                      / (CAST(ia.cnt AS DOUBLE) * CAST(ib.cnt AS DOUBLE)), 6) AS lift,
+                round(CAST(pc.pair_cnt AS DOUBLE) / CAST(ia.cnt AS DOUBLE), 6) AS confidence
+         FROM pc JOIN ic ia ON pc.pa = ia.l_partkey JOIN ic ib ON pc.pb = ib.l_partkey, n
+         ORDER BY lift DESC, pa, pb LIMIT 20"""
   )
 }

@@ -1,0 +1,129 @@
+package graft.relops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Item-co-occurrence graph analytics over a (basket, item) relation
+  * — the market-basket / co-purchase shape (orders × parts here, but
+  * equally doc × shingle-bucket or user × community).
+  *
+  * Scale design: every pair emitter is bounded by the per-basket item
+  * count (a self-join on the basket key — baskets are small, so the
+  * fan-out is Σ|basket|², never |items|²); triangle counting uses the
+  * degree-ordered orientation (each undirected edge directed from its
+  * lower (degree, id) endpoint), which bounds every node's out-degree
+  * by O(√m) and therefore the wedge join by O(m^{3/2}) — the standard
+  * node-iterator bound — instead of the Σ deg² blowup an id-only
+  * orientation leaves on skewed (power-law) graphs. All scalars
+  * (basket count, wedge totals) ride as 1-row broadcast subqueries,
+  * no driver actions inside the plan.
+  */
+object GraphOps {
+
+  /** Distinct undirected co-occurrence edges (pa < pb) from a
+    * (basket, item) relation. One shuffle on the basket key; output
+    * bounded by Σ C(|basket|, 2).
+    */
+  def coOccurrenceEdges(df: DataFrame, basketCol: String, itemCol: String): DataFrame = {
+    val items = df.select(col(basketCol).as("basket"), col(itemCol).as("item")).distinct()
+    items.as("a")
+      .join(items.as("b"), col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
+      .select(col("a.item").as("pa"), col("b.item").as("pb"))
+      .distinct()
+  }
+
+  /** Exact global triangle census of an undirected edge relation
+    * (columns pa < pb): node/edge counts, triangle count via the
+    * degree-ordered node-iterator, open-wedge total Σ C(deg, 2), and
+    * the global clustering coefficient 3T / W.
+    *
+    * The orientation key is the (degree, id) STRUCT — a total order,
+    * so each triangle owns exactly one wedge (at its order-minimal
+    * vertex) and the closing edge is always oriented low→high; no
+    * per-triangle dedup pass needed.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("pa"), col("pb")).persist()
+    val deg = e.select(col("pa").as("v"))
+      .unionAll(e.select(col("pb").as("v")))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("d"))
+    // direct each edge from its lower (degree, id) endpoint
+    val keyed = e
+      .join(deg.select(col("v").as("pa"), col("d").as("da")), Seq("pa"))
+      .join(deg.select(col("v").as("pb"), col("d").as("db")), Seq("pb"))
+      .select(
+        col("pa"), col("pb"),
+        struct(col("da").as("d"), col("pa").as("v")).as("ka"),
+        struct(col("db").as("d"), col("pb").as("v")).as("kb"))
+    val directed = keyed.select(
+      when(col("ka") < col("kb"), col("pa")).otherwise(col("pb")).as("src"),
+      when(col("ka") < col("kb"), col("pb")).otherwise(col("pa")).as("dst"),
+      when(col("ka") < col("kb"), col("kb")).otherwise(col("ka")).as("dstKey"))
+      .persist()
+    // wedges at each source (out-degree ≤ O(√m)), closed by a
+    // low→high directed edge — a LeftSemi, no row duplication
+    val wedges = directed.as("e1")
+      .join(directed.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dstKey") < col("e2.dstKey"))
+      .select(col("e1.dst").as("wa"), col("e2.dst").as("wb"))
+    val tri = wedges
+      .join(directed.select(col("src").as("wa"), col("dst").as("wb")), Seq("wa", "wb"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val counts = e.agg(count(lit(1)).as("n_edges"))
+    val nodes = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"))
+    // 1 row: materialize eagerly (lineage cut) so the edge caches can
+    // be released before returning — the established localCheckpoint
+    // pattern for tiny results over persisted inputs
+    val out = nodes
+      .crossJoin(broadcast(counts))
+      .crossJoin(broadcast(tri))
+      .select(
+        col("n_nodes"), col("n_edges"), col("n_triangles"), col("n_wedges"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("global_clustering"))
+      .localCheckpoint(eager = true)
+    e.unpersist()
+    directed.unpersist()
+    out
+  }
+
+  /** Association-rule mining on item pairs: for pairs co-occurring in
+    * at least `minSupport` baskets, lift = N·c(a,b) / (c(a)·c(b)) and
+    * confidence = c(a,b) / c(a); top `k` by lift (ties → pa, pb).
+    * Integer counts throughout — the one double division is correctly
+    * rounded, so cross-engine deterministic. The basket total rides
+    * as a 1-row broadcast, not a driver action.
+    */
+  def basketLift(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minSupport: Long,
+      k: Int): DataFrame = {
+    val items = df.select(col(basketCol).as("basket"), col(itemCol).as("item")).distinct().persist()
+    val n  = items.agg(countDistinct(col("basket")).as("n_orders"))
+    val ic = items.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+    val pc = items.as("a")
+      .join(items.as("b"), col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("pa"), col("b.item").as("pb"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= minSupport)
+    val out = pc
+      .join(ic.select(col("item").as("pa"), col("cnt").as("ca")), Seq("pa"))
+      .join(ic.select(col("item").as("pb"), col("cnt").as("cb")), Seq("pb"))
+      .crossJoin(broadcast(n))
+      .select(
+        col("pa"), col("pb"), col("pair_cnt"),
+        round(
+          (col("pair_cnt").cast("double") * col("n_orders").cast("double")) /
+            (col("ca").cast("double") * col("cb").cast("double")), 6).as("lift"),
+        round(col("pair_cnt").cast("double") / col("ca").cast("double"), 6).as("confidence"))
+      .orderBy(desc("lift"), col("pa"), col("pb"))
+      .limit(k)
+      .localCheckpoint(eager = true) // ≤ k rows; lets the items cache go
+    items.unpersist()
+    out
+  }
+}
