@@ -64,7 +64,12 @@ object Scaling {
       "q_event_pivot", "q_event_transitions", "q_table_profile",
       "q_local_supplier_volume", "q_cust_order_dist", "q_set_except",
       "q_late_ship_exists", "q_priority_mix", "q_forecast_revenue",
-      "q_returned_revenue", "q_nation_trade", "q_inter_event_gap")
+      "q_returned_revenue", "q_nation_trade", "q_inter_event_gap",
+      "q_min_cost_supplier", "q_market_share", "q_nation_profit",
+      "q_revenue_concentration", "q_promo_revenue", "q_top_supplier",
+      "q_parts_supplier_cnt", "q_small_qty_revenue", "q_large_orders",
+      "q_disjunctive_filter", "q_dormant_customers",
+      "q_triangle_count", "q_basket_lift")
     if (q.startsWith("q_ann_") || ann(q)) "ann"
     else if (q.startsWith("q_dedup_") || dedup(q)) "dedup"
     else if (ws(q)) "weak_supervision"
