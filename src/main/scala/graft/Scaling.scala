@@ -52,7 +52,7 @@ object Scaling {
     val layout = Set(
       "q_shard_assign", "q_mix_realize", "q_stratified_sample", "q_curriculum",
       "q_weighted_sample", "q_shard_balance", "q_class_balance_sample",
-      "q_mix_temperature",
+      "q_mix_temperature", "q_mix_update",
       "q_seq_pack", "q_domain_mix", "q_dsir_weight", "q_winsorize", "q_quantile_disc",
       "q_value_histogram", "q_skew_salted_count", "q_data_card", "q_cube_quality",
       "q_rollup_tokens", "q_ks_length")
@@ -69,7 +69,7 @@ object Scaling {
       "q_revenue_concentration", "q_promo_revenue", "q_top_supplier",
       "q_parts_supplier_cnt", "q_small_qty_revenue", "q_large_orders",
       "q_disjunctive_filter", "q_dormant_customers",
-      "q_triangle_count", "q_basket_lift")
+      "q_triangle_count", "q_basket_lift", "q_pareto_parts")
     if (q.startsWith("q_ann_") || ann(q)) "ann"
     else if (q.startsWith("q_dedup_") || dedup(q)) "dedup"
     else if (ws(q)) "weak_supervision"

@@ -2880,7 +2880,40 @@ object SparkEntry {
     // counts, one correctly-rounded division, top-20 by lift
     "q_basket_lift" -> ((s, dir) =>
       graft.relops.GraphOps.basketLift(
-        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", minSupport = 3, k = 20))
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", minSupport = 3, k = 20)),
+
+    // 2-D Pareto frontier (skyline): cheapest-for-the-size parts —
+    // the sweep runs on the distinct-price relation (bounded by value
+    // resolution, tiny vs the corpus), comparisons only, zero FP
+    // arithmetic; rows join back against the broadcast frontier
+    "q_pareto_parts" -> ((s, dir) =>
+      graft.relops.Stats.paretoFront2D(
+        Tables.table(s, dir, "part")
+          .select(col("p_partkey"), col("p_name"), col("p_retailprice"), col("p_size")),
+        "p_retailprice", "p_size")
+        .orderBy(col("p_retailprice"), col("p_partkey"))),
+
+    // one DoReMi-style mixture-reweighting step (linearized
+    // multiplicative weights, pluggable hardness = mean token
+    // length): ONE corpus agg to the |sources|-row relation, decimal
+    // normalizer — the data-mix tuning loop's inner update as a card
+    "q_mix_update" -> ((s, dir) =>
+      Sampling.mixUpdate(docs(s, dir), "source", "text", eta = 1.0)
+        .orderBy(col("source"))),
+
+    // reliability audit of the hashed-linear quality classifier:
+    // hard-sigmoid confidence (rational — no libm exp) vs the
+    // lang=='en' label, 10 equal-width bins, ECE + MCE in one
+    // map-side-combined aggregation
+    "q_ece_calibration" -> ((s, dir) => {
+      val d      = docs(s, dir)
+      val scored = Curation.hashedLinearScore(d, "doc_id", "text", nBuckets = 64)
+      Score.calibrationEce(
+        scored
+          .join(d.select(col("doc_id"), (col("lang") === "en").as("is_en")), Seq("doc_id"))
+          .withColumn("conf", greatest(lit(0.0), least(lit(1.0), lit(0.5) + col("logit")))),
+        "conf", "is_en", nBins = 10)
+    })
   )
 
   /** DuckDB fragment: first n words of documents.text. */
@@ -5937,6 +5970,66 @@ object SparkEntry {
                       / (CAST(ia.cnt AS DOUBLE) * CAST(ib.cnt AS DOUBLE)), 6) AS lift,
                 round(CAST(pc.pair_cnt AS DOUBLE) / CAST(ia.cnt AS DOUBLE), 6) AS confidence
          FROM pc JOIN ic ia ON pc.pa = ia.l_partkey JOIN ic ib ON pc.pb = ib.l_partkey, n
-         ORDER BY lift DESC, pa, pb LIMIT 20"""
+         ORDER BY lift DESC, pa, pb LIMIT 20""",
+
+    "q_pareto_parts" ->
+      """SELECT p.p_partkey, p.p_name, p.p_retailprice, p.p_size
+         FROM part p
+         WHERE NOT EXISTS (SELECT 1 FROM part q
+                           WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+                             AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+         ORDER BY p.p_retailprice, p.p_partkey""",
+
+    "q_mix_update" ->
+      """WITH d AS (SELECT source,
+                           list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+                    FROM documents),
+          per AS (SELECT source, CAST(len(tk) AS BIGINT) AS n_tok,
+                         CAST(coalesce(list_sum(list_transform(tk, x -> len(x))), 0) AS BIGINT) AS n_len
+                  FROM d),
+          dom AS (SELECT source, sum(n_tok) AS n_tok, sum(n_len) AS n_len FROM per GROUP BY source),
+          tot AS (SELECT sum(n_tok) AS tot_tok, sum(n_len) AS tot_len FROM dom),
+          wr AS (SELECT dom.source, dom.n_tok,
+                        CAST(dom.n_tok AS DOUBLE) / tot.tot_tok AS w_ref,
+                        greatest(0.0, (CAST(dom.n_len AS DOUBLE) * CAST(tot.tot_tok AS DOUBLE))
+                                      / (CAST(dom.n_tok AS DOUBLE) * CAST(tot.tot_len AS DOUBLE)) - 1) AS excess
+                 FROM dom, tot),
+          raw AS (SELECT source, n_tok, w_ref, excess,
+                         CAST(w_ref * (1.0 + 1.0 * excess) AS DECIMAL(27,18)) AS w_raw
+                  FROM wr),
+          z AS (SELECT sum(w_raw) AS z FROM raw)
+         SELECT raw.source, CAST(raw.n_tok AS BIGINT) AS n_tok,
+                round(raw.w_ref, 6) AS w_ref,
+                round(raw.excess, 6) AS excess,
+                round(CAST(raw.w_raw AS DOUBLE) / CAST(z.z AS DOUBLE), 6) AS w_new
+         FROM raw, z ORDER BY raw.source""",
+
+    "q_ece_calibration" ->
+      """WITH toks AS (SELECT doc_id, t AS token
+                       FROM documents, unnest(string_split(text, ' ')) AS u(t) WHERE len(t) > 0),
+          b AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT % 64 AS bkt FROM toks),
+          wt AS (SELECT doc_id,
+                        CAST((('0x' || substr(md5('qcw:' || CAST(bkt AS VARCHAR)), 1, 15))::BIGINT
+                              / 1152921504606846976.0) * 2 - 1 AS DECIMAL(27,18)) AS w
+                 FROM b),
+          lg AS (SELECT doc_id, round(CAST(sum(w) AS DOUBLE) / count(*), 6) AS logit
+                 FROM wt GROUP BY doc_id),
+          cf AS (SELECT lg.doc_id,
+                        greatest(0.0, least(1.0, 0.5 + lg.logit)) AS conf,
+                        (d.lang = 'en') AS is_en
+                 FROM lg JOIN documents d ON lg.doc_id = d.doc_id),
+          bins AS (SELECT CAST(least(floor(conf * 10), 9) AS INT) AS bin,
+                          count(*) AS n_b,
+                          sum(CAST(conf AS DECIMAL(27,18))) AS sum_conf,
+                          sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS n_pos
+                   FROM cf GROUP BY 1),
+          g AS (SELECT bin, n_b,
+                       abs(CAST(n_pos AS DOUBLE) / n_b - CAST(sum_conf AS DOUBLE) / n_b) AS gap
+                FROM bins)
+         SELECT round(CAST(sum(CAST(gap * n_b AS DECIMAL(27,18))) AS DOUBLE) / sum(n_b), 6) AS ece,
+                round(max(gap), 6) AS mce,
+                count(*) AS n_bins_used,
+                CAST(sum(n_b) AS BIGINT) AS n
+         FROM g"""
   )
 }

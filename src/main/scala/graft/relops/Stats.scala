@@ -361,4 +361,34 @@ object Stats {
         col("p.n_distinct"),
         col("p.n_rows"))
   }
+
+  /** 2-D Pareto frontier (skyline): rows not dominated by any other —
+    * q dominates p iff q.min ≤ p.min ∧ q.max ≥ p.max with one strict.
+    * The classic sweep, relationally: collapse to one row per distinct
+    * `minCol` value (group max of `maxCol`), running max over strictly
+    * cheaper values, keep groups that strictly improve; rows join back
+    * on (minCol, group max). Ties on BOTH dims survive together
+    * (neither strictly dominates).
+    *
+    * Scale shape: the sweep runs on the DISTINCT-minCol relation —
+    * bounded by the value resolution of the x axis, tiny vs the
+    * corpus — so the single-partition window orders thousands of
+    * rows, never the input; the corpus itself sees one groupBy and
+    * one join against the (even smaller) frontier relation, which
+    * broadcasts. No FP arithmetic at all — comparisons only — so the
+    * frontier is cross-engine exact.
+    */
+  def paretoFront2D(df: DataFrame, minCol: String, maxCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grouped = df.groupBy(col(minCol).as("_pf_min")).agg(max(col(maxCol)).as("_pf_max"))
+    val sweep   = Window.orderBy(col("_pf_min")).rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = grouped
+      .withColumn("_prev", max(col("_pf_max")).over(sweep))
+      .filter(col("_prev").isNull || col("_pf_max") > col("_prev"))
+      .select(col("_pf_min"), col("_pf_max"))
+    df.join(
+        broadcast(frontier),
+        df(minCol) === col("_pf_min") && df(maxCol) === col("_pf_max"))
+      .select(df.columns.map(df(_)).toIndexedSeq: _*)
+  }
 }

@@ -155,4 +155,48 @@ object Score {
           (lit(!doEndToEnd) && col("n_sel") === 0 && col("rank") === 1))
       .select(col("extractor"), col("rank"))
   }
+
+  /** Calibration of a [0,1] confidence against a boolean label:
+    * equal-width bins, per-bin mean confidence vs empirical accuracy,
+    * Expected Calibration Error Σ (n_b/N)·|acc_b − conf̄_b| and
+    * Maximum Calibration Error max_b |acc_b − conf̄_b| — the
+    * reliability audit a quality classifier ships with before its
+    * keep-threshold is trusted at corpus scale.
+    *
+    * Scale shape: ONE hash aggregation to the nBins-row relation
+    * (map-side combined), then scalar math on it. Per-bin confidence
+    * sums and the cross-bin weighted-gap sum run in DECIMAL(27,18),
+    * so results are exact regardless of partition order; the
+    * divisions are single correctly-rounded double ops.
+    *
+    * Output: one row (ece, mce, n_bins_used, n).
+    */
+  def calibrationEce(
+      df: DataFrame,
+      confCol: String,
+      labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    val bin = least(floor(col(confCol) * nBins), lit(nBins - 1)).cast("int")
+    val bins = df
+      .select(
+        bin.as("bin"),
+        col(confCol).cast("decimal(27,18)").as("conf"),
+        when(col(labelCol), 1L).otherwise(0L).as("pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_b"), sum(col("conf")).as("sum_conf"), sum(col("pos")).as("n_pos"))
+      .withColumn("acc", col("n_pos").cast("double") / col("n_b"))
+      .withColumn("mean_conf", col("sum_conf").cast("double") / col("n_b"))
+      .withColumn("gap", abs(col("acc") - col("mean_conf")))
+    bins
+      .agg(
+        sum((col("gap") * col("n_b")).cast("decimal(27,18)")).as("wgap"),
+        max(col("gap")).as("mce_raw"),
+        count(lit(1)).as("n_bins_used"),
+        sum(col("n_b")).as("n"))
+      .select(
+        round(col("wgap").cast("double") / col("n"), 6).as("ece"),
+        round(col("mce_raw"), 6).as("mce"),
+        col("n_bins_used"),
+        col("n"))
+  }
 }

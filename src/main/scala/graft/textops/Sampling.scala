@@ -245,4 +245,60 @@ object Sampling {
       .orderBy(desc("skey"), col(idCol))
       .limit(k)
   }
+
+  /** One DoReMi-style mixture-reweighting step (Xie et al. 2023,
+    * linearized): each domain's weight moves multiplicatively with
+    * its non-negative excess hardness over the corpus mean,
+    * w'_d ∝ w_ref_d · (1 + η·excess_d), then renormalizes. The
+    * published recipe exponentiates per-domain excess loss from a
+    * proxy model; the hardness column here is pluggable — this
+    * default uses mean token length (a deterministic, engine-exact
+    * stand-in), and the update is the LINEARIZED multiplicative-
+    * weights form (1 + ηx instead of e^ηx) so the card stays free of
+    * libm transcendentals the oracle could disagree on.
+    *
+    * Scale shape: ONE corpus aggregation (map-side combined) to the
+    * |domains|-row relation; everything after runs on that tiny
+    * relation with 1-row broadcast totals. The normalizing sum runs
+    * in DECIMAL(27,18) so it is exact regardless of partition order.
+    *
+    * Output per domain: (domain, n_tok, w_ref, excess, w_new).
+    */
+  def mixUpdate(
+      df: DataFrame,
+      domainCol: String,
+      textCol: String,
+      eta: Double = 1.0): DataFrame = {
+    val t = filter(split(col(textCol), " "), x => length(x) > 0)
+    val byDomain = df
+      .select(
+        col(domainCol),
+        size(t).cast("long").as("n_tok"),
+        aggregate(transform(t, x => length(x).cast("long")), lit(0L), (a, b) => a + b)
+          .as("n_len"))
+      .groupBy(col(domainCol))
+      .agg(sum(col("n_tok")).as("n_tok"), sum(col("n_len")).as("n_len"))
+    val total = byDomain.agg(
+      sum(col("n_tok")).as("tot_tok"), sum(col("n_len")).as("tot_len"))
+    // hardness ratio (len_d·N)/(tok_d·L): multiply in doubles BEFORE
+    // dividing (exact long products overflow at corpus scale)
+    val hard = (col("n_len").cast("double") * col("tot_tok").cast("double")) /
+      (col("n_tok").cast("double") * col("tot_len").cast("double"))
+    val withRaw = byDomain
+      .crossJoin(broadcast(total))
+      .withColumn("excess", greatest(lit(0.0), hard - 1))
+      .withColumn("w_ref", col("n_tok").cast("double") / col("tot_tok"))
+      .withColumn(
+        "w_raw",
+        (col("w_ref") * (lit(1.0) + lit(eta) * col("excess"))).cast("decimal(27,18)"))
+    val z = withRaw.agg(sum(col("w_raw")).as("z"))
+    withRaw
+      .crossJoin(broadcast(z))
+      .select(
+        col(domainCol),
+        col("n_tok"),
+        round(col("w_ref"), 6).as("w_ref"),
+        round(col("excess"), 6).as("excess"),
+        round(col("w_raw").cast("double") / col("z").cast("double"), 6).as("w_new"))
+  }
 }

@@ -1,0 +1,74 @@
+package graft.relops
+
+import graft.SparkSpec
+import graft.score.Score
+import graft.textops.Sampling
+import org.apache.spark.sql.functions._
+
+/** Round-13 additions: 2-D Pareto frontier, DoReMi-style mix-update
+  * step, and calibration ECE — hand-computed fixtures for each.
+  */
+class ParetoMixEceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("paretoFront2D: dominance with strictness, same-x group max, exact ties survive") {
+    val pts = Seq(
+      (1, 1.0, 1), (2, 1.0, 3),            // x=1 group: max size 3
+      (3, 2.0, 3),                          // dominated: (2) is cheaper, same size
+      (4, 2.0, 5), (5, 2.0, 5),            // frontier, EXACT tie pair: both kept
+      (6, 3.0, 4), (7, 3.0, 5)             // x=3: gmax 5 not > prev 5 -> dominated
+    ).toDF("id", "price", "size")
+    val got = Stats.paretoFront2D(pts, "price", "size")
+      .collect().map(_.getInt(0)).toSet
+    assert(got == Set(2, 4, 5))
+  }
+
+  test("paretoFront2D: single point and monotone staircase pass through") {
+    val one = Seq((1, 5.0, 2)).toDF("id", "price", "size")
+    assert(Stats.paretoFront2D(one, "price", "size").count() == 1)
+    val stairs = Seq((1, 1.0, 1), (2, 2.0, 2), (3, 3.0, 3)).toDF("id", "price", "size")
+    assert(Stats.paretoFront2D(stairs, "price", "size").count() == 3)
+  }
+
+  test("mixUpdate: hand-computed linearized multiplicative-weights step") {
+    // A: 'aa bb' -> 2 tokens, 4 chars; B: 'cccc' -> 1 token, 4 chars
+    // tot_tok 3, tot_len 8; hardness A = 4*3/(2*8) = 0.75 -> excess 0
+    // hardness B = 4*3/(1*8) = 1.5 -> excess 0.5
+    // w_ref A = 2/3, B = 1/3; w_raw A = 2/3, B = 1/3 * 1.5 = 0.5
+    // w_new A = (2/3)/(7/6) = 4/7, B = 3/7
+    val df = Seq(("A", "aa bb"), ("B", "cccc")).toDF("source", "text")
+    val got = Sampling.mixUpdate(df, "source", "text", eta = 1.0)
+      .orderBy("source").collect()
+    val a = got(0); val b = got(1)
+    assert(a.getLong(1) == 2L && b.getLong(1) == 1L)
+    assert(a.getDouble(2) == 0.666667 && b.getDouble(2) == 0.333333, "w_ref")
+    assert(a.getDouble(3) == 0.0 && b.getDouble(3) == 0.5, "excess")
+    assert(a.getDouble(4) == 0.571429 && b.getDouble(4) == 0.428571, "w_new 4/7, 3/7")
+  }
+
+  test("mixUpdate: eta=0 reduces to the reference token-share weights") {
+    val df = Seq(("A", "aa bb"), ("B", "cccc"), ("B", "d e f")).toDF("source", "text")
+    val got = Sampling.mixUpdate(df, "source", "text", eta = 0.0)
+      .orderBy("source").collect()
+    got.foreach(r => assert(r.getDouble(4) == r.getDouble(2), "w_new == w_ref at eta 0"))
+  }
+
+  test("calibrationEce: two-bin hand fixture") {
+    // bin0: conf .05, label false -> acc 0, gap .05
+    // bin9: confs .95/.95, labels true/false -> acc .5, mean .95, gap .45
+    // ece = (1*.05 + 2*.45)/3 = .316667; mce = .45
+    val df = Seq((0.05, false), (0.95, true), (0.95, false)).toDF("conf", "label")
+    val r = Score.calibrationEce(df, "conf", "label", nBins = 10).collect()(0)
+    assert(r.getDouble(0) == 0.316667, "ece")
+    assert(r.getDouble(1) == 0.45, "mce")
+    assert(r.getLong(2) == 2L, "bins used")
+    assert(r.getLong(3) == 3L, "n")
+  }
+
+  test("calibrationEce: conf exactly 1.0 lands in the top bin, perfect calibration reads 0 gap-ish") {
+    // conf 1.0 with label true: floor(10) clamps to bin 9; gap = |1 - 1| = 0
+    val df = Seq((1.0, true)).toDF("conf", "label")
+    val r = Score.calibrationEce(df, "conf", "label", nBins = 10).collect()(0)
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0 && r.getLong(2) == 1L)
+  }
+}
