@@ -686,6 +686,67 @@ object StreamingExtract {
       }
   }
 
+  /** State for [[calibrationStream]]: running per-bin counts, with
+    * confidence accumulated in 6-dp integer micros so the merge is
+    * exact in any arrival order (a double sum would be
+    * partition-order-dependent).
+    */
+  final case class CalibState(n: Long, confMicro: Long, nPos: Long, epoch: Long)
+
+  /** One running calibration row per (bin, trigger). Consumers keep,
+    * per bin, the rows at that bin's max epoch (same snapshot
+    * protocol as [[QuotaItem]]).
+    */
+  final case class CalibBin(bin: Int, n: Long, meanConf: Double, acc: Double, gap: Double, epoch: Long)
+
+  /** Streaming twin of the batch calibration audit
+    * (Score.calibrationEce): cumulative per-bin reliability of a
+    * [0,1] confidence vs a boolean label — after every trigger each
+    * touched bin emits its running (n, mean confidence, accuracy,
+    * |gap|), so a drift monitor reads ECE over the latest-epoch rows
+    * as Σ n·gap / Σ n at any moment, equal to the batch card on
+    * everything seen so far.
+    *
+    * Confidence is quantized to 6 dp (integer micros) inside the
+    * state — the batch card's own output grain — which is what makes
+    * the cross-trigger merge exact regardless of arrival order.
+    * State = nBins rows; groups are real (one per bin), so the
+    * reduction parallelizes across bins.
+    */
+  def calibrationStream(
+      rows: DataFrame,
+      confCol: String,
+      labelCol: String,
+      nBins: Int): Dataset[CalibBin] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val keyed = rows
+      .select(
+        least(floor(col(confCol) * nBins), lit(nBins - 1)).cast("int").as("bin"),
+        round(col(confCol) * 1e6).cast("long").as("confMicro"),
+        when(col(labelCol), 1L).otherwise(0L).as("pos"))
+      .as[(Int, Long, Long)]
+    keyed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CalibState, CalibBin](
+        org.apache.spark.sql.streaming.OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bin: Int, it: Iterator[(Int, Long, Long)], state: GroupState[CalibState]) =>
+          val prev = state.getOption.getOrElse(CalibState(0L, 0L, 0L, 0L))
+          var n = prev.n; var cm = prev.confMicro; var np = prev.nPos
+          it.foreach { case (_, c, p) => n += 1; cm += c; np += p }
+          val next = CalibState(n, cm, np, prev.epoch + 1)
+          state.update(next)
+          val meanConf = cm / 1e6 / n
+          val acc      = np.toDouble / n
+          Iterator.single(CalibBin(
+            bin, n,
+            math.rint(meanConf * 1e6) / 1e6,
+            math.rint(acc * 1e6) / 1e6,
+            math.rint(math.abs(acc - meanConf) * 1e6) / 1e6,
+            next.epoch))
+      }
+  }
+
   /** Streaming-native windowed aggregation over an event stream:
     * watermark + sliding window counts (the shape `events` exercises).
     */

@@ -517,6 +517,35 @@ class StreamingExtractSpec extends SparkSpec {
     assert(snap2 == batch, s"streaming $snap2 vs batch $batch")
   }
 
+  test("calibrationStream: latest-epoch snapshot ECE equals the batch card on the union") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Double, Boolean)]
+    val res = StreamingExtract.calibrationStream(
+      in.toDF().toDF("conf", "label"), "conf", "label", nBins = 10)
+    val q = res.writeStream.outputMode("append").format("memory").queryName("calib_out").start()
+    in.addData((0.05, false), (0.95, true))
+    q.processAllAvailable()
+    in.addData((0.95, false)) // bin 9 drifts: acc 1.0 -> 0.5
+    q.processAllAvailable()
+    q.stop()
+    // consumer protocol: per bin, keep the max-epoch row
+    val all  = spark.table("calib_out").collect()
+    val snap = all.groupBy(_.getInt(0)).map { case (_, rs) => rs.maxBy(_.getLong(5)) }.toSeq
+    assert(snap.map(r => (r.getInt(0), r.getLong(1))).toSet == Set((0, 1L), (9, 2L)))
+    val eceStream = snap.map(r => r.getDouble(4) * r.getLong(1)).sum / snap.map(_.getLong(1)).sum
+    // batch reference on the union (hand value 0.316667, also asserted
+    // in ParetoMixEceSpec on the identical fixture)
+    val batch = graft.score.Score.calibrationEce(
+      Seq((0.05, false), (0.95, true), (0.95, false)).toDF("conf", "label"),
+      "conf", "label", nBins = 10).collect()(0).getDouble(0)
+    assert(math.rint(eceStream * 1e6) / 1e6 == batch, s"stream $eceStream vs batch $batch")
+    // drift visibility: bin 9's gap grew across epochs
+    val b9 = all.filter(_.getInt(0) == 9).sortBy(_.getLong(5)).map(_.getDouble(4)).toSeq
+    assert(b9 == Seq(0.05, 0.45), "gap 0.05 (epoch 1) -> 0.45 (epoch 2)")
+  }
+
   test("heavyHittersStream: a token heavy only ACROSS triggers survives in state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
