@@ -55,7 +55,7 @@ object Scaling {
       "q_mix_temperature", "q_mix_update",
       "q_seq_pack", "q_domain_mix", "q_dsir_weight", "q_winsorize", "q_quantile_disc",
       "q_value_histogram", "q_skew_salted_count", "q_data_card", "q_cube_quality",
-      "q_rollup_tokens", "q_ks_length")
+      "q_rollup_tokens", "q_ks_length", "q_mann_whitney")
     val relational = Set(
       "q_lineitem_pricing", "q_order_asof_prev", "q_order_revenue_join",
       "q_shipping_priority", "q_asof_attribution", "q_range_join_binned", "q_sessionize",

@@ -2913,8 +2913,57 @@ object SparkEntry {
           .join(d.select(col("doc_id"), (col("lang") === "en").as("is_en")), Seq("doc_id"))
           .withColumn("conf", greatest(lit(0.0), least(lit(1.0), lit(0.5) + col("logit")))),
         "conf", "is_en", nBins = 10)
-    })
+    }),
+
+    // decile lift / cumulative gain of the classifier ranking —
+    // exact SQL-NTILE semantics WITHOUT a single-partition corpus
+    // window: distinct-score run-length prefix + PARTITIONED
+    // intra-score rank, tile = floor((rn-1)k/N)+1
+    "q_decile_lift" -> ((s, dir) => {
+      val d      = docs(s, dir)
+      val scored = Curation.hashedLinearScore(d, "doc_id", "text", nBuckets = 64)
+        .join(d.select(col("doc_id"), (col("lang") === "en").as("is_en")), Seq("doc_id"))
+      Score.decileLift(scored, "logit", "doc_id", "is_en", nTiles = 10)
+    }),
+
+    // two-proportion z-test on keep rates between two sources (the
+    // curation A/B readout) — keep thresholds at the corpus-mean
+    // logit (decimal-exact sum, ONE double division, 1-row
+    // broadcast), then one aggregation to four counts + pooled z
+    "q_keep_rate_ab" -> ((s, dir) => {
+      val d      = docs(s, dir)
+      val scored = Curation.hashedLinearScore(d, "doc_id", "text", nBuckets = 64)
+      val thr = scored.agg(
+        (sum(col("logit").cast("decimal(27,18)")).cast("double") / count(lit(1))).as("t"))
+      graft.relops.Stats.twoProportionZ(
+        scored
+          .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .crossJoin(broadcast(thr))
+          .withColumn("keep", col("logit") >= col("t")),
+        "source", "src1", "src2", "keep")
+    }),
+
+    // exact Mann–Whitney U with average-rank ties + tie-corrected z:
+    // the location-shift twin of the KS card — integer math on the
+    // distinct-length relation, one corpus aggregation
+    "q_mann_whitney" -> ((s, dir) =>
+      graft.relops.Stats.mannWhitneyU(docs(s, dir), "lang", "en", "de", "n_chars"))
   )
+
+  /** DuckDB fragment: the hashed-linear classifier's per-doc logit
+    * (the q_quality_classifier computation — shared by the
+    * decile-lift and keep-rate A/B oracles).
+    */
+  private val classifierLogitCtes =
+    """toks AS (SELECT doc_id, t AS token
+                FROM documents, unnest(string_split(text, ' ')) AS u(t) WHERE len(t) > 0),
+       b AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT % 64 AS bkt FROM toks),
+       wt AS (SELECT doc_id,
+                     CAST((('0x' || substr(md5('qcw:' || CAST(bkt AS VARCHAR)), 1, 15))::BIGINT
+                           / 1152921504606846976.0) * 2 - 1 AS DECIMAL(27,18)) AS w
+              FROM b),
+       lg AS (SELECT doc_id, round(CAST(sum(w) AS DOUBLE) / count(*), 6) AS logit
+              FROM wt GROUP BY doc_id)"""
 
   /** DuckDB fragment: first n words of documents.text. */
   private def fwSql(n: Int) =
@@ -6030,6 +6079,64 @@ object SparkEntry {
                 round(max(gap), 6) AS mce,
                 count(*) AS n_bins_used,
                 CAST(sum(n_b) AS BIGINT) AS n
+         FROM g""",
+
+    "q_decile_lift" ->
+      s"""WITH $classifierLogitCtes,
+          lab AS (SELECT lg.doc_id, lg.logit, (d.lang = 'en') AS pos
+                  FROM lg JOIN documents d ON lg.doc_id = d.doc_id),
+          dec AS (SELECT CAST(ntile(10) OVER (ORDER BY logit DESC, doc_id) AS INT) AS decile, pos FROM lab),
+          agg AS (SELECT decile, count(*) AS n, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos
+                  FROM dec GROUP BY decile),
+          tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn, CAST(sum(n_pos) AS DOUBLE) AS np FROM agg)
+         SELECT decile, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+                round(CAST(n_pos AS DOUBLE) / n, 6) AS rate,
+                round((CAST(n_pos AS DOUBLE) / n) / (tot.np / tot.nn), 6) AS lift,
+                round(CAST(sum(n_pos) OVER (ORDER BY decile) AS DOUBLE) / tot.np, 6) AS cum_gain
+         FROM agg, tot ORDER BY decile""",
+
+    "q_keep_rate_ab" ->
+      s"""WITH $classifierLogitCtes,
+          thr AS (SELECT CAST(sum(CAST(logit AS DECIMAL(27,18))) AS DOUBLE) / count(*) AS t FROM lg),
+          keeps AS (SELECT d.source, (lg.logit >= thr.t) AS keep
+                    FROM lg JOIN documents d ON lg.doc_id = d.doc_id, thr
+                    WHERE d.source IN ('src1', 'src2')),
+          g AS (SELECT
+                  sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS n1,
+                  sum(CASE WHEN source = 'src1' AND keep THEN 1 ELSE 0 END) AS k1,
+                  sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS n2,
+                  sum(CASE WHEN source = 'src2' AND keep THEN 1 ELSE 0 END) AS k2
+                FROM keeps)
+         SELECT CAST(n1 AS BIGINT) AS n1, CAST(k1 AS BIGINT) AS k1,
+                CAST(n2 AS BIGINT) AS n2, CAST(k2 AS BIGINT) AS k2,
+                round(CAST(k1 AS DOUBLE) / n1, 6) AS p1,
+                round(CAST(k2 AS DOUBLE) / n2, 6) AS p2,
+                round((CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2)
+                      / sqrt((CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
+                             * (1 - CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
+                             * (1.0 / n1 + 1.0 / n2)), 6) AS z
+         FROM g""",
+
+    "q_mann_whitney" ->
+      """WITH s AS (SELECT lang, n_chars FROM documents WHERE lang IN ('en', 'de')),
+          vals AS (SELECT n_chars AS v, count(*) AS cnt,
+                          sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cnt_a
+                   FROM s GROUP BY n_chars),
+          ranked AS (SELECT v, cnt, cnt_a,
+                            coalesce(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+                     FROM vals),
+          g AS (SELECT sum(cnt_a) AS n1,
+                       sum(cnt - cnt_a) AS n2,
+                       sum(cnt_a * (2 * cum_before + cnt + 1)) AS r1x2,
+                       sum(cnt * cnt * cnt - cnt) AS ties
+                FROM ranked)
+         SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                round((CAST(r1x2 AS DOUBLE) - 2.0 * n1 * (n1 + 1) / 2) / 2, 6) AS u1,
+                round(CAST(n1 AS DOUBLE) * n2 - (CAST(r1x2 AS DOUBLE) - 2.0 * n1 * (n1 + 1) / 2) / 2, 6) AS u2,
+                round(((CAST(r1x2 AS DOUBLE) - 2.0 * n1 * (n1 + 1) / 2) / 2 - CAST(n1 AS DOUBLE) * n2 / 2)
+                      / sqrt((CAST(n1 AS DOUBLE) * n2 / 12)
+                             * ((n1 + n2 + 1) - CAST(ties AS DOUBLE)
+                                / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))), 6) AS z
          FROM g"""
   )
 }

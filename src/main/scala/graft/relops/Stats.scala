@@ -391,4 +391,86 @@ object Stats {
         df(minCol) === col("_pf_min") && df(maxCol) === col("_pf_max"))
       .select(df.columns.map(df(_)).toIndexedSeq: _*)
   }
+
+  /** Exact Mann–Whitney U between two groups with average-rank tie
+    * handling and tie-corrected normal approximation — the
+    * rank-based distribution-shift test that complements the KS card
+    * (sensitive to location shift where KS is sensitive to any CDF
+    * gap).
+    *
+    * Everything is integer arithmetic until the final z: average
+    * ranks are computed on the DISTINCT-value relation (2·rank is the
+    * integer 2·cum_before + cnt + 1, so the doubled rank sum R1×2 is
+    * an exact long), U follows from R1, and the tie term Σ(t³−t)
+    * enters the variance exactly. The only ordered state is the
+    * distinct-value relation; the corpus sees one aggregation.
+    *
+    * Output: one row (n1, n2, u1, u2, z), z > 0 iff group A ranks
+    * higher.
+    */
+  def mannWhitneyU(
+      df: DataFrame,
+      groupCol: String,
+      groupA: String,
+      groupB: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    requireIntegral(df, valueCol, "mannWhitneyU")
+    val s = df
+      .filter(col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).as("_g"), col(valueCol).cast("long").as("_v"))
+    val vals = s.groupBy(col("_v")).agg(
+      count(lit(1)).as("_cnt"),
+      sum(when(col("_g") === groupA, 1L).otherwise(0L)).as("_cnt_a"))
+    val sweep = Window.orderBy(col("_v")).rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = vals.withColumn("_before", coalesce(sum(col("_cnt")).over(sweep), lit(0L)))
+    val g = ranked.agg(
+      sum(col("_cnt_a")).as("n1"),
+      sum(col("_cnt") - col("_cnt_a")).as("n2"),
+      sum(col("_cnt_a") * (lit(2) * col("_before") + col("_cnt") + 1)).as("_r1x2"),
+      sum(col("_cnt") * col("_cnt") * col("_cnt") - col("_cnt")).as("_ties"))
+    val u1 = (col("_r1x2").cast("double") - lit(2.0) * col("n1") * (col("n1") + 1) / 2) / 2
+    val nn = col("n1").cast("double") * col("n2")
+    g.select(
+      col("n1"), col("n2"),
+      round(u1, 6).as("u1"),
+      round(nn - u1, 6).as("u2"),
+      round(
+        (u1 - nn / 2) /
+          sqrt((nn / 12) * ((col("n1") + col("n2") + 1) -
+            col("_ties").cast("double") /
+              ((col("n1") + col("n2")).cast("double") * (col("n1") + col("n2") - 1)))),
+        6).as("z"))
+  }
+
+  /** Two-proportion z-test (pooled variance) between groups A and B
+    * on a boolean outcome — the keep-rate A/B comparison a curation
+    * change ships with. One corpus aggregation to four counts; the z
+    * is exact integer ratios + one sqrt (correctly rounded, so
+    * cross-engine safe). Output: (n1, k1, n2, k2, p1, p2, z).
+    */
+  def twoProportionZ(
+      df: DataFrame,
+      groupCol: String,
+      groupA: String,
+      groupB: String,
+      outcomeCol: String): DataFrame = {
+    val g = df
+      .filter(col(groupCol).isin(groupA, groupB))
+      .agg(
+        sum(when(col(groupCol) === groupA, 1L).otherwise(0L)).as("n1"),
+        sum(when(col(groupCol) === groupA && col(outcomeCol), 1L).otherwise(0L)).as("k1"),
+        sum(when(col(groupCol) === groupB, 1L).otherwise(0L)).as("n2"),
+        sum(when(col(groupCol) === groupB && col(outcomeCol), 1L).otherwise(0L)).as("k2"))
+    val p1 = col("k1").cast("double") / col("n1")
+    val p2 = col("k2").cast("double") / col("n2")
+    val pp = (col("k1") + col("k2")).cast("double") / (col("n1") + col("n2"))
+    g.select(
+      col("n1"), col("k1"), col("n2"), col("k2"),
+      round(p1, 6).as("p1"),
+      round(p2, 6).as("p2"),
+      round(
+        (p1 - p2) / sqrt(pp * (lit(1) - pp) *
+          (lit(1.0) / col("n1") + lit(1.0) / col("n2"))), 6).as("z"))
+  }
 }

@@ -171,6 +171,59 @@ object Score {
     *
     * Output: one row (ece, mce, n_bins_used, n).
     */
+  /** Decile lift / cumulative-gain table of a ranking score against a
+    * boolean label — the model-eval card behind "does the classifier
+    * concentrate positives in its top buckets".
+    *
+    * Exact SQL-NTILE semantics WITHOUT a single-partition window: the
+    * global row number decomposes into (run-length prefix over the
+    * DISTINCT-score relation) + (intra-score rank by id — a
+    * PARTITIONED window, parallel), and tile = floor((rn−1)·k/N)+1 is
+    * the standard largest-remainder NTILE identity. The only ordered
+    * state is the distinct-score relation (bounded by score
+    * resolution — 6-dp logits here), never the corpus.
+    *
+    * Output per tile: (decile, n, n_pos, rate, lift, cum_gain).
+    */
+  def decileLift(
+      df: DataFrame,
+      scoreCol: String,
+      idCol: String,
+      labelCol: String,
+      nTiles: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(
+      col(scoreCol).as("_s"), col(idCol).as("_id"),
+      when(col(labelCol), 1L).otherwise(0L).as("_pos"))
+    val byScore = base.groupBy(col("_s")).agg(count(lit(1)).as("_cnt"))
+    val sweep   = Window.orderBy(desc("_s")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = byScore
+      .withColumn("_before", coalesce(sum(col("_cnt")).over(sweep), lit(0L)))
+      .select(col("_s"), col("_before"))
+    val intra = Window.partitionBy(col("_s")).orderBy(col("_id"))
+    val total = base.agg(count(lit(1)).as("_n"))
+    val tiled = base
+      .join(broadcast(offsets), Seq("_s"))
+      .withColumn("_rn", col("_before") + row_number().over(intra))
+      .crossJoin(broadcast(total))
+      .select(
+        (floor((col("_rn") - 1) * nTiles / col("_n")) + 1).cast("int").as("decile"),
+        col("_pos"))
+    val agg = tiled.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("_pos")).as("n_pos"))
+    val tot = agg.agg(
+      sum(col("n")).cast("double").as("_nn"), sum(col("n_pos")).cast("double").as("_np"))
+    val cum = Window.orderBy(col("decile")).rowsBetween(Window.unboundedPreceding, 0)
+    agg.crossJoin(broadcast(tot))
+      .withColumn("_cum_pos", sum(col("n_pos")).over(cum))
+      .select(
+        col("decile"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("rate"),
+        round((col("n_pos").cast("double") / col("n")) / (col("_np") / col("_nn")), 6).as("lift"),
+        round(col("_cum_pos").cast("double") / col("_np"), 6).as("cum_gain"))
+      .orderBy(col("decile"))
+  }
+
   def calibrationEce(
       df: DataFrame,
       confCol: String,

@@ -71,4 +71,50 @@ class ParetoMixEceSpec extends SparkSpec {
     val r = Score.calibrationEce(df, "conf", "label", nBins = 10).collect()(0)
     assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0 && r.getLong(2) == 1L)
   }
+
+  test("decileLift: top tile concentrates positives; cum_gain reaches 1") {
+    val df = Seq(
+      (1L, 4.0, true), (2L, 3.0, true), (3L, 2.0, false), (4L, 1.0, false)
+    ).toDF("id", "score", "label")
+    val got = Score.decileLift(df, "score", "id", "label", nTiles = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(4), r.getDouble(5)))
+    assert(got(0) == ((1, 2L, 2L, 2.0, 1.0)), "tile 1: all positives, lift 2, gain 1")
+    assert(got(1) == ((2, 2L, 0L, 0.0, 1.0)), "tile 2: none")
+  }
+
+  test("decileLift: largest-remainder tile sizes match SQL NTILE on uneven N, ties rank by id") {
+    // N=5, k=2 -> NTILE sizes (3, 2); all scores EQUAL so ranks come
+    // from the id tie-break: ids 1,2,3 -> tile 1
+    val df = (1L to 5L).map(i => (i, 1.0, i <= 3)).toDF("id", "score", "label")
+    val got = Score.decileLift(df, "score", "id", "label", nTiles = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got(0) == ((1, 3L, 3L)) && got(1) == ((2, 2L, 0L)))
+  }
+
+  test("mannWhitneyU: average-rank ties and tie-corrected z, hand-computed") {
+    // A {1,2}, B {2,3}: ranks 1; 2.5/2.5; 4 -> R1 3.5, U1 0.5, U2 3.5
+    // ties term (2^3-2)=6 -> var = (4/12)*(5 - 6/12) = 1.5
+    // z = (0.5 - 2)/sqrt(1.5) = -1.224745
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 2L), ("B", 3L)).toDF("g", "v")
+    val r = Stats.mannWhitneyU(df, "g", "A", "B", "v").collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert(r.getDouble(2) == 0.5 && r.getDouble(3) == 3.5)
+    assert(r.getDouble(4) == -1.224745)
+  }
+
+  test("mannWhitneyU: symmetric groups read z = 0") {
+    val df = Seq(("A", 1L), ("A", 3L), ("B", 1L), ("B", 3L)).toDF("g", "v")
+    val r = Stats.mannWhitneyU(df, "g", "A", "B", "v").collect()(0)
+    assert(r.getDouble(2) == r.getDouble(3), "U1 == U2")
+    assert(r.getDouble(4) == 0.0)
+  }
+
+  test("twoProportionZ: pooled z, hand-computed") {
+    // A: 1/2, B: 2/2 -> pooled 3/4; z = -0.5/sqrt(0.1875) = -1.154701
+    val df = Seq(("A", true), ("A", false), ("B", true), ("B", true)).toDF("g", "keep")
+    val r = Stats.twoProportionZ(df, "g", "A", "B", "keep").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((2L, 1L, 2L, 2L)))
+    assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 1.0)
+    assert(r.getDouble(6) == -1.154701)
+  }
 }
