@@ -2947,7 +2947,18 @@ object SparkEntry {
     // the location-shift twin of the KS card — integer math on the
     // distinct-length relation, one corpus aggregation
     "q_mann_whitney" -> ((s, dir) =>
-      graft.relops.Stats.mannWhitneyU(docs(s, dir), "lang", "en", "de", "n_chars"))
+      graft.relops.Stats.mannWhitneyU(docs(s, dir), "lang", "en", "de", "n_chars")),
+
+    // exact ROC AUC of the classifier ranking (rank-sum identity,
+    // ties = 0.5) — completes the classifier-eval suite: threshold
+    // sweep (AUC) + bucket view (decile lift) + probability quality
+    // (ECE); integer ranks on the distinct-score relation
+    "q_auc_classifier" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val scored = Curation.hashedLinearScore(d, "doc_id", "text", nBuckets = 64)
+        .join(d.select(col("doc_id"), (col("lang") === "en").as("is_en")), Seq("doc_id"))
+      Score.rocAuc(scored, "logit", "is_en")
+    })
   )
 
   /** DuckDB fragment: the hashed-linear classifier's per-doc logit
@@ -6137,6 +6148,28 @@ object SparkEntry {
                       / sqrt((CAST(n1 AS DOUBLE) * n2 / 12)
                              * ((n1 + n2 + 1) - CAST(ties AS DOUBLE)
                                 / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))), 6) AS z
-         FROM g"""
+         FROM g""",
+
+    "q_auc_classifier" ->
+      s"""WITH $classifierLogitCtes,
+          sc AS (SELECT CASE WHEN d.lang = 'en' THEN 'pos' ELSE 'neg' END AS g,
+                        CAST(round(lg.logit * 1e6) AS BIGINT) AS v
+                 FROM lg JOIN documents d ON lg.doc_id = d.doc_id),
+          vals AS (SELECT v, count(*) AS cnt,
+                          sum(CASE WHEN g = 'pos' THEN 1 ELSE 0 END) AS cnt_a
+                   FROM sc GROUP BY v),
+          ranked AS (SELECT v, cnt, cnt_a,
+                            coalesce(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+                     FROM vals),
+          gg AS (SELECT sum(cnt_a) AS n1, sum(cnt - cnt_a) AS n2,
+                        sum(cnt_a * (2 * cum_before + cnt + 1)) AS r1x2
+                 FROM ranked),
+          u AS (SELECT n1, n2,
+                       round((CAST(r1x2 AS DOUBLE) - 2.0 * n1 * (n1 + 1) / 2) / 2, 6) AS u1
+                FROM gg)
+         SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n2 AS BIGINT) AS n_neg,
+                round(u1 / (CAST(n1 AS DOUBLE) * n2), 6) AS auc,
+                round(2.0 * (u1 / (CAST(n1 AS DOUBLE) * n2)) - 1, 6) AS gini
+         FROM u"""
   )
 }

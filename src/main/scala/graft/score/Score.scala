@@ -224,6 +224,27 @@ object Score {
       .orderBy(col("decile"))
   }
 
+  /** Exact ROC AUC of a ranking score against a boolean label, via
+    * the rank-sum identity AUC = U₁ / (n₊·n₋) with average-rank tie
+    * handling — ties contribute 0.5, the textbook definition. The
+    * score is quantized to 6 dp (its own output grain) so the rank
+    * table runs in exact integers on the DISTINCT-score relation;
+    * the corpus sees one aggregation. Output: (n_pos, n_neg, auc,
+    * gini = 2·AUC − 1).
+    */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame =
+    graft.relops.Stats
+      .mannWhitneyU(
+        df.select(
+          when(col(labelCol), "pos").otherwise("neg").as("_g"),
+          round(col(scoreCol) * 1e6).cast("long").as("_v")),
+        "_g", "pos", "neg", "_v")
+      .select(
+        col("n1").as("n_pos"),
+        col("n2").as("n_neg"),
+        round(col("u1") / (col("n1").cast("double") * col("n2")), 6).as("auc"),
+        round(lit(2.0) * (col("u1") / (col("n1").cast("double") * col("n2"))) - 1, 6).as("gini"))
+
   def calibrationEce(
       df: DataFrame,
       confCol: String,

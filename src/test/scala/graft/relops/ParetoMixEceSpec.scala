@@ -109,6 +109,17 @@ class ParetoMixEceSpec extends SparkSpec {
     assert(r.getDouble(4) == 0.0)
   }
 
+  test("rocAuc: rank-sum identity with a tie contributing 0.5") {
+    // pos {0.9, 0.5} vs neg {0.5, 0.1}: 3 wins + 1 tie -> 3.5/4
+    val df = Seq((0.9, true), (0.5, true), (0.5, false), (0.1, false)).toDF("score", "label")
+    val r = Score.rocAuc(df, "score", "label").collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert(r.getDouble(2) == 0.875 && r.getDouble(3) == 0.75)
+    // perfect separation reads 1.0
+    val sep = Seq((0.9, true), (0.1, false)).toDF("score", "label")
+    assert(Score.rocAuc(sep, "score", "label").collect()(0).getDouble(2) == 1.0)
+  }
+
   test("twoProportionZ: pooled z, hand-computed") {
     // A: 1/2, B: 2/2 -> pooled 3/4; z = -0.5/sqrt(0.1875) = -1.154701
     val df = Seq(("A", true), ("A", false), ("B", true), ("B", true)).toDF("g", "keep")
