@@ -6051,8 +6051,10 @@ object SparkEntry {
           tot AS (SELECT sum(n_tok) AS tot_tok, sum(n_len) AS tot_len FROM dom),
           wr AS (SELECT dom.source, dom.n_tok,
                         CAST(dom.n_tok AS DOUBLE) / tot.tot_tok AS w_ref,
-                        greatest(0.0, (CAST(dom.n_len AS DOUBLE) * CAST(tot.tot_tok AS DOUBLE))
-                                      / (CAST(dom.n_tok AS DOUBLE) * CAST(tot.tot_len AS DOUBLE)) - 1) AS excess
+                        CASE WHEN dom.n_tok > 0
+                             THEN greatest(0.0, (CAST(dom.n_len AS DOUBLE) * CAST(tot.tot_tok AS DOUBLE))
+                                      / (CAST(dom.n_tok AS DOUBLE) * CAST(tot.tot_len AS DOUBLE)) - 1)
+                             ELSE 0.0 END AS excess
                  FROM dom, tot),
           raw AS (SELECT source, n_tok, w_ref, excess,
                          CAST(w_ref * (1.0 + 1.0 * excess) AS DECIMAL(27,18)) AS w_raw

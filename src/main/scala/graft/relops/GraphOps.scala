@@ -78,16 +78,20 @@ object GraphOps {
     val counts = e.agg(count(lit(1)).as("n_edges"))
     val nodes = deg.agg(
       count(lit(1)).as("n_nodes"),
-      sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"))
+      coalesce(sum(col("d") * (col("d") - 1) / 2), lit(0)).cast("long").as("n_wedges"))
     // 1 row: materialize eagerly (lineage cut) so the edge caches can
     // be released before returning — the established localCheckpoint
-    // pattern for tiny results over persisted inputs
+    // pattern for tiny results over persisted inputs. A wedge-free
+    // graph (empty, or a perfect matching) reads clustering 0.0, not
+    // null — the 0/0 case is defined downward by convention here.
     val out = nodes
       .crossJoin(broadcast(counts))
       .crossJoin(broadcast(tri))
       .select(
         col("n_nodes"), col("n_edges"), col("n_triangles"), col("n_wedges"),
-        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("global_clustering"))
+        when(col("n_wedges") > 0,
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+          .otherwise(lit(0.0)).as("global_clustering"))
       .localCheckpoint(eager = true)
     e.unpersist()
     directed.unpersist()

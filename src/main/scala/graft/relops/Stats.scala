@@ -380,16 +380,20 @@ object Stats {
     */
   def paretoFront2D(df: DataFrame, minCol: String, maxCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grouped = df.groupBy(col(minCol).as("_pf_min")).agg(max(col(maxCol)).as("_pf_max"))
+    // dominance is undefined on missing coordinates: a null minCol
+    // would otherwise sort as "cheapest" in the sweep and a null
+    // maxCol silently drops at the join-back — exclude both up front
+    val in = df.filter(col(minCol).isNotNull && col(maxCol).isNotNull)
+    val grouped = in.groupBy(col(minCol).as("_pf_min")).agg(max(col(maxCol)).as("_pf_max"))
     val sweep   = Window.orderBy(col("_pf_min")).rowsBetween(Window.unboundedPreceding, -1)
     val frontier = grouped
       .withColumn("_prev", max(col("_pf_max")).over(sweep))
       .filter(col("_prev").isNull || col("_pf_max") > col("_prev"))
       .select(col("_pf_min"), col("_pf_max"))
-    df.join(
+    in.join(
         broadcast(frontier),
-        df(minCol) === col("_pf_min") && df(maxCol) === col("_pf_max"))
-      .select(df.columns.map(df(_)).toIndexedSeq: _*)
+        in(minCol) === col("_pf_min") && in(maxCol) === col("_pf_max"))
+      .select(in.columns.map(in(_)).toIndexedSeq: _*)
   }
 
   /** Exact Mann–Whitney U between two groups with average-rank tie

@@ -202,12 +202,17 @@ object Score {
       .select(col("_s"), col("_before"))
     val intra = Window.partitionBy(col("_s")).orderBy(col("_id"))
     val total = base.agg(count(lit(1)).as("_n"))
+    // tile identity floor((rn−1)k/N)+1 == SQL NTILE only for N ≥ k;
+    // with fewer rows than tiles NTILE numbers rows consecutively
+    // (1..N) while the formula would skip tile numbers — branch on it
     val tiled = base
       .join(broadcast(offsets), Seq("_s"))
       .withColumn("_rn", col("_before") + row_number().over(intra))
       .crossJoin(broadcast(total))
       .select(
-        (floor((col("_rn") - 1) * nTiles / col("_n")) + 1).cast("int").as("decile"),
+        when(col("_n") < nTiles, col("_rn"))
+          .otherwise(floor((col("_rn") - 1) * nTiles / col("_n")) + 1)
+          .cast("int").as("decile"),
         col("_pos"))
     val agg = tiled.groupBy(col("decile"))
       .agg(count(lit(1)).as("n"), sum(col("_pos")).as("n_pos"))

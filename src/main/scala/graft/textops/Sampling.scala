@@ -286,7 +286,12 @@ object Sampling {
       (col("n_tok").cast("double") * col("tot_len").cast("double"))
     val withRaw = byDomain
       .crossJoin(broadcast(total))
-      .withColumn("excess", greatest(lit(0.0), hard - 1))
+      // a domain whose every doc tokenizes empty has n_tok = 0: the
+      // hardness ratio is 0/0 = NaN, and greatest() would propagate
+      // it (NaN sorts greatest) — such a domain reads excess 0
+      .withColumn(
+        "excess",
+        when(col("n_tok") > 0, greatest(lit(0.0), hard - 1)).otherwise(lit(0.0)))
       .withColumn("w_ref", col("n_tok").cast("double") / col("tot_tok"))
       .withColumn(
         "w_raw",

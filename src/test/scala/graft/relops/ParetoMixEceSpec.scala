@@ -109,6 +109,30 @@ class ParetoMixEceSpec extends SparkSpec {
     assert(r.getDouble(4) == 0.0)
   }
 
+  test("hardening: decileLift numbers rows consecutively when N < nTiles (SQL NTILE parity)") {
+    // 2 rows into 10 tiles: NTILE gives tiles 1 and 2 — the
+    // largest-remainder formula alone would emit 1 and 6
+    val df  = Seq((1L, 0.9, true), (2L, 0.1, false)).toDF("id", "score", "label")
+    val got = Score.decileLift(df, "score", "id", "label", nTiles = 10)
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(1, 2))
+  }
+
+  test("hardening: paretoFront2D drops rows with null coordinates instead of crowning them") {
+    val pts = Seq(
+      (1, Some(1.0), Some(2)), (2, None, Some(9)), (3, Some(0.5), None)
+    ).toDF("id", "price", "size")
+    val got = GraphOpsSpecHelpers.ids(Stats.paretoFront2D(pts, "price", "size"))
+    assert(got == Set(1))
+  }
+
+  test("hardening: mixUpdate reads excess 0 for a zero-token domain, not NaN") {
+    val df = Seq(("A", "aa bb"), ("B", "")).toDF("source", "text")
+    val got = Sampling.mixUpdate(df, "source", "text").orderBy("source").collect()
+    assert(got(1).getLong(1) == 0L && got(1).getDouble(3) == 0.0)
+    assert(!got(1).isNullAt(4), "w_new defined (0 share, 0 excess)")
+  }
+
   test("rocAuc: rank-sum identity with a tie contributing 0.5") {
     // pos {0.9, 0.5} vs neg {0.5, 0.1}: 3 wins + 1 tie -> 3.5/4
     val df = Seq((0.9, true), (0.5, true), (0.5, false), (0.1, false)).toDF("score", "label")
@@ -128,4 +152,10 @@ class ParetoMixEceSpec extends SparkSpec {
     assert(r.getDouble(4) == 0.5 && r.getDouble(5) == 1.0)
     assert(r.getDouble(6) == -1.154701)
   }
+}
+
+/** Tiny shared helper: collect the id column (first col, Int). */
+object GraphOpsSpecHelpers {
+  def ids(df: org.apache.spark.sql.DataFrame): Set[Int] =
+    df.collect().map(_.getInt(0)).toSet
 }
