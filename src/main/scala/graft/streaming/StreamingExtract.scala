@@ -747,6 +747,64 @@ object StreamingExtract {
       }
   }
 
+  /** State for [[skylineStream]]: the current 2-D Pareto frontier
+    * (minimize `v1`, maximize `v2`) plus the snapshot epoch. The
+    * frontier is bounded by the distinct-v1 resolution, not the
+    * stream length — dominated points leave state forever.
+    */
+  final case class SkylineState(points: Seq[(Double, Double, Long)], epoch: Long)
+
+  /** One frontier member per (snapshot, point). Same max-epoch
+    * consumer protocol as [[QuotaItem]]/[[CalibBin]].
+    */
+  final case class SkylinePoint(id: Long, v1: Double, v2: Double, epoch: Long)
+
+  /** Streaming twin of the batch 2-D skyline
+    * (relops.Stats.paretoFront2D): maintain the Pareto frontier
+    * (minimize v1, maximize v2) ACROSS triggers — a dominating
+    * arrival displaces earlier frontier members (a per-batch window
+    * cannot do this), and at any moment the latest-epoch snapshot
+    * equals the batch skyline of everything seen. Dominance uses the
+    * batch operator's exact rule: q dominates p iff q.v1 ≤ p.v1 ∧
+    * q.v2 ≥ p.v2 with one strict; EXACT (v1, v2) ties co-survive.
+    * Null coordinates are excluded, mirroring the batch guard.
+    *
+    * Single logical group (the frontier is global state, like the
+    * weighted reservoir); state size = frontier size, bounded by the
+    * v1 value resolution.
+    */
+  def skylineStream(
+      rows: DataFrame,
+      idCol: String,
+      v1Col: String,
+      v2Col: String): Dataset[SkylinePoint] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val keyed = rows
+      .filter(col(v1Col).isNotNull && col(v2Col).isNotNull)
+      .select(
+        col(idCol).cast("long"),
+        col(v1Col).cast("double"),
+        col(v2Col).cast("double"))
+      .as[(Long, Double, Double)]
+    keyed
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[SkylineState, SkylinePoint](
+        org.apache.spark.sql.streaming.OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Int, it: Iterator[(Long, Double, Double)], state: GroupState[SkylineState]) =>
+          val prev  = state.getOption.map(_.points).getOrElse(Seq.empty)
+          val epoch = state.getOption.map(_.epoch).getOrElse(0L) + 1
+          val cand  = (prev ++ it.map { case (id, a, b) => (a, b, id) }).distinct
+          def dominates(q: (Double, Double, Long), p: (Double, Double, Long)): Boolean =
+            q._1 <= p._1 && q._2 >= p._2 && (q._1 < p._1 || q._2 > p._2)
+          val frontier = cand
+            .filter(p => !cand.exists(q => dominates(q, p)))
+            .sortBy(p => (p._1, -p._2, p._3))
+          state.update(SkylineState(frontier, epoch))
+          frontier.iterator.map { case (a, b, id) => SkylinePoint(id, a, b, epoch) }
+      }
+  }
+
   /** Streaming-native windowed aggregation over an event stream:
     * watermark + sliding window counts (the shape `events` exercises).
     */

@@ -546,6 +546,37 @@ class StreamingExtractSpec extends SparkSpec {
     assert(b9 == Seq(0.05, 0.45), "gap 0.05 (epoch 1) -> 0.45 (epoch 2)")
   }
 
+  test("skylineStream: a dominating late arrival displaces frontier members; snapshot == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Long, Double, Double)]
+    val res = StreamingExtract.skylineStream(
+      in.toDF().toDF("id", "price", "size"), "id", "price", "size")
+    val q = res.writeStream.outputMode("append").format("memory").queryName("sky_out").start()
+    val t1 = Seq((1L, 1.0, 1.0), (2L, 2.0, 3.0), (3L, 3.0, 5.0))
+    in.addData(t1: _*)
+    q.processAllAvailable()
+    val snap1 = spark.table("sky_out").collect()
+    assert(snap1.map(_.getLong(0)).toSet == Set(1L, 2L, 3L), "staircase: all on frontier")
+    // trigger 2: (4) at price 1.5 / size 5 dominates (2) AND (3);
+    // (5) ties (1) exactly -> both survive
+    val t2 = Seq((4L, 1.5, 5.0), (5L, 1.0, 1.0))
+    in.addData(t2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val all      = spark.table("sky_out").collect()
+    val maxEpoch = all.map(_.getLong(3)).max
+    val snap2    = all.filter(_.getLong(3) == maxEpoch).map(_.getLong(0)).toSet
+    assert(maxEpoch == 2L)
+    assert(snap2 == Set(1L, 4L, 5L), s"got $snap2")
+    // batch reference on the union
+    val batch = graft.relops.Stats.paretoFront2D(
+      (t1 ++ t2).toDF("id", "price", "size"), "price", "size")
+      .collect().map(_.getLong(0)).toSet
+    assert(snap2 == batch, s"stream $snap2 vs batch $batch")
+  }
+
   test("heavyHittersStream: a token heavy only ACROSS triggers survives in state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
