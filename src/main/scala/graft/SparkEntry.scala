@@ -2703,12 +2703,19 @@ object SparkEntry {
     // one keyed agg + a 1-row broadcast total, the threshold scales
     // with the part count so the card is SF-stable
     "q_revenue_concentration" -> ((s, dir) => {
+      // the per-part aggregate feeds BOTH the 1-row total and the
+      // filter: persist it (parts-sized, tiny vs the fact) so the
+      // fact table is scanned ONCE — the naive lazy form re-scans
+      // lineitem for the scalar subquery (ReuseExchange does not
+      // fire across the aggregate under AQE); eager-checkpoint the
+      // (filtered) output and release, the GraphOps pattern
       val pr = Tables.lineitem(s, dir)
         .groupBy(col("l_partkey"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast("decimal(18,4)")).as("rev"))
+        .persist()
       val tot = pr.agg(sum(col("rev")).as("total"), count(lit(1)).as("n_parts"))
-      pr.crossJoin(broadcast(tot))
+      val out = pr.crossJoin(broadcast(tot))
         .withColumn("share_raw", col("rev").cast("double") / col("total").cast("double"))
         .filter(col("share_raw") > lit(1.25) / col("n_parts"))
         .select(
@@ -2718,6 +2725,9 @@ object SparkEntry {
           col("share_raw"))
         .orderBy(desc("share_raw"), col("p_partkey"))
         .drop("share_raw")
+        .localCheckpoint(eager = true)
+      pr.unpersist()
+      out
     }),
 
     // promotion revenue share (TPC-H Q14's shape): date band pushed
@@ -2746,6 +2756,9 @@ object SparkEntry {
     // rides back as a 1-row broadcast — no re-aggregation, exact
     // decimal equality so ties (if any) all surface
     "q_top_supplier" -> ((s, dir) => {
+      // persist the supplier-sized aggregate so the fact scan runs
+      // ONCE (the lazy form re-scans lineitem for the max subquery);
+      // output is <= #ties rows, eager-checkpointed, cache released
       val rev = Tables.lineitem(s, dir)
         .filter(
           col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
@@ -2753,13 +2766,17 @@ object SparkEntry {
         .groupBy(col("l_suppkey"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast("decimal(18,4)")).as("total_rev"))
-      rev.crossJoin(broadcast(rev.agg(max(col("total_rev")).as("mx"))))
+        .persist()
+      val out = rev.crossJoin(broadcast(rev.agg(max(col("total_rev")).as("mx"))))
         .filter(col("total_rev") === col("mx"))
         .join(broadcast(Tables.table(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
         .select(
           col("l_suppkey").as("s_suppkey"), col("s_name"),
           round(col("total_rev").cast("double"), 6).as("total_revenue"))
         .orderBy(col("s_suppkey"))
+        .localCheckpoint(eager = true)
+      rev.unpersist()
+      out
     }),
 
     // supplier diversity per product segment (TPC-H Q16's shape):
