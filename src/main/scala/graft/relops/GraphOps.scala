@@ -23,9 +23,28 @@ object GraphOps {
   /** Distinct undirected co-occurrence edges (pa < pb) from a
     * (basket, item) relation. One shuffle on the basket key; output
     * bounded by Σ C(|basket|, 2).
+    *
+    * `maxBasket` is the fan-out cap every pair emitter in this
+    * engine carries (the df-cap of the dedup family): ONE
+    * pathological basket of 10⁶ items would otherwise emit 5·10¹¹
+    * pairs from the self-join and take the stage down. Baskets above
+    * the cap are dropped WHOLE (standard market-basket practice —
+    * a mega-basket is a crawler artifact, not co-occurrence signal);
+    * the default keeps everything.
     */
-  def coOccurrenceEdges(df: DataFrame, basketCol: String, itemCol: String): DataFrame = {
-    val items = df.select(col(basketCol).as("basket"), col(itemCol).as("item")).distinct()
+  def coOccurrenceEdges(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      maxBasket: Int = Int.MaxValue): DataFrame = {
+    val all = df.select(col(basketCol).as("basket"), col(itemCol).as("item")).distinct()
+    val items =
+      if (maxBasket == Int.MaxValue) all
+      else {
+        val sizes = all.groupBy(col("basket")).agg(count(lit(1)).as("_bn"))
+        all.join(broadcast(sizes.filter(col("_bn") > maxBasket).select(col("basket"))),
+          Seq("basket"), "left_anti")
+      }
     items.as("a")
       .join(items.as("b"), col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
       .select(col("a.item").as("pa"), col("b.item").as("pb"))
@@ -110,8 +129,19 @@ object GraphOps {
       basketCol: String,
       itemCol: String,
       minSupport: Long,
-      k: Int): DataFrame = {
-    val items = df.select(col(basketCol).as("basket"), col(itemCol).as("item")).distinct().persist()
+      k: Int,
+      maxBasket: Int = Int.MaxValue): DataFrame = {
+    val all = df.select(col(basketCol).as("basket"), col(itemCol).as("item")).distinct()
+    val items = (
+      if (maxBasket == Int.MaxValue) all
+      else {
+        // same mega-basket fan-out cap as coOccurrenceEdges — the
+        // pair space below is Σ|basket|²
+        val sizes = all.groupBy(col("basket")).agg(count(lit(1)).as("_bn"))
+        all.join(broadcast(sizes.filter(col("_bn") > maxBasket).select(col("basket"))),
+          Seq("basket"), "left_anti")
+      }
+    ).persist()
     val n  = items.agg(countDistinct(col("basket")).as("n_orders"))
     val ic = items.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
     val pc = items.as("a")

@@ -65,6 +65,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(r.getDouble(4) == 1.0, "confidence 3/3")
   }
 
+  test("maxBasket cap: mega-baskets drop whole; non-binding cap is identity") {
+    // b_huge has 4 items (> cap 3) and must contribute NO pairs;
+    // the other baskets pass through untouched
+    val withHuge = baskets.unionByName(
+      Seq(("b_huge", 10L), ("b_huge", 11L), ("b_huge", 12L), ("b_huge", 13L))
+        .toDF("basket", "item"))
+    val capped = GraphOps.coOccurrenceEdges(withHuge, "basket", "item", maxBasket = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = GraphOps.coOccurrenceEdges(baskets, "basket", "item")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == base, "capped graph == graph without the mega-basket")
+    val unbounded = GraphOps.coOccurrenceEdges(withHuge, "basket", "item")
+      .collect().length
+    assert(unbounded == base.size + 6, "uncapped default keeps the mega-basket's C(4,2) pairs")
+    // basketLift: the cap also bounds the pair-count space — and the
+    // basket TOTAL excludes dropped baskets (lift stays consistent)
+    val lift = GraphOps.basketLift(withHuge, "basket", "item",
+      minSupport = 2, k = 10, maxBasket = 3).collect()
+    assert(lift.length == 1 && lift(0).getLong(0) == 1L && lift(0).getLong(1) == 2L)
+    assert(lift(0).getDouble(3) == 1.333333, "n_orders excludes the dropped basket")
+  }
+
   test("basketLift: top-k ordering is (lift desc, pa, pb) and k caps the output") {
     val out = GraphOps.basketLift(baskets, "basket", "item", minSupport = 1, k = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
