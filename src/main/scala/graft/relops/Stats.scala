@@ -23,6 +23,76 @@ object Stats {
     }
   }
 
+  /** Distributed exclusive prefix sum ("how much weight sorts strictly
+    * before me") over an arbitrary-cardinality relation, WITHOUT a
+    * single-partition window over the whole relation.
+    *
+    * Two-phase range decomposition: (1) the key space is split into
+    * ≤ `numRanges` contiguous ranges at approx-quantile cut points
+    * (one bounded driver-side action — `numRanges − 1` doubles — the
+    * same blessed pattern as the k-centroid collects); the range id is
+    * a PURE FUNCTION of the key, so every consumer of the plan
+    * derives the identical bucket (no `spark_partition_id`, which is
+    * not stable across AQE local/coalesced shuffle reads). A window
+    * PARTITIONED by range id computes each row's within-range prefix
+    * in parallel. (2) Per-range totals (≤ numRanges rows) get their
+    * own tiny unpartitioned prefix and ride back as a broadcast
+    * offset: global_before = range_offset + local_before — exact for
+    * any key distribution and any boundary choice, with the only
+    * ordered single-task state being the ≤ numRanges-row offset
+    * relation.
+    *
+    * Intended for DISTINCT-key relations (one row per key, e.g. a
+    * groupBy output), where the quantile cut points bound each range
+    * at ~N/numRanges keys regardless of the key distribution. The key
+    * must be numeric (cast to double for bucketing only — the cast is
+    * order-preserving, and a lossy long→double collapse merely merges
+    * adjacent ranges, never splits a key).
+    *
+    * Adds `beforeCol` (long, 0 for the first key) and preserves all
+    * input columns.
+    */
+  private[graft] def prefixBefore(
+      df: DataFrame,
+      keyCol: String,
+      cntCol: String,
+      beforeCol: String,
+      descending: Boolean = false,
+      numRanges: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sortKey = if (descending) desc(keyCol) else asc(keyCol)
+    val probes = (1 until numRanges).map(_.toDouble / numRanges).toArray
+    val cuts: Array[Double] =
+      if (probes.isEmpty) Array.empty
+      else
+        df.select(col(keyCol).cast("double").as("_pb_k"))
+          .na.drop(Seq("_pb_k"))
+          .stat.approxQuantile("_pb_k", probes, 0.001)
+          .filterNot(_.isNaN).distinct.sorted
+    val keyD = col(keyCol).cast("double")
+    val bucket = cuts.zipWithIndex.foldRight(lit(cuts.length): Column) {
+      case ((cut, i), acc) => when(keyD <= lit(cut), lit(i)).otherwise(acc)
+    }
+    val parted = df.withColumn("_pb_b", bucket)
+    val local = Window
+      .partitionBy(col("_pb_b"))
+      .orderBy(sortKey)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal =
+      parted.withColumn("_pb_loc", coalesce(sum(col(cntCol)).over(local), lit(0L)))
+    val offOrd = if (descending) desc("_pb_b") else asc("_pb_b")
+    val offW   = Window.orderBy(offOrd).rowsBetween(Window.unboundedPreceding, -1)
+    val off = parted
+      .groupBy(col("_pb_b"))
+      .agg(sum(col(cntCol)).as("_pb_tot"))
+      .withColumn("_pb_off", coalesce(sum(col("_pb_tot")).over(offW), lit(0L)))
+      .select(col("_pb_b"), col("_pb_off"))
+    withLocal
+      .join(broadcast(off), Seq("_pb_b"))
+      .withColumn(beforeCol, (col("_pb_off") + col("_pb_loc")).cast("long"))
+      .drop("_pb_b", "_pb_loc", "_pb_off")
+  }
+
   /** Equi-width histogram of a numeric column: the corpus [min, max]
     * split into `nBuckets` buckets, per-bucket counts + bounds — the
     * profiling primitive behind data cards and skew diagnosis.
@@ -426,8 +496,10 @@ object Stats {
     val vals = s.groupBy(col("_v")).agg(
       count(lit(1)).as("_cnt"),
       sum(when(col("_g") === groupA, 1L).otherwise(0L)).as("_cnt_a"))
-    val sweep = Window.orderBy(col("_v")).rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = vals.withColumn("_before", coalesce(sum(col("_cnt")).over(sweep), lit(0L)))
+    // Range-partitioned two-phase prefix: the distinct-value relation
+    // is unbounded for an arbitrary integral column, so no
+    // single-partition window here (r13 VERDICT finding #2).
+    val ranked = prefixBefore(vals, "_v", "_cnt", "_before")
     val g = ranked.agg(
       sum(col("_cnt_a")).as("n1"),
       sum(col("_cnt") - col("_cnt_a")).as("n2"),

@@ -176,12 +176,19 @@ object Score {
     * concentrate positives in its top buckets".
     *
     * Exact SQL-NTILE semantics WITHOUT a single-partition window: the
-    * global row number decomposes into (run-length prefix over the
-    * DISTINCT-score relation) + (intra-score rank by id — a
-    * PARTITIONED window, parallel), and tile = floor((rn−1)·k/N)+1 is
-    * the standard largest-remainder NTILE identity. The only ordered
-    * state is the distinct-score relation (bounded by score
-    * resolution — 6-dp logits here), never the corpus.
+    * global row number decomposes into (two-phase range-partitioned
+    * prefix over the DISTINCT-score relation —
+    * [[graft.relops.Stats.prefixBefore]], no single-partition state
+    * even for an unquantized score) + (intra-score rank by id — a
+    * PARTITIONED window, parallel). The tile comes from the
+    * FRONT-LOADED NTILE identity: with q = N div k and r = N mod k,
+    * SQL NTILE gives the first r tiles q+1 rows and the rest q, so
+    *   tile(rn) = (rn−1) div (q+1) + 1             if rn ≤ r·(q+1)
+    *            = r + (rn − r·(q+1) − 1) div q + 1  otherwise.
+    * (floor((rn−1)·k/N)+1 spreads the oversized tiles evenly and is
+    * NOT NTILE whenever 2 ≤ N mod k ≤ k−1 — r13 ADVICE.) For N < k
+    * the first branch degenerates to tile = rn, which is exactly
+    * NTILE's consecutive numbering, so no special case.
     *
     * Output per tile: (decile, n, n_pos, rate, lift, cum_gain).
     */
@@ -196,22 +203,28 @@ object Score {
       col(scoreCol).as("_s"), col(idCol).as("_id"),
       when(col(labelCol), 1L).otherwise(0L).as("_pos"))
     val byScore = base.groupBy(col("_s")).agg(count(lit(1)).as("_cnt"))
-    val sweep   = Window.orderBy(desc("_s")).rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = byScore
-      .withColumn("_before", coalesce(sum(col("_cnt")).over(sweep), lit(0L)))
+    val offsets = graft.relops.Stats
+      .prefixBefore(byScore, "_s", "_cnt", "_before", descending = true)
       .select(col("_s"), col("_before"))
     val intra = Window.partitionBy(col("_s")).orderBy(col("_id"))
     val total = base.agg(count(lit(1)).as("_n"))
-    // tile identity floor((rn−1)k/N)+1 == SQL NTILE only for N ≥ k;
-    // with fewer rows than tiles NTILE numbers rows consecutively
-    // (1..N) while the formula would skip tile numbers — branch on it
+    // Front-loaded NTILE identity (integral `div` end to end — no FP
+    // quotient): q = N div k, r = N mod k; the first r tiles carry
+    // q+1 rows. For N < k, q = 0 and r = N so every row takes the
+    // first branch and tile = rn (NTILE's consecutive numbering); the
+    // greatest() guard only protects the never-taken q = 0 divisor.
     val tiled = base
       .join(broadcast(offsets), Seq("_s"))
       .withColumn("_rn", col("_before") + row_number().over(intra))
       .crossJoin(broadcast(total))
+      .withColumn("_q", expr(s"_n div ${nTiles.toLong}L"))
+      .withColumn("_r", col("_n") % nTiles)
+      .withColumn("_big", col("_r") * (col("_q") + lit(1L)))
       .select(
-        when(col("_n") < nTiles, col("_rn"))
-          .otherwise(floor((col("_rn") - 1) * nTiles / col("_n")) + 1)
+        when(
+          col("_rn") <= col("_big"),
+          expr("(_rn - 1) div (_q + 1L) + 1L"))
+          .otherwise(expr("_r + (_rn - _big - 1) div greatest(_q, 1L) + 1L"))
           .cast("int").as("decile"),
         col("_pos"))
     val agg = tiled.groupBy(col("decile"))

@@ -110,12 +110,68 @@ class ParetoMixEceSpec extends SparkSpec {
   }
 
   test("hardening: decileLift numbers rows consecutively when N < nTiles (SQL NTILE parity)") {
-    // 2 rows into 10 tiles: NTILE gives tiles 1 and 2 — the
-    // largest-remainder formula alone would emit 1 and 6
+    // 2 rows into 10 tiles: NTILE gives tiles 1 and 2. With the
+    // front-loaded identity this is the q = 0, r = N degenerate case
+    // (every row takes the first branch, tile = rn) — no special
+    // branch needed.
     val df  = Seq((1L, 0.9, true), (2L, 0.1, false)).toDF("id", "score", "label")
     val got = Score.decileLift(df, "score", "id", "label", nTiles = 10)
       .collect().map(_.getInt(0)).toSeq
     assert(got == Seq(1, 2))
+  }
+
+  test("decileLift: front-loaded NTILE identity for 2 <= N mod k <= k-1 (r13 ADVICE)") {
+    // N=12, k=10 -> q=1, r=2: SQL NTILE sizes are (2,2,1,1,1,1,1,1,1,1)
+    // — front-loaded. The old even-spread formula floor((rn-1)k/N)+1
+    // would read (2,1,1,1,1,1,2,1,1,1). Distinct scores so the order
+    // is unambiguous.
+    val df = (1 to 12).map(i => (i.toLong, 13.0 - i, i <= 4)).toDF("id", "score", "label")
+    val got = Score.decileLift(df, "score", "id", "label", nTiles = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got == Seq(1 -> 2L, 2 -> 2L, 3 -> 1L, 4 -> 1L, 5 -> 1L,
+      6 -> 1L, 7 -> 1L, 8 -> 1L, 9 -> 1L, 10 -> 1L))
+  }
+
+  test("decileLift: tile assignment equals Spark's own NTILE on N=102, k=10, with ties") {
+    // The ADVICE counter-example scale: N=102 -> NTILE sizes
+    // 11,11,10x8 (front-loaded), even-spread reads 11,10,10,10,10,11,…
+    // Oracle: Spark's ntile over orderBy(desc(score), asc(id)) — the
+    // same total order decileLift's distinct-prefix + intra-score
+    // rank reconstructs. Scores collide (i/7) so ties are exercised.
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 102).map(i => (i.toLong, (i / 7).toDouble, i % 3 == 0))
+      .toDF("id", "score", "label")
+    val oracle = df
+      .withColumn("decile", ntile(10).over(Window.orderBy(desc("score"), asc("id"))))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum(when(col("label"), 1L).otherwise(0L)).as("n_pos"))
+      .orderBy("decile")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = Score.decileLift(df, "score", "id", "label", nTiles = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == oracle)
+    assert(got.map(_._2) == Seq(11L, 11L, 10L, 10L, 10L, 10L, 10L, 10L, 10L, 10L))
+  }
+
+  test("prefixBefore: two-phase range prefix equals the single-partition window, asc and desc") {
+    import org.apache.spark.sql.expressions.Window
+    // 200 distinct keys with varied counts — enough to span several
+    // quantile ranges at numRanges=8
+    val vals = (1 to 200).map(i => ((i * 37 % 1000).toLong, (i % 5 + 1).toLong))
+      .toDF("k", "cnt")
+    for (descending <- Seq(false, true)) {
+      val ord = if (descending) desc("k") else asc("k")
+      val oracle = vals
+        .withColumn("_before", coalesce(
+          sum(col("cnt")).over(
+            Window.orderBy(ord).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("k", "_before")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val got = Stats.prefixBefore(vals, "k", "cnt", "_before", descending, numRanges = 8)
+        .select("k", "_before")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == oracle, s"descending=$descending")
+    }
   }
 
   test("hardening: paretoFront2D drops rows with null coordinates instead of crowning them") {
