@@ -2886,18 +2886,23 @@ object SparkEntry {
     // exact triangle census of the part co-purchase graph: pair
     // emission bounded by basket size (Σ|order|², never |parts|²),
     // degree-ordered orientation bounds the wedge join by O(m^1.5) on
-    // ANY degree distribution — the node-iterator a 100 TB graph needs
+    // ANY degree distribution — the node-iterator a 100 TB graph needs.
+    // maxBasket = 50 so the mega-basket drop path runs UNDER the gate
+    // (r13 VERDICT #4): lineitem baskets are ≤ 7 items, so the cap is
+    // live but drops nothing and the DuckDB oracle is unchanged.
     "q_triangle_count" -> ((s, dir) =>
       graft.relops.GraphOps.triangleStats(
         graft.relops.GraphOps.coOccurrenceEdges(
-          Tables.lineitem(s, dir), "l_orderkey", "l_partkey"))),
+          Tables.lineitem(s, dir), "l_orderkey", "l_partkey", maxBasket = 50))),
 
     // association rules over the same baskets: support/confidence/
-    // lift with a min-support floor (the fan-out cap) — integer
-    // counts, one correctly-rounded division, top-20 by lift
+    // lift with a min-support floor — integer counts, one correctly-
+    // rounded division, top-20 by lift. maxBasket = 50 live under the
+    // gate, same no-op-at-this-scale reasoning as q_triangle_count.
     "q_basket_lift" -> ((s, dir) =>
       graft.relops.GraphOps.basketLift(
-        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", minSupport = 3, k = 20)),
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey",
+        minSupport = 3, k = 20, maxBasket = 50)),
 
     // 2-D Pareto frontier (skyline): cheapest-for-the-size parts —
     // the sweep runs on the distinct-price relation (bounded by value
@@ -6032,7 +6037,8 @@ object SparkEntry {
                 (SELECT count(*) FROM edges) AS n_edges,
                 CAST(tri.t AS BIGINT) AS n_triangles,
                 CAST(wed.w AS BIGINT) AS n_wedges,
-                round(3.0 * tri.t / wed.w, 6) AS global_clustering
+                CASE WHEN wed.w > 0 THEN round(3.0 * tri.t / wed.w, 6)
+                     ELSE 0.0 END AS global_clustering
          FROM tri, wed""",
 
     "q_basket_lift" ->

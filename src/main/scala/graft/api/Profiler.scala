@@ -202,7 +202,15 @@ object Profiler {
     // own name (and then simply miss gold on the join). Two surviving
     // aliases may still land on one gold name (distinct-triple union;
     // the ClosedIE cell is deduped below) — documented divergence,
-    // the reference never produces that shape.
+    // the reference never produces that shape. SECOND documented
+    // divergence (r13 ADVICE): the pred-side left_anti below also
+    // retires an exactly-claimed PRED name from the alias pool,
+    // which is STRICTER than the reference — there, gold 'topics' can
+    // still resolve to pred 'topic' via strip('s') even though gold
+    // 'topic' already claimed it exactly (one pred name serving two
+    // gold attributes). We keep one-pred-one-gold: the second gold
+    // attribute goes unmatched (recall miss) instead of double-
+    // counting the same pred rows under two gold names.
     val predAttrs = pred.select(col("attribute").as("attr_a")).distinct()
     val exactA    = predAttrs.join(
       goldAttrs.select(col("attribute").as("attr_a")), Seq("attr_a"), "left_semi")

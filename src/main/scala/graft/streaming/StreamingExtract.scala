@@ -708,10 +708,17 @@ object StreamingExtract {
     * everything seen so far.
     *
     * Confidence is quantized to 6 dp (integer micros) inside the
-    * state — the batch card's own output grain — which is what makes
-    * the cross-trigger merge exact regardless of arrival order.
-    * State = nBins rows; groups are real (one per bin), so the
-    * reduction parallelizes across bins.
+    * state, which is what makes the cross-trigger merge exact
+    * regardless of arrival order. PRECONDITION for batch equality:
+    * the input confidences must already sit on a 6-dp grain (true
+    * for every pipeline here — the hashed-linear logit is rounded to
+    * 6 dp at birth). The batch card (Score.calibrationEce) sums the
+    * FULL-precision confidence in DECIMAL(27,18), so a caller feeding
+    * finer-than-6-dp confidences gets a mean-conf that differs from
+    * the batch card by up to 5e-7 per row — the "latest-epoch ECE
+    * equals the batch card" invariant is only guaranteed on the 6-dp
+    * grain (r13 ADVICE). State = nBins rows; groups are real (one per
+    * bin), so the reduction parallelizes across bins.
     */
   def calibrationStream(
       rows: DataFrame,
