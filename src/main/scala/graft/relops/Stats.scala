@@ -488,7 +488,6 @@ object Stats {
       groupA: String,
       groupB: String,
       valueCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     requireIntegral(df, valueCol, "mannWhitneyU")
     val s = df
       .filter(col(groupCol).isin(groupA, groupB))

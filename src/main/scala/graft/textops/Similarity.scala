@@ -1377,7 +1377,8 @@ object Similarity {
       vecCol: String,
       tau: Double,
       nCentroids: Int = 16,
-      learnedCentroids: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
+      learnedCentroids: Option[Seq[(Int, Seq[Double])]] = None,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val centroids = seedOrLearned(embeddings, idCol, vecCol, nCentroids, learnedCentroids)
     val withV = embeddings
       .withColumn("v", transform(col(vecCol), x => x.cast("double")))
@@ -1390,16 +1391,22 @@ object Similarity {
         round(col("best").getField("cos"), 6).as("cos_c"),
         col("v"),
         col("nrm"))
+    // mega-cluster cap ([[withBucketSalt]]): once a cluster exceeds
+    // maxBucket the predecessor relation runs within deterministic
+    // sub-clusters — strictly fewer predecessors seen, so the capped
+    // tier keeps MORE rows (conservative for dedup), and the paper's
+    // fix (grow nCentroids until clusters fit) restores exactness
+    val salted = withBucketSalt(asg, "cluster_id", idCol, maxBucket)
     // predecessors = lower rounded cos_c (farther from centroid wins),
     // ties on id — the rounded value is what both engines order by
-    val a = asg.select(
-      col("cluster_id"),
+    val a = salted.select(
+      col("cluster_id"), col("_salt"),
       col(idCol).as("id_a"), col("cos_c").as("ca"), col("v").as("va"), col("nrm").as("na"))
-    val b = asg.select(
-      col("cluster_id"),
+    val b = salted.select(
+      col("cluster_id"), col("_salt"),
       col(idCol).as("id_b"), col("cos_c").as("cb"), col("v").as("vb"), col("nrm").as("nb"))
     val dropped = a
-      .join(b, Seq("cluster_id"))
+      .join(b, Seq("cluster_id", "_salt"))
       .filter(col("ca") < col("cb") || (col("ca") === col("cb") && col("id_a") < col("id_b")))
       .filter(
         round(
@@ -1415,15 +1422,60 @@ object Similarity {
       .orderBy(col(idCol))
   }
 
+  /** Mega-bucket fan-out cap shared by every centroid-bucketed pair
+    * emitter ([[bucketEpsPairs]], [[knnGraph]], [[semDedup]]): any
+    * bucket holding more than `maxBucket` vectors is split into
+    * ceil(n / maxBucket) deterministic sub-buckets by xxhash64(id),
+    * and pairs are then sought within a sub-bucket only. Per-bucket
+    * pair emission drops from n² to ≤ n·maxBucket and the largest
+    * join group stays ~maxBucket regardless of centroid skew — the
+    * one pair-space path that could still go quadratic on a skewed
+    * bucket at lake scale (r13 VERDICT #1).
+    *
+    * Semantics are SPLIT, not the dedup df-cap's drop-whole: an
+    * oversized centroid bucket still carries real similarity signal
+    * (unlike a boilerplate shingle), so every row keeps a bounded
+    * candidate set; the price is extra boundary misses across
+    * sub-bucket seams — the same approximation currency every
+    * bucket-bounded op here already spends, and it vanishes as
+    * nCentroids grows to keep buckets under the cap. The salt is a
+    * pure function of (id, exact bucket count), so both self-join
+    * sides and any replay derive the identical split. Default
+    * Int.MaxValue adds a constant 0 salt (no sizes aggregation, no
+    * behavior change).
+    */
+  private def withBucketSalt(
+      asg: DataFrame,
+      bucketCol: String,
+      idCol: String,
+      maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) asg.withColumn("_salt", lit(0))
+    else {
+      require(maxBucket > 0, s"maxBucket must be positive (got $maxBucket)")
+      val sizes = asg.groupBy(col(bucketCol)).agg(count(lit(1)).as("_bn"))
+      asg
+        .join(broadcast(sizes), Seq(bucketCol))
+        .withColumn("_nsub", expr(s"(_bn + ${maxBucket.toLong}L - 1L) div ${maxBucket.toLong}L"))
+        .withColumn(
+          "_salt",
+          when(col("_bn") <= maxBucket, lit(0L))
+            .otherwise(pmod(xxhash64(col(idCol)), col("_nsub")))
+            .cast("int"))
+        .drop("_bn", "_nsub")
+    }
+
   /** Bucket-bounded eps-neighbor pairs — the shared graph builder
     * under [[dbscanClusters]] and [[labelPropagation]]: cosine ≥
     * `eps` (rounded 6dp) pairs sought only WITHIN a coarse centroid
     * bucket, so the pair space is Σ|bucket|², never N² (the SemDeDup
-    * bound; boundary-straddling pairs are the documented miss). The
-    * assignment scan is persisted — it feeds both self-join sides
-    * (unpersisted: 2 corpus scans; a production pipeline writes the
-    * bucket column once and bucket-partitions on it). Returns the
-    * persisted (id_a, id_b) pair frame, id_a < id_b.
+    * bound; boundary-straddling pairs are the documented miss), and
+    * within a (bucket, sub-bucket) once a bucket exceeds `maxBucket`
+    * ([[withBucketSalt]] — caps the worst bucket's fan-out at
+    * n·maxBucket). The assignment scan is persisted — it feeds the
+    * sizes aggregation and both self-join sides (unpersisted: 3
+    * corpus scans; a production pipeline writes the bucket column
+    * once and bucket-partitions on it). Returns the persisted
+    * (id_a, id_b) pair frame, id_a < id_b.
     */
   private def bucketEpsPairs(
       embeddings: DataFrame,
@@ -1431,7 +1483,8 @@ object Similarity {
       vecCol: String,
       eps: Double,
       nCentroids: Int,
-      learnedCentroids: Option[Seq[(Int, Seq[Double])]]): DataFrame = {
+      learnedCentroids: Option[Seq[(Int, Seq[Double])]],
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val centroids = seedOrLearned(embeddings, idCol, vecCol, nCentroids, learnedCentroids)
     val asg = embeddings
       .withColumn("v", transform(col(vecCol), x => x.cast("double")))
@@ -1439,12 +1492,13 @@ object Similarity {
       .withColumn("bucket", -array_max(centroidCands(centroids)).getField("ncid"))
       .select(col(idCol), col("bucket"), col("v"), col("nrm"))
       .persist()
-    val a = asg.select(
-      col("bucket"), col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = asg.select(
-      col("bucket"), col(idCol).as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val salted = withBucketSalt(asg, "bucket", idCol, maxBucket)
+    val a = salted.select(
+      col("bucket"), col("_salt"), col(idCol).as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = salted.select(
+      col("bucket"), col("_salt"), col(idCol).as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     val pairs = a
-      .join(b, Seq("bucket"))
+      .join(b, Seq("bucket", "_salt"))
       .filter(col("id_a") < col("id_b"))
       .filter(
         round(
@@ -1484,8 +1538,10 @@ object Similarity {
       eps: Double,
       minPts: Int,
       nCentroids: Int = 16,
-      learnedCentroids: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
-    val pairs = bucketEpsPairs(embeddings, idCol, vecCol, eps, nCentroids, learnedCentroids)
+      learnedCentroids: Option[Seq[(Int, Seq[Double])]] = None,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val pairs =
+      bucketEpsPairs(embeddings, idCol, vecCol, eps, nCentroids, learnedCentroids, maxBucket)
     val deg = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as("nb_id"))
       .groupBy(col("nb_id"))
@@ -1549,7 +1605,8 @@ object Similarity {
       vecCol: String,
       k: Int,
       nCentroids: Int = 16,
-      learnedCentroids: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
+      learnedCentroids: Option[Seq[(Int, Seq[Double])]] = None,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val centroids = seedOrLearned(embeddings, idCol, vecCol, nCentroids, learnedCentroids)
     // persisted: feeds BOTH self-join sides (unpersisted: two corpus
     // scans each re-running the O(rows × nCentroids) assignment);
@@ -1561,12 +1618,15 @@ object Similarity {
       .withColumn("bucket", -array_max(centroidCands(centroids)).getField("ncid"))
       .select(col(idCol), col("bucket"), col("v"), col("nrm"))
       .persist()
-    val a = asg.select(
-      col("bucket"), col(idCol).as("knn_id"), col("v").as("va"), col("nrm").as("na"))
-    val b = asg.select(
-      col("bucket"), col(idCol).as("nbr_id"), col("v").as("vb"), col("nrm").as("nb"))
+    // mega-bucket cap: neighbors sought within the sub-bucket only —
+    // a skewed centroid can no longer make one join group quadratic
+    val salted = withBucketSalt(asg, "bucket", idCol, maxBucket)
+    val a = salted.select(
+      col("bucket"), col("_salt"), col(idCol).as("knn_id"), col("v").as("va"), col("nrm").as("na"))
+    val b = salted.select(
+      col("bucket"), col("_salt"), col(idCol).as("nbr_id"), col("v").as("vb"), col("nrm").as("nb"))
     val w = Window.partitionBy(col("knn_id")).orderBy(desc("cos"), col("nbr_id"))
-    a.join(b, Seq("bucket"))
+    a.join(b, Seq("bucket", "_salt"))
       .filter(col("knn_id") =!= col("nbr_id"))
       .select(
         col("knn_id"),
@@ -1783,8 +1843,10 @@ object Similarity {
       eps: Double,
       iters: Int = 3,
       nCentroids: Int = 16,
-      learnedCentroids: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
-    val pairs = bucketEpsPairs(embeddings, idCol, vecCol, eps, nCentroids, learnedCentroids)
+      learnedCentroids: Option[Seq[(Int, Seq[Double])]] = None,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val pairs =
+      bucketEpsPairs(embeddings, idCol, vecCol, eps, nCentroids, learnedCentroids, maxBucket)
     val edges = pairs
       .select(explode(array(
         struct(col("id_a").as("lp_src"), col("id_b").as("lp_dst")),
