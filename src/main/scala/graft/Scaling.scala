@@ -69,7 +69,7 @@ object Scaling {
       "q_revenue_concentration", "q_promo_revenue", "q_top_supplier",
       "q_parts_supplier_cnt", "q_small_qty_revenue", "q_large_orders",
       "q_disjunctive_filter", "q_dormant_customers",
-      "q_triangle_count", "q_basket_lift", "q_pareto_parts")
+      "q_triangle_count", "q_triangle_sampled", "q_basket_lift", "q_pareto_parts")
     if (q.startsWith("q_ann_") || ann(q)) "ann"
     else if (q.startsWith("q_dedup_") || dedup(q)) "dedup"
     else if (ws(q)) "weak_supervision"

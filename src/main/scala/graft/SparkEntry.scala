@@ -2895,6 +2895,18 @@ object SparkEntry {
         graft.relops.GraphOps.coOccurrenceEdges(
           Tables.lineitem(s, dir), "l_orderkey", "l_partkey", maxBasket = 50))),
 
+    // DOULION sampled tier of the census (r13 VERDICT #3): keep each
+    // edge with p≈0.5 via a portable integer hash (the oracle replays
+    // the identical keep set), exact census on the survivors, scale
+    // by 1/p³ — the O(m^1.5) work drops ~p^1.5, the estimate is
+    // unbiased, and TriangleSampledSpec gauges its relative error vs
+    // the exact card the way the ANN tiers gauge recall
+    "q_triangle_sampled" -> ((s, dir) =>
+      graft.relops.GraphOps.triangleStatsSampled(
+        graft.relops.GraphOps.coOccurrenceEdges(
+          Tables.lineitem(s, dir), "l_orderkey", "l_partkey", maxBasket = 50),
+        p = 0.5, seed = 7L)),
+
     // association rules over the same baskets: support/confidence/
     // lift with a min-support floor — integer counts, one correctly-
     // rounded division, top-20 by lift. maxBasket = 50 live under the
@@ -6040,6 +6052,28 @@ object SparkEntry {
                 CASE WHEN wed.w > 0 THEN round(3.0 * tri.t / wed.w, 6)
                      ELSE 0.0 END AS global_clustering
          FROM tri, wed""",
+
+    // replays triangleStatsSampled bit-for-bit: same integer-hash keep
+    // set (thresh = floor(0.5*999983) = 499991), same exact census on
+    // the survivors, same p_eff^3 scaling in left-associated doubles
+    "q_triangle_sampled" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          edges AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+                    FROM items a JOIN items b
+                      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+          samp AS (SELECT pa, pb FROM edges
+                   WHERE (CAST(pa AS BIGINT) * 1103515245
+                          + CAST(pb AS BIGINT) * 12345
+                          + 18581050327) % 999983 < 499991),
+          tri AS (SELECT count(*) AS t FROM samp e1
+                  JOIN samp e2 ON e1.pb = e2.pa
+                  JOIN samp e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+          p AS (SELECT CAST(499991 AS DOUBLE) / 999983 AS pk)
+         SELECT p.pk AS p_keep,
+                (SELECT count(*) FROM samp) AS n_edges_sampled,
+                CAST(tri.t AS BIGINT) AS n_triangles_sampled,
+                CAST(floor(tri.t / (p.pk * p.pk * p.pk) + 0.5) AS BIGINT) AS n_triangles_est
+         FROM tri, p""",
 
     "q_basket_lift" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -117,6 +117,51 @@ object GraphOps {
     out
   }
 
+  /** DOULION-style sampled triangle census (Tsourakakis, Kang,
+    * Miller & Faloutsos, KDD 2009 — public method): sparsify the edge
+    * relation by keeping each edge independently with probability
+    * ~`p`, run the exact degree-ordered census on the survivor graph,
+    * and scale the sampled triangle count by 1/p³ (each triangle
+    * survives iff all 3 edges do). The approximate tier the exact
+    * O(m^1.5) census needs at lake scale: work drops by ~p^1.5 on the
+    * wedge stage and the estimator is unbiased with relative error
+    * O(1/√(p³·T)) — negligible on any graph with enough triangles to
+    * matter.
+    *
+    * Sampling is a PURE INTEGER hash of the edge endpoints —
+    * (pa·1103515245 + pb·12345 + seed·2654435761) mod 999983 <
+    * floor(p·999983) — chosen over xxhash64 because any ANSI-SQL
+    * engine computes the
+    * identical keep set (the DuckDB oracle replays it bit-for-bit),
+    * and it is replay-deterministic by construction. Endpoint ids
+    * must stay below ~2^32 so the products fit a long; the modulus is
+    * prime so the LCG mix has no common-factor bias. The effective
+    * keep probability is floor(p·999983)/999983 — that exact value is
+    * what the estimator divides by.
+    *
+    * Output (1 row): p_keep (the effective probability), sampled
+    * n_edges/n_triangles, and n_triangles_est = sampled/p_keep³
+    * rounded half-up via floor(x + 0.5) — the same IEEE expression an
+    * oracle engine evaluates, no round-half-mode parity surface.
+    */
+  def triangleStatsSampled(edges: DataFrame, p: Double, seed: Long = 0L): DataFrame = {
+    require(p > 0.0 && p <= 1.0, s"keep probability must be in (0, 1] (got $p)")
+    val m       = 999983L
+    val thresh  = math.floor(p * m).toLong
+    val pEff    = thresh.toDouble / m
+    val pCube   = pEff * pEff * pEff
+    // seed enters via the Fibonacci-hash multiplier so consecutive
+    // seeds shift the keep set by ~half the modulus, not by 1
+    val sampled = edges.filter(
+      (col("pa") * lit(1103515245L) + col("pb") * lit(12345L)
+        + lit(seed * 2654435761L)) % lit(m) < lit(thresh))
+    triangleStats(sampled).select(
+      lit(pEff).as("p_keep"),
+      col("n_edges").as("n_edges_sampled"),
+      col("n_triangles").as("n_triangles_sampled"),
+      floor(col("n_triangles") / lit(pCube) + lit(0.5)).cast("long").as("n_triangles_est"))
+  }
+
   /** Association-rule mining on item pairs: for pairs co-occurring in
     * at least `minSupport` baskets, lift = N·c(a,b) / (c(a)·c(b)) and
     * confidence = c(a,b) / c(a); top `k` by lift (ties → pa, pb).
