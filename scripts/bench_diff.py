@@ -8,6 +8,13 @@ file graft.Bench writes) or a BENCH_r{N}.json driver capture that
 still contains a {"metric":"queries",...} line. Prints per-query
 deltas for common keys, new/removed keys, and flags regressions above
 the bar (default: >1.5x AND >+0.5s, the SCALE.md regression bar).
+
+When BOTH artifacts carry a calibration reading (the constant-work
+CPU probe graft.Bench emits since r14, as a {"metric":"calibration"}
+line or a "calib" field on the total line), ratios are DRIFT-
+CORRECTED: every new time is divided by scale = calib_new/calib_old
+before comparison, so a uniformly slower box doesn't read as a
+regression. Raw ratios are still printed alongside.
 Exit code 1 if any query is flagged.
 """
 import json
@@ -50,6 +57,32 @@ def load_queries(path):
     raise SystemExit(f"{path}: no queries metric found")
 
 
+def load_calibration(path):
+    """Mean constant-work probe seconds, or None for pre-r14 artifacts."""
+    text = open(path).read()
+    try:
+        arr = json.loads(text)
+        if isinstance(arr, list):
+            for obj in arr:
+                if isinstance(obj, dict) and obj.get("metric") == "calibration":
+                    v = float(obj.get("value", 0.0))
+                    if v > 0:
+                        return v
+            for obj in arr:
+                if isinstance(obj, dict) and obj.get("metric") == "total" \
+                        and float(obj.get("calib", 0.0)) > 0:
+                    return float(obj["calib"])
+    except json.JSONDecodeError:
+        pass
+    m = re.search(r'\{"metric":"calibration".*?"value":(\d+\.\d+)', text)
+    if m and float(m.group(1)) > 0:
+        return float(m.group(1))
+    m = re.search(r'"calib":(\d+\.\d+)', text)
+    if m and float(m.group(1)) > 0:
+        return float(m.group(1))
+    return None
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     if len(args) != 2:
@@ -59,6 +92,14 @@ def main():
         i = sys.argv.index("--bar")
         ratio_bar, abs_bar = float(sys.argv[i + 1]), float(sys.argv[i + 2])
     old, new = load_queries(args[0]), load_queries(args[1])
+    calib_old, calib_new = load_calibration(args[0]), load_calibration(args[1])
+    scale = 1.0
+    if calib_old and calib_new:
+        scale = calib_new / calib_old
+        print(f"calibration: old={calib_old:.3f}s new={calib_new:.3f}s "
+              f"-> box speed scale {scale:.3f} (new times divided by it)")
+    else:
+        print("calibration: missing in one or both artifacts; raw comparison")
     common = sorted(set(old) & set(new))
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
@@ -73,16 +114,19 @@ def main():
             if n > 0.0:
                 fixed.append(q)
             continue
-        ratio = n / o
-        flag = n > o * ratio_bar and n - o > abs_bar
+        adj = n / scale
+        ratio = adj / o
+        flag = adj > o * ratio_bar and adj - o > abs_bar
         if flag:
             flagged.append(q)
         rows.append((ratio, q, o, n, flag))
     rows.sort(reverse=True)
     print(f"common={len(common)} added={len(added)} removed={len(removed)}")
     print(f"sum(common): {sum(old[q] for q in common):.1f}s -> "
-          f"{sum(new[q] for q in common):.1f}s")
-    print(f"\n{'ratio':>7} {'old':>8} {'new':>8}  query")
+          f"{sum(new[q] for q in common):.1f}s"
+          + (f" (drift-corrected: {sum(new[q] for q in common) / scale:.1f}s)"
+             if scale != 1.0 else ""))
+    print(f"\n{'ratio*':>7} {'old':>8} {'new':>8}  query   (*drift-corrected)")
     for ratio, q, o, n, flag in rows[:25]:
         mark = "  <-- REGRESSION" if flag else ""
         print(f"{ratio:7.2f} {o:8.3f} {n:8.3f}  {q}{mark}")

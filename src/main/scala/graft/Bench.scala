@@ -54,6 +54,27 @@ object Bench {
       }.sorted
       times(times.length / 2)
     }
+    // constant-work calibration probe (r13 VERDICT #6): a fixed
+    // CPU-bound query — 6B xxhash64 rows from range(), zero IO, no
+    // SF dependence — timed with the same medianOf3 protocol. The box
+    // this bench runs on drifts ±13% through the day (three separate
+    // r13 forensic notes); the probe's reading lets bench_diff.py
+    // normalize round-over-round ratios by machine speed instead of
+    // re-litigating uniform shifts by hand. Probed at start AND end
+    // so intra-run drift is visible too.
+    def calibProbe(): Double = {
+      import org.apache.spark.sql.functions._
+      def once(): Unit = {
+        spark.range(0L, 6144000000L)
+          .select(xxhash64(org.apache.spark.sql.functions.col("id")).as("h"))
+          .agg(max("h"), min("h")).head()
+        ()
+      }
+      once(); once() // two untimed reps: the probe must gauge the BOX, not JIT maturity
+      medianOf3(() => once())
+    }
+    val calibStart = try calibProbe() catch { case _: Throwable => 0.0 }
+
     // optional comma-separated query filter for local profiling runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // queries that threw at ANY scale factor (current or sibling):
@@ -156,7 +177,7 @@ object Bench {
     // short total line goes out FIRST, the bulky per-query map on its
     // own second line, and the total line again LAST — whichever end
     // of the stream the window keeps, an intact compact line is in it.
-    val compact = s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","queries_n":${all.size}}"""
+    val compact = s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","queries_n":${all.size},"calib":${num(calibStart)}}"""
     emit(compact)
     // key_notes: operator-identity changes behind a stable key, so
     // historical series stay interpretable (a swapped operator is
@@ -253,6 +274,15 @@ object Bench {
           s"""{"metric":"scaling","sfs":${sfs.map(num).mkString("[", ",", "]")},"families":$famJson,"flagged":$flaggedJson,"excluded":$excluded,"sf":"$sfDir"}""")
       }
     } catch { case e: Throwable => System.err.println(s"[bench] scaling: ${e.getMessage}") }
+    // end-of-run probe: start-vs-end gap is the intra-run drift; the
+    // mean is what bench_diff.py divides by
+    val calibEnd = try calibProbe() catch { case _: Throwable => 0.0 }
+    val calibMean =
+      if (calibStart > 0 && calibEnd > 0) (calibStart + calibEnd) / 2
+      else math.max(calibStart, calibEnd)
+    emit(
+      s"""{"metric":"calibration","start":${num(calibStart)},"end":${num(calibEnd)},"value":${num(
+          calibMean)},"unit":"sec","work":"range(6144e6) xxhash64 max/min, medianOf3","sf":"$sfDir"}""")
     println(compact)
     // durable artifact: a JSON array of every metric line this run
     // emitted, written where the driver (and the round-over-round
