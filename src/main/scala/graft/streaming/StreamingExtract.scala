@@ -754,6 +754,83 @@ object StreamingExtract {
       }
   }
 
+  /** State for [[aucStream]]: running positive/negative counts at ONE
+    * quantized score value, plus the snapshot epoch.
+    */
+  final case class AucState(nPos: Long, nNeg: Long, epoch: Long)
+
+  /** One running (score, counts) row per (touched score, trigger) —
+    * same max-epoch consumer protocol as [[CalibBin]]: per scoreMicro,
+    * keep the row at that score's max epoch; [[aucOfSnapshot]] turns
+    * the kept rows into the exact AUC.
+    */
+  final case class AucPoint(scoreMicro: Long, nPos: Long, nNeg: Long, epoch: Long)
+
+  /** Streaming twin of the batch ROC-AUC card (Score.rocAuc): the
+    * cross-trigger classifier-ranking monitor completing the eval
+    * suite's streaming story (calibration got its twin in r13). State
+    * is keyed by the 6-dp-quantized score — the SAME integer-micros
+    * grain the batch card reduces to — holding that score's running
+    * (n_pos, n_neg); after every trigger each TOUCHED score emits its
+    * running counts. A monitor reads exact AUC at any moment by
+    * keeping the max-epoch row per score and folding them in score
+    * order ([[aucOfSnapshot]]), equal to the batch card on everything
+    * seen so far: AUC only depends on the per-distinct-score label
+    * histogram, which this state IS.
+    *
+    * State size = distinct quantized scores (the same
+    * bounded-by-score-resolution contract the batch sweep relies on —
+    * ≤ 2M for a 6-dp logit in [−1, 1]); groups are real (one per
+    * score), so the reduction parallelizes across score values, and
+    * the integer counts merge exactly in any arrival order.
+    * PRECONDITION (same as [[calibrationStream]]): scores already on
+    * the 6-dp grain, or the quantization here coarsens them where the
+    * batch card quantizes identically — rocAuc applies
+    * round(score·1e6) too, so the twins agree by construction.
+    */
+  def aucStream(rows: DataFrame, scoreCol: String, labelCol: String): Dataset[AucPoint] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val keyed = rows
+      .select(
+        round(col(scoreCol) * 1e6).cast("long").as("scoreMicro"),
+        when(col(labelCol), 1L).otherwise(0L).as("pos"))
+      .as[(Long, Long)]
+    keyed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AucState, AucPoint](
+        org.apache.spark.sql.streaming.OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (score: Long, it: Iterator[(Long, Long)], state: GroupState[AucState]) =>
+          val prev = state.getOption.getOrElse(AucState(0L, 0L, 0L))
+          var p = prev.nPos; var n = prev.nNeg
+          it.foreach { case (_, isPos) => if (isPos == 1L) p += 1 else n += 1 }
+          val next = AucState(p, n, prev.epoch + 1)
+          state.update(next)
+          Iterator.single(AucPoint(score, p, n, next.epoch))
+      }
+  }
+
+  /** Consumer-side assembly for [[aucStream]] snapshots: exact ROC
+    * AUC from per-distinct-score (nPos, nNeg) rows via the doubled
+    * rank-sum fold U1×2 = Σ_v nPos(v)·(2·negBelow(v) + nNeg(v)) —
+    * all-integer until the final division, which runs in BigDecimal
+    * HALF_UP at 6 dp, the batch card's own rounding. Degenerate
+    * one-class snapshots read 0.0 (the batch card emits no row there;
+    * a monitor needs a defined value).
+    */
+  def aucOfSnapshot(points: Seq[(Long, Long, Long)]): Double = {
+    val sorted = points.sortBy(_._1)
+    var negBelow = 0L; var u1x2 = BigInt(0); var np = 0L; var nn = 0L
+    sorted.foreach { case (_, p, n) =>
+      u1x2 += BigInt(p) * (2L * negBelow + n)
+      negBelow += n; np += p; nn += n
+    }
+    if (np == 0L || nn == 0L) 0.0
+    else
+      (BigDecimal(u1x2) / (BigDecimal(2) * np * nn))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   /** State for [[skylineStream]]: the current 2-D Pareto frontier
     * (minimize `v1`, maximize `v2`) plus the snapshot epoch. The
     * frontier is bounded by the distinct-v1 resolution, not the

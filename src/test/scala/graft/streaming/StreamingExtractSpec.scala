@@ -546,6 +546,57 @@ class StreamingExtractSpec extends SparkSpec {
     assert(b9 == Seq(0.05, 0.45), "gap 0.05 (epoch 1) -> 0.45 (epoch 2)")
   }
 
+  test("aucStream: latest-epoch snapshot AUC equals the batch rocAuc card on the union (6dp)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(Double, Boolean)]
+    val res = StreamingExtract.aucStream(in.toDF().toDF("score", "label"), "score", "label")
+    val q = res.writeStream.outputMode("append").format("memory").queryName("auc_out").start()
+    // trigger 1: clean separation; trigger 2 adds a TIE on 0.7 (a
+    // negative at an existing positive score) and a low positive —
+    // the cross-trigger merge must land on the tie-averaged batch AUC
+    val t1 = Seq((0.9, true), (0.7, true), (0.3, false), (0.1, false))
+    val t2 = Seq((0.7, false), (0.2, true), (0.05, false))
+    in.addData(t1: _*)
+    q.processAllAvailable()
+    val all1 = spark.table("auc_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val snap1 = all1.groupBy(_._1).map { case (_, rs) => rs.maxBy(_._4) }
+      .map(r => (r._1, r._2, r._3)).toSeq
+    val batch1 = graft.score.Score.rocAuc(t1.toDF("score", "label"), "score", "label")
+      .collect()(0).getDouble(2)
+    assert(StreamingExtract.aucOfSnapshot(snap1) == batch1, "epoch-1 parity")
+    in.addData(t2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("auc_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // consumer protocol: per score, keep the max-epoch row
+    val snap = all.groupBy(_._1).map { case (_, rs) => rs.maxBy(_._4) }
+      .map(r => (r._1, r._2, r._3)).toSeq
+    val batch = graft.score.Score.rocAuc((t1 ++ t2).toDF("score", "label"), "score", "label")
+      .collect()(0)
+    assert(StreamingExtract.aucOfSnapshot(snap) == batch.getDouble(2),
+      s"stream ${StreamingExtract.aucOfSnapshot(snap)} vs batch ${batch.getDouble(2)}")
+    // the tie contributed 0.5: hand value on the union
+    // pos {0.9,0.7,0.2}, neg {0.3,0.1,0.7,0.05}: 0.9 wins 4, 0.7 wins
+    // 3 + ties 0.5, 0.2 wins 2 -> 9.5 of 12 pairs
+    assert(batch.getDouble(2) == 0.791667)
+    // counts at score 0.7 accumulated across triggers (1 pos + 1 neg)
+    val s07 = snap.find(_._1 == 700000L).get
+    assert((s07._2, s07._3) == ((1L, 1L)))
+    // drift visibility: AUC degraded when the tie and stragglers arrived
+    assert(StreamingExtract.aucOfSnapshot(snap) < StreamingExtract.aucOfSnapshot(snap1))
+  }
+
+  test("aucOfSnapshot: degenerate one-class snapshots read 0.0, order of rows is irrelevant") {
+    assert(StreamingExtract.aucOfSnapshot(Seq((100L, 3L, 0L))) == 0.0)
+    assert(StreamingExtract.aucOfSnapshot(Nil) == 0.0)
+    val pts = Seq((900000L, 1L, 0L), (300000L, 0L, 1L), (700000L, 1L, 1L))
+    assert(StreamingExtract.aucOfSnapshot(pts) == StreamingExtract.aucOfSnapshot(pts.reverse))
+  }
+
   test("skylineStream: a dominating late arrival displaces frontier members; snapshot == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
