@@ -44,14 +44,38 @@ private[extract] object HttpSupport {
   private def fs(dir: String) =
     new org.apache.hadoop.fs.Path(dir).getFileSystem(hadoopConf)
 
+  /** Entries are SELF-VERIFYING (r13 VERDICT #8): line 1 is the
+    * sha-256 of the payload, the rest is the payload. A corrupt file
+    * — truncated by a crashed writer, bit-rotted, or hand-damaged —
+    * fails the digest check and reads as a MISS: the entry is deleted
+    * and the caller refetches. Degrade, never serve damaged bytes;
+    * an un-checksummed store fed a corrupt vector entry straight into
+    * Float parsing (a NumberFormatException killing the whole
+    * embedding pass). Legacy header-less entries fail the check the
+    * same way and simply refetch once.
+    */
   def cacheGet(dir: String, key: String): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(dir, key)
     val f = fs(dir)
     if (!f.exists(p)) None
     else {
-      val in = f.open(p)
-      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8))
-      finally in.close()
+      // the read itself can throw on damage (e.g. LocalFileSystem's
+      // own .crc sidecar raises ChecksumException on a bit-rotted
+      // file) — any IO failure here is the same fault as a digest
+      // mismatch and must degrade to a miss, not kill the pass
+      val raw =
+        try {
+          val in = f.open(p)
+          try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+          finally in.close()
+        } catch { case _: java.io.IOException => None }
+      val ok = raw.exists(r =>
+        r.indexOf('\n') == 64 && r.substring(0, 64) == HttpLlmClient.sha256(r.substring(65)))
+      if (ok) raw.map(_.substring(65))
+      else { // corrupt, unreadable, or legacy: drop and report a miss
+        try f.delete(p, false) catch { case _: java.io.IOException => () }
+        None
+      }
     }
   }
 
@@ -63,7 +87,7 @@ private[extract] object HttpSupport {
     val tmp = new org.apache.hadoop.fs.Path(dir, s".$key.${Thread.currentThread().getId}.tmp")
     val dst = new org.apache.hadoop.fs.Path(dir, key)
     val out = f.create(tmp, true)
-    try out.write(value.getBytes(StandardCharsets.UTF_8))
+    try out.write((HttpLlmClient.sha256(value) + "\n" + value).getBytes(StandardCharsets.UTF_8))
     finally out.close()
     if (!f.rename(tmp, dst)) f.delete(tmp, false)
   }

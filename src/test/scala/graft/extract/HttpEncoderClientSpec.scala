@@ -119,6 +119,26 @@ class HttpEncoderClientSpec extends AnyFunSuite {
     }
   }
 
+  test("fault: corrupt vector cache entry refetches instead of NumberFormatException-ing the pass") {
+    val n   = new AtomicInteger(0)
+    val dir = java.nio.file.Files.createTempDirectory("embcache2")
+    withServer { (body, _) =>
+      n.incrementAndGet()
+      (200, okJson(countInputs(body), 2, _ => 5.0))
+    } { url =>
+      val c = HttpEncoderClient(url, dim = 2, cacheDir = Some(dir.toString))
+      assert(c.encode(Iterator("doc")).next()(0) == 5.0f)
+      // damage the entry: garbage bytes that would explode toFloat if
+      // the store served them — the digest check must miss instead
+      val key = HttpLlmClient.sha256(s"$url||2|doc")
+      java.nio.file.Files.writeString(dir.resolve(key), "0" * 64 + "\nnot,floats,at,all")
+      assert(c.encode(Iterator("doc")).next()(0) == 5.0f, "refetched, not parsed garbage")
+      assert(n.get() == 2)
+      assert(c.encode(Iterator("doc")).next()(0) == 5.0f, "repaired entry hits")
+      assert(n.get() == 2)
+    }
+  }
+
   test("slots into the Encode.embed stage like the mock (EncoderClient seam)") {
     withServer { (body, _) => (200, okJson(countInputs(body), 2, _ => 3.0)) } { url =>
       val spark = graft.TestSpark.spark

@@ -117,4 +117,99 @@ class HttpLlmClientSpec extends AnyFunSuite {
       assert(n.get() == 1)
     }
   }
+
+  // -- fault injection (r13 VERDICT #8): the failures live runs hit --
+
+  test("fault: mid-stream connection reset (truncated body) retries and recovers") {
+    val n = new AtomicInteger(0)
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext(
+      "/v1/completions",
+      (ex: HttpExchange) => {
+        ex.getRequestBody.readAllBytes()
+        if (n.incrementAndGet() == 1) {
+          // declare 1000 bytes, deliver 5, slam the connection: the
+          // client's body read dies mid-stream (premature EOF -> IO
+          // error), which must be RETRIED like any transport fault
+          ex.sendResponseHeaders(200, 1000)
+          ex.getResponseBody.write("{\"cho".getBytes(StandardCharsets.UTF_8))
+          ex.close()
+        } else {
+          val bytes = okJson("recovered").getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+        }
+      })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/v1/completions"
+      val c   = HttpLlmClient(url, maxRetries = 3, backoffMs = 10)
+      assert(c.completeOne("p") == "recovered")
+      assert(n.get() == 2, "exactly one reset, one successful retry")
+    } finally server.stop(0)
+  }
+
+  test("fault: slow-loris response past readTimeout retries at the boundary and recovers") {
+    // needs a MULTI-threaded stub: the sleeping handler must not
+    // queue-block the retry (a single dispatcher thread would starve
+    // every retry into its own timeout)
+    val n      = new AtomicInteger(0)
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    server.createContext(
+      "/v1/completions",
+      (ex: HttpExchange) => {
+        ex.getRequestBody.readAllBytes()
+        val i = n.incrementAndGet()
+        if (i == 1) Thread.sleep(800) // > readTimeoutMs: client hangs up first
+        val bytes = okJson(s"t$i").getBytes(StandardCharsets.UTF_8)
+        try {
+          ex.sendResponseHeaders(200, bytes.length)
+          ex.getResponseBody.write(bytes)
+          ex.close()
+        } catch { case _: java.io.IOException => () } // the timed-out socket is gone
+      })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/v1/completions"
+      val c   = HttpLlmClient(url, maxRetries = 3, backoffMs = 10, readTimeoutMs = 200)
+      // SocketTimeoutException IS an IOException: retried, not fatal
+      assert(c.completeOne("p") == "t2")
+      assert(n.get() == 2)
+    } finally server.stop(0)
+  }
+
+  test("fault: corrupt cache entry reads as a miss - refetch, repair, never serve damage") {
+    val n   = new AtomicInteger(0)
+    val dir = java.nio.file.Files.createTempDirectory("llmcache3")
+    withServer { (_, _) => (200, okJson(s"v${n.incrementAndGet()}")) } { url =>
+      val c = HttpLlmClient(url, cacheDir = Some(dir.toString))
+      assert(c.completeOne("p") == "v1")
+      // damage the entry on disk (bad payload under a stale digest)
+      val key  = HttpLlmClient.sha256(s"$url||256|---|p")
+      val file = dir.resolve(key)
+      assert(java.nio.file.Files.exists(file), "cache entry written")
+      java.nio.file.Files.writeString(file, "0" * 64 + "\nGARBAGE NOT THE COMPLETION")
+      // the digest check rejects it: refetch from the wire + repair
+      assert(c.completeOne("p") == "v2")
+      assert(n.get() == 2)
+      // repaired entry verifies again: back to cache hits
+      assert(c.completeOne("p") == "v2")
+      assert(n.get() == 2)
+    }
+  }
+
+  test("fault: legacy header-less cache entries refetch once instead of being served raw") {
+    val n   = new AtomicInteger(0)
+    val dir = java.nio.file.Files.createTempDirectory("llmcache4")
+    withServer { (_, _) => (200, okJson(s"w${n.incrementAndGet()}")) } { url =>
+      val key = HttpLlmClient.sha256(s"$url||256|---|p")
+      java.nio.file.Files.writeString(dir.resolve(key), "pre-r14 un-checksummed payload")
+      val c = HttpLlmClient(url, cacheDir = Some(dir.toString))
+      assert(c.completeOne("p") == "w1", "legacy entry is not trusted")
+      assert(c.completeOne("p") == "w1", "rewritten entry hits")
+      assert(n.get() == 1)
+    }
+  }
 }
