@@ -2992,6 +2992,99 @@ object SparkEntry {
       val scored = Curation.hashedLinearScore(d, "doc_id", "text", nBuckets = 64)
         .join(d.select(col("doc_id"), (col("lang") === "en").as("is_en")), Seq("doc_id"))
       Score.rocAuc(scored, "logit", "is_en")
+    }),
+
+    // k-sample location test: exact tie-corrected Kruskal–Wallis H
+    // over doc lengths across ALL sources at once (the MW card
+    // compares two) — integer rank sums on the distinct-length
+    // relation, 6dp-decimal group fold for cross-engine determinism
+    "q_kruskal_wallis" -> ((s, dir) =>
+      graft.relops.Stats.kruskalWallis(docs(s, dir), "source", "n_chars")),
+
+    // spread twin of the location tests: Brown–Forsythe (median-
+    // centered Levene) variance-equality F across sources — group
+    // medians from the histogram-quantile path, integral deviations,
+    // per-group integer sums folded in 6dp decimals
+    "q_levene" -> ((s, dir) =>
+      graft.relops.Stats.leveneBrownForsythe(docs(s, dir), "source", "n_chars")),
+
+    // paired-binary significance companion to q_filter_agreement:
+    // McNemar on the discordant keep verdicts (classifier vs rule
+    // bank, same parameterization as the agreement card)
+    "q_mcnemar" -> ((s, dir) => {
+      val d   = docs(s, dir)
+      val clf = Curation.hashedLinearScore(d, "doc_id", "text", nBuckets = 64)
+        .select(col("doc_id"), col("keep").as("clf_keep"))
+      val rules = Curation.qualityRuleFlags(d, "doc_id", "text",
+          minTokens = 20, maxTokens = 100000, minMeanLen = 2.0, maxMeanLen = 10.0)
+        .select(col("doc_id"), col("keep").as("rules_keep"))
+      graft.relops.Stats.mcnemar(clf.join(rules, Seq("doc_id")), "clf_keep", "rules_keep")
+    }),
+
+    // dense-nucleus card: k-core (k=80) of the co-purchase graph —
+    // iterative peel to fixpoint (6 rounds at sf0.01/0.1, empty core
+    // at sf0.001 — both the cascade and the empty-result path run
+    // under the gate); monotone survivor sets make count equality the
+    // exit test, each round localCheckpoints the shrunken edges
+    "q_kcore" -> ((s, dir) =>
+      graft.relops.GraphOps.kCore(
+        graft.relops.GraphOps.coOccurrenceEdges(
+          Tables.lineitem(s, dir), "l_orderkey", "l_partkey", maxBasket = 50),
+        k = 80).orderBy(col("v"))),
+
+    // HITS hubs/authorities on the bipartite customer→part purchase
+    // graph (2 mutual-reinforcement rounds, L1-normalized, per-node
+    // sums in exact decimals, normalizers as 1-row broadcasts)
+    "q_hits" -> ((s, dir) =>
+      graft.relops.GraphOps.hits(
+        Tables.orders(s, dir)
+          .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey"), col("l_partkey")),
+        "o_custkey", "l_partkey", iters = 2)
+        .orderBy(col("role"), col("id"))),
+
+    // TPC-H Q21 plan shape (suppliers who kept orders waiting) with
+    // the established Q4 lateness proxy (ship > orderdate + 30d; the
+    // testdata has no commit/receipt dates). The correlated
+    // EXISTS/NOT-EXISTS pair decorrelates into ONE per-order
+    // aggregation (distinct suppliers, distinct LATE suppliers, and
+    // the argmax late supplier) joined back — two shuffles total
+    // instead of two fact-sized semi/anti joins; the only-late-one
+    // test is n_late_supp = 1 AND l_suppkey = late_supp
+    "q_waiting_suppliers" -> ((s, dir) => {
+      val j = Tables.lineitem(s, dir)
+        .join(
+          Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late", col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      val perOrder = j.groupBy(col("l_orderkey")).agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"),
+        max(when(col("late"), col("l_suppkey"))).as("late_supp"))
+      j.filter(col("late"))
+        .join(
+          perOrder.filter(col("n_supp") >= 2 && col("n_late_supp") === 1),
+          Seq("l_orderkey"))
+        .filter(col("l_suppkey") === col("late_supp"))
+        .join(Tables.table(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), col("s_name"))
+        .limit(20)
+    }),
+
+    // model-version A/B on the SAME corpus: Wilcoxon signed-rank over
+    // paired per-doc logits of the 64- vs 128-bucket hashed linear
+    // classifiers (6dp integer micros — the established score grain);
+    // zero diffs drop per Wilcoxon's rule, |d| ranks on the
+    // distinct-diff relation, tie-corrected z
+    "q_wilcoxon_signed" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def micros(nB: Int, out: String) =
+        Curation.hashedLinearScore(d, "doc_id", "text", nBuckets = nB)
+          .select(col("doc_id"), round(col("logit") * 1e6).cast("long").as(out))
+      graft.relops.Stats.wilcoxonSignedRank(
+        micros(64, "m64").join(micros(128, "m128"), Seq("doc_id")), "m64", "m128")
     })
   )
 
@@ -3009,6 +3102,36 @@ object SparkEntry {
               FROM b),
        lg AS (SELECT doc_id, round(CAST(sum(w) AS DOUBLE) / count(*), 6) AS logit
               FROM wt GROUP BY doc_id)"""
+
+  /** DuckDB oracle for q_kcore: the peel loop unrolled to `rounds`
+    * fixed iterations — sound because peeling is MONOTONE (survivor
+    * sets only shrink) and idempotent at fixpoint, so extra rounds
+    * are no-ops; `rounds` = 2× the measured max fixpoint depth
+    * across sf0.001/0.01/0.1 (6), re-checked by KCoreSpec's
+    * convergence assertion. CTEs are MATERIALIZED: each round
+    * references the previous one 3× (direct + two IN subqueries), so
+    * DuckDB's default inlining would expand the base scan 3^rounds
+    * times ("too many open files" long before wrong results).
+    */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    val base =
+      """WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+                 FROM items a JOIN items b
+                   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
+    val peels = (1 to rounds).map { i =>
+      s""",
+          k$i AS MATERIALIZED (SELECT v FROM (SELECT pa AS v FROM e${i - 1} UNION ALL SELECT pb FROM e${i - 1})
+                  GROUP BY v HAVING count(*) >= $k),
+          e$i AS MATERIALIZED (SELECT pa, pb FROM e${i - 1}
+                  WHERE pa IN (SELECT v FROM k$i) AND pb IN (SELECT v FROM k$i))"""
+    }.mkString
+    base + peels +
+      s"""
+         SELECT v, CAST(count(*) AS BIGINT) AS core_deg
+         FROM (SELECT pa AS v FROM e$rounds UNION ALL SELECT pb FROM e$rounds)
+         GROUP BY v HAVING count(*) >= $k ORDER BY v"""
+  }
 
   /** DuckDB fragment: first n words of documents.text. */
   private def fwSql(n: Int) =
@@ -6229,6 +6352,172 @@ object SparkEntry {
          SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n2 AS BIGINT) AS n_neg,
                 round(u1 / (CAST(n1 AS DOUBLE) * n2), 6) AS auc,
                 round(2.0 * (u1 / (CAST(n1 AS DOUBLE) * n2)) - 1, 6) AS gini
-         FROM u"""
+         FROM u""",
+
+    "q_kcore" -> kcoreOracleSql(k = 80, rounds = 12),
+
+    // replays GraphOps.hits: L1-normalized mutual reinforcement, per-
+    // node sums via exact DECIMAL(27,18) folds (the pagerank-oracle
+    // float-determinism pattern), 2 unrolled rounds
+    "q_hits" ->
+      """WITH e AS (SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+                    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+          h0 AS (SELECT DISTINCT src, 1.0 AS score FROM e),
+          a1raw AS (SELECT e.dst, CAST(sum(CAST(h.score AS DECIMAL(27,18))) AS DOUBLE) AS raw
+                    FROM e JOIN h0 h ON e.src = h.src GROUP BY e.dst),
+          a1n AS (SELECT CAST(sum(CAST(raw AS DECIMAL(27,18))) AS DOUBLE) AS nrm FROM a1raw),
+          a1 AS (SELECT dst, raw / nrm AS score FROM a1raw, a1n),
+          h1raw AS (SELECT e.src, CAST(sum(CAST(a.score AS DECIMAL(27,18))) AS DOUBLE) AS raw
+                    FROM e JOIN a1 a ON e.dst = a.dst GROUP BY e.src),
+          h1n AS (SELECT CAST(sum(CAST(raw AS DECIMAL(27,18))) AS DOUBLE) AS nrm FROM h1raw),
+          h1 AS (SELECT src, raw / nrm AS score FROM h1raw, h1n),
+          a2raw AS (SELECT e.dst, CAST(sum(CAST(h.score AS DECIMAL(27,18))) AS DOUBLE) AS raw
+                    FROM e JOIN h1 h ON e.src = h.src GROUP BY e.dst),
+          a2n AS (SELECT CAST(sum(CAST(raw AS DECIMAL(27,18))) AS DOUBLE) AS nrm FROM a2raw),
+          a2 AS (SELECT dst, raw / nrm AS score FROM a2raw, a2n),
+          h2raw AS (SELECT e.src, CAST(sum(CAST(a.score AS DECIMAL(27,18))) AS DOUBLE) AS raw
+                    FROM e JOIN a2 a ON e.dst = a.dst GROUP BY e.src),
+          h2n AS (SELECT CAST(sum(CAST(raw AS DECIMAL(27,18))) AS DOUBLE) AS nrm FROM h2raw),
+          h2 AS (SELECT src, raw / nrm AS score FROM h2raw, h2n)
+         SELECT 'hub' AS role, src AS id, round(score, 6) AS score FROM h2
+         UNION ALL
+         SELECT 'authority', dst, round(score, 6) FROM a2
+         ORDER BY role, id""",
+
+    // classic correlated Q21 form — the oracle keeps the textbook
+    // EXISTS/NOT-EXISTS pair; the engine's decorrelated per-order
+    // aggregation must agree row-for-row
+    "q_waiting_suppliers" ->
+      """SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+         FROM supplier s, lineitem l1, orders o
+         WHERE s.s_suppkey = l1.l_suppkey
+           AND o.o_orderkey = l1.l_orderkey
+           AND o.o_orderstatus = 'F'
+           AND l1.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+         GROUP BY s.s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+
+    "q_kruskal_wallis" ->
+      """WITH s AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v FROM documents
+                    WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+          cells AS (SELECT g, v, count(*) AS c FROM s GROUP BY g, v),
+          vals AS (SELECT v, sum(c) AS cnt FROM cells GROUP BY v),
+          ranked AS (SELECT v, cnt,
+                            coalesce(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+                     FROM vals),
+          pg AS (SELECT c.g, sum(c.c) AS ng, sum(c.c * (2 * r.cb + r.cnt + 1)) AS r2
+                 FROM cells c JOIN ranked r ON c.v = r.v GROUP BY c.g),
+          ga AS (SELECT count(*) AS k, sum(ng) AS n,
+                        sum(CAST(round(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) / (4.0 * ng), 6) AS DECIMAL(38,6))) AS srr
+                 FROM pg),
+          ties AS (SELECT coalesce(sum(cnt * cnt * cnt - cnt), 0) AS t FROM vals)
+         SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+                round(12.0 / (CAST(n AS DOUBLE) * (n + 1)) * CAST(srr AS DOUBLE) - 3.0 * (n + 1), 6) AS h,
+                CASE WHEN 1.0 - CAST(t AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n) > 0
+                     THEN round((12.0 / (CAST(n AS DOUBLE) * (n + 1)) * CAST(srr AS DOUBLE) - 3.0 * (n + 1))
+                                / (1.0 - CAST(t AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n)), 6)
+                     ELSE NULL END AS h_corr
+         FROM ga, ties""",
+
+    "q_levene" ->
+      """WITH s AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS x FROM documents
+                    WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+          meds AS (SELECT g, CAST(quantile_disc(x, 0.5) AS BIGINT) AS med FROM s GROUP BY g),
+          dev AS (SELECT s.g, abs(s.x - m.med) AS z FROM s JOIN meds m ON s.g = m.g),
+          pg AS (SELECT g, count(*) AS ng, sum(z) AS sz, sum(z * z) AS szz FROM dev GROUP BY g),
+          ga AS (SELECT count(*) AS k, sum(ng) AS n, sum(sz) AS szt, sum(szz) AS szzt,
+                        sum(CAST(round(CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) / CAST(ng AS DOUBLE), 6) AS DECIMAL(38,6))) AS srat
+                 FROM pg)
+         SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+                CASE WHEN k >= 2 AND n > k AND (CAST(szzt AS DOUBLE) - CAST(srat AS DOUBLE)) > 0
+                     THEN round((CAST(n AS DOUBLE) - k) / (CAST(k AS DOUBLE) - 1)
+                                * (CAST(srat AS DOUBLE) - CAST(szt AS DOUBLE) * CAST(szt AS DOUBLE) / CAST(n AS DOUBLE))
+                                / (CAST(szzt AS DOUBLE) - CAST(srat AS DOUBLE)), 6)
+                     ELSE NULL END AS f
+         FROM ga""",
+
+    "q_mcnemar" ->
+      """WITH toks AS (SELECT doc_id, t AS token
+                       FROM documents, unnest(string_split(text, ' ')) AS u(t) WHERE len(t) > 0),
+          b AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT % 64 AS bkt FROM toks),
+          wt AS (SELECT doc_id,
+                        CAST((('0x' || substr(md5('qcw:' || CAST(bkt AS VARCHAR)), 1, 15))::BIGINT
+                              / 1152921504606846976.0) * 2 - 1 AS DECIMAL(27,18)) AS w
+                 FROM b),
+          clf AS (SELECT doc_id, (round(CAST(sum(w) AS DOUBLE) / count(*), 6) >= 0.0) AS a
+                  FROM wt GROUP BY doc_id),
+          t2 AS (SELECT doc_id, lower(text) AS lt,
+                        list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+                 FROM documents),
+          f AS (SELECT doc_id, lt, CAST(len(tk) AS INT) AS n_tok,
+                       CASE WHEN len(tk) > 0
+                            THEN round(CAST(list_aggregate(list_transform(tk, x -> len(x)), 'sum') AS DOUBLE) / len(tk), 6)
+                            ELSE 0.0 END AS mean_tok_len
+                FROM t2),
+          rules AS (SELECT doc_id,
+                           ((n_tok >= 20 AND n_tok <= 100000) AND (mean_tok_len >= 2.0 AND mean_tok_len <= 10.0)
+                            AND strpos(lt, 'lorem ipsum') = 0 AND strpos(lt, '{') = 0) AS b
+                    FROM f),
+          j AS (SELECT c.a, r.b FROM clf c JOIN rules r ON c.doc_id = r.doc_id),
+          g AS (SELECT sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS n_tt,
+                       sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS n_tf,
+                       sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS n_ft,
+                       sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS n_ff
+                FROM j)
+         SELECT CAST(n_tt AS BIGINT) AS n_tt, CAST(n_tf AS BIGINT) AS n_tf,
+                CAST(n_ft AS BIGINT) AS n_ft, CAST(n_ff AS BIGINT) AS n_ff,
+                CASE WHEN n_tf + n_ft > 0
+                     THEN round((CAST(n_tf AS DOUBLE) - n_ft) * (CAST(n_tf AS DOUBLE) - n_ft)
+                                / (CAST(n_tf AS DOUBLE) + n_ft), 6)
+                     ELSE NULL END AS chi2,
+                CASE WHEN n_tf + n_ft > 0
+                     THEN round((abs(CAST(n_tf AS DOUBLE) - n_ft) - 1) * (abs(CAST(n_tf AS DOUBLE) - n_ft) - 1)
+                                / (CAST(n_tf AS DOUBLE) + n_ft), 6)
+                     ELSE NULL END AS chi2_cc
+         FROM g""",
+
+    "q_wilcoxon_signed" ->
+      """WITH toks AS (SELECT doc_id, t AS token
+                       FROM documents, unnest(string_split(text, ' ')) AS u(t) WHERE len(t) > 0),
+          h AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS h60 FROM toks),
+          wa AS (SELECT doc_id,
+                        CAST((('0x' || substr(md5('qcw:' || CAST(h60 % 64 AS VARCHAR)), 1, 15))::BIGINT
+                              / 1152921504606846976.0) * 2 - 1 AS DECIMAL(27,18)) AS w
+                 FROM h),
+          wb AS (SELECT doc_id,
+                        CAST((('0x' || substr(md5('qcw:' || CAST(h60 % 128 AS VARCHAR)), 1, 15))::BIGINT
+                              / 1152921504606846976.0) * 2 - 1 AS DECIMAL(27,18)) AS w
+                 FROM h),
+          la AS (SELECT doc_id, CAST(round(round(CAST(sum(w) AS DOUBLE) / count(*), 6) * 1e6) AS BIGINT) AS m
+                 FROM wa GROUP BY doc_id),
+          lb AS (SELECT doc_id, CAST(round(round(CAST(sum(w) AS DOUBLE) / count(*), 6) * 1e6) AS BIGINT) AS m
+                 FROM wb GROUP BY doc_id),
+          d AS (SELECT a.m - b.m AS d FROM la a JOIN lb b ON a.doc_id = b.doc_id),
+          zeros AS (SELECT coalesce(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END), 0) AS n_zero FROM d),
+          hist AS (SELECT abs(d) AS v, count(*) AS cnt,
+                          sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS pos
+                   FROM d WHERE d <> 0 GROUP BY abs(d)),
+          ranked AS (SELECT v, cnt, pos,
+                            coalesce(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+                     FROM hist),
+          g AS (SELECT coalesce(sum(cnt), 0) AS n_pairs,
+                       coalesce(sum(pos * (2 * cb + cnt + 1)), 0) AS w2p,
+                       coalesce(sum(cnt * cnt * cnt - cnt), 0) AS t
+                FROM ranked)
+         SELECT CAST(n_pairs AS BIGINT) AS n_pairs, CAST(n_zero AS BIGINT) AS n_zero,
+                round(CAST(w2p AS DOUBLE) / 2, 6) AS w_plus,
+                round(CAST(n_pairs AS DOUBLE) * (n_pairs + 1) / 2 - CAST(w2p AS DOUBLE) / 2, 6) AS w_minus,
+                CASE WHEN n_pairs > 0
+                          AND (CAST(n_pairs AS DOUBLE) * (n_pairs + 1) * (n_pairs * 2 + 1) / 24
+                               - CAST(t AS DOUBLE) / 48) > 0
+                     THEN round((CAST(w2p AS DOUBLE) / 2 - CAST(n_pairs AS DOUBLE) * (n_pairs + 1) / 4)
+                                / sqrt(CAST(n_pairs AS DOUBLE) * (n_pairs + 1) * (n_pairs * 2 + 1) / 24
+                                       - CAST(t AS DOUBLE) / 48), 6)
+                     ELSE NULL END AS z
+         FROM g, zeros"""
   )
 }

@@ -162,6 +162,117 @@ object GraphOps {
       floor(col("n_triangles") / lit(pCube) + lit(0.5)).cast("long").as("n_triangles_est"))
   }
 
+  /** k-core of an undirected edge relation (columns pa < pb):
+    * iteratively peel nodes of degree < k until fixpoint — the dense
+    * nucleus a spam/cluster analyst reads after the triangle census
+    * (coreness bounds clustering structure; a crawler's template farm
+    * shows up as an unexpectedly deep core).
+    *
+    * Scale shape: the edge relation is persisted ONCE; each round
+    * re-derives the surviving subgraph from that cache with two
+    * semi-joins against the current survivor NODE set (node-sized —
+    * only IT is localCheckpointed per round, never the edges; AQE
+    * picks broadcast vs shuffle for the semi-join, so a billion-node
+    * survivor set does not have to fit the driver) and runs one
+    * degree aggregation. Survivor sets are MONOTONE-DECREASING, so a
+    * round whose keep COUNT equals the previous round's is a fixpoint
+    * (count equality on nested sets is set equality) and the loop
+    * exits. Peel depth is bounded by the degeneracy of the graph —
+    * single digits on real graphs, never corpus-sized. The per-round
+    * driver action is ONE count. (An earlier form eagerly
+    * localCheckpointed the SHRUNKEN EDGE relation each round — 6
+    * corpus-sized materializations at sf0.1 made q_kcore the 8.3 s
+    * entry; re-deriving from the one cache cut it to the degree-agg
+    * cost.)
+    *
+    * Output: (v, core_deg) — the k-core's nodes with their degree
+    * WITHIN the core (≥ k by construction); empty when no k-core.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("pa").as("v"))
+        .unionAll(e.select(col("pb").as("v")))
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("core_deg"))
+    val e0 = edges.select(col("pa"), col("pb")).persist()
+    def restrict(keep: Option[DataFrame]): DataFrame = keep match {
+      case None => e0
+      case Some(kp) =>
+        e0.join(kp.select(col("v").as("pa")), Seq("pa"), "left_semi")
+          .join(kp.select(col("v").as("pb")), Seq("pb"), "left_semi")
+    }
+    var survivors: Option[DataFrame] = None
+    var prevN  = -1L
+    var rounds = 0
+    var done   = false
+    while (!done && rounds < maxRounds) {
+      val keep = degrees(restrict(survivors))
+        .filter(col("core_deg") >= k)
+        .select(col("v"))
+        .localCheckpoint(eager = true)
+      val kn = keep.count()
+      if (kn == prevN) done = true
+      else { prevN = kn; survivors = Some(keep) }
+      rounds += 1
+    }
+    val out = degrees(restrict(survivors))
+      .filter(col("core_deg") >= k)
+      .localCheckpoint(eager = true)
+    e0.unpersist()
+    out
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999) on a DIRECTED edge
+    * relation — the bipartite companion to PageRank: who are the
+    * heavy buyers (hubs) and the parts heavy buyers concentrate on
+    * (authorities)? Fixed `iters` mutual-reinforcement rounds with
+    * L1 normalization: a = norm(Eᵀ h), h = norm(E a).
+    *
+    * Scale shape: each half-step is one join + one keyed aggregation
+    * (the PageRank contribution shape); per-node sums accumulate in
+    * DECIMAL(27,18) (exact, order-free — the cross-engine float-fold
+    * rule) and the L1 normalizer rides as a 1-row broadcast, never a
+    * driver action; each round localCheckpoints to cut lineage.
+    *
+    * Output: (role 'hub'|'authority', id, score) — scores rounded to
+    * 6 dp, each role summing to ~1.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String, iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct().persist()
+    var h = e.select(col("src")).distinct().withColumn("score", lit(1.0))
+    var a: DataFrame = null
+    var i = 0
+    while (i < iters) {
+      val araw = e.join(h, Seq("src"))
+        .select(col("dst"), col("score").cast("decimal(27,18)").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).cast("double").as("raw"))
+      val an = araw.agg(
+        sum(col("raw").cast("decimal(27,18)")).cast("double").as("nrm"))
+      a = araw.crossJoin(broadcast(an))
+        .select(col("dst"), (col("raw") / col("nrm")).as("score"))
+        .localCheckpoint()
+      val hraw = e.join(a, Seq("dst"))
+        .select(col("src"), col("score").cast("decimal(27,18)").as("c"))
+        .groupBy(col("src"))
+        .agg(sum(col("c")).cast("double").as("raw"))
+      val hn = hraw.agg(
+        sum(col("raw").cast("decimal(27,18)")).cast("double").as("nrm"))
+      h = hraw.crossJoin(broadcast(hn))
+        .select(col("src"), (col("raw") / col("nrm")).as("score"))
+        .localCheckpoint()
+      i += 1
+    }
+    // h and a are already eagerly checkpointed by the last round, so
+    // the union below no longer references e — safe to release it
+    e.unpersist()
+    h.select(lit("hub").as("role"), col("src").as("id"), round(col("score"), 6).as("score"))
+      .unionByName(
+        a.select(lit("authority").as("role"), col("dst").as("id"), round(col("score"), 6).as("score")))
+  }
+
   /** Association-rule mining on item pairs: for pairs co-occurring in
     * at least `minSupport` baskets, lift = N·c(a,b) / (c(a)·c(b)) and
     * confidence = c(a,b) / c(a); top `k` by lift (ties → pa, pb).

@@ -518,6 +518,191 @@ object Stats {
         6).as("z"))
   }
 
+  /** Exact tie-corrected Kruskal–Wallis H across ALL groups of
+    * `groupCol` — the k-sample generalization of [[mannWhitneyU]]
+    * (location shift across many sources at once, where MW compares
+    * exactly two). Average ranks come from the same COUNT-HISTOGRAM
+    * identity: doubled rank sums 2·R_g = Σ_v c_{g,v}·(2·before_v +
+    * cnt_v + 1) are exact longs on the distinct-value relation
+    * (range-partitioned prefix, no single-partition window), and the
+    * tie term Σ(t³−t) enters the correction exactly.
+    *
+    * Cross-engine determinism of the group fold: Σ_g R_g²/n_g mixes
+    * doubles ABOVE 2^53 (R_g² overflows exact double range), where
+    * float addition order matters — so each per-group term is rounded
+    * to a 6 dp DECIMAL first and the k-row fold sums decimals
+    * (exact, order-free); the ≤ k·5·10⁻⁷ bias is deterministic and
+    * identical on any engine evaluating the same expressions.
+    *
+    * Output: one row (k, n, h, h_corr) — h_corr = h / (1 − ΣT/(N³−N)),
+    * NULL when every value ties (correction denominator 0).
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    requireIntegral(df, valueCol, "kruskalWallis")
+    val s = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(valueCol).cast("long").as("_v"))
+    val cells = s.groupBy(col("_g"), col("_v")).agg(count(lit(1)).as("_c"))
+    val vals = cells.groupBy(col("_v")).agg(sum(col("_c")).as("_cnt"))
+    val ranked = prefixBefore(vals, "_v", "_cnt", "_before")
+    val perGroup = cells
+      .join(ranked.select(col("_v"), col("_cnt"), col("_before")), Seq("_v"))
+      .groupBy(col("_g"))
+      .agg(
+        sum(col("_c")).as("_ng"),
+        sum(col("_c") * (lit(2) * col("_before") + col("_cnt") + 1)).as("_r2"))
+    // per-group term R_g²/n_g = (2R_g)²/(4 n_g): round to 6 dp and
+    // sum in decimal — see scaladoc (order-free exact fold)
+    val term = round(
+      col("_r2").cast("double") * col("_r2").cast("double") / (lit(4.0) * col("_ng")), 6)
+      .cast("decimal(38,6)")
+    val gAgg = perGroup.agg(
+      count(lit(1)).as("k"),
+      sum(col("_ng")).as("n"),
+      sum(term).as("_srr"))
+    val ties = vals.agg(
+      coalesce(sum(col("_cnt") * col("_cnt") * col("_cnt") - col("_cnt")), lit(0L)).as("_t"))
+    val nD = col("n").cast("double")
+    val h  = lit(12.0) / (nD * (nD + 1)) * col("_srr").cast("double") - lit(3.0) * (nD + 1)
+    val corr = lit(1.0) - col("_t").cast("double") / (nD * nD * nD - nD)
+    gAgg
+      .crossJoin(broadcast(ties))
+      .select(
+        col("k").cast("bigint").as("k"),
+        col("n").cast("bigint").as("n"),
+        round(h, 6).as("h"),
+        when(corr > 0.0, round(h / corr, 6)).otherwise(lit(null).cast("double")).as("h_corr"))
+  }
+
+  /** Exact Wilcoxon signed-rank test on PAIRED integral columns —
+    * the per-item A/B readout (two model versions scored on the same
+    * corpus) where Mann–Whitney's unpaired form throws away the
+    * pairing. Zero differences drop (Wilcoxon's rule), |d| ranks come
+    * from the count-histogram identity on the distinct-|d| relation
+    * (doubled rank sums are exact longs; range-partitioned prefix),
+    * and the tie-corrected normal approximation
+    * z = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − Σ(t³−t)/48)
+    * runs in one final expression — integer-exact until that point.
+    *
+    * Output: one row (n_pairs, n_zero, w_plus, w_minus, z) —
+    * z NULL when no nonzero pairs exist.
+    */
+  def wilcoxonSignedRank(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    requireIntegral(df, aCol, "wilcoxonSignedRank")
+    requireIntegral(df, bCol, "wilcoxonSignedRank")
+    val d = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select((col(aCol).cast("long") - col(bCol).cast("long")).as("_d"))
+    val zeros = d.agg(
+      coalesce(sum(when(col("_d") === 0L, 1L).otherwise(0L)), lit(0L)).as("n_zero"))
+    val hist = d
+      .filter(col("_d") =!= 0L)
+      .groupBy(abs(col("_d")).as("_v"))
+      .agg(
+        count(lit(1)).as("_cnt"),
+        sum(when(col("_d") > 0L, 1L).otherwise(0L)).as("_pos"))
+    val ranked = prefixBefore(hist, "_v", "_cnt", "_before")
+    val g = ranked.agg(
+      coalesce(sum(col("_cnt")), lit(0L)).as("n_pairs"),
+      coalesce(sum(col("_pos") * (lit(2) * col("_before") + col("_cnt") + 1)), lit(0L)).as("_w2p"),
+      coalesce(sum(col("_cnt") * col("_cnt") * col("_cnt") - col("_cnt")), lit(0L)).as("_t"))
+    val nD     = col("n_pairs").cast("double")
+    val wPlus  = col("_w2p").cast("double") / 2
+    val mu     = nD * (nD + 1) / 4
+    val sigma2 = nD * (nD + 1) * (nD * 2 + 1) / 24 - col("_t").cast("double") / 48
+    g.crossJoin(broadcast(zeros))
+      .select(
+        col("n_pairs"),
+        col("n_zero"),
+        round(wPlus, 6).as("w_plus"),
+        round(nD * (nD + 1) / 2 - wPlus, 6).as("w_minus"),
+        when(col("n_pairs") > 0 && sigma2 > 0.0, round((wPlus - mu) / sqrt(sigma2), 6))
+          .otherwise(lit(null).cast("double")).as("z"))
+  }
+
+  /** McNemar's test on PAIRED boolean verdicts (two filters judging
+    * the same rows) — the significance companion to the 2×2 agreement
+    * card: does filter A keep rows filter B drops more often than the
+    * reverse? One corpus aggregation to the four cells; the statistic
+    * uses only the discordant counts, χ² = (b−c)²/(b+c) plus the
+    * continuity-corrected (|b−c|−1)²/(b+c) — both NULL when no
+    * discordant pairs exist. Integer counts, one division each.
+    *
+    * Output: one row (n_tt, n_tf, n_ft, n_ff, chi2, chi2_cc).
+    */
+  def mcnemar(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val g = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .agg(
+        sum(when(col(aCol) && col(bCol), 1L).otherwise(0L)).as("n_tt"),
+        sum(when(col(aCol) && !col(bCol), 1L).otherwise(0L)).as("n_tf"),
+        sum(when(!col(aCol) && col(bCol), 1L).otherwise(0L)).as("n_ft"),
+        sum(when(!col(aCol) && !col(bCol), 1L).otherwise(0L)).as("n_ff"))
+    val b    = col("n_tf").cast("double")
+    val c    = col("n_ft").cast("double")
+    val disc = col("n_tf") + col("n_ft")
+    g.select(
+      col("n_tt"), col("n_tf"), col("n_ft"), col("n_ff"),
+      when(disc > 0, round((b - c) * (b - c) / (b + c), 6))
+        .otherwise(lit(null).cast("double")).as("chi2"),
+      when(disc > 0, round((abs(b - c) - 1) * (abs(b - c) - 1) / (b + c), 6))
+        .otherwise(lit(null).cast("double")).as("chi2_cc"))
+  }
+
+  /** Brown–Forsythe (median-centered Levene) test of variance
+    * equality across ALL groups of `groupCol` — the spread twin of
+    * [[kruskalWallis]]'s location test: did a pipeline change alter
+    * the SHAPE of the length distribution per source even where the
+    * center held? Group medians come from [[histogramQuantiles]]
+    * (prob 0.5, `quantile_disc` rank rule — histogram-sized state),
+    * deviations z = |x − median_g| stay integral, and the one-way
+    * F on the deviations reduces to per-group integer sums
+    * (n_g, Σz, Σz²): SS_between = Σ(Σz_g)²/n_g − (Σz)²/N and
+    * SS_within = Σ(Σz²_g − (Σz_g)²/n_g). The per-group rational
+    * terms mix doubles above 2^53, so — as in [[kruskalWallis]] —
+    * each is rounded to 6 dp DECIMAL before the k-row fold (exact,
+    * order-free, deterministically identical cross-engine).
+    *
+    * Output: one row (k, n, f) — f NULL when SS_within = 0 or
+    * k < 2 or N ≤ k.
+    */
+  def leveneBrownForsythe(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    requireIntegral(df, valueCol, "leveneBrownForsythe")
+    val s = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast("long").as("_x"))
+    val meds = histogramQuantiles(s, groupCol, "_x", Seq(0.5))
+      .select(col(groupCol), col("q_value").as("_med"))
+    val dev = s
+      .join(broadcast(meds), Seq(groupCol))
+      .select(col(groupCol).as("_g"), abs(col("_x") - col("_med")).as("_z"))
+    val perGroup = dev.groupBy(col("_g")).agg(
+      count(lit(1)).as("_ng"),
+      sum(col("_z")).as("_sz"),
+      sum(col("_z") * col("_z")).as("_szz"))
+    // (Σz_g)²/n_g crosses 2^53 — 6 dp decimal fold (see scaladoc)
+    val ratio = round(
+      col("_sz").cast("double") * col("_sz").cast("double") / col("_ng").cast("double"), 6)
+      .cast("decimal(38,6)")
+    val g = perGroup.agg(
+      count(lit(1)).as("k"),
+      sum(col("_ng")).as("n"),
+      sum(col("_sz")).as("_szt"),
+      sum(col("_szz")).as("_szzt"),
+      sum(ratio).as("_srat"))
+    val nD   = col("n").cast("double")
+    val kD   = col("k").cast("double")
+    val ssb = col("_srat").cast("double") -
+      col("_szt").cast("double") * col("_szt").cast("double") / nD
+    val ssw = col("_szzt").cast("double") - col("_srat").cast("double")
+    g.select(
+      col("k").cast("bigint").as("k"),
+      col("n").cast("bigint").as("n"),
+      when(col("k") >= 2 && col("n") > col("k") && ssw > 0.0,
+        round((nD - kD) / (kD - 1) * ssb / ssw, 6))
+        .otherwise(lit(null).cast("double")).as("f"))
+  }
+
   /** Two-proportion z-test (pooled variance) between groups A and B
     * on a boolean outcome — the keep-rate A/B comparison a curation
     * change ships with. One corpus aggregation to four counts; the z

@@ -1,0 +1,92 @@
+package graft.relops
+
+import graft.SparkSpec
+
+/** Round-14 hypothesis-test additions: Kruskal–Wallis, Wilcoxon
+  * signed-rank, McNemar, Brown–Forsythe — hand-computed fixtures
+  * (rank sums and tie corrections worked by hand; the closed forms
+  * are the published ones).
+  */
+class HypothesisTestsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val kwGroups = Seq(
+    ("a", 12L), ("a", 15L), ("a", 17L), ("a", 19L), ("a", 22L),
+    ("b", 14L), ("b", 14L), ("b", 18L), ("b", 25L), ("b", 25L), ("b", 30L),
+    ("c", 8L), ("c", 9L), ("c", 12L), ("c", 14L)).toDF("g", "v")
+
+  test("kruskalWallis: 3-group hand fixture with ties") {
+    // ranks: 8->1, 9->2, 12->3.5(x2), 14->6(x3), 15->8, 17->9, 18->10,
+    // 19->11, 22->12, 25->13.5(x2), 30->15
+    // R_a = 3.5+8+9+11+12 = 43.5; R_b = 6+6+10+13.5+13.5+15 = 64
+    // R_c = 1+2+3.5+6 = 12.5; T = (8-2)+(27-3)+(8-2) = 36
+    val r = Stats.kruskalWallis(kwGroups, "g", "v").collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 15L)
+    assert(r.getDouble(2) == 7.008958, s"h was ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 7.084868, s"h_corr was ${r.getDouble(3)}")
+  }
+
+  test("kruskalWallis: all values tied -> h_corr NULL, h negative-definite form") {
+    val tied = Seq(("a", 5L), ("a", 5L), ("b", 5L)).toDF("g", "v")
+    val r    = Stats.kruskalWallis(tied, "g", "v").collect()(0)
+    assert(r.isNullAt(3), "tie correction denominator 0 -> NULL")
+  }
+
+  test("kruskalWallis: refuses fractional value columns") {
+    val d = Seq(("a", 1.5)).toDF("g", "v")
+    intercept[IllegalArgumentException](Stats.kruskalWallis(d, "g", "v"))
+  }
+
+  test("wilcoxonSignedRank: zeros drop, tie-averaged ranks, corrected z") {
+    // x-y diffs: [-2, 0, 3, 0, 2, 1, 6, 0] -> 5 nonzero, 3 zeros
+    // |d| ranks: 1->1, 2->2.5(x2), 3->4, 6->5
+    // W+ = 4 + 2.5 + 1 + 5 = 12.5, W- = 2.5, z = 1.354571
+    val pairs = Seq(
+      (10L, 12L), (12L, 12L), (14L, 11L), (15L, 15L),
+      (15L, 13L), (18L, 17L), (20L, 14L), (9L, 9L)).toDF("x", "y")
+    val r = Stats.wilcoxonSignedRank(pairs, "x", "y").collect()(0)
+    assert(r.getLong(0) == 5L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 12.5 && r.getDouble(3) == 2.5)
+    assert(r.getDouble(4) == 1.354571, s"z was ${r.getDouble(4)}")
+  }
+
+  test("wilcoxonSignedRank: all pairs equal -> zero nonzero pairs, NULL z") {
+    val pairs = Seq((1L, 1L), (2L, 2L)).toDF("x", "y")
+    val r     = Stats.wilcoxonSignedRank(pairs, "x", "y").collect()(0)
+    assert(r.getLong(0) == 0L && r.getLong(1) == 2L)
+    assert(r.isNullAt(4))
+  }
+
+  test("mcnemar: discordant-count statistic with continuity correction") {
+    // n_tt=3, n_tf=4, n_ft=1, n_ff=2
+    // chi2 = (4-1)^2/5 = 1.8; cc = (|3|-1)^2/5 = 0.8
+    val rows = (Seq.fill(3)((true, true)) ++ Seq.fill(4)((true, false)) ++
+      Seq((false, true)) ++ Seq.fill(2)((false, false))).toDF("a", "b")
+    val r = Stats.mcnemar(rows, "a", "b").collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 4L, 1L, 2L)))
+    assert(r.getDouble(4) == 1.8 && r.getDouble(5) == 0.8)
+  }
+
+  test("mcnemar: no discordant pairs -> NULL statistics") {
+    val rows = Seq((true, true), (false, false)).toDF("a", "b")
+    val r    = Stats.mcnemar(rows, "a", "b").collect()(0)
+    assert(r.isNullAt(4) && r.isNullAt(5))
+  }
+
+  test("leveneBrownForsythe: 3-group hand fixture (quantile_disc medians)") {
+    // medians (lower/disc): a->15, b->18, c->9
+    // |dev| a: 3,0,2,4,7; b: 4,4,0,7,7,12; c: 1,0,3,5
+    // per-group (n, sum z, sum z^2): a (5,16,78) b (6,34,274) c (4,9,35)
+    // srat = 51.2 + 192.666667 + 20.25 = 264.116667
+    // ssb = srat - 59^2/15; ssw = 387 - srat; F = (12/2) * ssb / ssw
+    val r = Stats.leveneBrownForsythe(kwGroups, "g", "v").collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 15L)
+    assert(r.getDouble(2) == 1.854925, s"f was ${r.getDouble(2)}")
+  }
+
+  test("leveneBrownForsythe: zero within-group spread -> NULL f") {
+    val d = Seq(("a", 5L), ("a", 5L), ("b", 7L), ("b", 7L)).toDF("g", "v")
+    val r = Stats.leveneBrownForsythe(d, "g", "v").collect()(0)
+    assert(r.isNullAt(2))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.relops
+
+import graft.SparkSpec
+
+/** Round-14 graph additions: k-core peel and HITS hubs/authorities —
+  * hand-worked fixtures including the multi-round peel cascade the
+  * oracle's unrolled form depends on.
+  */
+class KCoreHitsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kCore: triangle with pendant — pendant peels, triangle survives at k=2") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("pa", "pb")
+    val got = GraphOps.kCore(e, k = 2).orderBy("v").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(got.forall(_.getLong(1) == 2L), "within-core degrees after the pendant drops")
+  }
+
+  test("kCore: path graph cascades to empty over MULTIPLE rounds at k=2") {
+    // 1-2-3-4-5: round 1 drops {1,5}, round 2 drops {2,4}, round 3
+    // drops {3} — the multi-round cascade the unrolled oracle padding
+    // must absorb. maxRounds=1 (cut short) must differ from fixpoint.
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("pa", "pb")
+    assert(GraphOps.kCore(path, k = 2).count() == 0L, "fixpoint is empty")
+    assert(GraphOps.kCore(path, k = 2, maxRounds = 1).count() > 0L,
+      "one round is NOT enough — the cascade is real")
+  }
+
+  test("kCore: k above max degree -> empty; k=1 keeps every non-isolated node") {
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("pa", "pb")
+    assert(GraphOps.kCore(e, k = 5).count() == 0L)
+    assert(GraphOps.kCore(e, k = 1).count() == 3L)
+  }
+
+  test("hits: 2-iteration hand fixture (L1-normalized mutual reinforcement)") {
+    // c1->{p1,p2}, c2->{p1}:
+    // a1 = (2/3, 1/3); h1 = (3/5, 2/5); a2 = (5/8, 3/8);
+    // h2 = (1, 5/8)/1.625 = (0.615385, 0.384615)
+    val e   = Seq((10L, 100L), (10L, 200L), (20L, 100L)).toDF("c", "p")
+    val got = GraphOps.hits(e, "c", "p", iters = 2)
+      .orderBy("role", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      ("authority", 100L, 0.625), ("authority", 200L, 0.375),
+      ("hub", 10L, 0.615385), ("hub", 20L, 0.384615)))
+  }
+
+  test("hits: duplicate input edges collapse; scores per role sum to ~1") {
+    val e = Seq((10L, 100L), (10L, 100L), (10L, 200L), (20L, 100L)).toDF("c", "p")
+    val got = GraphOps.hits(e, "c", "p", iters = 2).collect()
+    val byRole = got.groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(2)).sum)
+    assert(math.abs(byRole("hub") - 1.0) < 1e-5 && math.abs(byRole("authority") - 1.0) < 1e-5)
+  }
+}
