@@ -148,6 +148,19 @@ object SparkEntry {
   private def dotSql(x: String, y: String) =
     s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
 
+  /** DuckDB: dot product over the first `d` dims only (the Matryoshka
+    * truncation gauge's prefix cosine).
+    */
+  private def dotSqlD(x: String, y: String, d: Int) =
+    s"list_sum(list_transform(range(1, ${d + 1}), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
+
+  /** DuckDB: cosine over the first `d` dims (zero-norm guard as in
+    * Similarity.cosine).
+    */
+  private def cosSqlDim(a: String, b: String, d: Int) =
+    s"""CASE WHEN ${dotSqlD(a, a, d)} = 0.0 OR ${dotSqlD(b, b, d)} = 0.0 THEN 0.0
+             ELSE ${dotSqlD(a, b, d)} / (sqrt(${dotSqlD(a, a, d)}) * sqrt(${dotSqlD(b, b, d)})) END"""
+
   /** DuckDB: cosine between embedding and qe (both cast to double),
     * mirroring Similarity.cosine's formula.
     */
@@ -3072,6 +3085,27 @@ object SparkEntry {
         .orderBy(desc("numwait"), col("s_name"))
         .limit(20)
     }),
+
+    // interpolated-quantile tier next to q_quantile_disc: SQL
+    // quantile_cont semantics ((n-1)q fractional rank, linear
+    // interpolation) on the same value-histogram state — both order
+    // statistics fold into one conditional-min over the cumulative
+    // histogram, no per-group value buffering
+    "q_quantile_cont" -> ((s, dir) =>
+      graft.relops.Stats.histogramQuantilesCont(
+          docs(s, dir), "lang", "n_chars", Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+        .orderBy(col("lang"), col("prob"))),
+
+    // Matryoshka truncation gauge: recall@20 of prefix-dim cosine
+    // retrieval vs the full 64-dim top-20 at d = 8/16/32/64 — the
+    // dimension-drop decay curve next to the quantization recall
+    // gauges (binary/int8/PQ); truncation is a pure slice projection,
+    // each prefix is one scan + TakeOrdered
+    "q_matryoshka_recall" -> ((s, dir) =>
+      Similarity.matryoshkaRecall(
+        Tables.embeddings(s, dir), "vec_id", "embedding", queryVec(s, dir),
+        k = 20, dims = Seq(8, 16, 32, 64))
+        .orderBy(col("d_prefix"))),
 
     // model-version A/B on the SAME corpus: Wilcoxon signed-rank over
     // paired per-doc logits of the 64- vs 128-bucket hashed linear
@@ -6400,6 +6434,41 @@ object SparkEntry {
                            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
                              AND l3.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
          GROUP BY s.s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+
+    "q_quantile_cont" ->
+      """SELECT lang, CAST(0.25 AS DOUBLE) AS prob, round(quantile_cont(n_chars, 0.25), 6) AS q_value FROM documents GROUP BY lang
+         UNION ALL
+         SELECT lang, CAST(0.5 AS DOUBLE), round(quantile_cont(n_chars, 0.5), 6) FROM documents GROUP BY lang
+         UNION ALL
+         SELECT lang, CAST(0.75 AS DOUBLE), round(quantile_cont(n_chars, 0.75), 6) FROM documents GROUP BY lang
+         UNION ALL
+         SELECT lang, CAST(0.9 AS DOUBLE), round(quantile_cont(n_chars, 0.9), 6) FROM documents GROUP BY lang
+         UNION ALL
+         SELECT lang, CAST(0.99 AS DOUBLE), round(quantile_cont(n_chars, 0.99), 6) FROM documents GROUP BY lang
+         ORDER BY lang, prob""",
+
+    "q_matryoshka_recall" -> {
+      val dims = Seq(8, 16, 32, 64)
+      val perDim = dims.map { d =>
+        s"""t$d AS (SELECT vec_id FROM (
+                      SELECT vec_id, round(${cosSqlDim("e.embedding", "q.qe", d)}, 6) AS cos
+                      FROM embeddings e, q)
+                    ORDER BY cos DESC, vec_id ASC LIMIT 20),
+            r$d AS (SELECT $d AS d_prefix, CAST(count(*) AS INT) AS n_overlap
+                    FROM bf JOIN t$d USING (vec_id))"""
+      }.mkString(",\n            ")
+      val unions = dims
+        .map(d => s"SELECT d_prefix, n_overlap, round(CAST(n_overlap AS DOUBLE) / 20, 6) AS recall FROM r$d")
+        .mkString("\n            UNION ALL ")
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+          bf AS (SELECT vec_id FROM (
+                   SELECT vec_id, round(${cosSql("e.embedding", "q.qe")}, 6) AS cos
+                   FROM embeddings e, q)
+                 ORDER BY cos DESC, vec_id ASC LIMIT 20),
+            $perDim
+            $unions
+            ORDER BY d_prefix"""
+    },
 
     "q_kruskal_wallis" ->
       """WITH s AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v FROM documents

@@ -184,6 +184,64 @@ object Stats {
       .agg(min(col("v")).as("q_value"))
   }
 
+  /** INTERPOLATED per-group quantiles (SQL `quantile_cont` / NumPy
+    * 'linear' semantics: fractional rank h = (n−1)·q, result =
+    * v⌊h⌋ + (h−⌊h⌋)·(v⌊h⌋₊₁ − v⌊h⌋)) on the same VALUE-HISTOGRAM
+    * state as [[histogramQuantiles]] — no per-group value buffering,
+    * shuffle bounded by distinct values. Both order statistics are
+    * "smallest value whose cumulative count reaches rank p" lookups
+    * (p1 = ⌊h⌋+1, p2 = min(⌊h⌋+2, n), clamped so an integral h stays
+    * in range — its interpolation weight is 0 there), folded into ONE
+    * conditional-min aggregation over the cumulative histogram. The
+    * interpolation expression is evaluated identically by any engine
+    * (verified against DuckDB's native quantile_cont to the last
+    * bit on integer-valued columns).
+    *
+    * Output: (group, prob, q_value DOUBLE) — q_value rounded to 6 dp.
+    */
+  def histogramQuantilesCont(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0), "probs must be in [0, 1]")
+    requireIntegral(df, valueCol, "histogramQuantilesCont")
+    import org.apache.spark.sql.expressions.Window
+    val hist = df
+      .select(col(groupCol), col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col(groupCol), col("v"))
+      .agg(count(lit(1)).as("m"))
+    val w = Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum    = hist.withColumn("cum", sum(col("m")).over(w))
+    val totals = hist.groupBy(col(groupCol)).agg(sum(col("m")).as("n"))
+    val session = df.sparkSession
+    import session.implicits._
+    val probsDf = probs.toDF("prob")
+    val h = (col("n") - 1).cast("double") * col("prob")
+    val ranks = totals
+      .crossJoin(broadcast(probsDf))
+      .select(
+        col(groupCol), col("prob"), h.as("h"),
+        (floor(h) + 1).cast("long").as("p1"),
+        least(floor(h) + 2, col("n")).cast("long").as("p2"))
+    cum
+      .join(broadcast(ranks), Seq(groupCol))
+      .groupBy(col(groupCol), col("prob"), col("h"))
+      .agg(
+        min(when(col("cum") >= col("p1"), col("v"))).as("v1"),
+        min(when(col("cum") >= col("p2"), col("v"))).as("v2"))
+      .select(
+        col(groupCol), col("prob"),
+        round(
+          col("v1").cast("double") +
+            (col("h") - floor(col("h"))) * (col("v2").cast("double") - col("v1")),
+          6).as("q_value"))
+  }
+
   /** Pairwise two-sample Kolmogorov–Smirnov statistic between the
     * per-group distributions of an integral column: for every group
     * pair (a < b), KS = max over observed values v of

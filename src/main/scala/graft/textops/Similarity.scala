@@ -1051,6 +1051,37 @@ object Similarity {
     * latency. Inputs are the two ranked frames (only the first k rows
     * of each are considered); output is one row (n_overlap, recall).
     */
+  /** Matryoshka truncation gauge (Kusupati et al. 2022's
+    * matryoshka-representation intuition, measured the engine's way):
+    * recall@k of brute-force cosine retrieval using only the FIRST d
+    * dimensions of each embedding, per candidate prefix d — the
+    * decay curve a storage planner reads before deciding how many
+    * dims the serving tier can drop. Truncation is a pure `slice`
+    * projection (no re-encode); the full-dim top-k computes ONCE
+    * (k rows, checkpointed) and each prefix is one scan + TakeOrdered
+    * — the cosineTopK shape, no shuffle.
+    *
+    * Output: (d_prefix, n_overlap, recall), one row per dim.
+    */
+  def matryoshkaRecall(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1), s"dims must be positive (got $dims)")
+    val full = cosineTopK(embeddings, idCol, vecCol, query, k)
+      .select(col(idCol))
+      .localCheckpoint(eager = true) // k rows; reused by every prefix gauge
+    dims.map { d =>
+      val trunc  = embeddings.select(col(idCol), slice(col(vecCol), 1, d).as("_mrv"))
+      val approx = cosineTopK(trunc, idCol, "_mrv", query.take(d), k)
+      recallAtK(full, approx, idCol, k)
+        .select(lit(d).as("d_prefix"), col("n_overlap"), col("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   def recallAtK(exact: DataFrame, approx: DataFrame, idCol: String, k: Int): DataFrame =
     exact
       .limit(k)

@@ -10,6 +10,24 @@ import org.apache.spark.sql.functions._
 class QuantilesApproxSpec extends SparkSpec {
   import spark.implicits._
 
+  test("histogramQuantilesCont: linear-interpolation hand fixture incl. ties and edges") {
+    // group a: values 10, 20, 20, 40 (n=4)
+    //   q=0.5 : h=1.5  -> v2nd..v3rd = 20 + .5*(20-20) = 20.0
+    //   q=0.25: h=0.75 -> 10 + .75*(20-10) = 17.5
+    //   q=1.0 : h=3 (integral, p2 clamped to n) -> 40.0
+    //   q=0.0 : h=0 -> 10.0
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 20L), ("a", 40L)).toDF("g", "v")
+    val got = Stats.histogramQuantilesCont(df, "g", "v", Seq(0.0, 0.25, 0.5, 1.0))
+      .orderBy("prob").collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((0.0, 10.0), (0.25, 17.5), (0.5, 20.0), (1.0, 40.0)))
+  }
+
+  test("histogramQuantilesCont: single-value group is constant at every prob") {
+    val df  = Seq(("a", 7L)).toDF("g", "v")
+    val got = Stats.histogramQuantilesCont(df, "g", "v", Seq(0.1, 0.9)).collect()
+    assert(got.forall(_.getDouble(2) == 7.0))
+  }
+
   test("continuous doubles: works where the exact path refuses, rank error bounded") {
     // two groups of doubles — a domain histogramQuantiles rejects
     val df = spark.range(0, 10000).select(

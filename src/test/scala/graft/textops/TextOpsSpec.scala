@@ -236,6 +236,35 @@ class TextOpsSpec extends SparkSpec {
     assert(got.getInt(0) == 2 && math.abs(got.getDouble(1) - 0.666667) < 1e-9)
   }
 
+  test("matryoshkaRecall: full prefix is perfect, misleading prefix decays") {
+    // 3-dim vectors; query (1, 0, 0). Full-dim top-2 by cosine:
+    // a=(1,0,0) cos 1, b=(0.9,0,0.436) cos ~0.9, c=(0,1,0) cos 0.
+    // Prefix d=1: every nonzero-first-dim vector has cos 1 (a, b tie
+    // -> both in top-2, recall 1); prefix d=2 same. Add d=(1,0,9):
+    // full cos ~0.11 (out of top-2), d=1 cos 1 -> ties crowd in by id.
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.9, 0.0, 0.436)),
+      (3L, Seq(0.0, 1.0, 0.0)),
+      (4L, Seq(1.0, 0.0, 9.0))).toDF("vec_id", "embedding")
+    val got = Similarity.matryoshkaRecall(
+      emb, "vec_id", "embedding", Seq(1.0, 0.0, 0.0), k = 2, dims = Seq(1, 3))
+      .orderBy("d_prefix").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    // d=1: ids 1,2,4 all read cos 1.0 -> top-2 by id = {1,2}; full
+    // top-2 = {1,2} -> recall 1.0. d=3 IS the full space -> 1.0.
+    assert(got.toSeq == Seq((1, 2, 1.0), (3, 2, 1.0)))
+    // a prefix that HIDES the discriminating dim: query (0,0,1),
+    // d=2 sees only zeros for ids 1,3 (cos 0) and picks by id
+    val got2 = Similarity.matryoshkaRecall(
+      emb, "vec_id", "embedding", Seq(0.0, 0.0, 1.0), k = 2, dims = Seq(2))
+      .collect()(0)
+    // full top-2 for (0,0,1): id 4 (cos~0.99) and id 2 (cos~0.44);
+    // d=2 ranks by first-2-dims cosine to (0,0): all cos 0 -> ids 1,2
+    // -> overlap {2} -> recall 0.5
+    assert(got2.getInt(1) == 1 && got2.getDouble(2) == 0.5)
+  }
+
   test("giniTokenConcentration: block-rank identity matches the naive ranked formula") {
     // counts: a×5, b×3, c×2, d×1, e×1 → asc ranks (d,e)=1,2 c=3 b=4 a=5
     // Σi·x = 3 + 6 + 12 + 25 = 46; G = (2·46 − 6·12)/(5·12) = 1/3
