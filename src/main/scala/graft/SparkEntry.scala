@@ -3086,6 +3086,28 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // A/B variance-reduction card: CUPED-adjusted mean whitespace
+    // token count per source, with doc length as the covariate —
+    // theta from one exact-decimal moment pass, adjusted means from
+    // per-group sums only
+    "q_cuped" -> ((s, dir) =>
+      graft.relops.Stats.cupedAdjustedMeans(
+        docs(s, dir).select(
+          col("source"),
+          col("n_chars"),
+          TextStats.tokenCountWs(col("text")).as("n_tok")),
+        "source", "n_tok", "n_chars")
+        .orderBy(col("source"))),
+
+    // at-scale uncertainty card: Poisson-bootstrap CI for the mean
+    // doc length — B=32 deterministic Poisson(1) row weights
+    // (inverse-CDF on a replayable md5 hash), per-resample exact
+    // integer sums, one aggregation; the corpus is never resampled
+    // or shuffled B times
+    "q_poisson_bootstrap" -> ((s, dir) =>
+      graft.relops.Stats.poissonBootstrap(
+        docs(s, dir), "doc_id", "n_chars", b = 32)),
+
     // interpolated-quantile tier next to q_quantile_disc: SQL
     // quantile_cont semantics ((n-1)q fractional rank, linear
     // interpolation) on the same value-histogram state — both order
@@ -6434,6 +6456,61 @@ object SparkEntry {
                            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
                              AND l3.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
          GROUP BY s.s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+
+    "q_cuped" ->
+      """WITH s AS (SELECT source,
+                           CAST(n_chars AS BIGINT) AS x,
+                           CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS BIGINT) AS y
+                    FROM documents
+                    WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+          gl AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                          sum(CAST(x AS HUGEINT) * y) AS sxy,
+                          sum(CAST(x AS HUGEINT) * x) AS sxx
+                   FROM s),
+          th AS (SELECT CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                             THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             ELSE NULL END AS theta,
+                        CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+                 FROM gl),
+          pg AS (SELECT source, count(*) AS n, sum(x) AS gsx, sum(y) AS gsy FROM s GROUP BY source)
+         SELECT pg.source, CAST(pg.n AS BIGINT) AS n,
+                round(CAST(gsy AS DOUBLE) / pg.n, 6) AS mean_y,
+                round(CAST(gsy AS DOUBLE) / pg.n - th.theta * (CAST(gsx AS DOUBLE) / pg.n - th.xbar), 6) AS mean_y_adj,
+                round(th.theta, 6) AS theta
+         FROM pg, th ORDER BY source""",
+
+    // replays Stats.poissonBootstrap: identical md5-hash weights,
+    // exact integer resample sums, quantile_disc rank rule on the
+    // 32 rounded means (rank 1 and 32 at 0.025/0.975)
+    "q_poisson_bootstrap" ->
+      """WITH g AS (SELECT CAST(doc_id AS VARCHAR) AS id, CAST(n_chars AS BIGINT) AS v
+                    FROM documents WHERE n_chars IS NOT NULL),
+          grid AS (SELECT CAST(r.b AS INT) AS b, g.id, g.v FROM g, unnest(range(0, 32)) r(b)),
+          uu AS (SELECT b, v,
+                        ('0x' || substr(md5('pbs:' || CAST(b AS VARCHAR) || ':' || id), 1, 15))::BIGINT
+                          / 1152921504606846976.0 AS u
+                 FROM grid),
+          ww AS (SELECT b, v,
+                        CASE WHEN u < 0.367879441171 THEN 0
+                             WHEN u < 0.735758882343 THEN 1
+                             WHEN u < 0.919698602929 THEN 2
+                             WHEN u < 0.981011843124 THEN 3
+                             WHEN u < 0.996340153173 THEN 4
+                             WHEN u < 0.999405815182 THEN 5
+                             WHEN u < 0.999916758851 THEN 6
+                             WHEN u < 0.999989750803 THEN 7
+                             WHEN u < 0.999998874797 THEN 8
+                             ELSE 9 END AS w
+                 FROM uu),
+          means AS (SELECT b, round(CAST(sum(w * v) AS DOUBLE) / sum(w), 6) AS m
+                    FROM ww GROUP BY b HAVING sum(w) > 0),
+          pt AS (SELECT round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS point_mean FROM g),
+          agg AS (SELECT CAST(count(*) AS INT) AS n_resamples,
+                         quantile_disc(m, 0.025) AS ci_lo,
+                         quantile_disc(m, 0.975) AS ci_hi
+                  FROM means)
+         SELECT n_resamples, point_mean, ci_lo, ci_hi FROM agg, pt""",
 
     "q_quantile_cont" ->
       """SELECT lang, CAST(0.25 AS DOUBLE) AS prob, round(quantile_cont(n_chars, 0.25), 6) AS q_value FROM documents GROUP BY lang

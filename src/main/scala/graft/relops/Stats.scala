@@ -761,6 +761,135 @@ object Stats {
         .otherwise(lit(null).cast("double")).as("f"))
   }
 
+  /** Poisson bootstrap CI for the mean (the at-scale bootstrap:
+    * Chamandy/Wager-style Poisson(1) row weights instead of N draws
+    * with replacement — the multiplicities of a true resample
+    * converge to independent Poisson(1) for large N, and the weight
+    * is a pure per-row function, so the resample NEVER materializes
+    * or shuffles the corpus B times: one explode to B weighted copies
+    * of each row's (rep, w·v) contribution and ONE aggregation).
+    *
+    * Determinism: the weight is inverse-CDF'd from a 60-bit md5 hash
+    * of "pbs:<rep>:<id>" (the engine's replayable-randomness idiom —
+    * any ANSI engine recomputes the identical weights); the Poisson(1)
+    * CDF enters as 12-dp literal cut points, identical cross-engine.
+    * Per-resample sums Σw and Σw·v are exact integers; each mean is
+    * ONE double division rounded to 6 dp, and the CI picks order
+    * statistics of the B rounded means by quantile_disc's rank rule
+    * (ceil(p·B)) from a B-sized sorted array — bounded state, no
+    * driver action.
+    *
+    * A resample whose total weight is 0 (probability e^-N — only
+    * reachable on toy inputs) is dropped rather than carrying a NULL
+    * mean into the order statistics.
+    *
+    * Output: one row (n_resamples, point_mean, ci_lo, ci_hi).
+    */
+  def poissonBootstrap(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      b: Int = 32,
+      loProb: Double = 0.025,
+      hiProb: Double = 0.975): DataFrame = {
+    require(b >= 2, s"need at least 2 resamples (got $b)")
+    require(loProb < hiProb && loProb > 0 && hiProb < 1, "probs must satisfy 0 < lo < hi < 1")
+    requireIntegral(df, valueCol, "poissonBootstrap")
+    // cumulative Poisson(1) CDF at k = 0..8 (12 dp literals)
+    val cdf = Seq(
+      0.367879441171, 0.735758882343, 0.919698602929, 0.981011843124,
+      0.996340153173, 0.999405815182, 0.999916758851, 0.999989750803,
+      0.999998874797)
+    val g = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(idCol).cast("string").as("_id"), col(valueCol).cast("long").as("_v"))
+    val grid = g.select(
+      explode(sequence(lit(0), lit(b - 1))).as("_b"), col("_id"), col("_v"))
+    val u = graft.textops.Dedup
+      .hash60(concat(lit("pbs:"), col("_b").cast("string"), lit(":"), col("_id")))
+      .cast("double") / lit(1152921504606846976.0)
+    val w = cdf.zipWithIndex.foldRight(lit(cdf.length): Column) {
+      case ((cut, k), acc) => when(u < cut, lit(k)).otherwise(acc)
+    }
+    val means = grid
+      .select(col("_b"), w.as("_w"), col("_v"))
+      .groupBy(col("_b"))
+      .agg(sum(col("_w")).as("_n"), sum(col("_w") * col("_v")).as("_sv"))
+      .filter(col("_n") > 0)
+      .select(col("_b"), round(col("_sv").cast("double") / col("_n"), 6).as("_m"))
+    val point = g.agg(
+      round(sum(col("_v")).cast("double") / count(lit(1)), 6).as("point_mean"))
+    val rLo = math.ceil(loProb * b).toInt
+    val rHi = math.ceil(hiProb * b).toInt
+    means
+      .agg(count(lit(1)).cast("int").as("n_resamples"), sort_array(collect_list(col("_m"))).as("_ms"))
+      .crossJoin(broadcast(point))
+      .select(
+        col("n_resamples"),
+        col("point_mean"),
+        element_at(col("_ms"), least(lit(rLo), col("n_resamples"))).as("ci_lo"),
+        element_at(col("_ms"), least(lit(rHi), col("n_resamples"))).as("ci_hi"))
+  }
+
+  /** CUPED variance-reduced group means (Deng, Xu, Kohavi & Walker,
+    * WSDM 2013 — the standard pre-experiment-covariate adjustment an
+    * A/B platform applies before comparing groups): θ = cov(X, Y) /
+    * var(X) from the WHOLE corpus, adjusted group mean =
+    * ȳ_g − θ·(x̄_g − x̄). Everything reduces to moment sums —
+    * per-group and global (n, Σx, Σy) plus global Σxy and Σx² — so
+    * the corpus sees ONE aggregation pass each; products accumulate
+    * in DECIMAL(38,0) (exact at any scale — long Σxy overflows at
+    * ~10^11 rows × 10^11 products) and doubles appear only in the
+    * final θ and means, in one expression shape any engine evaluates
+    * identically.
+    *
+    * Output: (group, n, mean_y, mean_y_adj, theta) — theta repeated
+    * per row for readability; NULL when var(X) = 0.
+    */
+  def cupedAdjustedMeans(
+      df: DataFrame,
+      groupCol: String,
+      metricCol: String,
+      covariateCol: String): DataFrame = {
+    requireIntegral(df, metricCol, "cupedAdjustedMeans")
+    requireIntegral(df, covariateCol, "cupedAdjustedMeans")
+    val s = df
+      .filter(col(metricCol).isNotNull && col(covariateCol).isNotNull && col(groupCol).isNotNull)
+      .select(
+        col(groupCol),
+        col(covariateCol).cast("long").as("_x"),
+        col(metricCol).cast("long").as("_y"))
+    val xD = col("_x").cast("decimal(19,0)")
+    val yD = col("_y").cast("decimal(19,0)")
+    val glob = s.agg(
+      count(lit(1)).as("_n"),
+      sum(col("_x")).as("_sx"),
+      sum(col("_y")).as("_sy"),
+      sum(xD * yD).as("_sxy"),
+      sum(xD * xD).as("_sxx"))
+    val nD    = col("_n").cast("double")
+    val num   = nD * col("_sxy").cast("double") - col("_sx").cast("double") * col("_sy").cast("double")
+    val den   = nD * col("_sxx").cast("double") - col("_sx").cast("double") * col("_sx").cast("double")
+    val theta = glob.select(
+      when(den > 0.0, num / den).otherwise(lit(null).cast("double")).as("_theta"),
+      (col("_sx").cast("double") / nD).as("_xbar"))
+    val perGroup = s.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(col("_x")).as("_gsx"),
+      sum(col("_y")).as("_gsy"))
+    perGroup
+      .crossJoin(broadcast(theta))
+      .select(
+        col(groupCol),
+        col("n").cast("bigint").as("n"),
+        round(col("_gsy").cast("double") / col("n"), 6).as("mean_y"),
+        round(
+          col("_gsy").cast("double") / col("n") -
+            col("_theta") * (col("_gsx").cast("double") / col("n") - col("_xbar")),
+          6).as("mean_y_adj"),
+        round(col("_theta"), 6).as("theta"))
+  }
+
   /** Two-proportion z-test (pooled variance) between groups A and B
     * on a boolean outcome — the keep-rate A/B comparison a curation
     * change ships with. One corpus aggregation to four counts; the z

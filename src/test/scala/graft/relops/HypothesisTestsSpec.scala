@@ -89,4 +89,47 @@ class HypothesisTestsSpec extends SparkSpec {
     val r = Stats.leveneBrownForsythe(d, "g", "v").collect()(0)
     assert(r.isNullAt(2))
   }
+
+  test("cupedAdjustedMeans: perfectly linear covariate collapses group means") {
+    // y = x + 1 exactly -> theta = 1, both groups adjust to the
+    // global ybar = 5 (the entire between-group gap was covariate)
+    val d = Seq(("a", 1L, 2L), ("a", 3L, 4L), ("b", 5L, 6L), ("b", 7L, 8L))
+      .toDF("g", "x", "y")
+    val got = Stats.cupedAdjustedMeans(d, "g", "y", "x")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(("a", 2L, 3.0, 5.0, 1.0), ("b", 2L, 7.0, 5.0, 1.0)))
+  }
+
+  test("cupedAdjustedMeans: constant covariate -> NULL theta, adjusted mean NULL") {
+    val d = Seq(("a", 5L, 2L), ("a", 5L, 4L)).toDF("g", "x", "y")
+    val r = Stats.cupedAdjustedMeans(d, "g", "y", "x").collect()(0)
+    assert(r.isNullAt(4) && r.isNullAt(3) && r.getDouble(2) == 3.0)
+  }
+
+  test("poissonBootstrap: deterministic, CI straddles the point on a real-sized sample") {
+    val d = spark.range(0, 2000).selectExpr("id", "(id % 97) + 100 AS v")
+    val a = Stats.poissonBootstrap(d, "id", "v", b = 32).collect()(0)
+    val b = Stats.poissonBootstrap(d, "id", "v", b = 32).collect()(0)
+    assert(a == b, "hash-derived weights replay identically")
+    val (n, pt, lo, hi) =
+      (a.getInt(0), a.getDouble(1), a.getDouble(2), a.getDouble(3))
+    assert(n == 32 && lo <= pt && pt <= hi, s"CI [$lo, $hi] must straddle $pt")
+  }
+
+  test("poissonBootstrap: CI width shrinks with sample size (~1/sqrt(N))") {
+    def width(rows: Long): Double = {
+      val d = spark.range(0, rows).selectExpr("id", "(id % 97) + 100 AS v")
+      val r = Stats.poissonBootstrap(d, "id", "v", b = 32).collect()(0)
+      r.getDouble(3) - r.getDouble(2)
+    }
+    val w250  = width(250)
+    val w4000 = width(4000)
+    assert(w4000 < w250 / 2, s"expected ~4x shrink, got $w250 -> $w4000")
+  }
+
+  test("poissonBootstrap: refuses fractional value columns") {
+    val d = Seq((1L, 1.5)).toDF("id", "v")
+    intercept[IllegalArgumentException](Stats.poissonBootstrap(d, "id", "v"))
+  }
 }
