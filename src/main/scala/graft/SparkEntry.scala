@@ -3086,6 +3086,13 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // magnitude companion to q_mann_whitney on the same groups:
+    // Cliff's delta (rank-sum identity) + Cohen's d (pooled SD) in
+    // ONE distinct-value pass — at corpus scale any difference is
+    // "significant"; these say whether it is LARGE
+    "q_effect_sizes" -> ((s, dir) =>
+      graft.relops.Stats.effectSizes(docs(s, dir), "lang", "en", "de", "n_chars")),
+
     // A/B variance-reduction card: CUPED-adjusted mean whitespace
     // token count per source, with doc length as the covariate —
     // theta from one exact-decimal moment pass, adjusted means from
@@ -6456,6 +6463,38 @@ object SparkEntry {
                            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
                              AND l3.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
          GROUP BY s.s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+
+    "q_effect_sizes" ->
+      """WITH s AS (SELECT lang AS g, CAST(n_chars AS BIGINT) AS v FROM documents
+                    WHERE lang IN ('en', 'de') AND n_chars IS NOT NULL),
+          vals AS (SELECT v, count(*) AS cnt,
+                          sum(CASE WHEN g = 'en' THEN 1 ELSE 0 END) AS cnt_a
+                   FROM s GROUP BY v),
+          ranked AS (SELECT v, cnt, cnt_a,
+                            coalesce(sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+                     FROM vals),
+          g AS (SELECT sum(cnt_a) AS n1, sum(cnt - cnt_a) AS n2,
+                       sum(cnt_a * (2 * cb + cnt + 1)) AS r1x2,
+                       sum(CAST(v AS HUGEINT) * cnt_a) AS sxa,
+                       sum(CAST(v AS HUGEINT) * v * cnt_a) AS sxxa,
+                       sum(CAST(v AS HUGEINT) * (cnt - cnt_a)) AS sxb,
+                       sum(CAST(v AS HUGEINT) * v * (cnt - cnt_a)) AS sxxb
+                FROM ranked),
+          d AS (SELECT CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+                       (CAST(r1x2 AS DOUBLE) - 2.0 * n1 * (n1 + 1) / 2) / 2 AS u1,
+                       CAST(sxa AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+                       CAST(sxb AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+                       (CAST(sxxa AS DOUBLE) - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE) / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1) AS s1,
+                       (CAST(sxxb AS DOUBLE) - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1) AS s2,
+                       n1, n2
+                FROM g)
+         SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                round(2.0 * u1 / (n1d * n2d) - 1, 6) AS cliffs_delta,
+                CASE WHEN n1 + n2 > 2
+                          AND ((n1d - 1) * s1 + (n2d - 1) * s2) / (n1d + n2d - 2) > 0
+                     THEN round((m1 - m2) / sqrt(((n1d - 1) * s1 + (n2d - 1) * s2) / (n1d + n2d - 2)), 6)
+                     ELSE NULL END AS cohens_d
+         FROM d""",
 
     "q_cuped" ->
       """WITH s AS (SELECT source,

@@ -184,6 +184,53 @@ object Multimodal {
       if (bytes == null) null
       else bytes.zipWithIndex.collect { case (b, i) if i % factor == 0 => b }
 
+    /** Pure-JVM RIFF/WAVE header parse — (format_code, channels,
+      * sample_rate, bits_per_sample, data_bytes, duration_ms) WITHOUT
+      * decoding a sample: verify the RIFF....WAVE magic, then walk
+      * the chunk list ('fmt ' carries the format block, 'data' the
+      * payload length; chunks are word-aligned). The audio face of
+      * [[imageHeader]] — a few header bytes per row, no sample
+      * buffers. None for null, truncated, non-WAV, or structurally
+      * corrupt payloads (chunk size past the buffer, zero byte rate).
+      */
+    def wavHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Long, Long)] = {
+      if (bytes == null || bytes.length < 44) return None
+      if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+          bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')) return None
+      var p                                  = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None
+      var dataLen                            = -1L
+      while (p + 8 <= bytes.length && (fmt.isEmpty || dataLen < 0)) {
+        val sz = le32(bytes, p + 4).toLong & 0xffffffffL
+        val isFmt = bytes(p) == 'f' && bytes(p + 1) == 'm' &&
+          bytes(p + 2) == 't' && bytes(p + 3) == ' '
+        val isData = bytes(p) == 'd' && bytes(p + 1) == 'a' &&
+          bytes(p + 2) == 't' && bytes(p + 3) == 'a'
+        if (isFmt) {
+          if (p + 24 > bytes.length || sz < 16) return None // truncated format block
+          fmt = Some((le16(bytes, p + 8), le16(bytes, p + 10), le32(bytes, p + 12), le16(bytes, p + 22)))
+        } else if (isData) {
+          // the data chunk may legally run to EOF; clamp rather than
+          // trusting a hostile length
+          dataLen = math.min(sz, (bytes.length - p - 8).toLong)
+        }
+        if (fmt.isEmpty || dataLen < 0) {
+          // still walking: a chunk size past the buffer is corruption
+          // (the data chunk above is exempt — its length legally runs
+          // to EOF and was clamped, not trusted)
+          if (sz > bytes.length.toLong) return None
+          p += 8 + sz.toInt + (sz.toInt & 1) // word alignment
+        }
+      }
+      fmt match {
+        case Some((code, ch, rate, bits)) if dataLen >= 0 =>
+          val byteRate = rate.toLong * ch * (bits / 8)
+          if (ch <= 0 || rate <= 0 || bits <= 0 || byteRate <= 0) None
+          else Some((code, ch, rate, bits, dataLen, dataLen * 1000L / byteRate))
+        case _ => None
+      }
+    }
+
     /** "Frame-sample": n evenly-spaced byte slices standing in for
       * decoded video frames.
       */
@@ -272,6 +319,34 @@ object Multimodal {
         Row.fromSeq(r.toSeq ++ (hdr match {
           case Some((f, w, h, c)) => Seq(f, w, h, c)
           case None               => Seq(null, null, null, null)
+        }))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Audio twin of [[decodeImageMeta]]: per-row RIFF/WAVE header
+    * parse, appending (wav_format, wav_channels, wav_sample_rate,
+    * wav_bits, wav_data_bytes, wav_duration_ms) — NULLs for non-WAV
+    * payloads. Same batched-partition shape: header bytes only, no
+    * sample buffers, rows stream through.
+    */
+  def decodeAudioMeta(media: DataFrame): DataFrame = {
+    val schema = StructType(media.schema.fields ++ Seq(
+      StructField("wav_format", IntegerType, nullable = true),
+      StructField("wav_channels", IntegerType, nullable = true),
+      StructField("wav_sample_rate", IntegerType, nullable = true),
+      StructField("wav_bits", IntegerType, nullable = true),
+      StructField("wav_data_bytes", LongType, nullable = true),
+      StructField("wav_duration_ms", LongType, nullable = true)))
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val hdr = MediaCodec.wavHeader(r.getAs[Array[Byte]]("bytes"))
+        // Seq[Any], not Seq(...): mixed Int/Long elements would
+        // otherwise numeric-widen the whole Seq to Long and break the
+        // INT fields' external-type check
+        Row.fromSeq(r.toSeq ++ (hdr match {
+          case Some((f, c, sr, b, dl, ms)) => Seq[Any](f, c, sr, b, dl, ms)
+          case None                        => Seq[Any](null, null, null, null, null, null)
         }))
       }
     }(org.apache.spark.sql.Encoders.row(schema))

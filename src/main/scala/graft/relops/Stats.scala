@@ -831,6 +831,64 @@ object Stats {
         element_at(col("_ms"), least(lit(rHi), col("n_resamples"))).as("ci_hi"))
   }
 
+  /** Effect sizes for the A-vs-B comparison — the magnitude companion
+    * to the significance tests (a 10^8-row corpus makes ANY
+    * difference "significant"; these say whether it matters):
+    * Cliff's delta = 2·U₁/(n₁n₂) − 1 (the rank-sum identity — P(a>b)
+    * − P(a<b), ties splitting) and Cohen's d with the pooled SD.
+    * EVERYTHING derives from the distinct-value histogram in one
+    * pass: doubled rank sums are exact longs (the [[mannWhitneyU]]
+    * machinery), moments Σv·c and Σv²·c accumulate in DECIMAL(38,0)
+    * (exact, order-free), and doubles appear only in the closed
+    * forms.
+    *
+    * Output: one row (n1, n2, cliffs_delta, cohens_d) — cohens_d NULL
+    * when the pooled variance is 0 or df ≤ 0.
+    */
+  def effectSizes(
+      df: DataFrame,
+      groupCol: String,
+      groupA: String,
+      groupB: String,
+      valueCol: String): DataFrame = {
+    requireIntegral(df, valueCol, "effectSizes")
+    val s = df
+      .filter(col(groupCol).isin(groupA, groupB) && col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(valueCol).cast("long").as("_v"))
+    val vals = s.groupBy(col("_v")).agg(
+      count(lit(1)).as("_cnt"),
+      sum(when(col("_g") === groupA, 1L).otherwise(0L)).as("_cnt_a"))
+    val ranked = prefixBefore(vals, "_v", "_cnt", "_before")
+    val vD     = col("_v").cast("decimal(19,0)")
+    val g = ranked.agg(
+      sum(col("_cnt_a")).as("n1"),
+      sum(col("_cnt") - col("_cnt_a")).as("n2"),
+      sum(col("_cnt_a") * (lit(2) * col("_before") + col("_cnt") + 1)).as("_r1x2"),
+      sum(vD * col("_cnt_a")).as("_sxa"),
+      sum(vD * vD * col("_cnt_a")).as("_sxxa"),
+      sum(vD * (col("_cnt") - col("_cnt_a"))).as("_sxb"),
+      sum(vD * vD * (col("_cnt") - col("_cnt_a"))).as("_sxxb"))
+    val n1  = col("n1").cast("double")
+    val n2  = col("n2").cast("double")
+    val u1  = (col("_r1x2").cast("double") - lit(2.0) * col("n1") * (col("n1") + 1) / 2) / 2
+    val m1  = col("_sxa").cast("double") / n1
+    val m2  = col("_sxb").cast("double") / n2
+    // ANSI mode evaluates every branch: a size-1 group must flow NULL
+    // through the guarded divisors, not raise DIVIDE_BY_ZERO
+    val df1 = when(col("n1") > 1, n1 - 1)
+    val df2 = when(col("n2") > 1, n2 - 1)
+    val s1  = (col("_sxxa").cast("double") - col("_sxa").cast("double") * col("_sxa").cast("double") / n1) / df1
+    val s2  = (col("_sxxb").cast("double") - col("_sxb").cast("double") * col("_sxb").cast("double") / n2) / df2
+    val sp2 = ((n1 - 1) * s1 + (n2 - 1) * s2) /
+      when(col("n1") + col("n2") > 2, n1 + n2 - 2)
+    g.select(
+      col("n1").cast("bigint").as("n1"),
+      col("n2").cast("bigint").as("n2"),
+      round(lit(2.0) * u1 / (n1 * n2) - 1, 6).as("cliffs_delta"),
+      when(col("n1") + col("n2") > 2 && sp2 > 0.0, round((m1 - m2) / sqrt(sp2), 6))
+        .otherwise(lit(null).cast("double")).as("cohens_d"))
+  }
+
   /** CUPED variance-reduced group means (Deng, Xu, Kohavi & Walker,
     * WSDM 2013 — the standard pre-experiment-covariate adjustment an
     * A/B platform applies before comparing groups): θ = cov(X, Y) /

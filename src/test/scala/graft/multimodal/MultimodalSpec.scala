@@ -170,4 +170,66 @@ class MultimodalSpec extends SparkSpec {
     val f = Multimodal.MediaCodec.decodeFeatures(png, 2).toSeq
     assert(f.forall(v => math.abs(v - 1.0) < 1e-6), s"white image luminance $f")
   }
+
+  /** Canonical 44-byte PCM WAV header + payload, built byte-for-byte
+    * (the real thing, not a stub — what a lake's audio column holds).
+    */
+  private def wavBytes(
+      channels: Int, rate: Int, bits: Int, dataLen: Int,
+      extraChunk: Boolean = false): Array[Byte] = {
+    val bb = java.nio.ByteBuffer
+      .allocate(44 + dataLen + (if (extraChunk) 12 else 0))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+    if (extraChunk) { bb.put("LIST".getBytes); bb.putInt(4); bb.put("INFO".getBytes) }
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1.toShort); bb.putShort(channels.toShort)
+    bb.putInt(rate); bb.putInt(rate * channels * bits / 8)
+    bb.putShort((channels * bits / 8).toShort); bb.putShort(bits.toShort)
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    bb.put(Array.fill[Byte](dataLen)(7))
+    bb.array()
+  }
+
+  test("wavHeader parses real PCM WAV headers, incl. extra chunks before fmt") {
+    // 2ch 16-bit 8kHz, 32000 data bytes -> 32000/(8000*2*2) = 1000 ms
+    val plain = Multimodal.MediaCodec.wavHeader(wavBytes(2, 8000, 16, 32000))
+    assert(plain.contains((1, 2, 8000, 16, 32000L, 1000L)))
+    // a LIST chunk between WAVE and fmt must be walked over
+    val listed = Multimodal.MediaCodec.wavHeader(wavBytes(1, 44100, 8, 4410, extraChunk = true))
+    assert(listed.contains((1, 1, 44100, 8, 4410L, 100L)))
+  }
+
+  test("wavHeader rejects garbage, truncation, and corrupt chunk sizes") {
+    assert(Multimodal.MediaCodec.wavHeader(null).isEmpty)
+    assert(Multimodal.MediaCodec.wavHeader("not audio at all, just text".getBytes).isEmpty)
+    val good = wavBytes(2, 8000, 16, 3200)
+    assert(Multimodal.MediaCodec.wavHeader(good.take(40)).isEmpty, "truncated header")
+    // corrupt fmt chunk size pointing past the buffer
+    val bad = good.clone()
+    bad(16) = 0xff.toByte; bad(17) = 0xff.toByte; bad(18) = 0xff.toByte; bad(19) = 0x7f.toByte
+    assert(Multimodal.MediaCodec.wavHeader(bad).isEmpty)
+    // data chunk length clamped to the actual buffer, duration follows
+    val overlong = wavBytes(1, 8000, 8, 800)
+    val lenOff = overlong.length - 800 - 4
+    val bb = java.nio.ByteBuffer.wrap(overlong).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(lenOff, 1600) // claims 1600, only 800 present
+    assert(Multimodal.MediaCodec.wavHeader(overlong).contains((1, 1, 8000, 8, 800L, 100L)))
+  }
+
+  test("decodeAudioMeta: batch stage parses real WAV bytes, non-audio yields NULLs") {
+    val rows = Seq(
+      Row(1L, "audio", wavBytes(2, 8000, 16, 32000)),
+      Row(2L, "audio", "plain text payload".getBytes),
+      Row(3L, "audio", null))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("kind", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("bytes", org.apache.spark.sql.types.BinaryType)))
+    val df  = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val got = Multimodal.decodeAudioMeta(df).orderBy("media_id").collect()
+    assert(got(0).getInt(3) == 1 && got(0).getInt(4) == 2 &&
+      got(0).getInt(5) == 8000 && got(0).getLong(8) == 1000L, "real WAV parsed")
+    assert(got(1).isNullAt(3) && got(2).isNullAt(3), "non-audio -> NULLs")
+  }
 }

@@ -90,6 +90,23 @@ class HypothesisTestsSpec extends SparkSpec {
     assert(r.isNullAt(2))
   }
 
+  test("effectSizes: Cliff's delta via the rank identity + pooled-SD Cohen's d") {
+    // A=[1,2,3], B=[2,4]: #(a>b)=1, #(a<b)=4 -> delta = (1-4)/6 = -0.5
+    // (rank check: R1 = 1 + 2.5 + 4 = 7.5, U1 = 1.5, 2*1.5/6 - 1)
+    // m1=2 m2=3 s1^2=1 s2^2=2 sp^2=4/3 -> d = -1/sqrt(4/3) = -0.866025
+    val d = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("B", 2L), ("B", 4L)).toDF("g", "v")
+    val r = Stats.effectSizes(d, "g", "A", "B", "v").collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == -0.5, s"cliffs was ${r.getDouble(2)}")
+    assert(r.getDouble(3) == -0.866025, s"cohens was ${r.getDouble(3)}")
+  }
+
+  test("effectSizes: identical constant groups -> delta 0, NULL d (zero pooled variance)") {
+    val d = Seq(("A", 5L), ("A", 5L), ("B", 5L)).toDF("g", "v")
+    val r = Stats.effectSizes(d, "g", "A", "B", "v").collect()(0)
+    assert(r.getDouble(2) == 0.0 && r.isNullAt(3))
+  }
+
   test("cupedAdjustedMeans: perfectly linear covariate collapses group means") {
     // y = x + 1 exactly -> theta = 1, both groups adjust to the
     // global ybar = 5 (the entire between-group gap was covariate)
