@@ -3086,6 +3086,19 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // ordinal signal-redundancy card: exact Kendall tau-b between the
+    // doc-length and token-count deciles — O(N²) pair space collapsed
+    // to 2-D dominance prefixes over the distinct-cell grid (two
+    // cascaded windows, a Generate for the grid — no pair join, no
+    // cartesian); both signals quantized to ≤ 20 buckets first, the
+    // documented bounded-domain contract
+    "q_kendall_tau" -> ((s, dir) =>
+      graft.relops.Stats.kendallTauB(
+        docs(s, dir).select(
+          least(floor(col("n_chars") / 100), lit(19)).cast("long").as("len_bucket"),
+          least(floor(TextStats.tokenCountWs(col("text")) / lit(40.0)), lit(19)).cast("long").as("tok_bucket")),
+        "len_bucket", "tok_bucket")),
+
     // magnitude companion to q_mann_whitney on the same groups:
     // Cliff's delta (rank-sum identity) + Cohen's d (pooled SD) in
     // ONE distinct-value pass — at corpus scale any difference is
@@ -6463,6 +6476,41 @@ object SparkEntry {
                            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
                              AND l3.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
          GROUP BY s.s_name ORDER BY numwait DESC, s_name LIMIT 20""",
+
+    // replays kendallTauB's dominance-prefix identity (the grid cross
+    // join is oracle-side only; the engine uses a Generate)
+    "q_kendall_tau" ->
+      """WITH s AS (SELECT least(CAST(floor(n_chars / 100) AS BIGINT), 19) AS x,
+                           least(CAST(floor(len(list_filter(string_split(text, ' '), t -> len(t) > 0)) / 40.0) AS BIGINT), 19) AS y
+                    FROM documents WHERE n_chars IS NOT NULL),
+          cells AS (SELECT x, y, count(*) AS c FROM s GROUP BY x, y),
+          xs AS (SELECT x, sum(c) AS rt FROM cells GROUP BY x),
+          yd AS (SELECT DISTINCT y FROM cells),
+          grid AS (SELECT xs.x, xs.rt, yd.y FROM xs CROSS JOIN yd),
+          g2 AS (SELECT g.x, g.y, g.rt, cells.c, coalesce(cells.c, 0) AS c0
+                 FROM grid g LEFT JOIN cells ON g.x = cells.x AND g.y = cells.y),
+          wa AS (SELECT *,
+                        coalesce(sum(c0) OVER (PARTITION BY y ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS a,
+                        coalesce(sum(rt) OVER (PARTITION BY y ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS t
+                 FROM g2),
+          wp AS (SELECT *,
+                        coalesce(sum(a) OVER (PARTITION BY x ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+                 FROM wa),
+          cd AS (SELECT sum(c) AS n, count(*) AS n_cells,
+                        sum(CAST(c AS HUGEINT) * p) AS cc,
+                        sum(CAST(c AS HUGEINT) * (t - p - a)) AS dd
+                 FROM wp WHERE c IS NOT NULL),
+          t1 AS (SELECT coalesce(sum(t * (t - 1) / 2), 0) AS n1
+                 FROM (SELECT sum(c) AS t FROM cells GROUP BY x)),
+          t2 AS (SELECT coalesce(sum(t * (t - 1) / 2), 0) AS n2
+                 FROM (SELECT sum(c) AS t FROM cells GROUP BY y))
+         SELECT CAST(n AS BIGINT) AS n, CAST(n_cells AS BIGINT) AS n_cells,
+                CAST(cc AS BIGINT) AS concordant, CAST(dd AS BIGINT) AS discordant,
+                CASE WHEN (CAST(n AS DOUBLE) * (n - 1) / 2 - n1) * (CAST(n AS DOUBLE) * (n - 1) / 2 - n2) > 0
+                     THEN round((CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE))
+                                / sqrt((CAST(n AS DOUBLE) * (n - 1) / 2 - n1) * (CAST(n AS DOUBLE) * (n - 1) / 2 - n2)), 6)
+                     ELSE NULL END AS tau_b
+         FROM cd, t1, t2""",
 
     "q_effect_sizes" ->
       """WITH s AS (SELECT lang AS g, CAST(n_chars AS BIGINT) AS v FROM documents

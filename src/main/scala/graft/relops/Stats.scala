@@ -889,6 +889,99 @@ object Stats {
         .otherwise(lit(null).cast("double")).as("cohens_d"))
   }
 
+  /** Exact Kendall tau-b between two BOUNDED ordinal columns — the
+    * ordinal twin of [[spearmanCorr]] for signal-redundancy reads.
+    * The naive statistic is O(N²) pairs; here every pair count comes
+    * from the DISTINCT-CELL GRID via 2-D dominance prefixes — NO pair
+    * join at any scale:
+    *
+    *   concordant-below P(x,y) = Σ_{x'<x, y'<y} c — two CASCADED
+    *   windows over the zero-filled |X|×|Y| grid (prefix over x
+    *   within each y-column, then prefix over y within each x-row);
+    *   discordant Q = T(x) − P − A (T = all strictly-left mass, A =
+    *   same-column-below mass); C = Σ c·P, D = Σ c·Q, each pair
+    *   counted once at its larger-x cell. Tie terms come from the
+    *   marginals; tau_b = (C−D)/√((n0−n1)(n0−n2)).
+    *
+    * The grid is materialized by exploding the COLLECTED y-domain (a
+    * bounded driver action, the k-centroid pattern) against the
+    * distinct-x relation — a Generate, not a cartesian join. Both
+    * domains must therefore be SMALL: callers quantize raw metrics
+    * first (e.g. deciles); `maxDomain` refuses loudly rather than
+    * letting an unquantized column turn the grid into the corpus.
+    * C/D accumulate c·P products in DECIMAL(38,0) (≤ N² per term —
+    * exact at any N).
+    *
+    * Output: one row (n, n_cells, concordant, discordant, tau_b) —
+    * tau_b NULL when either margin is all-ties.
+    */
+  def kendallTauB(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      maxDomain: Int = 1024): DataFrame = {
+    requireIntegral(df, xCol, "kendallTauB")
+    requireIntegral(df, yCol, "kendallTauB")
+    import org.apache.spark.sql.expressions.Window
+    val cells = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).cast("long").as("_x"), col(yCol).cast("long").as("_y"))
+      .agg(count(lit(1)).as("_c"))
+      .persist()
+    val ys = cells.select(col("_y")).distinct().orderBy(col("_y"))
+      .collect().map(_.getLong(0)).toSeq
+    require(ys.size <= maxDomain,
+      s"kendallTauB y-domain has ${ys.size} distinct values (> $maxDomain); quantize first")
+    // zero-filled grid: distinct-x × the collected y-domain, via a
+    // Generate (explode of a literal) — never a cartesian join
+    val grid = cells.groupBy(col("_x")).agg(sum(col("_c")).as("_rowTot"))
+      .select(col("_x"), col("_rowTot"), explode(typedLit(ys)).as("_y"))
+      .join(cells, Seq("_x", "_y"), "left")
+      .withColumn("_c0", coalesce(col("_c"), lit(0L)))
+    val wInCol = Window.partitionBy(col("_y")).orderBy(col("_x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wInRow = Window.partitionBy(col("_x")).orderBy(col("_y"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRowTot = Window.partitionBy(col("_y")).orderBy(col("_x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withA = grid.withColumn("_A", coalesce(sum(col("_c0")).over(wInCol), lit(0L)))
+    val withP = withA
+      .withColumn("_P", coalesce(sum(col("_A")).over(wInRow), lit(0L)))
+      // T(x) = Σ_{x'<x} c(x',·): prefix of row totals over x — the
+      // row-total column repeats per y, so compute it once per y
+      // column (same value for all) via the column window
+      .withColumn("_T", coalesce(sum(col("_rowTot")).over(wRowTot), lit(0L)))
+      .withColumn("_Q", col("_T") - col("_P") - col("_A"))
+    val cd = withP
+      .filter(col("_c").isNotNull) // only REAL cells contribute pairs
+      .agg(
+        sum(col("_c")).as("n"),
+        count(lit(1)).as("n_cells"),
+        sum(col("_c").cast("decimal(19,0)") * col("_P")).as("_C"),
+        sum(col("_c").cast("decimal(19,0)") * col("_Q")).as("_D"))
+    val tx = cells.groupBy(col("_x")).agg(sum(col("_c")).as("_t"))
+      .agg(coalesce(sum(col("_t") * (col("_t") - 1) / 2), lit(0L)).as("_n1"))
+    val ty = cells.groupBy(col("_y")).agg(sum(col("_c")).as("_t"))
+      .agg(coalesce(sum(col("_t") * (col("_t") - 1) / 2), lit(0L)).as("_n2"))
+    val nD  = col("n").cast("double")
+    val n0  = nD * (nD - 1) / 2
+    val den = (n0 - col("_n1").cast("double")) * (n0 - col("_n2").cast("double"))
+    val out = cd
+      .crossJoin(broadcast(tx))
+      .crossJoin(broadcast(ty))
+      .select(
+        col("n").cast("bigint").as("n"),
+        col("n_cells").cast("bigint").as("n_cells"),
+        col("_C").cast("bigint").as("concordant"),
+        col("_D").cast("bigint").as("discordant"),
+        when(den > 0.0,
+          round((col("_C").cast("double") - col("_D").cast("double")) / sqrt(den), 6))
+          .otherwise(lit(null).cast("double")).as("tau_b"))
+      .localCheckpoint(eager = true)
+    cells.unpersist()
+    out
+  }
+
   /** CUPED variance-reduced group means (Deng, Xu, Kohavi & Walker,
     * WSDM 2013 — the standard pre-experiment-covariate adjustment an
     * A/B platform applies before comparing groups): θ = cov(X, Y) /

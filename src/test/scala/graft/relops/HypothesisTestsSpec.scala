@@ -107,6 +107,38 @@ class HypothesisTestsSpec extends SparkSpec {
     assert(r.getDouble(2) == 0.0 && r.isNullAt(3))
   }
 
+  test("kendallTauB: dominance-prefix identity matches the O(N^2) definition") {
+    val rnd  = new scala.util.Random(7)
+    val rows = (1 to 120).map(_ => (rnd.nextInt(6).toLong, rnd.nextInt(5).toLong))
+    val got  = Stats.kendallTauB(rows.toDF("x", "y"), "x", "y").collect()(0)
+    // brute force over all pairs
+    var c = 0L; var d = 0L
+    for (i <- rows.indices; j <- (i + 1) until rows.size) {
+      val dx = java.lang.Long.compare(rows(i)._1, rows(j)._1)
+      val dy = java.lang.Long.compare(rows(i)._2, rows(j)._2)
+      if (dx * dy > 0) c += 1 else if (dx * dy < 0) d += 1
+    }
+    val n  = rows.size.toLong
+    val tx = rows.groupBy(_._1).values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val ty = rows.groupBy(_._2).values.map(g => g.size.toLong * (g.size - 1) / 2).sum
+    val n0 = n * (n - 1) / 2
+    val tau = (c - d).toDouble / math.sqrt((n0 - tx).toDouble * (n0 - ty))
+    assert(got.getLong(2) == c && got.getLong(3) == d)
+    assert(math.abs(got.getDouble(4) - tau) < 1e-6, s"${got.getDouble(4)} vs $tau")
+  }
+
+  test("kendallTauB: perfect monotone -> 1.0; one all-tied margin -> NULL") {
+    val mono = (1L to 50L).map(i => (i % 7, (i % 7) * 3)).toDF("x", "y")
+    assert(Stats.kendallTauB(mono, "x", "y").collect()(0).getDouble(4) == 1.0)
+    val tied = Seq((1L, 1L), (1L, 2L), (1L, 3L)).toDF("x", "y")
+    assert(Stats.kendallTauB(tied, "x", "y").collect()(0).isNullAt(4))
+  }
+
+  test("kendallTauB: refuses an unquantized (over-domain) column loudly") {
+    val d = spark.range(0, 3000).selectExpr("id AS x", "id AS y")
+    intercept[IllegalArgumentException](Stats.kendallTauB(d, "x", "y", maxDomain = 1024))
+  }
+
   test("cupedAdjustedMeans: perfectly linear covariate collapses group means") {
     // y = x + 1 exactly -> theta = 1, both groups adjust to the
     // global ybar = 5 (the entire between-group gap was covariate)
