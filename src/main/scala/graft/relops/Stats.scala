@@ -61,11 +61,18 @@ object Stats {
       numRanges: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sortKey = if (descending) desc(keyCol) else asc(keyCol)
+    // the input is the DISTINCT-KEY relation (bounded by value
+    // cardinality, tiny vs the corpus) but its LINEAGE is a
+    // corpus-sized aggregation — checkpoint it once so the
+    // cut-point probe below and the ranked plan share ONE
+    // materialization instead of re-aggregating the corpus twice
+    // (q_auc_classifier read 2.1x slower before this; r14 bench diff)
+    val snap    = df.localCheckpoint(eager = true)
     val probes = (1 until numRanges).map(_.toDouble / numRanges).toArray
     val cuts: Array[Double] =
       if (probes.isEmpty) Array.empty
       else
-        df.select(col(keyCol).cast("double").as("_pb_k"))
+        snap.select(col(keyCol).cast("double").as("_pb_k"))
           .na.drop(Seq("_pb_k"))
           .stat.approxQuantile("_pb_k", probes, 0.001)
           .filterNot(_.isNaN).distinct.sorted
@@ -73,7 +80,7 @@ object Stats {
     val bucket = cuts.zipWithIndex.foldRight(lit(cuts.length): Column) {
       case ((cut, i), acc) => when(keyD <= lit(cut), lit(i)).otherwise(acc)
     }
-    val parted = df.withColumn("_pb_b", bucket)
+    val parted = snap.withColumn("_pb_b", bucket)
     val local = Window
       .partitionBy(col("_pb_b"))
       .orderBy(sortKey)

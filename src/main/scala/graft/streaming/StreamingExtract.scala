@@ -831,6 +831,90 @@ object StreamingExtract {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
+  /** State for [[valueHistogramStream]]: running count of ONE
+    * (group, value) histogram cell, plus the snapshot epoch.
+    */
+  final case class HistCellState(n: Long, epoch: Long)
+
+  /** One running histogram cell per (touched (group, value), trigger)
+    * — same max-epoch consumer protocol as [[AucPoint]]/[[CalibBin]].
+    */
+  final case class HistCell(g: String, v: Long, n: Long, epoch: Long)
+
+  /** Streaming twin of the batch exact-quantile card
+    * (relops.Stats.histogramQuantiles): maintain the per-group VALUE
+    * HISTOGRAM across triggers — quantiles of an integral metric
+    * depend only on that histogram, which this state IS, so the
+    * latest-epoch snapshot folds to quantiles EQUAL to the batch card
+    * over everything seen ([[quantilesOfSnapshot]]). The same
+    * latency/drift monitor shape as [[aucStream]], for p50/p90/p99
+    * instead of ranking quality.
+    *
+    * State size = distinct (group, value) cells — the batch card's
+    * own bounded-by-integer-domain contract (an unquantized double
+    * would blow the state exactly as it would blow the batch
+    * shuffle; the integral-schema check refuses it loudly here too).
+    * Groups are real (one per cell), counts merge exactly in any
+    * arrival order.
+    */
+  def valueHistogramStream(
+      rows: DataFrame,
+      groupCol: String,
+      valueCol: String): Dataset[HistCell] = {
+    import org.apache.spark.sql.types._
+    rows.schema(valueCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case d: DecimalType if d.scale == 0                => ()
+      case other =>
+        throw new IllegalArgumentException(
+          s"valueHistogramStream requires an integral value column (got $valueCol: " +
+            s"${other.simpleString}); quantize fractional values explicitly")
+    }
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val keyed = rows
+      .filter(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string"), col(valueCol).cast("long"))
+      .as[(String, Long)]
+    keyed
+      .groupByKey(identity)
+      .flatMapGroupsWithState[HistCellState, HistCell](
+        org.apache.spark.sql.streaming.OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (cell: (String, Long), it: Iterator[(String, Long)], state: GroupState[HistCellState]) =>
+          val prev = state.getOption.getOrElse(HistCellState(0L, 0L))
+          val next = HistCellState(prev.n + it.size, prev.epoch + 1)
+          state.update(next)
+          Iterator.single(HistCell(cell._1, cell._2, next.n, next.epoch))
+      }
+  }
+
+  /** Consumer-side assembly for [[valueHistogramStream]] snapshots:
+    * exact discrete quantiles (the `quantile_disc` rank rule the
+    * batch card uses — smallest value whose cumulative count reaches
+    * ceil(prob·n)) from max-epoch (group, value, count) cells.
+    * Output rows (group, prob, q_value), group-sorted for stable
+    * reads; empty groups emit nothing, like the batch card.
+    */
+  def quantilesOfSnapshot(
+      cells: Seq[(String, Long, Long)],
+      probs: Seq[Double]): Seq[(String, Double, Long)] =
+    cells.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (g, cs) =>
+      val sorted = cs.sortBy(_._2)
+      val n      = sorted.map(_._3).sum
+      probs.flatMap { p =>
+        val rank                                 = math.ceil(p * n).toLong
+        var cum                                  = 0L
+        var res: Option[(String, Double, Long)] = None
+        val it                                   = sorted.iterator
+        while (res.isEmpty && it.hasNext) {
+          val (_, v, c) = it.next()
+          cum += c
+          if (cum >= rank) res = Some((g, p, v))
+        }
+        res
+      }
+    }
+
   /** State for [[skylineStream]]: the current 2-D Pareto frontier
     * (minimize `v1`, maximize `v2`) plus the snapshot epoch. The
     * frontier is bounded by the distinct-v1 resolution, not the

@@ -590,6 +590,42 @@ class StreamingExtractSpec extends SparkSpec {
     assert(StreamingExtract.aucOfSnapshot(snap) < StreamingExtract.aucOfSnapshot(snap1))
   }
 
+  test("valueHistogramStream: latest-epoch snapshot quantiles equal the batch card on the union") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in  = MemoryStream[(String, Long)]
+    val res = StreamingExtract.valueHistogramStream(in.toDF().toDF("g", "v"), "g", "v")
+    val q = res.writeStream.outputMode("append").format("memory").queryName("hist_out").start()
+    val probs = Seq(0.5, 0.9)
+    val t1 = Seq(("a", 10L), ("a", 20L), ("a", 20L), ("b", 5L))
+    val t2 = Seq(("a", 1L), ("a", 40L), ("b", 7L), ("b", 7L))
+    in.addData(t1: _*); q.processAllAvailable()
+    in.addData(t2: _*); q.processAllAvailable()
+    q.stop()
+    val all = spark.table("hist_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // consumer protocol: per (g, v) keep the max-epoch row
+    val snap = all.groupBy(r => (r._1, r._2)).map { case (_, rs) => rs.maxBy(_._4) }
+      .map(r => (r._1, r._2, r._3)).toSeq
+    val got = StreamingExtract.quantilesOfSnapshot(snap, probs)
+    val batch = graft.relops.Stats
+      .histogramQuantiles((t1 ++ t2).toDF("g", "v"), "g", "v", probs)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got.sortBy(r => (r._1, r._2)) == batch, s"$got vs $batch")
+  }
+
+  test("valueHistogramStream refuses fractional value columns") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(String, Double)]
+    intercept[IllegalArgumentException] {
+      StreamingExtract.valueHistogramStream(in.toDF().toDF("g", "v"), "g", "v")
+    }
+  }
+
   test("aucOfSnapshot: degenerate one-class snapshots read 0.0, order of rows is irrelevant") {
     assert(StreamingExtract.aucOfSnapshot(Seq((100L, 3L, 0L))) == 0.0)
     assert(StreamingExtract.aucOfSnapshot(Nil) == 0.0)
