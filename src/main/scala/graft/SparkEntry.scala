@@ -3045,6 +3045,14 @@ object SparkEntry {
           Tables.lineitem(s, dir), "l_orderkey", "l_partkey", maxBasket = 50),
         k = 80).orderBy(col("v"))),
 
+    // graph data card: degree spread, density, and Newman degree
+    // assortativity of the co-purchase graph — moment sums over the
+    // symmetrized edge⋈degree join, products in exact decimals
+    "q_graph_profile" -> ((s, dir) =>
+      graft.relops.GraphOps.degreeProfile(
+        graft.relops.GraphOps.coOccurrenceEdges(
+          Tables.lineitem(s, dir), "l_orderkey", "l_partkey", maxBasket = 50))),
+
     // HITS hubs/authorities on the bipartite customer→part purchase
     // graph (2 mutual-reinforcement rounds, L1-normalized, per-node
     // sums in exact decimals, normalizers as 1-row broadcasts)
@@ -6431,6 +6439,38 @@ object SparkEntry {
          FROM u""",
 
     "q_kcore" -> kcoreOracleSql(k = 80, rounds = 12),
+
+    "q_graph_profile" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+                FROM items a JOIN items b
+                  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+          deg AS (SELECT v, count(*) AS d
+                  FROM (SELECT pa AS v FROM e UNION ALL SELECT pb FROM e) GROUP BY v),
+          na AS (SELECT count(*) AS n_nodes, sum(d) AS sumd, max(d) AS max_degree FROM deg),
+          ne AS (SELECT count(*) AS n_edges FROM e),
+          dd AS (SELECT CAST(da.d AS HUGEINT) AS x, CAST(db.d AS HUGEINT) AS y
+                 FROM e JOIN deg da ON e.pa = da.v JOIN deg db ON e.pb = db.v
+                 UNION ALL
+                 SELECT CAST(db.d AS HUGEINT), CAST(da.d AS HUGEINT)
+                 FROM e JOIN deg da ON e.pa = da.v JOIN deg db ON e.pb = db.v),
+          mom AS (SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+                         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+                  FROM dd)
+         SELECT CAST(na.n_nodes AS BIGINT) AS n_nodes,
+                CAST(ne.n_edges AS BIGINT) AS n_edges,
+                round(CAST(na.sumd AS DOUBLE) / CAST(na.n_nodes AS DOUBLE), 6) AS avg_degree,
+                CAST(na.max_degree AS BIGINT) AS max_degree,
+                CASE WHEN na.n_nodes > 1
+                     THEN round(2.0 * ne.n_edges / (CAST(na.n_nodes AS DOUBLE) * (na.n_nodes - 1)), 6)
+                     ELSE NULL END AS density,
+                CASE WHEN (CAST(mom.m AS DOUBLE) * CAST(mom.sxx AS DOUBLE) - CAST(mom.sx AS DOUBLE) * CAST(mom.sx AS DOUBLE)) > 0
+                          AND (CAST(mom.m AS DOUBLE) * CAST(mom.syy AS DOUBLE) - CAST(mom.sy AS DOUBLE) * CAST(mom.sy AS DOUBLE)) > 0
+                     THEN round((CAST(mom.m AS DOUBLE) * CAST(mom.sxy AS DOUBLE) - CAST(mom.sx AS DOUBLE) * CAST(mom.sy AS DOUBLE))
+                                / sqrt((CAST(mom.m AS DOUBLE) * CAST(mom.sxx AS DOUBLE) - CAST(mom.sx AS DOUBLE) * CAST(mom.sx AS DOUBLE))
+                                       * (CAST(mom.m AS DOUBLE) * CAST(mom.syy AS DOUBLE) - CAST(mom.sy AS DOUBLE) * CAST(mom.sy AS DOUBLE))), 6)
+                     ELSE NULL END AS assortativity
+         FROM na, ne, mom""",
 
     // replays GraphOps.hits: L1-normalized mutual reinforcement, per-
     // node sums via exact DECIMAL(27,18) folds (the pagerank-oracle

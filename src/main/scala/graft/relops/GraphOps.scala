@@ -229,6 +229,72 @@ object GraphOps {
     out
   }
 
+  /** Graph health card: node/edge counts, degree spread, density,
+    * and DEGREE ASSORTATIVITY (Newman 2002 — the Pearson correlation
+    * of endpoint degrees over edges; negative = hubs attach to
+    * leaves, the disassortative shape crawl/co-purchase graphs
+    * usually show). Everything reduces to moment sums over the
+    * edge⋈degree join: Σdu, Σdv, Σdu·dv, Σdu², Σdv² per DIRECTED
+    * pair (each undirected edge contributes both orientations, the
+    * standard symmetrization) — products in DECIMAL(38,0), doubles
+    * only in the closed form. Two shuffles total (degree agg + the
+    * joins back), no windows, no driver actions.
+    *
+    * Output: one row (n_nodes, n_edges, avg_degree, max_degree,
+    * density, assortativity) — assortativity NULL when degrees are
+    * constant (zero variance).
+    */
+  def degreeProfile(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("pa"), col("pb")).persist()
+    val deg = e.select(col("pa").as("v"))
+      .unionAll(e.select(col("pb").as("v")))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("d"))
+      .persist()
+    val nodeAgg = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(col("d")).as("_sumd"),
+      max(col("d")).as("max_degree"))
+    // symmetrized endpoint-degree moments over directed pairs
+    val dd = e
+      .join(deg.select(col("v").as("pa"), col("d").as("da")), Seq("pa"))
+      .join(deg.select(col("v").as("pb"), col("d").as("db")), Seq("pb"))
+      .select(
+        explode(array(
+          struct(col("da").as("x"), col("db").as("y")),
+          struct(col("db").as("x"), col("da").as("y")))).as("p"))
+      .select(col("p.x").cast("decimal(19,0)").as("x"), col("p.y").cast("decimal(19,0)").as("y"))
+    val mom = dd.agg(
+      count(lit(1)).as("m"),
+      sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val mD  = col("m").cast("double")
+    val num = mD * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+    val denx = mD * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+    val deny = mD * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")
+    val nN  = col("n_nodes").cast("double")
+    val out = nodeAgg
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+      .crossJoin(broadcast(mom))
+      .select(
+        col("n_nodes").cast("bigint").as("n_nodes"),
+        col("n_edges").cast("bigint").as("n_edges"),
+        round(col("_sumd").cast("double") / nN, 6).as("avg_degree"),
+        col("max_degree").cast("bigint").as("max_degree"),
+        when(col("n_nodes") > 1,
+          round(lit(2.0) * col("n_edges") / (nN * (nN - 1)), 6))
+          .otherwise(lit(null).cast("double")).as("density"),
+        when(denx > 0.0 && deny > 0.0, round(num / sqrt(denx * deny), 6))
+          .otherwise(lit(null).cast("double")).as("assortativity"))
+      .localCheckpoint(eager = true)
+    e.unpersist()
+    deg.unpersist()
+    out
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999) on a DIRECTED edge
     * relation — the bipartite companion to PageRank: who are the
     * heavy buyers (hubs) and the parts heavy buyers concentrate on

@@ -32,6 +32,19 @@ class KCoreHitsSpec extends SparkSpec {
     assert(GraphOps.kCore(e, k = 1).count() == 3L)
   }
 
+  test("degreeProfile: star graph is perfectly disassortative (-1); cycle has NULL") {
+    // star 1-{2,3,4}: degrees (3,1,1,1); symmetrized pairs correlate -1
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("pa", "pb")
+    val r    = GraphOps.degreeProfile(star).collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 1.5 && r.getLong(3) == 3L)
+    assert(r.getDouble(4) == 0.5, "density 3 / C(4,2)")
+    assert(r.getDouble(5) == -1.0, s"star assortativity was ${r.getDouble(5)}")
+    // 4-cycle: constant degree 2 -> zero variance -> NULL
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("pa", "pb")
+    assert(GraphOps.degreeProfile(cyc).collect()(0).isNullAt(5))
+  }
+
   test("hits: 2-iteration hand fixture (L1-normalized mutual reinforcement)") {
     // c1->{p1,p2}, c2->{p1}:
     // a1 = (2/3, 1/3); h1 = (3/5, 2/5); a2 = (5/8, 3/8);
