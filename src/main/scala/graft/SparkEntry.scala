@@ -3162,14 +3162,13 @@ object SparkEntry {
     // classifiers (6dp integer micros — the established score grain);
     // zero diffs drop per Wilcoxon's rule, |d| ranks on the
     // distinct-diff relation, tie-corrected z
-    "q_wilcoxon_signed" -> ((s, dir) => {
-      val d = docs(s, dir)
-      def micros(nB: Int, out: String) =
-        Curation.hashedLinearScore(d, "doc_id", "text", nBuckets = nB)
-          .select(col("doc_id"), round(col("logit") * 1e6).cast("long").as(out))
+    "q_wilcoxon_signed" -> ((s, dir) =>
       graft.relops.Stats.wilcoxonSignedRank(
-        micros(64, "m64").join(micros(128, "m128"), Seq("doc_id")), "m64", "m128")
-    })
+        Curation.hashedLinearScorePair(docs(s, dir), "doc_id", "text", 64, 128)
+          .select(
+            round(col("logit_a") * 1e6).cast("long").as("m64"),
+            round(col("logit_b") * 1e6).cast("long").as("m128")),
+        "m64", "m128"))
   )
 
   /** DuckDB fragment: the hashed-linear classifier's per-doc logit

@@ -745,6 +745,36 @@ object Curation {
     * deterministic construction Similarity.lshPlaneValue uses (no
     * RNG, engine-replayable).
     */
+  /** Two-bucket-width variant of [[hashedLinearScore]] for
+    * model-version A/B reads: both logits from ONE token explosion
+    * (the token hash is computed once and bucketed twice), instead of
+    * two full corpus tokenizations. Arithmetic is expression-for-
+    * expression the single-width path's (same weight formula, same
+    * decimal sum, same 6 dp rounding), so the outputs are
+    * bit-identical to two separate calls — spec-asserted.
+    *
+    * Output: (id, logit_a, logit_b).
+    */
+  def hashedLinearScorePair(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      nBucketsA: Int,
+      nBucketsB: Int): DataFrame = {
+    val wA = (0 until nBucketsA).map(b => hashWeight(s"qcw:$b"))
+    val wB = (0 until nBucketsB).map(b => hashWeight(s"qcw:$b"))
+    val h  = Dedup.hash60(col("token"))
+    df.select(col(idCol), explode(toks(col(textCol))).as("token"))
+      .withColumn("wa",
+        element_at(typedLit(wA), ((h % nBucketsA) + 1).cast("int")).cast("decimal(27,18)"))
+      .withColumn("wb",
+        element_at(typedLit(wB), ((h % nBucketsB) + 1).cast("int")).cast("decimal(27,18)"))
+      .groupBy(col(idCol))
+      .agg(
+        round(sum(col("wa")).cast("double") / count(lit(1)), 6).as("logit_a"),
+        round(sum(col("wb")).cast("double") / count(lit(1)), 6).as("logit_b"))
+  }
+
   def hashWeight(seed: String): Double = {
     val md  = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(seed.getBytes("UTF-8")).map("%02x".format(_)).mkString

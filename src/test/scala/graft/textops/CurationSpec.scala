@@ -270,4 +270,18 @@ class CurationSpec extends SparkSpec {
     assert(got.map(_.getAs[Int]("n_removed")).toSeq == Seq(1, 1, 1, 1))
     assert(got.map(_.getAs[Int]("n_seg")).toSeq == Seq(3, 2, 2, 1))
   }
+
+  test("hashedLinearScorePair is bit-identical to two single-width scores") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha beta gamma"), (2L, "delta delta eps zeta"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val pair = Curation.hashedLinearScorePair(d, "doc_id", "text", 64, 128)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val a = Curation.hashedLinearScore(d, "doc_id", "text", 64)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val b = Curation.hashedLinearScore(d, "doc_id", "text", 128)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(pair.map(p => (p._1, p._2)).toSeq == a.toSeq)
+    assert(pair.map(p => (p._1, p._3)).toSeq == b.toSeq)
+  }
 }
