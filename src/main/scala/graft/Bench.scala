@@ -286,8 +286,14 @@ object Bench {
     println(compact)
     // durable artifact: a JSON array of every metric line this run
     // emitted, written where the driver (and the round-over-round
-    // diff script, scripts/bench_diff.py) can always read it
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_results.json")
+    // diff script, scripts/bench_diff.py) can always read it.
+    // A SPARK_GRAFT_ONLY profiling run writes a .partial file
+    // instead — a 1-query isolation run once silently clobbered the
+    // committed full-round baseline and blinded the next round's
+    // regression diff (r14 review finding).
+    val defaultOut =
+      if (only.isDefined) "bench_results.partial.json" else "bench_results.json"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(outPath),

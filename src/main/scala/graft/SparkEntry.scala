@@ -6394,7 +6394,8 @@ object SparkEntry {
          FROM g""",
 
     "q_mann_whitney" ->
-      """WITH s AS (SELECT lang, n_chars FROM documents WHERE lang IN ('en', 'de')),
+      """WITH s AS (SELECT lang, n_chars FROM documents
+                    WHERE lang IN ('en', 'de') AND n_chars IS NOT NULL),
           vals AS (SELECT n_chars AS v, count(*) AS cnt,
                           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cnt_a
                    FROM s GROUP BY n_chars),
@@ -6409,10 +6410,14 @@ object SparkEntry {
          SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
                 round((CAST(r1x2 AS DOUBLE) - 2.0 * n1 * (n1 + 1) / 2) / 2, 6) AS u1,
                 round(CAST(n1 AS DOUBLE) * n2 - (CAST(r1x2 AS DOUBLE) - 2.0 * n1 * (n1 + 1) / 2) / 2, 6) AS u2,
-                round(((CAST(r1x2 AS DOUBLE) - 2.0 * n1 * (n1 + 1) / 2) / 2 - CAST(n1 AS DOUBLE) * n2 / 2)
-                      / sqrt((CAST(n1 AS DOUBLE) * n2 / 12)
-                             * ((n1 + n2 + 1) - CAST(ties AS DOUBLE)
-                                / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))), 6) AS z
+                CASE WHEN (CAST(n1 AS DOUBLE) * n2 / 12)
+                          * ((n1 + n2 + 1) - CAST(ties AS DOUBLE)
+                             / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))) > 0
+                     THEN round(((CAST(r1x2 AS DOUBLE) - 2.0 * n1 * (n1 + 1) / 2) / 2 - CAST(n1 AS DOUBLE) * n2 / 2)
+                                / sqrt((CAST(n1 AS DOUBLE) * n2 / 12)
+                                       * ((n1 + n2 + 1) - CAST(ties AS DOUBLE)
+                                          / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))), 6)
+                     ELSE NULL END AS z
          FROM g""",
 
     "q_auc_classifier" ->
@@ -6576,7 +6581,9 @@ object SparkEntry {
                        n1, n2
                 FROM g)
          SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
-                round(2.0 * u1 / (n1d * n2d) - 1, 6) AS cliffs_delta,
+                CASE WHEN n1d * n2d > 0
+                     THEN round(2.0 * u1 / (n1d * n2d) - 1, 6)
+                     ELSE NULL END AS cliffs_delta,
                 CASE WHEN n1 + n2 > 2
                           AND ((n1d - 1) * s1 + (n2d - 1) * s2) / (n1d + n2d - 2) > 0
                      THEN round((m1 - m2) / sqrt(((n1d - 1) * s1 + (n2d - 1) * s2) / (n1d + n2d - 2)), 6)

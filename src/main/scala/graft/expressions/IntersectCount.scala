@@ -1,11 +1,11 @@
 package graft.expressions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** Count of common elements between two SORTED-ASCENDING ARRAY<LONG>
   * columns as a native Catalyst expression — the adjacency-
@@ -60,8 +60,16 @@ object IntersectCount {
   }
 }
 
-case class IntersectCountExpr(left: Expression, right: Expression) extends BinaryExpression {
+case class IntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
   override def dataType: DataType = IntegerType
+
+  // strict ARRAY<LONG> inputs: the merge walk reads 8-byte slots, so
+  // an ARRAY<INT> argument through the registered SQL function would
+  // otherwise mis-read packed data silently (r14 review finding) —
+  // wrong types now fail at ANALYSIS, not at runtime
+  override def inputTypes: Seq[ArrayType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     IntersectCount.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

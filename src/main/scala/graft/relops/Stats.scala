@@ -50,7 +50,11 @@ object Stats {
     * adjacent ranges, never splits a key).
     *
     * Adds `beforeCol` (long, 0 for the first key) and preserves all
-    * input columns.
+    * input columns. NULL keys are the CALLER's job to exclude: a
+    * NULL fails every cut-point comparison and would land in the
+    * last range (top of a descending order — not where any SQL
+    * NULLS FIRST/LAST rule puts it), so every consumer filters
+    * NULL keys up front (complete-case semantics).
     */
   private[graft] def prefixBefore(
       df: DataFrame,
@@ -554,8 +558,12 @@ object Stats {
       groupB: String,
       valueCol: String): DataFrame = {
     requireIntegral(df, valueCol, "mannWhitneyU")
+    // complete-case: NULL values drop explicitly (they carry no rank;
+    // prefixBefore's range bucketing is only defined on non-null
+    // keys, and the siblings kruskalWallis/wilcoxonSignedRank already
+    // filter — r14 review finding)
     val s = df
-      .filter(col(groupCol).isin(groupA, groupB))
+      .filter(col(groupCol).isin(groupA, groupB) && col(valueCol).isNotNull)
       .select(col(groupCol).as("_g"), col(valueCol).cast("long").as("_v"))
     val vals = s.groupBy(col("_v")).agg(
       count(lit(1)).as("_cnt"),
@@ -571,16 +579,19 @@ object Stats {
       sum(col("_cnt") * col("_cnt") * col("_cnt") - col("_cnt")).as("_ties"))
     val u1 = (col("_r1x2").cast("double") - lit(2.0) * col("n1") * (col("n1") + 1) / 2) / 2
     val nn = col("n1").cast("double") * col("n2")
+    // tie-corrected variance; NULL-guarded against the ANSI
+    // DIVIDE_BY_ZERO traps (single-row input, all-tied metric) so
+    // degenerate inputs read z NULL instead of crashing
+    val variance = (nn / 12) * ((col("n1") + col("n2") + 1) -
+      col("_ties").cast("double") /
+        when((col("n1") + col("n2")) * (col("n1") + col("n2") - 1) > 0,
+          (col("n1") + col("n2")).cast("double") * (col("n1") + col("n2") - 1)))
     g.select(
       col("n1"), col("n2"),
       round(u1, 6).as("u1"),
       round(nn - u1, 6).as("u2"),
-      round(
-        (u1 - nn / 2) /
-          sqrt((nn / 12) * ((col("n1") + col("n2") + 1) -
-            col("_ties").cast("double") /
-              ((col("n1") + col("n2")).cast("double") * (col("n1") + col("n2") - 1)))),
-        6).as("z"))
+      when(variance > 0.0, round((u1 - nn / 2) / sqrt(variance), 6))
+        .otherwise(lit(null).cast("double")).as("z"))
   }
 
   /** Exact tie-corrected Kruskal–Wallis H across ALL groups of
@@ -629,7 +640,11 @@ object Stats {
       coalesce(sum(col("_cnt") * col("_cnt") * col("_cnt") - col("_cnt")), lit(0L)).as("_t"))
     val nD = col("n").cast("double")
     val h  = lit(12.0) / (nD * (nD + 1)) * col("_srr").cast("double") - lit(3.0) * (nD + 1)
-    val corr = lit(1.0) - col("_t").cast("double") / (nD * nD * nD - nD)
+    // null-guarded denominator: a single-row input has N³−N = 0 and
+    // when() CONDITIONS evaluate eagerly under ANSI — the NULL flows
+    // corr NULL -> condition false -> h_corr NULL, never a crash
+    val corr = lit(1.0) -
+      col("_t").cast("double") / when(col("n") > 1, nD * nD * nD - nD)
     gAgg
       .crossJoin(broadcast(ties))
       .select(
@@ -891,7 +906,10 @@ object Stats {
     g.select(
       col("n1").cast("bigint").as("n1"),
       col("n2").cast("bigint").as("n2"),
-      round(lit(2.0) * u1 / (n1 * n2) - 1, 6).as("cliffs_delta"),
+      // same ANSI rule as the d guards below: an empty group must
+      // flow NULL through the divisor, not raise DIVIDE_BY_ZERO
+      round(lit(2.0) * u1 / when(col("n1") > 0 && col("n2") > 0, n1 * n2) - 1, 6)
+        .as("cliffs_delta"),
       when(col("n1") + col("n2") > 2 && sp2 > 0.0, round((m1 - m2) / sqrt(sp2), 6))
         .otherwise(lit(null).cast("double")).as("cohens_d"))
   }
@@ -935,10 +953,15 @@ object Stats {
       .groupBy(col(xCol).cast("long").as("_x"), col(yCol).cast("long").as("_y"))
       .agg(count(lit(1)).as("_c"))
       .persist()
+    // probe-first: collect at most maxDomain+1 values, so an
+    // unquantized column is refused BEFORE the driver materializes
+    // its whole domain (r14 review finding) — when the probe fits,
+    // it IS the complete sorted domain
     val ys = cells.select(col("_y")).distinct().orderBy(col("_y"))
+      .limit(maxDomain + 1)
       .collect().map(_.getLong(0)).toSeq
     require(ys.size <= maxDomain,
-      s"kendallTauB y-domain has ${ys.size} distinct values (> $maxDomain); quantize first")
+      s"kendallTauB y-domain exceeds $maxDomain distinct values; quantize first")
     // zero-filled grid: distinct-x × the collected y-domain, via a
     // Generate (explode of a literal) — never a cartesian join
     val grid = cells.groupBy(col("_x")).agg(sum(col("_c")).as("_rowTot"))

@@ -199,9 +199,15 @@ object Score {
       labelCol: String,
       nTiles: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = df.select(
-      col(scoreCol).as("_s"), col(idCol).as("_id"),
-      when(col(labelCol), 1L).otherwise(0L).as("_pos"))
+    // complete-case over SCORED rows: a NULL score has no rank (and
+    // prefixBefore's range bucketing is undefined on NULL keys —
+    // r14 review finding); every gated wiring scores are non-null by
+    // construction, so gate hashes are untouched
+    val base = df
+      .filter(col(scoreCol).isNotNull)
+      .select(
+        col(scoreCol).as("_s"), col(idCol).as("_id"),
+        when(col(labelCol), 1L).otherwise(0L).as("_pos"))
     val byScore = base.groupBy(col("_s")).agg(count(lit(1)).as("_cnt"))
     val offsets = graft.relops.Stats
       .prefixBefore(byScore, "_s", "_cnt", "_before", descending = true)
@@ -260,8 +266,12 @@ object Score {
       .select(
         col("n1").as("n_pos"),
         col("n2").as("n_neg"),
-        round(col("u1") / (col("n1").cast("double") * col("n2")), 6).as("auc"),
-        round(lit(2.0) * (col("u1") / (col("n1").cast("double") * col("n2"))) - 1, 6).as("gini"))
+        // one-class input flows NULL through the guarded divisor
+        // (ANSI DIVIDE_BY_ZERO otherwise), matching the siblings
+        round(col("u1") / when(col("n1") > 0 && col("n2") > 0,
+          col("n1").cast("double") * col("n2")), 6).as("auc"),
+        round(lit(2.0) * (col("u1") / when(col("n1") > 0 && col("n2") > 0,
+          col("n1").cast("double") * col("n2"))) - 1, 6).as("gini"))
 
   def calibrationEce(
       df: DataFrame,

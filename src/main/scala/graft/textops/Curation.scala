@@ -741,10 +741,6 @@ object Curation {
         round(sum(col("lr")).cast("double"), 6).as("dsir_weight"))
   }
 
-  /** md5-derived uniform in [-1, 1] for a seed string — the same
-    * deterministic construction Similarity.lshPlaneValue uses (no
-    * RNG, engine-replayable).
-    */
   /** Two-bucket-width variant of [[hashedLinearScore]] for
     * model-version A/B reads: both logits from ONE token explosion
     * (the token hash is computed once and bucketed twice), instead of
@@ -775,6 +771,10 @@ object Curation {
         round(sum(col("wb")).cast("double") / count(lit(1)), 6).as("logit_b"))
   }
 
+  /** md5-derived uniform in [-1, 1] for a seed string — the same
+    * deterministic construction Similarity.lshPlaneValue uses (no
+    * RNG, engine-replayable).
+    */
   def hashWeight(seed: String): Double = {
     val md  = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(seed.getBytes("UTF-8")).map("%02x".format(_)).mkString

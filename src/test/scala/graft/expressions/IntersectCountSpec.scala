@@ -36,6 +36,14 @@ class IntersectCountSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("non-ARRAY<LONG> inputs fail at analysis, not silently at runtime") {
+    IntersectCount.register(spark)
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT sorted_intersect_count(array(1, 2, 3), array(2, 3))").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("type"))
+  }
+
   test("null array input propagates null") {
     val df = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
     val r  = df.select(IntersectCount.sortedCount(col("a"), col("b"))).collect()(0)

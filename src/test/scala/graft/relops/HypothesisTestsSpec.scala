@@ -107,6 +107,34 @@ class HypothesisTestsSpec extends SparkSpec {
     assert(r.getDouble(2) == 0.0 && r.isNullAt(3))
   }
 
+  test("degenerate inputs read NULL, never ANSI DIVIDE_BY_ZERO (r14 review)") {
+    // effectSizes with an EMPTY second group
+    val oneGroup = Seq(("A", 1L), ("A", 2L)).toDF("g", "v")
+    val es       = Stats.effectSizes(oneGroup, "g", "A", "B", "v").collect()(0)
+    assert(es.getLong(1) == 0L && es.isNullAt(2) && es.isNullAt(3))
+    // kruskalWallis on a single row (N^3 - N = 0)
+    val kw = Stats.kruskalWallis(Seq(("a", 5L)).toDF("g", "v"), "g", "v").collect()(0)
+    assert(kw.getLong(1) == 1L && kw.isNullAt(3))
+    // mannWhitneyU all-tied metric (zero variance) and rocAuc on a
+    // one-class label
+    val mw = Stats.mannWhitneyU(
+      Seq(("a", 5L), ("a", 5L), ("b", 5L)).toDF("g", "v"), "g", "a", "b", "v").collect()(0)
+    assert(mw.isNullAt(4), "all-tied z is NULL")
+    val auc = graft.score.Score.rocAuc(
+      Seq((0.5, true), (0.7, true)).toDF("s", "l"), "s", "l").collect()(0)
+    assert(auc.isNullAt(2) && auc.isNullAt(3), "one-class AUC is NULL")
+  }
+
+  test("mannWhitneyU drops NULL values (complete-case), ranks unaffected") {
+    val withNulls = Seq(
+      ("a", Some(1L)), ("a", Some(3L)), ("a", None),
+      ("b", Some(2L)), ("b", None)).toDF("g", "v")
+    val clean = Seq(("a", 1L), ("a", 3L), ("b", 2L)).toDF("g", "v")
+    val got   = Stats.mannWhitneyU(withNulls, "g", "a", "b", "v").collect()(0)
+    val want  = Stats.mannWhitneyU(clean, "g", "a", "b", "v").collect()(0)
+    assert(got == want)
+  }
+
   test("kendallTauB: dominance-prefix identity matches the O(N^2) definition") {
     val rnd  = new scala.util.Random(7)
     val rows = (1 to 120).map(_ => (rnd.nextInt(6).toLong, rnd.nextInt(5).toLong))
