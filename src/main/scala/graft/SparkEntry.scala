@@ -3127,6 +3127,23 @@ object SparkEntry {
         "source", "n_tok", "n_chars")
         .orderBy(col("source"))),
 
+    // resampling companion to q_keep_rate_ab: Poisson-bootstrap CI
+    // for the keep-rate DIFFERENCE between the two sources — the z
+    // says significant, this says how big; same deterministic weight
+    // field as q_poisson_bootstrap, one (rep, group) aggregation
+    "q_bootstrap_diff" -> ((s, dir) => {
+      val d      = docs(s, dir)
+      val scored = Curation.hashedLinearScore(d, "doc_id", "text", nBuckets = 64)
+      val thr = scored.agg(
+        (sum(col("logit").cast("decimal(27,18)")).cast("double") / count(lit(1))).as("t"))
+      graft.relops.Stats.poissonBootstrapDiff(
+        scored
+          .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .crossJoin(broadcast(thr))
+          .withColumn("keep", col("logit") >= col("t")),
+        "source", "src1", "src2", "doc_id", "keep", b = 32)
+    }),
+
     // at-scale uncertainty card: Poisson-bootstrap CI for the mean
     // doc length — B=32 deterministic Poisson(1) row weights
     // (inverse-CDF on a replayable md5 hash), per-resample exact
@@ -6612,6 +6629,51 @@ object SparkEntry {
                 round(CAST(gsy AS DOUBLE) / pg.n - th.theta * (CAST(gsx AS DOUBLE) / pg.n - th.xbar), 6) AS mean_y_adj,
                 round(th.theta, 6) AS theta
          FROM pg, th ORDER BY source""",
+
+    "q_bootstrap_diff" ->
+      s"""WITH $classifierLogitCtes,
+          thr AS (SELECT CAST(sum(CAST(logit AS DECIMAL(27,18))) AS DOUBLE) / count(*) AS t FROM lg),
+          keeps AS (SELECT d.source AS g, CAST(lg.doc_id AS VARCHAR) AS id,
+                           CASE WHEN lg.logit >= thr.t THEN 1 ELSE 0 END AS k
+                    FROM lg JOIN documents d ON lg.doc_id = d.doc_id, thr
+                    WHERE d.source IN ('src1', 'src2')),
+          grid AS (SELECT CAST(r.b AS INT) AS b, g, id, k FROM keeps, unnest(range(0, 32)) r(b)),
+          uu AS (SELECT b, g, k,
+                        ('0x' || substr(md5('pbs:' || CAST(b AS VARCHAR) || ':' || id), 1, 15))::BIGINT
+                          / 1152921504606846976.0 AS u
+                 FROM grid),
+          ww AS (SELECT b, g, k,
+                        CASE WHEN u < 0.367879441171 THEN 0
+                             WHEN u < 0.735758882343 THEN 1
+                             WHEN u < 0.919698602929 THEN 2
+                             WHEN u < 0.981011843124 THEN 3
+                             WHEN u < 0.996340153173 THEN 4
+                             WHEN u < 0.999405815182 THEN 5
+                             WHEN u < 0.999916758851 THEN 6
+                             WHEN u < 0.999989750803 THEN 7
+                             WHEN u < 0.999998874797 THEN 8
+                             ELSE 9 END AS w
+                 FROM uu),
+          pr AS (SELECT b,
+                        sum(CASE WHEN g = 'src1' THEN w ELSE 0 END) AS na,
+                        sum(CASE WHEN g = 'src1' THEN w * k ELSE 0 END) AS ka,
+                        sum(CASE WHEN g = 'src2' THEN w ELSE 0 END) AS nb,
+                        sum(CASE WHEN g = 'src2' THEN w * k ELSE 0 END) AS kb
+                 FROM ww GROUP BY b
+                 HAVING sum(CASE WHEN g = 'src1' THEN w ELSE 0 END) > 0
+                    AND sum(CASE WHEN g = 'src2' THEN w ELSE 0 END) > 0),
+          dm AS (SELECT round(CAST(ka AS DOUBLE) / na - CAST(kb AS DOUBLE) / nb, 6) AS d FROM pr),
+          pt AS (SELECT round(
+                   CAST(sum(CASE WHEN g = 'src1' THEN k ELSE 0 END) AS DOUBLE)
+                     / sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END)
+                   - CAST(sum(CASE WHEN g = 'src2' THEN k ELSE 0 END) AS DOUBLE)
+                     / sum(CASE WHEN g = 'src2' THEN 1 ELSE 0 END), 6) AS point_diff
+                 FROM keeps),
+          agg AS (SELECT CAST(count(*) AS INT) AS n_resamples,
+                         quantile_disc(d, 0.025) AS ci_lo,
+                         quantile_disc(d, 0.975) AS ci_hi
+                  FROM dm)
+         SELECT n_resamples, point_diff, ci_lo, ci_hi FROM agg, pt""",
 
     // replays Stats.poissonBootstrap: identical md5-hash weights,
     // exact integer resample sums, quantile_disc rank rule on the

@@ -843,14 +843,18 @@ object Stats {
       round(sum(col("_v")).cast("double") / count(lit(1)), 6).as("point_mean"))
     val rLo = math.ceil(loProb * b).toInt
     val rHi = math.ceil(hiProb * b).toInt
+    // an EMPTY resample set (empty input corpus) must read NULL CIs,
+    // not an ANSI element_at(arr, 0) error
     means
       .agg(count(lit(1)).cast("int").as("n_resamples"), sort_array(collect_list(col("_m"))).as("_ms"))
       .crossJoin(broadcast(point))
       .select(
         col("n_resamples"),
         col("point_mean"),
-        element_at(col("_ms"), least(lit(rLo), col("n_resamples"))).as("ci_lo"),
-        element_at(col("_ms"), least(lit(rHi), col("n_resamples"))).as("ci_hi"))
+        when(col("n_resamples") > 0,
+          element_at(col("_ms"), least(lit(rLo), col("n_resamples")))).as("ci_lo"),
+        when(col("n_resamples") > 0,
+          element_at(col("_ms"), least(lit(rHi), col("n_resamples")))).as("ci_hi"))
   }
 
   /** Effect sizes for the A-vs-B comparison — the magnitude companion
@@ -1069,6 +1073,84 @@ object Stats {
             col("_theta") * (col("_gsx").cast("double") / col("n") - col("_xbar")),
           6).as("mean_y_adj"),
         round(col("_theta"), 6).as("theta"))
+  }
+
+  /** Poisson-bootstrap CI for the DIFFERENCE of two group proportions
+    * — the resampling companion to [[twoProportionZ]] (the z answers
+    * "is the keep-rate gap significant", this answers "how big could
+    * it plausibly be"): per resample b, p̂₁(b) − p̂₂(b) with the same
+    * deterministic Poisson(1) weights as [[poissonBootstrap]] (same
+    * hash, same CDF literals — replayable by any ANSI engine). ONE
+    * aggregation on (rep, group) over the exploded grid; resamples
+    * where EITHER group draws zero weight drop (both ratios must be
+    * defined). CI from order statistics of the B rounded diffs.
+    *
+    * Output: one row (n_resamples, point_diff, ci_lo, ci_hi).
+    */
+  def poissonBootstrapDiff(
+      df: DataFrame,
+      groupCol: String,
+      groupA: String,
+      groupB: String,
+      idCol: String,
+      outcomeCol: String,
+      b: Int = 32,
+      loProb: Double = 0.025,
+      hiProb: Double = 0.975): DataFrame = {
+    require(b >= 2, s"need at least 2 resamples (got $b)")
+    require(loProb < hiProb && loProb > 0 && hiProb < 1, "probs must satisfy 0 < lo < hi < 1")
+    val cdf = Seq(
+      0.367879441171, 0.735758882343, 0.919698602929, 0.981011843124,
+      0.996340153173, 0.999405815182, 0.999916758851, 0.999989750803,
+      0.999998874797)
+    val g = df
+      .filter(col(groupCol).isin(groupA, groupB) && col(outcomeCol).isNotNull)
+      .select(
+        col(groupCol).as("_g"),
+        col(idCol).cast("string").as("_id"),
+        when(col(outcomeCol), 1L).otherwise(0L).as("_k"))
+    val grid = g.select(
+      explode(sequence(lit(0), lit(b - 1))).as("_b"), col("_g"), col("_id"), col("_k"))
+    val u = graft.textops.Dedup
+      .hash60(concat(lit("pbs:"), col("_b").cast("string"), lit(":"), col("_id")))
+      .cast("double") / lit(1152921504606846976.0)
+    val w = cdf.zipWithIndex.foldRight(lit(cdf.length): Column) {
+      case ((cut, k), acc) => when(u < cut, lit(k)).otherwise(acc)
+    }
+    val perRep = grid
+      .select(col("_b"), col("_g"), w.as("_w"), col("_k"))
+      .groupBy(col("_b"))
+      .agg(
+        sum(when(col("_g") === groupA, col("_w")).otherwise(0L)).as("_na"),
+        sum(when(col("_g") === groupA, col("_w") * col("_k")).otherwise(0L)).as("_ka"),
+        sum(when(col("_g") === groupB, col("_w")).otherwise(0L)).as("_nb"),
+        sum(when(col("_g") === groupB, col("_w") * col("_k")).otherwise(0L)).as("_kb"))
+      .filter(col("_na") > 0 && col("_nb") > 0)
+      .select(round(
+        col("_ka").cast("double") / col("_na") - col("_kb").cast("double") / col("_nb"),
+        6).as("_d"))
+    val point = g.agg(
+      round(
+        sum(when(col("_g") === groupA, col("_k")).otherwise(0L)).cast("double") /
+          when(sum(when(col("_g") === groupA, 1L).otherwise(0L)) > 0,
+            sum(when(col("_g") === groupA, 1L).otherwise(0L))) -
+        sum(when(col("_g") === groupB, col("_k")).otherwise(0L)).cast("double") /
+          when(sum(when(col("_g") === groupB, 1L).otherwise(0L)) > 0,
+            sum(when(col("_g") === groupB, 1L).otherwise(0L))),
+        6).as("point_diff"))
+    val rLo = math.ceil(loProb * b).toInt
+    val rHi = math.ceil(hiProb * b).toInt
+    // empty resample set (a group absent from the corpus) -> NULL CIs
+    perRep
+      .agg(count(lit(1)).cast("int").as("n_resamples"), sort_array(collect_list(col("_d"))).as("_ds"))
+      .crossJoin(broadcast(point))
+      .select(
+        col("n_resamples"),
+        col("point_diff"),
+        when(col("n_resamples") > 0,
+          element_at(col("_ds"), least(lit(rLo), col("n_resamples")))).as("ci_lo"),
+        when(col("n_resamples") > 0,
+          element_at(col("_ds"), least(lit(rHi), col("n_resamples")))).as("ci_hi"))
   }
 
   /** Two-proportion z-test (pooled variance) between groups A and B

@@ -205,6 +205,23 @@ class HypothesisTestsSpec extends SparkSpec {
     assert(w4000 < w250 / 2, s"expected ~4x shrink, got $w250 -> $w4000")
   }
 
+  test("poissonBootstrapDiff: CI straddles the true gap; absent group -> NULL CIs") {
+    val d = spark.range(0, 3000).selectExpr(
+      "id",
+      "CASE WHEN id % 2 = 0 THEN 'A' ELSE 'B' END AS g",
+      // even ids: id%10 in {0,2,4,6,8}, keep {0,2,4,6} -> p1 = 0.8;
+      // odd ids: {1,3,5,7,9}, keep {1,3} -> p2 = 0.4; true gap 0.4
+      "CASE WHEN id % 2 = 0 THEN (id % 10) < 7 ELSE (id % 10) < 4 END AS keep")
+    val r = Stats.poissonBootstrapDiff(d, "g", "A", "B", "id", "keep", b = 32).collect()(0)
+    val (n, pt, lo, hi) = (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(n == 32 && pt == 0.4 && lo <= pt && pt <= hi && lo > 0.3 && hi < 0.5,
+      s"expected a tight CI around +0.4, got [$lo, $hi] point $pt")
+    // group B entirely absent: every resample drops, CIs are NULL
+    val one = Stats.poissonBootstrapDiff(
+      d.filter(org.apache.spark.sql.functions.col("g") === "A"), "g", "A", "B", "id", "keep", b = 8).collect()(0)
+    assert(one.getInt(0) == 0 && one.isNullAt(2) && one.isNullAt(3))
+  }
+
   test("poissonBootstrap: refuses fractional value columns") {
     val d = Seq((1L, 1.5)).toDF("id", "v")
     intercept[IllegalArgumentException](Stats.poissonBootstrap(d, "id", "v"))
