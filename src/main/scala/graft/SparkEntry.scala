@@ -5722,15 +5722,20 @@ object SparkEntry {
          SELECT CAST(n AS INT) AS n_checkpoints,
                 CASE WHEN nx > 1 THEN
                   round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                        / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                        / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) + 0
                 END AS beta,
                 CASE WHEN nx > 1 THEN
                   round((CAST(sy AS DOUBLE)
                          - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-                           * CAST(sx AS DOUBLE)) / n, 6)
+                           * CAST(sx AS DOUBLE)) / n, 6) + 0
                 END AS intercept
          FROM a""",
+    // the trailing "+ 0" on both coefficients: DuckDB round() keeps
+    // IEEE signed zero (an intercept of -4e-7 at sf0.1 rounds to -0.0)
+    // while Spark's round goes through BigDecimal, which has NO signed
+    // zero and yields +0.0 — adding positive zero canonicalizes
+    // (-0.0 + 0 = +0.0 in IEEE) so the engines agree bit-for-bit
 
     "q_ks_length" ->
       """WITH h AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v, count(*) AS c
