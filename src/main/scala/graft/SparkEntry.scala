@@ -144,6 +144,23 @@ object SparkEntry {
       .getSeq[Any](0)
       .map(_.asInstanceOf[Number].doubleValue)
 
+  /** Per-doc keep verdict of the hashed-linear classifier at the
+    * corpus-mean-logit threshold, with the doc's source — the SHARED
+    * input of q_keep_rate_ab (two-proportion z) and q_bootstrap_diff
+    * (resampled CI): one definition so the two companion cards can
+    * never silently describe different classifiers.
+    */
+  private def scoredKeeps(s: SparkSession, dir: String): DataFrame = {
+    val d      = docs(s, dir)
+    val scored = Curation.hashedLinearScore(d, "doc_id", "text", nBuckets = 64)
+    val thr = scored.agg(
+      (sum(col("logit").cast("decimal(27,18)")).cast("double") / count(lit(1))).as("t"))
+    scored
+      .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .crossJoin(broadcast(thr))
+      .withColumn("keep", col("logit") >= col("t"))
+  }
+
   /** DuckDB: double dot product of two 64-dim list columns. */
   private def dotSql(x: String, y: String) =
     s"list_sum(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))"
@@ -2977,18 +2994,9 @@ object SparkEntry {
     // curation A/B readout) — keep thresholds at the corpus-mean
     // logit (decimal-exact sum, ONE double division, 1-row
     // broadcast), then one aggregation to four counts + pooled z
-    "q_keep_rate_ab" -> ((s, dir) => {
-      val d      = docs(s, dir)
-      val scored = Curation.hashedLinearScore(d, "doc_id", "text", nBuckets = 64)
-      val thr = scored.agg(
-        (sum(col("logit").cast("decimal(27,18)")).cast("double") / count(lit(1))).as("t"))
+    "q_keep_rate_ab" -> ((s, dir) =>
       graft.relops.Stats.twoProportionZ(
-        scored
-          .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
-          .crossJoin(broadcast(thr))
-          .withColumn("keep", col("logit") >= col("t")),
-        "source", "src1", "src2", "keep")
-    }),
+        scoredKeeps(s, dir), "source", "src1", "src2", "keep")),
 
     // exact Mann–Whitney U with average-rank ties + tie-corrected z:
     // the location-shift twin of the KS card — integer math on the
@@ -3131,18 +3139,9 @@ object SparkEntry {
     // for the keep-rate DIFFERENCE between the two sources — the z
     // says significant, this says how big; same deterministic weight
     // field as q_poisson_bootstrap, one (rep, group) aggregation
-    "q_bootstrap_diff" -> ((s, dir) => {
-      val d      = docs(s, dir)
-      val scored = Curation.hashedLinearScore(d, "doc_id", "text", nBuckets = 64)
-      val thr = scored.agg(
-        (sum(col("logit").cast("decimal(27,18)")).cast("double") / count(lit(1))).as("t"))
+    "q_bootstrap_diff" -> ((s, dir) =>
       graft.relops.Stats.poissonBootstrapDiff(
-        scored
-          .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
-          .crossJoin(broadcast(thr))
-          .withColumn("keep", col("logit") >= col("t")),
-        "source", "src1", "src2", "doc_id", "keep", b = 32)
-    }),
+        scoredKeeps(s, dir), "source", "src1", "src2", "doc_id", "keep", b = 32)),
 
     // at-scale uncertainty card: Poisson-bootstrap CI for the mean
     // doc length — B=32 deterministic Poisson(1) row weights
@@ -6412,7 +6411,7 @@ object SparkEntry {
                 round((CAST(k1 AS DOUBLE) / n1 - CAST(k2 AS DOUBLE) / n2)
                       / sqrt((CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
                              * (1 - CAST(k1 + k2 AS DOUBLE) / (n1 + n2))
-                             * (1.0 / n1 + 1.0 / n2)), 6) AS z
+                             * (1.0 / n1 + 1.0 / n2)), 6) + 0 AS z
          FROM g""",
 
     "q_mann_whitney" ->
@@ -6438,7 +6437,7 @@ object SparkEntry {
                      THEN round(((CAST(r1x2 AS DOUBLE) - 2.0 * n1 * (n1 + 1) / 2) / 2 - CAST(n1 AS DOUBLE) * n2 / 2)
                                 / sqrt((CAST(n1 AS DOUBLE) * n2 / 12)
                                        * ((n1 + n2 + 1) - CAST(ties AS DOUBLE)
-                                          / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))), 6)
+                                          / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))), 6) + 0
                      ELSE NULL END AS z
          FROM g""",
 
@@ -6473,7 +6472,7 @@ object SparkEntry {
                   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
           deg AS (SELECT v, count(*) AS d
                   FROM (SELECT pa AS v FROM e UNION ALL SELECT pb FROM e) GROUP BY v),
-          na AS (SELECT count(*) AS n_nodes, sum(d) AS sumd, max(d) AS max_degree FROM deg),
+          na AS (SELECT count(*) AS n_nodes, max(d) AS max_degree FROM deg),
           ne AS (SELECT count(*) AS n_edges FROM e),
           dd AS (SELECT CAST(da.d AS HUGEINT) AS x, CAST(db.d AS HUGEINT) AS y
                  FROM e JOIN deg da ON e.pa = da.v JOIN deg db ON e.pb = db.v
@@ -6485,7 +6484,7 @@ object SparkEntry {
                   FROM dd)
          SELECT CAST(na.n_nodes AS BIGINT) AS n_nodes,
                 CAST(ne.n_edges AS BIGINT) AS n_edges,
-                round(CAST(na.sumd AS DOUBLE) / CAST(na.n_nodes AS DOUBLE), 6) AS avg_degree,
+                round(2.0 * ne.n_edges / CAST(na.n_nodes AS DOUBLE), 6) AS avg_degree,
                 CAST(na.max_degree AS BIGINT) AS max_degree,
                 CASE WHEN na.n_nodes > 1
                      THEN round(2.0 * ne.n_edges / (CAST(na.n_nodes AS DOUBLE) * (na.n_nodes - 1)), 6)
@@ -6494,7 +6493,7 @@ object SparkEntry {
                           AND (CAST(mom.m AS DOUBLE) * CAST(mom.syy AS DOUBLE) - CAST(mom.sy AS DOUBLE) * CAST(mom.sy AS DOUBLE)) > 0
                      THEN round((CAST(mom.m AS DOUBLE) * CAST(mom.sxy AS DOUBLE) - CAST(mom.sx AS DOUBLE) * CAST(mom.sy AS DOUBLE))
                                 / sqrt((CAST(mom.m AS DOUBLE) * CAST(mom.sxx AS DOUBLE) - CAST(mom.sx AS DOUBLE) * CAST(mom.sx AS DOUBLE))
-                                       * (CAST(mom.m AS DOUBLE) * CAST(mom.syy AS DOUBLE) - CAST(mom.sy AS DOUBLE) * CAST(mom.sy AS DOUBLE))), 6)
+                                       * (CAST(mom.m AS DOUBLE) * CAST(mom.syy AS DOUBLE) - CAST(mom.sy AS DOUBLE) * CAST(mom.sy AS DOUBLE))), 6) + 0
                      ELSE NULL END AS assortativity
          FROM na, ne, mom""",
 
@@ -6574,7 +6573,7 @@ object SparkEntry {
                 CAST(cc AS BIGINT) AS concordant, CAST(dd AS BIGINT) AS discordant,
                 CASE WHEN (CAST(n AS DOUBLE) * (n - 1) / 2 - n1) * (CAST(n AS DOUBLE) * (n - 1) / 2 - n2) > 0
                      THEN round((CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE))
-                                / sqrt((CAST(n AS DOUBLE) * (n - 1) / 2 - n1) * (CAST(n AS DOUBLE) * (n - 1) / 2 - n2)), 6)
+                                / sqrt((CAST(n AS DOUBLE) * (n - 1) / 2 - n1) * (CAST(n AS DOUBLE) * (n - 1) / 2 - n2)), 6) + 0
                      ELSE NULL END AS tau_b
          FROM cd, t1, t2""",
 
@@ -6604,11 +6603,11 @@ object SparkEntry {
                 FROM g)
          SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
                 CASE WHEN n1d * n2d > 0
-                     THEN round(2.0 * u1 / (n1d * n2d) - 1, 6)
+                     THEN round(2.0 * u1 / (n1d * n2d) - 1, 6) + 0
                      ELSE NULL END AS cliffs_delta,
                 CASE WHEN n1 + n2 > 2
                           AND ((n1d - 1) * s1 + (n2d - 1) * s2) / (n1d + n2d - 2) > 0
-                     THEN round((m1 - m2) / sqrt(((n1d - 1) * s1 + (n2d - 1) * s2) / (n1d + n2d - 2)), 6)
+                     THEN round((m1 - m2) / sqrt(((n1d - 1) * s1 + (n2d - 1) * s2) / (n1d + n2d - 2)), 6) + 0
                      ELSE NULL END AS cohens_d
          FROM d""",
 
@@ -6631,8 +6630,8 @@ object SparkEntry {
           pg AS (SELECT source, count(*) AS n, sum(x) AS gsx, sum(y) AS gsy FROM s GROUP BY source)
          SELECT pg.source, CAST(pg.n AS BIGINT) AS n,
                 round(CAST(gsy AS DOUBLE) / pg.n, 6) AS mean_y,
-                round(CAST(gsy AS DOUBLE) / pg.n - th.theta * (CAST(gsx AS DOUBLE) / pg.n - th.xbar), 6) AS mean_y_adj,
-                round(th.theta, 6) AS theta
+                round(CAST(gsy AS DOUBLE) / pg.n - th.theta * (CAST(gsx AS DOUBLE) / pg.n - th.xbar), 6) + 0 AS mean_y_adj,
+                round(th.theta, 6) + 0 AS theta
          FROM pg, th ORDER BY source""",
 
     "q_bootstrap_diff" ->
@@ -6667,12 +6666,12 @@ object SparkEntry {
                  FROM ww GROUP BY b
                  HAVING sum(CASE WHEN g = 'src1' THEN w ELSE 0 END) > 0
                     AND sum(CASE WHEN g = 'src2' THEN w ELSE 0 END) > 0),
-          dm AS (SELECT round(CAST(ka AS DOUBLE) / na - CAST(kb AS DOUBLE) / nb, 6) AS d FROM pr),
+          dm AS (SELECT round(CAST(ka AS DOUBLE) / na - CAST(kb AS DOUBLE) / nb, 6) + 0 AS d FROM pr),
           pt AS (SELECT round(
                    CAST(sum(CASE WHEN g = 'src1' THEN k ELSE 0 END) AS DOUBLE)
                      / sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END)
                    - CAST(sum(CASE WHEN g = 'src2' THEN k ELSE 0 END) AS DOUBLE)
-                     / sum(CASE WHEN g = 'src2' THEN 1 ELSE 0 END), 6) AS point_diff
+                     / sum(CASE WHEN g = 'src2' THEN 1 ELSE 0 END), 6) + 0 AS point_diff
                  FROM keeps),
           agg AS (SELECT CAST(count(*) AS INT) AS n_resamples,
                          quantile_disc(d, 0.025) AS ci_lo,
@@ -6762,10 +6761,10 @@ object SparkEntry {
                  FROM pg),
           ties AS (SELECT coalesce(sum(cnt * cnt * cnt - cnt), 0) AS t FROM vals)
          SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
-                round(12.0 / (CAST(n AS DOUBLE) * (n + 1)) * CAST(srr AS DOUBLE) - 3.0 * (n + 1), 6) AS h,
+                round(12.0 / (CAST(n AS DOUBLE) * (n + 1)) * CAST(srr AS DOUBLE) - 3.0 * (n + 1), 6) + 0 AS h,
                 CASE WHEN 1.0 - CAST(t AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n) > 0
                      THEN round((12.0 / (CAST(n AS DOUBLE) * (n + 1)) * CAST(srr AS DOUBLE) - 3.0 * (n + 1))
-                                / (1.0 - CAST(t AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n)), 6)
+                                / (1.0 - CAST(t AS DOUBLE) / (CAST(n AS DOUBLE) * n * n - n)), 6) + 0
                      ELSE NULL END AS h_corr
          FROM ga, ties""",
 
@@ -6862,7 +6861,7 @@ object SparkEntry {
                                - CAST(t AS DOUBLE) / 48) > 0
                      THEN round((CAST(w2p AS DOUBLE) / 2 - CAST(n_pairs AS DOUBLE) * (n_pairs + 1) / 4)
                                 / sqrt(CAST(n_pairs AS DOUBLE) * (n_pairs + 1) * (n_pairs * 2 + 1) / 24
-                                       - CAST(t AS DOUBLE) / 48), 6)
+                                       - CAST(t AS DOUBLE) / 48), 6) + 0
                      ELSE NULL END AS z
          FROM g, zeros"""
   )

@@ -251,9 +251,10 @@ object GraphOps {
       .groupBy(col("v"))
       .agg(count(lit(1)).as("d"))
       .persist()
+    // NOTE: Σd over an undirected edge list is identically 2·|E| —
+    // avg_degree derives from n_edges below, no extra aggregate state
     val nodeAgg = deg.agg(
       count(lit(1)).as("n_nodes"),
-      sum(col("d")).as("_sumd"),
       max(col("d")).as("max_degree"))
     // symmetrized endpoint-degree moments over directed pairs
     val dd = e
@@ -282,7 +283,7 @@ object GraphOps {
       .select(
         col("n_nodes").cast("bigint").as("n_nodes"),
         col("n_edges").cast("bigint").as("n_edges"),
-        round(col("_sumd").cast("double") / nN, 6).as("avg_degree"),
+        round(lit(2.0) * col("n_edges") / nN, 6).as("avg_degree"),
         col("max_degree").cast("bigint").as("max_degree"),
         when(col("n_nodes") > 1,
           round(lit(2.0) * col("n_edges") / (nN * (nN - 1)), 6))

@@ -783,6 +783,24 @@ object Stats {
         .otherwise(lit(null).cast("double")).as("f"))
   }
 
+  /** The deterministic Poisson(1) resample weight both bootstrap
+    * cards share: inverse-CDF'd from the 60-bit md5 of
+    * "pbs:<rep>:<id>" against 12-dp Poisson(1) CDF literals — ONE
+    * definition so the cards can never silently decorrelate.
+    */
+  private def poissonWeight(repCol: Column, idCol: Column): Column = {
+    val cdf = Seq(
+      0.367879441171, 0.735758882343, 0.919698602929, 0.981011843124,
+      0.996340153173, 0.999405815182, 0.999916758851, 0.999989750803,
+      0.999998874797)
+    val u = graft.textops.Dedup
+      .hash60(concat(lit("pbs:"), repCol.cast("string"), lit(":"), idCol))
+      .cast("double") / lit(1152921504606846976.0)
+    cdf.zipWithIndex.foldRight(lit(cdf.length): Column) {
+      case ((cut, k), acc) => when(u < cut, lit(k)).otherwise(acc)
+    }
+  }
+
   /** Poisson bootstrap CI for the mean (the at-scale bootstrap:
     * Chamandy/Wager-style Poisson(1) row weights instead of N draws
     * with replacement — the multiplicities of a true resample
@@ -817,22 +835,12 @@ object Stats {
     require(b >= 2, s"need at least 2 resamples (got $b)")
     require(loProb < hiProb && loProb > 0 && hiProb < 1, "probs must satisfy 0 < lo < hi < 1")
     requireIntegral(df, valueCol, "poissonBootstrap")
-    // cumulative Poisson(1) CDF at k = 0..8 (12 dp literals)
-    val cdf = Seq(
-      0.367879441171, 0.735758882343, 0.919698602929, 0.981011843124,
-      0.996340153173, 0.999405815182, 0.999916758851, 0.999989750803,
-      0.999998874797)
     val g = df
       .filter(col(valueCol).isNotNull)
       .select(col(idCol).cast("string").as("_id"), col(valueCol).cast("long").as("_v"))
     val grid = g.select(
       explode(sequence(lit(0), lit(b - 1))).as("_b"), col("_id"), col("_v"))
-    val u = graft.textops.Dedup
-      .hash60(concat(lit("pbs:"), col("_b").cast("string"), lit(":"), col("_id")))
-      .cast("double") / lit(1152921504606846976.0)
-    val w = cdf.zipWithIndex.foldRight(lit(cdf.length): Column) {
-      case ((cut, k), acc) => when(u < cut, lit(k)).otherwise(acc)
-    }
+    val w = poissonWeight(col("_b"), col("_id"))
     val means = grid
       .select(col("_b"), w.as("_w"), col("_v"))
       .groupBy(col("_b"))
@@ -1099,10 +1107,6 @@ object Stats {
       hiProb: Double = 0.975): DataFrame = {
     require(b >= 2, s"need at least 2 resamples (got $b)")
     require(loProb < hiProb && loProb > 0 && hiProb < 1, "probs must satisfy 0 < lo < hi < 1")
-    val cdf = Seq(
-      0.367879441171, 0.735758882343, 0.919698602929, 0.981011843124,
-      0.996340153173, 0.999405815182, 0.999916758851, 0.999989750803,
-      0.999998874797)
     val g = df
       .filter(col(groupCol).isin(groupA, groupB) && col(outcomeCol).isNotNull)
       .select(
@@ -1111,12 +1115,7 @@ object Stats {
         when(col(outcomeCol), 1L).otherwise(0L).as("_k"))
     val grid = g.select(
       explode(sequence(lit(0), lit(b - 1))).as("_b"), col("_g"), col("_id"), col("_k"))
-    val u = graft.textops.Dedup
-      .hash60(concat(lit("pbs:"), col("_b").cast("string"), lit(":"), col("_id")))
-      .cast("double") / lit(1152921504606846976.0)
-    val w = cdf.zipWithIndex.foldRight(lit(cdf.length): Column) {
-      case ((cut, k), acc) => when(u < cut, lit(k)).otherwise(acc)
-    }
+    val w = poissonWeight(col("_b"), col("_id"))
     val perRep = grid
       .select(col("_b"), col("_g"), w.as("_w"), col("_k"))
       .groupBy(col("_b"))

@@ -263,15 +263,19 @@ object Score {
           when(col(labelCol), "pos").otherwise("neg").as("_g"),
           round(col(scoreCol) * 1e6).cast("long").as("_v")),
         "_g", "pos", "neg", "_v")
+      .select(col("n1"), col("n2"), col("u1"))
+      .withColumn(
+        // one-class input flows NULL through the guarded divisor
+        // (ANSI DIVIDE_BY_ZERO otherwise), matching the siblings;
+        // bound ONCE so auc and gini can never drift apart
+        "_aucRaw",
+        col("u1") / when(col("n1") > 0 && col("n2") > 0,
+          col("n1").cast("double") * col("n2")))
       .select(
         col("n1").as("n_pos"),
         col("n2").as("n_neg"),
-        // one-class input flows NULL through the guarded divisor
-        // (ANSI DIVIDE_BY_ZERO otherwise), matching the siblings
-        round(col("u1") / when(col("n1") > 0 && col("n2") > 0,
-          col("n1").cast("double") * col("n2")), 6).as("auc"),
-        round(lit(2.0) * (col("u1") / when(col("n1") > 0 && col("n2") > 0,
-          col("n1").cast("double") * col("n2"))) - 1, 6).as("gini"))
+        round(col("_aucRaw"), 6).as("auc"),
+        round(lit(2.0) * col("_aucRaw") - 1, 6).as("gini"))
 
   def calibrationEce(
       df: DataFrame,
