@@ -3046,7 +3046,11 @@ object SparkEntry {
     // iterative peel to fixpoint (6 rounds at sf0.01/0.1, empty core
     // at sf0.001 — both the cascade and the empty-result path run
     // under the gate); monotone survivor sets make count equality the
-    // exit test, each round localCheckpoints the shrunken edges
+    // exit test. The edge relation is persisted ONCE and re-restricted
+    // per round with two semi-joins against the survivor NODE set —
+    // only that node-sized set is localCheckpointed per round, never
+    // the edges (GraphOps.kCore scaladoc documents the earlier
+    // edge-checkpoint form this replaced)
     "q_kcore" -> ((s, dir) =>
       graft.relops.GraphOps.kCore(
         graft.relops.GraphOps.coOccurrenceEdges(
@@ -6781,7 +6785,7 @@ object SparkEntry {
                 CASE WHEN k >= 2 AND n > k AND (CAST(szzt AS DOUBLE) - CAST(srat AS DOUBLE)) > 0
                      THEN round((CAST(n AS DOUBLE) - k) / (CAST(k AS DOUBLE) - 1)
                                 * (CAST(srat AS DOUBLE) - CAST(szt AS DOUBLE) * CAST(szt AS DOUBLE) / CAST(n AS DOUBLE))
-                                / (CAST(szzt AS DOUBLE) - CAST(srat AS DOUBLE)), 6)
+                                / (CAST(szzt AS DOUBLE) - CAST(srat AS DOUBLE)), 6) + 0
                      ELSE NULL END AS f
          FROM ga""",
 

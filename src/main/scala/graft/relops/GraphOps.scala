@@ -183,13 +183,19 @@ object GraphOps {
     * degree aggregation. Survivor sets are MONOTONE-DECREASING, so a
     * round whose keep COUNT equals the previous round's is a fixpoint
     * (count equality on nested sets is set equality) and the loop
-    * exits. Peel depth is bounded by the degeneracy of the graph —
-    * single digits on real graphs, never corpus-sized. The per-round
-    * driver action is ONE count. (An earlier form eagerly
-    * localCheckpointed the SHRUNKEN EDGE relation each round — 6
-    * corpus-sized materializations at sf0.1 made q_kcore the 8.3 s
-    * entry; re-deriving from the one cache cut it to the degree-agg
-    * cost.)
+    * exits. NOTE the round bound: parallel peeling's round count is
+    * NOT bounded by the degeneracy — each round removes only the
+    * CURRENT sub-k nodes, so a k=2 peel of an n-node path takes ~n/2
+    * rounds (two endpoints per round) even though the path's
+    * degeneracy is 1. Real co-occurrence graphs converge in single
+    * digits, but long chains are plausible, so exiting at `maxRounds`
+    * WITHOUT a fixpoint throws (the kendallTauB refuse-loudly
+    * contract) rather than silently returning the non-fixpoint
+    * superset the partial peel leaves behind. The per-round driver
+    * action is ONE count. (An earlier form eagerly localCheckpointed
+    * the SHRUNKEN EDGE relation each round — 6 corpus-sized
+    * materializations at sf0.1 made q_kcore the 8.3 s entry;
+    * re-deriving from the one cache cut it to the degree-agg cost.)
     *
     * Output: (v, core_deg) — the k-core's nodes with their degree
     * WITHIN the core (≥ k by construction); empty when no k-core.
@@ -221,6 +227,13 @@ object GraphOps {
       if (kn == prevN) done = true
       else { prevN = kn; survivors = Some(keep) }
       rounds += 1
+    }
+    if (!done) {
+      e0.unpersist()
+      throw new IllegalStateException(
+        s"kCore(k=$k) did not reach a fixpoint within $maxRounds rounds — " +
+          "the surviving set is still shrinking (long-chain graphs peel one " +
+          "layer per round); raise maxRounds rather than reading a partial peel")
     }
     val out = degrees(restrict(survivors))
       .filter(col("core_deg") >= k)
@@ -283,7 +296,10 @@ object GraphOps {
       .select(
         col("n_nodes").cast("bigint").as("n_nodes"),
         col("n_edges").cast("bigint").as("n_edges"),
-        round(lit(2.0) * col("n_edges") / nN, 6).as("avg_degree"),
+        // empty edge relation: 0/0 is NaN in Spark but NULL in an
+        // ANSI oracle — NULL-guard like density/assortativity below
+        when(col("n_nodes") > 0, round(lit(2.0) * col("n_edges") / nN, 6))
+          .otherwise(lit(null).cast("double")).as("avg_degree"),
         col("max_degree").cast("bigint").as("max_degree"),
         when(col("n_nodes") > 1,
           round(lit(2.0) * col("n_edges") / (nN * (nN - 1)), 6))

@@ -815,9 +815,9 @@ object Stats {
     * CDF enters as 12-dp literal cut points, identical cross-engine.
     * Per-resample sums Σw and Σw·v are exact integers; each mean is
     * ONE double division rounded to 6 dp, and the CI picks order
-    * statistics of the B rounded means by quantile_disc's rank rule
-    * (ceil(p·B)) from a B-sized sorted array — bounded state, no
-    * driver action.
+    * statistics of the rounded means by quantile_disc's rank rule —
+    * ceil(p·n) over the n SURVIVING resamples — from a ≤B-sized
+    * sorted array: bounded state, no driver action.
     *
     * A resample whose total weight is 0 (probability e^-N — only
     * reachable on toy inputs) is dropped rather than carrying a NULL
@@ -849,10 +849,14 @@ object Stats {
       .select(col("_b"), round(col("_sv").cast("double") / col("_n"), 6).as("_m"))
     val point = g.agg(
       round(sum(col("_v")).cast("double") / count(lit(1)), 6).as("point_mean"))
-    val rLo = math.ceil(loProb * b).toInt
-    val rHi = math.ceil(hiProb * b).toInt
-    // an EMPTY resample set (empty input corpus) must read NULL CIs,
-    // not an ANSI element_at(arr, 0) error
+    // quantile_disc's rank rule ceil(p·n) computed from the SURVIVING
+    // resample count, not the requested b — identical while no
+    // resample drops (all gated shapes), but stays oracle-exact when
+    // one does (r14 ADVICE: at b=100 with 50 survivors the old
+    // least(ceil(p·b), n) clamp picked rank 50 where quantile_disc
+    // picks 49). An EMPTY resample set must still read NULL CIs, not
+    // an ANSI element_at(arr, 0) error.
+    def rank(p: Double): Column = ceil(lit(p) * col("n_resamples")).cast("int")
     means
       .agg(count(lit(1)).cast("int").as("n_resamples"), sort_array(collect_list(col("_m"))).as("_ms"))
       .crossJoin(broadcast(point))
@@ -860,9 +864,9 @@ object Stats {
         col("n_resamples"),
         col("point_mean"),
         when(col("n_resamples") > 0,
-          element_at(col("_ms"), least(lit(rLo), col("n_resamples")))).as("ci_lo"),
+          element_at(col("_ms"), rank(loProb))).as("ci_lo"),
         when(col("n_resamples") > 0,
-          element_at(col("_ms"), least(lit(rHi), col("n_resamples")))).as("ci_hi"))
+          element_at(col("_ms"), rank(hiProb))).as("ci_hi"))
   }
 
   /** Effect sizes for the A-vs-B comparison — the magnitude companion
@@ -974,6 +978,13 @@ object Stats {
       .collect().map(_.getLong(0)).toSeq
     require(ys.size <= maxDomain,
       s"kendallTauB y-domain exceeds $maxDomain distinct values; quantize first")
+    // the x side is never collected, but an unquantized x column
+    // would still materialize a |X|·|Y| grid plus windows over it —
+    // the exact blow-up this guard exists to refuse (r14 ADVICE);
+    // LIMIT-bounded count, same probe-first shape as the y side
+    val nx = cells.select(col("_x")).distinct().limit(maxDomain + 1).count()
+    require(nx <= maxDomain,
+      s"kendallTauB x-domain exceeds $maxDomain distinct values; quantize first")
     // zero-filled grid: distinct-x × the collected y-domain, via a
     // Generate (explode of a literal) — never a cartesian join
     val grid = cells.groupBy(col("_x")).agg(sum(col("_c")).as("_rowTot"))
@@ -1137,9 +1148,10 @@ object Stats {
           when(sum(when(col("_g") === groupB, 1L).otherwise(0L)) > 0,
             sum(when(col("_g") === groupB, 1L).otherwise(0L))),
         6).as("point_diff"))
-    val rLo = math.ceil(loProb * b).toInt
-    val rHi = math.ceil(hiProb * b).toInt
+    // rank from the SURVIVING resample count (quantile_disc's
+    // ceil(p·n)), not the requested b — see [[poissonBootstrap]];
     // empty resample set (a group absent from the corpus) -> NULL CIs
+    def rank(p: Double): Column = ceil(lit(p) * col("n_resamples")).cast("int")
     perRep
       .agg(count(lit(1)).cast("int").as("n_resamples"), sort_array(collect_list(col("_d"))).as("_ds"))
       .crossJoin(broadcast(point))
@@ -1147,9 +1159,9 @@ object Stats {
         col("n_resamples"),
         col("point_diff"),
         when(col("n_resamples") > 0,
-          element_at(col("_ds"), least(lit(rLo), col("n_resamples")))).as("ci_lo"),
+          element_at(col("_ds"), rank(loProb))).as("ci_lo"),
         when(col("n_resamples") > 0,
-          element_at(col("_ds"), least(lit(rHi), col("n_resamples")))).as("ci_hi"))
+          element_at(col("_ds"), rank(hiProb))).as("ci_hi"))
   }
 
   /** Two-proportion z-test (pooled variance) between groups A and B

@@ -167,6 +167,15 @@ class HypothesisTestsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Stats.kendallTauB(d, "x", "y", maxDomain = 1024))
   }
 
+  test("kendallTauB: refuses an over-domain X even when Y is small (r14 ADVICE)") {
+    // the y-probe alone would admit this shape and build a 3000×2
+    // grid per 1024 allowed — the x side must be bounded too
+    val d = spark.range(0, 3000).selectExpr("id AS x", "id % 2 AS y")
+    val ex = intercept[IllegalArgumentException](
+      Stats.kendallTauB(d, "x", "y", maxDomain = 1024))
+    assert(ex.getMessage.contains("x-domain"), ex.getMessage)
+  }
+
   test("cupedAdjustedMeans: perfectly linear covariate collapses group means") {
     // y = x + 1 exactly -> theta = 1, both groups adjust to the
     // global ybar = 5 (the entire between-group gap was covariate)
@@ -225,5 +234,38 @@ class HypothesisTestsSpec extends SparkSpec {
   test("poissonBootstrap: refuses fractional value columns") {
     val d = Seq((1L, 1.5)).toDF("id", "v")
     intercept[IllegalArgumentException](Stats.poissonBootstrap(d, "id", "v"))
+  }
+
+  test("poissonBootstrap: CI ranks follow quantile_disc over SURVIVING resamples") {
+    // 2-row corpus at b=100: ~e^-2 of resamples draw zero total
+    // weight and drop, so n_resamples < 100 and the ceil(p·n) rank
+    // differs from the old least(ceil(p·b), n) clamp (r14 ADVICE:
+    // b=100, n=50 -> rank 50 vs quantile_disc's 49). The expected CI
+    // is replayed here from the same public hash machinery.
+    import org.apache.spark.sql.functions._
+    val d = Seq((0L, 0L), (1L, 1000L)).toDF("id", "v")
+    val r = Stats.poissonBootstrap(d, "id", "v", b = 100, loProb = 0.25, hiProb = 0.75).collect()(0)
+    val n = r.getInt(0)
+    assert(n < 100 && n > 0, s"expected dropped resamples on a 2-row corpus (got n=$n)")
+    val cdf = Seq(
+      0.367879441171, 0.735758882343, 0.919698602929, 0.981011843124,
+      0.996340153173, 0.999405815182, 0.999916758851, 0.999989750803,
+      0.999998874797)
+    val u = graft.textops.Dedup
+      .hash60(concat(lit("pbs:"), col("_b").cast("string"), lit(":"), col("id").cast("string")))
+      .cast("double") / lit(1152921504606846976.0)
+    val w = cdf.zipWithIndex.foldRight(lit(cdf.length): org.apache.spark.sql.Column) {
+      case ((cut, k), acc) => when(u < cut, lit(k)).otherwise(acc)
+    }
+    val means = d
+      .select(explode(sequence(lit(0), lit(99))).as("_b"), col("id"), col("v"))
+      .select(col("_b"), w.as("_w"), col("v"))
+      .groupBy("_b").agg(sum(col("_w")).as("_n"), sum(col("_w") * col("v")).as("_sv"))
+      .filter(col("_n") > 0)
+      .select(round(col("_sv").cast("double") / col("_n"), 6))
+      .collect().map(_.getDouble(0)).sorted
+    assert(means.length == n)
+    assert(r.getDouble(2) == means(math.ceil(0.25 * n).toInt - 1), "ci_lo at rank ceil(p*n)")
+    assert(r.getDouble(3) == means(math.ceil(0.75 * n).toInt - 1), "ci_hi at rank ceil(p*n)")
   }
 }

@@ -19,11 +19,23 @@ class KCoreHitsSpec extends SparkSpec {
   test("kCore: path graph cascades to empty over MULTIPLE rounds at k=2") {
     // 1-2-3-4-5: round 1 drops {1,5}, round 2 drops {2,4}, round 3
     // drops {3} — the multi-round cascade the unrolled oracle padding
-    // must absorb. maxRounds=1 (cut short) must differ from fixpoint.
+    // must absorb. Exiting at maxRounds BEFORE the fixpoint must
+    // throw, never hand back the partial peel's superset (r14 ADVICE:
+    // a long chain peels one layer per round, so the silent-return
+    // form produced a wrong non-empty core on plausible graphs).
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("pa", "pb")
     assert(GraphOps.kCore(path, k = 2).count() == 0L, "fixpoint is empty")
-    assert(GraphOps.kCore(path, k = 2, maxRounds = 1).count() > 0L,
-      "one round is NOT enough — the cascade is real")
+    val ex = intercept[IllegalStateException](
+      GraphOps.kCore(path, k = 2, maxRounds = 1).count())
+    assert(ex.getMessage.contains("fixpoint"), s"loud non-fixpoint exit: ${ex.getMessage}")
+  }
+
+  test("kCore: fixpoint reached exactly AT maxRounds does not throw") {
+    // triangle+pendant peels in 2 rounds (drop pendant, then verify);
+    // maxRounds=3 gives the verification round room — the throw must
+    // key on the fixpoint test, not on hitting the bound per se
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("pa", "pb")
+    assert(GraphOps.kCore(e, k = 2, maxRounds = 3).count() == 3L)
   }
 
   test("kCore: k above max degree -> empty; k=1 keeps every non-isolated node") {
@@ -43,6 +55,17 @@ class KCoreHitsSpec extends SparkSpec {
     // 4-cycle: constant degree 2 -> zero variance -> NULL
     val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("pa", "pb")
     assert(GraphOps.degreeProfile(cyc).collect()(0).isNullAt(5))
+  }
+
+  test("degreeProfile: empty edge relation reads NULL ratios, not NaN") {
+    // 0 nodes / 0 edges: avg_degree's 0/0 must flow NULL like the
+    // density and assortativity guards (r14 ADVICE — Spark's double
+    // division yields NaN where an ANSI oracle reads NULL)
+    val none = Seq.empty[(Long, Long)].toDF("pa", "pb")
+    val r    = GraphOps.degreeProfile(none).collect()(0)
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L)
+    assert(r.isNullAt(2), "avg_degree NULL on the empty graph")
+    assert(r.isNullAt(4) && r.isNullAt(5))
   }
 
   test("hits: 2-iteration hand fixture (L1-normalized mutual reinforcement)") {
