@@ -83,6 +83,16 @@ def load_calibration(path):
     return None
 
 
+def load_adjusted(path):
+    """Drift-normalized total (emitted since r15: total x 0.973/calib
+    against the fixed r14 reference probe), or None for older
+    artifacts. The LAST occurrence wins — the end-of-run calibration
+    line recomputes it against the mean probe."""
+    text = open(path).read()
+    m = re.findall(r'"total_calib_adjusted":(\d+\.\d+)', text)
+    return float(m[-1]) if m else None
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     if len(args) != 2:
@@ -100,6 +110,10 @@ def main():
               f"-> box speed scale {scale:.3f} (new times divided by it)")
     else:
         print("calibration: missing in one or both artifacts; raw comparison")
+    adj_old, adj_new = load_adjusted(args[0]), load_adjusted(args[1])
+    if adj_old and adj_new:
+        print(f"total_calib_adjusted (fixed-reference): old={adj_old:.1f}s "
+              f"new={adj_new:.1f}s ratio={adj_new / adj_old:.3f}")
     common = sorted(set(old) & set(new))
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))

@@ -142,7 +142,45 @@ object Bench {
         System.gc()
         if (ok) Some(name -> sec) else None
       } else None
-    val all = results ++
+    // composed graph family over ONE persisted co-purchase edge
+    // relation (r14 VERDICT #2): the gated q_triangle_count /
+    // q_triangle_sampled / q_kcore / q_graph_profile cards each
+    // re-derive coOccurrenceEdges(lineitem) independently — 5
+    // identical Σ|basket|² derivations, ~19% of the r14 bench. A
+    // production run materializes the edges ONCE and reads every card
+    // from the cache; this entry times that composition per stage.
+    // The census-stage exact/sampled ratio is the DOULION tier's
+    // honest saving: end-to-end per-card both tiers pay the
+    // basket→pair corpus pass (ratio ~1.2×), but from the cache the
+    // p=0.1 sampled census skips ~p^1.5 of the wedge work — the
+    // at-scale shape, where the edge relation is materialized anyway.
+    // derive is a SINGLE timed materialization (the cache fill);
+    // card stages use the standard medianOf3 protocol on the cache.
+    val graphStages: Option[(Double, Double, Double, Double, Double)] =
+      if (only.forall(_.contains("graph_e2e"))) try {
+        def stage(df: => org.apache.spark.sql.DataFrame): Double =
+          medianOf3(() => { evalAll(df); () })
+        val edges = graft.relops.GraphOps.coOccurrenceEdges(
+          graft.lake.Tables.lineitem(spark, sfDir), "l_orderkey", "l_partkey", maxBasket = 50)
+          .persist()
+        val t0      = System.nanoTime()
+        edges.count()
+        val tDerive = (System.nanoTime() - t0) / 1e9
+        val tExact   = stage(graft.relops.GraphOps.triangleStats(edges))
+        val tSampled = stage(graft.relops.GraphOps.triangleStatsSampled(edges, p = 0.1, seed = 7L))
+        val tKcore   = stage(graft.relops.GraphOps.kCore(edges, k = 80))
+        val tProfile = stage(graft.relops.GraphOps.degreeProfile(edges))
+        edges.unpersist()
+        spark.catalog.clearCache()
+        System.gc()
+        Some((tDerive, tExact, tSampled, tKcore, tProfile))
+      } catch {
+        case e: Throwable => System.err.println(s"[bench] graph_e2e: ${e.getMessage}"); None
+      }
+      else None
+    val graphE2e: Option[(String, Double)] =
+      graphStages.map { case (d, ex, sa, kc, pr) => "graph_e2e" -> (d + ex + sa + kc + pr) }
+    val all = results ++ graphE2e ++
       timeE2e("entry_e2e", () => SparkEntry.entryOn(spark, sfDir)) ++
       timeE2e("cascade_e2e", () => SparkEntry.cascadeOn(spark, sfDir)) ++
       timeE2e("openie_e2e", () => SparkEntry.openieOn(spark, sfDir)) ++
@@ -177,8 +215,37 @@ object Bench {
     // short total line goes out FIRST, the bulky per-query map on its
     // own second line, and the total line again LAST — whichever end
     // of the stream the window keeps, an intact compact line is in it.
-    val compact = s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","queries_n":${all.size},"calib":${num(calibStart)}}"""
+    // drift-normalized total (r14 VERDICT #7): calibRef is the fixed
+    // reference box speed (SCALE.md's r14 same-code probe reading);
+    // total × calibRef/calib is directly comparable across rounds
+    // without re-deriving the correction by hand. The compact line
+    // uses the start probe (the end probe hasn't run yet); the final
+    // calibration line re-emits it against the mean probe.
+    val calibRef = 0.973
+    def adjTotal(calib: Double): String =
+      if (calib > 0) num(total * calibRef / calib) else num(total)
+    val compact = s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","queries_n":${all.size},"calib":${num(calibStart)},"total_calib_adjusted":${adjTotal(calibStart)},"calib_ref":$calibRef}"""
     emit(compact)
+    graphStages.foreach { case (d, ex, sa, kc, pr) =>
+      emit(
+        s"""{"metric":"graph_e2e","derive":${num(d)},"exact_census":${num(ex)},"sampled_census":${num(
+            sa)},"census_ratio":${num(if (sa > 0) ex / sa else 0.0)},"kcore":${num(kc)},"profile":${num(
+            pr)},"value":${num(d + ex + sa + kc + pr)},"unit":"sec","note":"all cards from ONE persisted edge relation; census_ratio = exact/sampled census stage cost on the cache (the DOULION saving once derivation is amortized)","sf":"$sfDir"}""")
+    }
+    // the sampled tier's END-TO-END economics next to the exact card
+    // (r14 VERDICT #1): both per-card tiers pay the basket->pair
+    // derivation, so this ratio is bounded by the derive share; the
+    // census-stage ratio above is the amortized-derivation number
+    locally {
+      val qmap = results.toMap
+      for {
+        ex <- qmap.get("q_triangle_count")
+        sa <- qmap.get("q_triangle_sampled")
+        if ex > 0 && sa > 0
+      } emit(
+        s"""{"metric":"triangle_sampled","exact_sec":${num(ex)},"sampled_sec":${num(sa)},"e2e_ratio":${num(
+            ex / sa)},"sf":"$sfDir"}""")
+    }
     // key_notes: operator-identity changes behind a stable key, so
     // historical series stay interpretable (a swapped operator is
     // not a perf delta) — retrieval_e2e timed the 8-branch per-query
@@ -282,7 +349,8 @@ object Bench {
       else math.max(calibStart, calibEnd)
     emit(
       s"""{"metric":"calibration","start":${num(calibStart)},"end":${num(calibEnd)},"value":${num(
-          calibMean)},"unit":"sec","work":"range(6144e6) xxhash64 max/min, medianOf3","sf":"$sfDir"}""")
+          calibMean)},"unit":"sec","work":"range(6144e6) xxhash64 max/min, medianOf3","total_calib_adjusted":${adjTotal(
+          calibMean)},"calib_ref":$calibRef,"sf":"$sfDir"}""")
     println(compact)
     // durable artifact: a JSON array of every metric line this run
     // emitted, written where the driver (and the round-over-round

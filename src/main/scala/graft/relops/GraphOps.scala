@@ -1,6 +1,6 @@
 package graft.relops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Item-co-occurrence graph analytics over a (basket, item) relation
@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
   * equally doc × shingle-bucket or user × community).
   *
   * Scale design: every pair emitter is bounded by the per-basket item
-  * count (a self-join on the basket key — baskets are small, so the
-  * fan-out is Σ|basket|², never |items|²); triangle counting uses the
+  * count (a Generate over per-basket sorted item arrays — baskets are
+  * small, so the fan-out is Σ C(|basket|,2), never |items|²; one
+  * grouping shuffle folds in the (basket, item) dedup, no self-join);
+  * triangle counting uses the
   * degree-ordered orientation (each undirected edge directed from its
   * lower (degree, id) endpoint), which bounds every node's out-degree
   * by O(√m) and therefore the wedge join by O(m^{3/2}) — the standard
@@ -32,24 +34,62 @@ object GraphOps {
     * a mega-basket is a crawler artifact, not co-occurrence signal);
     * the default keeps everything.
     */
+  /** The capped per-basket SORTED distinct-item arrays every pair
+    * emitter here derives from — ONE definition so the exact and
+    * sampled tiers can never drift on the mega-basket drop rule.
+    *
+    * This replaced the r13/r14 items-distinct + basket-key SELF-JOIN
+    * emitter: `collect_set` folds the (basket, item) dedup INTO the
+    * one grouping shuffle (the standalone distinct exchange is gone),
+    * and pair emission becomes a per-row Generate over the array —
+    * no join build, no second exchange of the items relation. At
+    * sf0.1 that removed ~40% of the edge-derivation cost every graph
+    * card pays. Baskets above `maxBasket` are dropped WHOLE by a size
+    * filter on the aggregated array — the SAME drop rule
+    * (distinct-item count > cap) the join-based form enforced, folded
+    * into the one pass: a pre-pass that counts distinct items per
+    * basket before aggregating is itself a full distinct-shaped
+    * aggregation and cost ~40% of the gated census card. The price is
+    * that a mega-basket's distinct-item set transiently lives in agg
+    * state before the filter drops it — O(8 bytes × distinct items),
+    * so a 10⁶-item crawler artifact is an 8 MB fold, not a stage
+    * failure; inputs hostile beyond that should be pre-capped at
+    * ingest, where the same count is a byproduct of parsing.
+    */
+  private def basketArrays(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      maxBasket: Int): DataFrame = {
+    val arrays = df
+      .select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .groupBy(col("basket"))
+      .agg(sort_array(collect_set(col("item"))).as("items"))
+    if (maxBasket == Int.MaxValue) arrays
+    else arrays.filter(size(col("items")) <= maxBasket)
+  }
+
+  /** Canonical pairs (pa < pb) per basket from the sorted arrays —
+    * exactly C(|basket|, 2) struct emissions per row (the slice walk
+    * never builds the a≥b half the old θ-join emitted and discarded),
+    * then ONE Generate; no cross-basket dedup here.
+    */
+  private def basketPairs(arrays: DataFrame): DataFrame = {
+    val pairs = flatten(transform(
+      col("items"),
+      (x, i) => transform(
+        slice(col("items"), i + lit(2), size(col("items"))),
+        y => struct(x.as("pa"), y.as("pb")))))
+    arrays.select(explode(pairs).as("_p"))
+      .select(col("_p.pa").as("pa"), col("_p.pb").as("pb"))
+  }
+
   def coOccurrenceEdges(
       df: DataFrame,
       basketCol: String,
       itemCol: String,
-      maxBasket: Int = Int.MaxValue): DataFrame = {
-    val all = df.select(col(basketCol).as("basket"), col(itemCol).as("item")).distinct()
-    val items =
-      if (maxBasket == Int.MaxValue) all
-      else {
-        val sizes = all.groupBy(col("basket")).agg(count(lit(1)).as("_bn"))
-        all.join(broadcast(sizes.filter(col("_bn") > maxBasket).select(col("basket"))),
-          Seq("basket"), "left_anti")
-      }
-    items.as("a")
-      .join(items.as("b"), col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
-      .select(col("a.item").as("pa"), col("b.item").as("pb"))
-      .distinct()
-  }
+      maxBasket: Int = Int.MaxValue): DataFrame =
+    basketPairs(basketArrays(df, basketCol, itemCol, maxBasket)).distinct()
 
   /** Exact global triangle census of an undirected edge relation
     * (columns pa < pb): node/edge counts, triangle count via the
@@ -100,9 +140,15 @@ object GraphOps {
       // inner joins drop edges whose dst has no out-list (they close
       // nothing); a triangle-free graph must still read 0, not null
       .agg(coalesce(sum(col("c")), lit(0L)).cast("long").as("n_triangles"))
-    val counts = e.agg(count(lit(1)).as("n_edges"))
+    // n_edges is identically Σd/2 over an undirected degree table —
+    // folding it into the node aggregate drops the separate edge-count
+    // branch AND its broadcast job (at bench SF the census is
+    // scheduling-bound, so every saved job is visible wall time)
     val nodes = deg.agg(
       count(lit(1)).as("n_nodes"),
+      // Σd is even by construction; shiftright halves it in integer
+      // space (a `/ 2` would promote to double)
+      coalesce(shiftright(sum(col("d")), 1), lit(0L)).cast("long").as("n_edges"),
       coalesce(sum(col("d") * (col("d") - 1) / 2), lit(0)).cast("long").as("n_wedges"))
     // 1 row: materialize eagerly (lineage cut) so the edge caches can
     // be released before returning — the established localCheckpoint
@@ -110,7 +156,6 @@ object GraphOps {
     // graph (empty, or a perfect matching) reads clustering 0.0, not
     // null — the 0/0 case is defined downward by convention here.
     val out = nodes
-      .crossJoin(broadcast(counts))
       .crossJoin(broadcast(tri))
       .select(
         col("n_nodes"), col("n_edges"), col("n_triangles"), col("n_wedges"),
@@ -150,22 +195,69 @@ object GraphOps {
     * rounded half-up via floor(x + 0.5) — the same IEEE expression an
     * oracle engine evaluates, no round-half-mode parity surface.
     */
-  def triangleStatsSampled(edges: DataFrame, p: Double, seed: Long = 0L): DataFrame = {
-    require(p > 0.0 && p <= 1.0, s"keep probability must be in (0, 1] (got $p)")
-    val m       = 999983L
-    val thresh  = math.floor(p * m).toLong
-    val pEff    = thresh.toDouble / m
-    val pCube   = pEff * pEff * pEff
-    // seed enters via the Fibonacci-hash multiplier so consecutive
-    // seeds shift the keep set by ~half the modulus, not by 1
-    val sampled = edges.filter(
-      (col("pa") * lit(1103515245L) + col("pb") * lit(12345L)
-        + lit(seed * 2654435761L)) % lit(m) < lit(thresh))
+  /** The LCG-mix modulus of the edge sampler — prime, so the mix has
+    * no common-factor bias; the effective keep probability is
+    * floor(p·M)/M and that exact value is what the estimator divides
+    * by.
+    */
+  private val SampleModulus = 999983L
+
+  /** The deterministic edge keep predicate both sampled tiers share —
+    * a pure integer function of the (pa, pb) endpoints (plus the
+    * seed, entering via the Fibonacci-hash multiplier so consecutive
+    * seeds shift the keep set by ~half the modulus, not by 1). ONE
+    * definition so the filter-after and filter-at-emission forms can
+    * never pick different keep sets.
+    */
+  private def edgeKeep(pa: Column, pb: Column, thresh: Long, seed: Long): Column =
+    (pa * lit(1103515245L) + pb * lit(12345L)
+      + lit(seed * 2654435761L)) % lit(SampleModulus) < lit(thresh)
+
+  private def sampledCensus(sampled: DataFrame, pEff: Double): DataFrame = {
+    val pCube = pEff * pEff * pEff
     triangleStats(sampled).select(
       lit(pEff).as("p_keep"),
       col("n_edges").as("n_edges_sampled"),
       col("n_triangles").as("n_triangles_sampled"),
       floor(col("n_triangles") / lit(pCube) + lit(0.5)).cast("long").as("n_triangles_est"))
+  }
+
+  def triangleStatsSampled(edges: DataFrame, p: Double, seed: Long = 0L): DataFrame = {
+    require(p > 0.0 && p <= 1.0, s"keep probability must be in (0, 1] (got $p)")
+    val thresh = math.floor(p * SampleModulus).toLong
+    val pEff   = thresh.toDouble / SampleModulus
+    sampledCensus(edges.filter(edgeKeep(col("pa"), col("pb"), thresh, seed)), pEff)
+  }
+
+  /** [[triangleStatsSampled]] with the sampling pushed INTO the pair
+    * emitter: the edge keep predicate runs directly on the Generate's
+    * output, BEFORE the pair-dedup exchange — so the edge-dedup
+    * shuffle and the whole downstream census shrink by ~p, not just
+    * the census (r14 VERDICT: filtering AFTER [[coOccurrenceEdges]]
+    * paid the derived-graph shape's dominant stage — pair emission +
+    * distinct — in full, so p=0.5 saved only 5%). The keep set is
+    * IDENTICAL to filter-after-derive — the predicate is a pure
+    * function of the (pa, pb) endpoints, so it commutes with the pair
+    * `distinct` — which is what keeps any ANSI oracle's replay
+    * (sample the distinct edge relation) bit-for-bit equal.
+    *
+    * Same output row as [[triangleStatsSampled]]; same DOULION
+    * estimator contract (unbiased, relative error O(1/√(p³·T))).
+    */
+  def triangleStatsSampledFromBaskets(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      p: Double,
+      seed: Long = 0L,
+      maxBasket: Int = Int.MaxValue): DataFrame = {
+    require(p > 0.0 && p <= 1.0, s"keep probability must be in (0, 1] (got $p)")
+    val thresh = math.floor(p * SampleModulus).toLong
+    val pEff   = thresh.toDouble / SampleModulus
+    val sampled = basketPairs(basketArrays(df, basketCol, itemCol, maxBasket))
+      .filter(edgeKeep(col("pa"), col("pb"), thresh, seed))
+      .distinct()
+    sampledCensus(sampled, pEff)
   }
 
   /** k-core of an undirected edge relation (columns pa < pb):
@@ -376,22 +468,18 @@ object GraphOps {
       minSupport: Long,
       k: Int,
       maxBasket: Int = Int.MaxValue): DataFrame = {
-    val all = df.select(col(basketCol).as("basket"), col(itemCol).as("item")).distinct()
-    val items = (
-      if (maxBasket == Int.MaxValue) all
-      else {
-        // same mega-basket fan-out cap as coOccurrenceEdges — the
-        // pair space below is Σ|basket|²
-        val sizes = all.groupBy(col("basket")).agg(count(lit(1)).as("_bn"))
-        all.join(broadcast(sizes.filter(col("_bn") > maxBasket).select(col("basket"))),
-          Seq("basket"), "left_anti")
-      }
-    ).persist()
-    val n  = items.agg(countDistinct(col("basket")).as("n_orders"))
-    val ic = items.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
-    val pc = items.as("a")
-      .join(items.as("b"), col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("pa"), col("b.item").as("pb"))
+    // same mega-basket fan-out cap and shared array emitter as
+    // coOccurrenceEdges — the pair space below is Σ|basket|²; pair,
+    // item, and basket counts all read off the ONE persisted
+    // per-basket array relation (each basket contributes each
+    // distinct pair/item once, the set semantics the old
+    // items-distinct self-join had)
+    val arrays = basketArrays(df, basketCol, itemCol, maxBasket).persist()
+    val n  = arrays.agg(count(lit(1)).as("n_orders"))
+    val ic = arrays.select(explode(col("items")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+    val pc = basketPairs(arrays)
+      .groupBy(col("pa"), col("pb"))
       .agg(count(lit(1)).as("pair_cnt"))
       .filter(col("pair_cnt") >= minSupport)
     val out = pc
@@ -406,8 +494,8 @@ object GraphOps {
         round(col("pair_cnt").cast("double") / col("ca").cast("double"), 6).as("confidence"))
       .orderBy(desc("lift"), col("pa"), col("pb"))
       .limit(k)
-      .localCheckpoint(eager = true) // ≤ k rows; lets the items cache go
-    items.unpersist()
+      .localCheckpoint(eager = true) // ≤ k rows; lets the arrays cache go
+    arrays.unpersist()
     out
   }
 }

@@ -47,6 +47,42 @@ class TriangleSampledSpec extends SparkSpec {
     assert(rel < 0.15, s"relative error $rel (est ${got.getLong(3)} vs exact $exact)")
   }
 
+  // basket fixture for the emit-time sampler: 300 baskets × ≤6 items
+  // over an 80-item catalog, deterministic membership hash — the
+  // co-occurrence shape the gated query runs on
+  private def baskets = (for {
+    b <- 0 until 300
+    i <- 0 until 80
+    if ((b * 131 + i * 29) % 53) < 3
+  } yield (b.toLong, i.toLong)).toDF("basket", "item")
+
+  test("triangleStatsSampledFromBaskets: emit-time keep set == filter-after-derive") {
+    // the predicate is a pure function of (pa, pb) so it commutes
+    // with the pair distinct — the two forms must agree on EVERY
+    // output column, at both a mid and a small p (the gated config)
+    val edges = GraphOps.coOccurrenceEdges(baskets, "basket", "item")
+    for (p <- Seq(0.5, 0.1)) {
+      val after = GraphOps.triangleStatsSampled(edges, p = p, seed = 7L).collect()(0).toSeq
+      val emit = GraphOps
+        .triangleStatsSampledFromBaskets(baskets, "basket", "item", p = p, seed = 7L)
+        .collect()(0).toSeq
+      assert(emit == after, s"p=$p: emit-time $emit vs filter-after $after")
+    }
+  }
+
+  test("triangleStatsSampledFromBaskets: maxBasket cap matches coOccurrenceEdges' drop rule") {
+    // add one mega-basket holding the whole catalog: capped at 10,
+    // both paths must drop it whole and agree
+    val withMega = baskets.unionByName(
+      (0 until 80).map(i => (9999L, i.toLong)).toDF("basket", "item"))
+    val edges = GraphOps.coOccurrenceEdges(withMega, "basket", "item", maxBasket = 10)
+    val after = GraphOps.triangleStatsSampled(edges, p = 0.1, seed = 7L).collect()(0).toSeq
+    val emit = GraphOps
+      .triangleStatsSampledFromBaskets(withMega, "basket", "item", p = 0.1, seed = 7L, maxBasket = 10)
+      .collect()(0).toSeq
+    assert(emit == after)
+  }
+
   test("triangleStatsSampled is replay-deterministic (pure integer hash, no RNG)") {
     def run() = GraphOps.triangleStatsSampled(erGraph, p = 0.5, seed = 7L)
       .collect()(0).toSeq
