@@ -3164,6 +3164,16 @@ object SparkEntry {
       graft.relops.Stats.poissonBootstrap(
         docs(s, dir), "doc_id", "n_chars", b = 32)),
 
+    // quantile companion to q_poisson_bootstrap (r14 VERDICT #5):
+    // p50/p90 doc-length CIs — per-resample quantile_disc over the
+    // weighted value histogram (ONE corpus aggregation; windows only
+    // over the bounded per-resample histogram), same deterministic
+    // Poisson(1) weight field, point estimate via prefixBefore
+    "q_bootstrap_quantile" -> ((s, dir) =>
+      graft.relops.Stats.poissonBootstrapQuantile(
+        docs(s, dir), "doc_id", "n_chars", probs = Seq(0.5, 0.9), b = 32)
+        .orderBy(col("prob"))),
+
     // interpolated-quantile tier next to q_quantile_disc: SQL
     // quantile_cont semantics ((n-1)q fractional rank, linear
     // interpolation) on the same value-histogram state — both order
@@ -6726,6 +6736,56 @@ object SparkEntry {
                          quantile_disc(m, 0.975) AS ci_hi
                   FROM means)
          SELECT n_resamples, point_mean, ci_lo, ci_hi FROM agg, pt""",
+
+    // replays poissonBootstrapQuantile: identical md5-hash weights,
+    // per-resample weighted histogram + the ceil(p*n) quantile_disc
+    // rank rule (min v with cum >= rank), CI by quantile_disc over
+    // the per-resample quantiles, point from the unweighted histogram
+    "q_bootstrap_quantile" ->
+      """WITH g AS (SELECT CAST(doc_id AS VARCHAR) AS id, CAST(n_chars AS BIGINT) AS v
+                    FROM documents WHERE n_chars IS NOT NULL),
+          grid AS (SELECT CAST(r.b AS INT) AS b, g.id, g.v FROM g, unnest(range(0, 32)) r(b)),
+          uu AS (SELECT b, v,
+                        ('0x' || substr(md5('pbs:' || CAST(b AS VARCHAR) || ':' || id), 1, 15))::BIGINT
+                          / 1152921504606846976.0 AS u
+                 FROM grid),
+          ww AS (SELECT b, v,
+                        CASE WHEN u < 0.367879441171 THEN 0
+                             WHEN u < 0.735758882343 THEN 1
+                             WHEN u < 0.919698602929 THEN 2
+                             WHEN u < 0.981011843124 THEN 3
+                             WHEN u < 0.996340153173 THEN 4
+                             WHEN u < 0.999405815182 THEN 5
+                             WHEN u < 0.999916758851 THEN 6
+                             WHEN u < 0.999989750803 THEN 7
+                             WHEN u < 0.999998874797 THEN 8
+                             ELSE 9 END AS w
+                 FROM uu),
+          hist AS (SELECT b, v, sum(w) AS c FROM ww GROUP BY b, v),
+          cum AS (SELECT b, v,
+                         sum(c) OVER (PARTITION BY b ORDER BY v) AS cum,
+                         sum(c) OVER (PARTITION BY b) AS n
+                  FROM hist),
+          probs AS (SELECT CAST(0.5 AS DOUBLE) AS prob UNION ALL SELECT CAST(0.9 AS DOUBLE)),
+          q AS (SELECT cum.b, probs.prob, CAST(min(v) AS BIGINT) AS q
+                FROM cum, probs
+                WHERE cum.n > 0 AND cum.cum >= ceil(CAST(cum.n AS DOUBLE) * probs.prob)
+                GROUP BY cum.b, probs.prob),
+          agg AS (SELECT prob, CAST(count(*) AS INT) AS n_resamples,
+                         quantile_disc(q, 0.025) AS ci_lo,
+                         quantile_disc(q, 0.975) AS ci_hi
+                  FROM q GROUP BY prob),
+          ph AS (SELECT v, count(*) AS c FROM g GROUP BY v),
+          pc AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+                        (SELECT count(*) FROM g) AS n
+                 FROM ph),
+          pt AS (SELECT probs.prob, CAST(min(v) AS BIGINT) AS point_q
+                 FROM pc, probs
+                 WHERE pc.cum >= ceil(CAST(pc.n AS DOUBLE) * probs.prob)
+                 GROUP BY probs.prob)
+         SELECT agg.prob AS prob, agg.n_resamples, pt.point_q, agg.ci_lo, agg.ci_hi
+         FROM agg JOIN pt ON agg.prob = pt.prob
+         ORDER BY agg.prob""",
 
     "q_quantile_cont" ->
       """SELECT lang, CAST(0.25 AS DOUBLE) AS prob, round(quantile_cont(n_chars, 0.25), 6) AS q_value FROM documents GROUP BY lang

@@ -419,6 +419,42 @@ object GraphOps {
     * Output: (role 'hub'|'authority', id, score) — scores rounded to
     * 6 dp, each role summing to ~1.
     */
+  /** One HITS mutual-reinforcement round: a = norm(Eᵀ h), h' =
+    * norm(E a) — each half-step is one join + one keyed aggregation
+    * with the L1 normalizer riding as a 1-row broadcast; both outputs
+    * localCheckpoint to cut lineage across rounds.
+    */
+  private def hitsRound(e: DataFrame, h: DataFrame): (DataFrame, DataFrame) = {
+    val araw = e.join(h, Seq("src"))
+      .select(col("dst"), col("score").cast("decimal(27,18)").as("c"))
+      .groupBy(col("dst"))
+      .agg(sum(col("c")).cast("double").as("raw"))
+    val an = araw.agg(
+      sum(col("raw").cast("decimal(27,18)")).cast("double").as("nrm"))
+    val a = araw.crossJoin(broadcast(an))
+      .select(col("dst"), (col("raw") / col("nrm")).as("score"))
+      .localCheckpoint()
+    val hraw = e.join(a, Seq("dst"))
+      .select(col("src"), col("score").cast("decimal(27,18)").as("c"))
+      .groupBy(col("src"))
+      .agg(sum(col("c")).cast("double").as("raw"))
+    val hn = hraw.agg(
+      sum(col("raw").cast("decimal(27,18)")).cast("double").as("nrm"))
+    val hNew = hraw.crossJoin(broadcast(hn))
+      .select(col("src"), (col("raw") / col("nrm")).as("score"))
+      .localCheckpoint()
+    (a, hNew)
+  }
+
+  private def hitsAssemble(e: DataFrame, h: DataFrame, a: DataFrame): DataFrame = {
+    // h and a are already eagerly checkpointed by the last round, so
+    // the union below no longer references e — safe to release it
+    e.unpersist()
+    h.select(lit("hub").as("role"), col("src").as("id"), round(col("score"), 6).as("score"))
+      .unionByName(
+        a.select(lit("authority").as("role"), col("dst").as("id"), round(col("score"), 6).as("score")))
+  }
+
   def hits(edges: DataFrame, srcCol: String, dstCol: String, iters: Int = 2): DataFrame = {
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct().persist()
@@ -426,32 +462,69 @@ object GraphOps {
     var a: DataFrame = null
     var i = 0
     while (i < iters) {
-      val araw = e.join(h, Seq("src"))
-        .select(col("dst"), col("score").cast("decimal(27,18)").as("c"))
-        .groupBy(col("dst"))
-        .agg(sum(col("c")).cast("double").as("raw"))
-      val an = araw.agg(
-        sum(col("raw").cast("decimal(27,18)")).cast("double").as("nrm"))
-      a = araw.crossJoin(broadcast(an))
-        .select(col("dst"), (col("raw") / col("nrm")).as("score"))
-        .localCheckpoint()
-      val hraw = e.join(a, Seq("dst"))
-        .select(col("src"), col("score").cast("decimal(27,18)").as("c"))
-        .groupBy(col("src"))
-        .agg(sum(col("c")).cast("double").as("raw"))
-      val hn = hraw.agg(
-        sum(col("raw").cast("decimal(27,18)")).cast("double").as("nrm"))
-      h = hraw.crossJoin(broadcast(hn))
-        .select(col("src"), (col("raw") / col("nrm")).as("score"))
-        .localCheckpoint()
+      val (aN, hN) = hitsRound(e, h)
+      a = aN; h = hN
       i += 1
     }
-    // h and a are already eagerly checkpointed by the last round, so
-    // the union below no longer references e — safe to release it
-    e.unpersist()
-    h.select(lit("hub").as("role"), col("src").as("id"), round(col("score"), 6).as("score"))
-      .unionByName(
-        a.select(lit("authority").as("role"), col("dst").as("id"), round(col("score"), 6).as("score")))
+    hitsAssemble(e, h, a)
+  }
+
+  /** [[hits]] run to a FIXPOINT instead of a fixed round count (r14
+    * VERDICT #4): iterate until the L1 delta of the authority vector
+    * between successive rounds drops below `tol` — power iteration on
+    * EᵀE converges linearly, so real graphs land in single-digit
+    * rounds. The per-round driver action is ONE 1-row delta
+    * aggregation (the kCore count shape); both score vectors are
+    * node-sized checkpoints, never the edges. Exiting at `maxRounds`
+    * with the delta still above `tol` throws — the same refuse-loudly
+    * contract as [[kCore]]; a truncated power iteration is a
+    * different (and unlabeled) statistic, not an approximation the
+    * caller agreed to.
+    *
+    * The gated q_hits card keeps the fixed iters=2 contract (a
+    * deterministic cross-engine artifact); this mode exists for
+    * monitoring uses where "converged scores" is the requirement and
+    * the round count is the graph's business, documented by
+    * KCoreHitsSpec's convergence fixture.
+    */
+  def hitsConverged(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      tol: Double,
+      maxRounds: Int = 32): DataFrame = {
+    require(tol > 0.0, s"tol must be > 0 (got $tol)")
+    require(maxRounds >= 2, s"need at least 2 rounds to measure a delta (got $maxRounds)")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct().persist()
+    var h = e.select(col("src")).distinct().withColumn("score", lit(1.0))
+    var a: DataFrame = null
+    var rounds    = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val (aN, hN) = hitsRound(e, h)
+      if (a != null) {
+        // authorities cover every dst node each round (every dst has
+        // an in-edge by construction), so the delta join is 1:1; the
+        // full join + coalesce guards the degenerate empty-graph case
+        val delta = aN.as("n")
+          .join(a.as("p"), col("n.dst") === col("p.dst"), "full")
+          .select(abs(
+            coalesce(col("n.score"), lit(0.0)) - coalesce(col("p.score"), lit(0.0))).as("d"))
+          .agg(coalesce(sum(col("d")), lit(0.0)).as("s"))
+          .first().getDouble(0)
+        if (delta < tol) converged = true
+      }
+      a = aN; h = hN
+      rounds += 1
+    }
+    if (!converged) {
+      e.unpersist()
+      throw new IllegalStateException(
+        s"hitsConverged did not reach an L1 authority delta < $tol within " +
+          s"$maxRounds rounds; raise maxRounds or loosen tol rather than " +
+          "reading a truncated power iteration")
+    }
+    hitsAssemble(e, h, a)
   }
 
   /** Association-rule mining on item pairs: for pairs co-occurring in

@@ -869,6 +869,89 @@ object Stats {
           element_at(col("_ms"), rank(hiProb))).as("ci_hi"))
   }
 
+  /** Poisson-bootstrap CI for DISCRETE QUANTILES (p50/p90 — what
+    * length and latency experiments actually report; the mean CI
+    * alone misses shift-in-the-tail changes): per resample b, the
+    * quantile_disc of the WEIGHTED value histogram — state the
+    * histogram machinery already has. The corpus sees ONE aggregation
+    * to the (resample, value) weighted histogram (size B × distinct
+    * values, the integral-domain contract of every quantile card
+    * here); per-resample quantiles come from a window PARTITIONED BY
+    * RESAMPLE over that bounded histogram (never a corpus window),
+    * via the engine's quantile_disc rank rule — smallest v whose
+    * cumulative weight reaches ceil(p·n_b), n_b the resample's total
+    * weight. Weights are the same deterministic Poisson(1) hash field
+    * as [[poissonBootstrap]] (ONE definition, the cards cannot
+    * decorrelate); resamples with zero total weight drop. CI from
+    * order statistics of the B per-resample quantiles at
+    * ceil(p·survivors); the point estimate replays the same rank rule
+    * on the unweighted histogram through the range-partitioned
+    * [[prefixBefore]].
+    *
+    * Output: one row per prob — (prob, n_resamples, point_q, ci_lo,
+    * ci_hi), all quantile values in the input's integral domain.
+    */
+  def poissonBootstrapQuantile(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      probs: Seq[Double] = Seq(0.5, 0.9),
+      b: Int = 32,
+      loProb: Double = 0.025,
+      hiProb: Double = 0.975): DataFrame = {
+    require(b >= 2, s"need at least 2 resamples (got $b)")
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1), "probs must be in (0, 1)")
+    require(loProb < hiProb && loProb > 0 && hiProb < 1, "CI probs must satisfy 0 < lo < hi < 1")
+    requireIntegral(df, valueCol, "poissonBootstrapQuantile")
+    import org.apache.spark.sql.expressions.Window
+    val g = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(idCol).cast("string").as("_id"), col(valueCol).cast("long").as("_v"))
+    val grid = g.select(
+      explode(sequence(lit(0), lit(b - 1))).as("_b"), col("_id"), col("_v"))
+    val w = poissonWeight(col("_b"), col("_id"))
+    val hist = grid
+      .select(col("_b"), w.as("_w"), col("_v"))
+      .groupBy(col("_b"), col("_v"))
+      .agg(sum(col("_w")).as("_c"))
+    val wCum = Window.partitionBy(col("_b")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy(col("_b"))
+    val cum = hist
+      .withColumn("_cum", sum(col("_c")).over(wCum))
+      .withColumn("_n", sum(col("_c")).over(wTot))
+      .filter(col("_n") > 0)
+    val perRep = cum
+      .select(col("_b"), col("_v"), col("_cum"), col("_n"), explode(typedLit(probs)).as("prob"))
+      .filter(col("_cum") >= ceil(col("_n") * col("prob")))
+      .groupBy(col("_b"), col("prob"))
+      .agg(min(col("_v")).as("_q"))
+    val ci = perRep.groupBy(col("prob")).agg(
+      count(lit(1)).cast("int").as("n_resamples"),
+      sort_array(collect_list(col("_q"))).as("_qs"))
+    def rank(p: Double): Column = ceil(lit(p) * col("n_resamples")).cast("int")
+    // point estimate: unweighted histogram, same rank rule, prefix
+    // sums through the range-partitioned two-phase sweep
+    val pHist  = g.groupBy(col("_v")).agg(count(lit(1)).as("_cnt"))
+    val ranked = prefixBefore(pHist, "_v", "_cnt", "_before")
+    val tot    = g.agg(count(lit(1)).as("_n"))
+    val point = ranked
+      .crossJoin(broadcast(tot))
+      .select(
+        col("_v"), (col("_before") + col("_cnt")).as("_cum"), col("_n"),
+        explode(typedLit(probs)).as("prob"))
+      .filter(col("_cum") >= ceil(col("_n") * col("prob")))
+      .groupBy(col("prob"))
+      .agg(min(col("_v")).as("point_q"))
+    ci.join(point, Seq("prob"))
+      .select(
+        col("prob"),
+        col("n_resamples"),
+        col("point_q"),
+        when(col("n_resamples") > 0, element_at(col("_qs"), rank(loProb))).as("ci_lo"),
+        when(col("n_resamples") > 0, element_at(col("_qs"), rank(hiProb))).as("ci_hi"))
+  }
+
   /** Effect sizes for the A-vs-B comparison — the magnitude companion
     * to the significance tests (a 10^8-row corpus makes ANY
     * difference "significant"; these say whether it matters):

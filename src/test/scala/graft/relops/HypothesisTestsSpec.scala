@@ -236,6 +236,39 @@ class HypothesisTestsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Stats.poissonBootstrap(d, "id", "v"))
   }
 
+  test("poissonBootstrapQuantile: quantile_disc point, straddling CI, replay-deterministic") {
+    // values 1..1000 once each: point p50 = 500 (smallest v with
+    // cum >= ceil(0.5*1000)), p90 = 900; the bootstrap CI must
+    // straddle its point and stay in the right neighborhood
+    val d = spark.range(1, 1001).selectExpr("id", "id AS v")
+    def run() = Stats.poissonBootstrapQuantile(d, "id", "v", probs = Seq(0.5, 0.9), b = 32)
+      .orderBy("prob").collect()
+      .map(r => (r.getDouble(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val rows = run()
+    assert(rows.toSeq == run().toSeq, "hash-derived weights replay identically")
+    val Seq((p5, n5, pt5, lo5, hi5), (p9, n9, pt9, lo9, hi9)) = rows.toSeq
+    assert(p5 == 0.5 && p9 == 0.9 && n5 == 32 && n9 == 32)
+    assert(pt5 == 500L && pt9 == 900L, s"points $pt5/$pt9")
+    assert(lo5 <= pt5 && pt5 <= hi5 && lo5 > 400 && hi5 < 600, s"p50 CI [$lo5,$hi5]")
+    assert(lo9 <= pt9 && pt9 <= hi9 && lo9 > 850 && hi9 < 950, s"p90 CI [$lo9,$hi9]")
+  }
+
+  test("poissonBootstrapQuantile: a constructed +100 location shift moves point AND CI") {
+    val base = spark.range(1, 1001).selectExpr("id", "id AS v")
+    val shift = spark.range(1, 1001).selectExpr("id", "id + 100 AS v")
+    val b0 = Stats.poissonBootstrapQuantile(base, "id", "v", probs = Seq(0.5), b = 32).collect()(0)
+    val b1 = Stats.poissonBootstrapQuantile(shift, "id", "v", probs = Seq(0.5), b = 32).collect()(0)
+    assert(b1.getLong(2) - b0.getLong(2) == 100L, "point shifts exactly")
+    assert(b1.getLong(3) - b0.getLong(3) == 100L && b1.getLong(4) - b0.getLong(4) == 100L,
+      "the weight field depends only on (rep, id), so the CI endpoints shift exactly too")
+  }
+
+  test("poissonBootstrapQuantile: degenerate all-equal corpus collapses the CI to the point") {
+    val d = spark.range(0, 500).selectExpr("id", "42 AS v")
+    val r = Stats.poissonBootstrapQuantile(d, "id", "v", probs = Seq(0.5), b = 16).collect()(0)
+    assert(r.getLong(2) == 42L && r.getLong(3) == 42L && r.getLong(4) == 42L)
+  }
+
   test("poissonBootstrap: CI ranks follow quantile_disc over SURVIVING resamples") {
     // 2-row corpus at b=100: ~e^-2 of resamples draw zero total
     // weight and drop, so n_resamples < 100 and the ceil(p·n) rank

@@ -87,4 +87,26 @@ class KCoreHitsSpec extends SparkSpec {
     val byRole = got.groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(2)).sum)
     assert(math.abs(byRole("hub") - 1.0) < 1e-5 && math.abs(byRole("authority") - 1.0) < 1e-5)
   }
+
+  test("hitsConverged: fixpoint within single-digit rounds, equal to a long fixed run") {
+    // the 2-hub fixture's power iteration converges linearly; at
+    // tol=1e-9 the converged scores must agree (to the 6dp output
+    // grain) with a deliberately long fixed-iteration run
+    val e = Seq((10L, 100L), (10L, 200L), (20L, 100L)).toDF("c", "p")
+    val conv = GraphOps.hitsConverged(e, "c", "p", tol = 1e-9, maxRounds = 32)
+      .orderBy("role", "id").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val long = GraphOps.hits(e, "c", "p", iters = 24)
+      .orderBy("role", "id").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(conv.toSeq == long.toSeq, s"converged $conv vs long fixed $long")
+  }
+
+  test("hitsConverged: refuses a truncated power iteration loudly") {
+    // maxRounds=2 measures exactly one delta; on a fixture whose
+    // round-1 -> round-2 movement is far above tol=1e-15 the exit
+    // must throw, never hand back mid-iteration scores
+    val e = Seq((10L, 100L), (10L, 200L), (20L, 100L)).toDF("c", "p")
+    val ex = intercept[IllegalStateException](
+      GraphOps.hitsConverged(e, "c", "p", tol = 1e-15, maxRounds = 2).count())
+    assert(ex.getMessage.contains("delta"), ex.getMessage)
+  }
 }
