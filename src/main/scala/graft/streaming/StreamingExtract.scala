@@ -831,6 +831,80 @@ object StreamingExtract {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
+  /** Streaming twin of the batch decile-lift card (Score.decileLift),
+    * completing the classifier-eval streaming suite (AUC r14,
+    * calibration r13): decile lift depends only on the
+    * per-distinct-score label histogram, which is EXACTLY the state
+    * [[aucStream]] maintains — one state, two monitor reads. This
+    * named surface forwards to [[aucStream]]; [[liftOfSnapshot]] is
+    * the lift-side fold over the same max-epoch snapshot rows.
+    */
+  def liftStream(rows: DataFrame, scoreCol: String, labelCol: String): Dataset[AucPoint] =
+    aucStream(rows, scoreCol, labelCol)
+
+  /** Consumer-side assembly for [[liftStream]]/[[aucStream]]
+    * snapshots into the batch decile-lift table: walk the distinct
+    * scores in DESCENDING order (decile 1 = top scores, the batch
+    * card's orientation), assign rows to front-loaded NTILE tiles
+    * (q+1-sized first r tiles — the batch card's integral identity),
+    * and apportion a tied score-run's positives PRO-RATA when it
+    * straddles a tile boundary. On tie-free data (or ties that don't
+    * straddle a boundary) this is EXACTLY the batch card, which
+    * breaks intra-score ties by id — information a score-keyed
+    * histogram cannot hold; pro-rata is its expectation over tie
+    * orders, so n_pos is a Double here. Rounding is 6-dp HALF_UP, the
+    * batch card's own rule. PRECONDITION (same as [[aucStream]] /
+    * [[calibrationStream]]): scores already on the 6-dp grain — the
+    * batch card tiles RAW doubles while the state key is integer
+    * micros, so finer-grained scores coarsen here.
+    *
+    * Output rows: (decile, n, n_pos, rate, lift, cum_gain); empty
+    * tiles (n < nTiles rows seen) emit nothing, like the batch card;
+    * an all-negative or empty snapshot reads as no rows (the batch
+    * card's lift is undefined there).
+    */
+  def liftOfSnapshot(
+      points: Seq[(Long, Long, Long)],
+      nTiles: Int): Seq[(Int, Long, Double, Double, Double, Double)] = {
+    require(nTiles >= 1, s"nTiles must be >= 1 (got $nTiles)")
+    val sorted = points.sortBy(p => -p._1)
+    val n      = sorted.map(p => p._2 + p._3).sum
+    val totPos = sorted.map(_._2).sum
+    if (n == 0L || totPos == 0L) return Nil
+    val q = n / nTiles
+    val r = (n % nTiles).toInt
+    def tileSize(t: Int): Long = if (t <= r) q + 1 else q
+    val nInTile   = new Array[Double](nTiles)
+    val posInTile = new Array[Double](nTiles)
+    var t         = 1
+    var remaining = tileSize(1)
+    sorted.foreach { case (_, p, ng) =>
+      var cnt = p + ng
+      val posFrac = p.toDouble / (p + ng)
+      while (cnt > 0) {
+        while (remaining == 0 && t < nTiles) { t += 1; remaining = tileSize(t) }
+        val take = math.min(cnt, remaining)
+        nInTile(t - 1) += take.toDouble
+        posInTile(t - 1) += take.toDouble * posFrac
+        cnt -= take
+        remaining -= take
+      }
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val baseRate = totPos.toDouble / n
+    var cumPos   = 0.0
+    (1 to nTiles).flatMap { i =>
+      val nn = nInTile(i - 1)
+      if (nn == 0.0) None
+      else {
+        val pp = posInTile(i - 1)
+        cumPos += pp
+        Some((i, nn.toLong, r6(pp), r6(pp / nn), r6((pp / nn) / baseRate), r6(cumPos / totPos)))
+      }
+    }
+  }
+
   /** State for [[valueHistogramStream]]: running count of ONE
     * (group, value) histogram cell, plus the snapshot epoch.
     */

@@ -626,6 +626,51 @@ class StreamingExtractSpec extends SparkSpec {
     }
   }
 
+  test("liftStream: tie-free latest-epoch snapshot equals the batch decileLift card") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in  = MemoryStream[(Double, Boolean)]
+    val res = StreamingExtract.liftStream(in.toDF().toDF("score", "label"), "score", "label")
+    val q = res.writeStream.outputMode("append").format("memory").queryName("lift_out").start()
+    // 12 UNIQUE 6dp scores over 2 triggers; positives concentrated up
+    // top so the lift curve is non-trivial; tie-free means the
+    // histogram fold must equal the batch NTILE exactly
+    val t1 = Seq((0.96, true), (0.87, true), (0.78, false), (0.69, true),
+                 (0.55, false), (0.41, false))
+    val t2 = Seq((0.92, true), (0.33, false), (0.28, true), (0.21, false),
+                 (0.14, false), (0.07, false))
+    in.addData(t1: _*); q.processAllAvailable()
+    in.addData(t2: _*); q.processAllAvailable()
+    q.stop()
+    val all = spark.table("lift_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val snap = all.groupBy(_._1).map { case (_, rs) => rs.maxBy(_._4) }
+      .map(r => (r._1, r._2, r._3)).toSeq
+    val got = StreamingExtract.liftOfSnapshot(snap, nTiles = 4)
+    val batch = graft.score.Score
+      .decileLift((t1 ++ t2).zipWithIndex.map { case ((s, l), i) => (s, i.toLong, l) }
+        .toDF("score", "id", "label"), "score", "id", "label", nTiles = 4)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2).toDouble,
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == batch, s"stream $got vs batch $batch")
+  }
+
+  test("liftOfSnapshot: boundary-straddling tie apportions positives pro-rata") {
+    // 4 rows, 2 tiles; the tied score 0.5 holds rows 2-4 (1 pos, 2
+    // neg) straddling the boundary: tile 1 = [0.9(pos), 1/3 of the
+    // tie], tile 2 = [2/3 of the tie]; totals must be conserved
+    val snap = Seq((900000L, 1L, 0L), (500000L, 1L, 2L))
+    val got = StreamingExtract.liftOfSnapshot(snap, nTiles = 2)
+    assert(got.map(_._2).sum == 4L, "row total conserved")
+    assert(math.abs(got.map(_._3).sum - 2.0) < 1e-9, "positive mass conserved")
+    val t1 = got.find(_._1 == 1).get
+    assert(t1._2 == 2L && math.abs(t1._3 - (1.0 + 1.0 / 3)) < 1e-6)
+    // all-negative snapshot: lift undefined -> no rows
+    assert(StreamingExtract.liftOfSnapshot(Seq((100L, 0L, 5L)), 2).isEmpty)
+  }
+
   test("aucOfSnapshot: degenerate one-class snapshots read 0.0, order of rows is irrelevant") {
     assert(StreamingExtract.aucOfSnapshot(Seq((100L, 3L, 0L))) == 0.0)
     assert(StreamingExtract.aucOfSnapshot(Nil) == 0.0)
