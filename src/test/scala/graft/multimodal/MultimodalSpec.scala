@@ -217,6 +217,104 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.MediaCodec.wavHeader(overlong).contains((1, 1, 8000, 8, 800L, 100L)))
   }
 
+  /** Minimal ISO-BMFF (MP4) file built byte-for-byte: ftyp(brand) +
+    * optional leading mdat + moov [mvhd v0/v1 + n empty trak boxes],
+    * optionally with a largesize moov header or a trailing
+    * size-0 (to-EOF) mdat — the structures the box walk must handle.
+    */
+  private def mp4Bytes(
+      brand: String, version: Int, timescale: Int, duration: Long, nTracks: Int,
+      leadingMdat: Boolean = false, trailingMdatToEof: Boolean = false,
+      largesizeMoov: Boolean = false): Array[Byte] = {
+    def box(tp: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length) // BIG_ENDIAN default
+      bb.putInt(8 + payload.length); bb.put(tp.getBytes("US-ASCII")); bb.put(payload)
+      bb.array()
+    }
+    val ftyp = box("ftyp", (brand + "    isom").getBytes("US-ASCII"))
+    val mvhdPayload = {
+      // spec-length bodies: v0 = 100 payload bytes, v1 = 112
+      val bb = java.nio.ByteBuffer.allocate(if (version == 0) 100 else 112)
+      bb.put(version.toByte); bb.put(0.toByte); bb.put(0.toByte); bb.put(0.toByte)
+      if (version == 0) {
+        bb.putInt(0); bb.putInt(0)            // creation, modification
+        bb.putInt(timescale); bb.putInt(duration.toInt)
+      } else {
+        bb.putLong(0L); bb.putLong(0L)
+        bb.putInt(timescale); bb.putLong(duration)
+      }
+      bb.array()                               // rate/matrix/etc. stay zero
+    }
+    val moovPayload = box("mvhd", mvhdPayload) ++
+      Array.fill(nTracks)(box("trak", Array.emptyByteArray)).flatten
+    val moov =
+      if (!largesizeMoov) box("moov", moovPayload)
+      else {
+        val bb = java.nio.ByteBuffer.allocate(16 + moovPayload.length)
+        bb.putInt(1); bb.put("moov".getBytes("US-ASCII"))
+        bb.putLong(16L + moovPayload.length); bb.put(moovPayload)
+        bb.array()
+      }
+    val lead  = if (leadingMdat) box("mdat", Array.fill[Byte](24)(9)) else Array.emptyByteArray
+    val trail =
+      if (!trailingMdatToEof) Array.emptyByteArray
+      else java.nio.ByteBuffer.allocate(8).putInt(0).array().patch(4, "mdat".getBytes("US-ASCII"), 4) ++
+        Array.fill[Byte](16)(3)
+    ftyp ++ lead ++ moov ++ trail
+  }
+
+  test("mp4Header parses v0 and v1 movie headers, walks mdat, handles size escapes") {
+    // v0: timescale 600, duration 1200 -> 2000 ms, 2 tracks
+    val v0 = Multimodal.MediaCodec.mp4Header(mp4Bytes("isom", 0, 600, 1200L, 2))
+    assert(v0.contains(("isom", 600, 1200L, 2000L, 2)))
+    // v1 (64-bit duration), moov AFTER an mdat box the walk must skip
+    val v1 = Multimodal.MediaCodec.mp4Header(
+      mp4Bytes("mp42", 1, 90000, 270000L, 1, leadingMdat = true))
+    assert(v1.contains(("mp42", 90000, 270000L, 3000L, 1)))
+    // largesize (64-bit) moov header + trailing size-0 (to-EOF) mdat
+    val esc = Multimodal.MediaCodec.mp4Header(
+      mp4Bytes("isom", 0, 1000, 500L, 3, trailingMdatToEof = true, largesizeMoov = true))
+    assert(esc.contains(("isom", 1000, 500L, 500L, 3)))
+  }
+
+  test("mp4Header rejects garbage, truncation, and corrupt structures") {
+    val codec = Multimodal.MediaCodec
+    assert(codec.mp4Header(null).isEmpty)
+    assert(codec.mp4Header("this is not a video container at all, text".getBytes).isEmpty)
+    val good = mp4Bytes("isom", 0, 600, 1200L, 2)
+    assert(codec.mp4Header(good.take(good.length - 10)).isEmpty, "moov truncated mid-box")
+    // a moov-less file (header stream cut after ftyp) has no movie header
+    assert(codec.mp4Header(mp4Bytes("isom", 0, 600, 1200L, 0).take(24)).isEmpty)
+    // unknown mvhd version byte
+    val badVer = good.clone()
+    val mvhdBody = good.indexOfSlice("mvhd".getBytes) + 4
+    badVer(mvhdBody) = 7.toByte
+    assert(codec.mp4Header(badVer).isEmpty)
+    // zero timescale
+    assert(codec.mp4Header(mp4Bytes("isom", 0, 0, 1200L, 1)).isEmpty)
+    // box size smaller than its own header = structural corruption
+    val badSz = good.clone()
+    val bb = java.nio.ByteBuffer.wrap(badSz)
+    bb.putInt(good.indexOfSlice("moov".getBytes) - 4, 3)
+    assert(codec.mp4Header(badSz).isEmpty)
+  }
+
+  test("decodeVideoMeta: batch stage parses real MP4 bytes, non-video yields NULLs") {
+    val rows = Seq(
+      Row(1L, "video", mp4Bytes("isom", 0, 600, 1200L, 2)),
+      Row(2L, "video", "plain text payload".getBytes),
+      Row(3L, "video", null))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("kind", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("bytes", org.apache.spark.sql.types.BinaryType)))
+    val df  = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val got = Multimodal.decodeVideoMeta(df).orderBy("media_id").collect()
+    assert(got(0).getString(3) == "isom" && got(0).getInt(4) == 600 &&
+      got(0).getLong(6) == 2000L && got(0).getInt(7) == 2, "real MP4 parsed")
+    assert(got(1).isNullAt(3) && got(2).isNullAt(3), "non-video -> NULLs")
+  }
+
   test("decodeAudioMeta: batch stage parses real WAV bytes, non-audio yields NULLs") {
     val rows = Seq(
       Row(1L, "audio", wavBytes(2, 8000, 16, 32000)),
