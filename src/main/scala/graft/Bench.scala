@@ -157,27 +157,32 @@ object Bench {
     // derive is a SINGLE timed materialization (the cache fill);
     // card stages use the standard medianOf3 protocol on the cache.
     val graphStages: Option[(Double, Double, Double, Double, Double)] =
-      if (only.forall(_.contains("graph_e2e"))) try {
-        def stage(df: => org.apache.spark.sql.DataFrame): Double =
-          medianOf3(() => { evalAll(df); () })
-        val edges = graft.relops.GraphOps.coOccurrenceEdges(
-          graft.lake.Tables.lineitem(spark, sfDir), "l_orderkey", "l_partkey", maxBasket = 50)
-          .persist()
-        val t0      = System.nanoTime()
-        edges.count()
-        val tDerive = (System.nanoTime() - t0) / 1e9
-        val tExact   = stage(graft.relops.GraphOps.triangleStats(edges))
-        val tSampled = stage(graft.relops.GraphOps.triangleStatsSampled(edges, p = 0.1, seed = 7L))
-        val tKcore   = stage(graft.relops.GraphOps.kCore(edges, k = 80))
-        val tProfile = stage(graft.relops.GraphOps.degreeProfile(edges))
-        edges.unpersist()
+      if (only.forall(_.contains("graph_e2e"))) {
+        val out =
+          try {
+            def stage(df: => org.apache.spark.sql.DataFrame): Double =
+              medianOf3(() => { evalAll(df); () })
+            val edges = graft.relops.GraphOps.coOccurrenceEdges(
+              graft.lake.Tables.lineitem(spark, sfDir), "l_orderkey", "l_partkey", maxBasket = 50)
+              .persist()
+            val t0      = System.nanoTime()
+            edges.count()
+            val tDerive = (System.nanoTime() - t0) / 1e9
+            val tExact   = stage(graft.relops.GraphOps.triangleStats(edges))
+            val tSampled = stage(graft.relops.GraphOps.triangleStatsSampled(edges, p = 0.1, seed = 7L))
+            val tKcore   = stage(graft.relops.GraphOps.kCore(edges, k = 80))
+            val tProfile = stage(graft.relops.GraphOps.degreeProfile(edges))
+            Some((tDerive, tExact, tSampled, tKcore, tProfile))
+          } catch {
+            case e: Throwable => System.err.println(s"[bench] graph_e2e: ${e.getMessage}"); None
+          }
+        // unconditionally, ALSO on the failure path: a mid-stage throw
+        // must not leak the edge cache into the next entry's timing
+        // (the q_dedup_clusters 4.2s->13.4s lesson)
         spark.catalog.clearCache()
         System.gc()
-        Some((tDerive, tExact, tSampled, tKcore, tProfile))
-      } catch {
-        case e: Throwable => System.err.println(s"[bench] graph_e2e: ${e.getMessage}"); None
-      }
-      else None
+        out
+      } else None
     val graphE2e: Option[(String, Double)] =
       graphStages.map { case (d, ex, sa, kc, pr) => "graph_e2e" -> (d + ex + sa + kc + pr) }
     val all = results ++ graphE2e ++
@@ -222,8 +227,11 @@ object Bench {
     // uses the start probe (the end probe hasn't run yet); the final
     // calibration line re-emits it against the mean probe.
     val calibRef = 0.973
+    // a failed probe (calib 0) must read JSON null, not silently pass
+    // the RAW total off as drift-normalized (bench_diff's regex skips
+    // null and degrades to its calibration-missing path)
     def adjTotal(calib: Double): String =
-      if (calib > 0) num(total * calibRef / calib) else num(total)
+      if (calib > 0) num(total * calibRef / calib) else "null"
     val compact = s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","queries_n":${all.size},"calib":${num(calibStart)},"total_calib_adjusted":${adjTotal(calibStart)},"calib_ref":$calibRef}"""
     emit(compact)
     graphStages.foreach { case (d, ex, sa, kc, pr) =>

@@ -270,7 +270,10 @@ object Multimodal {
       while (p + 8 <= bytes.length && moov < 0) {
         val o  = p.toInt
         val sz = boxSize(o)
-        if (sz < headerLen(o) || p + sz > bytes.length) return None
+        // compare by SUBTRACTION: a hostile largesize near
+        // Long.MaxValue would wrap `p + sz` negative and slip past an
+        // addition-form bound check into a garbage offset
+        if (sz < headerLen(o) || sz > bytes.length.toLong - p) return None
         if (boxType(o) == "moov") { moov = p + headerLen(o); end = p + sz }
         else p += sz
       }
@@ -282,7 +285,7 @@ object Multimodal {
       while (q + 8 <= end) {
         val o  = q.toInt
         val sz = boxSize(o)
-        if (sz < headerLen(o) || q + sz > end) return None
+        if (sz < headerLen(o) || sz > end - q) return None // subtraction: see top-level walk
         boxType(o) match {
           case "trak" => tracks += 1
           case "mvhd" =>
@@ -302,7 +305,9 @@ object Multimodal {
         q += sz
       }
       mvhd match {
-        case Some((ts, dur)) if ts > 0 && dur >= 0 =>
+        // dur bound: dur*1000 must not wrap Long — a hostile 64-bit
+        // duration past ~9.2e15 ticks is corruption, not a movie
+        case Some((ts, dur)) if ts > 0 && dur >= 0 && dur <= Long.MaxValue / 1000L =>
           Some((brand, ts, dur, dur * 1000L / ts, tracks))
         case _ => None
       }

@@ -62,6 +62,13 @@ object GraphOps {
       itemCol: String,
       maxBasket: Int): DataFrame = {
     val arrays = df
+      // complete-case: NULL never co-occurs. The join-based emitter
+      // dropped NULL baskets/items implicitly through its equality
+      // condition; groupBy would instead collect every NULL-key row
+      // into ONE pseudo-basket and emit bogus cross-row pairs on
+      // dirty inputs (r15 review finding), so the contract is
+      // explicit here
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("basket"), col(itemCol).as("item"))
       .groupBy(col("basket"))
       .agg(sort_array(collect_set(col("item"))).as("items"))
@@ -244,6 +251,25 @@ object GraphOps {
     * Same output row as [[triangleStatsSampled]]; same DOULION
     * estimator contract (unbiased, relative error O(1/√(p³·T))).
     */
+  /** The sampled tier's edge relation, un-checkpointed — exposed at
+    * package scope so plan-shape specs assert the PRODUCTION pair
+    * plan (keep filter below the dedup exchange) rather than a copy
+    * that could silently drift (r15 review finding).
+    */
+  private[relops] def sampledCoOccurrenceEdges(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      p: Double,
+      seed: Long,
+      maxBasket: Int): DataFrame = {
+    require(p > 0.0 && p <= 1.0, s"keep probability must be in (0, 1] (got $p)")
+    val thresh = math.floor(p * SampleModulus).toLong
+    basketPairs(basketArrays(df, basketCol, itemCol, maxBasket))
+      .filter(edgeKeep(col("pa"), col("pb"), thresh, seed))
+      .distinct()
+  }
+
   def triangleStatsSampledFromBaskets(
       df: DataFrame,
       basketCol: String,
@@ -252,12 +278,8 @@ object GraphOps {
       seed: Long = 0L,
       maxBasket: Int = Int.MaxValue): DataFrame = {
     require(p > 0.0 && p <= 1.0, s"keep probability must be in (0, 1] (got $p)")
-    val thresh = math.floor(p * SampleModulus).toLong
-    val pEff   = thresh.toDouble / SampleModulus
-    val sampled = basketPairs(basketArrays(df, basketCol, itemCol, maxBasket))
-      .filter(edgeKeep(col("pa"), col("pb"), thresh, seed))
-      .distinct()
-    sampledCensus(sampled, pEff)
+    val pEff = math.floor(p * SampleModulus) / SampleModulus
+    sampledCensus(sampledCoOccurrenceEdges(df, basketCol, itemCol, p, seed, maxBasket), pEff)
   }
 
   /** k-core of an undirected edge relation (columns pa < pb):

@@ -297,6 +297,16 @@ class MultimodalSpec extends SparkSpec {
     val bb = java.nio.ByteBuffer.wrap(badSz)
     bb.putInt(good.indexOfSlice("moov".getBytes) - 4, 3)
     assert(codec.mp4Header(badSz).isEmpty)
+    // hostile 64-bit largesize near Long.MaxValue: an addition-form
+    // bound check would wrap negative and walk a garbage offset
+    // (r15 review finding) — must return None, not throw or spin
+    val ftyp = good.take(20)
+    val wrapBox = java.nio.ByteBuffer.allocate(16)
+    wrapBox.putInt(1); wrapBox.put("mdat".getBytes("US-ASCII")); wrapBox.putLong(Long.MaxValue - 5)
+    assert(codec.mp4Header(ftyp ++ wrapBox.array()).isEmpty)
+    // v1 duration past Long.MaxValue/1000: duration_ms would wrap
+    assert(codec.mp4Header(
+      mp4Bytes("isom", 1, 90000, Long.MaxValue / 1000L + 7L, 1)).isEmpty)
   }
 
   test("decodeVideoMeta: batch stage parses real MP4 bytes, non-video yields NULLs") {

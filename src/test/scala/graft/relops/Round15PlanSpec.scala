@@ -34,21 +34,13 @@ class Round15PlanSpec extends SparkSpec {
   }
 
   test("sampled tier: the keep filter sits BELOW the pair-dedup exchange") {
-    // triangleStatsSampledFromBaskets' pair plan, un-checkpointed:
-    // rebuild its sampled-edge relation shape and assert the Filter
-    // carrying the keep hash appears under the dedup Exchange (so the
-    // shuffle volume shrinks by p — the r15 economics fix)
-    val arrays = baskets.groupBy(col("basket"))
-      .agg(sort_array(collect_set(col("item"))).as("items"))
-    val pairs = arrays
-      .select(explode(flatten(transform(
-        col("items"),
-        (x, i) => transform(
-          slice(col("items"), i + lit(2), size(col("items"))),
-          y => struct(x.as("pa"), y.as("pb")))))).as("_p"))
-      .select(col("_p.pa").as("pa"), col("_p.pb").as("pb"))
-      .filter((col("pa") * lit(1103515245L) + col("pb") * lit(12345L)) % lit(999983L) < lit(99998L))
-      .distinct()
+    // the PRODUCTION sampled-edge relation (un-checkpointed): the
+    // Filter carrying the keep hash must appear under the dedup
+    // Exchange, so the shuffle volume shrinks by p — the r15
+    // economics fix, asserted on the real code path rather than a
+    // copy that could drift (r15 review finding)
+    val pairs = GraphOps.sampledCoOccurrenceEdges(
+      baskets, "basket", "item", p = 0.1, seed = 7L, maxBasket = Int.MaxValue)
     val lines = plan(pairs).linesIterator.toSeq
     val filterIdx   = lines.indexWhere(l => l.contains("Filter") && l.contains("999983"))
     val exchangeIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
@@ -59,6 +51,19 @@ class Round15PlanSpec extends SparkSpec {
     assert(filterIdx > exchangeIdx,
       s"keep filter (line $filterIdx) must sit below the dedup exchange (line $exchangeIdx):\n" +
         lines.mkString("\n"))
+  }
+
+  test("NULL baskets/items never co-occur (complete-case, like the old join emitter)") {
+    // groupBy would collect all NULL-key rows into one pseudo-basket;
+    // the explicit filter keeps the join emitter's NULL semantics
+    val dirty = Seq(
+      (Some(1L), Some(10L)), (Some(1L), Some(20L)),
+      (None: Option[Long], Some(77L)), (None, Some(88L)), // NULL basket pair-bait
+      (Some(2L), None), (Some(2L), Some(10L)))            // NULL item in a real basket
+      .toDF("basket", "item")
+    val got = GraphOps.coOccurrenceEdges(dirty, "basket", "item")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((10L, 20L)), s"NULL keys emitted pairs: ${got.toSeq}")
   }
 
   test("basketLift rides the same emitter: no self-join in the pair-count plan") {
