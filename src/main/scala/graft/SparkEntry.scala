@@ -3073,6 +3073,16 @@ object SparkEntry {
         graft.relops.GraphOps.coOccurrenceEdges(
           Tables.lineitem(s, dir), "l_orderkey", "l_partkey", maxBasket = 50))),
 
+    // the COMPOSED graph card (r15): census + profile + k-core
+    // summaries off ONE persisted edge relation, as a long-format
+    // (metric, value) table — the correctness-gated twin of the
+    // bench's graph_e2e composition (the production sharing shape,
+    // not three independent derivations); oracle recomputes every
+    // metric from its own materialized edges CTE
+    "q_graph_card" -> ((s, dir) =>
+      graft.relops.GraphOps.graphCard(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", k = 80, maxBasket = 50)),
+
     // HITS hubs/authorities on the bipartite customer→part purchase
     // graph (2 mutual-reinforcement rounds, L1-normalized, per-node
     // sums in exact decimals, normalizers as 1-row broadcasts)
@@ -3252,6 +3262,74 @@ object SparkEntry {
          SELECT v, CAST(count(*) AS BIGINT) AS core_deg
          FROM (SELECT pa AS v FROM e$rounds UNION ALL SELECT pb FROM e$rounds)
          GROUP BY v HAVING count(*) >= $k ORDER BY v"""
+  }
+
+  /** DuckDB oracle for q_graph_card: the composed (metric, value)
+    * table — census + profile moments + the kcore peel unrolled to
+    * `rounds` MATERIALIZED rounds (the q_kcore oracle's soundness
+    * argument: peeling is monotone and idempotent at fixpoint, so
+    * extra rounds are no-ops). Every metric recomputed from the ONE
+    * materialized edges CTE; signed statistics carry the "+ 0"
+    * canonicalization.
+    */
+  private def graphCardOracleSql(k: Int, rounds: Int): String = {
+    val base =
+      """WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+                 FROM items a JOIN items b
+                   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
+    val peels = (1 to rounds).map { i =>
+      s""",
+          k$i AS MATERIALIZED (SELECT v FROM (SELECT pa AS v FROM e${i - 1} UNION ALL SELECT pb FROM e${i - 1})
+                  GROUP BY v HAVING count(*) >= $k),
+          e$i AS MATERIALIZED (SELECT pa, pb FROM e${i - 1}
+                  WHERE pa IN (SELECT v FROM k$i) AND pb IN (SELECT v FROM k$i))"""
+    }.mkString
+    base + peels +
+      s""",
+          core AS (SELECT v, count(*) AS core_deg
+                   FROM (SELECT pa AS v FROM e$rounds UNION ALL SELECT pb FROM e$rounds)
+                   GROUP BY v HAVING count(*) >= $k),
+          deg AS (SELECT v, count(*) AS d
+                  FROM (SELECT pa AS v FROM e0 UNION ALL SELECT pb FROM e0) GROUP BY v),
+          tri AS (SELECT count(*) AS t FROM e0 t1
+                  JOIN e0 t2 ON t1.pb = t2.pa
+                  JOIN e0 t3 ON t3.pa = t1.pa AND t3.pb = t2.pb),
+          wed AS (SELECT sum(d * (d - 1) / 2) AS w FROM deg),
+          nn AS (SELECT count(*) AS n_nodes, max(d) AS max_degree FROM deg),
+          ne AS (SELECT count(*) AS n_edges FROM e0),
+          dd AS (SELECT CAST(du.d AS HUGEINT) AS x, CAST(dv.d AS HUGEINT) AS y
+                 FROM (SELECT pa, pb FROM e0 UNION ALL SELECT pb, pa FROM e0) s(u, v)
+                 JOIN deg du ON s.u = du.v JOIN deg dv ON s.v = dv.v),
+          mom AS (SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+                         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+                  FROM dd),
+          ast AS (SELECT CASE WHEN CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                              AND CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                         THEN round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                                    / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                           * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0
+                         ELSE NULL END AS a
+                 FROM mom),
+          cm AS (SELECT count(*) AS n, min(core_deg) AS md FROM core)
+         SELECT metric, value FROM (
+           SELECT 'n_nodes' AS metric, CAST(n_nodes AS DOUBLE) AS value FROM nn
+           UNION ALL SELECT 'n_edges', CAST(n_edges AS DOUBLE) FROM ne
+           UNION ALL SELECT 'n_triangles', CAST(t AS DOUBLE) FROM tri
+           UNION ALL SELECT 'n_wedges', CAST(w AS DOUBLE) FROM wed
+           UNION ALL SELECT 'global_clustering',
+             (SELECT CASE WHEN wed.w > 0 THEN round(3.0 * tri.t / wed.w, 6) ELSE 0.0 END FROM tri, wed)
+           UNION ALL SELECT 'avg_degree',
+             (SELECT CASE WHEN nn.n_nodes > 0 THEN round(2.0 * ne.n_edges / nn.n_nodes, 6) ELSE NULL END FROM nn, ne)
+           UNION ALL SELECT 'max_degree', CAST(max_degree AS DOUBLE) FROM nn
+           UNION ALL SELECT 'density',
+             (SELECT CASE WHEN nn.n_nodes > 1
+                          THEN round(2.0 * ne.n_edges / (CAST(nn.n_nodes AS DOUBLE) * (nn.n_nodes - 1)), 6)
+                          ELSE NULL END FROM nn, ne)
+           UNION ALL SELECT 'assortativity', a FROM ast
+           UNION ALL SELECT 'kcore_nodes', CAST(n AS DOUBLE) FROM cm
+           UNION ALL SELECT 'kcore_min_deg', CAST(md AS DOUBLE) FROM cm)
+         ORDER BY metric"""
   }
 
   /** DuckDB fragment: first n words of documents.text. */
@@ -6490,6 +6568,7 @@ object SparkEntry {
          FROM u""",
 
     "q_kcore" -> kcoreOracleSql(k = 80, rounds = 12),
+    "q_graph_card" -> graphCardOracleSql(k = 80, rounds = 12),
 
     "q_graph_profile" ->
       """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
