@@ -989,6 +989,101 @@ object StreamingExtract {
       }
     }
 
+  /** State for [[coOccurrenceStream]]: the basket's distinct items
+    * seen so far (bounded by the fan-out cap) plus the dropped flag —
+    * once a basket crosses `maxBasket` it is out WHOLE, forever, and
+    * its state shrinks to the flag.
+    */
+  final case class BasketState(items: Seq[Long], dropped: Boolean, epoch: Long)
+
+  /** One edge patch per (basket, pair, trigger): `add` pairs are
+    * emitted exactly once, at the trigger where the pair's second
+    * endpoint arrives; `add = false` rows RETRACT every previously
+    * emitted pair of a basket that just crossed the cap.
+    */
+  final case class EdgePatch(basket: Long, pa: Long, pb: Long, add: Boolean, epoch: Long)
+
+  /** Streaming twin of the batch co-occurrence pair emitter
+    * (relops.GraphOps.coOccurrenceEdges) — graph index maintenance on
+    * ingest: per basket, state holds the distinct item set; each
+    * trigger emits ONLY the new pairs (old × new + new × new,
+    * canonical pa < pb), so the downstream edge index is maintained
+    * incrementally instead of re-derived per batch. The batch cap
+    * semantics (baskets above `maxBasket` DISTINCT items are dropped
+    * WHOLE) hold CROSS-TRIGGER: when a basket's accumulated set
+    * crosses the cap, the operator emits RETRACTIONS for every pair
+    * it previously emitted, marks the basket dropped, and never emits
+    * for it again — so the net edge set (per-basket adds minus
+    * retracts, then distinct pairs) equals the batch emitter over
+    * everything seen, spec-asserted on replay via [[edgesOfPatches]].
+    *
+    * State per basket is O(min(|basket|, maxBasket)) items — the same
+    * Σ-bounded contract as the batch emitter; NULL baskets/items are
+    * filtered (complete-case, the batch rule).
+    */
+  def coOccurrenceStream(
+      rows: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      maxBasket: Int = Int.MaxValue): Dataset[EdgePatch] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val keyed = rows
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).cast("long"), col(itemCol).cast("long"))
+      .as[(Long, Long)]
+    keyed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BasketState, EdgePatch](
+        org.apache.spark.sql.streaming.OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (basket: Long, it: Iterator[(Long, Long)], state: GroupState[BasketState]) =>
+          val prev  = state.getOption.getOrElse(BasketState(Vector.empty, dropped = false, 0L))
+          val epoch = prev.epoch + 1
+          def pairsOf(xs: Seq[Long]): Seq[(Long, Long)] =
+            for { i <- xs.indices; j <- (i + 1) until xs.size } yield (xs(i), xs(j))
+          if (prev.dropped) {
+            state.update(prev.copy(epoch = epoch))
+            Iterator.empty
+          } else {
+            val fresh = (it.map(_._2).toSet -- prev.items).toSeq.sorted
+            if (fresh.isEmpty) {
+              state.update(prev.copy(epoch = epoch))
+              Iterator.empty
+            } else if (prev.items.size + fresh.size > maxBasket) {
+              // cap crossed: the basket leaves WHOLE — retract every
+              // pair already emitted (the fresh items' pairs never
+              // were), keep only the tombstone
+              val retracts = pairsOf(prev.items)
+                .map { case (a, b) => EdgePatch(basket, a, b, add = false, epoch) }
+              state.update(BasketState(Vector.empty, dropped = true, epoch))
+              retracts.iterator
+            } else {
+              val crossNew = for {
+                o <- prev.items
+                n <- fresh
+              } yield if (o < n) (o, n) else (n, o)
+              val within = pairsOf(fresh)
+              state.update(BasketState((prev.items ++ fresh).sorted, dropped = false, epoch))
+              (crossNew ++ within)
+                .map { case (a, b) => EdgePatch(basket, a, b, add = true, epoch) }
+                .iterator
+            }
+          }
+      }
+  }
+
+  /** Consumer-side assembly for [[coOccurrenceStream]]: net-live
+    * distinct edges from the full patch log — per (basket, pair) the
+    * adds minus retracts (0 or 1 by construction), then the distinct
+    * surviving pairs; equals the batch emitter over everything seen.
+    */
+  def edgesOfPatches(patches: Seq[(Long, Long, Long, Boolean)]): Seq[(Long, Long)] =
+    patches
+      .groupBy(p => (p._1, p._2, p._3))
+      .toSeq // BEFORE collect: on a Map, pair-valued collect rebuilds a Map and collapses same-pa keys
+      .collect { case ((_, pa, pb), ps) if ps.count(_._4) > ps.count(!_._4) => (pa, pb) }
+      .distinct.sorted
+
   /** State for [[skylineStream]]: the current 2-D Pareto frontier
     * (minimize `v1`, maximize `v2`) plus the snapshot epoch. The
     * frontier is bounded by the distinct-v1 resolution, not the

@@ -671,6 +671,38 @@ class StreamingExtractSpec extends SparkSpec {
     assert(StreamingExtract.liftOfSnapshot(Seq((100L, 0L, 5L)), 2).isEmpty)
   }
 
+  test("coOccurrenceStream: incremental deltas + cap retraction net to the batch emitter") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in  = MemoryStream[(Long, Long)]
+    val res = StreamingExtract.coOccurrenceStream(
+      in.toDF().toDF("basket", "item"), "basket", "item", maxBasket = 4)
+    val q = res.writeStream.outputMode("append").format("memory").queryName("co_out").start()
+    // t1: basket 1 {10,20} -> one add; basket 2 {50} -> nothing yet
+    // t2: basket 1 +{30} -> two cross adds; basket 2 +{60} -> one add
+    // t3: basket 2 +{70,80,90} crosses cap 4 -> RETRACT (50,60), drop whole
+    //     basket 1 re-sees 20 -> no delta (dedup against state)
+    in.addData((1L, 10L), (1L, 20L), (2L, 50L)); q.processAllAvailable()
+    in.addData((1L, 30L), (2L, 60L)); q.processAllAvailable()
+    in.addData((2L, 70L), (2L, 80L), (2L, 90L), (1L, 20L)); q.processAllAvailable()
+    q.stop()
+    val patches = spark.table("co_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // the retraction is real: basket 2's (50,60) was added then retracted
+    assert(patches.contains((2L, 50L, 60L, true)) && patches.contains((2L, 50L, 60L, false)))
+    // adds are emitted exactly once per (basket, pair)
+    val adds = patches.filter(_._4)
+    assert(adds.length == adds.distinct.length, s"duplicate adds in ${adds.toSeq}")
+    val net = StreamingExtract.edgesOfPatches(patches.toSeq)
+    val all = Seq((1L, 10L), (1L, 20L), (2L, 50L), (1L, 30L), (2L, 60L),
+      (2L, 70L), (2L, 80L), (2L, 90L), (1L, 20L)).toDF("basket", "item")
+    val batch = graft.relops.GraphOps.coOccurrenceEdges(all, "basket", "item", maxBasket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(net == batch, s"net $net vs batch $batch")
+    assert(net == Seq((10L, 20L), (10L, 30L), (20L, 30L)), "basket 2 dropped WHOLE")
+  }
+
   test("aucOfSnapshot: degenerate one-class snapshots read 0.0, order of rows is irrelevant") {
     assert(StreamingExtract.aucOfSnapshot(Seq((100L, 3L, 0L))) == 0.0)
     assert(StreamingExtract.aucOfSnapshot(Nil) == 0.0)
