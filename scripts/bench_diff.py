@@ -83,6 +83,18 @@ def load_calibration(path):
     return None
 
 
+def load_contended(path):
+    """(contended, spread) from the interleaved short-probe series
+    graft.Bench emits since r16, or (None, None) for older artifacts.
+    A contended run's numbers carry co-located load the calibration
+    probe cannot correct — treat its regressions as suspect."""
+    text = open(path).read()
+    m = re.search(r'"probe_spread":(\d+\.\d+),"contended":(true|false)', text)
+    if m:
+        return m.group(2) == "true", float(m.group(1))
+    return None, None
+
+
 def load_adjusted(path):
     """Drift-normalized total (emitted since r15: total x 0.973/calib
     against the fixed r14 reference probe), or None for older
@@ -110,6 +122,13 @@ def main():
               f"-> box speed scale {scale:.3f} (new times divided by it)")
     else:
         print("calibration: missing in one or both artifacts; raw comparison")
+    for path, label in ((args[0], "old"), (args[1], "new")):
+        cont, spread = load_contended(path)
+        if cont:
+            print(f"WARNING: {label} artifact ({path}) self-identifies as "
+                  f"CONTENDED (probe spread {spread:.0%} > 15% band) - "
+                  f"co-located load inflates its times beyond what "
+                  f"calibration corrects; treat flagged regressions as suspect")
     adj_old, adj_new = load_adjusted(args[0]), load_adjusted(args[1])
     if adj_old and adj_new:
         print(f"total_calib_adjusted (fixed-reference): old={adj_old:.1f}s "

@@ -75,6 +75,37 @@ object Bench {
     }
     val calibStart = try calibProbe() catch { case _: Throwable => 0.0 }
 
+    // CONTENTION self-identification (r15 VERDICT #3): the start/end
+    // calibProbe pair corrects BOX SPEED but cannot flag co-located
+    // load arriving mid-run — r15's committed artifact carried ~1.5×
+    // inflation on 42 untouched keys that forensic archaeology, not
+    // the artifact, had to diagnose. Short constant-work probes
+    // interleaved through the main loop make a dirty run
+    // self-identify: spread = (max-min)/min over the readings, and
+    // `contended: true` when it exceeds 15% (steady boxes read <10%).
+    def shortProbe(): Double = {
+      import org.apache.spark.sql.functions._
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 1536000000L)
+          .select(xxhash64(org.apache.spark.sql.functions.col("id")).as("h"))
+          .agg(max("h"), min("h")).head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // median of 3: a SINGLE ~0.5 s run carries ±10% scheduler noise
+      // at local[32] on a clean box (measured 0.43-0.52 s in the r16
+      // shakedown), which alone approaches the 15% band — the flag
+      // must fire on sustained co-located load, not one-off jitter
+      Seq(once(), once(), once()).sorted.apply(1)
+    }
+    val probeReadings = scala.collection.mutable.ArrayBuffer.empty[Double]
+    try { shortProbe(); probeReadings += shortProbe() } // one untimed JIT warm-up
+    catch { case _: Throwable => () }
+    def probeSpread: Double =
+      if (probeReadings.size < 2 || probeReadings.min <= 0) 0.0
+      else (probeReadings.max - probeReadings.min) / probeReadings.min
+    def contended: Boolean = probeSpread > 0.15
+
     // optional comma-separated query filter for local profiling runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // queries that threw at ANY scale factor (current or sibling):
@@ -83,7 +114,12 @@ object Bench {
     val failed = scala.collection.mutable.Set.empty[String]
     val results = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+      .zipWithIndex
+      .map { case ((name, fn), idx) =>
+      // interleaved contention probe every ~40 queries (≈5 readings
+      // across the 233-query loop)
+      if (idx > 0 && idx % 40 == 0)
+        try probeReadings += shortProbe() catch { case _: Throwable => () }
       val ok =
         try { evalAll(fn(spark, sfDir)); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); false }
@@ -156,12 +192,19 @@ object Bench {
     // at-scale shape, where the edge relation is materialized anyway.
     // derive is a SINGLE timed materialization (the cache fill);
     // card stages use the standard medianOf3 protocol on the cache.
-    val graphStages: Option[(Double, Double, Double, Double, Double)] =
+    val graphStages: Option[(Double, Double, Double, Double, Double, Double, Double)] =
       if (only.forall(_.contains("graph_e2e"))) {
         val out =
           try {
-            def stage(df: => org.apache.spark.sql.DataFrame): Double =
+            // one untimed evalAll per stage first (r15 ADVICE): the
+            // per-query protocol warms codegen/JIT before timing;
+            // without it a REPS=1/2 run bills Janino compile cost to
+            // the stage, contradicting the medianOf3 steady-state
+            // contract
+            def stage(df: => org.apache.spark.sql.DataFrame): Double = {
+              evalAll(df)
               medianOf3(() => { evalAll(df); () })
+            }
             val edges = graft.relops.GraphOps.coOccurrenceEdges(
               graft.lake.Tables.lineitem(spark, sfDir), "l_orderkey", "l_partkey", maxBasket = 50)
               .persist()
@@ -172,7 +215,19 @@ object Bench {
             val tSampled = stage(graft.relops.GraphOps.triangleStatsSampled(edges, p = 0.1, seed = 7L))
             val tKcore   = stage(graft.relops.GraphOps.kCore(edges, k = 80))
             val tProfile = stage(graft.relops.GraphOps.degreeProfile(edges))
-            Some((tDerive, tExact, tSampled, tKcore, tProfile))
+            // HITS off the SAME persisted relation (r15 VERDICT #8):
+            // the last graph card joins the one-derivation story
+            val tHits    = stage(graft.relops.GraphOps.hits(edges, "pa", "pb"))
+            // the SCHEDULING FLOOR, measured not blamed (r15 VERDICT
+            // #4): the same census job chain on a 100-edge path graph
+            // is pure per-job overhead — data-bound wedge work is
+            // nil. SCALE.md's "sampled census is floor-bound at bench
+            // SF" claim divides by this number.
+            val tiny = spark.range(0L, 100L)
+              .selectExpr("id AS pa", "id + 1 AS pb").persist()
+            tiny.count()
+            val tFloor = stage(graft.relops.GraphOps.triangleStats(tiny))
+            Some((tDerive, tExact, tSampled, tKcore, tProfile, tHits, tFloor))
           } catch {
             case e: Throwable => System.err.println(s"[bench] graph_e2e: ${e.getMessage}"); None
           }
@@ -184,7 +239,9 @@ object Bench {
         out
       } else None
     val graphE2e: Option[(String, Double)] =
-      graphStages.map { case (d, ex, sa, kc, pr) => "graph_e2e" -> (d + ex + sa + kc + pr) }
+      graphStages.map { case (d, ex, sa, kc, pr, hi, _) =>
+        "graph_e2e" -> (d + ex + sa + kc + pr + hi)
+      }
     val all = results ++ graphE2e ++
       timeE2e("entry_e2e", () => SparkEntry.entryOn(spark, sfDir)) ++
       timeE2e("cascade_e2e", () => SparkEntry.cascadeOn(spark, sfDir)) ++
@@ -214,7 +271,14 @@ object Bench {
     val emitted = scala.collection.mutable.ArrayBuffer.empty[String]
     def emit(line: String): Unit = { println(line); emitted += line }
     val qs    = all.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
-    val total = all.map(_._2).sum
+    // COMPOSED entries re-time work the per-query entries already
+    // timed (graph_e2e re-runs the four gated graph cards off one
+    // cache) — folding them into the headline total double-counts
+    // and makes total_calib_adjusted composition-unstable across
+    // rounds (r15 ADVICE). They keep their own metric lines; the
+    // total sums everything else.
+    val composedExcluded = Set("graph_e2e")
+    val total = all.collect { case (k, v) if !composedExcluded.contains(k) => v }.sum
     // emit protocol: the driver's capture window can clip the head of
     // a single ~4 KB line (r3's bench parsed as null that way), so the
     // short total line goes out FIRST, the bulky per-query map on its
@@ -232,13 +296,19 @@ object Bench {
     // null and degrades to its calibration-missing path)
     def adjTotal(calib: Double): String =
       if (calib > 0) num(total * calibRef / calib) else "null"
-    val compact = s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","queries_n":${all.size},"calib":${num(calibStart)},"total_calib_adjusted":${adjTotal(calibStart)},"calib_ref":$calibRef}"""
+    val compact = s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","queries_n":${all.size},"composed_excluded":["graph_e2e"],"calib":${num(calibStart)},"total_calib_adjusted":${adjTotal(calibStart)},"calib_ref":$calibRef,"probe_spread":${num(probeSpread)},"contended":$contended}"""
     emit(compact)
-    graphStages.foreach { case (d, ex, sa, kc, pr) =>
+    // contention record: the interleaved short-probe series itself,
+    // so a flagged run shows WHERE the load landed
+    emit(
+      s"""{"metric":"contention","probes":${probeReadings.map(num).mkString("[", ",", "]")},"spread":${num(
+          probeSpread)},"contended":$contended,"band":0.15,"work":"range(1536e6) xxhash64 max/min, median of 3","sf":"$sfDir"}""")
+    graphStages.foreach { case (d, ex, sa, kc, pr, hi, fl) =>
       emit(
         s"""{"metric":"graph_e2e","derive":${num(d)},"exact_census":${num(ex)},"sampled_census":${num(
             sa)},"census_ratio":${num(if (sa > 0) ex / sa else 0.0)},"kcore":${num(kc)},"profile":${num(
-            pr)},"value":${num(d + ex + sa + kc + pr)},"unit":"sec","note":"all cards from ONE persisted edge relation; census_ratio = exact/sampled census stage cost on the cache (the DOULION saving once derivation is amortized)","sf":"$sfDir"}""")
+            pr)},"hits":${num(hi)},"floor_sec":${num(
+            fl)},"value":${num(d + ex + sa + kc + pr + hi)},"unit":"sec","note":"all cards from ONE persisted edge relation (hits stage since r16); census_ratio = exact/sampled census stage cost on the cache; floor_sec = the same census job chain on a 100-edge graph (pure scheduling floor, excluded from value)","sf":"$sfDir"}""")
     }
     // the sampled tier's END-TO-END economics next to the exact card
     // (r14 VERDICT #1): both per-card tiers pay the basket->pair
@@ -260,7 +330,8 @@ object Bench {
     // plan loop through round 8 and the batch ivfPqTopKBatch
     // operator from round 9 on
     val notes =
-      """{"retrieval_e2e":"batch ivfPqTopKBatch since r9; rounds<=8 timed the per-query plan loop (now retrievalLoopOn)",""" +
+      """{"graph_e2e":"since r16: +hits stage off the same persisted relation, floor_sec measured, EXCLUDED from the headline total (it re-times the gated graph cards); r14-r15 summed 5 stages into total",""" +
+        """"retrieval_e2e":"batch ivfPqTopKBatch since r9; rounds<=8 timed the per-query plan loop (now retrievalLoopOn)",""" +
         """"direct_retrieval_e2e":"new in r11 - retrieval-augmented Evaporate-Direct (embed chunks once, top-1 chunk per (file,attr) by cosine, prompt only that chunk)",""" +
         """"compression_ratio":"new in r11 - spec-gated deflate quality signal, timing+rows only (no DuckDB oracle: no deflate there)",""" +
         """"zorder_sink":"new in r11 - Morton-layout write of documents on (n_chars,doc_id) to a temp dir; times the WRITE path",""" +
@@ -351,6 +422,7 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] scaling: ${e.getMessage}") }
     // end-of-run probe: start-vs-end gap is the intra-run drift; the
     // mean is what bench_diff.py divides by
+    try probeReadings += shortProbe() catch { case _: Throwable => () }
     val calibEnd = try calibProbe() catch { case _: Throwable => 0.0 }
     val calibMean =
       if (calibStart > 0 && calibEnd > 0) (calibStart + calibEnd) / 2
@@ -358,7 +430,7 @@ object Bench {
     emit(
       s"""{"metric":"calibration","start":${num(calibStart)},"end":${num(calibEnd)},"value":${num(
           calibMean)},"unit":"sec","work":"range(6144e6) xxhash64 max/min, medianOf3","total_calib_adjusted":${adjTotal(
-          calibMean)},"calib_ref":$calibRef,"sf":"$sfDir"}""")
+          calibMean)},"calib_ref":$calibRef,"probe_spread":${num(probeSpread)},"contended":$contended,"sf":"$sfDir"}""")
     println(compact)
     // durable artifact: a JSON array of every metric line this run
     // emitted, written where the driver (and the round-over-round

@@ -1973,6 +1973,47 @@ object SparkEntry {
           md5(hex(col("resized_bytes")).cast("binary")).as("content_hash"))
         .orderBy(col("media_id"))),
 
+    // the VIDEO face of the multimodal family, DuckDB-checked (r15
+    // VERDICT #6): REAL ISO-BMFF bytes are assembled per document
+    // from its columns (ftyp + moov[mvhd v0/v1 + n×trak], big-endian
+    // via hex/unhex) and decoded by the REAL mp4 box walk
+    // (MediaCodec.mp4Header) — the oracle computes the same metadata
+    // directly from the columns, so any mis-read in the walk
+    // (offsets, endianness, v0/v1 field spans, duration math)
+    // hash-mismatches. Even doc_ids build v0/'isom', odd v1/'mp42';
+    // tracks = doc_id % 3 + 1; timescale 600; duration = n_chars.
+    "q_video_meta" -> ((s, dir) => {
+      def hc(str: String): String =
+        str.getBytes(java.nio.charset.StandardCharsets.US_ASCII).map("%02X".format(_)).mkString
+      val even    = col("doc_id") % 2 === 0
+      val nTracks = (col("doc_id") % 3 + 1).cast("int")
+      val ftypHex = concat(
+        lit("00000014" + hc("ftyp")),
+        when(even, lit(hc("isom"))).otherwise(lit(hc("mp42"))),
+        lit(hc("    ") + hc("isom")))
+      val zeros80 = "00" * 80 // rate/volume/matrix/next_track: zeros
+      val mvhdHex = when(
+        even,
+        concat(
+          lit("0000006C" + hc("mvhd") + "00000000" + "00000000" + "00000000" + "00000258"),
+          lpad(hex(col("n_chars")), 8, "0"),
+          lit(zeros80)))
+        .otherwise(concat(
+          lit("00000078" + hc("mvhd") + "01000000" + "0000000000000000" + "0000000000000000" + "00000258"),
+          lpad(hex(col("n_chars")), 16, "0"),
+          lit(zeros80)))
+      val trakUnit = "00000008" + hc("trak")
+      val traksHex = element_at(typedLit(Seq(trakUnit, trakUnit * 2, trakUnit * 3)), nTracks)
+      val moovSize = when(even, lit(116)).otherwise(lit(128)) + nTracks * 8
+      val allHex   = concat(ftypHex, lpad(hex(moovSize), 8, "0"), lit(hc("moov")), mvhdHex, traksHex)
+      Multimodal
+        .decodeVideoMeta(docs(s, dir).select(col("doc_id").as("media_id"), unhex(allHex).as("bytes")))
+        .select(
+          col("media_id"), col("mp4_brand"), col("mp4_timescale"),
+          col("mp4_duration"), col("mp4_duration_ms"), col("mp4_tracks"))
+        .orderBy(col("media_id"))
+    }),
+
     // relational spine at real volume (lineitem = the sf anchor):
     // TPC-H Q1-shaped pricing summary; decimal sums for engine-exact
     // aggregation (double sums are shuffle-order dependent)
@@ -3243,7 +3284,19 @@ object SparkEntry {
     * references the previous one 3× (direct + two IN subqueries), so
     * DuckDB's default inlining would expand the base scan 3^rounds
     * times ("too many open files" long before wrong results).
+    * The last unrolled round doubles as a FIXPOINT ASSERTION
+    * (r15 ADVICE): peeling is monotone, so e_rounds == e_{rounds-1}
+    * iff the peel converged within the unroll; on a future SF whose
+    * fixpoint needs more rounds the oracle must fail LOUDLY
+    * (DuckDB error()) rather than silently return a non-fixpoint
+    * superset that would read as an engine mismatch.
     */
+  private def fixpointGuardCte(rounds: Int): String =
+    s""",
+          fp AS MATERIALIZED (SELECT CASE
+                  WHEN (SELECT count(*) FROM e$rounds) = (SELECT count(*) FROM e${rounds - 1}) THEN 1
+                  ELSE error('kcore oracle: peel not at fixpoint after $rounds unrolled rounds - raise the unroll depth') END AS ok)"""
+
   private def kcoreOracleSql(k: Int, rounds: Int): String = {
     val base =
       """WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
@@ -3257,10 +3310,11 @@ object SparkEntry {
           e$i AS MATERIALIZED (SELECT pa, pb FROM e${i - 1}
                   WHERE pa IN (SELECT v FROM k$i) AND pb IN (SELECT v FROM k$i))"""
     }.mkString
-    base + peels +
+    base + peels + fixpointGuardCte(rounds) +
       s"""
          SELECT v, CAST(count(*) AS BIGINT) AS core_deg
-         FROM (SELECT pa AS v FROM e$rounds UNION ALL SELECT pb FROM e$rounds)
+         FROM (SELECT pa AS v FROM e$rounds UNION ALL SELECT pb FROM e$rounds), fp
+         WHERE fp.ok = 1
          GROUP BY v HAVING count(*) >= $k ORDER BY v"""
   }
 
@@ -3270,7 +3324,8 @@ object SparkEntry {
     * argument: peeling is monotone and idempotent at fixpoint, so
     * extra rounds are no-ops). Every metric recomputed from the ONE
     * materialized edges CTE; signed statistics carry the "+ 0"
-    * canonicalization.
+    * canonicalization. Carries the same loud fixpoint guard as
+    * [[kcoreOracleSql]] (r15 ADVICE).
     */
   private def graphCardOracleSql(k: Int, rounds: Int): String = {
     val base =
@@ -3285,7 +3340,7 @@ object SparkEntry {
           e$i AS MATERIALIZED (SELECT pa, pb FROM e${i - 1}
                   WHERE pa IN (SELECT v FROM k$i) AND pb IN (SELECT v FROM k$i))"""
     }.mkString
-    base + peels +
+    base + peels + fixpointGuardCte(rounds) +
       s""",
           core AS (SELECT v, count(*) AS core_deg
                    FROM (SELECT pa AS v FROM e$rounds UNION ALL SELECT pb FROM e$rounds)
@@ -3328,7 +3383,8 @@ object SparkEntry {
                           ELSE NULL END FROM nn, ne)
            UNION ALL SELECT 'assortativity', a FROM ast
            UNION ALL SELECT 'kcore_nodes', CAST(n AS DOUBLE) FROM cm
-           UNION ALL SELECT 'kcore_min_deg', CAST(md AS DOUBLE) FROM cm)
+           UNION ALL SELECT 'kcore_min_deg', CAST(md AS DOUBLE) FROM cm) AS card, fp
+         WHERE fp.ok = 1
          ORDER BY metric"""
   }
 
@@ -5495,6 +5551,19 @@ object SparkEntry {
                        CAST((blen + 3) // 4 AS INT) AS n_bytes
                 FROM m)
           SELECT media_id, n_bytes, md5(rh) AS content_hash FROM r ORDER BY media_id""",
+
+    // the oracle does NOT re-parse bytes: it computes what the box
+    // walk MUST return straight from the columns the bytes were
+    // assembled from — integer floor division matches the engine's
+    // Long division (both operands non-negative)
+    "q_video_meta" ->
+      """SELECT doc_id AS media_id,
+                CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS mp4_brand,
+                CAST(600 AS INT) AS mp4_timescale,
+                CAST(n_chars AS BIGINT) AS mp4_duration,
+                CAST(n_chars AS BIGINT) * 1000 // 600 AS mp4_duration_ms,
+                CAST(doc_id % 3 + 1 AS INT) AS mp4_tracks
+         FROM documents ORDER BY media_id""",
 
     "q_lineitem_pricing" ->
       """SELECT l_returnflag, l_linestatus,

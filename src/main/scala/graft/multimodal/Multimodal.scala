@@ -290,13 +290,20 @@ object Multimodal {
           case "trak" => tracks += 1
           case "mvhd" =>
             val body = o + headerLen(o)
-            if (body + 4 > end) return None
+            // field reads are bounded by the mvhd box's OWN extent
+            // (o + sz), not just the moov end: a corrupt mvhd whose
+            // declared size is >= the header but < the version's
+            // field span would otherwise pass the moov-end check and
+            // read SIBLING-box bytes as timescale/duration — garbage
+            // metadata instead of the contracted None
+            val boxEnd = math.min(o + sz, end)
+            if (body + 4 > boxEnd) return None
             (bytes(body) & 0xff) match {
               case 0 =>
-                if (body + 20 > end) return None
+                if (body + 20 > boxEnd) return None
                 mvhd = Some((be32(bytes, body + 12), be32(bytes, body + 16).toLong & 0xffffffffL))
               case 1 =>
-                if (body + 32 > end) return None
+                if (body + 32 > boxEnd) return None
                 mvhd = Some((be32(bytes, body + 20), be64(bytes, body + 24)))
               case _ => return None // unknown movie-header version
             }

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+/** Incremental triangle/wedge census over a
+  * [[StreamingExtract.coOccurrenceStream]] patch feed (r15 VERDICT
+  * #7): the census consumer that does NOT re-derive from the patched
+  * edge set per read. Each add/retract patch updates the counts in
+  * O(min(deg u, deg v)) — new triangles on edge (u,v) are exactly
+  * |N(u) ∩ N(v)| at patch time, the wedge total moves by the
+  * endpoints' degrees — so a monitoring read is O(1) off the
+  * maintained state instead of the batch census's O(m^1.5) pass.
+  *
+  * Edge multiplicity is tracked per canonical pair: the SAME item
+  * pair can co-occur in many baskets, and the graph edge lives while
+  * ANY basket supports it — a cap retraction of one basket must not
+  * delete an edge another basket still witnesses (the exact net-edge
+  * rule [[StreamingExtract.edgesOfPatches]] applies declaratively).
+  *
+  * Same consumer-side contract as `quantilesOfSnapshot` /
+  * `liftOfSnapshot`: plain Scala on the collected patch feed,
+  * bounded by the LIVE graph size (adjacency sets + one counter per
+  * distinct live pair), not the stream length. Snapshot parity with
+  * the batch census ([[graft.relops.GraphOps.triangleStats]]) after
+  * every trigger is spec-asserted, including across retraction
+  * triggers.
+  */
+final class IncrementalCensus {
+  private val adj     = mutable.Map.empty[Long, mutable.Set[Long]]
+  private val support = mutable.Map.empty[(Long, Long), Int]
+  private var tri     = 0L
+  private var wedges  = 0L
+
+  private def degOf(v: Long): Long = adj.get(v).map(_.size.toLong).getOrElse(0L)
+
+  /** |N(u) ∩ N(v)| walking the smaller set — the two-pointer-merge
+    * bound the batch census gets from IntersectCount.
+    */
+  private def commonNeighbors(u: Long, v: Long): Long =
+    (adj.get(u), adj.get(v)) match {
+      case (Some(a), Some(b)) =>
+        val (small, large) = if (a.size <= b.size) (a, b) else (b, a)
+        small.count(large.contains).toLong
+      case _ => 0L
+    }
+
+  private def addEdge(u: Long, v: Long): Unit = {
+    tri += commonNeighbors(u, v)
+    wedges += degOf(u) + degOf(v) // C(d+1,2) − C(d,2) = d, per endpoint
+    adj.getOrElseUpdate(u, mutable.Set.empty) += v
+    adj.getOrElseUpdate(v, mutable.Set.empty) += u
+  }
+
+  private def removeEdge(u: Long, v: Long): Unit = {
+    tri -= commonNeighbors(u, v)
+    wedges -= (degOf(u) - 1) + (degOf(v) - 1) // C(d,2) − C(d−1,2) = d−1
+    adj.get(u).foreach { s => s -= v; if (s.isEmpty) adj.remove(u) }
+    adj.get(v).foreach { s => s -= u; if (s.isEmpty) adj.remove(v) }
+  }
+
+  /** Apply one patch. Canonicalizes the pair; a retract of a pair
+    * with zero live support is a patch-feed ordering bug and throws
+    * (per basket the add's epoch always precedes its retract's, so an
+    * epoch-ordered feed can never trip this).
+    */
+  def apply(pa: Long, pb: Long, add: Boolean): Unit = {
+    val key = if (pa <= pb) (pa, pb) else (pb, pa)
+    if (add) {
+      val s = support.getOrElse(key, 0)
+      support(key) = s + 1
+      if (s == 0) addEdge(key._1, key._2)
+    } else {
+      val s = support.getOrElse(key, 0)
+      require(s > 0, s"retract of unsupported pair $key — patch feed out of epoch order")
+      if (s == 1) { support.remove(key); removeEdge(key._1, key._2) }
+      else support(key) = s - 1
+    }
+  }
+
+  /** Apply a batch of (basket, pa, pb, add, epoch) patches in epoch
+    * order (cross-basket order within an epoch is net-commutative;
+    * within a basket epochs strictly order add-before-retract).
+    */
+  def applyAll(patches: Seq[(Long, Long, Long, Boolean, Long)]): this.type = {
+    patches.sortBy(_._5).foreach { case (_, pa, pb, add, _) => apply(pa, pb, add) }
+    this
+  }
+
+  /** (n_nodes, n_edges, n_triangles, n_wedges, global_clustering) —
+    * the batch census row, same 0-by-convention clustering on a
+    * wedge-free graph and the same 6-dp HALF_UP rounding.
+    */
+  def snapshot: (Long, Long, Long, Long, Double) = {
+    val clustering =
+      if (wedges > 0)
+        BigDecimal(3.0 * tri / wedges).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 0.0
+    (adj.size.toLong, support.size.toLong, tri, wedges, clustering)
+  }
+}

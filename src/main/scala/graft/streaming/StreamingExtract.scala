@@ -207,9 +207,15 @@ object StreamingExtract {
     * batch — the index is NOT refit per trigger; serving reads m
     * bytes/vector like the batch path). Each micro-batch's queries
     * collect to the driver (bounded by the trigger interval — the
-    * documented bounded-driver split), build their ADC plans, and
-    * run as ONE union job over the cached codes; `sink` receives
-    * (qid, id, cos, rank) rows.
+    * documented bounded-driver split) and run as ONE batched-ADC job
+    * over the cached codes ([[graft.textops.Similarity.pqTopKFromCodesBatch]]:
+    * broadcast qid list + broadcast per-query LUT map, one scan of
+    * the codes relation, per-qid rank windows). Plan size and scan
+    * count are CONSTANT in queries-per-trigger — the per-query
+    * `pqTopKFromCodes` union this replaced built N ADC subtrees and
+    * scanned the codes N times per trigger, the exact per-query plan
+    * loop the batch retrieval path retired in round 9. `sink`
+    * receives (qid, id, cos, rank) rows.
     */
   def annServeStream(
       queries: DataFrame,
@@ -230,13 +236,9 @@ object StreamingExtract {
           (r.getLong(0), r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue).toSeq)
         }
         if (qs.nonEmpty) {
-          val per = qs.map { case (qid, q) =>
-            graft.textops.Similarity
-              .pqTopKFromCodes(codes, embeddings, idCol, vecCol, q, books, k, m, codeK, rerank, dim)
-              .withColumn("qid", lit(qid))
-          }
           sink(
-            per.reduce(_ unionByName _).select(col("qid"), col(idCol), col("cos"), col("rank")),
+            graft.textops.Similarity.pqTopKFromCodesBatch(
+              codes, embeddings, idCol, vecCol, qs.toSeq, books, k, m, codeK, rerank, dim),
             batchId)
         }
       }
@@ -1020,34 +1022,59 @@ object StreamingExtract {
     * State per basket is O(min(|basket|, maxBasket)) items — the same
     * Σ-bounded contract as the batch emitter; NULL baskets/items are
     * filtered (complete-case, the batch rule).
+    *
+    * UNBOUNDED-KEY CAVEAT (r15 ADVICE): the per-basket state is
+    * bounded, but the NUMBER of basket keys is not — with the default
+    * `idleTimeout = None` a live basket's item set and a dropped
+    * basket's tombstone persist for the stream's lifetime, so state
+    * grows with distinct baskets ever seen. Pass `idleTimeout`
+    * (e.g. "2 hours") to age out baskets idle that long via a
+    * processing-time timeout — correct ONLY when the pipeline
+    * contract closes baskets (no further items can arrive) within
+    * that horizon: evicting a LIVE basket makes late items re-open
+    * it as fresh (duplicate pair emissions), and evicting a DROPPED
+    * basket's tombstone lets late items re-admit a capped basket.
+    * The parameter trades exactly that contract for bounded keys.
     */
   def coOccurrenceStream(
       rows: DataFrame,
       basketCol: String,
       itemCol: String,
-      maxBasket: Int = Int.MaxValue): Dataset[EdgePatch] = {
+      maxBasket: Int = Int.MaxValue,
+      idleTimeout: Option[String] = None): Dataset[EdgePatch] = {
     val spark = rows.sparkSession
     import spark.implicits._
     val keyed = rows
       .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).cast("long"), col(itemCol).cast("long"))
       .as[(Long, Long)]
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     keyed
       .groupByKey(_._1)
       .flatMapGroupsWithState[BasketState, EdgePatch](
-        org.apache.spark.sql.streaming.OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        org.apache.spark.sql.streaming.OutputMode.Append, timeoutConf) {
         (basket: Long, it: Iterator[(Long, Long)], state: GroupState[BasketState]) =>
+          if (state.hasTimedOut) {
+            // basket idle past the horizon: whole-key eviction (the
+            // documented closed-basket contract; emitted pairs stay
+            // valid — only the dedup memory leaves)
+            state.remove()
+            Iterator.empty
+          } else {
           val prev  = state.getOption.getOrElse(BasketState(Vector.empty, dropped = false, 0L))
           val epoch = prev.epoch + 1
+          def arm(): Unit = idleTimeout.foreach(state.setTimeoutDuration)
           def pairsOf(xs: Seq[Long]): Seq[(Long, Long)] =
             for { i <- xs.indices; j <- (i + 1) until xs.size } yield (xs(i), xs(j))
           if (prev.dropped) {
-            state.update(prev.copy(epoch = epoch))
+            state.update(prev.copy(epoch = epoch)); arm()
             Iterator.empty
           } else {
             val fresh = (it.map(_._2).toSet -- prev.items).toSeq.sorted
             if (fresh.isEmpty) {
-              state.update(prev.copy(epoch = epoch))
+              state.update(prev.copy(epoch = epoch)); arm()
               Iterator.empty
             } else if (prev.items.size + fresh.size > maxBasket) {
               // cap crossed: the basket leaves WHOLE — retract every
@@ -1055,7 +1082,7 @@ object StreamingExtract {
               // were), keep only the tombstone
               val retracts = pairsOf(prev.items)
                 .map { case (a, b) => EdgePatch(basket, a, b, add = false, epoch) }
-              state.update(BasketState(Vector.empty, dropped = true, epoch))
+              state.update(BasketState(Vector.empty, dropped = true, epoch)); arm()
               retracts.iterator
             } else {
               val crossNew = for {
@@ -1063,11 +1090,12 @@ object StreamingExtract {
                 n <- fresh
               } yield if (o < n) (o, n) else (n, o)
               val within = pairsOf(fresh)
-              state.update(BasketState((prev.items ++ fresh).sorted, dropped = false, epoch))
+              state.update(BasketState((prev.items ++ fresh).sorted, dropped = false, epoch)); arm()
               (crossNew ++ within)
                 .map { case (a, b) => EdgePatch(basket, a, b, add = true, epoch) }
                 .iterator
             }
+          }
           }
       }
   }

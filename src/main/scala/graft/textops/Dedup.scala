@@ -953,15 +953,120 @@ object Dedup {
     }
     if (!converged) {
       edges.unpersist()
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds — component diameter exceeds " +
-          s"maxIter; raise maxIter (or use alternating large-star/small-star for high-diameter graphs)")
+      // maxIter-exceeded FALLBACK (r15 VERDICT #5): the error path
+      // used to tell users to "use alternating large-star/small-star"
+      // — which now exists. Path-halving's round count is
+      // O(log diameter) but still diameter-DEPENDENT through the
+      // constant; star contraction's O(log² n) bound is independent
+      // of component shape, so it finishes exactly the adversarial
+      // chain graphs that truncate here. Loud on stderr, never
+      // silent: the fallback costs more per round (an except()-based
+      // fixpoint check), so a production run that lands here should
+      // know its graph shape.
+      System.err.println(
+        s"[cc] path-halving hit maxIter=$maxIter without fixpoint — falling back to " +
+          "alternating large-star/small-star (diameter-independent round bound)")
+      return connectedComponentsStar(nodes, idCol, pairs, aCol, bCol)
     }
     // `labels` is a view of the final round's checkpointed blocks
     // (the convergence count materialized them), so dropping the edge
     // cache is safe; checkpoint blocks free when the frame is GC'd.
     edges.unpersist()
     labels.withColumnRenamed("cc_id", idCol)
+  }
+
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC 2014) — the high-diameter escape hatch
+    * [[connectedComponents]] falls back to when path-halving
+    * truncates. Round count is O(log² n) INDEPENDENT of component
+    * diameter: each round is two grouped min-aggregations over the
+    * current edge set, and the edge set monotonically contracts
+    * toward a forest of stars whose root is the component minimum.
+    *
+    * Large-star(u): attach every neighbor LARGER than u to
+    * m = min(u ∪ N(u)). Small-star on the (big → small)-oriented
+    * result: attach u and every smaller neighbor to their collective
+    * min. Both operations preserve connectivity and never raise a
+    * node's root candidate, so the fixpoint (edge set unchanged by a
+    * full round) is exactly the star forest. The fixpoint check is an
+    * exact set compare (count + except), not a probabilistic
+    * checksum — dearer per round than path-halving's delta count,
+    * which is why this is the fallback, not the default.
+    *
+    * Per-round localCheckpoint for the same lineage-truncation
+    * reasons as [[connectedComponents]] (the plan doubles through the
+    * explode/join pipeline otherwise). Deterministic: min over ids,
+    * no RNG.
+    */
+  def connectedComponentsStar(
+      nodes: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      maxIter: Int = 50): DataFrame = {
+    var edges = pairs
+      .select(col(aCol).as("s_u"), col(bCol).as("s_v"))
+      .filter(col("s_u") =!= col("s_v"))
+      .distinct()
+      .localCheckpoint()
+    var converged = edges.isEmpty // all-singleton graph: nothing to contract
+    var iter      = 0
+    while (!converged && iter < maxIter) {
+      // LARGE-STAR over both directions: per node u, m = min(u, N(u));
+      // every neighbor v > u re-attaches to m
+      val und = edges
+        .select(explode(array(
+          struct(col("s_u").as("u"), col("s_v").as("v")),
+          struct(col("s_v").as("u"), col("s_u").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+      val mins = und
+        .groupBy(col("u"))
+        .agg(min(col("v")).as("nm"))
+        .select(col("u").as("mu"), least(col("u"), col("nm")).as("m"))
+      val large = und
+        .join(mins, und("u") === mins("mu"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("s_u"), col("m").as("s_v"))
+        .filter(col("s_u") =!= col("s_v"))
+        .distinct()
+      // SMALL-STAR on the (big, small) orientation: per big node u,
+      // u and all its smaller neighbors re-attach to their min
+      val oriented = large.select(
+        greatest(col("s_u"), col("s_v")).as("u"),
+        least(col("s_u"), col("s_v")).as("v"))
+      val mins2 = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = oriented
+        .join(mins2, Seq("u"))
+        .select(explode(array(
+          struct(col("u").as("a"), col("m").as("b")),
+          struct(col("v").as("a"), col("m").as("b")))).as("e"))
+        .select(col("e.a").as("s_u"), col("e.b").as("s_v"))
+        .filter(col("s_u") =!= col("s_v"))
+        .distinct()
+        .localCheckpoint()
+      // exact fixpoint: same row count AND no row in small \ edges
+      // (both sides distinct, so count-equal + empty-except = equal)
+      converged = small.count() == edges.count() &&
+        small.except(edges).isEmpty
+      edges = small
+      iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc-star] round $iter edges=${edges.count()}")
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds — the O(log² n) bound " +
+          "makes this unreachable for any real graph; the edge relation is likely unstable " +
+          "(non-deterministic input)")
+    // star edges are (child, root): every non-root joins its root,
+    // roots and isolated nodes label themselves
+    val roots = edges.select(col("s_u").as("cc_id"), col("s_v").as("cc_root"))
+    nodes
+      .select(col(idCol))
+      .join(roots, col(idCol) === col("cc_id"), "left")
+      .select(col(idCol), coalesce(col("cc_root"), col(idCol)).as("cluster_id"))
   }
 
   /** Fixed-iteration PageRank over an undirected pair graph (Brin &

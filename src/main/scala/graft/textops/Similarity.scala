@@ -404,6 +404,73 @@ object Similarity {
       .withColumn("rank", row_number().over(rankWindow(idCol)))
   }
 
+  /** BATCH PQ-ADC from precomputed codes: top-k for a whole SET of
+    * queries in ONE pass over the codes relation — the serve-side
+    * twin of [[ivfPqTopKBatch]] for a flat (non-IVF) PQ index. Each
+    * code row fans out once per query via a broadcast qid list; ADC
+    * reads the query's flat m×codeK lookup table from a broadcast
+    * map; candidate and final cuts are per-qid rank windows
+    * (WindowGroupLimit pushes the limit map-side), and only
+    * qid×rerank rows ever join back to the float vectors. Plan size
+    * is CONSTANT in the number of queries (one scan, one broadcast),
+    * unlike a per-query `pqTopKFromCodes` union whose analysis and
+    * scan cost grow linearly with |queries| — the same rework
+    * retrieval_e2e got in round 9.
+    *
+    * Same ADC fold order, argmin/tie rules and rounding as
+    * [[pqTopKFromCodes]]: per-qid output rows are identical to the
+    * single-query path (spec-asserted).
+    */
+  def pqTopKFromCodesBatch(
+      codes: DataFrame,
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: Seq[(Long, Seq[Double])],
+      books: Map[(Int, Int), Seq[Double]],
+      k: Int,
+      m: Int = 4,
+      codeK: Int = 16,
+      rerank: Int = 40,
+      dim: Int = 64): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    require(queries.nonEmpty, "pqTopKFromCodesBatch needs at least one query")
+    val subDim = dim / m
+    // per-query flat ADC table, indexed s*codeK + code_s (the same
+    // layout ivfPqTopKBatch broadcasts)
+    val lutByQid: Map[Long, Seq[Double]] = queries.map { case (qid, q) =>
+      qid -> (0 until m).flatMap { s =>
+        val qs = q.slice(s * subDim, (s + 1) * subDim)
+        (0 until codeK).map { c =>
+          qs.zip(books((s, c))).map { case (a, b) => (a - b) * (a - b) }.sum
+        }
+      }
+    }.toMap
+    val qids   = queries.map(_._1).toDF("qid")
+    val qVecs  = queries.toDF("qid", "qvec")
+    val lutCol = element_at(typedLit(lutByQid), col("qid"))
+    val est = (0 until m).foldLeft(lit(0.0)) { (acc, s) =>
+      acc + element_at(lutCol, lit(s * codeK) + element_at(col("pq_codes"), s + 1) + 1)
+    }
+    val wCand = Window.partitionBy(col("qid")).orderBy(col("adc"), col(idCol))
+    val wFin  = Window.partitionBy(col("qid")).orderBy(desc("cos"), col(idCol))
+    codes
+      .crossJoin(broadcast(qids))
+      .select(col("qid"), col(idCol), est.as("adc"))
+      .withColumn("crank", row_number().over(wCand))
+      .filter(col("crank") <= rerank)
+      .join(embeddings.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(qVecs), Seq("qid"))
+      .select(
+        col("qid"),
+        col(idCol),
+        round(cosine(transform(col(vecCol), x => x.cast("double")), col("qvec")), 6).as("cos"))
+      .withColumn("rank", row_number().over(wFin))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col(idCol), col("cos"), col("rank"))
+  }
+
   /** IVF-PQ: the composed production index (Faiss's workhorse
     * layout, from the same TPAMI'11 paper) — a coarse IVF probe
     * prunes the corpus to `nProbe` buckets, PQ-ADC scores only the

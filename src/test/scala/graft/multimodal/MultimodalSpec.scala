@@ -307,6 +307,23 @@ class MultimodalSpec extends SparkSpec {
     // v1 duration past Long.MaxValue/1000: duration_ms would wrap
     assert(codec.mp4Header(
       mp4Bytes("isom", 1, 90000, Long.MaxValue / 1000L + 7L, 1)).isEmpty)
+    // mvhd whose OWN declared size (12 = header + version/flags only)
+    // is smaller than the v0 field span, with a sibling trak right
+    // after: a moov-end-only bound check passes and reads the trak's
+    // bytes as timescale/duration (garbage metadata); the box-extent
+    // bound must reject it (r15 ADVICE finding)
+    locally {
+      def box(tp: String, payload: Array[Byte]): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+        bb.putInt(8 + payload.length); bb.put(tp.getBytes("US-ASCII")); bb.put(payload)
+        bb.array()
+      }
+      val ftypBox   = box("ftyp", "isom    isom".getBytes("US-ASCII"))
+      val shortMvhd = box("mvhd", Array[Byte](0, 0, 0, 0)) // v0, version+flags only
+      val moov      = box("moov", shortMvhd ++ box("trak", Array.fill[Byte](32)(0x41)))
+      assert(codec.mp4Header(ftypBox ++ moov).isEmpty,
+        "truncated mvhd must not read sibling-box bytes as timescale/duration")
+    }
   }
 
   test("decodeVideoMeta: batch stage parses real MP4 bytes, non-video yields NULLs") {

@@ -701,6 +701,65 @@ class StreamingExtractSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     assert(net == batch, s"net $net vs batch $batch")
     assert(net == Seq((10L, 20L), (10L, 30L), (20L, 30L)), "basket 2 dropped WHOLE")
+    // idleTimeout wiring (r15 ADVICE: bounded-key mode): the
+    // ProcessingTimeTimeout path must leave the patch semantics
+    // untouched while no basket goes idle past the horizon.
+    // AvailableNow + awaitTermination, NOT processAllAvailable: armed
+    // processing-time timeouts keep the default trigger scheduling
+    // no-data batches, so processAllAvailable never settles
+    val in2 = MemoryStream[(Long, Long)]
+    val res2 = StreamingExtract.coOccurrenceStream(
+      in2.toDF().toDF("basket", "item"), "basket", "item",
+      maxBasket = 4, idleTimeout = Some("30 minutes"))
+    // one snapshot: basket 2's 6 items arrive together and cross the
+    // cap on first sight (dropped WHOLE, no pairs ever emitted), so
+    // the net edges still equal the batch emitter over everything
+    in2.addData((1L, 10L), (1L, 20L), (2L, 50L), (1L, 30L), (2L, 60L),
+      (2L, 70L), (2L, 80L), (2L, 90L), (1L, 20L))
+    val q2 = res2.writeStream.outputMode("append").format("memory").queryName("co_out_t")
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("coT").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(120000L)
+    q2.stop()
+    val net2 = StreamingExtract.edgesOfPatches(spark.table("co_out_t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq)
+    assert(net2 == net, "timeout-armed replay must net to the same edges")
+  }
+
+  test("IncrementalCensus: per-trigger snapshots equal the batch census across retractions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val res = StreamingExtract.coOccurrenceStream(
+      in.toDF().toDF("basket", "item"), "basket", "item", maxBasket = 4)
+    val q = res.writeStream.outputMode("append").format("memory").queryName("cen_out").start()
+    val census = new IncrementalCensus
+    val seen   = scala.collection.mutable.Set.empty[(Long, Long, Long, Boolean, Long)]
+    def checkParity(label: String): Unit = {
+      val all = spark.table("cen_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4))).toSeq
+      census.applyAll(all.filterNot(seen))
+      seen ++= all
+      val net = StreamingExtract.edgesOfPatches(all.map(t => (t._1, t._2, t._3, t._4)))
+      val row = graft.relops.GraphOps.triangleStats(net.toDF("pa", "pb")).head()
+      val batch =
+        (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getDouble(4))
+      assert(census.snapshot == batch, s"$label: incremental ${census.snapshot} vs batch $batch")
+    }
+    // t1: basket 1 = {10,20,30} (a triangle); basket 2 = {10,20}
+    // (edge (10,20) now supported by TWO baskets)
+    in.addData((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L), (2L, 20L)); q.processAllAvailable()
+    checkParity("t1")
+    // t2: basket 2 grows to {10,20,40,50} — 4 new triangles appear
+    in.addData((2L, 40L), (2L, 50L)); q.processAllAvailable()
+    checkParity("t2")
+    // t3: basket 2 crosses the cap -> retracts its 6 pairs; (10,20)
+    // must SURVIVE (basket 1 still witnesses it), the rest die
+    in.addData((2L, 60L)); q.processAllAvailable()
+    q.stop()
+    checkParity("t3 (post-retraction)")
+    assert(census.snapshot._3 == 1L, "back to basket 1's single triangle")
   }
 
   test("aucOfSnapshot: degenerate one-class snapshots read 0.0, order of rows is irrelevant") {

@@ -69,6 +69,29 @@ class TextOpsSpec extends SparkSpec {
         Seq(Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L), Seq(4L, 4L), Seq(5L, 4L), Seq(6L, 6L)))
   }
 
+  test("connectedComponentsStar converges where path-halving truncates; parity on mixed graphs") {
+    // the star algorithm on the primary path's own fixture
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val pairs = Seq((2L, 1L), (2L, 3L), (5L, 4L)).toDF("id_a", "id_b")
+    assert(
+      rows(Dedup.connectedComponentsStar(nodes, "id", pairs).orderBy(col("id"))) ==
+        Seq(Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L), Seq(4L, 4L), Seq(5L, 4L), Seq(6L, 6L)))
+    // 600-node path graph, diameter 599: path-halving needs ~10
+    // rounds (label distance doubles per round), so maxIter = 3
+    // TRUNCATES — the r15 code threw here with an error message
+    // recommending an algorithm that didn't exist; now it falls back
+    // to star contraction, whose round count is diameter-independent
+    val n         = 600L
+    val pathNodes = spark.range(n).toDF("id")
+    val pathPairs = spark.range(n - 1).selectExpr("id AS id_a", "id + 1 AS id_b")
+    val star = Dedup.connectedComponentsStar(pathNodes, "id", pathPairs)
+    assert(star.count() == n && star.filter(col("cluster_id") =!= 0L).count() == 0,
+      "one component rooted at the min id")
+    val fellBack = Dedup.connectedComponents(pathNodes, "id", pathPairs, maxIter = 3)
+    assert(fellBack.count() == n && fellBack.filter(col("cluster_id") =!= 0L).count() == 0,
+      "maxIter-exceeded path must fall back and still converge")
+  }
+
   test("nearDupClusters groups exact+near dups transitively, keeps min id") {
     val clusters = Dedup.nearDupClusters(docsDf, "bucket", "doc_id", "text", n = 3, minJaccard = 0.5)
     val byId = clusters.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
@@ -412,6 +435,31 @@ class TextOpsSpec extends SparkSpec {
     val direct = Similarity.pqTopK(emb, "vec_id", "embedding", q, k = 5)
       .orderBy("rank").collect().toSeq
     assert(served == direct && served.nonEmpty)
+  }
+
+  test("pqTopKFromCodesBatch equals the per-query codes path; plan size flat in |queries|") {
+    val emb   = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 4, k = 16, iters = 1)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+    val queries = (0L until 4L).map { i =>
+      i -> emb.filter(col("vec_id") === i).head.getSeq[Float](1).map(_.toDouble).toSeq
+    }
+    val batch = Similarity
+      .pqTopKFromCodesBatch(codes, emb, "vec_id", "embedding", queries, books, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val singles = queries.flatMap { case (qid, q) =>
+      Similarity.pqTopKFromCodes(codes, emb, "vec_id", "embedding", q, books, k = 5)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1), r.getInt(2)))
+    }.toSet
+    assert(batch == singles && batch.nonEmpty)
+    // flat serve cost: the batched plan's leaf count (scans of the
+    // codes/embeddings relations) must NOT grow with queries-per-batch
+    // — the per-query union annServeStream retired in r16 had N ADC
+    // subtrees (N scans) for N queries
+    def leaves(n: Int): Int = Similarity
+      .pqTopKFromCodesBatch(codes, emb, "vec_id", "embedding", queries.take(n), books, k = 5)
+      .queryExecution.optimizedPlan.collectLeaves().size
+    assert(leaves(1) == leaves(4), "batched ADC plan must have constant leaf count in |queries|")
   }
 
   test("ivfPqTopK composes the coarse probe with ADC and stays inside both prunings") {
