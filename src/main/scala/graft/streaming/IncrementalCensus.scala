@@ -64,6 +64,9 @@ final class IncrementalCensus {
     * epoch-ordered feed can never trip this).
     */
   def apply(pa: Long, pb: Long, add: Boolean): Unit = {
+    // the emitters never produce self-pairs (canonical pa < pb); a
+    // self-loop here would corrupt the adjacency/degree invariants
+    require(pa != pb, s"self-pair ($pa,$pa) is not a co-occurrence edge")
     val key = if (pa <= pb) (pa, pb) else (pb, pa)
     if (add) {
       val s = support.getOrElse(key, 0)

@@ -232,9 +232,12 @@ object StreamingExtract {
     queries.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // distinct: an at-least-once upstream can replay a (qid, vec)
+        // row within a trigger; the batched ADC requires unique qids
+        // (its LUT is qid-keyed) and duplicate answers are noise
         val qs = batch.collect().map { r =>
           (r.getLong(0), r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue).toSeq)
-        }
+        }.distinct
         if (qs.nonEmpty) {
           sink(
             graft.textops.Similarity.pqTopKFromCodesBatch(

@@ -436,6 +436,13 @@ object Similarity {
     val spark = codes.sparkSession
     import spark.implicits._
     require(queries.nonEmpty, "pqTopKFromCodesBatch needs at least one query")
+    // the broadcast LUT is a qid-keyed MAP: a duplicate qid would
+    // silently serve ONE of the two vectors for both rows (the
+    // per-query loop this replaced answered each separately) —
+    // refuse loudly instead of changing semantics under the caller
+    require(
+      queries.map(_._1).distinct.size == queries.size,
+      "pqTopKFromCodesBatch requires distinct qids per batch")
     val subDim = dim / m
     // per-query flat ADC table, indexed s*codeK + code_s (the same
     // layout ivfPqTopKBatch broadcasts)
