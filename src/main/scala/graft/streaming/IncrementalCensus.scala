@@ -100,4 +100,44 @@ final class IncrementalCensus {
       else 0.0
     (adj.size.toLong, support.size.toLong, tri, wedges, clustering)
   }
+
+  private def r6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** The degree-profile card off the SAME maintained state —
+    * (n_nodes, n_edges, avg_degree, max_degree, density,
+    * assortativity), matching [[graft.relops.GraphOps.degreeProfile]]
+    * row-for-row: 6-dp HALF_UP rounding, NULL (None) guards on the
+    * empty/degenerate cases, and the batch card's exact-integer
+    * moment sums (BigInt here, DECIMAL(19,0) there — both convert to
+    * the same doubles) folded through the identical assortativity
+    * formula. The moment pass is O(live edges) at snapshot time —
+    * a monitoring read over the maintained graph, not a re-shuffle
+    * of the corpus.
+    */
+  def profileSnapshot
+      : (Long, Long, Option[Double], Option[Long], Option[Double], Option[Double]) = {
+    val n = adj.size.toLong
+    val e = support.size.toLong
+    val avg     = if (n > 0) Some(r6(2.0 * e / n)) else None
+    val maxDeg  = if (adj.isEmpty) None else Some(adj.valuesIterator.map(_.size).max.toLong)
+    val density = if (n > 1) Some(r6(2.0 * e / (n.toDouble * (n - 1)))) else None
+    var m = 0L
+    var sx, sxy, sxx = BigInt(0)
+    support.keysIterator.foreach { case (u, v) =>
+      val du = BigInt(adj(u).size)
+      val dv = BigInt(adj(v).size)
+      // symmetrized directed pairs: (du,dv) and (dv,du) — x and y
+      // marginals coincide, so one accumulator serves both
+      m += 2
+      sx += du + dv
+      sxy += 2 * du * dv
+      sxx += du * du + dv * dv
+    }
+    val mD   = m.toDouble
+    val num  = mD * sxy.toDouble - sx.toDouble * sx.toDouble
+    val den  = mD * sxx.toDouble - sx.toDouble * sx.toDouble
+    val assort = if (den > 0.0) Some(r6(num / math.sqrt(den * den))) else None
+    (n, e, avg, maxDeg, density, assort)
+  }
 }

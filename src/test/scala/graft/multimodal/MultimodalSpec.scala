@@ -342,6 +342,25 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1).isNullAt(3) && got(2).isNullAt(3), "non-video -> NULLs")
   }
 
+  test("decodeVideoMeta runs inside a streaming micro-batch (parity with the image leg)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in    = MemoryStream[(Long, Array[Byte])]
+    val media = in.toDF().toDF("media_id", "bytes")
+    val out   = Multimodal.decodeVideoMeta(media)
+    assert(out.isStreaming)
+    val q = out.writeStream.outputMode("append").format("memory").queryName("mm_video_stream").start()
+    in.addData((1L, mp4Bytes("mp42", 1, 90000, 270000L, 3)), (2L, "junk".getBytes("UTF-8")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("mm_video_stream").orderBy("media_id").collect()
+    assert(got(0).getAs[String]("mp4_brand") == "mp42" &&
+      got(0).getAs[Long]("mp4_duration_ms") == 3000L &&
+      got(0).getAs[Int]("mp4_tracks") == 3, "v1 MP4 parsed in-stream")
+    assert(got(1).isNullAt(got(1).fieldIndex("mp4_brand")), "non-video -> NULLs in-stream")
+  }
+
   test("decodeAudioMeta: batch stage parses real WAV bytes, non-audio yields NULLs") {
     val rows = Seq(
       Row(1L, "audio", wavBytes(2, 8000, 16, 32000)),

@@ -746,6 +746,13 @@ class StreamingExtractSpec extends SparkSpec {
       val batch =
         (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getDouble(4))
       assert(census.snapshot == batch, s"$label: incremental ${census.snapshot} vs batch $batch")
+      // the degree-profile card off the same state, same parity bar
+      val p = graft.relops.GraphOps.degreeProfile(net.toDF("pa", "pb")).head()
+      def opt[T](i: Int): Option[T] = if (p.isNullAt(i)) None else Some(p.getAs[T](i))
+      val batchProfile = (p.getLong(0), p.getLong(1), opt[Double](2),
+        opt[Long](3), opt[Double](4), opt[Double](5))
+      assert(census.profileSnapshot == batchProfile,
+        s"$label: incremental ${census.profileSnapshot} vs batch profile $batchProfile")
     }
     // t1: basket 1 = {10,20,30} (a triangle); basket 2 = {10,20}
     // (edge (10,20) now supported by TWO baskets)
