@@ -105,14 +105,25 @@ object Bench {
     // SUSTAINED elevation, not max/min range: (median − min)/min.
     // The r15 contamination signature was most-of-the-run inflation
     // (42 keys 1.4-2.1×); a single outlier probe reading — one GC
-    // burst, one host hiccup — must not brand the whole artifact
+    // burst, one host hiccup — must not brand the whole artifact.
+    // Minimum THREE readings (r16 ADVICE): with exactly two, the
+    // median IS the max and the damping degenerates to (max−min)/min
+    // — a narrow SPARK_GRAFT_ONLY run would let one noisy end-of-run
+    // probe brand the artifact contended
     def probeSpread: Double = {
-      if (probeReadings.size < 2 || probeReadings.min <= 0) return 0.0
+      if (probeReadings.size < 3 || probeReadings.min <= 0) return 0.0
       val sorted = probeReadings.toSeq.sorted
       val median = sorted(sorted.size / 2)
       (median - sorted.head) / sorted.head
     }
     def contended: Boolean = probeSpread > 0.15
+    // per-PROBE elevation vs the run's cleanest reading: the segment
+    // localizer behind suspect_keys (r16 VERDICT #2 — detect AND act:
+    // a contended artifact separates clean keys from suspect ones so
+    // bench_diff compares only the clean set)
+    def probeElevated(i: Int): Boolean =
+      probeReadings.size >= 3 && probeReadings.min > 0 && i >= 0 &&
+        i < probeReadings.size && probeReadings(i) > probeReadings.min * 1.15
 
     // optional comma-separated query filter for local profiling runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -120,6 +131,11 @@ object Bench {
     // excluded from EVERY point of the scaling fit so family sums
     // always compare the same query composition across SFs
     val failed = scala.collection.mutable.Set.empty[String]
+    // query name -> index of the probe reading taken BEFORE it (the
+    // reading after it is at index+1 once the next interleaved or
+    // end-of-run probe lands); suspect = either bounding probe
+    // elevated, resolved AFTER all probes are in
+    val probeEpochOf = scala.collection.mutable.Map.empty[String, Int]
     val results = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .zipWithIndex
@@ -128,6 +144,7 @@ object Bench {
       // across the 233-query loop)
       if (idx > 0 && idx % 40 == 0)
         try probeReadings += shortProbe() catch { case _: Throwable => () }
+      probeEpochOf(name) = probeReadings.size - 1
       val ok =
         try { evalAll(fn(spark, sfDir)); true }
         catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); false }
@@ -153,6 +170,7 @@ object Bench {
     // unit queries
     def timeE2e(name: String, mk: () => org.apache.spark.sql.DataFrame): Option[(String, Double)] =
       if (only.forall(_.contains(name))) {
+        probeEpochOf(name) = probeReadings.size - 1
         val ok =
           try { evalAll(mk()); true }
           catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); false }
@@ -166,6 +184,7 @@ object Bench {
     // covers the write path itself, not a scan proxy
     def timeSink(name: String, run: String => Long): Option[(String, Double)] =
       if (only.forall(_.contains(name))) {
+        probeEpochOf(name) = probeReadings.size - 1
         def deleteRec(p: java.nio.file.Path): Unit = {
           import scala.jdk.CollectionConverters._
           if (java.nio.file.Files.exists(p)) {
@@ -202,6 +221,7 @@ object Bench {
     // card stages use the standard medianOf3 protocol on the cache.
     val graphStages: Option[(Double, Double, Double, Double, Double, Double, Double)] =
       if (only.forall(_.contains("graph_e2e"))) {
+        probeEpochOf("graph_e2e") = probeReadings.size - 1
         val out =
           try {
             // one untimed evalAll per stage first (r15 ADVICE): the
@@ -265,9 +285,15 @@ object Bench {
       // timing + row count (VERDICT r10 #8)
       timeE2e("compression_ratio", () => SparkEntry.compressionRatioOn(spark, sfDir)) ++
       timeE2e("mmr_rerank", () => SparkEntry.mmrRerankOn(spark, sfDir)) ++
+      timeE2e("ann_recall_gauge", () => SparkEntry.recallGaugeOn(spark, sfDir)) ++
       timeE2e("pca_whiten", () => SparkEntry.pcaWhitenOn(spark, sfDir)) ++
       timeE2e("unigram_train", () => SparkEntry.unigramTrainOn(spark, sfDir)) ++
       timeSink("zorder_sink", out => SparkEntry.zOrderWriteOn(spark, sfDir, out))
+    // bounding probe for the e2e/sink segment: without it those
+    // entries' "after" probe would be the end-of-run reading on the
+    // far side of the ~25-min scaling sweep, and contention arriving
+    // only during scaling would mark them suspect
+    try probeReadings += shortProbe() catch { case _: Throwable => () }
     // Locale.ROOT: the f-interpolator is locale-sensitive and would
     // emit comma decimals (invalid JSON) under e.g. a German default
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -306,17 +332,13 @@ object Bench {
       if (calib > 0) num(total * calibRef / calib) else "null"
     val compact = s"""{"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir","queries_n":${all.size},"composed_excluded":["graph_e2e"],"calib":${num(calibStart)},"total_calib_adjusted":${adjTotal(calibStart)},"calib_ref":$calibRef,"probe_spread":${num(probeSpread)},"contended":$contended}"""
     emit(compact)
-    // contention record: the interleaved short-probe series itself,
-    // so a flagged run shows WHERE the load landed
-    emit(
-      s"""{"metric":"contention","probes":${probeReadings.map(num).mkString("[", ",", "]")},"spread":${num(
-          probeSpread)},"contended":$contended,"band":0.15,"work":"range(3072e6) xxhash64 max/min, median of 3; spread = (median-min)/min","sf":"$sfDir"}""")
     graphStages.foreach { case (d, ex, sa, kc, pr, hi, fl) =>
       emit(
         s"""{"metric":"graph_e2e","derive":${num(d)},"exact_census":${num(ex)},"sampled_census":${num(
-            sa)},"census_ratio":${num(if (sa > 0) ex / sa else 0.0)},"kcore":${num(kc)},"profile":${num(
+            sa)},"census_ratio":${num(if (sa > 0) ex / sa else 0.0)},"offfloor_ratio":${num(
+            if (sa > fl && ex > fl) (ex - fl) / (sa - fl) else 0.0)},"kcore":${num(kc)},"profile":${num(
             pr)},"hits":${num(hi)},"floor_sec":${num(
-            fl)},"value":${num(d + ex + sa + kc + pr + hi)},"unit":"sec","note":"all cards from ONE persisted edge relation (hits stage since r16); census_ratio = exact/sampled census stage cost on the cache; floor_sec = the same census job chain on a 100-edge graph (pure scheduling floor, excluded from value)","sf":"$sfDir"}""")
+            fl)},"value":${num(d + ex + sa + kc + pr + hi)},"unit":"sec","note":"all cards from ONE persisted edge relation (hits stage since r16); census_ratio = exact/sampled census stage cost on the cache; offfloor_ratio = (exact-floor)/(sampled-floor), the same ratio with the measured scheduling floor removed from both tiers - the residual gap is the linear edge scan both tiers pay; floor_sec = the same census job chain on a 100-edge graph (pure scheduling floor, excluded from value)","sf":"$sfDir"}""")
     }
     // the sampled tier's END-TO-END economics next to the exact card
     // (r14 VERDICT #1): both per-card tiers pay the basket->pair
@@ -344,6 +366,7 @@ object Bench {
         """"compression_ratio":"new in r11 - spec-gated deflate quality signal, timing+rows only (no DuckDB oracle: no deflate there)",""" +
         """"zorder_sink":"new in r11 - Morton-layout write of documents on (n_chars,doc_id) to a temp dir; times the WRITE path",""" +
         """"mmr_rerank":"new in r11 - spec-gated MMR diversified top-20 over 100 candidates (greedy loop is sequential, no SQL oracle)",""" +
+        """"ann_recall_gauge":"new in r17 - spec-gated recall-drift gauge for the streaming PQ index (8 sampled probes, batched ADC + batched brute force, one scan each); times fit+encode+gauge",""" +
         """"pca_whiten":"new in r11 - spec-gated PCA whitening of all embeddings (treeAggregate moments + Jacobi eigen, no SQL oracle)",""" +
         """"unigram_train":"new in r11 - spec-gated unigram-LM tokenizer training, vocab 64 (one word-table job + driver Viterbi-EM; q_sp_seed_vocab gates the distributed stage)",""" +
         """"direct_whole_lake":"since r12 the reference-exact Direct baseline: EVERY (chunk, attribute) pair, NO keyword filter (main.py:71 passes file2chunks unfiltered), chunkSize 128 so bench docs split into ~3 chunks; r11 and earlier measured keyword-filtered single-chunk pairs at chunkSize 1000 - totals not comparable across that boundary",""" +
@@ -431,6 +454,22 @@ object Bench {
     // end-of-run probe: start-vs-end gap is the intra-run drift; the
     // mean is what bench_diff.py divides by
     try probeReadings += shortProbe() catch { case _: Throwable => () }
+    // contention record, emitted AFTER the last probe so suspect
+    // resolution sees the full series (r16 VERDICT #2): each query
+    // carries the index of the probe taken before it; it is SUSPECT
+    // when either bounding probe reads >15% above the run's cleanest
+    // probe — co-located load landed in its segment, so its time
+    // carries inflation the calibration probe cannot correct.
+    // bench_diff.py excludes suspect keys from regression flagging.
+    locally {
+      val suspect = probeEpochOf.toSeq.collect {
+        case (name, e) if probeElevated(e) || probeElevated(e + 1) => name
+      }.sorted
+      val suspectJson = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
+      emit(
+        s"""{"metric":"contention","probes":${probeReadings.map(num).mkString("[", ",", "]")},"spread":${num(
+            probeSpread)},"contended":$contended,"band":0.15,"suspect_keys":$suspectJson,"work":"range(3072e6) xxhash64 max/min, median of 3; spread = (median-min)/min; suspect = a bounding probe >15% above the run min","sf":"$sfDir"}""")
+    }
     val calibEnd = try calibProbe() catch { case _: Throwable => 0.0 }
     val calibMean =
       if (calibStart > 0 && calibEnd > 0) (calibStart + calibEnd) / 2

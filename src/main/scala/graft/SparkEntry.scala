@@ -749,6 +749,22 @@ object SparkEntry {
       Tables.embeddings(spark, dir), "vec_id", "embedding",
       queryVec(spark, dir), k = 20, candN = 100)
 
+  /** Spec-gated index-maintenance recall-drift gauge surfaced to
+    * Bench (`ann_recall_gauge`, r16 VERDICT #7): the periodic
+    * monitoring twin for pqEncodeStream — probeN sampled queries
+    * answered by batched PQ-ADC and batched brute force in one scan
+    * each, aggregated to (n_probes, mean_recall, min_recall). Times
+    * the full fit→encode→gauge composition at bench SF.
+    */
+  def recallGaugeOn(spark: SparkSession, dir: String): DataFrame = {
+    val emb   = Tables.embeddings(spark, dir)
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, k = 16, iters = 1)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books, m = 8, codeK = 16)
+    Similarity.pqRecallGauge(
+      codes, emb, "vec_id", "embedding", books,
+      k = 20, m = 8, codeK = 16, rerank = 200, probeN = 8)
+  }
+
   /** Spec-gated unigram-LM tokenizer training surfaced to Bench
     * (`unigram_train`; the Viterbi-EM loop is driver-side by design,
     * no SQL oracle): one corpus word-table job + in-JVM EM/prune,
@@ -1456,6 +1472,22 @@ object SparkEntry {
         .nearDupClusters(docs(s, dir), "lang", "doc_id", "text", n = 3, minJaccard = 0.5)
         .orderBy(col("doc_id"))),
 
+    // the SAME clusters through the diameter-independent
+    // large-star/small-star fallback (r16 VERDICT #4): the maxIter
+    // escape hatch's labels get the identical recursive-CTE oracle
+    // gate the path-halving default has, not just spec parity —
+    // min-root star forests and min-label propagation both converge
+    // to cluster_id = component minimum
+    "q_dedup_clusters_star" -> ((s, dir) => {
+      val pairs = Dedup
+        .ngramJaccardPairs(docs(s, dir), "lang", "doc_id", "text", n = 3)
+        .filter(col("jaccard") >= 0.5)
+      Dedup
+        .connectedComponentsStar(docs(s, dir).select(col("doc_id")), "doc_id", pairs)
+        .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // training-data ops: MinHash signatures + LSH band keys
     "q_dedup_minhash" -> ((s, dir) =>
       docs(s, dir)
@@ -1986,6 +2018,13 @@ object SparkEntry {
       def hc(str: String): String =
         str.getBytes(java.nio.charset.StandardCharsets.US_ASCII).map("%02X".format(_)).mkString
       val even    = col("doc_id") % 2 === 0
+      // the v0 mvhd duration field is 32 bits: a document whose
+      // n_chars exceeds 0xFFFFFFFF would silently truncate under
+      // lpad(hex, 8) and assemble corrupt bytes (r16 ADVICE) — such
+      // rows take the v1 (64-bit) form regardless of parity, exactly
+      // what a real muxer does; the brand stays keyed on parity and
+      // the oracle reads duration straight from n_chars either way
+      val v0      = even && col("n_chars") <= lit(0xFFFFFFFFL)
       val nTracks = (col("doc_id") % 3 + 1).cast("int")
       val ftypHex = concat(
         lit("00000014" + hc("ftyp")),
@@ -1993,7 +2032,7 @@ object SparkEntry {
         lit(hc("    ") + hc("isom")))
       val zeros80 = "00" * 80 // rate/volume/matrix/next_track: zeros
       val mvhdHex = when(
-        even,
+        v0,
         concat(
           lit("0000006C" + hc("mvhd") + "00000000" + "00000000" + "00000000" + "00000258"),
           lpad(hex(col("n_chars")), 8, "0"),
@@ -2004,7 +2043,7 @@ object SparkEntry {
           lit(zeros80)))
       val trakUnit = "00000008" + hc("trak")
       val traksHex = element_at(typedLit(Seq(trakUnit, trakUnit * 2, trakUnit * 3)), nTracks)
-      val moovSize = when(even, lit(116)).otherwise(lit(128)) + nTracks * 8
+      val moovSize = when(v0, lit(116)).otherwise(lit(128)) + nTracks * 8
       val allHex   = concat(ftypHex, lpad(hex(moovSize), 8, "0"), lit(hc("moov")), mvhdHex, traksHex)
       Multimodal
         .decodeVideoMeta(docs(s, dir).select(col("doc_id").as("media_id"), unhex(allHex).as("bytes")))
@@ -4531,6 +4570,23 @@ object SparkEntry {
     // reach label r; min over reachable labels = cluster id. UNION
     // (not ALL) dedups rows so the recursion terminates.
     "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $shinglesSql,
+          jp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM shing a JOIN shing b ON a.lang = b.lang AND a.doc_id < b.doc_id
+                 WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 6) >= 0.5),
+          e AS (SELECT id_a AS u, id_b AS v FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+          reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.u, reach.r FROM e JOIN reach ON reach.id = e.v)
+          SELECT id AS doc_id, min(r) AS cluster_id, (min(r) = id) AS is_canonical
+          FROM reach GROUP BY id ORDER BY doc_id""",
+
+    // identical oracle to q_dedup_clusters: star contraction and
+    // path-halving must agree with the same recursive reachability
+    // ground truth (the fallback is only correct if its labels are)
+    "q_dedup_clusters_star" ->
       s"""WITH RECURSIVE $shinglesSql,
           jp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
                  FROM shing a JOIN shing b ON a.lang = b.lang AND a.doc_id < b.doc_id

@@ -24,8 +24,20 @@ import scala.collection.mutable
   * the batch census ([[graft.relops.GraphOps.triangleStats]]) after
   * every trigger is spec-asserted, including across retraction
   * triggers.
+  *
+  * `maxLiveEdges` is the refuse-loudly bound on that state (r16
+  * VERDICT #1, mirroring kCore's non-fixpoint exit and CC's maxIter
+  * contract): the live co-occurrence graph of a 100 TB lake with an
+  * uncapped basket stream can outgrow the single JVM this consumer
+  * runs on, and a silent OOM of the monitoring path is worse than a
+  * loud stop. Crossing the bound throws and names the batch census
+  * as the fallback. The default (10M live pairs ≈ hundreds of MB of
+  * boxed state) is sized for a monitoring consumer, not a corpus —
+  * raise it deliberately if the deployment JVM is provisioned for
+  * more.
   */
-final class IncrementalCensus {
+final class IncrementalCensus(maxLiveEdges: Long = 10000000L) {
+  require(maxLiveEdges > 0, s"maxLiveEdges must be positive (got $maxLiveEdges)")
   private val adj     = mutable.Map.empty[Long, mutable.Set[Long]]
   private val support = mutable.Map.empty[(Long, Long), Int]
   private var tri     = 0L
@@ -70,6 +82,12 @@ final class IncrementalCensus {
     val key = if (pa <= pb) (pa, pb) else (pb, pa)
     if (add) {
       val s = support.getOrElse(key, 0)
+      if (s == 0 && support.size.toLong >= maxLiveEdges)
+        throw new IllegalStateException(
+          s"IncrementalCensus live-edge state would exceed maxLiveEdges=$maxLiveEdges — " +
+            "the live co-occurrence graph has outgrown this single-JVM monitoring " +
+            "consumer; re-derive from the patched edge set with the batch census " +
+            "(graft.relops.GraphOps.triangleStats) or raise the bound on a larger JVM")
       support(key) = s + 1
       if (s == 0) addEdge(key._1, key._2)
     } else {

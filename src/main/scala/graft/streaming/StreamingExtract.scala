@@ -177,8 +177,12 @@ object StreamingExtract {
     * ride into executor tasks as broadcast-sized literals (m × codeK
     * × subDim doubles). Codebook DRIFT (a corpus whose distribution
     * walks away from the frozen fit) is the operator's one
-    * re-encode trigger; the recall gauges (q_ann_pq_recall) are the
-    * monitoring hook for that decision.
+    * re-encode trigger;
+    * [[graft.textops.Similarity.pqRecallGauge]] is the periodic
+    * monitoring twin for that decision — run it on a schedule
+    * against the accumulated codes+embeddings tables this sink
+    * maintains, and re-fit when its mean_recall declines (the gauge's
+    * drift-detection is spec-asserted).
     */
   def pqEncodeStream(
       embeddings: DataFrame,
@@ -232,12 +236,25 @@ object StreamingExtract {
     queries.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // distinct: an at-least-once upstream can replay a (qid, vec)
-        // row within a trigger; the batched ADC requires unique qids
-        // (its LUT is qid-keyed) and duplicate answers are noise
-        val qs = batch.collect().map { r =>
+        // dedup by QID, not (qid, vec): an at-least-once upstream can
+        // replay a row within a trigger (exact dup), but a qid
+        // arriving with TWO DIFFERENT vectors would pass a (qid, vec)
+        // distinct and then trip pqTopKFromCodesBatch's unique-qid
+        // require INSIDE foreachBatch, killing the whole streaming
+        // query (r16 ADVICE). Keep the first vector per qid, loudly —
+        // the retired per-query union served both rows, but two
+        // answers under one key were ambiguous anyway
+        val rows = batch.collect().map { r =>
           (r.getLong(0), r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue).toSeq)
-        }.distinct
+        }
+        val qs = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (qid, vs) =>
+          val distinctVecs = vs.map(_._2).distinct
+          if (distinctVecs.length > 1)
+            System.err.println(
+              s"[annServeStream] qid $qid arrived with ${distinctVecs.length} distinct " +
+                "vectors in one trigger; serving the first, dropping the rest")
+          (qid, distinctVecs.head)
+        }
         if (qs.nonEmpty) {
           sink(
             graft.textops.Similarity.pqTopKFromCodesBatch(

@@ -478,6 +478,99 @@ object Similarity {
       .select(col("qid"), col(idCol), col("cos"), col("rank"))
   }
 
+  /** Batched brute-force cosine top-k: exact answers for a whole SET
+    * of queries in ONE scan of the embeddings relation — the
+    * exact-side twin of [[pqTopKFromCodesBatch]] (same broadcast
+    * query fan-out × per-qid rank-window cut; WindowGroupLimit keeps
+    * the cut map-side). Per-qid rows are identical to [[cosineTopK]]
+    * on the same vector (same rounding and (cos desc, id asc) tie
+    * rule). Output (qid, id, cos, rank).
+    */
+  def bruteTopKBatch(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: Seq[(Long, Seq[Double])],
+      k: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    require(queries.nonEmpty, "bruteTopKBatch needs at least one query")
+    require(
+      queries.map(_._1).distinct.size == queries.size,
+      "bruteTopKBatch requires distinct qids per batch")
+    val qVecs = queries.toDF("qid", "qvec")
+    val wFin  = Window.partitionBy(col("qid")).orderBy(desc("cos"), col(idCol))
+    embeddings
+      .crossJoin(broadcast(qVecs))
+      .select(
+        col("qid"),
+        col(idCol),
+        round(cosine(transform(col(vecCol), x => x.cast("double")), col("qvec")), 6).as("cos"))
+      .withColumn("rank", row_number().over(wFin))
+      .filter(col("rank") <= k)
+  }
+
+  /** Index-maintenance RECALL-DRIFT gauge (r16 VERDICT #7): as
+    * [[graft.streaming.StreamingExtract.pqEncodeStream]] appends
+    * codes for a corpus that walks away from the FROZEN codebooks,
+    * nothing else measures when the static fit stops serving well.
+    * This is the periodic monitoring twin: a deterministic sample of
+    * `probeN` corpus vectors (xxhash64-ranked — replayable, no RNG)
+    * is answered BOTH ways, PQ-ADC over the accumulated codes
+    * ([[pqTopKFromCodesBatch]], one scan) and exact brute force
+    * ([[bruteTopKBatch]], one scan), and per-probe recall@k
+    * aggregates to one row (n_probes, mean_recall, min_recall). Run
+    * it on a schedule against the serving tables the stream's sink
+    * maintains; a declining mean_recall is the re-fit/re-encode
+    * trigger the pqEncodeStream contract names. Driver state is the
+    * probeN sampled vectors — bounded by the parameter, the same
+    * documented consumer split as the `*OfSnapshot` gauges;
+    * everything else is two corpus scans with broadcast-only joins.
+    */
+  def pqRecallGauge(
+      codes: DataFrame,
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      books: Map[(Int, Int), Seq[Double]],
+      k: Int,
+      m: Int = 4,
+      codeK: Int = 16,
+      rerank: Int = 40,
+      dim: Int = 64,
+      probeN: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    require(probeN > 0, s"probeN must be positive (got $probeN)")
+    val probes = embeddings
+      .select(col(idCol), col(vecCol), xxhash64(col(idCol), lit(seed)).as("_h"))
+      .orderBy(col("_h"), col(idCol))
+      .limit(probeN)
+      .collect()
+      .map { r =>
+        (r.getAs[Number](0).longValue,
+          r.getSeq[Any](1).map(_.asInstanceOf[Number].doubleValue).toSeq)
+      }
+      .toSeq
+    val pq    = pqTopKFromCodesBatch(codes, embeddings, idCol, vecCol, probes, books, k, m, codeK, rerank, dim)
+    val exact = bruteTopKBatch(embeddings, idCol, vecCol, probes, k)
+    val overlap = exact
+      .select(col("qid"), col(idCol))
+      .join(pq.select(col("qid"), col(idCol)), Seq("qid", idCol), "left_semi")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_overlap"))
+    // a probe whose lists are fully disjoint drops out of the join:
+    // restore it as recall 0 rather than silently shrinking the mean
+    probes.map(_._1).toDF("qid")
+      .join(overlap, Seq("qid"), "left")
+      .select(coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .agg(
+        count(lit(1)).cast("int").as("n_probes"),
+        round(avg(col("n_overlap").cast("double") / k), 6).as("mean_recall"),
+        round(min(col("n_overlap").cast("double") / k), 6).as("min_recall"))
+  }
+
   /** IVF-PQ: the composed production index (Faiss's workhorse
     * layout, from the same TPAMI'11 paper) — a coarse IVF probe
     * prunes the corpus to `nProbe` buckets, PQ-ADC scores only the

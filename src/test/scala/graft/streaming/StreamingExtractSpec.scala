@@ -110,6 +110,52 @@ class StreamingExtractSpec extends SparkSpec {
     assert(byQid(100L).toSet == batch0)
   }
 
+  test("annServeStream: a qid arriving with two different vectors in one trigger is served once; stream survives") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.textops.Similarity
+    val vecs = (0L until 20L).map { i =>
+      val base = if (i % 2 == 0) Seq(1f, 0.05f, 0f, 0f) else Seq(0f, 0.05f, 1f, 0f)
+      (i, base.updated(3, (i % 5).toFloat / 100f))
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val books  = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 2, k = 4, iters = 1, dim = 4)
+    val codes  = Similarity.pqEncode(corpus, "vec_id", "embedding", books, m = 2, codeK = 4, dim = 4).cache()
+    val in  = MemoryStream[(Long, Seq[Double])]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    val writer = StreamingExtract.annServeStream(
+      in.toDF().toDF("qid", "qvec"), codes, corpus, "vec_id", "embedding",
+      books, k = 3, m = 2, codeK = 4, rerank = 10, dim = 4) { (res, _) =>
+      got ++= res.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    }
+    val q0 = vecs(0)._2.map(_.toDouble)
+    val q1 = vecs(1)._2.map(_.toDouble)
+    // qid 100: exact at-least-once replay (same vector twice); qid
+    // 101: two DIFFERENT vectors under one key — the r16 (qid, vec)
+    // distinct passed both through to pqTopKFromCodesBatch's
+    // unique-qid require, which threw inside foreachBatch and killed
+    // the whole stream (r16 ADVICE)
+    in.addData((100L, q0), (100L, q0), (101L, q1), (101L, q0))
+    val q = writer
+      .option("checkpointLocation", java.nio.file.Files.createTempDirectory("annserve-dup").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val byQid = got.groupBy(_._1)
+    assert(byQid.keySet == Set(100L, 101L), s"stream must survive and answer both qids: $got")
+    assert(byQid(100L).map(_._3).sorted == Seq(1, 2, 3), "replayed qid answers exactly k rows")
+    assert(byQid(101L).map(_._3).sorted == Seq(1, 2, 3), "colliding qid answers exactly k rows")
+    // the served answers equal the batch path for exactly one of the
+    // two colliding vectors (the first in the micro-batch)
+    def batchFor(v: Seq[Double]) = Similarity
+      .pqTopKFromCodes(codes, corpus, "vec_id", "embedding", v, books,
+        k = 3, m = 2, codeK = 4, rerank = 10, dim = 4)
+      .collect().map(r => (101L, r.getLong(0), r.getInt(2))).toSet
+    val served = byQid(101L).toSet
+    assert(served == batchFor(q1) || served == batchFor(q0),
+      s"served rows must match one colliding vector's batch answer: $served")
+  }
+
   test("keepRateStream: per-window rule-bank keep rate on an event-time stream") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(java.sql.Timestamp, String)]
@@ -767,6 +813,25 @@ class StreamingExtractSpec extends SparkSpec {
     q.stop()
     checkParity("t3 (post-retraction)")
     assert(census.snapshot._3 == 1L, "back to basket 1's single triangle")
+  }
+
+  test("IncrementalCensus: maxLiveEdges refuses loudly; support churn and retraction stay under the bound") {
+    val c = new IncrementalCensus(maxLiveEdges = 2)
+    c.apply(1L, 2L, add = true)
+    c.apply(2L, 3L, add = true)
+    // a second basket supporting an already-LIVE pair adds no edge:
+    // must not trip the bound
+    c.apply(1L, 2L, add = true)
+    val ex = intercept[IllegalStateException] { c.apply(3L, 4L, add = true) }
+    assert(ex.getMessage.contains("maxLiveEdges"), ex.getMessage)
+    assert(ex.getMessage.contains("triangleStats"), "the error must name the batch census fallback")
+    // the refused patch left state intact
+    assert(c.snapshot._2 == 2L)
+    // retraction to zero support frees capacity for a new edge
+    c.apply(1L, 2L, add = false)
+    c.apply(1L, 2L, add = false)
+    c.apply(3L, 4L, add = true)
+    assert(c.snapshot._2 == 2L)
   }
 
   test("aucOfSnapshot: degenerate one-class snapshots read 0.0, order of rows is irrelevant") {
