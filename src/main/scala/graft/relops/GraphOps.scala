@@ -2,6 +2,7 @@ package graft.relops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Item-co-occurrence graph analytics over a (basket, item) relation
   * — the market-basket / co-purchase shape (orders × parts here, but
@@ -98,6 +99,32 @@ object GraphOps {
       maxBasket: Int = Int.MaxValue): DataFrame =
     basketPairs(basketArrays(df, basketCol, itemCol, maxBasket)).distinct()
 
+  /** Undirected degree table (v, d) of an edge relation in ONE pass:
+    * explode both endpoints, one grouping shuffle. The r16 form —
+    * `e.select(pa).unionAll(e.select(pb))` — evaluated the edge
+    * SUBTREE twice (the two union branches are separate subplans;
+    * exchange reuse does not collapse the scans below them), which
+    * doubled the per-round restriction work in [[kCore]] where the
+    * edge frame is a join, not a cache (r17 optimization, guide §2.4:
+    * remove duplicate passes outright). Same multiset of endpoint
+    * rows, bit-identical counts.
+    */
+  private def degreesOf(e: DataFrame): DataFrame =
+    e.select(explode(array(col("pa"), col("pb"))).as("v"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("d"))
+
+  /** Persist `df` only when the caller has not already cached it —
+    * [[graphCard]] and the bench's graph_e2e hand every card the SAME
+    * persisted edge relation; each card re-persisting its projection
+    * of that cache tripled storage churn for zero reuse (r17
+    * optimization, guide §5: cache only what is reused). Returns the
+    * frame plus whether WE own the persist (and must release it).
+    */
+  private def persistIfUncached(base: DataFrame, df: DataFrame): (DataFrame, Boolean) =
+    if (base.storageLevel != StorageLevel.NONE) (df, false)
+    else (df.persist(), true)
+
   /** Exact global triangle census of an undirected edge relation
     * (columns pa < pb): node/edge counts, triangle count via the
     * degree-ordered node-iterator, open-wedge total Σ C(deg, 2), and
@@ -108,12 +135,31 @@ object GraphOps {
     * vertex) and the closing edge is always oriented low→high; no
     * per-triangle dedup pass needed.
     */
-  def triangleStats(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("pa"), col("pb")).persist()
-    val deg = e.select(col("pa").as("v"))
-      .unionAll(e.select(col("pb").as("v")))
-      .groupBy(col("v"))
-      .agg(count(lit(1)).as("d"))
+  def triangleStats(edges: DataFrame): DataFrame =
+    triangleStats(edges, precomputedDegrees = None, materialize = true)
+
+  /** [[triangleStats]] with the shared-relation knobs the composed
+    * card needs (r17 optimization): `precomputedDegrees` lets
+    * [[graphCard]] hand every constituent the ONE degree table the
+    * edge cache yields (census, profile and k-core round 1 each
+    * re-aggregated it — three identical corpus-sized shuffles);
+    * `materialize = false` skips the eager 1-row checkpoint so
+    * instrumentation (PlanDump) can explain the full operator plan —
+    * every query path keeps the materializing default.
+    */
+  private[graft] def triangleStats(
+      edges: DataFrame,
+      precomputedDegrees: Option[DataFrame],
+      materialize: Boolean): DataFrame = {
+    val (e, ownE) = persistIfUncached(edges, edges.select(col("pa"), col("pb")))
+    // degree table: node-sized, read by BOTH orientation joins AND the
+    // node aggregate below — persisted so the aggregation runs once
+    // (the r16 plan rebuilt it per consumer; exchange reuse only
+    // collapsed the exchange, not the scans feeding it)
+    val (deg, ownDeg) = precomputedDegrees match {
+      case Some(d) => (d, false)
+      case None    => (degreesOf(e).persist(), true)
+    }
     // direct each edge from its lower (degree, id) endpoint
     val keyed = e
       .join(deg.select(col("v").as("pa"), col("d").as("da")), Seq("pa"))
@@ -162,15 +208,17 @@ object GraphOps {
     // pattern for tiny results over persisted inputs. A wedge-free
     // graph (empty, or a perfect matching) reads clustering 0.0, not
     // null — the 0/0 case is defined downward by convention here.
-    val out = nodes
+    val raw = nodes
       .crossJoin(broadcast(tri))
       .select(
         col("n_nodes"), col("n_edges"), col("n_triangles"), col("n_wedges"),
         when(col("n_wedges") > 0,
           round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
           .otherwise(lit(0.0)).as("global_clustering"))
-      .localCheckpoint(eager = true)
-    e.unpersist()
+    if (!materialize) return raw
+    val out = raw.localCheckpoint(eager = true)
+    if (ownE) e.unpersist()
+    if (ownDeg) deg.unpersist()
     directed.unpersist()
     out
   }
@@ -314,19 +362,50 @@ object GraphOps {
     * Output: (v, core_deg) — the k-core's nodes with their degree
     * WITHIN the core (≥ k by construction); empty when no k-core.
     */
-  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 64): DataFrame =
+    kCore(edges, k, maxRounds, precomputedDegrees = None)
+
+  /** [[kCore]] with the shared degree table (r17 optimization, see
+    * [[triangleStats]]'s overload): round 1's degree aggregation IS
+    * the plain degree table of the full graph — when [[graphCard]]
+    * already holds it, the first peel becomes a node-sized filter.
+    *
+    * Two further r17 cuts, both value-identical: (1) per-round
+    * degrees run through [[degreesOf]] — the r16 unionAll form
+    * evaluated the (un-cached) two-semi-join restriction subtree
+    * TWICE per round, one evaluation per union branch (guide §2.4);
+    * (2) after the FIRST peel the surviving subgraph is re-persisted
+    * ONCE and later rounds restrict against that shrunken cache
+    * instead of re-filtering the full corpus-sized relation every
+    * round — round 1 is where a k-core peel drops the bulk of the
+    * graph (every node below global degree k), so rounds 2..fixpoint
+    * scan |core-candidate| edges, not |E|. This is NOT the r14 form
+    * the scaladoc above warns about (an eager localCheckpoint of the
+    * edges EVERY round — 6 corpus-sized materializations); it is one
+    * lazy persist filled by round 2's own scan, measured against the
+    * gated card.
+    */
+  private[graft] def kCore(
+      edges: DataFrame,
+      k: Int,
+      maxRounds: Int,
+      precomputedDegrees: Option[DataFrame]): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
-    def degrees(e: DataFrame): DataFrame =
-      e.select(col("pa").as("v"))
-        .unionAll(e.select(col("pb").as("v")))
-        .groupBy(col("v"))
-        .agg(count(lit(1)).as("core_deg"))
-    val e0 = edges.select(col("pa"), col("pb")).persist()
+    val e0 = {
+      val (e, _) = persistIfUncached(edges, edges.select(col("pa"), col("pb")))
+      e
+    }
+    var eCur: DataFrame    = e0       // current restriction basis
+    var eShrunk: DataFrame = null     // the one round-1 shrink we own
     def restrict(keep: Option[DataFrame]): DataFrame = keep match {
-      case None => e0
+      case None => eCur
       case Some(kp) =>
-        e0.join(kp.select(col("v").as("pa")), Seq("pa"), "left_semi")
+        eCur.join(kp.select(col("v").as("pa")), Seq("pa"), "left_semi")
           .join(kp.select(col("v").as("pb")), Seq("pb"), "left_semi")
+    }
+    def release(): Unit = {
+      if (e0.storageLevel != StorageLevel.NONE) e0.unpersist()
+      if (eShrunk != null) eShrunk.unpersist()
     }
     var survivors: Option[DataFrame] = None
     var lastKeep: DataFrame = null
@@ -340,7 +419,20 @@ object GraphOps {
       // — the output reads the last checkpoint directly instead of
       // paying one more full restrict+aggregate pass (measured ~1/7 of
       // the gated card's cost)
-      val keep = degrees(restrict(survivors))
+      val keepRaw = (survivors, precomputedDegrees) match {
+        // round 1 over the full graph: its degree aggregation is the
+        // graph's degree table — reuse the caller's when provided.
+        // ONLY before the shrink exists: the shrink resets survivors
+        // to None (the shrunken relation IS the restriction), so the
+        // guard on eShrunk keeps later rounds aggregating the CURRENT
+        // subgraph, not the round-0 table
+        case (None, Some(d)) if eShrunk == null =>
+          d.select(col("v"), col("d").as("core_deg"))
+        case _ =>
+          degreesOf(restrict(survivors))
+            .withColumnRenamed("d", "core_deg")
+      }
+      val keep = keepRaw
         .filter(col("core_deg") >= k)
         .localCheckpoint(eager = true)
       // ALWAYS the fixpoint-round keep: its degrees were computed over
@@ -352,15 +444,24 @@ object GraphOps {
       if (kn == prevN) done = true
       else { prevN = kn; survivors = Some(keep.select(col("v"))) }
       rounds += 1
+      // one-time shrink: later rounds peel within the round-1
+      // candidate subgraph (both endpoints had global degree ≥ k) —
+      // monotone survivor sets make restriction from the shrunken
+      // relation identical to restriction from the full one
+      if (rounds == 1 && !done && survivors.isDefined) {
+        eShrunk = restrict(survivors).persist()
+        eCur = eShrunk
+        survivors = None // the shrink IS the round-1 restriction
+      }
     }
     if (!done) {
-      e0.unpersist()
+      release()
       throw new IllegalStateException(
         s"kCore(k=$k) did not reach a fixpoint within $maxRounds rounds — " +
           "the surviving set is still shrinking (long-chain graphs peel one " +
           "layer per round); raise maxRounds rather than reading a partial peel")
     }
-    e0.unpersist()
+    release()
     // an immediately-empty peel (round 1 keeps nothing, round 2
     // confirms 0 == 0) leaves lastKeep at the empty round-1 result
     if (lastKeep == null)
@@ -383,41 +484,63 @@ object GraphOps {
     * density, assortativity) — assortativity NULL when degrees are
     * constant (zero variance).
     */
-  def degreeProfile(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("pa"), col("pb")).persist()
-    val deg = e.select(col("pa").as("v"))
-      .unionAll(e.select(col("pb").as("v")))
-      .groupBy(col("v"))
-      .agg(count(lit(1)).as("d"))
-      .persist()
+  def degreeProfile(edges: DataFrame): DataFrame =
+    degreeProfile(edges, precomputedDegrees = None, materialize = true)
+
+  /** [[degreeProfile]] with the shared-relation knobs (r17
+    * optimization, see [[triangleStats]]'s overload).
+    *
+    * Two plan cuts vs r16, both value-identical: (1) the moment sums
+    * are computed over UNDIRECTED edge rows and symmetrized in the
+    * closed form — over directed pairs m = 2·|E|, Σx = Σy = Σ(da+db),
+    * Σxy = 2·Σ(da·db), Σx² = Σy² = Σ(da²+db²), all exact DECIMAL
+    * folds, so the explode that doubled the aggregation input (and
+    * its Generate) is gone (guide §2.3: shuffle/aggregate fewer
+    * rows); (2) n_edges reads Σd/2 off the degree table (shiftright,
+    * exact — Σd is even by construction), dropping the separate
+    * edge-count scan + broadcast branch the r16 plan paid.
+    */
+  private[graft] def degreeProfile(
+      edges: DataFrame,
+      precomputedDegrees: Option[DataFrame],
+      materialize: Boolean): DataFrame = {
+    val (e, ownE) = persistIfUncached(edges, edges.select(col("pa"), col("pb")))
+    val (deg, ownDeg) = precomputedDegrees match {
+      case Some(d) => (d, false)
+      case None    => (degreesOf(e).persist(), true)
+    }
     // NOTE: Σd over an undirected edge list is identically 2·|E| —
-    // avg_degree derives from n_edges below, no extra aggregate state
+    // n_edges and avg_degree both derive from the degree table
     val nodeAgg = deg.agg(
       count(lit(1)).as("n_nodes"),
-      max(col("d")).as("max_degree"))
-    // symmetrized endpoint-degree moments over directed pairs
+      max(col("d")).as("max_degree"),
+      coalesce(shiftright(sum(col("d")), 1), lit(0L)).cast("long").as("n_edges"))
+    // endpoint-degree moments per UNDIRECTED edge; the directed
+    // symmetrization happens in the closed form below
     val dd = e
       .join(deg.select(col("v").as("pa"), col("d").as("da")), Seq("pa"))
       .join(deg.select(col("v").as("pb"), col("d").as("db")), Seq("pb"))
-      .select(
-        explode(array(
-          struct(col("da").as("x"), col("db").as("y")),
-          struct(col("db").as("x"), col("da").as("y")))).as("p"))
-      .select(col("p.x").cast("decimal(19,0)").as("x"), col("p.y").cast("decimal(19,0)").as("y"))
-    val mom = dd.agg(
-      count(lit(1)).as("m"),
-      sum(col("x")).as("sx"),
-      sum(col("y")).as("sy"),
-      sum(col("x") * col("y")).as("sxy"),
-      sum(col("x") * col("x")).as("sxx"),
-      sum(col("y") * col("y")).as("syy"))
+      .select(col("da").cast("decimal(19,0)").as("da"), col("db").cast("decimal(19,0)").as("db"))
+    val momE = dd.agg(
+      count(lit(1)).as("m_und"),
+      sum(col("da") + col("db")).as("sxy_sum"),
+      sum(col("da") * col("db")).as("sprod"),
+      sum(col("da") * col("da") + col("db") * col("db")).as("ssq"))
+    // directed-pair moments, exactly the r16 exploded aggregation's
+    // values: every undirected edge contributed both orientations
+    val mom = momE.select(
+      (col("m_und") * 2).as("m"),
+      col("sxy_sum").as("sx"),
+      col("sxy_sum").as("sy"),
+      (col("sprod") * 2).as("sxy"),
+      col("ssq").as("sxx"),
+      col("ssq").as("syy"))
     val mD  = col("m").cast("double")
     val num = mD * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
     val denx = mD * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
     val deny = mD * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")
     val nN  = col("n_nodes").cast("double")
-    val out = nodeAgg
-      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+    val raw = nodeAgg
       .crossJoin(broadcast(mom))
       .select(
         col("n_nodes").cast("bigint").as("n_nodes"),
@@ -432,9 +555,10 @@ object GraphOps {
           .otherwise(lit(null).cast("double")).as("density"),
         when(denx > 0.0 && deny > 0.0, round(num / sqrt(denx * deny), 6))
           .otherwise(lit(null).cast("double")).as("assortativity"))
-      .localCheckpoint(eager = true)
-    e.unpersist()
-    deg.unpersist()
+    if (!materialize) return raw
+    val out = raw.localCheckpoint(eager = true)
+    if (ownE) e.unpersist()
+    if (ownDeg) deg.unpersist()
     out
   }
 
@@ -458,25 +582,46 @@ object GraphOps {
     * with the L1 normalizer riding as a 1-row broadcast; both outputs
     * localCheckpoint to cut lineage across rounds.
     */
-  private def hitsRound(e: DataFrame, h: DataFrame): (DataFrame, DataFrame) = {
-    val araw = e.join(h, Seq("src"))
-      .select(col("dst"), col("score").cast("decimal(27,18)").as("c"))
-      .groupBy(col("dst"))
-      .agg(sum(col("c")).cast("double").as("raw"))
-    val an = araw.agg(
-      sum(col("raw").cast("decimal(27,18)")).cast("double").as("nrm"))
-    val a = araw.crossJoin(broadcast(an))
-      .select(col("dst"), (col("raw") / col("nrm")).as("score"))
-      .localCheckpoint()
+  private[graft] def hitsRound(e: DataFrame, h: Option[DataFrame]): (DataFrame, DataFrame) = {
+    // normalize raw scores: PERSIST the raw node-sized relation first
+    // (r17 optimization) — the normalizer is a broadcast subtree over
+    // the same frame, so without the cache every half-step executed
+    // its edge join + aggregation TWICE (once under BroadcastExchange,
+    // once on the main branch); guide §5, cache exactly what two
+    // branches of one plan share. The cache is released as soon as the
+    // eagerly-checkpointed normalized vector exists.
+    def normalize(rawDf: DataFrame, key: String): DataFrame = {
+      val raw = rawDf.persist()
+      val n = raw.agg(
+        sum(col("raw").cast("decimal(27,18)")).cast("double").as("nrm"))
+      val out = raw.crossJoin(broadcast(n))
+        .select(col(key), (col("raw") / col("nrm")).as("score"))
+        .localCheckpoint()
+      raw.unpersist()
+      out
+    }
+    // round 1's hub vector is identically 1.0 on every src (the
+    // uniform init) — Σ over in-edges of 1.0 ≡ the in-degree, folded
+    // as the SAME decimal-one sum the joined form produced, so the
+    // warm-up join against the all-ones vector (and the distinct that
+    // built it) is gone (r17 optimization, algebraic identity)
+    val araw = h match {
+      case Some(hdf) =>
+        e.join(hdf, Seq("src"))
+          .select(col("dst"), col("score").cast("decimal(27,18)").as("c"))
+          .groupBy(col("dst"))
+          .agg(sum(col("c")).cast("double").as("raw"))
+      case None =>
+        e.select(col("dst"), lit(1.0).cast("decimal(27,18)").as("c"))
+          .groupBy(col("dst"))
+          .agg(sum(col("c")).cast("double").as("raw"))
+    }
+    val a = normalize(araw, "dst")
     val hraw = e.join(a, Seq("dst"))
       .select(col("src"), col("score").cast("decimal(27,18)").as("c"))
       .groupBy(col("src"))
       .agg(sum(col("c")).cast("double").as("raw"))
-    val hn = hraw.agg(
-      sum(col("raw").cast("decimal(27,18)")).cast("double").as("nrm"))
-    val hNew = hraw.crossJoin(broadcast(hn))
-      .select(col("src"), (col("raw") / col("nrm")).as("score"))
-      .localCheckpoint()
+    val hNew = normalize(hraw, "src")
     (a, hNew)
   }
 
@@ -492,15 +637,15 @@ object GraphOps {
   def hits(edges: DataFrame, srcCol: String, dstCol: String, iters: Int = 2): DataFrame = {
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct().persist()
-    var h = e.select(col("src")).distinct().withColumn("score", lit(1.0))
+    var h: Option[DataFrame] = None // round 1 reads the uniform init algebraically
     var a: DataFrame = null
     var i = 0
     while (i < iters) {
       val (aN, hN) = hitsRound(e, h)
-      a = aN; h = hN
+      a = aN; h = Some(hN)
       i += 1
     }
-    hitsAssemble(e, h, a)
+    hitsAssemble(e, h.get, a)
   }
 
   /** [[hits]] run to a FIXPOINT instead of a fixed round count (r14
@@ -530,7 +675,7 @@ object GraphOps {
     require(tol > 0.0, s"tol must be > 0 (got $tol)")
     require(maxRounds >= 2, s"need at least 2 rounds to measure a delta (got $maxRounds)")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct().persist()
-    var h = e.select(col("src")).distinct().withColumn("score", lit(1.0))
+    var h: Option[DataFrame] = None // round 1 reads the uniform init algebraically
     var a: DataFrame = null
     var rounds    = 0
     var converged = false
@@ -548,7 +693,7 @@ object GraphOps {
           .first().getDouble(0)
         if (delta < tol) converged = true
       }
-      a = aN; h = hN
+      a = aN; h = Some(hN)
       rounds += 1
     }
     if (!converged) {
@@ -558,7 +703,7 @@ object GraphOps {
           s"$maxRounds rounds; raise maxRounds or loosen tol rather than " +
           "reading a truncated power iteration")
     }
-    hitsAssemble(e, h, a)
+    hitsAssemble(e, h.get, a)
   }
 
   /** The COMPOSED graph data card: derive the co-occurrence edge
@@ -582,9 +727,15 @@ object GraphOps {
       k: Int,
       maxBasket: Int = Int.MaxValue): DataFrame = {
     val edges = coOccurrenceEdges(df, basketCol, itemCol, maxBasket).persist()
-    val tri   = triangleStats(edges)
-    val prof  = degreeProfile(edges)
-    val core  = kCore(edges, k)
+    // ONE degree table for all three cards (r17 optimization): census,
+    // profile, and k-core round 1 each aggregated the same endpoint
+    // degrees from the same cache — three identical corpus-sized
+    // shuffles for one node-sized relation (guide §2.4)
+    val deg   = degreesOf(edges).persist()
+    val tri   = triangleStats(edges, Some(deg), materialize = true)
+    val prof  = degreeProfile(edges, Some(deg), materialize = true)
+    val core  = kCore(edges, k, maxRounds = 64, Some(deg))
+    deg.unpersist()
     edges.unpersist()
     def kv(name: String, c: Column): Column =
       struct(lit(name).as("metric"), c.cast("double").as("value"))
