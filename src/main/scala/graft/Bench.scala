@@ -127,6 +127,33 @@ object Bench {
 
     // optional comma-separated query filter for local profiling runs
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Locale.ROOT: the f-interpolator is locale-sensitive and would
+    // emit comma decimals (invalid JSON) under e.g. a German default
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // every printed metric line is ALSO persisted to a file artifact:
+    // the driver keeps only a ~2,000-char tail of stdout, which
+    // truncated r11's per-query map out of BENCH_r11.json and nearly
+    // cost the round its per-query regression check. The file is the
+    // durable record; the stdout lines remain the driver's contract.
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[String]
+    def emit(line: String): Unit = { println(line); emitted += line }
+    // INCREMENTAL artifact (r17 VERDICT #1a): each query's median goes
+    // out as its own JSON line the moment it is measured, so a run
+    // killed mid-loop still yields per-query ground truth (r17's rc=124
+    // runs produced ZERO evidence because everything was emitted at the
+    // end). Additions-only: the aggregate "queries" map line and the
+    // compact total line below are unchanged.
+    def emitQuery(name: String, sec: Double, ok: Boolean): Unit =
+      emit(s"""{"metric":"query","name":"$name","sec":${num(sec)},"ok":$ok,"sf":"$sfDir"}""")
+    // wall-clock budget for the whole main (r17 VERDICT #1b): the 3-SF
+    // scaling sweep is the largest optional block; when the gated loop
+    // + extras already consumed the budget (a 1.5x-slow co-tenant box),
+    // the sweep truncates per query instead of blowing the driver's
+    // window with no artifact at all. Default 2400 s leaves headroom
+    // inside a ~60-min driver window even with sbt/JVM startup.
+    val benchT0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET", "2400").toDouble
     // queries that threw at ANY scale factor (current or sibling):
     // excluded from EVERY point of the scaling fit so family sums
     // always compare the same query composition across SFs
@@ -150,6 +177,7 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); false }
       val sec = if (ok) medianOf3(() => evalAll(fn(spark, sfDir))) else 0.0
       if (!ok) { failed += name; System.err.println(s"[bench] $name FAILED") }
+      emitQuery(name, sec, ok)
       // drop persisted frames a query leaves behind (e.g. the CC
       // label cache): queries are independent, so any surviving cache
       // entry is pure storage-memory pressure on every later query —
@@ -163,6 +191,11 @@ object Bench {
       System.gc()
       name -> sec
     }
+    // provisional total the moment the gated loop ends (r17 VERDICT
+    // #1): a run killed during the e2e extras or the sweep still
+    // leaves a parsable sum of every gated query. The headline
+    // "total" line (gated + e2e/sink entries) follows unchanged.
+    emit(s"""{"metric":"total_main","value":${num(results.map(_._2).sum)},"unit":"sec","queries_n":${results.size},"note":"gated queries only, emitted before e2e/sink extras; the headline total line follows","sf":"$sfDir"}""")
     // flagship end-to-end at the bench SF (same warm-up-then-time
     // protocol as the queries): the full mock-LLM spine — scan →
     // chunk → keyword filter → direct extract → clean → vote → pivot
@@ -177,6 +210,7 @@ object Bench {
         val sec = if (ok) medianOf3(() => evalAll(mk())) else 0.0
         spark.catalog.clearCache()
         System.gc()
+        emitQuery(name, sec, ok)
         if (ok) Some(name -> sec) else None
       } else None
     // sink-shaped entries: the run WRITES (returns a row count), so
@@ -203,6 +237,7 @@ object Bench {
         val sec = if (ok) medianOf3(() => once()) else 0.0
         spark.catalog.clearCache()
         System.gc()
+        emitQuery(name, sec, ok)
         if (ok) Some(name -> sec) else None
       } else None
     // composed graph family over ONE persisted co-purchase edge
@@ -268,6 +303,7 @@ object Bench {
       } else None
     val graphE2e: Option[(String, Double)] =
       graphStages.map { case (d, ex, sa, kc, pr, hi, _) =>
+        emitQuery("graph_e2e", d + ex + sa + kc + pr + hi, ok = true)
         "graph_e2e" -> (d + ex + sa + kc + pr + hi)
       }
     val all = results ++ graphE2e ++
@@ -294,16 +330,6 @@ object Bench {
     // far side of the ~25-min scaling sweep, and contention arriving
     // only during scaling would mark them suspect
     try probeReadings += shortProbe() catch { case _: Throwable => () }
-    // Locale.ROOT: the f-interpolator is locale-sensitive and would
-    // emit comma decimals (invalid JSON) under e.g. a German default
-    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // every printed metric line is ALSO persisted to a file artifact:
-    // the driver keeps only a ~2,000-char tail of stdout, which
-    // truncated r11's per-query map out of BENCH_r11.json and nearly
-    // cost the round its per-query regression check. The file is the
-    // durable record; the stdout lines remain the driver's contract.
-    val emitted = scala.collection.mutable.ArrayBuffer.empty[String]
-    def emit(line: String): Unit = { println(line); emitted += line }
     val qs    = all.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     // COMPOSED entries re-time work the per-query entries already
     // timed (graph_e2e re-runs the four gated graph cards off one
@@ -415,27 +441,39 @@ object Bench {
           .filter { case (d, sf) => sf != cur && new java.io.File(d).isDirectory }
         val times = scala.collection.mutable.Map.empty[(String, Double), Double]
         results.foreach { case (name, sec) => times((name, cur)) = sec }
+        // budget truncation (r17 VERDICT #1b): a query the budget cut
+        // off at ANY sibling SF is excluded from EVERY point of the
+        // fit, exactly like `failed`, so family sums keep comparing
+        // the same query composition across SFs.
+        val budgetSkipped = scala.collection.mutable.Set.empty[String]
         siblings.foreach { case (dir, sf) =>
           SparkEntry.queries.foreach { case (name, fn) =>
-            try {
-              evalAll(fn(spark, dir)) // codegen/JIT warm-up, untimed
-              times((name, sf)) = medianOf3(() => evalAll(fn(spark, dir)))
-            } catch { case e: Throwable =>
-              failed += name
-              System.err.println(s"[bench] scaling $name@$sf: ${e.getMessage}")
+            if (elapsedSec > budgetSec || budgetSkipped.contains(name)) {
+              budgetSkipped += name
+            } else {
+              try {
+                evalAll(fn(spark, dir)) // codegen/JIT warm-up, untimed
+                times((name, sf)) = medianOf3(() => evalAll(fn(spark, dir)))
+                // streamed per-point line: a killed sweep still leaves
+                // partial cross-SF evidence (r17 VERDICT #1a)
+                emit(s"""{"metric":"query_sf","name":"$name","sf_point":${num(sf)},"sec":${num(times((name, sf)))},"sf":"$sfDir"}""")
+              } catch { case e: Throwable =>
+                failed += name
+                System.err.println(s"[bench] scaling $name@$sf: ${e.getMessage}")
+              }
+              // the FULL current-SF protocol, per query: leftover
+              // persisted frames and GC debt otherwise contaminate the
+              // next query's sibling reading exactly as they did the
+              // main loop's (the r2 q_dedup_clusters 13.4s-vs-4.2s
+              // lesson), skewing fitted slopes
+              spark.catalog.clearCache()
+              System.gc()
             }
-            // the FULL current-SF protocol, per query: leftover
-            // persisted frames and GC debt otherwise contaminate the
-            // next query's sibling reading exactly as they did the
-            // main loop's (the r2 q_dedup_clusters 13.4s-vs-4.2s
-            // lesson), skewing fitted slopes
-            spark.catalog.clearCache()
-            System.gc()
           }
         }
         val sfs = (siblings.map(_._2) :+ cur).sorted
         val famTimes: Map[String, Seq[(Double, Double)]] = times.toSeq
-          .filter { case ((n, _), _) => !failed.contains(n) }
+          .filter { case ((n, _), _) => !failed.contains(n) && !budgetSkipped.contains(n) }
           .groupBy { case ((n, _), _) => Scaling.familyOf(n) }
           .map { case (f, xs) =>
             f -> sfs.map(s => (s, xs.collect { case ((_, s2), t) if s2 == s => t }.sum))
@@ -448,7 +486,7 @@ object Bench {
         val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
         val excluded = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
         emit(
-          s"""{"metric":"scaling","sfs":${sfs.map(num).mkString("[", ",", "]")},"families":$famJson,"flagged":$flaggedJson,"excluded":$excluded,"sf":"$sfDir"}""")
+          s"""{"metric":"scaling","sfs":${sfs.map(num).mkString("[", ",", "]")},"families":$famJson,"flagged":$flaggedJson,"excluded":$excluded,"truncated":${budgetSkipped.nonEmpty},"budget_skipped_n":${budgetSkipped.size},"budget_sec":${num(budgetSec)},"elapsed_sec":${num(elapsedSec)},"sf":"$sfDir"}""")
       }
     } catch { case e: Throwable => System.err.println(s"[bench] scaling: ${e.getMessage}") }
     // end-of-run probe: start-vs-end gap is the intra-run drift; the

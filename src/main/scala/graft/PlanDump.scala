@@ -18,6 +18,9 @@ object PlanDump {
     val (sfDir, outDir, suffix, only) = args match {
       case Array(s, o, x)    => (s, o, x, None)
       case Array(s, o, x, f) => (s, o, x, Some(f.split(",").toSet))
+      case _ =>
+        System.err.println("usage: runMain graft.PlanDump <sfDir> <outDir> <suffix> [q1,q2,...]")
+        sys.exit(2)
     }
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Sessions.local(cpus, "graft-plandump")

@@ -146,6 +146,14 @@ object GraphOps {
     * `materialize = false` skips the eager 1-row checkpoint so
     * instrumentation (PlanDump) can explain the full operator plan —
     * every query path keeps the materializing default.
+    *
+    * LEAK CONTRACT (r17 ADVICE): on the `materialize = false` path the
+    * internally-persisted frames (edge projection, degree table, the
+    * directed orientation) stay REGISTERED in the cache manager — the
+    * returned plan must keep its InMemoryRelation nodes to be worth
+    * explaining. Callers of the non-materializing overload own the
+    * cleanup (`spark.catalog.clearCache()`), as PlanDump does after
+    * every dump. Same contract on [[degreeProfile]]'s overload.
     */
   private[graft] def triangleStats(
       edges: DataFrame,
@@ -391,10 +399,11 @@ object GraphOps {
       maxRounds: Int,
       precomputedDegrees: Option[DataFrame]): DataFrame = {
     require(k >= 1, s"k must be >= 1 (got $k)")
-    val e0 = {
-      val (e, _) = persistIfUncached(edges, edges.select(col("pa"), col("pb")))
-      e
-    }
+    // keep the ownership flag persistIfUncached returns (r17 ADVICE):
+    // inferring ownership from storageLevel at release time would
+    // unpersist a caller's independently-persisted plan-equal
+    // projection
+    val (e0, ownE0) = persistIfUncached(edges, edges.select(col("pa"), col("pb")))
     var eCur: DataFrame    = e0       // current restriction basis
     var eShrunk: DataFrame = null     // the one round-1 shrink we own
     def restrict(keep: Option[DataFrame]): DataFrame = keep match {
@@ -404,12 +413,13 @@ object GraphOps {
           .join(kp.select(col("v").as("pb")), Seq("pb"), "left_semi")
     }
     def release(): Unit = {
-      if (e0.storageLevel != StorageLevel.NONE) e0.unpersist()
+      if (ownE0) e0.unpersist()
       if (eShrunk != null) eShrunk.unpersist()
     }
     var survivors: Option[DataFrame] = None
     var lastKeep: DataFrame = null
     var prevN  = -1L
+    var nFull  = -1L // full-graph node count, when knowable for free
     var rounds = 0
     var done   = false
     while (!done && rounds < maxRounds) {
@@ -427,6 +437,13 @@ object GraphOps {
         // guard on eShrunk keeps later rounds aggregating the CURRENT
         // subgraph, not the round-0 table
         case (None, Some(d)) if eShrunk == null =>
+          // one count on the caller's persisted node-sized table: lets
+          // the shrink below skip when round 1 drops nothing (r17
+          // ADVICE — caching a near-full duplicate of the corpus edge
+          // relation buys no reuse). The standalone path keeps the
+          // unconditional shrink: knowing n_nodes there would cost an
+          // extra corpus-sized pass, worse than the rare wasted cache.
+          nFull = d.count()
           d.select(col("v"), col("d").as("core_deg"))
         case _ =>
           degreesOf(restrict(survivors))
@@ -448,7 +465,7 @@ object GraphOps {
       // candidate subgraph (both endpoints had global degree ≥ k) —
       // monotone survivor sets make restriction from the shrunken
       // relation identical to restriction from the full one
-      if (rounds == 1 && !done && survivors.isDefined) {
+      if (rounds == 1 && !done && survivors.isDefined && (nFull < 0 || prevN < nFull)) {
         eShrunk = restrict(survivors).persist()
         eCur = eShrunk
         survivors = None // the shrink IS the round-1 restriction

@@ -960,7 +960,7 @@ object Dedup {
       // constant; star contraction's O(log² n) bound is independent
       // of component shape, so it finishes exactly the adversarial
       // chain graphs that truncate here. Loud on stderr, never
-      // silent: the fallback costs more per round (an except()-based
+      // silent: the fallback costs more per round (an exact set-compare
       // fixpoint check), so a production run that lands here should
       // know its graph shape.
       System.err.println(
@@ -990,9 +990,10 @@ object Dedup {
     * min. Both operations preserve connectivity and never raise a
     * node's root candidate, so the fixpoint (edge set unchanged by a
     * full round) is exactly the star forest. The fixpoint check is an
-    * exact set compare (count + except), not a probabilistic
-    * checksum — dearer per round than path-halving's delta count,
-    * which is why this is the fallback, not the default.
+    * exact set compare (carried count + left-anti join, short-
+    * circuited behind count equality), not a probabilistic checksum —
+    * still dearer per round than path-halving's delta count, which is
+    * why this is the fallback, not the default.
     *
     * Per-round localCheckpoint for the same lineage-truncation
     * reasons as [[connectedComponents]] (the plan doubles through the
@@ -1011,7 +1012,12 @@ object Dedup {
       .filter(col("s_u") =!= col("s_v"))
       .distinct()
       .localCheckpoint()
-    var converged = edges.isEmpty // all-singleton graph: nothing to contract
+    // edge count carried ACROSS rounds (r17 VERDICT #5): the fixpoint
+    // check below needs |edges| every round, and re-counting the
+    // previous round's checkpoint was one redundant pass per round —
+    // this round's output count IS next round's input count.
+    var edgeCnt   = edges.count()
+    var converged = edgeCnt == 0L // all-singleton graph: nothing to contract
     var iter      = 0
     while (!converged && iter < maxIter) {
       // LARGE-STAR over both directions: per node u, m = min(u, N(u));
@@ -1047,13 +1053,24 @@ object Dedup {
         .distinct()
         .localCheckpoint()
       // exact fixpoint: same row count AND no row in small \ edges
-      // (both sides distinct, so count-equal + empty-except = equal)
-      converged = small.count() == edges.count() &&
-        small.except(edges).isEmpty
+      // (both sides distinct AND null-free — the initial =!= filter
+      // and every later min() keep nulls out — so count-equal +
+      // empty-anti-join = set-equal, exactly what except() checked).
+      // Two passes cheaper per round (r17 VERDICT #5): the previous
+      // round's count is carried forward instead of re-scanning its
+      // checkpoint, and the set-compare — the shuffle-heavy half —
+      // short-circuits behind count equality, so on a contracting
+      // edge set it runs only on candidate-fixpoint rounds. The
+      // left_anti also drops except()'s redundant re-Distinct of the
+      // already-distinct left side.
+      val smallCnt = small.count()
+      converged = smallCnt == edgeCnt &&
+        small.join(edges, Seq("s_u", "s_v"), "left_anti").isEmpty
       edges = small
+      edgeCnt = smallCnt
       iter += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        System.err.println(s"[cc-star] round $iter edges=${edges.count()}")
+        System.err.println(s"[cc-star] round $iter edges=$edgeCnt")
     }
     if (!converged)
       throw new IllegalStateException(

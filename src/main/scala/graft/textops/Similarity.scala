@@ -1875,13 +1875,26 @@ object Similarity {
       nCentroids: Int = 16,
       learnedCentroids: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
     require(ef >= k, s"beam width ef=$ef must be >= k=$k")
-    val (graph, entries) =
+    val (graph, entries, asg) =
       graphAndEntries(embeddings, idCol, vecCol, knnK, nCentroids, learnedCentroids)
+    // rescore candidates from the PERSISTED assignment relation, not a
+    // fresh corpus scan (r17 VERDICT #4): graphAndEntries already
+    // assignment-scanned the corpus once, and asg's `v` IS
+    // transform(vecCol → double) — `cosine(v, q)` is bit-identical to
+    // the old round(cosineToQuery(vecCol, q), 6) over the raw column.
+    // Before this, EVERY hop's rescore re-read the parquet embeddings.
     def rescored(ids: DataFrame): DataFrame =
       ids
-        .join(embeddings.select(col(idCol), col(vecCol)), Seq(idCol))
-        .select(col(idCol), round(cosineToQuery(col(vecCol), query), 6).as("cos"))
+        .join(asg.select(col(idCol), col("v")), Seq(idCol))
+        .select(col(idCol), round(cosine(col("v"), typedLit(query)), 6).as("cos"))
+    // EAGER per-hop beam (ef rows, localCheckpoint): hop h+1 reads the
+    // beam TWICE (frontier expansion + candidate union), so a lazy
+    // beam re-executed hop h's whole subtree both times — the plan
+    // (and the corpus-join count) doubled per hop. Materialized, the
+    // final plan holds one corpus-free lineage regardless of hops, and
+    // the assignment cache can be released before returning.
     var beam = rescored(entries).orderBy(desc("cos"), col(idCol)).limit(ef)
+      .localCheckpoint(eager = true)
     var h = 0
     while (h < hops) {
       val expanded = beam
@@ -1890,8 +1903,10 @@ object Similarity {
         .select(col("gs_nbr").as(idCol))
       val candIds = beam.select(col(idCol)).union(expanded).distinct()
       beam = rescored(candIds).orderBy(desc("cos"), col(idCol)).limit(ef)
+        .localCheckpoint(eager = true)
       h += 1
     }
+    asg.unpersist()
     beam
       .orderBy(desc("cos"), col(idCol))
       .limit(k)
@@ -1899,19 +1914,25 @@ object Similarity {
   }
 
   /** Shared build for the graph-ANN tier: the persisted (src, nbr)
-    * neighbor-list relation and the one-entry-per-bucket relation
+    * neighbor-list relation, the one-entry-per-bucket relation
     * (max cosine-to-own-centroid, ties to the smaller id — the same
-    * assignment expression every centroid consumer shares).
+    * assignment expression every centroid consumer shares), and the
+    * STILL-PERSISTED assignment relation.
     *
     * The corpus is assignment-scanned ONCE: the (id, bucket, ccos,
     * v, nrm) relation is persisted, BOTH the knnK neighbor lists
     * (identical rank rule to [[knnGraph]], rounded cos desc then
-    * nbr id) and the entries derive from it, the graph is
-    * materialized, the tiny entry set is locally checkpointed, and
-    * the assignment cache is released — ONE resident artifact
-    * remains (the graph: the index a serving session deliberately
-    * keeps; repeated single-query callers should batch via
-    * [[graphTopKBatch]] or clear it when done).
+    * nbr id) and the entries derive from it, and the tiny entry set
+    * is locally checkpointed. Since r18 the assignment cache is
+    * handed BACK to the caller instead of being dropped here: the
+    * beam loops rescore candidates from it (zero per-hop corpus
+    * re-scans), then release it — ONE resident artifact remains
+    * after a search (the graph: the index a serving session
+    * deliberately keeps; repeated single-query callers should batch
+    * via [[graphTopKBatch]] or clear it when done). The graph is no
+    * longer force-counted here — the first hop's expansion fills its
+    * cache from the still-live assignment cache anyway, so the
+    * dedicated materialization job bought nothing.
     */
   private def graphAndEntries(
       embeddings: DataFrame,
@@ -1919,7 +1940,7 @@ object Similarity {
       vecCol: String,
       knnK: Int,
       nCentroids: Int,
-      learnedCentroids: Option[Seq[(Int, Seq[Double])]]): (DataFrame, DataFrame) = {
+      learnedCentroids: Option[Seq[(Int, Seq[Double])]]): (DataFrame, DataFrame, DataFrame) = {
     val centroids = seedOrLearned(embeddings, idCol, vecCol, nCentroids, learnedCentroids)
     val asg = embeddings
       .withColumn("v", transform(col(vecCol), x => x.cast("double")))
@@ -1948,15 +1969,13 @@ object Similarity {
       .filter(col("rn") <= knnK)
       .select(col("gs_src"), col("gs_nbr"))
       .persist()
-    graph.count() // materialize so the assignment cache can drop now
     val we = Window.partitionBy(col("bucket")).orderBy(desc("ccos"), col(idCol))
     val entries = asg
       .withColumn("rn", row_number().over(we))
       .filter(col("rn") === 1)
       .select(col(idCol))
-      .localCheckpoint() // nCentroids rows, eager — frees asg below
-    asg.unpersist()
-    (graph, entries)
+      .localCheckpoint() // nCentroids rows, eager
+    (graph, entries, asg)
   }
 
   /** Batch serving face of [[graphTopK]] — a query TABLE beam-searched
@@ -1985,10 +2004,13 @@ object Similarity {
     require(queries.nonEmpty, "graphTopKBatch needs at least one query")
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val (graph, entries) =
+    val (graph, entries, asg) =
       graphAndEntries(embeddings, idCol, vecCol, knnK, nCentroids, learnedCentroids)
     val qdf  = queries.toDF("qid", "qvec")
-    val vecs = embeddings.select(col(idCol), transform(col(vecCol), x => x.cast("double")).as("gs_v"))
+    // candidate vectors come from the persisted assignment relation
+    // (asg.v IS transform(vecCol → double)) — zero per-hop corpus
+    // re-scans, same cut as the single-query path (r17 VERDICT #4)
+    val vecs = asg.select(col(idCol), col("v").as("gs_v"))
     val w    = Window.partitionBy(col("qid")).orderBy(desc("cos"), col(idCol))
     def rescored(ids: DataFrame): DataFrame =
       ids
@@ -1997,7 +2019,12 @@ object Similarity {
         .select(col("qid"), col(idCol), round(cosine(col("gs_v"), col("qvec")), 6).as("cos"))
     def cut(scored: DataFrame, n: Int): DataFrame =
       scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= n).drop("rn")
+    // per-hop EAGER beam, same rationale as [[graphTopK]]: a lazy beam
+    // is read twice by the next hop, doubling the executed subtree per
+    // hop; materialized (|queries|×ef rows) the final plan reads one
+    // checkpoint and the assignment cache can be released on return
     var beam = cut(rescored(entries.crossJoin(broadcast(qdf.select(col("qid"))))), ef)
+      .localCheckpoint(eager = true)
     var h = 0
     while (h < hops) {
       val expanded = beam
@@ -2006,8 +2033,10 @@ object Similarity {
         .select(col("qid"), col("gs_nbr").as(idCol))
       val candIds = beam.select(col("qid"), col(idCol)).union(expanded).distinct()
       beam = cut(rescored(candIds), ef)
+        .localCheckpoint(eager = true)
       h += 1
     }
+    asg.unpersist()
     beam
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
