@@ -39,7 +39,16 @@ object PlanDump {
         graft.relops.GraphOps.degreeProfile(
           graft.relops.GraphOps.coOccurrenceEdges(
             graft.lake.Tables.lineitem(spark, sfDir), "l_orderkey", "l_partkey", maxBasket = 50),
-          None, materialize = false)))
+          None, materialize = false)),
+      // the graph-ANN beam's per-hop plan (r18): hops−1 beams run
+      // eagerly, the LAST hop is returned un-checkpointed — the dump
+      // shows one frontier⋈graph join + one rescore join against the
+      // cached assignment relation and ZERO parquet scans, the
+      // hop-count-invariant shape the r18 change claims
+      "ann_graph_lasthop_inner" -> (() =>
+        graft.textops.Similarity.graphTopKLastHopPlan(
+          graft.lake.Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+          SparkEntry.queryVec(spark, sfDir), k = 20, ef = 32, hops = 2, knnK = 8)))
     inner
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, mk) =>

@@ -135,7 +135,7 @@ object SparkEntry {
   /** Query embedding (vec_id = 0) as a double literal — a scalar
     * query parameter, fetched once on the driver.
     */
-  private def queryVec(s: SparkSession, dir: String): Seq[Double] =
+  private[graft] def queryVec(s: SparkSession, dir: String): Seq[Double] =
     Tables
       .embeddings(s, dir)
       .filter(col("vec_id") === 0)

@@ -183,7 +183,19 @@ object Profiler {
     val spark = pred.sparkSession
     import spark.implicits._
     require(ks.nonEmpty, "evaluateEndToEnd needs at least one k")
-    val goldAttrs = gold.select(col("attribute")).distinct()
+    // gold feeds FIVE differently-keyed consumers (attribute distinct,
+    // the ClosedIE cell join, the doc-count action, attrSlices, the
+    // triple set) and pred feeds two (name distinct + the alias map
+    // join). When the caller hands in DERIVED frames (q_eval_e2e
+    // builds both from the documents scan), each consumer re-ran the
+    // whole derivation — differently-keyed aggregations share no
+    // exchange, so ReuseExchange cannot collapse them (the r17
+    // read-the-duplicate-through-the-exchange rule, inverted). Persist
+    // both; the totalDocs count below doubles as gold's cache fill.
+    // Same caller-may-unpersist convention as `mapped`.
+    val goldC = gold.persist()
+    val predC = pred.persist()
+    val goldAttrs = goldC.select(col("attribute")).distinct()
     val schemaRows = SchemaId
       .schemaEvalAtK(rankedAttrs, goldAttrs.select(col("attribute").as("field")), ks)
       .selectExpr("k", "stack(3, 'precision', precision, 'recall', recall, 'f1', f1) as (metric, value)")
@@ -211,7 +223,7 @@ object Profiler {
     // gold attributes). We keep one-pred-one-gold: the second gold
     // attribute goes unmatched (recall miss) instead of double-
     // counting the same pred rows under two gold names.
-    val predAttrs = pred.select(col("attribute").as("attr_a")).distinct()
+    val predAttrs = predC.select(col("attribute").as("attr_a")).distinct()
     val exactA    = predAttrs.join(
       goldAttrs.select(col("attribute").as("attr_a")), Seq("attr_a"), "left_semi")
     val aliasMap = SchemaId
@@ -221,9 +233,9 @@ object Profiler {
           .join(exactA.select(col("attr_a").as("attr_b")), Seq("attr_b"), "left_anti"))
       .groupBy(col("attr_a"))
       .agg(min(col("attr_b")).as("gold_attr")) // deterministic when several gold names alias
-    val mapped = pred
-      .join(broadcast(aliasMap), pred("attribute") === aliasMap("attr_a"), "left")
-      .select(col("path"), coalesce(col("gold_attr"), pred("attribute")).as("attribute"), col("value"))
+    val mapped = predC
+      .join(broadcast(aliasMap), predC("attribute") === aliasMap("attr_a"), "left")
+      .select(col("path"), coalesce(col("gold_attr"), predC("attribute")).as("attribute"), col("value"))
       .persist()
     // stage 2: ClosedIE token-F1 over every gold cell (missing pred =
     // abstain). EXACTLY ONE pred scores per gold cell — aliasing can
@@ -235,7 +247,7 @@ object Profiler {
     val onePred = mapped
       .groupBy(col("path"), col("attribute"))
       .agg(min(col("value")).as("pred"))
-    val cells = gold
+    val cells = goldC
       .select(col("path"), col("attribute"), col("value").as("gold"))
       .join(onePred, Seq("path", "attribute"), "left")
       .select(lit(1).as("grp"), coalesce(col("pred"), lit("")).as("pred"), col("gold"))
@@ -254,9 +266,9 @@ object Profiler {
     // hallucinated attributes hurt precision everywhere (an empty
     // slice then reads P = 0/np = 0, R = 0, F1 = 0, identical to a
     // short-circuit).
-    val totalDocs = gold.select(col("path")).distinct().count()
+    val totalDocs = goldC.select(col("path")).distinct().count()
     val sl = graft.eval.Harness
-      .attrSlices(gold, totalDocs)
+      .attrSlices(goldC, totalDocs)
       .select(col("attribute"), col("head_attr"), col("structured"))
     val smem = sl.select(lit("all").as("sname"), col("attribute"))
       .unionByName(sl.filter(col("head_attr")).select(lit("head").as("sname"), col("attribute")))
@@ -268,7 +280,7 @@ object Profiler {
       df.select(col("path"), col("attribute"), lower(trim(col("value"))).as("value"))
         .filter(col("value").isNotNull && length(col("value")) > 0)
     val pTrip = cleanTriples(mapped)
-    val gTrip = cleanTriples(gold)
+    val gTrip = cleanTriples(goldC)
     // "outside the gold schema" means: not in any SLICE — a gold
     // attribute whose values are ALL empty never enters attrSlices,
     // and preds against it must still penalize precision everywhere
@@ -427,14 +439,34 @@ class Profiler(
   def synthesizeSpecs(
       attribute: String,
       sampleChunks: DataFrame,
-      cl: LlmClient = client): Seq[ExtractorSpec] = {
-    val prompts = sampleChunks
-      // deterministic chunk choice (unordered limit is partition-layout
-      // dependent): content-hash order, like sampleDocs
+      cl: LlmClient = client): Seq[ExtractorSpec] =
+    synthesizeSpecsFrom(attribute, synthesisChunks(sampleChunks), cl)
+
+  /** The deterministic synthesis context: 4 sample chunks in
+    * content-hash order (an unordered limit is partition-layout
+    * dependent), like sampleDocs. ATTRIBUTE-INDEPENDENT — the same 4
+    * chunks seed every attribute's synthesis prompts — so the
+    * per-attribute fan-out ([[profileAttributesChecked]]) collects
+    * them ONCE and shares the result: one Spark job instead of one
+    * per attribute (r18, guide §5: the driver should not repeat
+    * identical collects).
+    */
+  private[graft] def synthesisChunks(sampleChunks: DataFrame): Seq[String] =
+    sampleChunks
       .orderBy(md5(col("path").cast("binary")), col("path"), col("chunk_id"))
       .limit(4) // specs per sample chunk ×2 prompt variants, like train_size×2
       .collect()
       .map(_.getAs[String]("chunk"))
+      .toSeq
+
+  /** [[synthesizeSpecs]] over a pre-collected synthesis context —
+    * identical prompts, zero Spark actions.
+    */
+  private[graft] def synthesizeSpecsFrom(
+      attribute: String,
+      chunks: Seq[String],
+      cl: LlmClient): Seq[ExtractorSpec] = {
+    val prompts = chunks
       .flatMap(c => Seq(Prompts.synthesizeSpecA(attribute, c), Prompts.synthesizeSpecB(attribute)))
     cl
       .complete(prompts.iterator)
@@ -675,7 +707,18 @@ class Profiler(
   def selectSpecsForAttribute(
       sampleChunks: DataFrame,
       attribute: String,
-      doEndToEnd: Boolean): (Seq[ExtractorSpec], Double) = {
+      doEndToEnd: Boolean): (Seq[ExtractorSpec], Double) =
+    selectSpecsForAttribute(sampleChunks, attribute, doEndToEnd, preChunks = None)
+
+  /** [[selectSpecsForAttribute]] with an optional pre-collected
+    * synthesis context ([[synthesisChunks]]) so the parallel fan-out
+    * pays the sample collect once, not once per attribute.
+    */
+  private[graft] def selectSpecsForAttribute(
+      sampleChunks: DataFrame,
+      attribute: String,
+      doEndToEnd: Boolean,
+      preChunks: Option[Seq[String]]): (Seq[ExtractorSpec], Double) = {
     // per-attribute error scope: the bail counter lives and dies with
     // this cascade, matching the reference's per-attribute loop.
     // Token accounting wraps OUTSIDE the bail client: synthesis and
@@ -683,7 +726,10 @@ class Profiler(
     // functions"]` vs the direct-extract gold, `main.py:103-135`)
     // while sharing the one per-attribute failure counter.
     val cl    = new BailingLlmClient(client, cfg.maxConsecutiveLlmErrors)
-    val specs = synthesizeSpecs(attribute, sampleChunks, stageClient("synthesis", cl))
+    val specs = preChunks match {
+      case Some(cs) => synthesizeSpecsFrom(attribute, cs, stageClient("synthesis", cl))
+      case None     => synthesizeSpecs(attribute, sampleChunks, stageClient("synthesis", cl))
+    }
     val gold  = goldOnSample(attribute, sampleChunks, stageClient("gold_sample", cl))
     selectSpecs(attribute, specs, sampleChunks, gold, doEndToEnd)
   }
@@ -749,6 +795,13 @@ class Profiler(
     // per-attribute timeout protects the serial configuration too (a
     // wedged client must never hang the run).
     val par = math.max(1, math.min(cfg.attrParallelism, attrsAll.size))
+    // the synthesis context is attribute-independent — collect it ONCE
+    // here instead of once per pooled cascade (r18: N−1 fewer sample
+    // jobs; at attrParallelism they serialized on the scheduler floor).
+    // A failure of this shared collect falls back to the per-attribute
+    // path so an infrastructure hiccup degrades exactly as before.
+    val sharedChunks: Option[Seq[String]] =
+      scala.util.Try(synthesisChunks(sampleChunks)).toOption
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       par,
       (r: Runnable) => { val t = new Thread(r, "graft-attr"); t.setDaemon(true); t })
@@ -763,7 +816,7 @@ class Profiler(
               // demand by name; without this the FAIR config is inert
               spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-attr-${i % par}")
               spark.sparkContext.setJobGroup(s"graft-attr-$a", s"profile attribute $a", interruptOnCancel = true)
-              try selectSpecsForAttribute(sampleChunks, a, doEndToEnd)
+              try selectSpecsForAttribute(sampleChunks, a, doEndToEnd, sharedChunks)
               finally {
                 spark.sparkContext.clearJobGroup()
                 spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
@@ -893,16 +946,34 @@ class Profiler(
       .attrValidityAgg(extractions.select(col("attribute"), col("value")))
       .collect()
     val (autoDrop, toAsk) = agg.partition(_.getAs[Boolean]("drop_attr"))
+    // ONE windowed job for every borderline attribute's LLM sample
+    // (r18, guide §2.4): the old form ran a separate
+    // filter-orderBy-limit(5)-collect per attribute — |borderline|
+    // corpus-extraction passes. row_number over (value asc) per
+    // attribute keeps the 5 lexicographically-smallest values, the
+    // exact multiset the per-attribute limit produced (ties between
+    // equal values are interchangeable), read back in the same sorted
+    // order.
+    val askAttrs = toAsk.map(_.getAs[String]("attribute")).toSeq
+    val samplesByAttr: Map[String, Seq[String]] =
+      if (askAttrs.isEmpty) Map.empty
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("attribute")).orderBy(col("value"))
+        extractions
+          .filter(col("attribute").isin(askAttrs: _*) && length(col("value")) > 0)
+          .select(col("attribute"), col("value"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .collect()
+          .groupBy(_.getString(0))
+          .map { case (a, rows) =>
+            a -> rows.sortBy(_.getAs[Int]("rn")).map(_.getString(1)).toSeq
+          }
+      }
     val llmDrop = toAsk.flatMap { r =>
       val attr = r.getAs[String]("attribute")
-      val samples = extractions
-        .filter(col("attribute") === attr && length(col("value")) > 0)
-        .select(col("value"))
-        .orderBy(col("value")) // deterministic sample, not partition order
-        .limit(5)
-        .collect()
-        .map(_.getString(0))
-        .toSeq
+      val samples = samplesByAttr.getOrElse(attr, Seq.empty)
       if (samples.isEmpty) Some(attr)
       else {
         // 3-vote LLM majority, like the reference's repeated check.

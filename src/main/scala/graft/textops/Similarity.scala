@@ -1875,6 +1875,43 @@ object Similarity {
       nCentroids: Int = 16,
       learnedCentroids: Option[Seq[(Int, Seq[Double])]] = None): DataFrame = {
     require(ef >= k, s"beam width ef=$ef must be >= k=$k")
+    graphBeamSearch(embeddings, idCol, vecCol, query, k, ef, hops, knnK,
+      nCentroids, learnedCentroids, materializeLast = true)
+  }
+
+  /** Instrumentation face of [[graphTopK]] (PlanDump): identical loop,
+    * but the FINAL hop's frame is returned WITHOUT its eager
+    * materialization and the assignment cache is left registered, so
+    * the per-hop operator plan — one frontier⋈graph join + one
+    * rescore join against the cached assignment, zero parquet scans —
+    * is explainable. Same leak contract as GraphOps'
+    * materialize=false overloads: the caller owns clearCache().
+    */
+  private[graft] def graphTopKLastHopPlan(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      ef: Int,
+      hops: Int,
+      knnK: Int,
+      nCentroids: Int = 16): DataFrame =
+    graphBeamSearch(embeddings, idCol, vecCol, query, k, ef, hops, knnK,
+      nCentroids, None, materializeLast = false)
+
+  private def graphBeamSearch(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Seq[Double],
+      k: Int,
+      ef: Int,
+      hops: Int,
+      knnK: Int,
+      nCentroids: Int,
+      learnedCentroids: Option[Seq[(Int, Seq[Double])]],
+      materializeLast: Boolean): DataFrame = {
     val (graph, entries, asg) =
       graphAndEntries(embeddings, idCol, vecCol, knnK, nCentroids, learnedCentroids)
     // rescore candidates from the PERSISTED assignment relation, not a
@@ -1902,11 +1939,13 @@ object Similarity {
         .join(graph, Seq("gs_src"))
         .select(col("gs_nbr").as(idCol))
       val candIds = beam.select(col(idCol)).union(expanded).distinct()
-      beam = rescored(candIds).orderBy(desc("cos"), col(idCol)).limit(ef)
-        .localCheckpoint(eager = true)
+      val next = rescored(candIds).orderBy(desc("cos"), col(idCol)).limit(ef)
+      beam =
+        if (h == hops - 1 && !materializeLast) next
+        else next.localCheckpoint(eager = true)
       h += 1
     }
-    asg.unpersist()
+    if (materializeLast) asg.unpersist()
     beam
       .orderBy(desc("cos"), col(idCol))
       .limit(k)

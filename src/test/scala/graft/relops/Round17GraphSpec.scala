@@ -73,14 +73,18 @@ class Round17GraphSpec extends SparkSpec {
       .groupBy(col("dst")).agg(sum(col("c")).cast("double").as("raw"))
       .orderBy("dst").collect().map(_.toSeq).toSeq
     val (a1, _) = GraphOps.hitsRound(e, None)
-    // a1 is normalized; compare the unnormalized identity through the
-    // full operator instead: hits() output must match a hand-run of
-    // the r16 loop (join-based round 1) to 6 dp
-    val viaCount = e.select(col("dst"), lit(1.0).cast("decimal(27,18)").as("c"))
-      .groupBy(col("dst")).agg(sum(col("c")).cast("double").as("raw"))
-      .orderBy("dst").collect().map(_.toSeq).toSeq
-    assert(viaCount == viaJoin, "count-based round-1 raw sums must equal the joined all-ones form")
+    // pin the PRODUCTION path itself (r17 ADVICE): hitsRound's
+    // None-branch authority vector, normalized, must equal the
+    // normalized join form row for row — a drift in the None branch
+    // now fails here instead of only at the oracle
+    val rawSum = viaJoin.map(_(1).asInstanceOf[Double]).sum
+    val want   = viaJoin.map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Double] / rawSum))
     assert(a1.columns.toSeq == Seq("dst", "score"))
+    val got = a1.orderBy("dst").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.map(_._1) == want.map(_._1), s"node sets differ: $got vs $want")
+    got.zip(want).foreach { case ((_, g), (_, w)) =>
+      assert(math.abs(g - w) < 1e-12, s"normalized authority drift: $g vs $w")
+    }
     e.unpersist()
   }
 
