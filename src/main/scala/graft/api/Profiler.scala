@@ -183,18 +183,19 @@ object Profiler {
     val spark = pred.sparkSession
     import spark.implicits._
     require(ks.nonEmpty, "evaluateEndToEnd needs at least one k")
-    // gold feeds FIVE differently-keyed consumers (attribute distinct,
-    // the ClosedIE cell join, the doc-count action, attrSlices, the
-    // triple set) and pred feeds two (name distinct + the alias map
-    // join). When the caller hands in DERIVED frames (q_eval_e2e
-    // builds both from the documents scan), each consumer re-ran the
-    // whole derivation — differently-keyed aggregations share no
-    // exchange, so ReuseExchange cannot collapse them (the r17
-    // read-the-duplicate-through-the-exchange rule, inverted). Persist
-    // both; the totalDocs count below doubles as gold's cache fill.
-    // Same caller-may-unpersist convention as `mapped`.
-    val goldC = gold.persist()
-    val predC = pred.persist()
+    // NOT persisted, by measurement (r18): gold feeds five
+    // differently-keyed consumers and pred two, so persisting both
+    // looked like the r17 graph-family pattern — but the duplicated
+    // subtrees here are scan+project UNIONS with no exchange below
+    // the consumer (q_eval_e2e derives both from the documents scan
+    // with row-level expressions only). Re-running a pipelined
+    // narrow derivation 5× is CHEAPER than one doc-sized cache write
+    // + 5 cache reads: interleaved min-of-3 A/B read persisted 6.90 s
+    // vs unpersisted 4.39 s at sf0.1. The r17 rule refined: read the
+    // duplicate through the exchange — and when the duplicate
+    // contains NO exchange at all, leave it pipelined.
+    val goldC = gold
+    val predC = pred
     val goldAttrs = goldC.select(col("attribute")).distinct()
     val schemaRows = SchemaId
       .schemaEvalAtK(rankedAttrs, goldAttrs.select(col("attribute").as("field")), ks)
